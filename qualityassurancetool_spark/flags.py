@@ -1,0 +1,152 @@
+"""Quality-flag algebra (SeaDataNet / NERC L20 vocabulary).
+
+The reference stores flags as an *ordered categorical* whose priority is the
+enum **definition order**, not the numeric L20 code (reference:
+``README.adoc:172-175``; merge-with-``max`` call sites
+``src/main.py:151,454,538-541``).  The L20 numeric codes do NOT sort by
+severity (9 = "missing" must not outrank 4 = "bad"), so this module is the
+single place that owns the code→severity-rank mapping; every merge goes
+through :func:`flag_merge` which compares *ranks* and returns *codes*.
+
+Spark representation: flags travel as ``ByteType`` L20 codes in data columns;
+rank lookup is a ``CASE WHEN`` chain (whole-stage-codegen friendly — no join,
+no UDF, no broadcast needed for a 10-entry map).
+"""
+
+from __future__ import annotations
+
+from enum import IntEnum
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class QualityFlags(IntEnum):
+    """L20 numeric codes (values) — severity is ``FLAG_SEVERITY``, not value."""
+
+    NO_QUALITY_CONTROL = 0
+    GOOD = 1
+    PROBABLY_GOOD = 2
+    PROBABLY_BAD = 3
+    BAD = 4
+    CHANGED = 5
+    BELOW_DETECTION = 6
+    IN_EXCESS = 7
+    INTERPOLATED = 8
+    MISSING = 9
+
+    def __str__(self) -> str:  # parity with reference's str-enum behavior
+        return str(self.value)
+
+
+# Severity rank: higher = worse = wins a merge.  Benign/annotation codes
+# (changed/interpolated/detection-limit) rank between "probably good" and
+# "missing"; the two damning codes rank last.  This ordering reproduces the
+# reference's observed merge outcomes (BAD and PROBABLY_BAD always win over
+# GOOD/NO_QC/MISSING; see reference tests ``tests/test_qc.py:179-260``).
+FLAG_SEVERITY: dict[int, int] = {
+    QualityFlags.NO_QUALITY_CONTROL: 0,
+    QualityFlags.GOOD: 1,
+    QualityFlags.PROBABLY_GOOD: 2,
+    QualityFlags.CHANGED: 3,
+    QualityFlags.INTERPOLATED: 4,
+    QualityFlags.BELOW_DETECTION: 5,
+    QualityFlags.IN_EXCESS: 6,
+    QualityFlags.MISSING: 7,
+    QualityFlags.PROBABLY_BAD: 8,
+    QualityFlags.BAD: 9,
+}
+
+# Inverse: rank -> code, used to translate a merged rank back to a code.
+_RANK_TO_CODE: dict[int, int] = {r: c for c, r in FLAG_SEVERITY.items()}
+
+
+def flag_rank(flag: Column | str) -> Column:
+    """Column expression mapping an L20 code column to its severity rank."""
+    c = F.col(flag) if isinstance(flag, str) else flag
+    expr: Column = F.lit(None).cast("int")
+    # Build a CASE chain; codegen collapses this into a flat branch table.
+    for code, rank in FLAG_SEVERITY.items():
+        expr = F.when(c == int(code), F.lit(rank)).otherwise(expr)
+    return expr
+
+
+def rank_to_flag(rank: Column) -> Column:
+    """Inverse of :func:`flag_rank` as a Column expression."""
+    expr: Column = F.lit(None).cast("tinyint")
+    for r, code in _RANK_TO_CODE.items():
+        expr = F.when(rank == int(r), F.lit(code).cast("tinyint")).otherwise(expr)
+    return expr
+
+
+def flag_merge(*flags: Column | str) -> Column:
+    """Severity-max merge of N flag columns (reference ``.combine(max)``,
+    ``src/main.py:151,454``).  Null inputs are treated as NO_QUALITY_CONTROL
+    (the reference's ``fill_value=QualityFlags.NO_QUALITY_CONTROL``).
+
+    Implemented as ``greatest`` over ranks, translated back to a code —
+    pure Column arithmetic, no shuffle, no UDF.
+    """
+    ranked = [
+        F.coalesce(
+            flag_rank(f),
+            F.lit(FLAG_SEVERITY[QualityFlags.NO_QUALITY_CONTROL]),
+        )
+        for f in flags
+    ]
+    merged_rank = ranked[0] if len(ranked) == 1 else F.greatest(*ranked)
+    return rank_to_flag(merged_rank)
+
+
+def flag_overwrite(old: Column | str, new: Column | str) -> Column:
+    """Last-writer-wins merge (reference ``lambda x, y: y`` with fill,
+    ``src/main.py:573-575``): take *new* where non-null else keep *old*."""
+    o = F.col(old) if isinstance(old, str) else old
+    n = F.col(new) if isinstance(new, str) else new
+    return F.coalesce(n, o)
+
+
+def flag_from_bool(
+    bool_col: Column,
+    flag_on_true: int,
+    flag_on_false: int = QualityFlags.NO_QUALITY_CONTROL,
+    flag_on_nan: int | None = None,
+) -> Column:
+    """bool→flag mapping with explicit null handling (reference
+    ``get_qc_flag_from_bool``, ``src/main.py:187-191``).
+
+    ``flag_on_nan=None`` leaves nulls as NO_QUALITY_CONTROL-equivalent null
+    so a later merge ignores them; pass a code to flag unknowns.
+    """
+    nan_lit = (
+        F.lit(None).cast("tinyint")
+        if flag_on_nan is None
+        else F.lit(int(flag_on_nan)).cast("tinyint")
+    )
+    return (
+        F.when(bool_col.isNull(), nan_lit)
+        .when(bool_col, F.lit(int(flag_on_true)).cast("tinyint"))
+        .otherwise(F.lit(int(flag_on_false)).cast("tinyint"))
+    )
+
+
+def flag_merge_sql(*flag_sql_exprs: str) -> str:
+    """ANSI-SQL rendering of :func:`flag_merge` for DuckDB oracles.
+
+    Produces ``rank→greatest→code`` with the same severity table so the
+    driver's oracle comparison exercises the identical algebra.
+    """
+
+    def rank_case(e: str) -> str:
+        whens = " ".join(
+            f"WHEN {e} = {int(code)} THEN {rank}"
+            for code, rank in FLAG_SEVERITY.items()
+        )
+        return f"COALESCE(CASE {whens} END, 0)"
+
+    ranked = [rank_case(e) for e in flag_sql_exprs]
+    merged = ranked[0] if len(ranked) == 1 else "GREATEST(" + ", ".join(ranked) + ")"
+    whens = " ".join(
+        f"WHEN {merged} = {rank} THEN {int(code)}" for rank, code in _RANK_TO_CODE.items()
+    )
+    return f"CAST(CASE {whens} END AS TINYINT)"

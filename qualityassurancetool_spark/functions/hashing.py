@@ -1,0 +1,57 @@
+"""Portable deterministic hashing for dedup / fingerprint operators.
+
+Engine-specific hashes (Spark ``xxhash64`` vs DuckDB ``hash``) differ, so
+cross-engine-checkable operators hash via **md5** (identical everywhere) and
+derive integers from hex prefixes.  ``md5_long`` yields a 60-bit
+non-negative integer (15 hex chars → fits a signed 64-bit long in any
+engine).  Where cross-engine parity is not needed (pure-Spark hot paths),
+prefer ``xxhash64`` — it is considerably faster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_long(c: Column, salt: str = "") -> Column:
+    """60-bit integer from md5 of (salt || value). Portable across engines."""
+    salted = F.concat(F.lit(salt), c) if salt else c
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str, salt: str = "") -> str:
+    """DuckDB-runnable SQL equivalent of :func:`md5_long`."""
+    salted = f"concat('{salt}', {expr})" if salt else expr
+    # DuckDB: hex-string → integer via from_hex blob is awkward; use the
+    # documented md5_number_lower/upper split?  Portable route: parse the
+    # 15-hex-char prefix manually with a polynomial — but DuckDB supports
+    # CAST(concat('0x', h) AS BIGINT) since 0.9 (hex literals in casts).
+    return f"CAST(concat('0x', substring(md5({salted}), 1, 15)) AS BIGINT)"
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase, collapse whitespace, strip — canonical form for dedup."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+NORMALIZE_TEXT_SQL = "trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalize_text(c), " ")
+
+
+def shingles(c: Column, k: int = 3) -> Column:
+    """Word k-shingles of a text column → array<string> (distinct).
+
+    Built from pure array functions (no UDF): slide a window of k over the
+    token array with ``transform`` + ``slice`` + ``concat_ws``.
+    """
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )

@@ -1,0 +1,73 @@
+"""Timestamp helpers shared by the window-family operators.
+
+All window arithmetic in this engine runs over *integer microseconds* so
+range frames are exact (no float ordering) and so Spark and SQL oracles
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def epoch_micros(ts: Column | str) -> Column:
+    """Timestamp → integer epoch microseconds (exact; frame-friendly)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(c)
+
+
+def epoch_seconds(ts: Column | str) -> Column:
+    """Timestamp → epoch seconds as double (µs fraction preserved)."""
+    return epoch_micros(ts) / F.lit(1_000_000.0)
+
+
+def round_to_seconds(ts: Column | str) -> Column:
+    """Round to nearest second (reference ``.round("1s")``,
+    ``src/aums_data_request.py:91-94``).  Half-up on the µs fraction —
+    deterministic and portable (pure integer arithmetic)."""
+    us = epoch_micros(ts)
+    return F.timestamp_micros(
+        (F.floor((us + 500_000) / 1_000_000) * 1_000_000).cast("long")
+    )
+
+
+def floor_to_seconds(ts: Column | str) -> Column:
+    us = epoch_micros(ts)
+    return F.timestamp_micros((F.floor(us / 1_000_000) * 1_000_000).cast("long"))
+
+
+def parse_timedelta_seconds(spec: str | float | int) -> float:
+    """Parse config timedelta literals (``"0.5s"``, ``"10min"``, ``"60min"``,
+    ``"2h"``, ``"1d"``) to seconds — the reference's pandas-offset grammar
+    (``src/yaml_schema.py:7-43``) reduced to the units it actually uses."""
+    if isinstance(spec, (int, float)):
+        return float(spec)
+    s = spec.strip().lower()
+    units = {
+        "ms": 1e-3,
+        "s": 1.0,
+        "sec": 1.0,
+        "secs": 1.0,
+        "second": 1.0,
+        "seconds": 1.0,
+        "min": 60.0,
+        "minute": 60.0,
+        "minutes": 60.0,
+        "t": 60.0,
+        "h": 3600.0,
+        "hr": 3600.0,
+        "hour": 3600.0,
+        "hours": 3600.0,
+        "d": 86400.0,
+        "day": 86400.0,
+        "days": 86400.0,
+    }
+    # longest-suffix match
+    for unit in sorted(units, key=len, reverse=True):
+        if s.endswith(unit):
+            num = s[: -len(unit)].strip()
+            if num == "":
+                num = "1"
+            return float(num) * units[unit]
+    return float(s)  # bare number = seconds

@@ -1,0 +1,4 @@
+"""QC + scale operators. Each module implements one family from SURVEY.md §2
+as lazy DataFrame/Column transformations (no eager execution, no driver
+loops); pandas UDFs appear only where built-ins cannot express the
+semantics (polygon/raster lookups, exact geodesic option)."""

@@ -1,0 +1,176 @@
+"""As-of join with time tolerance + dependent-quantity QC propagation
+(reference J3/J4: ``qc_dependent_quantity_base`` / ``_secondary``, call
+sites ``src/main.py:464-470,784-805``; semantics pinned by the test matrix
+``tests/test_qc.py:604-971`` and ``README.adoc:257-268``).
+
+Semantics: each **dependent** observation is paired with the **independent**
+observation nearest in time with ``|Δt| ≤ tolerance``.
+ - base: the dependent inherits the independent's flag (severity-merge);
+   unmatched dependents optionally get ``flag_when_missing``.
+ - secondary: if the matched independent's *value* is outside ``range_``,
+   the dependent is flagged BAD (flags themselves are not linked).
+
+Physical design (scale-first): a naive range join ``|t_d − t_i| ≤ tol`` is a
+per-overlap cartesian.  Instead we bucket both sides by
+``floor(epoch_us / tol_us)`` and explode the *dependent* side to its three
+candidate buckets (b−1, b, b+1): any independent row within tolerance must
+land in one of those.  The join is then a plain equi-join on
+``(stream-pair key, bucket)`` which Spark executes as a shuffled (or
+broadcast) hash join with bounded fan-out; the nearest partner is picked
+with one ``row_number`` window.  Cost: O(n·3) join rows instead of O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.flags import (
+    QualityFlags,
+    flag_merge,
+)
+from qualityassurancetool_spark.functions.timeutils import (
+    epoch_micros,
+    parse_timedelta_seconds,
+)
+
+
+def asof_nearest_join(
+    dependent: DataFrame,
+    independent: DataFrame,
+    tolerance: str | float,
+    dep_ts: str = "phenomenon_time",
+    ind_ts: str = "phenomenon_time",
+    ind_prefix: str = "ind_",
+) -> DataFrame:
+    """Generic nearest-within-tolerance as-of join.
+
+    Returns ``dependent`` columns plus the matched independent's columns
+    prefixed with ``ind_prefix`` (null where no partner within tolerance).
+    Ties on |Δt| break on the smaller independent timestamp, then any
+    ``iot_id`` column if present (fully deterministic).
+    """
+    tol_us = int(parse_timedelta_seconds(tolerance) * 1_000_000)
+    if tol_us <= 0:
+        raise ValueError("tolerance must be positive")
+
+    dep = dependent.withColumn("_dep_us", epoch_micros(dep_ts)).withColumn(
+        "_dep_row", F.monotonically_increasing_id()
+    )
+    ind = independent.select(
+        *[F.col(c).alias(f"{ind_prefix}{c}") for c in independent.columns]
+    ).withColumn("_ind_us", epoch_micros(f"{ind_prefix}{ind_ts}"))
+
+    # dependent side explodes to 3 candidate buckets; independent keeps 1.
+    # The tolerance predicate lives in the join condition so an exploded copy
+    # whose bucket holds only out-of-tolerance partners still survives as an
+    # unmatched (null) row — unmatched dependents must NOT be dropped.
+    dep_b = dep.withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                (F.floor(F.col("_dep_us") / tol_us) - 1).cast("long"),
+                F.floor(F.col("_dep_us") / tol_us).cast("long"),
+                (F.floor(F.col("_dep_us") / tol_us) + 1).cast("long"),
+            )
+        ),
+    )
+    ind_b = ind.withColumn(
+        "_ind_bucket", F.floor(F.col("_ind_us") / tol_us).cast("long")
+    )
+
+    joined = dep_b.join(
+        ind_b,
+        (F.col("_bucket") == F.col("_ind_bucket"))
+        & (F.abs(F.col("_dep_us") - F.col("_ind_us")) <= tol_us),
+        how="left",
+    )
+
+    tie_cols = [F.abs(F.col("_dep_us") - F.col("_ind_us")).asc_nulls_last(),
+                F.col("_ind_us").asc_nulls_last()]
+    iot = f"{ind_prefix}iot_id"
+    if iot in ind.columns:
+        tie_cols.append(F.col(iot).asc_nulls_last())
+    w = Window.partitionBy("_dep_row").orderBy(*tie_cols)
+    nearest = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_bucket", "_ind_bucket", "_dep_us", "_ind_us", "_dep_row")
+    )
+    return nearest
+
+
+def qc_dependent_quantity_base(
+    df: DataFrame,
+    independent,
+    dependent,
+    dt_tolerance: str | float = "0.5s",
+    stream_col: str = "datastream_id",
+    ts_col: str = "phenomenon_time",
+    flag_col: str = "qc_flag",
+    flag_when_missing: int | None = None,
+) -> DataFrame:
+    """Directly-linked flags: dependent inherits the time-matched
+    independent's flag (severity-merge).  Returns ``df`` with the dependent
+    stream's flags updated; all other rows pass through unchanged."""
+    dep_rows = df.where(F.col(stream_col) == F.lit(dependent))
+    ind_rows = df.where(F.col(stream_col) == F.lit(independent)).select(
+        "iot_id", ts_col, flag_col
+    )
+    other_rows = df.where(
+        (F.col(stream_col) != F.lit(dependent)) | F.col(stream_col).isNull()
+    )
+
+    matched = asof_nearest_join(
+        dep_rows, ind_rows, dt_tolerance, dep_ts=ts_col, ind_ts=ts_col
+    )
+    new_flag = flag_merge(F.col(flag_col), F.col(f"ind_{flag_col}"))
+    if flag_when_missing is not None:
+        new_flag = F.when(
+            F.col(f"ind_{flag_col}").isNull(),
+            flag_merge(
+                F.col(flag_col),
+                F.lit(int(flag_when_missing)).cast("tinyint"),
+            ),
+        ).otherwise(new_flag)
+    updated = matched.withColumn(flag_col, new_flag).select(*df.columns)
+    return other_rows.unionByName(updated)
+
+
+def qc_dependent_quantity_secondary(
+    df: DataFrame,
+    independent,
+    dependent,
+    range_: tuple[float, float],
+    dt_tolerance: str | float = "0.5s",
+    stream_col: str = "datastream_id",
+    ts_col: str = "phenomenon_time",
+    flag_col: str = "qc_flag",
+    value_col: str = "result",
+) -> DataFrame:
+    """Value-linked check: matched independent's value outside ``range_``
+    (strict bounds, like the range check) ⇒ dependent flagged BAD."""
+    lo, hi = range_
+    dep_rows = df.where(F.col(stream_col) == F.lit(dependent))
+    ind_rows = df.where(F.col(stream_col) == F.lit(independent)).select(
+        "iot_id", ts_col, value_col
+    )
+    other_rows = df.where(
+        (F.col(stream_col) != F.lit(dependent)) | F.col(stream_col).isNull()
+    )
+
+    matched = asof_nearest_join(
+        dep_rows, ind_rows, dt_tolerance, dep_ts=ts_col, ind_ts=ts_col
+    )
+    bad = ~(
+        (F.col(f"ind_{value_col}") > F.lit(lo))
+        & (F.col(f"ind_{value_col}") < F.lit(hi))
+    )
+    new_flag = F.when(
+        F.col(f"ind_{value_col}").isNotNull() & bad,
+        flag_merge(
+            F.col(flag_col), F.lit(int(QualityFlags.BAD)).cast("tinyint")
+        ),
+    ).otherwise(F.col(flag_col))
+    updated = matched.withColumn(flag_col, new_flag).select(*df.columns)
+    return other_rows.unionByName(updated)

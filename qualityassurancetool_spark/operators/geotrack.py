@@ -1,0 +1,105 @@
+"""Geodesic track kinematics: velocity & acceleration between consecutive
+fixes (reference W8: ``get_dt_velocity_and_acceleration_series`` +
+``get_bool_exceed_max_velocity/acceleration``, ``src/main.py:654-710``;
+tests ``tests/test_qc.py:395-435``; ``README.adoc:218-229``).
+
+Distance is haversine in pure Column math (geodesic-vs-haversine ≤0.5 % at
+track scales, documented in ``functions/geo.py``).  Velocity pairs the
+current fix with the previous one over a time-ordered window; acceleration
+differences consecutive velocities.  A flagged *pair* marks **both** of its
+rows (reference marks ``idx0-1`` and ``idx0`` — ``tests/test_qc.py:429``),
+expressed as ``bool | lead(bool)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.flags import QualityFlags, flag_from_bool, flag_merge
+from qualityassurancetool_spark.functions.geo import haversine_m
+from qualityassurancetool_spark.functions.timeutils import epoch_micros
+
+
+def with_velocity_acceleration(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "long",
+    ts_col: str = "phenomenon_time",
+    partition_cols: list[str] | None = None,
+    order_extra: list[str] | None = None,
+    dt_col: str = "dt_s",
+    velocity_col: str = "velocity_ms",
+    acceleration_col: str = "acceleration_ms2",
+) -> DataFrame:
+    """Add dt (s), velocity (m/s) and acceleration (m/s²) columns.
+
+    ``partition_cols=None`` means one global track (the reference's single
+    ship) — for that case keep an explicit repartition-free window; at scale
+    callers should pass a track/vessel id to partition on.
+    """
+    parts = partition_cols or []
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
+    w = (
+        Window.partitionBy(*parts).orderBy(*order_cols)
+        if parts
+        else Window.orderBy(*order_cols)
+    )
+    # exact integer-µs difference, then to seconds (no epoch-double cancellation)
+    t_us = epoch_micros(ts_col)
+    dt = (t_us - F.lag(t_us).over(w)) / F.lit(1_000_000.0)
+    dist = haversine_m(
+        F.lag(F.col(lat_col)).over(w),
+        F.lag(F.col(lon_col)).over(w),
+        F.col(lat_col),
+        F.col(lon_col),
+    )
+    v = F.when(dt > 0, dist / dt)
+    df = df.withColumn(dt_col, dt).withColumn(velocity_col, v)
+    a = F.when(
+        F.col(dt_col) > 0,
+        (F.col(velocity_col) - F.lag(F.col(velocity_col)).over(w))
+        / F.col(dt_col),
+    )
+    return df.withColumn(acceleration_col, a)
+
+
+def exceed_bool_marking_pair(
+    metric: Column, max_value: float, w: Window
+) -> Column:
+    """|metric| > max ⇒ flag this row AND the previous row of the pair
+    (implemented forward: ``bool | lead(bool)``)."""
+    b = F.abs(metric) > F.lit(max_value)
+    b = F.coalesce(b, F.lit(False))
+    return b | F.coalesce(F.lead(b).over(w), F.lit(False))
+
+
+def apply_velocity_acceleration_check(
+    df: DataFrame,
+    max_velocity_ms: float,
+    max_acceleration_ms2: float,
+    lat_col: str = "lat",
+    lon_col: str = "long",
+    ts_col: str = "phenomenon_time",
+    partition_cols: list[str] | None = None,
+    flag_col: str = "qc_flag",
+) -> DataFrame:
+    parts = partition_cols or []
+    w = (
+        Window.partitionBy(*parts).orderBy(ts_col)
+        if parts
+        else Window.orderBy(ts_col)
+    )
+    df = with_velocity_acceleration(
+        df, lat_col, lon_col, ts_col, partition_cols
+    )
+    bad_v = exceed_bool_marking_pair(F.col("velocity_ms"), max_velocity_ms, w)
+    bad_a = exceed_bool_marking_pair(
+        F.col("acceleration_ms2"), max_acceleration_ms2, w
+    )
+    new_flag = flag_from_bool(
+        bad_v | bad_a,
+        flag_on_true=QualityFlags.PROBABLY_BAD,
+        flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
+    )
+    return df.withColumn(flag_col, flag_merge(F.col(flag_col), new_flag))

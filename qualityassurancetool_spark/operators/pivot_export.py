@@ -1,0 +1,80 @@
+"""Long→wide export path (reference §3.2 / W-P1 / A2:
+``wrapper_pivot_df`` + best-record-per-timestamp,
+``src/aums_data_request.py:91-162``; golden shape ``tests/test_other.py:117-136``).
+
+Steps: round timestamps to 1 s (nearest) and keep the distance-to-round;
+per (rounded second, stream) keep the best record — sorted by flag quality
+then time distance (A2) — then pivot streams into ``{stream}_result`` /
+``{stream}_flag`` columns.  The pandas version pivots a MultiIndex; here the
+wide schema is flat, the pivot values are pre-deduplicated (so no duplicate
+explosion) and the whole thing is two shuffles (window + pivot agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.flags import flag_rank
+from qualityassurancetool_spark.functions.timeutils import (
+    epoch_micros,
+    round_to_seconds,
+)
+
+
+def with_rounded_time(
+    df: DataFrame,
+    ts_col: str = "phenomenon_time",
+    round_col: str = "ts_round",
+    dt_col: str = "dt_to_round_s",
+) -> DataFrame:
+    """F4: round to nearest second + |Δt| to the rounded instant (reference
+    ``time_conversions``, ``src/aums_data_request.py:91-94``)."""
+    rounded = round_to_seconds(ts_col)
+    dt = F.abs(epoch_micros(ts_col) - epoch_micros(rounded)) / 1_000_000.0
+    return df.withColumn(round_col, rounded).withColumn(dt_col, dt)
+
+
+def best_record_per_second(
+    df: DataFrame,
+    stream_col: str = "datastream_id",
+    ts_col: str = "phenomenon_time",
+    flag_col: str = "qc_flag",
+    id_col: str = "iot_id",
+) -> DataFrame:
+    """A2: per (rounded second, stream) keep the record with the best flag,
+    then smallest distance-to-round, then smallest id (deterministic)."""
+    df = with_rounded_time(df, ts_col)
+    w = Window.partitionBy("ts_round", stream_col).orderBy(
+        flag_rank(flag_col).asc_nulls_last(),
+        F.col("dt_to_round_s").asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def pivot_wide(
+    df: DataFrame,
+    stream_values: list,
+    stream_col: str = "datastream_id",
+    value_col: str = "result",
+    flag_col: str = "qc_flag",
+) -> DataFrame:
+    """W-P1: one row per rounded second, ``{stream}_result``/``{stream}_flag``
+    columns.  ``stream_values`` must be supplied (explicit pivot values keep
+    the plan single-pass and the schema deterministic — at 100 TB you never
+    want the implicit distinct-scan)."""
+    deduped = best_record_per_second(df, stream_col=stream_col, flag_col=flag_col)
+    pivoted = (
+        deduped.groupBy("ts_round")
+        .pivot(stream_col, stream_values)
+        .agg(
+            F.first(value_col).alias("result"),
+            F.first(flag_col).alias("flag"),
+        )
+    )
+    return pivoted.orderBy("ts_round")

@@ -1,0 +1,90 @@
+"""Rolling-median spatial outlier (reference W5:
+``get_bool_spacial_outlier_compared_to_median(df, max_dx_dt, time_window)``,
+call ``src/main.py:612-630``; tests ``tests/test_qc.py:263-392``;
+``README.adoc:231-239``).
+
+Each fix is compared against the (exact) median latitude/longitude of the
+fixes inside a centered time window around it; a fix farther than the
+window's allowed travel distance (``max_dx_dt × window``) from that median
+is an outlier.
+
+Exactness: the reference uses pandas' exact ``median()``.  Spark's
+``percentile(col, 0.5)`` window aggregate is exact (sorts the frame) and
+interpolates the even case exactly like pandas/DuckDB — so ``exact=True``
+(default) uses it; ``exact=False`` switches to ``percentile_approx`` for a
+cheaper plan when windows are huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.flags import QualityFlags, flag_from_bool, flag_merge
+from qualityassurancetool_spark.functions.geo import haversine_m
+from qualityassurancetool_spark.functions.timeutils import (
+    epoch_micros,
+    parse_timedelta_seconds,
+)
+
+
+def with_median_track(
+    df: DataFrame,
+    time_window: str | float = "10min",
+    lat_col: str = "lat",
+    lon_col: str = "long",
+    ts_col: str = "phenomenon_time",
+    partition_cols: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Add ``median_lat``/``median_long`` over the centered time window."""
+    half_us = int(parse_timedelta_seconds(time_window) * 1_000_000) // 2
+    parts = partition_cols or []
+    order = epoch_micros(ts_col)
+    w = (
+        (Window.partitionBy(*parts) if parts else Window.partitionBy())
+        .orderBy(order)
+        .rangeBetween(-half_us, half_us)
+    )
+    if exact:
+        med_lat = F.percentile(F.col(lat_col), F.lit(0.5)).over(w)
+        med_lon = F.percentile(F.col(lon_col), F.lit(0.5)).over(w)
+    else:
+        med_lat = F.percentile_approx(F.col(lat_col), F.lit(0.5)).over(w)
+        med_lon = F.percentile_approx(F.col(lon_col), F.lit(0.5)).over(w)
+    return df.withColumn("median_lat", med_lat).withColumn(
+        "median_long", med_lon
+    )
+
+
+def apply_spatial_outlier_check(
+    df: DataFrame,
+    max_dx_dt: float,
+    time_window: str | float = "10min",
+    lat_col: str = "lat",
+    lon_col: str = "long",
+    ts_col: str = "phenomenon_time",
+    partition_cols: list[str] | None = None,
+    flag_col: str = "qc_flag",
+    exact: bool = True,
+) -> DataFrame:
+    """Flag fixes farther than ``max_dx_dt × time_window`` meters from the
+    windowed median position (the reference's allowed-travel threshold)."""
+    window_s = parse_timedelta_seconds(time_window)
+    max_dist_m = max_dx_dt * window_s
+    df = with_median_track(
+        df, time_window, lat_col, lon_col, ts_col, partition_cols, exact
+    )
+    dist = haversine_m(
+        F.col("median_lat"),
+        F.col("median_long"),
+        F.col(lat_col),
+        F.col(lon_col),
+    )
+    df = df.withColumn("dist_to_median_m", dist)
+    new_flag = flag_from_bool(
+        F.col("dist_to_median_m") > F.lit(max_dist_m),
+        flag_on_true=QualityFlags.BAD,
+        flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
+    )
+    return df.withColumn(flag_col, flag_merge(F.col(flag_col), new_flag))

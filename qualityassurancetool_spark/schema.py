@@ -1,0 +1,101 @@
+"""Observations data model.
+
+The engine's fundamental abstraction is one long/narrow observations table
+(reference §1: one row per observation — ``src/main.py:39-45``, physical
+columns in ``tests/resources/df_outliers.csv:1``).  This module owns the
+canonical column names, the explicit Spark schema, and adapters from the
+driver's testdata tables (``events``) into that shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class Obs:
+    """Canonical observation column names (reference ``Df`` enum analog)."""
+
+    IOT_ID = "iot_id"
+    RESULT = "result"
+    TIME = "phenomenon_time"
+    QC_FLAG = "qc_flag"
+    DATASTREAM_ID = "datastream_id"
+    LAT = "lat"
+    LONG = "long"
+    FEATURE_ID = "feature_id"
+    FEATURE_QC_FLAG = "feature_qc_flag"
+    OBSERVATION_TYPE = "observation_type"
+    UNITS = "units"
+    REGION = "region"
+    GRADIENT = "gradient"
+    ZSCORE = "zscore"
+
+
+OBSERVATIONS_SCHEMA = T.StructType(
+    [
+        T.StructField(Obs.IOT_ID, T.LongType(), False),
+        T.StructField(Obs.RESULT, T.DoubleType(), True),
+        T.StructField(Obs.TIME, T.TimestampType(), False),
+        T.StructField(Obs.QC_FLAG, T.ByteType(), True),
+        T.StructField(Obs.DATASTREAM_ID, T.LongType(), False),
+        T.StructField(Obs.LAT, T.DoubleType(), True),
+        T.StructField(Obs.LONG, T.DoubleType(), True),
+        T.StructField(Obs.FEATURE_ID, T.LongType(), True),
+        T.StructField(Obs.OBSERVATION_TYPE, T.StringType(), True),
+        T.StructField(Obs.UNITS, T.StringType(), True),
+        T.StructField(Obs.REGION, T.StringType(), True),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata parquet table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_as_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's ``events`` table onto the observations model
+    (mapping fixed by /root/repo/FIXTURES.md F1: event_id→iot_id, ts→time,
+    event_type→datastream key, value→result).
+
+    ``event_type`` (string) plays the datastream role; a dense integer id is
+    derived for operators that want a numeric stream id.  A deterministic
+    synthetic ship-track (lat/long) is derived from the event id with pure
+    integer-modular arithmetic so Spark and any SQL oracle reproduce the
+    exact same doubles (no libm involved).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias(Obs.IOT_ID),
+        F.col("value").alias(Obs.RESULT),
+        F.col("ts").alias(Obs.TIME),
+        F.lit(0).cast("tinyint").alias(Obs.QC_FLAG),
+        F.col("user_id").alias("user_id"),
+        F.col("event_type").alias(Obs.OBSERVATION_TYPE),
+        # dense numeric stream id derived from the type string: stable, no lookup
+        F.crc32(F.col("event_type")).cast("long").alias(Obs.DATASTREAM_ID),
+        # deterministic synthetic track, exact in IEEE double on any engine:
+        (F.lit(51.0) + ((F.col("event_id") * 7919) % 2000) / F.lit(10000.0)).alias(
+            Obs.LAT
+        ),
+        (F.lit(3.0) + ((F.col("event_id") * 104729) % 2000) / F.lit(10000.0)).alias(
+            Obs.LONG
+        ),
+    )
+
+
+# SQL fragment (DuckDB oracle) mirroring events_as_observations exactly.
+EVENTS_AS_OBSERVATIONS_SQL = """
+    SELECT
+        event_id            AS iot_id,
+        value               AS result,
+        ts                  AS phenomenon_time,
+        CAST(0 AS TINYINT)  AS qc_flag,
+        user_id             AS user_id,
+        event_type          AS observation_type,
+        51.0 + ((event_id * 7919) % 2000) / 10000.0   AS lat,
+        3.0  + ((event_id * 104729) % 2000) / 10000.0 AS long
+    FROM events
+"""

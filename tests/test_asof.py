@@ -1,0 +1,149 @@
+"""As-of join + dependent-quantity matrix, transliterating the reference's
+test families (tests/test_qc.py:604-971): flag propagation, 1-day shift ⇒
+no match, missing partner ⇒ flag_when_missing, third stream untouched."""
+
+import datetime as dt
+
+import pytest
+
+from qualityassurancetool_spark.flags import QualityFlags
+from qualityassurancetool_spark.operators.asof import (
+    asof_nearest_join,
+    qc_dependent_quantity_base,
+    qc_dependent_quantity_secondary,
+)
+
+T0 = dt.datetime(2023, 1, 1)
+SCHEMA = (
+    "iot_id long, result double, phenomenon_time timestamp, "
+    "qc_flag tinyint, datastream_id long"
+)
+
+
+def ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def two_streams(spark, n=5, jitter=0.1, flags=None):
+    """independent stream 0 at t=i s; dependent stream 1 at t=i+jitter s."""
+    flags = flags or {}
+    rows = []
+    for i in range(n):
+        rows.append((i, float(i), ts(i), flags.get(i, 1), 0))
+    for i in range(n):
+        rid = n + i
+        rows.append((rid, float(i) * 10, ts(i + jitter), flags.get(rid, 1), 1))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def flag_counts(df):
+    out = {}
+    for r in df.groupBy("qc_flag").count().collect():
+        out[r["qc_flag"]] = r["count"]
+    return out
+
+
+@pytest.mark.parametrize("n", range(5))
+def test_dependent_base_propagates_bad(spark, n):
+    df = two_streams(spark, flags={n: 4})
+    out = qc_dependent_quantity_base(df, independent=0, dependent=1)
+    assert flag_counts(out) == {1: 8, 4: 2}
+
+
+@pytest.mark.parametrize("n", range(5))
+def test_dependent_base_shifted_no_match(spark, n):
+    # shift independent row n by 1 day: its dependent partner no longer
+    # matches; without flag_when_missing the dependent stays GOOD
+    df = two_streams(spark, flags={n: 4})
+    rows = df.collect()
+    newrows = [
+        (
+            r["iot_id"],
+            r["result"],
+            r["phenomenon_time"] + dt.timedelta(days=1)
+            if r["iot_id"] == n
+            else r["phenomenon_time"],
+            r["qc_flag"],
+            r["datastream_id"],
+        )
+        for r in rows
+    ]
+    df2 = spark.createDataFrame(newrows, SCHEMA)
+    out = qc_dependent_quantity_base(df2, independent=0, dependent=1)
+    assert flag_counts(out) == {1: 9, 4: 1}
+
+
+@pytest.mark.parametrize("n", range(5))
+def test_dependent_base_missing_partner_flagged(spark, n):
+    # remove independent row n entirely; its dependent is unmatched and
+    # gets flag_when_missing=BAD; plus one other independent marked BAD
+    # propagates — reference 3-streams-missing family expects 3 BAD
+    mark = (n + 1) % 5
+    df = two_streams(spark, flags={mark: 4})
+    df2 = df.where(~((df.datastream_id == 0) & (df.iot_id == n)))
+    out = qc_dependent_quantity_base(
+        df2, independent=0, dependent=1, flag_when_missing=QualityFlags.BAD
+    )
+    assert flag_counts(out) == {1: 6, 4: 3}
+
+
+def test_third_stream_untouched(spark):
+    df = two_streams(spark, flags={0: 4})
+    extra = spark.createDataFrame(
+        [(100, 1.0, ts(0), 1, 10), (101, 2.0, ts(1), 1, 10)], SCHEMA
+    )
+    out = qc_dependent_quantity_base(
+        df.unionByName(extra), independent=0, dependent=1
+    )
+    got = {
+        r["iot_id"]: r["qc_flag"]
+        for r in out.where(out.datastream_id == 10).collect()
+    }
+    assert got == {100: 1, 101: 1}
+
+
+def test_dependent_secondary_value_range(spark):
+    # independent values 0..4; range (0.5, 3.5) strict ⇒ ind rows 0 and 4
+    # out of range ⇒ their matched dependents flagged BAD (flags not linked)
+    df = two_streams(spark)
+    out = qc_dependent_quantity_secondary(
+        df, independent=0, dependent=1, range_=(0.5, 3.5)
+    )
+    dep = {
+        r["iot_id"]: r["qc_flag"]
+        for r in out.where(out.datastream_id == 1).collect()
+    }
+    assert dep == {5: 4, 6: 1, 7: 1, 8: 1, 9: 4}
+    ind = {
+        r["iot_id"]: r["qc_flag"]
+        for r in out.where(out.datastream_id == 0).collect()
+    }
+    assert set(ind.values()) == {1}  # independent flags untouched
+
+
+def test_asof_nearest_picks_nearest(spark):
+    dep = spark.createDataFrame(
+        [(1, ts(10.0))], "iot_id long, phenomenon_time timestamp"
+    )
+    ind = spark.createDataFrame(
+        [(100, ts(9.8)), (101, ts(10.1)), (102, ts(10.4))],
+        "iot_id long, phenomenon_time timestamp",
+    )
+    out = asof_nearest_join(dep, ind, tolerance=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["ind_iot_id"] == 101
+
+
+def test_asof_unmatched_survives_even_with_neighbors_out_of_tol(spark):
+    # independent rows exist in adjacent buckets but all beyond tolerance:
+    # the dependent must survive as unmatched (regression guard)
+    dep = spark.createDataFrame(
+        [(1, ts(10.0))], "iot_id long, phenomenon_time timestamp"
+    )
+    ind = spark.createDataFrame(
+        [(100, ts(9.0)), (101, ts(10.9))],
+        "iot_id long, phenomenon_time timestamp",
+    )
+    out = asof_nearest_join(dep, ind, tolerance=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["ind_iot_id"] is None

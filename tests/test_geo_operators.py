@@ -1,0 +1,134 @@
+"""Velocity/acceleration + spatial-outlier + region checks.
+
+The velocity fixture follows the reference's construction
+(tests/test_qc.py:32-47): points laid out by geodesic destination at known
+distance/heading, expected velocity = distance/dt.  We verify haversine
+agrees with the expected velocity to <0.5 % and that exceedance marks both
+rows of the offending pair."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.flags import QualityFlags
+from qualityassurancetool_spark.functions.geo import EARTH_RADIUS_M, haversine_m
+from qualityassurancetool_spark.operators.geotrack import (
+    apply_velocity_acceleration_check,
+    with_velocity_acceleration,
+)
+from qualityassurancetool_spark.operators.region import apply_region_checks
+from qualityassurancetool_spark.operators.spatial_outlier import (
+    apply_spatial_outlier_check,
+)
+
+T0 = dt.datetime(2023, 1, 1)
+
+
+def ts(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def dest_point(lat, lon, distance_m, bearing_deg):
+    """Great-circle destination (spherical Earth, same radius as engine)."""
+    br = math.radians(bearing_deg)
+    d = distance_m / EARTH_RADIUS_M
+    lat1, lon1 = math.radians(lat), math.radians(lon)
+    lat2 = math.asin(
+        math.sin(lat1) * math.cos(d) + math.cos(lat1) * math.sin(d) * math.cos(br)
+    )
+    lon2 = lon1 + math.atan2(
+        math.sin(br) * math.sin(d) * math.cos(lat1),
+        math.cos(d) - math.sin(lat1) * math.sin(lat2),
+    )
+    return math.degrees(lat2), math.degrees(lon2)
+
+
+def build_track(spark, steps_m, dt_s=2.0, lat0=51.37115902, lon0=3.18407097):
+    lat, lon = lat0, lon0
+    rows = [(0, lat, lon, ts(0.0))]
+    for i, step in enumerate(steps_m, start=1):
+        lat, lon = dest_point(lat, lon, step, 45.0)
+        rows.append((i, lat, lon, ts(i * dt_s)))
+    return spark.createDataFrame(
+        rows, "iot_id long, lat double, long double, phenomenon_time timestamp"
+    )
+
+
+def test_haversine_known_distance(spark):
+    # 1 degree of latitude ≈ 111.195 km on the sphere
+    df = spark.createDataFrame([(50.0, 3.0, 51.0, 3.0)], "a double, b double, c double, d double")
+    d = df.select(
+        haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+    ).collect()[0]["m"]
+    assert d == pytest.approx(math.pi / 180 * EARTH_RADIUS_M, rel=1e-9)
+
+
+def test_velocity_matches_construction(spark):
+    steps = [10.0, 10.0, 20.0, 40.0]  # meters per 2 s step
+    df = build_track(spark, steps)
+    out = (
+        with_velocity_acceleration(df)
+        .orderBy("iot_id")
+        .select("dt_s", "velocity_ms", "acceleration_ms2")
+        .collect()
+    )
+    assert out[0]["velocity_ms"] is None
+    for i, step in enumerate(steps, start=1):
+        assert out[i]["dt_s"] == pytest.approx(2.0)
+        assert out[i]["velocity_ms"] == pytest.approx(step / 2.0, rel=5e-3)
+    # acceleration row 3: (10 -> 20 m/2s) = (10-5)/2
+    assert out[3]["acceleration_ms2"] == pytest.approx((10 - 5) / 2.0, rel=1e-2)
+
+
+def test_velocity_exceedance_marks_both_rows(spark):
+    steps = [10.0, 10.0, 500.0, 10.0]  # step 3 is a 250 m/s jump
+    df = build_track(spark, steps).withColumn(
+        "qc_flag", F.lit(1).cast("tinyint")
+    )
+    out = apply_velocity_acceleration_check(
+        df, max_velocity_ms=50.0, max_acceleration_ms2=1e9
+    )
+    got = {r["iot_id"]: r["qc_flag"] for r in out.collect()}
+    # pair (2,3) flagged: both endpoints of the offending segment
+    assert got[2] == int(QualityFlags.PROBABLY_BAD)
+    assert got[3] == int(QualityFlags.PROBABLY_BAD)
+    assert got[0] == 1 and got[1] == 1 and got[4] == 1
+
+
+def test_spatial_outlier_flags_injected_point(spark):
+    # smooth 1 m steps with one 5 km excursion at row 10
+    steps = [1.0] * 20
+    df = build_track(spark, steps, dt_s=30.0)
+    rows = df.collect()
+    fixed = [
+        (
+            r["iot_id"],
+            r["lat"] + (0.05 if r["iot_id"] == 10 else 0.0),
+            r["long"],
+            r["phenomenon_time"],
+        )
+        for r in rows
+    ]
+    df2 = spark.createDataFrame(
+        fixed, "iot_id long, lat double, long double, phenomenon_time timestamp"
+    ).withColumn("qc_flag", F.lit(1).cast("tinyint"))
+    out = apply_spatial_outlier_check(
+        df2, max_dx_dt=1.0, time_window="10min"
+    )  # threshold = 600 m
+    got = {r["iot_id"]: r["qc_flag"] for r in out.collect()}
+    assert got[10] == int(QualityFlags.BAD)
+    assert all(v == 1 for k, v in got.items() if k != 10)
+
+
+def test_region_checks(spark):
+    rows = [
+        (0, "NORTH SEA", 1),
+        (1, "MAINLAND EUROPE", 1),
+        (2, "MAINLAND random", 1),
+        (3, None, 1),
+    ]
+    df = spark.createDataFrame(rows, "iot_id long, region string, qc_flag tinyint")
+    out = {r["iot_id"]: r["qc_flag"] for r in apply_region_checks(df).collect()}
+    assert out == {0: 1, 1: 4, 2: 4, 3: 3}
