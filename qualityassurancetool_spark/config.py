@@ -1,0 +1,146 @@
+"""Config layer: YAML/dict → validated threshold & dependency tables.
+
+The reference drives every check from YAML (``conf/config.yaml:185-516``,
+Cerberus-validated per ``src/yaml_schema.py``): per-stream ``range`` /
+``gradient`` / ``zscore`` min-max pairs with a ``QC_global`` fallback
+(``src/main.py:506-509``), plus dependent-quantity entries
+(independent, dependent, dt_tolerance, optional stabilization).
+
+Spark mapping: the config becomes one small *thresholds dimension
+DataFrame* (one row per stream, null where unconfigured, global fallback
+applied at build time) that broadcast-joins onto the observations — the
+engine never loops over streams.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.functions.timeutils import parse_timedelta_seconds
+
+QC_TYPES = ("range", "gradient", "zscore")
+
+
+@dataclass
+class StreamQC:
+    stream_id: object  # int or str key
+    range: tuple[float | None, float | None] | None = None
+    gradient: tuple[float | None, float | None] | None = None
+    zscore: tuple[float | None, float | None] | None = None
+
+
+@dataclass
+class DependentQC:
+    independent: object
+    dependent: object
+    dt_tolerance: str | float = "0.5s"
+    qc_range: tuple[float, float] | None = None  # secondary value check
+    dt_stabilization: str | float | None = None
+    max_allowed_downtime: str | float | None = None
+    flag_when_missing: int | None = None
+
+
+@dataclass
+class QCConfig:
+    streams: list[StreamQC] = field(default_factory=list)
+    dependents: list[DependentQC] = field(default_factory=list)
+    global_qc: dict[str, tuple[float | None, float | None]] = field(
+        default_factory=dict
+    )
+    zscore_time_window: str | float = "60min"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QCConfig":
+        streams = []
+        for entry in d.get("QC", []):
+            kw = {"stream_id": entry["id"]}
+            for t in QC_TYPES:
+                rng = entry.get(t)
+                if rng is not None:
+                    kw[t] = (rng.get("min"), rng.get("max")) if isinstance(
+                        rng, dict
+                    ) else tuple(rng)
+            streams.append(StreamQC(**kw))
+        deps = []
+        for entry in d.get("QC_dependent", []):
+            dep_field = entry.get("dependent")
+            dep_list = (
+                dep_field if isinstance(dep_field, (list, tuple)) else [dep_field]
+            )
+            for dep in dep_list:
+                deps.append(
+                    DependentQC(
+                        independent=entry["independent"],
+                        dependent=dep,
+                        dt_tolerance=entry.get("dt_tolerance", "0.5s"),
+                        qc_range=(
+                            tuple(entry["QC"]["range"])
+                            if entry.get("QC", {}).get("range")
+                            else None
+                        ),
+                        dt_stabilization=entry.get("dt_stabilization"),
+                        max_allowed_downtime=entry.get("max_allowed_downtime"),
+                        flag_when_missing=entry.get("flag_when_missing"),
+                    )
+                )
+        glob = {}
+        for t, rng in d.get("QC_global", {}).items():
+            if isinstance(rng, dict) and "range" in rng:
+                rng = rng["range"]
+            if isinstance(rng, dict):
+                glob[t] = (rng.get("min"), rng.get("max"))
+            else:
+                glob[t] = tuple(rng)
+        return cls(
+            streams=streams,
+            dependents=deps,
+            global_qc=glob,
+            zscore_time_window=d.get("zscore_time_window", "60min"),
+        )
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "QCConfig":
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+    def thresholds_df(self, spark: SparkSession) -> DataFrame:
+        """The broadcastable thresholds dimension: one row per stream with
+        qc_{type}_{min,max} columns; global fallback filled in."""
+        rows = []
+        for s in self.streams:
+            row = {"stream_id": s.stream_id}
+            for t in QC_TYPES:
+                rng = getattr(s, t) or self.global_qc.get(t) or (None, None)
+                row[f"qc_{t}_min"] = (
+                    float(rng[0]) if rng[0] is not None else None
+                )
+                row[f"qc_{t}_max"] = (
+                    float(rng[1]) if rng[1] is not None else None
+                )
+            rows.append(row)
+        schema = (
+            "stream_id string, "
+            + ", ".join(
+                f"qc_{t}_min double, qc_{t}_max double" for t in QC_TYPES
+            )
+        )
+        typed = [
+            tuple(
+                [str(r["stream_id"])]
+                + [
+                    r[f"qc_{t}_{mm}"]
+                    for t in QC_TYPES
+                    for mm in ("min", "max")
+                ]
+            )
+            for r in rows
+        ]
+        return spark.createDataFrame(typed, schema)
+
+    def dependency_tolerance_seconds(self, dep: DependentQC) -> float:
+        return parse_timedelta_seconds(dep.dt_tolerance)

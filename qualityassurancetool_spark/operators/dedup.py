@@ -1,0 +1,241 @@
+"""Deduplication family for large-corpus pipelines (driver north-star,
+/root/repo/BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+ - exact dedup is one hash-shuffle on a 16-byte digest (group on md5, keep
+   min id) — never on the raw text;
+ - MinHash/LSH: signatures are computed row-local from portable 60-bit
+   md5-derived hash functions (array exprs, no UDF, no shuffle), then
+   candidates come from an equi-join on (band_id, band_hash) — the classic
+   shuffle-bounded LSH; verification joins only candidate pairs;
+ - SimHash: row-local bit aggregation over token hashes;
+ - n-gram Jaccard: blocked self-join (same language + length bucket) to
+   bound the pair space, exact array-intersection Jaccard on candidates.
+
+Everything is deterministic and, where oracle-checked, built exclusively
+from md5-based hashing that DuckDB reproduces bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.functions.hashing import (
+    md5_long,
+    normalize_text,
+    shingles,
+    tokens,
+)
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest id per normalized-text digest.  Returns
+    (content_hash, keep_id, n_dups)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(
+    text: Column, num_hashes: int = 16, shingle_k: int = 3
+) -> Column:
+    """array<long> MinHash signature. Hash family i is md5 salted with i —
+    portable, deterministic, row-local."""
+    sh = shingles(text, shingle_k)
+
+    # NB: close over the hash index with a factory — a `lambda s, i=i:`
+    # default arg would change the lambda's arity and PySpark's
+    # higher-order functions would pass the array index into it instead.
+    def hash_fn(i: int):
+        return lambda s: md5_long(s, salt=f"mh{i}:")
+
+    sigs = [
+        F.array_min(F.transform(sh, hash_fn(i))) for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: documents sharing one
+    full band of the signature land in the same bucket.  Returns distinct
+    (id_a, id_b) with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+
+    band_entries = with_sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_id", "band.band_hash")
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification step)."""
+    sh = df.select(
+        F.col(id_col).alias("_jid"),
+        shingles(F.col(text_col), shingle_k).alias("_sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    return jaccard_on_pairs(cand, df, text_col, id_col, shingle_k).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over word tokens: bit b is set iff the sum over tokens of
+    ±1 (sign of token-hash bit b) is positive.  Row-local array exprs."""
+    tok = F.array_distinct(tokens(text))
+    hashes = F.transform(tok, lambda t: md5_long(t, salt="sh:"))
+
+    def bit_merge(b: int):  # arity-2 closure (see minhash_signature note)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(bits):
+        contrib = F.aggregate(hashes, F.lit(0), bit_merge(b))
+        bit_cols.append(
+            F.when(contrib > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
+    """Popcount of XOR via bit_count (built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    length_col: str | None = "n_chars",
+    length_bucket: int = 64,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked all-pairs word-set Jaccard: candidate pairs share the block
+    key (e.g. language) and a coarse length bucket; near-identical lengths
+    are required for high Jaccard anyway, so the blocking is safe-ish and
+    bounds the quadratic blowup."""
+    blocks = list(block_cols or [])
+    sel = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("_toks"),
+        *[F.col(c).alias(f"_blk_{c}") for c in blocks],
+        *(
+            [
+                F.floor(F.col(length_col) / length_bucket).alias("_lb")
+            ]
+            if length_col
+            else []
+        ),
+    )
+    join_cond = [f"_blk_{c}" for c in blocks] + (["_lb"] if length_col else [])
+    a, b = sel.alias("a"), sel.alias("b")
+    cond = (F.col("a._id") < F.col("b._id"))
+    for k in join_cond:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a._toks", "b._toks"))
+                / F.size(F.array_union("a._toks", "b._toks"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

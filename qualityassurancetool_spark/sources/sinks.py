@@ -1,0 +1,103 @@
+"""Sinks (reference S9–S12): flag write-back, JSON patch files, CSV export.
+
+The reference PATCHes flags back over HTTP in ``$batch`` requests
+(``src/main.py:854-859``) with a dry-run switch (``:317``).  Here the same
+contract is: build patch bodies as JSON rows (testable, deterministic), then
+either (a) write them as a parquet/text *flags table* — the idempotent
+re-runnable path, partition-overwrite per time window — or (b) stream them
+through ``foreachPartition`` with an injectable sender (executors each post
+their partition's batches; nothing funnels through the driver).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+
+def build_patch_bodies(
+    df: DataFrame,
+    id_col: str = "iot_id",
+    flag_col: str = "qc_flag",
+    url_entity: str = "Observations",
+) -> DataFrame:
+    """One JSON PATCH body per observation (reference
+    ``create_patch_json``, ``src/main.py:822-841``)."""
+    return df.select(
+        F.col(id_col).alias("entity_id"),
+        F.to_json(
+            F.struct(F.col(flag_col).cast("int").alias("resultQuality"))
+        ).alias("body"),
+        F.concat(
+            F.lit(f"{url_entity}("), F.col(id_col).cast("string"), F.lit(")")
+        ).alias("url_path"),
+    )
+
+
+def write_patch_files(df: DataFrame, path: str) -> None:
+    """S11: serialize would-be PATCH bodies to files (debug/audit dump)."""
+    build_patch_bodies(df).select(
+        F.to_json(F.struct("entity_id", "url_path", "body")).alias("line")
+    ).write.mode("overwrite").text(path)
+
+
+def write_flags_table(
+    df: DataFrame,
+    path: str,
+    id_col: str = "iot_id",
+    flag_col: str = "qc_flag",
+    ts_col: str | None = "phenomenon_time",
+) -> None:
+    """The scale-correct write-back: a flags parquet table partitioned by
+    date, overwritten per re-QC'd window (idempotent re-run = deterministic
+    overwrite; dynamic partition overwrite only touches re-processed days)."""
+    out = df.select(
+        F.col(id_col),
+        F.col(flag_col),
+        *([F.to_date(F.col(ts_col)).alias("flag_date")] if ts_col else []),
+    )
+    writer = out.write.mode("overwrite")
+    if ts_col:
+        writer = writer.partitionBy("flag_date").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.parquet(path)
+
+
+def http_patch_sink(
+    df: DataFrame,
+    sender: Callable[[list[Row]], None] | None = None,
+    batch_size: int = 100,
+    dry_run: bool = True,
+) -> int:
+    """S10: executor-side batched PATCH via ``foreachPartition``.
+
+    ``sender`` receives one list of Rows per batch; the default dry-run
+    sender counts bodies without any I/O (reference dry-run switch).
+    Returns the number of patch bodies produced.
+    """
+    bodies = build_patch_bodies(df)
+    n = bodies.count()
+    if dry_run and sender is None:
+        return n
+
+    def handle(partition: Iterator[Row]) -> None:
+        batch: list[Row] = []
+        for row in partition:
+            batch.append(row)
+            if len(batch) >= batch_size:
+                sender(batch)  # type: ignore[misc]
+                batch = []
+        if batch:
+            sender(batch)  # type: ignore[misc]
+
+    bodies.foreachPartition(handle)
+    return n
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S9 CSV sink; ``single_file`` coalesces (export-sized data only)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)

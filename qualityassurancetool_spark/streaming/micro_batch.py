@@ -1,0 +1,111 @@
+"""Micro-batch orchestration with overlapping windows (reference §2.8:
+cron fires 10-minute windows with 50-minute look-back overlap —
+``crontab/env_qc_settings:1-2`` — and the backfill driver sweeps fixed
+overlapping windows, ``qc_historical/qc_historical.sh:73-100``).
+
+Two surfaces:
+
+1. ``windowed_batch_runner`` — exact parity with the reference: a driver
+   loop over ``[start − overlap, end)`` slices; each slice is one batch QC
+   run whose output overwrites that window's flag partitions (idempotent
+   re-run, last-writer-wins re-flagging).  The *stabilization look-back*
+   (fetch extra history before the window so time-since-exceedance is
+   correct at the window edge — reference ``src/main.py:224-239``) is the
+   ``lookback`` parameter: rows in the look-back are used for state but not
+   emitted.
+
+2. ``streaming_qc`` — the idiomatic Structured Streaming upgrade:
+   ``readStream`` → the same stateless column checks → watermarked sink.
+   The overlap knob becomes ``withWatermark`` lateness.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.functions.timeutils import parse_timedelta_seconds
+
+
+def iter_windows(
+    start: dt.datetime,
+    end: dt.datetime,
+    width: str | float,
+    overlap: str | float = 0.0,
+) -> Iterator[tuple[dt.datetime, dt.datetime]]:
+    """Fixed overlapping windows: each step advances by ``width`` but each
+    window re-covers ``overlap`` of its predecessor (the reference's
+    START_II = START_I − OVERLAP arithmetic)."""
+    w = dt.timedelta(seconds=parse_timedelta_seconds(width))
+    o = dt.timedelta(seconds=parse_timedelta_seconds(overlap))
+    cur = start
+    while cur < end:
+        lo = max(start, cur - o)
+        hi = min(cur + w, end)
+        yield (lo, hi)
+        cur = cur + w
+
+
+def windowed_batch_runner(
+    spark: SparkSession,
+    load_window: Callable[[dt.datetime, dt.datetime], DataFrame],
+    qc_fn: Callable[[DataFrame], DataFrame],
+    sink_fn: Callable[[DataFrame, dt.datetime, dt.datetime], None],
+    start: dt.datetime,
+    end: dt.datetime,
+    width: str | float = "10min",
+    overlap: str | float = "50min",
+    lookback: str | float = 0.0,
+    ts_col: str = "phenomenon_time",
+) -> int:
+    """Run QC over overlapping windows; returns number of windows run.
+
+    ``lookback`` widens each read for stateful checks (stabilization) but
+    results are trimmed back to the window before sinking — exact parity
+    with the reference's widened fetch."""
+    lb = dt.timedelta(seconds=parse_timedelta_seconds(lookback))
+    n = 0
+    for lo, hi in iter_windows(start, end, width, overlap):
+        df = load_window(lo - lb, hi)
+        flagged = qc_fn(df)
+        trimmed = flagged.where(
+            (F.col(ts_col) >= F.lit(lo)) & (F.col(ts_col) < F.lit(hi))
+        )
+        sink_fn(trimmed, lo, hi)
+        n += 1
+    return n
+
+
+def streaming_qc(
+    stream: DataFrame,
+    qc_fn: Callable[[DataFrame], DataFrame],
+    watermark: str = "50 minutes",
+    ts_col: str = "phenomenon_time",
+) -> DataFrame:
+    """Structured Streaming variant: same column-level checks, late data
+    bounded by the watermark (the overlap analog).  Caller attaches the
+    sink (``writeStream.foreachBatch(upsert)`` for re-flag semantics)."""
+    return qc_fn(stream.withWatermark(ts_col, watermark))
+
+
+def tumbling_flag_rollup(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "50 minutes",
+    ts_col: str = "phenomenon_time",
+    flag_col: str = "qc_flag",
+) -> DataFrame:
+    """Windowed flag histogram as a streaming aggregate — the streaming
+    analog of the reference's per-run flag counts."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(flag_col).alias("flag"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w.start", "w.end", "flag", "n")
+    )

@@ -1,0 +1,182 @@
+"""Dedup / similarity / text / multimodal operator tests on the driver
+testdata plus hand-built micro-fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.dedup import (
+    exact_dedup,
+    hamming_distance,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from qualityassurancetool_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    MEDIA_SCHEMA,
+)
+from qualityassurancetool_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    lsh_topk,
+)
+from qualityassurancetool_spark.operators.text import (
+    analyze,
+    predict_lang,
+    token_count,
+)
+
+DOC_SCHEMA = "doc_id long, text string, lang string, n_chars long"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", 43),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en", 43),  # near dup
+        (3, "der schnelle braune fuchs springt und springt", "de", 45),
+        (4, "completely different content about spark engines", "en", 48),
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    assert by_keep[0] == 2  # docs 0 and 1 collapse
+    assert len(out) == 4
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    # 8 bands × 2 rows: a 0.75-jaccard pair collides with p≈0.999
+    pairs = minhash_dedup(docs, num_hashes=16, bands=8, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # exact dup always survives
+    # jaccard of 0 vs 2 on 3-shingles is high; (0,2) or (1,2) should appear
+    assert any(p in got for p in [(0, 2), (1, 2)])
+    # unrelated docs never pair
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    out = docs.select(
+        "doc_id", simhash(F.col("text")).alias("sh")
+    ).collect()
+    sh = {r["doc_id"]: r["sh"] for r in out}
+    assert sh[0] == sh[1]
+    df = spark.createDataFrame(
+        [(sh[0], sh[2]), (sh[0], sh[4])], "a long, b long"
+    ).select(hamming_distance(F.col("a"), F.col("b")).alias("d"))
+    d_near, d_far = [r["d"] for r in df.collect()]
+    assert d_near < d_far
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    out = ngram_jaccard_pairs(
+        docs, block_cols=["lang"], length_bucket=64, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, queries, k=5).collect()
+
+    import pandas as pd
+
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        sims = mat @ mat[qi] / (norms * norms[qi])
+        order = [
+            int(ids[j])
+            for j in np.argsort(-sims, kind="stable")
+            if ids[j] != qid
+        ][:5]
+        got = sorted(
+            [r for r in out if r["query_id"] == qid],
+            key=lambda r: (-r["cosine"], r["neighbor_id"]),
+        )
+        assert [r["neighbor_id"] for r in got] == order
+        for r in got:
+            j = np.where(ids == r["neighbor_id"])[0][0]
+            assert r["cosine"] == pytest.approx(sims[j], rel=1e-9)
+
+
+def test_lsh_topk_recall_reasonable(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, dim=64, k=5, n_planes=2).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # LSH is approximate (and these embeddings are near-uniform random —
+    # the worst case for hyperplane LSH): require non-trivial recall only
+    assert len(approx_set & exact_set) >= 3
+    assert all(q != n for q, n in approx_set)
+
+
+def test_token_count_and_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is here"),
+            (1, "der hund und die katze nicht das"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n"], r["lang"])
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n"),
+            predict_lang(F.col("text")).alias("lang"),
+        ).collect()
+    }
+    assert out[0] == (7, "en")
+    assert out[1] == (7, "de")
+    assert out[2] == (0, "und")
+
+
+def test_analyze_on_documents_table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = analyze(docs)
+    row = out.limit(5).collect()
+    assert {"predicted_lang", "n_tokens", "avg_token_len", "quality_score", "fingerprint"} <= set(out.columns)
+    for r in row:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        (1, "image", "image/png", bytes(range(100)), 10, 10, None),
+        (2, "audio", "audio/wav", b"\x00\x7f" * 50, None, None, 2.5),
+        (3, "video", "video/mp4", b"xyz" * 10, 64, 48, 3.0),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(df, dim=4).collect()
+    assert len(feats) == 3
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == 100
+    assert len(by_id[1]["feature"]) == 4
+    assert all(0.0 <= v <= 1.0 for v in by_id[1]["feature"])
+    # deterministic
+    feats2 = extract_features(df, dim=4).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == {
+        r["media_id"]: r["feature"] for r in feats
+    }
+
+    frames = frame_sample_plan(df, every_s=1.0).collect()
+    assert len(frames) == 3  # 3s video @ 1fps
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2]

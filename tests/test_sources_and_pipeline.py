@@ -1,0 +1,202 @@
+"""Sources (nested SensorThings flatten), sinks (patch bodies / flags
+table), config layer, the end-to-end QC plan, pivot export, and the
+micro-batch window runner."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.config import QCConfig
+from qualityassurancetool_spark.operators.pivot_export import (
+    best_record_per_second,
+    pivot_wide,
+    with_rounded_time,
+)
+from qualityassurancetool_spark.plans.qc_pipeline import (
+    flag_histogram,
+    run_qc_pipeline,
+)
+from qualityassurancetool_spark.schema import events_as_observations
+from qualityassurancetool_spark.sources.sinks import (
+    build_patch_bodies,
+    http_patch_sink,
+    write_flags_table,
+)
+from qualityassurancetool_spark.sources.sta_json import (
+    flatten_response,
+    read_sta_response,
+)
+from qualityassurancetool_spark.streaming.micro_batch import (
+    iter_windows,
+    windowed_batch_runner,
+)
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def test_sta_flatten(spark):
+    raw = read_sta_response(spark, f"{HERE}/resources/sta_response.json")
+    flat = flatten_response(raw)
+    rows = flat.collect()
+    assert len(rows) == 12  # 3 datastreams × 4 observations
+    r0 = sorted(rows, key=lambda r: r["iot_id"])[0]
+    assert r0["datastream_id"] == 0
+    assert r0["lat"] == pytest.approx(51.37)
+    assert r0["long"] == pytest.approx(3.18)
+    assert r0["phenomenon_time"] is not None
+    assert r0["units"] == "degC"
+    # pagination marker surfaces
+    assert flat.where(F.col("next_link").isNotNull()).count() > 0
+
+
+def test_config_thresholds_df(spark):
+    cfg = QCConfig.from_dict(
+        {
+            "QC": [
+                {"id": "temp", "range": {"min": -2.0, "max": 30.0}},
+                {"id": "sal", "range": {"min": 2.0, "max": 40.0}, "zscore": {"min": -3.0, "max": 3.0}},
+                {"id": "bare"},
+            ],
+            "QC_global": {"zscore": {"min": -15.0, "max": 15.0}},
+        }
+    )
+    t = {r["stream_id"]: r.asDict() for r in cfg.thresholds_df(spark).collect()}
+    assert t["temp"]["qc_range_min"] == -2.0
+    assert t["temp"]["qc_zscore_min"] == -15.0  # global fallback
+    assert t["sal"]["qc_zscore_min"] == -3.0  # own value wins
+    assert t["bare"]["qc_range_min"] is None
+
+
+def test_qc_pipeline_end_to_end(spark):
+    obs = events_as_observations(spark, "/root/testdata/sf0.001")
+    cfg = QCConfig.from_dict(
+        {
+            "QC": [
+                {"id": t, "range": {"min": 1.0, "max": 250.0}}
+                for t in ["click", "purchase", "view", "signup", "error"]
+            ],
+            "QC_global": {"zscore": {"min": -6.0, "max": 6.0}},
+        }
+    )
+    flagged = run_qc_pipeline(obs, cfg, spark)
+    hist = {r["flag"]: r["n"] for r in flag_histogram(flagged).collect()}
+    assert sum(hist.values()) == obs.count()
+    assert hist.get(4, 0) > 0  # some out-of-range values exist
+    assert hist.get(0, 0) > 0  # and plenty of clean rows
+
+
+def test_patch_bodies_and_flags_table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 4, dt.datetime(2023, 1, 1)), (2, 1, dt.datetime(2023, 1, 2))],
+        "iot_id long, qc_flag tinyint, phenomenon_time timestamp",
+    )
+    bodies = build_patch_bodies(df).collect()
+    by_id = {r["entity_id"]: r for r in bodies}
+    assert by_id[1]["body"] == '{"resultQuality":4}'
+    assert by_id[1]["url_path"] == "Observations(1)"
+
+    n = http_patch_sink(df, dry_run=True)
+    assert n == 2
+
+    sent = []
+    n2 = http_patch_sink(
+        df, sender=lambda batch: sent.append(len(batch)), dry_run=False, batch_size=1
+    )
+    assert n2 == 2
+
+    path = str(tmp_path / "flags")
+    write_flags_table(df, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert "flag_date" in back.columns
+
+
+def test_rounding_and_best_record(spark):
+    t0 = dt.datetime(2023, 1, 1)
+    rows = [
+        # two records near second 10: flag 1 at 10.4s, flag 0(no-qc) at 9.9s
+        (1, 1.0, t0 + dt.timedelta(seconds=10.4), 1, 7),
+        (2, 2.0, t0 + dt.timedelta(seconds=9.9), 0, 7),
+        # lone record rounding up to second 20
+        (3, 3.0, t0 + dt.timedelta(seconds=19.6), 1, 7),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "iot_id long, result double, phenomenon_time timestamp, qc_flag tinyint, datastream_id long",
+    )
+    rounded = with_rounded_time(df).collect()
+    assert {r["iot_id"]: r["ts_round"].second for r in rounded} == {1: 10, 2: 10, 3: 20}
+
+    best = best_record_per_second(df).collect()
+    by_sec = {r["ts_round"].second: r["iot_id"] for r in best}
+    # flag GOOD(rank 1) loses to NO_QC(rank 0)? No: best = lowest rank?
+    # reference sorts by flag quality — best first — NO_QC(0) sorts before GOOD(1)
+    assert by_sec[10] == 2
+    assert by_sec[20] == 3
+
+
+def test_pivot_wide(spark):
+    t0 = dt.datetime(2023, 1, 1)
+    rows = [
+        (1, 1.5, t0, 1, 100),
+        (2, 9.5, t0, 1, 200),
+        (3, 2.5, t0 + dt.timedelta(seconds=1), 1, 100),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "iot_id long, result double, phenomenon_time timestamp, qc_flag tinyint, datastream_id long",
+    )
+    out = pivot_wide(df, stream_values=[100, 200]).collect()
+    assert len(out) == 2
+    r0 = out[0].asDict()
+    assert r0["100_result"] == 1.5 and r0["200_result"] == 9.5
+    r1 = out[1].asDict()
+    assert r1["100_result"] == 2.5 and r1["200_result"] is None
+
+
+def test_iter_windows_overlap():
+    t0 = dt.datetime(2023, 1, 1, 0, 0)
+    t1 = dt.datetime(2023, 1, 1, 0, 30)
+    wins = list(iter_windows(t0, t1, "10min", "5min"))
+    assert wins[0] == (t0, t0 + dt.timedelta(minutes=10))
+    assert wins[1][0] == t0 + dt.timedelta(minutes=5)  # re-covers 5 min
+    assert wins[-1][1] == t1
+
+
+def test_windowed_batch_runner_trims_lookback(spark):
+    t0 = dt.datetime(2023, 1, 1)
+    rows = [
+        (i, float(i), t0 + dt.timedelta(minutes=i * 5), 0, 1) for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "iot_id long, result double, phenomenon_time timestamp, qc_flag tinyint, datastream_id long",
+    )
+    seen = []
+
+    def load(lo, hi):
+        return df.where(
+            (F.col("phenomenon_time") >= F.lit(lo))
+            & (F.col("phenomenon_time") < F.lit(hi))
+        )
+
+    def sink(out, lo, hi):
+        seen.append((lo, hi, sorted(r["iot_id"] for r in out.collect())))
+
+    n = windowed_batch_runner(
+        spark,
+        load,
+        lambda d: d,
+        sink,
+        start=t0,
+        end=t0 + dt.timedelta(minutes=60),
+        width="20min",
+        overlap="0s",
+        lookback="30min",
+    )
+    assert n == 3
+    # every observation lands in exactly one window (no overlap, lookback trimmed)
+    all_ids = sorted(i for _, _, ids in seen for i in ids)
+    assert all_ids == list(range(12))
