@@ -1,0 +1,129 @@
+"""Dev harness mimicking the driver's correctness gate: run every
+``queries()`` entry against its ``oracle_sql()`` in DuckDB at a given sf
+and compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_entry():
+    sys.path.insert(0, "/root/repo")
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}"
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            f = float(v)
+            if f == int(f) and abs(f) < 1e15:
+                return str(int(f))
+            return f"{f:.6f}"
+    except Exception:
+        pass
+    return str(v)
+
+
+def frame_to_multiset(cols, rows):
+    out = [tuple(norm_cell(v) for v in row) for row in rows]
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    m = load_entry()
+    sys.path.insert(0, "/root/repo")
+    from qualityassurancetool_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__} {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?   {name}: rows={len(spark_rows)} (no oracle, rows-only)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__} {str(e)[:300]}")
+            failures += 1
+            continue
+        problems = []
+        if [c.lower() for c in spark_cols] != [c.lower() for c in duck_cols]:
+            problems.append(f"cols spark={spark_cols} duck={duck_cols}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            s_ms = frame_to_multiset(spark_cols, spark_rows)
+            d_ms = frame_to_multiset(duck_cols, duck_rows)
+            if s_ms != d_ms:
+                diff_i = next(
+                    (i for i, (a, b) in enumerate(zip(s_ms, d_ms)) if a != b),
+                    None,
+                )
+                detail = (
+                    f" first-diff@{diff_i}: spark={s_ms[diff_i]} duck={d_ms[diff_i]}"
+                    if diff_i is not None
+                    else ""
+                )
+                problems.append("value multiset mismatch" + detail)
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"OK    {name}: rows={len(spark_rows)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
