@@ -199,6 +199,300 @@ ORDER BY observation_type
 """
 
 
+def q_qc_asof_dependent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: nearest-within-tolerance as-of join, dependent=click,
+    independent=error, 60 s tolerance.  Output: each click event with its
+    matched error event id and |Δt| µs (null when unmatched)."""
+    from qualityassurancetool_spark.operators.asof import asof_nearest_join
+
+    obs = _obs(spark, sf_dir)
+    dep = obs.where(F.col("observation_type") == "click").select(
+        "iot_id", "phenomenon_time"
+    )
+    ind = obs.where(F.col("observation_type") == "error").select(
+        "iot_id", "phenomenon_time"
+    )
+    j = asof_nearest_join(dep, ind, tolerance=60.0)
+    return j.select(
+        "iot_id",
+        F.col("ind_iot_id").alias("matched_id"),
+        F.abs(
+            epoch_micros("phenomenon_time")
+            - epoch_micros("ind_phenomenon_time")
+        ).alias("abs_dt_us"),
+    ).orderBy("iot_id")
+
+
+SQL_QC_ASOF_DEPENDENT = EVENTS_CTE + """
+, dep AS (SELECT iot_id, t_us FROM obs WHERE observation_type = 'click'),
+ind AS (SELECT iot_id, t_us FROM obs WHERE observation_type = 'error'),
+matched AS (
+    SELECT d.iot_id, i.iot_id AS matched_id, abs(d.t_us - i.t_us) AS abs_dt_us
+    FROM dep d LEFT JOIN ind i ON abs(d.t_us - i.t_us) <= 60000000
+    QUALIFY row_number() OVER (
+        PARTITION BY d.iot_id
+        ORDER BY abs(d.t_us - i.t_us) ASC NULLS LAST,
+                 i.t_us ASC NULLS LAST, i.iot_id ASC NULLS LAST) = 1
+)
+SELECT iot_id, matched_id, abs_dt_us FROM matched ORDER BY iot_id
+"""
+
+
+def q_qc_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8/F6: per-stream track kinematics on the synthetic (exact-double)
+    lat/long: dt, haversine velocity, acceleration."""
+    from qualityassurancetool_spark.operators.geotrack import (
+        with_velocity_acceleration,
+    )
+
+    obs = _obs(spark, sf_dir)
+    v = with_velocity_acceleration(
+        obs, partition_cols=["observation_type"], order_extra=["iot_id"]
+    )
+    return v.select(
+        "iot_id",
+        F.round("dt_s", 6).alias("dt_r"),
+        F.round("velocity_ms", 4).alias("velocity_r"),
+        F.round("acceleration_ms2", 4).alias("accel_r"),
+    ).orderBy("iot_id")
+
+
+_VEL_W = "OVER (PARTITION BY observation_type ORDER BY t_us, iot_id)"
+_VEL_HAV = haversine_sql(
+    f"lag(lat) {_VEL_W}", f"lag(long) {_VEL_W}", "lat", "long"
+)
+SQL_QC_VELOCITY = EVENTS_CTE + f"""
+, base AS (
+    SELECT iot_id,
+           (t_us - lag(t_us) {_VEL_W}) / 1000000.0 AS dt_s,
+           CASE WHEN (t_us - lag(t_us) {_VEL_W}) > 0
+                THEN {_VEL_HAV} / ((t_us - lag(t_us) {_VEL_W}) / 1000000.0)
+           END AS velocity_ms,
+           observation_type, t_us
+    FROM obs
+), accel AS (
+    SELECT iot_id, dt_s, velocity_ms,
+           CASE WHEN dt_s > 0
+                THEN (velocity_ms - lag(velocity_ms)
+                      OVER (PARTITION BY observation_type ORDER BY t_us, iot_id)) / dt_s
+           END AS acceleration_ms2
+    FROM base
+)
+SELECT iot_id, round(dt_s, 6) AS dt_r, round(velocity_ms, 4) AS velocity_r,
+       round(acceleration_ms2, 4) AS accel_r
+FROM accel ORDER BY iot_id
+"""
+
+
+def q_qc_spatial_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: exact rolling median lat/long over a centered 10-min window per
+    stream + distance-to-median."""
+    from qualityassurancetool_spark.operators.spatial_outlier import (
+        with_median_track,
+    )
+
+    obs = _obs(spark, sf_dir)
+    m = with_median_track(
+        obs, time_window="10min", partition_cols=["observation_type"]
+    )
+    dist = haversine_m(
+        F.col("median_lat"), F.col("median_long"), F.col("lat"), F.col("long")
+    )
+    return m.select(
+        "iot_id",
+        F.round("median_lat", 6).alias("med_lat_r"),
+        F.round("median_long", 6).alias("med_long_r"),
+        F.round(dist, 4).alias("dist_r"),
+    ).orderBy("iot_id")
+
+
+_MED_W = (
+    "OVER (PARTITION BY observation_type ORDER BY t_us "
+    "RANGE BETWEEN 300000000 PRECEDING AND 300000000 FOLLOWING)"
+)
+SQL_QC_SPATIAL_OUTLIER = EVENTS_CTE + f"""
+, med AS (
+    SELECT iot_id, lat, long,
+           median(lat) {_MED_W} AS median_lat,
+           median(long) {_MED_W} AS median_long
+    FROM obs
+)
+SELECT iot_id, round(median_lat, 6) AS med_lat_r,
+       round(median_long, 6) AS med_long_r,
+       round({haversine_sql('median_lat', 'median_long', 'lat', 'long')}, 4) AS dist_r
+FROM med ORDER BY iot_id
+"""
+
+
+def q_qc_stabilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1–W4: the full stabilization/downtime chain per stream (diff,
+    cumsum, conditional ffill, gaps-and-islands, per-block max)."""
+    from qualityassurancetool_spark.operators.stabilization import (
+        apply_stabilization,
+    )
+
+    obs = _obs(spark, sf_dir)
+    df = obs.join(
+        F.broadcast(_thresholds_df(spark)), "observation_type", "left"
+    ).withColumns(
+        {
+            "max_allowed_downtime": F.lit(7200.0),
+            "dt_stabilization": F.lit(3600.0),
+        }
+    )
+    out = apply_stabilization(df, group_cols=["observation_type"])
+    return out.select(
+        "iot_id",
+        "within_limits",
+        F.round("dt", 6).alias("dt_r"),
+        F.round("cumsum", 6).alias("cumsum_r"),
+        F.round("time_down", 6).alias("time_down_r"),
+        F.round("time_up_since", 6).alias("time_up_r"),
+        "block_id",
+        F.round("max_downtime", 6).alias("max_down_r"),
+        F.col("stabilization_flag").cast("int").alias("stab_flag"),
+    ).orderBy("iot_id")
+
+
+_STAB_W = "OVER (PARTITION BY observation_type ORDER BY phenomenon_time)"
+_STAB_WC = (
+    "OVER (PARTITION BY observation_type ORDER BY phenomenon_time "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+SQL_QC_STABILIZATION = EVENTS_CTE + f"""
+, j AS (
+    SELECT o.*, t.qc_range_min, t.qc_range_max,
+           7200.0 AS max_allowed_downtime, 3600.0 AS dt_stabilization
+    FROM obs o LEFT JOIN thresholds t USING (observation_type)
+), s1 AS (
+    SELECT *,
+           (result > qc_range_min AND result < qc_range_max) AS within_limits,
+           COALESCE((t_us - lag(t_us) {_STAB_W}) / 1000000.0, 0.0) AS dt,
+           row_number() {_STAB_W} AS rn
+    FROM j
+), s2 AS (
+    SELECT *, SUM(dt) {_STAB_WC} AS csum,
+           lag(within_limits) {_STAB_W} AS lag_within
+    FROM s1
+), s3 AS (
+    SELECT *,
+           csum - last_value(CASE WHEN rn = 1 THEN 0.0
+                                  WHEN within_limits THEN csum END IGNORE NULLS)
+                  {_STAB_WC} AS time_down,
+           CASE WHEN lag_within IS NULL
+                OR within_limits IS DISTINCT FROM lag_within
+                THEN 1 ELSE 0 END AS chg
+    FROM s2
+), s4 AS (
+    SELECT *,
+           csum - last_value(CASE WHEN rn = 1 THEN 0.0
+                                  WHEN time_down > max_allowed_downtime THEN csum END
+                             IGNORE NULLS) {_STAB_WC} AS time_up_since,
+           SUM(chg) {_STAB_WC} AS block_id
+    FROM s3
+), s5 AS (
+    SELECT *,
+           CASE WHEN within_limits THEN 0.0
+                ELSE MAX(time_down) OVER (PARTITION BY observation_type, block_id)
+           END AS max_downtime
+    FROM s4
+)
+SELECT iot_id, within_limits, round(dt, 6) AS dt_r, round(csum, 6) AS cumsum_r,
+       round(time_down, 6) AS time_down_r, round(time_up_since, 6) AS time_up_r,
+       block_id, round(max_downtime, 6) AS max_down_r,
+       CAST(CASE WHEN time_up_since < dt_stabilization THEN 4
+                 WHEN time_up_since >= dt_stabilization THEN 0 END AS INT) AS stab_flag
+FROM s5 ORDER BY iot_id
+"""
+
+
+def q_pivot_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+A2+W-P1: round to nearest second, best-record per (second,
+    stream), pivot streams wide.  Output: epoch-second + per-type values."""
+    from qualityassurancetool_spark.operators.pivot_export import (
+        best_record_per_second,
+    )
+
+    obs = _obs(spark, sf_dir)
+    best = best_record_per_second(obs, stream_col="observation_type")
+    pivoted = (
+        best.withColumn("ts_sec", epoch_micros("ts_round") / F.lit(1_000_000))
+        .groupBy(F.col("ts_sec").cast("long").alias("ts_sec"))
+        .pivot("observation_type", EVENT_TYPES)
+        .agg(F.round(F.first("result"), 6))
+    )
+    renamed = pivoted.select(
+        "ts_sec",
+        *[F.col(t).alias(f"{t}_result") for t in EVENT_TYPES],
+    )
+    return renamed.orderBy("ts_sec")
+
+
+_PIVOT_COLS_SQL = ",\n       ".join(
+    f"round(MIN(CASE WHEN observation_type = '{t}' THEN result END), 6) AS {t}_result"
+    for t in EVENT_TYPES
+)
+SQL_PIVOT_EXPORT = EVENTS_CTE + f"""
+, rounded AS (
+    SELECT *,
+           CAST(floor((t_us + 500000) / 1000000) AS BIGINT) AS ts_sec,
+           abs(t_us - CAST(floor((t_us + 500000) / 1000000) AS BIGINT) * 1000000)
+               / 1000000.0 AS dt_to_round
+    FROM obs
+), best AS (
+    SELECT * FROM rounded
+    QUALIFY row_number() OVER (
+        PARTITION BY ts_sec, observation_type
+        ORDER BY qc_flag ASC, dt_to_round ASC, iot_id ASC) = 1
+)
+SELECT ts_sec,
+       {_PIVOT_COLS_SQL}
+FROM best
+GROUP BY ts_sec
+ORDER BY ts_sec
+"""
+
+
+def q_windowed_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: tumbling 10-minute window flag histogram (the prod
+    downsample-transfer analog; batch form of the streaming rollup)."""
+    obs = _obs(spark, sf_dir)
+    df = obs.join(F.broadcast(_thresholds_df(spark)), "observation_type", "left")
+    flag = flag_from_bool(
+        out_of_range_bool(
+            F.col("result"), F.col("qc_range_min"), F.col("qc_range_max")
+        ),
+        flag_on_true=QualityFlags.BAD,
+    )
+    df = df.withColumn("qc_flag", flag_merge(F.col("qc_flag"), flag))
+    win = F.window(F.col("phenomenon_time"), "10 minutes")
+    return (
+        df.groupBy(
+            (epoch_micros(win["start"]) / F.lit(1_000_000))
+            .cast("long")
+            .alias("win_start_sec"),
+            F.col("qc_flag").cast("int").alias("flag"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("win_start_sec", "flag")
+    )
+
+
+SQL_WINDOWED_FLAG_ROLLUP = EVENTS_CTE + f"""
+, flagged AS (
+    SELECT CAST(floor(o.t_us / 600000000) * 600 AS BIGINT) AS win_start_sec,
+           {flag_merge_sql(
+               'o.qc_flag',
+               "CASE WHEN NOT (o.result > t.qc_range_min AND o.result < t.qc_range_max) THEN 4 ELSE 0 END"
+           )} AS qc_flag
+    FROM obs o LEFT JOIN thresholds t USING (observation_type)
+)
+SELECT win_start_sec, CAST(qc_flag AS INT) AS flag, COUNT(*) AS n
+FROM flagged GROUP BY win_start_sec, qc_flag
+ORDER BY win_start_sec, flag
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (scans, broadcast joins, aggs, top-k, sorts)
 # ---------------------------------------------------------------------------
@@ -344,6 +638,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_gradient": q_qc_gradient,
         "qc_zscore": q_qc_zscore,
         "qc_flag_histogram": q_qc_flag_histogram,
+        "qc_asof_dependent": q_qc_asof_dependent,
+        "qc_velocity": q_qc_velocity,
+        "qc_spatial_outlier": q_qc_spatial_outlier,
+        "qc_stabilization": q_qc_stabilization,
+        "pivot_export": q_pivot_export,
+        "windowed_flag_rollup": q_windowed_flag_rollup,
         "distinct_streams": q_distinct_streams,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_segment_revenue": q_join_segment_revenue,
@@ -358,6 +658,12 @@ def oracle_sql() -> dict[str, str]:
         "qc_gradient": SQL_QC_GRADIENT,
         "qc_zscore": SQL_QC_ZSCORE,
         "qc_flag_histogram": SQL_QC_FLAG_HISTOGRAM,
+        "qc_asof_dependent": SQL_QC_ASOF_DEPENDENT,
+        "qc_velocity": SQL_QC_VELOCITY,
+        "qc_spatial_outlier": SQL_QC_SPATIAL_OUTLIER,
+        "qc_stabilization": SQL_QC_STABILIZATION,
+        "pivot_export": SQL_PIVOT_EXPORT,
+        "windowed_flag_rollup": SQL_WINDOWED_FLAG_ROLLUP,
         "distinct_streams": SQL_DISTINCT_STREAMS,
         "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
