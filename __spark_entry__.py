@@ -623,6 +623,271 @@ ORDER BY r.r_name
 
 
 # ---------------------------------------------------------------------------
+# dedup / text / similarity (scale ops)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on documents: digest groups with keep-id and group size."""
+    from qualityassurancetool_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("content_hash")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM_SQL}) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+ORDER BY content_hash
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs word-set Jaccard (same lang, same 64-char length
+    bucket), threshold 0.4."""
+    from qualityassurancetool_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(
+        docs, block_cols=["lang"], length_bucket=64, threshold=0.4
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH toks AS (
+    SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS lb,
+           list_distinct(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.tok, b.tok))::DOUBLE /
+             (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6)
+           AS jaccard_r
+FROM toks a JOIN toks b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.tok, b.tok))::DOUBLE /
+      (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (portable md5-derived token hashes)."""
+    from qualityassurancetool_spark.operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash(F.col("text"), bits=32).alias("simhash32")
+    ).orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    hash_list = (
+        "list_transform(list_distinct(string_split(" + _NORM_SQL + ", ' ')), "
+        "t -> CAST(concat('0x', substring(md5(concat('sh:', t)), 1, 15)) AS BIGINT))"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN len(list_filter(h, x -> (x >> {b}) & 1 = 1)) * 2 > len(h) "
+        f"THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH hashes AS (
+    SELECT doc_id, {hash_list} AS h FROM documents
+)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash32
+FROM hashes ORDER BY doc_id
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql(32)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: banded candidates -> exact Jaccard.
+    Not SQL-expressible at reasonable cost (banding + salted hash family)
+    -> rows-only check; the jaccard numbers themselves are covered by
+    q_dedup_ngram_jaccard's oracle."""
+    from qualityassurancetool_spark.operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_dedup(
+        docs, num_hashes=16, bands=8, shingle_k=3, threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("id_a", "id_b")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + token stats + quality score + fingerprint per doc."""
+    from qualityassurancetool_spark.operators.text import (
+        fingerprint,
+        predict_lang,
+        quality_score,
+        token_count,
+        word_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    stats = word_stats(t)
+    return docs.select(
+        "doc_id",
+        predict_lang(t).alias("predicted_lang"),
+        token_count(t).alias("n_tokens"),
+        F.round(stats["avg_token_len"], 6).alias("avg_tok_len_r"),
+        F.round(quality_score(t), 6).alias("quality_r"),
+        fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def _count_word_sql(word: str) -> str:
+    pad = f"concat(' ', {_NORM_SQL}, ' ')"
+    needle = f" {word} "
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, '{needle}', ' ')))"
+        f" / {len(needle) - 1} AS INT)"
+    )
+
+
+def _lang_sql() -> str:
+    from qualityassurancetool_spark.operators.text import LANG_MARKERS
+
+    score = {
+        lang: " + ".join(_count_word_sql(w) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    # fold langs in sorted order with strict > (same as predict_lang)
+    expr_lang, expr_score = "'und'", "0"
+    for lang in sorted(score):
+        s = f"({score[lang]})"
+        expr_lang = f"CASE WHEN {s} > ({expr_score}) THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > ({expr_score}) THEN {s} ELSE {expr_score} END"
+    return expr_lang
+
+
+def _text_stats_sql() -> str:
+    from qualityassurancetool_spark.operators.text import LANG_MARKERS
+
+    norm = _NORM_SQL
+    n_tok = (
+        f"CASE WHEN length({norm}) = 0 THEN 0 ELSE "
+        f"length({norm}) - length(replace({norm}, ' ', '')) + 1 END"
+    )
+    n_chars = f"length({norm})"
+    awl = (
+        f"CASE WHEN ({n_tok}) > 0 THEN "
+        f"CAST(({n_chars}) - (({n_tok}) - 1) AS DOUBLE) / ({n_tok}) END"
+    )
+    sw_count = " + ".join(_count_word_sql(w) for w in LANG_MARKERS["en"])
+    len_score = f"least(CAST({n_tok} AS DOUBLE) / 20.0, 1.0)"
+    awl_score = (
+        f"CASE WHEN COALESCE({awl}, 0.0) >= 3.0 AND COALESCE({awl}, 0.0) <= 10.0 "
+        f"THEN 1.0 ELSE 0.5 END"
+    )
+    sw_score = (
+        f"least(CAST({sw_count} AS DOUBLE) / greatest(CAST({n_tok} AS DOUBLE), 1.0)"
+        f" * 5.0, 1.0)"
+    )
+    quality = f"({len_score} * 0.4 + {awl_score} * 0.3 + {sw_score} * 0.3)"
+    fp = (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"string_split({norm}, ' '))), ' '))"
+    )
+    return f"""
+SELECT doc_id,
+       {_lang_sql()} AS predicted_lang,
+       {n_tok} AS n_tokens,
+       round({awl}, 6) AS avg_tok_len_r,
+       round({quality}, 6) AS quality_r,
+       {fp} AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+SQL_TEXT_STATS = _text_stats_sql()
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 8 vectors as queries
+    (deterministic sequential-fold double dot product both engines)."""
+    from qualityassurancetool_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    out = brute_force_topk(emb, queries_df, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine_r"),
+    ).orderBy("query_id", F.col("cosine_r").desc(), "neighbor_id")
+
+
+SQL_SIM_TOPK = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_sum(list_transform(list_zip(q.qvec, e.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+           (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rn <= 10
+ORDER BY query_id, cosine_r DESC, neighbor_id
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregates: per-label counts + norm statistics
+    (sequential-fold norms, deterministic)."""
+    from qualityassurancetool_spark.operators.similarity import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("norm", l2_norm(F.col("embedding")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_STATS = """
+WITH norms AS (
+    SELECT label,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+    FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       round(MIN(norm), 6) AS min_norm,
+       round(MAX(norm), 6) AS max_norm
+FROM norms GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -649,6 +914,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "topk_orders_per_segment": q_topk_orders_per_segment,
         "nation_region_rollup": q_nation_region_rollup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "text_stats": q_text_stats,
+        "sim_topk": q_sim_topk,
+        "embedding_stats": q_embedding_stats,
     }
 
 
@@ -669,4 +941,12 @@ def oracle_sql() -> dict[str, str]:
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
         "nation_region_rollup": SQL_NATION_REGION_ROLLUP,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        # dedup_minhash_lsh: intentionally no oracle (banded LSH not
+        # SQL-expressible at reasonable cost; rows-only check)
+        "text_stats": SQL_TEXT_STATS,
+        "sim_topk": SQL_SIM_TOPK,
+        "embedding_stats": SQL_EMBEDDING_STATS,
     }

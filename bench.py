@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-consuming action (foreach-noop) so the
+full plan runs without driver-side collection dominating the measurement.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "qc_range_flags",
+    "qc_gradient",
+    "qc_zscore",
+    "qc_asof_dependent",
+    "qc_spatial_outlier",
+    "qc_stabilization",
+    "pivot_export",
+    "agg_pricing_summary",
+    "join_segment_revenue",
+    "topk_orders_per_segment",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "sim_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__spark_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    from qualityassurancetool_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = m.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footer caches with one cheap action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline-queries total wall clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
