@@ -888,6 +888,348 @@ FROM norms GROUP BY label ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# batch 4: region checks, assertions/lookup, nested flatten, embedding
+# near-dup, LSH ANN, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+# deterministic synthetic region label (stand-in for the polygon lookup —
+# the lookup itself is sources/spatial.py; the *checks* are what's oracled)
+_REGION_CASE_SQL = """CASE (iot_id % 5)
+    WHEN 0 THEN 'NORTH SEA' WHEN 1 THEN 'ENGLISH CHANNEL'
+    WHEN 2 THEN 'MAINLAND EUROPE' WHEN 3 THEN NULL
+    ELSE 'MAINLAND random' END"""
+
+
+def q_qc_region_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7+F1+F2: null region -> PROBABLY_BAD, name contains MAINLAND ->
+    BAD, severity-max merge, histogram per region.
+
+    Reference: get_bool_null_region / get_bool_land_region
+    (src/main.py:535-555; fixtures tests/test_qc.py:62-90)."""
+    from qualityassurancetool_spark.operators.region import apply_region_checks
+
+    obs = _obs(spark, sf_dir)
+    df = obs.withColumn(
+        "region",
+        F.element_at(
+            F.array(
+                F.lit("NORTH SEA"),
+                F.lit("ENGLISH CHANNEL"),
+                F.lit("MAINLAND EUROPE"),
+                F.lit(None).cast("string"),
+                F.lit("MAINLAND random"),
+            ),
+            (F.col("iot_id") % 5 + 1).cast("int"),
+        ),
+    )
+    df = apply_region_checks(df)
+    return (
+        df.groupBy("region", F.col("qc_flag").cast("int").alias("flag"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("region", "flag")
+    )
+
+
+SQL_QC_REGION_FLAGS = EVENTS_CTE + f"""
+, regioned AS (
+    SELECT *, {_REGION_CASE_SQL} AS region FROM obs
+), flagged AS (
+    SELECT region,
+           {flag_merge_sql(
+               'qc_flag',
+               "CASE WHEN region IS NULL THEN 3 ELSE 0 END",
+               "CASE WHEN COALESCE(upper(region) LIKE '%MAINLAND%', FALSE) THEN 4 ELSE 0 END",
+           )} AS qc_flag
+    FROM regioned
+)
+SELECT region, CAST(qc_flag AS INT) AS flag, COUNT(*) AS n
+FROM flagged GROUP BY region, qc_flag ORDER BY region, flag
+"""
+
+
+def q_unique_value_assert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: unique-value assertion per group (reference
+    get_unique_value_series, src/aums_data_request.py:80-88): exactly one
+    distinct non-null value -> that value, else NULL; distinct count
+    reported so callers can raise."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id"))
+        .agg(
+            F.countDistinct("event_type").alias("n_distinct"),
+            F.when(
+                F.countDistinct("event_type") == 1, F.min("event_type")
+            ).alias("unique_val"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_UNIQUE_VALUE_ASSERT = """
+SELECT user_id,
+       COUNT(DISTINCT event_type) AS n_distinct,
+       CASE WHEN COUNT(DISTINCT event_type) = 1 THEN MIN(event_type) END
+           AS unique_val
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+_LOOKUP_TARGETS = [10.0, 50.0, 100.0, 200.0]
+
+
+def q_nearest_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: argmin / nearest-value lookup (reference find_nearest_idx,
+    src/aums_data_request.py:204-209) — per (stream, target) the
+    observation whose result is closest; deterministic id tie-break."""
+    obs = _obs(spark, sf_dir)
+    targets = spark.createDataFrame(
+        [(t,) for t in _LOOKUP_TARGETS], "target double"
+    )
+    joined = obs.join(F.broadcast(targets))
+    w = Window.partitionBy("observation_type", "target").orderBy(
+        F.abs(F.col("result") - F.col("target")).asc(), F.col("iot_id").asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "observation_type",
+            "target",
+            F.col("iot_id").alias("best_id"),
+            F.round(F.abs(F.col("result") - F.col("target")), 6).alias("abs_diff_r"),
+        )
+        .orderBy("observation_type", "target")
+    )
+
+
+SQL_NEAREST_LOOKUP = EVENTS_CTE + f"""
+, targets(target) AS (VALUES {", ".join(f"({t})" for t in _LOOKUP_TARGETS)})
+, ranked AS (
+    SELECT observation_type, target, iot_id, abs(result - target) AS ad,
+           row_number() OVER (PARTITION BY observation_type, target
+                              ORDER BY abs(result - target) ASC, iot_id ASC) AS rn
+    FROM obs CROSS JOIN targets
+)
+SELECT observation_type, target, iot_id AS best_id, round(ad, 6) AS abs_diff_r
+FROM ranked WHERE rn = 1 ORDER BY observation_type, target
+"""
+
+
+def q_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: nested-document flatten round-trip.  Builds the SensorThings
+    response shape (Datastreams[] -> Observations[] with FoI coordinates
+    [long, lat]) from events, then explodes back to the long table —
+    reference response_datastreams_to_df (tests/test_other.py:33-34,
+    fixture aums_data_request_response.json)."""
+    obs = _obs(spark, sf_dir)
+    nested = obs.groupBy("observation_type").agg(
+        F.collect_list(
+            F.struct(
+                F.col("iot_id"),
+                F.col("result"),
+                F.array(F.col("long"), F.col("lat")).alias("coordinates"),
+            )
+        ).alias("Observations")
+    )
+    exploded = nested.select(
+        "observation_type", F.explode("Observations").alias("o")
+    )
+    return exploded.select(
+        "observation_type",
+        F.col("o.iot_id").alias("iot_id"),
+        F.col("o.result").alias("result"),
+        F.round(F.col("o.coordinates")[1], 6).alias("lat_r"),
+        F.round(F.col("o.coordinates")[0], 6).alias("long_r"),
+    ).orderBy("iot_id")
+
+
+SQL_NESTED_FLATTEN = EVENTS_CTE + """
+SELECT observation_type, iot_id, result,
+       round(lat, 6) AS lat_r, round(long, 6) AS long_r
+FROM obs ORDER BY iot_id
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates: same-label blocking, pairwise
+    cosine >= 0.35.  At 100 TB the label block becomes an LSH bucket
+    prefilter (see lsh_bucket_id) so the pair space stays bounded; the
+    cosine itself is the deterministic sequential fold."""
+    from qualityassurancetool_spark.operators.similarity import (
+        dot_product,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH n AS (
+    SELECT vec_id, label, embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+FROM pairs WHERE cosine >= 0.35 ORDER BY id_a, id_b
+"""
+
+_LSH_DIM = 64
+_LSH_PLANES = 4
+
+
+def _lsh_planes_sql() -> str:
+    from qualityassurancetool_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for p in range(_LSH_PLANES):
+        lits = "[" + ",".join(repr(v) for v in _hyperplane(_LSH_DIM, p)) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(embedding, "
+            f"{lits}::DOUBLE[]), z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucketing, candidates only
+    from the query's bucket, top-5 by cosine.  2^planes x less pairwise
+    work than brute force — the 100 TB plan keeps the corpus partitioned
+    by bucket and broadcasts only the query set."""
+    from qualityassurancetool_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    out = lsh_topk(emb, queries_df, dim=_LSH_DIM, k=5, n_planes=_LSH_PLANES)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
+    ).orderBy("query_id", F.col("cosine_r").desc(), "neighbor_id")
+
+
+SQL_SIM_LSH_TOPK = f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {_lsh_planes_sql()} AS bucket FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+    FROM bucketed WHERE vec_id < 8
+), scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(list_zip(q.qvec, c.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+           (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+    FROM bucketed c JOIN q
+      ON c.bucket = q.qbucket AND c.vec_id <> q.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, cosine_r DESC, neighbor_id
+"""
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic media table derived from documents: text bytes as the
+    opaque binary payload, kind round-robin, duration for videos."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("n_chars") % 600) / F.lit(2.0)).alias("duration_s"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
+    over a binary column (decode kernel is the deterministic fake — real
+    codecs aren't in this container).  Non-SQL-expressible (mapInPandas)
+    -> rows-only check."""
+    from qualityassurancetool_spark.operators.multimodal import extract_features
+
+    media = _media_df(spark, sf_dir)
+    feats = extract_features(media, dim=8)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.sum(F.col("feature")[0]), 6).alias("sum_f0_r"),
+        )
+        .orderBy("kind")
+    )
+
+
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out plan: one row per (video, frame_ts)
+    at a 2.5 s stride — generator-style so a long video never
+    materializes driver-side."""
+    from qualityassurancetool_spark.operators.multimodal import frame_sample_plan
+
+    media = _media_df(spark, sf_dir)
+    out = frame_sample_plan(media, every_s=2.5)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round("frame_ts_s", 6).alias("frame_ts_r"),
+    ).orderBy("media_id", "frame_idx")
+
+
+SQL_FRAME_SAMPLE_PLAN = """
+WITH media AS (
+    SELECT doc_id AS media_id, (n_chars % 600) / 2.0 AS duration_s
+    FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       round(f.frame_idx * 2.5, 6) AS frame_ts_r
+FROM media, unnest(range(greatest(CAST(ceil(duration_s / 2.5) AS BIGINT), 1)))
+     AS f(frame_idx)
+ORDER BY media_id, frame_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -921,6 +1263,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "sim_topk": q_sim_topk,
         "embedding_stats": q_embedding_stats,
+        "qc_region_flags": q_qc_region_flags,
+        "unique_value_assert": q_unique_value_assert,
+        "nearest_lookup": q_nearest_lookup,
+        "nested_flatten": q_nested_flatten,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "media_features": q_media_features,
+        "frame_sample_plan": q_frame_sample_plan,
     }
 
 
@@ -949,4 +1299,12 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "sim_topk": SQL_SIM_TOPK,
         "embedding_stats": SQL_EMBEDDING_STATS,
+        "qc_region_flags": SQL_QC_REGION_FLAGS,
+        "unique_value_assert": SQL_UNIQUE_VALUE_ASSERT,
+        "nearest_lookup": SQL_NEAREST_LOOKUP,
+        "nested_flatten": SQL_NESTED_FLATTEN,
+        "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+        "sim_lsh_topk": SQL_SIM_LSH_TOPK,
+        # media_features: mapInPandas feature extraction — rows-only check
+        "frame_sample_plan": SQL_FRAME_SAMPLE_PLAN,
     }

@@ -30,8 +30,10 @@ BENCH_QUERIES = [
     "topk_orders_per_segment",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "text_stats",
     "sim_topk",
+    "sim_lsh_topk",
 ]
 
 
