@@ -158,6 +158,24 @@ ORDER BY iot_id
 """
 
 
+def q_qc_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 scale path: identical rolling z-score via bucketed-overlap (halo)
+    groups — parallelism streams x time-buckets instead of streams, the
+    100 TB answer to low stream cardinality.  Shares the window z-score's
+    oracle: both physical strategies must hash-match the same SQL."""
+    from qualityassurancetool_spark.operators.partitioned_windows import (
+        calc_zscore_bucketed,
+    )
+
+    obs = _obs(spark, sf_dir)
+    z = calc_zscore_bucketed(
+        obs, group_col="observation_type", rolling_time_window="60min"
+    )
+    return z.select("iot_id", F.round("zscore", 6).alias("zscore_r")).orderBy(
+        "iot_id"
+    )
+
+
 def q_qc_flag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 on the full range-checked table (global flag histogram)."""
     df = q_qc_range_flags(spark, sf_dir)
@@ -1244,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_range_flags": q_qc_range_flags,
         "qc_gradient": q_qc_gradient,
         "qc_zscore": q_qc_zscore,
+        "qc_zscore_bucketed": q_qc_zscore_bucketed,
         "qc_flag_histogram": q_qc_flag_histogram,
         "qc_asof_dependent": q_qc_asof_dependent,
         "qc_velocity": q_qc_velocity,
@@ -1279,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "qc_range_flags": SQL_QC_RANGE_FLAGS,
         "qc_gradient": SQL_QC_GRADIENT,
         "qc_zscore": SQL_QC_ZSCORE,
+        "qc_zscore_bucketed": SQL_QC_ZSCORE,
         "qc_flag_histogram": SQL_QC_FLAG_HISTOGRAM,
         "qc_asof_dependent": SQL_QC_ASOF_DEPENDENT,
         "qc_velocity": SQL_QC_VELOCITY,

@@ -1,0 +1,90 @@
+"""Bucketed-overlap scale path must agree row-for-row with the pure-Window
+implementations (same frames, same stats) — the halo replication and
+native-row trimming must be invisible in results."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.partitioned_windows import (
+    bucketed_time_rolling,
+    calc_zscore_bucketed,
+    median_track_bucketed,
+)
+from qualityassurancetool_spark.operators.spatial_outlier import with_median_track
+from qualityassurancetool_spark.operators.zscore import calc_zscore
+from qualityassurancetool_spark.schema import events_as_observations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _collect_map(df, key, val):
+    rows = df.select(key, val).collect()
+    return {r[0]: r[1] for r in rows}
+
+
+def _assert_equal_maps(a, b):
+    assert set(a) == set(b)
+    for k, va in a.items():
+        vb = b[k]
+        if va is None or (isinstance(va, float) and math.isnan(va)):
+            assert vb is None or (isinstance(vb, float) and math.isnan(vb)), k
+        else:
+            assert vb == pytest.approx(va, rel=1e-9, abs=1e-9), k
+
+
+def test_zscore_bucketed_matches_window(spark):
+    obs = events_as_observations(spark, SF_DIR)
+    ref = calc_zscore(obs, group_col="observation_type", rolling_time_window="60min")
+    # small bucket (2x window) to force many buckets and heavy halo use
+    got = calc_zscore_bucketed(
+        obs,
+        group_col="observation_type",
+        rolling_time_window="60min",
+        bucket="120min",
+    )
+    _assert_equal_maps(
+        _collect_map(ref, "iot_id", "zscore"), _collect_map(got, "iot_id", "zscore")
+    )
+
+
+def test_median_track_bucketed_matches_window(spark):
+    obs = events_as_observations(spark, SF_DIR)
+    ref = with_median_track(
+        obs, time_window="10min", partition_cols=["observation_type"]
+    )
+    got = median_track_bucketed(
+        obs,
+        time_window="10min",
+        partition_cols=["observation_type"],
+        bucket="30min",
+    )
+    for c in ["median_lat", "median_long"]:
+        _assert_equal_maps(
+            _collect_map(ref, "iot_id", c), _collect_map(got, "iot_id", c)
+        )
+
+
+def test_bucketed_emits_each_row_exactly_once(spark):
+    obs = events_as_observations(spark, SF_DIR)
+    out = bucketed_time_rolling(
+        obs,
+        specs={"n_in_win": ("result", "count")},
+        partition_cols=["observation_type"],
+        before="30min",
+        after="30min",
+        bucket="45min",
+    )
+    assert out.count() == obs.count()
+    assert out.select("iot_id").distinct().count() == obs.count()
+    # every window contains at least the row itself
+    assert out.where(F.col("n_in_win") < 1).count() == 0
+
+
+def test_bucketed_rejects_bad_stat(spark):
+    obs = events_as_observations(spark, SF_DIR)
+    with pytest.raises(ValueError):
+        bucketed_time_rolling(obs, specs={"x": ("result", "sum")})
