@@ -1,0 +1,92 @@
+"""Structured Streaming surface: the same QC column expressions run under
+``readStream`` (reference §2.8 — the cron/overlap orchestration upgraded
+to watermarked streams).  File source + availableNow trigger + memory sink
+keeps it hermetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.flags import QualityFlags, flag_from_bool, flag_merge
+from qualityassurancetool_spark.operators.range_check import out_of_range_bool
+from qualityassurancetool_spark.schema import events_as_observations
+from qualityassurancetool_spark.streaming.micro_batch import (
+    streaming_qc,
+    tumbling_flag_rollup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _range_qc(df):
+    flag = flag_from_bool(
+        out_of_range_bool(F.col("result"), F.lit(1.0), F.lit(250.0)),
+        flag_on_true=QualityFlags.BAD,
+    )
+    return df.withColumn("qc_flag", flag_merge(F.col("qc_flag"), flag))
+
+
+def _landed(spark, tmp_path):
+    obs = events_as_observations(spark, SF_DIR)
+    path = str(tmp_path / "landed")
+    obs.write.parquet(path)
+    return obs, path
+
+
+def test_streaming_qc_matches_batch(spark, tmp_path):
+    obs, path = _landed(spark, tmp_path)
+    stream = spark.readStream.schema(obs.schema).parquet(path)
+    flagged = streaming_qc(stream, _range_qc, watermark="50 minutes")
+    q = (
+        flagged.select("iot_id", F.col("qc_flag").cast("int").alias("flag"))
+        .writeStream.format("memory")
+        .queryName("qc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["iot_id"]: r["flag"]
+        for r in spark.sql("SELECT * FROM qc_stream").collect()
+    }
+    want = {
+        r["iot_id"]: r["flag"]
+        for r in _range_qc(obs)
+        .select("iot_id", F.col("qc_flag").cast("int").alias("flag"))
+        .collect()
+    }
+    assert got == want
+    assert any(v == int(QualityFlags.BAD) for v in got.values())
+
+
+def test_tumbling_rollup_stream_matches_batch_window(spark, tmp_path):
+    obs, path = _landed(spark, tmp_path)
+    stream = spark.readStream.schema(obs.schema).parquet(path)
+    rollup = tumbling_flag_rollup(
+        _range_qc(stream), window="10 minutes", watermark="50 minutes"
+    )
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["start"], r["flag"]): r["n"]
+        for r in spark.sql("SELECT * FROM rollup_stream").collect()
+    }
+    want = {
+        (r["start"], r["flag"]): r["n"]
+        for r in _range_qc(obs)
+        .groupBy(
+            F.window("phenomenon_time", "10 minutes").alias("w"),
+            F.col("qc_flag").alias("flag"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "flag", "n")
+        .collect()
+    }
+    assert got == want
