@@ -1180,6 +1180,135 @@ ORDER BY query_id, cosine_r DESC, neighbor_id
 """
 
 
+# synthetic polygon set over the events track (lat 51.00-51.20, lon
+# 3.00-3.20); bounds offset by 5e-5 so no 4-decimal point sits on an edge
+# (ray-cast boundary semantics then match strict SQL comparisons exactly)
+_POLYGONS = [
+    (
+        "MAINLAND EUROPE",
+        [
+            (3.00005, 51.00005),
+            (3.08005, 51.00005),
+            (3.08005, 51.08005),
+            (3.00005, 51.08005),
+        ],
+    ),
+    (
+        "NORTH SEA",
+        [
+            (3.00005, 51.00005),
+            (3.19995, 51.00005),
+            (3.19995, 51.19995),
+            (3.00005, 51.19995),
+        ],
+    ),
+]
+
+
+def q_qc_region_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+P6+P7: broadcast point-in-polygon region join (numpy ray-cast
+    mapInPandas kernel — reference intersect_df_region /
+    get_bool_natural_earth_land, src/main.py:528-533,577-592), then the
+    null/MAINLAND flag checks and histogram.  First polygon wins
+    (MAINLAND box sits inside the NORTH SEA box)."""
+    from qualityassurancetool_spark.operators.region import apply_region_checks
+    from qualityassurancetool_spark.sources.spatial import assign_region
+
+    obs = _obs(spark, sf_dir)
+    df = assign_region(obs, _POLYGONS)
+    df = apply_region_checks(df)
+    return (
+        df.groupBy("region", F.col("qc_flag").cast("int").alias("flag"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("region", "flag")
+    )
+
+
+def _box_sql(name_idx: int) -> str:
+    name, verts = _POLYGONS[name_idx]
+    xs = [v[0] for v in verts]
+    ys = [v[1] for v in verts]
+    return (
+        f"long > {min(xs)} AND long < {max(xs)} "
+        f"AND lat > {min(ys)} AND lat < {max(ys)}"
+    )
+
+
+SQL_QC_REGION_LOOKUP = EVENTS_CTE + f"""
+, regioned AS (
+    SELECT *, CASE WHEN {_box_sql(0)} THEN 'MAINLAND EUROPE'
+                   WHEN {_box_sql(1)} THEN 'NORTH SEA' END AS region
+    FROM obs
+), flagged AS (
+    SELECT region,
+           {flag_merge_sql(
+               'qc_flag',
+               "CASE WHEN region IS NULL THEN 3 ELSE 0 END",
+               "CASE WHEN COALESCE(upper(region) LIKE '%MAINLAND%', FALSE) THEN 4 ELSE 0 END",
+           )} AS qc_flag
+    FROM regioned
+)
+SELECT region, CAST(qc_flag AS INT) AS flag, COUNT(*) AS n
+FROM flagged GROUP BY region, qc_flag ORDER BY region, flag
+"""
+
+# synthetic bathymetry: uniform 50x50 grid from (50.9, 2.9), 0.01 deg step,
+# depth(i,j) = -150 + 1.7 i + 2.3 j (positive cells = above sea level)
+_GRID_LAT0, _GRID_LON0, _GRID_STEP, _GRID_N = 50.9, 2.9, 0.01, 50
+
+
+def q_qc_depth_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: broadcast-raster nearest-cell elevation lookup (mapInPandas
+    kernel — reference get_bool_depth_above_treshold over ETOPO,
+    src/main.py:561-568,595-608); elevation > 0 => BAD."""
+    import numpy as np
+
+    from qualityassurancetool_spark.sources.spatial import (
+        RasterGrid,
+        raster_lookup,
+    )
+
+    i = np.arange(_GRID_N)[:, None]
+    j = np.arange(_GRID_N)[None, :]
+    grid = RasterGrid(
+        -150.0 + 1.7 * i + 2.3 * j,
+        lat0=_GRID_LAT0,
+        lon0=_GRID_LON0,
+        dlat=_GRID_STEP,
+        dlon=_GRID_STEP,
+    )
+    obs = _obs(spark, sf_dir)
+    df = raster_lookup(obs, grid)
+    flag = flag_from_bool(
+        F.col("elevation") > 0, flag_on_true=QualityFlags.BAD
+    )
+    df = df.withColumn("qc_flag", flag_merge(F.col("qc_flag"), flag))
+    return df.select(
+        "iot_id",
+        F.round("elevation", 6).alias("elevation_r"),
+        F.col("qc_flag").cast("int").alias("flag"),
+    ).orderBy("iot_id")
+
+
+_IDX_SQL = (
+    "least(greatest(CAST(floor(({c} - {o}) / {s} + 0.5) AS BIGINT), 0), {m})"
+)
+SQL_QC_DEPTH_FLAGS = EVENTS_CTE + f"""
+, looked AS (
+    SELECT iot_id, qc_flag,
+           -150.0 + 1.7 * {_IDX_SQL.format(c='lat', o=_GRID_LAT0, s=_GRID_STEP, m=_GRID_N - 1)}
+                  + 2.3 * {_IDX_SQL.format(c='long', o=_GRID_LON0, s=_GRID_STEP, m=_GRID_N - 1)}
+               AS elevation
+    FROM obs
+)
+SELECT iot_id, round(elevation, 6) AS elevation_r,
+       CAST({flag_merge_sql(
+           'qc_flag', 'CASE WHEN elevation > 0 THEN 4 ELSE 0 END'
+       )} AS INT) AS flag
+FROM looked ORDER BY iot_id
+"""
+
+
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic media table derived from documents: text bytes as the
     opaque binary payload, kind round-robin, duration for videos."""
@@ -1283,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "embedding_stats": q_embedding_stats,
         "qc_region_flags": q_qc_region_flags,
+        "qc_region_lookup": q_qc_region_lookup,
+        "qc_depth_flags": q_qc_depth_flags,
         "unique_value_assert": q_unique_value_assert,
         "nearest_lookup": q_nearest_lookup,
         "nested_flatten": q_nested_flatten,
@@ -1320,6 +1451,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk": SQL_SIM_TOPK,
         "embedding_stats": SQL_EMBEDDING_STATS,
         "qc_region_flags": SQL_QC_REGION_FLAGS,
+        "qc_region_lookup": SQL_QC_REGION_LOOKUP,
+        "qc_depth_flags": SQL_QC_DEPTH_FLAGS,
         "unique_value_assert": SQL_UNIQUE_VALUE_ASSERT,
         "nearest_lookup": SQL_NEAREST_LOOKUP,
         "nested_flatten": SQL_NESTED_FLATTEN,

@@ -1,0 +1,64 @@
+"""Point-in-polygon and raster-lookup kernels (J5/J6): synthetic
+geometry with known membership; priority ordering; grid clamping."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from qualityassurancetool_spark.sources.spatial import (
+    RasterGrid,
+    _ray_cast,
+    assign_region,
+    raster_lookup,
+)
+
+BOX = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+# concave "L" shape: the notch (x>5, y>5) is outside
+ELL = [(0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (5.0, 5.0), (5.0, 10.0), (0.0, 10.0)]
+
+
+def test_ray_cast_box_and_concave():
+    lons = np.array([5.0, 15.0, -1.0, 2.0, 7.0])
+    lats = np.array([5.0, 5.0, 5.0, 8.0, 8.0])
+    assert _ray_cast(lons, lats, np.array(BOX)).tolist() == [
+        True, False, False, True, True,
+    ]
+    # concave: (7,8) sits in the notch -> outside; (2,8) in the leg -> inside
+    assert _ray_cast(lons, lats, np.array(ELL)).tolist() == [
+        False, False, False, True, False,
+    ]
+
+
+def test_assign_region_priority_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 7.0, 7.0), (3, 20.0, 20.0)],
+        "id bigint, `long` double, lat double",
+    )
+    # inner box listed first -> wins where both contain the point
+    polys = [
+        ("INNER", [(0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0)]),
+        ("OUTER", BOX),
+    ]
+    got = {
+        r["id"]: r["region"]
+        for r in assign_region(df, polys, lat_col="lat", lon_col="long").collect()
+    }
+    assert got == {1: "INNER", 2: "OUTER", 3: None}
+
+
+def test_raster_lookup_nearest_and_clamp(spark):
+    vals = np.arange(12, dtype=float).reshape(3, 4)  # v[i][j] = 4i + j
+    grid = RasterGrid(vals, lat0=0.0, lon0=0.0, dlat=1.0, dlon=1.0)
+    df = spark.createDataFrame(
+        [
+            (1, 0.1, 0.1),    # cell (0,0) -> 0
+            (2, 1.6, 2.4),    # (2,2) -> 10
+            (3, -5.0, 9.0),   # clamped to (0,3) -> 3
+            (4, 0.49, 0.51),  # rounds to (0,1) -> 1
+        ],
+        "id bigint, lat double, `long` double",
+    )
+    got = {
+        r["id"]: r["elevation"] for r in raster_lookup(df, grid).collect()
+    }
+    assert got == {1: 0.0, 2: 10.0, 3: 3.0, 4: 1.0}
