@@ -144,3 +144,34 @@ class QCConfig:
 
     def dependency_tolerance_seconds(self, dep: DependentQC) -> float:
         return parse_timedelta_seconds(dep.dt_tolerance)
+
+
+def write_qc_yaml_template(
+    stream_summary: DataFrame,
+    path: str,
+    id_col: str = "stream_id",
+    name_col: str | None = None,
+) -> None:
+    """S12: emit a per-datastream QC-config skeleton from a (small)
+    stream-dimension DataFrame (reference
+    ``write_datastreamid_yaml_template``, ``src/main.py:118-143``).
+    Metadata-scale -> driver-side ``collect`` by design."""
+    import yaml
+
+    rows = stream_summary.select(
+        *( [id_col] + ([name_col] if name_col else []) )
+    ).distinct().collect()
+    doc = {
+        "QC": [
+            {
+                "id": r[id_col],
+                **({"name": r[name_col]} if name_col else {}),
+                "range": {"min": None, "max": None},
+                "gradient": {"min": None, "max": None},
+                "zscore": {"min": None, "max": None},
+            }
+            for r in sorted(rows, key=lambda r: str(r[id_col]))
+        ]
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(doc, f, sort_keys=False)

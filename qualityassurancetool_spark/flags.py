@@ -150,3 +150,29 @@ def flag_merge_sql(*flag_sql_exprs: str) -> str:
         f"WHEN {merged} = {rank} THEN {int(code)}" for rank, code in _RANK_TO_CODE.items()
     )
     return f"CAST(CASE {whens} END AS TINYINT)"
+
+
+def combine_counts(a: dict, b: dict) -> dict:
+    """Dict-merge summing/concatenating common keys (reference A8
+    ``combine_dicts``, pinned at ``tests/test_qc.py:973-978``): ints/floats
+    add, lists concatenate, disjoint keys pass through."""
+    out = dict(a)
+    for k, v in b.items():
+        if k in out:
+            out[k] = out[k] + v
+        else:
+            out[k] = v
+    return out
+
+
+def update_flag_history(
+    history: dict[str, dict], label: str, counts: dict
+) -> dict[str, dict]:
+    """Flag-history bookkeeping (reference ``update_flag_history_series``,
+    ``src/main.py:544-546``): accumulate per-check flag counts under the
+    check's label.  ``counts`` is typically
+    ``{row['flag']: row['n'] for row in histogram_df.collect()}`` —
+    metadata-scale, so driver-side by design."""
+    merged = dict(history)
+    merged[label] = combine_counts(merged.get(label, {}), counts)
+    return merged
