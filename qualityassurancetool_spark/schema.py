@@ -58,6 +58,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     µs TimestampType by truncation — the same thing DuckDB's µs TIMESTAMP
     does, so oracle comparisons agree exactly.
     """
+    # self-heal on sessions not built by session.get_spark (e.g. the
+    # driver harness'): the ns-as-long legacy conf is runtime-settable
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
