@@ -112,10 +112,32 @@ def bucketed_time_rolling(
         lo = np.searchsorted(ts, nat_ts - before_us, side="left")
         hi = np.searchsorted(ts, nat_ts + after_us, side="right")
         out = pdf.loc[native, in_cols].reset_index(drop=True)
+        # trailing windows ([t-Δ, t], after == 0): pandas' C rolling engine
+        # with closed='both' matches rangeBetween(-Δ, 0) exactly (the
+        # reference itself is pandas rolling) — ~50x the python loop
+        rolling = None
+        if after_us == 0:
+            idx = pd.to_datetime(pdf["_t_us"], unit="us")
+            srcs = list(
+                dict.fromkeys(s for s, st in specs.values() if st != "count")
+            )
+            rolling = pdf[srcs].set_axis(idx, axis=0)
         vals_cache: dict[str, np.ndarray] = {}
         for out_col, (src, stat) in specs.items():
             if stat == "count":
                 out[out_col] = (hi - lo).astype(np.int64)
+                continue
+            if rolling is not None:
+                r = (
+                    rolling[src]
+                    .rolling(pd.Timedelta(microseconds=before_us), closed="both")
+                )
+                series = (
+                    r.mean()
+                    if stat == "mean"
+                    else r.median() if stat == "median" else r.std(ddof=1)
+                )
+                out[out_col] = series.to_numpy(dtype=np.float64)[native]
                 continue
             if src not in vals_cache:
                 vals_cache[src] = pdf[src].to_numpy(dtype=np.float64)
