@@ -1317,6 +1317,77 @@ FROM looked ORDER BY iot_id
 """
 
 
+_IVF_STRIDE = 20  # centroids = vectors with vec_id % stride == 0
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: stride-sampled centroids (deterministic "training"),
+    inverted lists by nearest centroid, queries probe their 2 nearest
+    lists, cosine top-5.  Work vs brute force ~= nprobe/n_centroids."""
+    from qualityassurancetool_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") % _IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    queries_df = emb.where(F.col("vec_id") < 8)
+    out = ivf_topk(emb, queries_df, centroids, k=5, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
+    ).orderBy("query_id", F.col("cosine_r").desc(), "neighbor_id")
+
+
+_L2_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * "
+    "(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"
+)
+SQL_SIM_IVF_TOPK = f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+), c_assign AS (
+    SELECT vec_id, embedding, cent_id AS cluster_id
+    FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_L2_SQL.format(a='e.embedding', b='c.cvec')} ASC,
+                            c.cent_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+), q_assign AS (
+    SELECT query_id, qvec, cluster_id
+    FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cent_id AS cluster_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_L2_SQL.format(a='e.embedding', b='c.cvec')} ASC,
+                            c.cent_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 8
+    ) WHERE rn <= 2
+), scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(list_zip(q.qvec, c.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+           (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cosine
+    FROM c_assign c JOIN q_assign q
+      ON c.cluster_id = q.cluster_id AND c.vec_id <> q.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, cosine_r DESC, neighbor_id
+"""
+
+
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic media table derived from documents: text bytes as the
     opaque binary payload, kind round-robin, duration for videos."""
@@ -1427,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_flatten": q_nested_flatten,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "media_features": q_media_features,
         "frame_sample_plan": q_frame_sample_plan,
     }
@@ -1466,6 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_flatten": SQL_NESTED_FLATTEN,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
         "sim_lsh_topk": SQL_SIM_LSH_TOPK,
+        "sim_ivf_topk": SQL_SIM_IVF_TOPK,
         # media_features: mapInPandas feature extraction — rows-only check
         "frame_sample_plan": SQL_FRAME_SAMPLE_PLAN,
     }

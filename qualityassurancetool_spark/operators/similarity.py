@@ -79,6 +79,98 @@ def brute_force_topk(
     )
 
 
+def l2_sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (deterministic, like
+    :func:`dot_product`)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_nearest: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+) -> DataFrame:
+    """Assign each vector to its ``n_nearest`` centroids by squared-L2
+    (deterministic tie-break on centroid id).  Centroids broadcast; the
+    corpus never shuffles for assignment.  Output: corpus columns +
+    ``cluster_id`` (+ ``_cent_rank`` when n_nearest > 1)."""
+    joined = corpus.join(F.broadcast(centroids))
+    d = l2_sq(F.col(vec_col), F.col(cent_vec_col))
+    w = Window.partitionBy(id_col).orderBy(d.asc(), F.col(cent_id_col).asc())
+    out = (
+        joined.withColumn("_cent_rank", F.row_number().over(w))
+        .where(F.col("_cent_rank") <= n_nearest)
+        .withColumn("cluster_id", F.col(cent_id_col))
+        .drop(cent_id_col, cent_vec_col)
+    )
+    return out.drop("_cent_rank") if n_nearest == 1 else out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in their nearest
+    centroid's inverted list; each query scores only the lists of its
+    ``nprobe`` nearest centroids.
+
+    The 100 TB shape: centroids are a broadcast dim (10^3-10^5 rows); the
+    corpus is partitioned/bucketed by ``cluster_id`` so a query touches
+    ``nprobe/n_centroids`` of the data; queries broadcast.  Work ratio vs
+    brute force ~= nprobe / n_centroids.
+    """
+    c_assigned = ivf_assign(
+        corpus, centroids, 1, vec_col, id_col
+    )
+    q_assigned = ivf_assign(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        ),
+        centroids,
+        nprobe,
+        "_qvec",
+        query_id_col,
+    ).select(query_id_col, "_qvec", "cluster_id")
+    joined = c_assigned.alias("c").join(
+        F.broadcast(q_assigned).alias("q"),
+        (F.col("c.cluster_id") == F.col("q.cluster_id"))
+        & (F.col(query_id_col) != F.col(f"c.{id_col}")),
+    )
+    sim = cosine_similarity(F.col("_qvec"), F.col(f"c.{vec_col}"))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        sim.alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — reproducible
     across runs/engines without RNG state."""

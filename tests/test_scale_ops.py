@@ -180,3 +180,31 @@ def test_multimodal_feature_plumbing(spark):
     frames = frame_sample_plan(df, every_s=1.0).collect()
     assert len(frames) == 3  # 3s video @ 1fps
     assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 1, 2]
+
+
+def test_ivf_topk_probes_subset_with_valid_scores(spark, sf_dir):
+    from qualityassurancetool_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, centroids, k=5, nprobe=2).collect()
+    # every query gets k results (inverted lists are non-empty here)
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 5 for v in per_q.values())
+    # approximate scores are true cosines: each (q, n) pair present in the
+    # exact run must carry the identical score
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    hits = 0
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert r["cosine"] == pytest.approx(exact_scores[key], rel=1e-9)
+            hits += 1
+    assert hits >= 3  # non-trivial recall on near-uniform random data
