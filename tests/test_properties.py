@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) — beyond the reference's own test
+strategy (SURVEY §5 notes it has none): randomized inputs against
+independent python models for the three most correctness-critical
+surfaces — flag algebra, the as-of join, and the np.gradient-parity
+gradient."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.flags import (
+    FLAG_SEVERITY,
+    flag_merge,
+)
+from qualityassurancetool_spark.operators.asof import asof_nearest_join
+from qualityassurancetool_spark.operators.gradient import gradient_column
+
+CODES = list(FLAG_SEVERITY.keys())
+EPOCH = dt.datetime(2024, 1, 1)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _model_merge(codes: list[int | None]) -> int:
+    ranks = [
+        FLAG_SEVERITY[c] if c is not None else 0 for c in codes
+    ]
+    best = max(ranks)
+    return next(c for c, r in FLAG_SEVERITY.items() if r == best)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(CODES) | st.none(),
+            st.sampled_from(CODES) | st.none(),
+            st.sampled_from(CODES) | st.none(),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_flag_merge_matches_model_and_is_symmetric(spark, triples):
+    rows = [
+        (i, a if a is None else int(a), b if b is None else int(b),
+         c if c is None else int(c))
+        for i, (a, b, c) in enumerate(triples)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, a tinyint, b tinyint, c tinyint"
+    )
+    out = df.select(
+        "id",
+        flag_merge("a", "b", "c").alias("m1"),
+        flag_merge("c", "a", "b").alias("m2"),
+    ).collect()
+    want = {i: _model_merge([a, b, c]) for i, (a, b, c) in enumerate(triples)}
+    for r in out:
+        assert r["m1"] == want[r["id"]], triples[r["id"]]
+        assert r["m2"] == r["m1"]  # merge is order-insensitive
+
+
+def _model_asof(dep_ts: list[int], ind: list[tuple[int, int]], tol_us: int):
+    """Nearest independent within tolerance; ties -> smaller ts then id."""
+    out = {}
+    for i, t in enumerate(dep_ts):
+        best = None
+        for iid, it in ind:
+            d = abs(t - it)
+            if d <= tol_us:
+                key = (d, it, iid)
+                if best is None or key < best[0]:
+                    best = (key, iid)
+        out[i] = None if best is None else best[1]
+    return out
+
+
+@SLOW
+@given(
+    st.lists(st.integers(0, 30_000_000), min_size=1, max_size=25),
+    st.lists(st.integers(0, 30_000_000), min_size=0, max_size=25, unique=True),
+    st.sampled_from([500_000, 1_000_000, 3_000_000]),
+)
+def test_asof_join_matches_bruteforce_model(spark, dep_us, ind_us, tol_us):
+    dep_rows = [
+        (i, EPOCH + dt.timedelta(microseconds=t)) for i, t in enumerate(dep_us)
+    ]
+    ind_rows = [
+        (100 + j, EPOCH + dt.timedelta(microseconds=t))
+        for j, t in enumerate(ind_us)
+    ]
+    dep = spark.createDataFrame(dep_rows, "dep_id int, phenomenon_time timestamp")
+    ind = spark.createDataFrame(ind_rows, "iot_id int, phenomenon_time timestamp")
+    got = {
+        r["dep_id"]: r["ind_iot_id"]
+        for r in asof_nearest_join(dep, ind, tol_us / 1e6).collect()
+    }
+    want_idx = _model_asof(
+        dep_us, [(100 + j, t) for j, t in enumerate(ind_us)], tol_us
+    )
+    want = {i: want_idx[i] for i in range(len(dep_us))}
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000),  # seconds offsets (deduped below)
+            st.floats(-1e3, 1e3, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda p: p[0],
+    )
+)
+def test_gradient_matches_np_gradient_model(spark, points):
+    points = sorted(points)
+    ts = np.array([p[0] for p in points], dtype=np.float64)
+    vals = np.array([p[1] for p in points], dtype=np.float64)
+    want = np.gradient(vals, ts)
+    rows = [
+        (i, EPOCH + dt.timedelta(seconds=int(t)), float(v))
+        for i, (t, v) in enumerate(points)
+    ]
+    df = spark.createDataFrame(
+        rows, "iot_id int, phenomenon_time timestamp, result double"
+    )
+    g = gradient_column("result", "phenomenon_time", [], ["iot_id"])
+    got = {
+        r["iot_id"]: r["g"]
+        for r in df.select("iot_id", g.alias("g")).collect()
+    }
+    for i in range(len(points)):
+        assert got[i] == pytest.approx(want[i], rel=1e-9, abs=1e-12), (
+            i,
+            points,
+        )
