@@ -182,6 +182,122 @@ def q_qc_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRAD_THRESHOLDS: dict[str, tuple[float, float]] = {
+    "click": (-40.0, 40.0),
+    "purchase": (-45.0, 45.0),
+    "view": (-40.0, 40.0),
+    "signup": (-35.0, 35.0),
+    "error": (-30.0, 30.0),
+}
+Z_THRESHOLDS: dict[str, tuple[float, float]] = {
+    "click": (-2.5, 2.5),
+    "purchase": (-2.8, 2.8),
+    "view": (-2.5, 2.5),
+    "signup": (-2.2, 2.2),
+    "error": (-2.0, 2.0),
+}
+
+_FULL_THR_SQL_VALUES = ", ".join(
+    f"('{k}', {THRESHOLDS[k][0]}, {THRESHOLDS[k][1]}, "
+    f"{GRAD_THRESHOLDS[k][0]}, {GRAD_THRESHOLDS[k][1]}, "
+    f"{Z_THRESHOLDS[k][0]}, {Z_THRESHOLDS[k][1]})"
+    for k in EVENT_TYPES
+)
+
+
+def q_qc_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship §3.1 chain as ONE Catalyst DAG: broadcast thresholds ->
+    gradient -> strict range -> gradient range -> guarded rolling z-score
+    -> cumulative severity merges; per-row final flag (order of checks is
+    semantic: the z-score guard reads the flag state, reference
+    src/main.py:518-805)."""
+    from qualityassurancetool_spark.config import QCConfig
+    from qualityassurancetool_spark.plans.qc_pipeline import run_qc_pipeline
+
+    cfg = QCConfig.from_dict(
+        {
+            "QC": [
+                {
+                    "id": t,
+                    "range": {
+                        "min": THRESHOLDS[t][0], "max": THRESHOLDS[t][1]
+                    },
+                    "gradient": {
+                        "min": GRAD_THRESHOLDS[t][0],
+                        "max": GRAD_THRESHOLDS[t][1],
+                    },
+                    "zscore": {
+                        "min": Z_THRESHOLDS[t][0], "max": Z_THRESHOLDS[t][1]
+                    },
+                }
+                for t in EVENT_TYPES
+            ],
+            "zscore_time_window": "60min",
+        }
+    )
+    obs = _obs(spark, sf_dir)
+    out = run_qc_pipeline(obs, cfg, spark)
+    return out.select(
+        "iot_id", F.col("qc_flag").cast("int").alias("flag")
+    ).orderBy("iot_id")
+
+
+def _bool_to_flag_sql(bool_sql: str) -> str:
+    return f"CASE WHEN NOT ({bool_sql}) THEN 4 ELSE 0 END"
+
+
+SQL_QC_FULL_PIPELINE = EVENTS_CTE + f"""
+, thr(observation_type, rmin, rmax, gmin, gmax, zmin, zmax) AS (
+    VALUES {_FULL_THR_SQL_VALUES}
+), s1 AS (
+    SELECT o.*, t.rmin, t.rmax, t.gmin, t.gmax, t.zmin, t.zmax
+    FROM obs o LEFT JOIN thr t USING (observation_type)
+), s2 AS (
+    SELECT *,
+           {gradient_sql('result', 't_us', 'observation_type', 't_us, iot_id')}
+               AS gradient
+    FROM s1
+), s3 AS (
+    SELECT *,
+           {flag_merge_sql(
+               'qc_flag',
+               _bool_to_flag_sql('result > rmin AND result < rmax'),
+               _bool_to_flag_sql('gradient > gmin AND gradient < gmax'),
+           )} AS flag2
+    FROM s2
+), s4 AS (
+    SELECT *,
+           CASE WHEN flag2 IN (0, 1, 2) THEN
+               {zscore_sql('result', 't_us', 'observation_type', 3600.0)}
+           END AS zscore
+    FROM s3
+)
+SELECT iot_id,
+       CAST({flag_merge_sql(
+           'flag2', _bool_to_flag_sql('zscore > zmin AND zscore < zmax')
+       )} AS INT) AS flag
+FROM s4 ORDER BY iot_id
+"""
+
+
+def q_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase distinct count (operators/skew): distinct users
+    per stream — result-identical to countDistinct, but a hot stream's
+    distinct set reduces across all map tasks instead of one."""
+    from qualityassurancetool_spark.operators.skew import salted_distinct_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_distinct_count(
+        ev, ["event_type"], "user_id", out_col="n_users"
+    ).orderBy("event_type")
+
+
+SQL_DISTINCT_USERS_SALTED = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_qc_flag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 on the full range-checked table (global flag histogram)."""
     df = q_qc_range_flags(spark, sf_dir)
@@ -1461,8 +1577,10 @@ ORDER BY media_id, frame_idx
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: QC range pipeline flag histogram on sf0.001."""
-    return q_qc_range_flags(spark, "/root/testdata/sf0.001")
+    """Flagship: the full §3.1 QC chain (gradient + range + gradient-range
+    + guarded z-score, cumulative severity merges) on sf0.001 — per-row
+    final flags."""
+    return q_qc_full_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1471,7 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_gradient": q_qc_gradient,
         "qc_zscore": q_qc_zscore,
         "qc_zscore_bucketed": q_qc_zscore_bucketed,
+        "qc_full_pipeline": q_qc_full_pipeline,
         "qc_flag_histogram": q_qc_flag_histogram,
+        "distinct_users_salted": q_distinct_users_salted,
         "qc_asof_dependent": q_qc_asof_dependent,
         "qc_velocity": q_qc_velocity,
         "qc_spatial_outlier": q_qc_spatial_outlier,
@@ -1510,7 +1630,9 @@ def oracle_sql() -> dict[str, str]:
         "qc_gradient": SQL_QC_GRADIENT,
         "qc_zscore": SQL_QC_ZSCORE,
         "qc_zscore_bucketed": SQL_QC_ZSCORE,
+        "qc_full_pipeline": SQL_QC_FULL_PIPELINE,
         "qc_flag_histogram": SQL_QC_FLAG_HISTOGRAM,
+        "distinct_users_salted": SQL_DISTINCT_USERS_SALTED,
         "qc_asof_dependent": SQL_QC_ASOF_DEPENDENT,
         "qc_velocity": SQL_QC_VELOCITY,
         "qc_spatial_outlier": SQL_QC_SPATIAL_OUTLIER,

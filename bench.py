@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    "qc_full_pipeline",
     "qc_range_flags",
     "qc_gradient",
     "qc_zscore",
