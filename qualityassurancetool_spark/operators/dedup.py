@@ -92,12 +92,27 @@ def minhash_signatures_df(
     groupBy with 16 ``min(xxhash64(i, shingle))`` aggregates.  Partial
     aggregation (map-side combine) means only 16 longs per doc shuffle —
     this is the shape that survives 100 TB."""
-    exploded = df.select(
+    # a small corpus parquet arrives as ONE input split; shingling is the
+    # heavy per-row work, so spread docs across the cluster first.  Hash-
+    # partitioning by id also pre-satisfies the groupBy's distribution, so
+    # no second shuffle of the (much larger) exploded rows.  The partition
+    # count is explicit because AQE would coalesce by pre-explode shuffle
+    # bytes — tiny here — and put all the explode work back on one core.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("_sh"),
     )
+    # universal-hash family over ONE string hash: h_i = a_i * h + b_i in
+    # wrapping int64 (a_i odd => bijective mix).  16 string xxhash64 calls
+    # per shingle -> 1 call + 15 integer mults; the string hashing was the
+    # dominant cost of the whole dedup pipeline.
+    base = F.xxhash64(F.col("_sh"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"sig_{i}")
+        F.min(
+            base if i == 0
+            else base * F.lit(2 * i * 0x9E3779B1 + 1) + F.lit(i * 0x85EBCA77)
+        ).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy("_id").agg(*aggs)
@@ -165,7 +180,9 @@ def jaccard_on_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification step)."""
-    sh = df.select(
+    sh = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
         F.col(id_col).alias("_jid"),
         shingles(F.col(text_col), shingle_k).alias("_sh"),
     )
