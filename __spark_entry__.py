@@ -1201,7 +1201,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
     n = emb.select(
         "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )

@@ -60,7 +60,11 @@ def brute_force_topk(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
     )
-    joined = corpus.alias("c").join(
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    joined = ensure_min_parallelism(corpus).alias("c").join(
         F.broadcast(q), F.col(query_id_col) != F.col(f"c.{id_col}")
     )
     sim = cosine_similarity(F.col("_qvec"), F.col(f"c.{vec_col}"))
@@ -107,7 +111,11 @@ def ivf_assign(
     (deterministic tie-break on centroid id).  Centroids broadcast; the
     corpus never shuffles for assignment.  Output: corpus columns +
     ``cluster_id`` (+ ``_cent_rank`` when n_nearest > 1)."""
-    joined = corpus.join(F.broadcast(centroids))
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    joined = ensure_min_parallelism(corpus).join(F.broadcast(centroids))
     d = l2_sq(F.col(vec_col), F.col(cent_vec_col))
     w = Window.partitionBy(id_col).orderBy(d.asc(), F.col(cent_id_col).asc())
     out = (
@@ -207,7 +215,13 @@ def lsh_topk(
     """Approximate top-k: only corpus vectors in the query's LSH bucket are
     scored.  ~2^n_planes× less work than brute force; recall depends on
     bucket granularity (callers trade n_planes for recall)."""
-    c = corpus.withColumn("_bucket", lsh_bucket_id(F.col(vec_col), dim, n_planes))
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    c = ensure_min_parallelism(corpus).withColumn(
+        "_bucket", lsh_bucket_id(F.col(vec_col), dim, n_planes)
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
