@@ -593,6 +593,43 @@ ORDER BY ts_sec
 """
 
 
+def q_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-P2: unpivot (stack) as the pivot inverse — the wide per-type
+    columns fold back to long (ts_sec, observation_type, result) rows;
+    nulls (absent stream at that second) drop, so the round trip returns
+    exactly the best-record rows (reference pivot-reversal proof,
+    tests/test_qc.py:513-531)."""
+    wide = q_pivot_export(spark, sf_dir)
+    stack_expr = "stack({n}, {args}) AS (observation_type, result_r)".format(
+        n=len(EVENT_TYPES),
+        args=", ".join(f"'{t}', {t}_result" for t in EVENT_TYPES),
+    )
+    return (
+        wide.selectExpr("ts_sec", stack_expr)
+        .where(F.col("result_r").isNotNull())
+        .orderBy("ts_sec", "observation_type")
+    )
+
+
+SQL_UNPIVOT_ROUNDTRIP = EVENTS_CTE + f"""
+, rounded AS (
+    SELECT *,
+           CAST(floor((t_us + 500000) / 1000000) AS BIGINT) AS ts_sec,
+           abs(t_us - CAST(floor((t_us + 500000) / 1000000) AS BIGINT) * 1000000)
+               / 1000000.0 AS dt_to_round
+    FROM obs
+), best AS (
+    SELECT * FROM rounded
+    QUALIFY row_number() OVER (
+        PARTITION BY ts_sec, observation_type
+        ORDER BY qc_flag ASC, dt_to_round ASC, iot_id ASC) = 1
+)
+SELECT ts_sec, observation_type, round(result, 6) AS result_r
+FROM best
+ORDER BY ts_sec, observation_type
+"""
+
+
 def q_windowed_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8: tumbling 10-minute window flag histogram (the prod
     downsample-transfer analog; batch form of the streaming rollup)."""
@@ -1601,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_spatial_outlier": q_qc_spatial_outlier,
         "qc_stabilization": q_qc_stabilization,
         "pivot_export": q_pivot_export,
+        "unpivot_roundtrip": q_unpivot_roundtrip,
         "windowed_flag_rollup": q_windowed_flag_rollup,
         "distinct_streams": q_distinct_streams,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1642,6 +1680,7 @@ def oracle_sql() -> dict[str, str]:
         "qc_spatial_outlier": SQL_QC_SPATIAL_OUTLIER,
         "qc_stabilization": SQL_QC_STABILIZATION,
         "pivot_export": SQL_PIVOT_EXPORT,
+        "unpivot_roundtrip": SQL_UNPIVOT_ROUNDTRIP,
         "windowed_flag_rollup": SQL_WINDOWED_FLAG_ROLLUP,
         "distinct_streams": SQL_DISTINCT_STREAMS,
         "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,

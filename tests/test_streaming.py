@@ -90,3 +90,65 @@ def test_tumbling_rollup_stream_matches_batch_window(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_running_stats_accumulates_across_runs(spark, tmp_path):
+    """applyInPandasWithState: state persists in the checkpoint, so a
+    second availableNow run over NEW files continues the counts."""
+    from qualityassurancetool_spark.functions.timeutils import epoch_micros
+    from qualityassurancetool_spark.streaming.stateful import running_flag_stats
+
+    obs = _range_qc(events_as_observations(spark, SF_DIR)).withColumn(
+        "t_us", epoch_micros("phenomenon_time")
+    )
+    part1 = obs.where(F.col("iot_id") % 2 == 0)
+    part2 = obs.where(F.col("iot_id") % 2 == 1)
+    land = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    part1.write.parquet(land)
+
+    def run_once(qname):
+        stream = spark.readStream.schema(obs.schema).parquet(land)
+        latest: dict = {}
+
+        def sink(batch_df, _batch_id):
+            for r in batch_df.collect():
+                latest[r["observation_type"]] = (r["n_total"], r["n_bad"])
+
+        q = (
+            running_flag_stats(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return latest
+
+    got1 = run_once("stats_run1")
+    want1 = {
+        r["observation_type"]: (r["n"], r["nb"])
+        for r in part1.groupBy("observation_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("qc_flag") == 4).cast("long")).alias("nb"),
+        )
+        .collect()
+    }
+    assert got1 == want1
+
+    # land more data; the SAME checkpoint continues the state
+    part2.write.mode("append").parquet(land)
+    got2 = run_once("stats_run2")
+    want2 = {
+        r["observation_type"]: (r["n"], r["nb"])
+        for r in obs.groupBy("observation_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("qc_flag") == 4).cast("long")).alias("nb"),
+        )
+        .collect()
+    }
+    assert got2 == want2
+    assert any(v[1] > 0 for v in got2.values())  # some BAD rows exist
