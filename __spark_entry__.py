@@ -546,6 +546,54 @@ FROM s5 ORDER BY iot_id
 """
 
 
+def q_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: the reference's per-run time-window predicate (config ->
+    `phenomenonTime gt X and lt Y`, src/main.py:328) as a pushed-down
+    parquet filter; per-stream counts inside a fixed 2-day slice."""
+    obs = _obs(spark, sf_dir)
+    lo = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    hi = F.to_timestamp(F.lit("2024-01-04 00:00:00"))
+    return (
+        obs.where(
+            (F.col("phenomenon_time") > lo) & (F.col("phenomenon_time") < hi)
+        )
+        .groupBy("observation_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("result"), 6).alias("avg_result_r"),
+        )
+        .orderBy("observation_type")
+    )
+
+
+SQL_TIME_WINDOW_SCAN = EVENTS_CTE + """
+SELECT observation_type, COUNT(*) AS n, round(AVG(result), 6) AS avg_result_r
+FROM obs
+WHERE phenomenon_time > TIMESTAMP '2024-01-02 00:00:00'
+  AND phenomenon_time < TIMESTAMP '2024-01-04 00:00:00'
+GROUP BY observation_type ORDER BY observation_type
+"""
+
+
+def q_paged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: $top/$skip paging (src/aums_data_request.py:49,62) — page 3 of
+    a deterministic (time, id)-ordered scan, 50 rows per page."""
+    obs = _obs(spark, sf_dir)
+    return (
+        obs.orderBy("phenomenon_time", "iot_id")
+        .select("iot_id", "observation_type", F.round("result", 6).alias("result_r"))
+        .offset(100)
+        .limit(50)
+    )
+
+
+SQL_PAGED_SCAN = EVENTS_CTE + """
+SELECT iot_id, observation_type, round(result, 6) AS result_r
+FROM obs ORDER BY phenomenon_time, iot_id
+LIMIT 50 OFFSET 100
+"""
+
+
 def q_pivot_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4+A2+W-P1: round to nearest second, best-record per (second,
     stream), pivot streams wide.  Output: epoch-second + per-type values."""
@@ -1641,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_roundtrip": q_unpivot_roundtrip,
         "windowed_flag_rollup": q_windowed_flag_rollup,
         "distinct_streams": q_distinct_streams,
+        "time_window_scan": q_time_window_scan,
+        "paged_scan": q_paged_scan,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_segment_revenue": q_join_segment_revenue,
         "topk_orders_per_segment": q_topk_orders_per_segment,
@@ -1683,6 +1733,8 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_roundtrip": SQL_UNPIVOT_ROUNDTRIP,
         "windowed_flag_rollup": SQL_WINDOWED_FLAG_ROLLUP,
         "distinct_streams": SQL_DISTINCT_STREAMS,
+        "time_window_scan": SQL_TIME_WINDOW_SCAN,
+        "paged_scan": SQL_PAGED_SCAN,
         "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
