@@ -173,7 +173,11 @@ def q_qc_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         calc_zscore_bucketed,
     )
 
-    obs = _obs(spark, sf_dir)
+    # project before bucketing: every column crosses the Arrow boundary
+    # twice, so ship only what the kernel and the output need
+    obs = _obs(spark, sf_dir).select(
+        "iot_id", "observation_type", "phenomenon_time", "result"
+    )
     z = calc_zscore_bucketed(
         obs, group_col="observation_type", rolling_time_window="60min"
     )

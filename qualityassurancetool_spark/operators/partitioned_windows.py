@@ -155,6 +155,12 @@ def bucketed_time_rolling(
             out[out_col] = res
         return out
 
+    # explicit repartition on the group keys: the groupBy's own exchange
+    # would be AQE-coalesced by (small) shuffle bytes, capping the Python
+    # kernel's parallelism; a user repartition is never coalesced and the
+    # groupBy reuses its partitioning (no second exchange)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    exploded = exploded.repartition(n_parts, *parts, F.col("_bucket"))
     return exploded.groupBy(*parts, "_bucket").applyInPandas(
         compute, schema=out_schema
     )
