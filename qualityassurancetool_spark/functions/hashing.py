@@ -55,3 +55,27 @@ def shingles(c: Column, k: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     )
+
+
+def shingle_hashes(c: Column, k: int = 3) -> Column:
+    """Word k-shingles as 64-bit hashes WITHOUT materializing shingle
+    strings: hash each token once, combine k consecutive token hashes with
+    a wrapping polynomial (distinct-preserving enough at 64 bits for
+    MinHash/Jaccard purposes).  ~k× fewer string hashes and zero shingle
+    string allocation vs hashing ``shingles()`` output — the dedup hot
+    path at corpus scale."""
+    tok_h = F.transform(tokens(c), lambda t: F.xxhash64(t))
+    n = F.size(tok_h)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    p = F.lit(1099511628211)  # FNV-ish odd multiplier, wrapping int64
+
+    def combine(i: Column) -> Column:
+        h = F.element_at(tok_h, i)
+        for j in range(1, k):
+            nxt = F.coalesce(
+                F.element_at(tok_h, i + j), F.lit(-40343)
+            )
+            h = h * p + nxt
+        return h
+
+    return F.array_distinct(F.transform(idx, combine))

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from qualityassurancetool_spark.functions.hashing import (
     md5_long,
     normalize_text,
+    shingle_hashes,
     shingles,
     tokens,
 )
@@ -99,15 +100,16 @@ def minhash_signatures_df(
     # count is explicit because AQE would coalesce by pre-explode shuffle
     # bytes — tiny here — and put all the explode work back on one core.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # hashed shingles (no shingle-string materialization) — see
+    # functions/hashing.shingle_hashes
     exploded = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("_sh"),
+        F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("_sh"),
     )
-    # universal-hash family over ONE string hash: h_i = a_i * h + b_i in
-    # wrapping int64 (a_i odd => bijective mix).  16 string xxhash64 calls
-    # per shingle -> 1 call + 15 integer mults; the string hashing was the
-    # dominant cost of the whole dedup pipeline.
-    base = F.xxhash64(F.col("_sh"))
+    # universal-hash family over the ONE shingle hash: h_i = a_i * h + b_i
+    # in wrapping int64 (a_i odd => bijective mix) — 16 integer mixes, no
+    # further string hashing.
+    base = F.col("_sh")
     aggs = [
         F.min(
             base if i == 0
@@ -184,7 +186,7 @@ def jaccard_on_pairs(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(
         F.col(id_col).alias("_jid"),
-        shingles(F.col(text_col), shingle_k).alias("_sh"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("_sh"),
     )
     out = (
         pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -208,13 +210,84 @@ def minhash_dedup(
     shingle_k: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
-    cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_k
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+
+    The shingle-hash arrays are computed ONCE and persisted — both the
+    signature explode and the verification join read them; at corpus
+    scale, shingling twice would double the dominant scan+tokenize cost.
+    """
+    sh_df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
+        F.col(id_col).alias("_jid"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("_sh"),
+    ).persist()
+
+    exploded = sh_df.select(
+        F.col("_jid").alias("_id"), F.explode("_sh").alias("_shh")
     )
-    return jaccard_on_pairs(cand, df, text_col, id_col, shingle_k).where(
-        F.col("jaccard") >= threshold
+    base = F.col("_shh")
+    aggs = [
+        F.min(
+            base if i == 0
+            else base * F.lit(2 * i * 0x9E3779B1 + 1) + F.lit(i * 0x85EBCA77)
+        ).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    with_sig = exploded.groupBy("_id").agg(*aggs)
+
+    rows_per_band = num_hashes // bands
+    band_entries = with_sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"sig_{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_id", "band.band_hash")
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
+    out = (
+        cand.join(
+            sh_df.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh_df.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+    )
+    return out.where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------- simhash
