@@ -858,6 +858,76 @@ ORDER BY r.r_name
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
+def q_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-filter aggregate (TPC-H q6 shape): pushed-down range
+    predicates on lineitem, decimal-exact revenue sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_quantity") < 24)
+            & (F.col("l_discount").between(0.05, 0.07))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # multiply IN decimal (each factor exact at its scale) — a
+            # double product cast to decimal rounds half-up in Spark but
+            # half-even in DuckDB and drifts
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_FILTERED_REVENUE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + grouped revenue + top-10 (TPC-H q3 shape): the
+    broadcast-ineligible orders x lineitem join shuffles on the key;
+    customer broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    seg = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    joined = (
+        orders.join(F.broadcast(seg), orders["o_custkey"] == seg["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        joined.groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o.o_orderkey AS orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on documents: digest groups with keep-id and group size."""
     from qualityassurancetool_spark.operators.dedup import exact_dedup
@@ -1699,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "topk_orders_per_segment": q_topk_orders_per_segment,
         "nation_region_rollup": q_nation_region_rollup,
+        "filtered_revenue": q_filtered_revenue,
+        "shipping_priority": q_shipping_priority,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1743,6 +1815,8 @@ def oracle_sql() -> dict[str, str]:
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
         "nation_region_rollup": SQL_NATION_REGION_ROLLUP,
+        "filtered_revenue": SQL_FILTERED_REVENUE,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
