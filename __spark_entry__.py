@@ -450,6 +450,31 @@ def q_qc_spatial_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("iot_id")
 
 
+def q_qc_spatial_outlier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 scale path: same centered exact-median track via bucketed-overlap
+    halo groups (streams x buckets parallelism) — shares the window
+    implementation's oracle."""
+    from qualityassurancetool_spark.operators.partitioned_windows import (
+        median_track_bucketed,
+    )
+
+    obs = _obs(spark, sf_dir).select(
+        "iot_id", "observation_type", "phenomenon_time", "lat", "long"
+    )
+    m = median_track_bucketed(
+        obs, time_window="10min", partition_cols=["observation_type"]
+    )
+    dist = haversine_m(
+        F.col("median_lat"), F.col("median_long"), F.col("lat"), F.col("long")
+    )
+    return m.select(
+        "iot_id",
+        F.round("median_lat", 6).alias("med_lat_r"),
+        F.round("median_long", 6).alias("med_long_r"),
+        F.round(dist, 4).alias("dist_r"),
+    ).orderBy("iot_id")
+
+
 _MED_W = (
     "OVER (PARTITION BY observation_type ORDER BY t_us "
     "RANGE BETWEEN 300000000 PRECEDING AND 300000000 FOLLOWING)"
@@ -1758,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_asof_dependent": q_qc_asof_dependent,
         "qc_velocity": q_qc_velocity,
         "qc_spatial_outlier": q_qc_spatial_outlier,
+        "qc_spatial_outlier_bucketed": q_qc_spatial_outlier_bucketed,
         "qc_stabilization": q_qc_stabilization,
         "pivot_export": q_pivot_export,
         "unpivot_roundtrip": q_unpivot_roundtrip,
@@ -1804,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         "qc_asof_dependent": SQL_QC_ASOF_DEPENDENT,
         "qc_velocity": SQL_QC_VELOCITY,
         "qc_spatial_outlier": SQL_QC_SPATIAL_OUTLIER,
+        "qc_spatial_outlier_bucketed": SQL_QC_SPATIAL_OUTLIER,
         "qc_stabilization": SQL_QC_STABILIZATION,
         "pivot_export": SQL_PIVOT_EXPORT,
         "unpivot_roundtrip": SQL_UNPIVOT_ROUNDTRIP,
