@@ -1141,6 +1141,46 @@ FROM documents ORDER BY doc_id
 SQL_TEXT_STATS = _text_stats_sql()
 
 
+_BPE_PAT = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def q_text_tokens_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text batch 2: BPE-ish regex token count (runs + punctuation marks,
+    identical RE2/Java semantics both engines) and a rolling-hash document
+    fingerprint (min over md5-derived 3-gram shingle hashes — a 1-hash
+    MinHash, winnowing-style)."""
+    from qualityassurancetool_spark.functions.hashing import md5_long, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    fp = F.array_min(
+        F.transform(shingles(t, 3), lambda s: md5_long(s, salt="fp:"))
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower(t), F.lit(_BPE_PAT)).alias("bpe_tokens"),
+        fp.alias("fp_rolling"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_TOKENS_FP = f"""
+WITH toks AS (
+    SELECT doc_id, lower(text) AS lt,
+           string_split({_NORM_SQL}, ' ') AS tok
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(lt, '{_BPE_PAT}')) AS bpe_tokens,
+       list_min(list_transform(
+           list_distinct(list_transform(
+               range(1, greatest(len(tok) - 2, 1) + 1),
+               i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))),
+           s -> CAST(concat('0x', substring(md5(concat('fp:', s)), 1, 15)) AS BIGINT)
+       )) AS fp_rolling
+FROM toks ORDER BY doc_id
+"""
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 8 vectors as queries
     (deterministic sequential-fold double dot product both engines)."""
@@ -1802,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "text_stats": q_text_stats,
+        "text_tokens_fp": q_text_tokens_fp,
         "sim_topk": q_sim_topk,
         "embedding_stats": q_embedding_stats,
         "qc_region_flags": q_qc_region_flags,
@@ -1850,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash_lsh: intentionally no oracle (banded LSH not
         # SQL-expressible at reasonable cost; rows-only check)
         "text_stats": SQL_TEXT_STATS,
+        "text_tokens_fp": SQL_TEXT_TOKENS_FP,
         "sim_topk": SQL_SIM_TOPK,
         "embedding_stats": SQL_EMBEDDING_STATS,
         "qc_region_flags": SQL_QC_REGION_FLAGS,

@@ -1,0 +1,50 @@
+"""Empty-input hardening: every operator family must return an empty
+(correctly-schema'd) result on zero rows, not crash — at 100 TB some
+partition, stream, or time window is always empty."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.asof import asof_nearest_join
+from qualityassurancetool_spark.operators.dedup import exact_dedup, minhash_dedup
+from qualityassurancetool_spark.operators.gradient import gradient_column
+from qualityassurancetool_spark.operators.partitioned_windows import (
+    calc_zscore_bucketed,
+)
+from qualityassurancetool_spark.operators.spatial_outlier import with_median_track
+from qualityassurancetool_spark.operators.zscore import calc_zscore
+from qualityassurancetool_spark.schema import OBSERVATIONS_SCHEMA
+
+
+def _empty_obs(spark):
+    return spark.createDataFrame([], OBSERVATIONS_SCHEMA)
+
+
+def test_window_ops_on_empty(spark):
+    obs = _empty_obs(spark)
+    assert calc_zscore(obs).count() == 0
+    assert calc_zscore_bucketed(obs).count() == 0
+    assert with_median_track(obs, partition_cols=["datastream_id"]).count() == 0
+    g = obs.select(
+        gradient_column("result", "phenomenon_time", ["datastream_id"], ["iot_id"]).alias("g")
+    )
+    assert g.count() == 0
+
+
+def test_asof_on_empty_sides(spark):
+    obs = _empty_obs(spark)
+    some = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "iot_id long, phenomenon_time string"
+    ).select("iot_id", F.to_timestamp("phenomenon_time").alias("phenomenon_time"))
+    # empty dependent -> empty out; empty independent -> all-null matches
+    assert asof_nearest_join(obs.select("iot_id", "phenomenon_time"), some, 0.5).count() == 0
+    out = asof_nearest_join(some, obs.select("iot_id", "phenomenon_time"), 0.5)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["ind_iot_id"] is None
+
+
+def test_dedup_on_empty(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(docs).count() == 0
+    assert minhash_dedup(docs).count() == 0
