@@ -61,22 +61,29 @@ FLAG_SEVERITY: dict[int, int] = {
 _RANK_TO_CODE: dict[int, int] = {r: c for c, r in FLAG_SEVERITY.items()}
 
 
+# dense arrays for O(1) code<->rank translation (codes and ranks are both
+# 0..9): element_at keeps the generated code tiny vs a 10-branch CASE
+# chain, which matters because every QC query embeds several merges
+_CODE_TO_RANK_ARR = [FLAG_SEVERITY[c] for c in sorted(FLAG_SEVERITY)]
+_RANK_TO_CODE_ARR = [_RANK_TO_CODE[r] for r in sorted(_RANK_TO_CODE)]
+
+
 def flag_rank(flag: Column | str) -> Column:
-    """Column expression mapping an L20 code column to its severity rank."""
+    """Column expression mapping an L20 code column to its severity rank.
+    Codes outside 0..9 (or null) yield null (non-ANSI element_at)."""
     c = F.col(flag) if isinstance(flag, str) else flag
-    expr: Column = F.lit(None).cast("int")
-    # Build a CASE chain; codegen collapses this into a flat branch table.
-    for code, rank in FLAG_SEVERITY.items():
-        expr = F.when(c == int(code), F.lit(rank)).otherwise(expr)
-    return expr
+    lookup = F.array(*[F.lit(r) for r in _CODE_TO_RANK_ARR])
+    idx = F.when((c >= 0) & (c <= 9), c.cast("int") + 1)
+    return F.element_at(lookup, idx)
 
 
 def rank_to_flag(rank: Column) -> Column:
     """Inverse of :func:`flag_rank` as a Column expression."""
-    expr: Column = F.lit(None).cast("tinyint")
-    for r, code in _RANK_TO_CODE.items():
-        expr = F.when(rank == int(r), F.lit(code).cast("tinyint")).otherwise(expr)
-    return expr
+    lookup = F.array(
+        *[F.lit(code).cast("tinyint") for code in _RANK_TO_CODE_ARR]
+    )
+    idx = F.when((rank >= 0) & (rank <= 9), rank.cast("int") + 1)
+    return F.element_at(lookup, idx)
 
 
 def flag_merge(*flags: Column | str) -> Column:
