@@ -123,24 +123,29 @@ class QCConfig:
                     float(rng[1]) if rng[1] is not None else None
                 )
             rows.append(row)
-        schema = (
-            "stream_id string, "
-            + ", ".join(
-                f"qc_{t}_min double, qc_{t}_max double" for t in QC_TYPES
-            )
-        )
-        typed = [
-            tuple(
-                [str(r["stream_id"])]
-                + [
-                    r[f"qc_{t}_{mm}"]
-                    for t in QC_TYPES
-                    for mm in ("min", "max")
-                ]
-            )
-            for r in rows
+        # VALUES literal relation (LocalRelation in the plan), NOT
+        # createDataFrame: no Python->JVM RDD round-trip per call and the
+        # optimizer can constant-fold/broadcast it directly
+        cols = ["stream_id"] + [
+            f"qc_{t}_{mm}" for t in QC_TYPES for mm in ("min", "max")
         ]
-        return spark.createDataFrame(typed, schema)
+
+        def lit(v) -> str:
+            if v is None:
+                return "CAST(NULL AS DOUBLE)"
+            return repr(float(v))
+
+        def row_sql(r: dict) -> str:
+            sid = str(r["stream_id"]).replace("'", "''")
+            vals = ", ".join(
+                lit(r[f"qc_{t}_{mm}"]) for t in QC_TYPES for mm in ("min", "max")
+            )
+            return f"('{sid}', {vals})"
+
+        values = ", ".join(row_sql(r) for r in rows)
+        return spark.sql(
+            f"SELECT * FROM (VALUES {values}) AS t({', '.join(cols)})"
+        )
 
     def dependency_tolerance_seconds(self, dep: DependentQC) -> float:
         return parse_timedelta_seconds(dep.dt_tolerance)
