@@ -31,12 +31,14 @@ BENCH_QUERIES = [
     "agg_pricing_summary",
     "join_segment_revenue",
     "topk_orders_per_segment",
+    "shipping_priority",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "text_stats",
     "sim_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
 ]
 
 
