@@ -51,6 +51,13 @@ class QCConfig:
         default_factory=dict
     )
     zscore_time_window: str | float = "60min"
+    # geo-track / spatial checks (reference conf/config.yaml:84-104)
+    velocity_max: float | None = None
+    acceleration_max: float | None = None
+    outlier_time_window: str | float = "10min"
+    outlier_max_dx_dt: float | None = None
+    # region polygons: [(name, [(lon, lat), ...]), ...]
+    region_polygons: list | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "QCConfig":
@@ -94,11 +101,23 @@ class QCConfig:
                 glob[t] = (rng.get("min"), rng.get("max"))
             else:
                 glob[t] = tuple(rng)
+        geo = d.get("location", {})
+        polys = None
+        if d.get("region_polygons"):
+            polys = [
+                (p["name"], [tuple(pt) for pt in p["coords"]])
+                for p in d["region_polygons"]
+            ]
         return cls(
             streams=streams,
             dependents=deps,
             global_qc=glob,
             zscore_time_window=d.get("zscore_time_window", "60min"),
+            velocity_max=geo.get("max_velocity"),
+            acceleration_max=geo.get("max_acceleration"),
+            outlier_time_window=geo.get("time_window", "10min"),
+            outlier_max_dx_dt=geo.get("max_dx_dt"),
+            region_polygons=polys,
         )
 
     @classmethod

@@ -1,0 +1,150 @@
+"""Check registry — the reference's extension contract made literal
+(SURVEY §2.10: adding a check = a YAML key + a registered builder;
+``QCFlagConfig`` pattern at reference ``src/main.py:535-541``).
+
+Each check is a named builder ``(df, cfg, spark, stream_col) -> df`` that
+lazily appends its flag logic to the plan; ``run_registered_checks`` folds
+the configured checks in the reference's execution order (order is
+semantic: flags merge cumulatively and later guards read flag state —
+reference ``src/main.py:518-805``).  New checks: decorate a builder with
+``@register_check("name")`` and drive it from config.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qualityassurancetool_spark.config import QCConfig
+
+CheckFn = Callable[[DataFrame, QCConfig, SparkSession, str], DataFrame]
+
+CHECK_REGISTRY: "OrderedDict[str, CheckFn]" = OrderedDict()
+
+
+def register_check(name: str) -> Callable[[CheckFn], CheckFn]:
+    def deco(fn: CheckFn) -> CheckFn:
+        CHECK_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register_check("region")
+def _check_region(
+    df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str
+) -> DataFrame:
+    """P6/P7 (+J5 when polygons configured): assign region from config
+    polygons if the column is absent, then null/MAINLAND flags."""
+    from qualityassurancetool_spark.operators.region import apply_region_checks
+    from qualityassurancetool_spark.sources.spatial import assign_region
+
+    polys = getattr(cfg, "region_polygons", None)
+    if "region" not in df.columns:
+        if not polys:
+            return df
+        df = assign_region(df, polys)
+    return apply_region_checks(df)
+
+
+@register_check("spatial_outlier")
+def _check_spatial_outlier(
+    df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str
+) -> DataFrame:
+    if cfg.outlier_max_dx_dt is None:
+        return df
+    from qualityassurancetool_spark.operators.spatial_outlier import (
+        apply_spatial_outlier_check,
+    )
+
+    return apply_spatial_outlier_check(
+        df,
+        max_dx_dt=cfg.outlier_max_dx_dt,
+        time_window=cfg.outlier_time_window,
+        partition_cols=[stream_col],
+    )
+
+
+@register_check("velocity_acceleration")
+def _check_velocity(
+    df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str
+) -> DataFrame:
+    if cfg.velocity_max is None and cfg.acceleration_max is None:
+        return df
+    from qualityassurancetool_spark.operators.geotrack import (
+        apply_velocity_acceleration_check,
+    )
+
+    return apply_velocity_acceleration_check(
+        df,
+        max_velocity_ms=cfg.velocity_max or float("inf"),
+        max_acceleration_ms2=cfg.acceleration_max or float("inf"),
+        partition_cols=[stream_col],
+    )
+
+
+@register_check("range_gradient_zscore")
+def _check_threshold_family(
+    df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str
+) -> DataFrame:
+    """P5/W7/W6 family — one broadcast thresholds join feeds all three
+    (strict range, gradient range, guarded z-score), like the reference's
+    :723-:761 block."""
+    if not cfg.streams and not cfg.global_qc:
+        return df
+    from qualityassurancetool_spark.plans.qc_pipeline import run_qc_pipeline
+
+    return run_qc_pipeline(df, cfg, spark, stream_key=stream_col)
+
+
+@register_check("dependent")
+def _check_dependent(
+    df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str
+) -> DataFrame:
+    """J3/J4: as-of flag propagation + secondary value check per
+    configured dependency (reference :771-:805)."""
+    from qualityassurancetool_spark.operators.asof import (
+        qc_dependent_quantity_base,
+        qc_dependent_quantity_secondary,
+    )
+
+    for dep in cfg.dependents:
+        df = qc_dependent_quantity_base(
+            df,
+            independent=dep.independent,
+            dependent=dep.dependent,
+            dt_tolerance=dep.dt_tolerance,
+            stream_col=stream_col,
+            flag_when_missing=dep.flag_when_missing,
+        )
+        if dep.qc_range is not None:
+            df = qc_dependent_quantity_secondary(
+                df,
+                independent=dep.independent,
+                dependent=dep.dependent,
+                range_=dep.qc_range,
+                dt_tolerance=dep.dt_tolerance,
+                stream_col=stream_col,
+            )
+    return df
+
+
+def run_registered_checks(
+    df: DataFrame,
+    cfg: QCConfig,
+    spark: SparkSession,
+    checks: list[str] | None = None,
+    stream_col: str = "observation_type",
+) -> DataFrame:
+    """Fold the named checks (default: every registered check, in
+    registration = reference order) over the observations plan."""
+    names = checks if checks is not None else list(CHECK_REGISTRY)
+    for name in names:
+        if name not in CHECK_REGISTRY:
+            raise KeyError(
+                f"unknown check {name!r}; registered: {list(CHECK_REGISTRY)}"
+            )
+        df = CHECK_REGISTRY[name](df, cfg, spark, stream_col)
+    return df
