@@ -284,6 +284,141 @@ FROM s4 ORDER BY iot_id
 """
 
 
+_CHAIN_MAX_VEL = 2000.0  # m/s (synthetic track jumps are km-scale)
+_CHAIN_MAX_DXDT = 10.0  # m/s over the 10-min outlier window -> 6 km radius
+
+
+def q_qc_reference_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone §3.1 parity: the reference main.py's whole check chain —
+    polygon region lookup -> null/MAINLAND flags -> rolling-median spatial
+    outlier -> velocity pair-marking -> strict range -> gradient range ->
+    guarded z-score — folded through the check registry in reference
+    order, per-row final flags, against ONE SQL oracle."""
+    from qualityassurancetool_spark.config import QCConfig
+    from qualityassurancetool_spark.plans.registry import run_registered_checks
+
+    cfg = QCConfig.from_dict(
+        {
+            "QC": [
+                {
+                    "id": t,
+                    "range": {"min": THRESHOLDS[t][0], "max": THRESHOLDS[t][1]},
+                    "gradient": {
+                        "min": GRAD_THRESHOLDS[t][0],
+                        "max": GRAD_THRESHOLDS[t][1],
+                    },
+                    "zscore": {
+                        "min": Z_THRESHOLDS[t][0], "max": Z_THRESHOLDS[t][1]
+                    },
+                }
+                for t in EVENT_TYPES
+            ],
+            "zscore_time_window": "60min",
+            "location": {
+                "max_velocity": _CHAIN_MAX_VEL,
+                "max_dx_dt": _CHAIN_MAX_DXDT,
+                "time_window": "10min",
+            },
+            "region_polygons": [
+                {"name": name, "coords": [list(pt) for pt in coords]}
+                for name, coords in _POLYGONS
+            ],
+        }
+    )
+    obs = _obs(spark, sf_dir)
+    out = run_registered_checks(obs, cfg, spark)
+    return out.select(
+        "iot_id", F.col("qc_flag").cast("int").alias("flag")
+    ).orderBy("iot_id")
+
+
+_CHAIN_VEL_W = "OVER (PARTITION BY observation_type ORDER BY t_us, iot_id)"
+_CHAIN_HAV = haversine_sql(
+    f"lag(lat) {_CHAIN_VEL_W}", f"lag(long) {_CHAIN_VEL_W}", "lat", "long"
+)
+_CHAIN_MED_W = (
+    "OVER (PARTITION BY observation_type ORDER BY t_us "
+    "RANGE BETWEEN 300000000 PRECEDING AND 300000000 FOLLOWING)"
+)
+
+
+def _sql_qc_reference_chain() -> str:
+    # built lazily: depends on _box_sql/_POLYGONS defined further down
+    return EVENTS_CTE + f"""
+, thr(observation_type, rmin, rmax, gmin, gmax, zmin, zmax) AS (
+    VALUES {_FULL_THR_SQL_VALUES}
+), regioned AS (
+    SELECT o.*, t.rmin, t.rmax, t.gmin, t.gmax, t.zmin, t.zmax,
+           CASE WHEN {_box_sql(0)} THEN 'MAINLAND EUROPE'
+                WHEN {_box_sql(1)} THEN 'NORTH SEA' END AS region
+    FROM obs o LEFT JOIN thr t USING (observation_type)
+), rflag AS (
+    SELECT *,
+           {flag_merge_sql(
+               'qc_flag',
+               "CASE WHEN region IS NULL THEN 3 ELSE 0 END",
+               "CASE WHEN COALESCE(upper(region) LIKE '%MAINLAND%', FALSE) THEN 4 ELSE 0 END",
+           )} AS f1
+    FROM regioned
+), med AS (
+    SELECT *,
+           median(lat) {_CHAIN_MED_W} AS mlat,
+           median(long) {_CHAIN_MED_W} AS mlong
+    FROM rflag
+), oflag AS (
+    SELECT *,
+           {flag_merge_sql(
+               'f1',
+               "CASE WHEN " + haversine_sql('mlat', 'mlong', 'lat', 'long')
+               + f" > {_CHAIN_MAX_DXDT * 600.0} THEN 4 ELSE 0 END",
+           )} AS f2
+    FROM med
+), vel AS (
+    SELECT *,
+           CASE WHEN (t_us - lag(t_us) {_CHAIN_VEL_W}) > 0
+                THEN {_CHAIN_HAV} / ((t_us - lag(t_us) {_CHAIN_VEL_W}) / 1000000.0)
+           END AS v_ms
+    FROM oflag
+), vbool AS (
+    SELECT *,
+           COALESCE(abs(v_ms) > {_CHAIN_MAX_VEL}, FALSE) AS bad_here
+    FROM vel
+), vflag AS (
+    SELECT *,
+           {flag_merge_sql(
+               'f2',
+               "CASE WHEN bad_here OR COALESCE(lead(bad_here) "
+               + _CHAIN_VEL_W + ", FALSE) THEN 3 ELSE 0 END",
+           )} AS f3
+    FROM vbool
+), grad AS (
+    SELECT *,
+           {gradient_sql('result', 't_us', 'observation_type', 't_us, iot_id')}
+               AS gradient
+    FROM vflag
+), rgflag AS (
+    SELECT *,
+           {flag_merge_sql(
+               'f3',
+               _bool_to_flag_sql('result > rmin AND result < rmax'),
+               _bool_to_flag_sql('gradient > gmin AND gradient < gmax'),
+           )} AS f4
+    FROM grad
+), zed AS (
+    SELECT *,
+           CASE WHEN f4 IN (0, 1, 2) THEN
+               {zscore_sql('result', 't_us', 'observation_type', 3600.0)}
+           END AS zscore
+    FROM rgflag
+)
+SELECT iot_id,
+       CAST({flag_merge_sql(
+           'f4', _bool_to_flag_sql('zscore > zmin AND zscore < zmax')
+       )} AS INT) AS flag
+FROM zed ORDER BY iot_id
+"""
+
+
 def q_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase distinct count (operators/skew): distinct users
     per stream — result-identical to countDistinct, but a hot stream's
@@ -1818,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_zscore": q_qc_zscore,
         "qc_zscore_bucketed": q_qc_zscore_bucketed,
         "qc_full_pipeline": q_qc_full_pipeline,
+        "qc_reference_chain": q_qc_reference_chain,
         "qc_flag_histogram": q_qc_flag_histogram,
         "distinct_users_salted": q_distinct_users_salted,
         "qc_asof_dependent": q_qc_asof_dependent,
@@ -1866,6 +2002,7 @@ def oracle_sql() -> dict[str, str]:
         "qc_zscore": SQL_QC_ZSCORE,
         "qc_zscore_bucketed": SQL_QC_ZSCORE,
         "qc_full_pipeline": SQL_QC_FULL_PIPELINE,
+        "qc_reference_chain": _sql_qc_reference_chain(),
         "qc_flag_histogram": SQL_QC_FLAG_HISTOGRAM,
         "distinct_users_salted": SQL_DISTINCT_USERS_SALTED,
         "qc_asof_dependent": SQL_QC_ASOF_DEPENDENT,

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "qc_full_pipeline",
+    "qc_reference_chain",
     "qc_range_flags",
     "qc_gradient",
     "qc_zscore",

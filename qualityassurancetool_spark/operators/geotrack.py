@@ -83,15 +83,17 @@ def apply_velocity_acceleration_check(
     ts_col: str = "phenomenon_time",
     partition_cols: list[str] | None = None,
     flag_col: str = "qc_flag",
+    order_extra: list[str] | None = None,
 ) -> DataFrame:
     parts = partition_cols or []
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
     w = (
-        Window.partitionBy(*parts).orderBy(ts_col)
+        Window.partitionBy(*parts).orderBy(*order_cols)
         if parts
-        else Window.orderBy(ts_col)
+        else Window.orderBy(*order_cols)
     )
     df = with_velocity_acceleration(
-        df, lat_col, lon_col, ts_col, partition_cols
+        df, lat_col, lon_col, ts_col, partition_cols, order_extra
     )
     bad_v = exceed_bool_marking_pair(F.col("velocity_ms"), max_velocity_ms, w)
     bad_a = exceed_bool_marking_pair(

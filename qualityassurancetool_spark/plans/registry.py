@@ -82,6 +82,7 @@ def _check_velocity(
         max_velocity_ms=cfg.velocity_max or float("inf"),
         max_acceleration_ms2=cfg.acceleration_max or float("inf"),
         partition_cols=[stream_col],
+        order_extra=["iot_id"] if "iot_id" in df.columns else None,
     )
 
 
