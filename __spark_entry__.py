@@ -323,6 +323,17 @@ def q_qc_reference_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"name": name, "coords": [list(pt) for pt in coords]}
                 for name, coords in _POLYGONS
             ],
+            # dependent propagation closes the chain (reference :771-805):
+            # click inherits error's flag at the matched instant; no
+            # partner within 60 s -> PROBABLY_GOOD
+            "QC_dependent": [
+                {
+                    "independent": "error",
+                    "dependent": "click",
+                    "dt_tolerance": "60s",
+                    "flag_when_missing": 2,
+                }
+            ],
         }
     )
     obs = _obs(spark, sf_dir)
@@ -410,12 +421,30 @@ def _sql_qc_reference_chain() -> str:
                {zscore_sql('result', 't_us', 'observation_type', 3600.0)}
            END AS zscore
     FROM rgflag
+), zflag AS (
+    SELECT iot_id, observation_type, t_us,
+           {flag_merge_sql(
+               'f4', _bool_to_flag_sql('zscore > zmin AND zscore < zmax')
+           )} AS f5
+    FROM zed
+), dep_matched AS (
+    SELECT d.iot_id, i.f5 AS ind_flag
+    FROM zflag d LEFT JOIN zflag i
+      ON i.observation_type = 'error'
+     AND abs(d.t_us - i.t_us) <= 60000000
+    WHERE d.observation_type = 'click'
+    QUALIFY row_number() OVER (
+        PARTITION BY d.iot_id
+        ORDER BY abs(d.t_us - i.t_us) ASC NULLS LAST,
+                 i.t_us ASC NULLS LAST, i.iot_id ASC NULLS LAST) = 1
 )
-SELECT iot_id,
-       CAST({flag_merge_sql(
-           'f4', _bool_to_flag_sql('zscore > zmin AND zscore < zmax')
-       )} AS INT) AS flag
-FROM zed ORDER BY iot_id
+SELECT z.iot_id,
+       CAST(CASE WHEN z.observation_type <> 'click' THEN z.f5
+                 WHEN m.ind_flag IS NULL THEN {flag_merge_sql('z.f5', '2')}
+                 ELSE {flag_merge_sql('z.f5', 'm.ind_flag')}
+            END AS INT) AS flag
+FROM zflag z LEFT JOIN dep_matched m ON z.iot_id = m.iot_id
+ORDER BY z.iot_id
 """
 
 

@@ -200,3 +200,24 @@ def test_windowed_batch_runner_trims_lookback(spark):
     # every observation lands in exactly one window (no overlap, lookback trimmed)
     all_ids = sorted(i for _, _, ids in seen for i in ids)
     assert all_ids == list(range(12))
+
+
+def test_export_path_end_to_end_csv(spark, tmp_path):
+    """§3.2 export path closed loop: round -> best-record -> pivot wide ->
+    CSV sink -> read back with schema intact."""
+    from qualityassurancetool_spark.operators.pivot_export import pivot_wide
+    from qualityassurancetool_spark.sources.sinks import write_csv
+
+    obs = events_as_observations(spark, "/root/testdata/sf0.001")
+    wide = pivot_wide(
+        obs,
+        stream_values=["click", "error", "purchase", "signup", "view"],
+        stream_col="observation_type",
+    )
+    out = str(tmp_path / "export")
+    write_csv(wide, out, single_file=True)
+    back = spark.read.csv(out, header=True, inferSchema=True)
+    assert back.count() == wide.count()
+    assert set(c.lower() for c in back.columns) == set(
+        c.lower() for c in wide.columns
+    )
