@@ -1200,19 +1200,74 @@ SQL_DEDUP_SIMHASH = _simhash_sql(32)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: banded candidates -> exact Jaccard.
-    Not SQL-expressible at reasonable cost (banding + salted hash family)
-    -> rows-only check; the jaccard numbers themselves are covered by
-    q_dedup_ngram_jaccard's oracle."""
+    """MinHash+LSH near-dup pipeline: banded candidates -> exact Jaccard,
+    in portable hash mode (md5-derived 28-bit shingle hashes +
+    overflow-free universal mixes) so the ENTIRE pipeline — signatures,
+    banding, candidate pairs, verification — is reproduced by the SQL
+    oracle.  Production mode ("fast", engine-native xxhash64) is the same
+    pipeline minus the md5."""
     from qualityassurancetool_spark.operators.dedup import minhash_dedup
 
     docs = load_table(spark, sf_dir, "documents")
     out = minhash_dedup(
-        docs, num_hashes=16, bands=8, shingle_k=3, threshold=0.5
+        docs, num_hashes=16, bands=8, shingle_k=3, threshold=0.5,
+        hash_mode="portable",
     )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
     ).orderBy("id_a", "id_b")
+
+
+def _sql_dedup_minhash_lsh() -> str:
+    from qualityassurancetool_spark.operators.dedup import _mix_constants
+
+    num_hashes, bands, rpb = 16, 8, 2
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = _mix_constants("portable", i)
+        expr = "h" if i == 0 else f"h * {a} + {b}"
+        sig_cols.append(
+            f"list_min(list_transform(hs, h -> {expr})) AS sig_{i}"
+        )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(sig_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + ")) AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tok FROM documents
+), sh AS (
+    SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tok) - 2, 1) + 1),
+        i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))) AS shs
+    FROM toks
+), shh AS (
+    SELECT doc_id, list_distinct(list_transform(shs,
+        s -> CAST(concat('0x', substring(md5(s), 1, 7)) AS BIGINT))) AS hs
+    FROM sh
+), sig AS (
+    SELECT doc_id, {", ".join(sig_cols)} FROM shh
+), bands AS (
+    {band_selects}
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+), jac AS (
+    SELECT p.id_a, p.id_b,
+           len(list_intersect(x.hs, y.hs))::DOUBLE /
+           (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
+    FROM pairs p
+    JOIN shh x ON x.doc_id = p.id_a
+    JOIN shh y ON y.doc_id = p.id_b
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
+FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1917,22 +1972,46 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
-    over a binary column (decode kernel is the deterministic fake — real
-    codecs aren't in this container).  Non-SQL-expressible (mapInPandas)
-    -> rows-only check."""
+    over a binary column (decode kernel is the deterministic byte-window
+    fake — real codecs aren't in this container).  The oracle reproduces
+    the kernel exactly, float32 truncation included, so even the
+    mapInPandas path is hash-checked."""
     from qualityassurancetool_spark.operators.multimodal import extract_features
 
     media = _media_df(spark, sf_dir)
     feats = extract_features(media, dim=8)
+    f0_r = F.round(F.col("feature")[0].cast("double"), 6)
     return (
         feats.groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.sum(F.col("feature")[0]), 6).alias("sum_f0_r"),
+            F.sum(f0_r.cast("decimal(18,6)")).cast("double").alias("sum_f0_r"),
         )
         .orderBy("kind")
     )
+
+
+SQL_MEDIA_FEATURES = """
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           text, length(text) AS n_bytes,
+           greatest(length(text) // 8, 1) AS step
+    FROM documents
+), f0 AS (
+    SELECT media_id, kind, n_bytes,
+           round(CAST(CAST(
+               list_sum(list_transform(range(1, step + 1),
+                        i -> ascii(substr(text, CAST(i AS INT), 1))))::DOUBLE
+               / (step * 255.0) AS REAL) AS DOUBLE), 6) AS f0_r
+    FROM media
+)
+SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+       CAST(SUM(CAST(f0_r AS DECIMAL(18,6))) AS DOUBLE) AS sum_f0_r
+FROM f0 GROUP BY kind ORDER BY kind
+"""
 
 
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2054,8 +2133,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
-        # dedup_minhash_lsh: intentionally no oracle (banded LSH not
-        # SQL-expressible at reasonable cost; rows-only check)
+        "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "text_stats": SQL_TEXT_STATS,
         "text_tokens_fp": SQL_TEXT_TOKENS_FP,
         "sim_topk": SQL_SIM_TOPK,
@@ -2069,6 +2147,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
         "sim_lsh_topk": SQL_SIM_LSH_TOPK,
         "sim_ivf_topk": SQL_SIM_IVF_TOPK,
-        # media_features: mapInPandas feature extraction — rows-only check
+        "media_features": SQL_MEDIA_FEATURES,
         "frame_sample_plan": SQL_FRAME_SAMPLE_PLAN,
     }

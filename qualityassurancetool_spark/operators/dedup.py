@@ -201,6 +201,29 @@ def jaccard_on_pairs(
     return out
 
 
+# universal-hash mix constants per mode.  "fast" uses 64-bit wrapping
+# golden-ratio mixes (Spark wraps; engine-local only).  "portable" keeps
+# every intermediate below 2^59 so DuckDB's non-wrapping BIGINT arithmetic
+# reproduces it exactly: 28-bit md5 base x 21-bit multiplier.
+def _mix_constants(mode: str, i: int) -> tuple[int, int]:
+    if mode == "fast":
+        return (2 * i * 0x9E3779B1 + 1, i * 0x85EBCA77)
+    return (2 * i * 48271 + 1, i * 1000003)
+
+
+def portable_shingle_hashes(text: Column, k: int = 3) -> Column:
+    """28-bit md5-derived shingle hashes — identical in DuckDB via
+    CAST(concat('0x', substring(md5(s), 1, 7)) AS BIGINT)."""
+    return F.array_distinct(
+        F.transform(
+            shingles(text, k),
+            lambda sh: F.conv(F.substring(F.md5(sh), 1, 7), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -209,31 +232,43 @@ def minhash_dedup(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
 
     The shingle-hash arrays are computed ONCE and persisted — both the
     signature explode and the verification join read them; at corpus
     scale, shingling twice would double the dominant scan+tokenize cost.
+
+    ``hash_mode="fast"`` (default) uses engine-native xxhash64 shingle
+    hashing; ``"portable"`` uses md5-derived 28-bit hashes and
+    overflow-free mixes so an ANSI-SQL engine reproduces the exact same
+    candidate pairs and Jaccard values (the oracle-checked mode).
     """
+    if hash_mode not in ("fast", "portable"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    sh_expr = (
+        shingle_hashes(F.col(text_col), shingle_k)
+        if hash_mode == "fast"
+        else portable_shingle_hashes(F.col(text_col), shingle_k)
+    )
     sh_df = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(
         F.col(id_col).alias("_jid"),
-        shingle_hashes(F.col(text_col), shingle_k).alias("_sh"),
+        sh_expr.alias("_sh"),
     ).persist()
 
     exploded = sh_df.select(
         F.col("_jid").alias("_id"), F.explode("_sh").alias("_shh")
     )
     base = F.col("_shh")
-    aggs = [
-        F.min(
-            base if i == 0
-            else base * F.lit(2 * i * 0x9E3779B1 + 1) + F.lit(i * 0x85EBCA77)
-        ).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
+
+    def mixed(i: int):
+        a, b = _mix_constants(hash_mode, i)
+        return base if i == 0 else base * F.lit(a) + F.lit(b)
+
+    aggs = [F.min(mixed(i)).alias(f"sig_{i}") for i in range(num_hashes)]
     with_sig = exploded.groupBy("_id").agg(*aggs)
 
     rows_per_band = num_hashes // bands
