@@ -152,3 +152,28 @@ def test_stateful_running_stats_accumulates_across_runs(spark, tmp_path):
     }
     assert got2 == want2
     assert any(v[1] > 0 for v in got2.values())  # some BAD rows exist
+
+
+def test_streaming_dedup_drops_overlap_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a file stream containing the
+    same rows twice (simulated overlap re-cover) yields each id once."""
+    from qualityassurancetool_spark.streaming.stateful import streaming_dedup
+
+    obs = events_as_observations(spark, SF_DIR).limit(500)
+    land = str(tmp_path / "landed")
+    obs.write.parquet(land)
+    obs.write.mode("append").parquet(land)  # the overlap re-delivery
+    stream = spark.readStream.schema(obs.schema).parquet(land)
+    q = (
+        streaming_dedup(stream, ["iot_id"])
+        .select("iot_id")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["iot_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()]
+    assert len(got) == 500
+    assert len(set(got)) == 500
