@@ -4,10 +4,13 @@
 Design for 100 TB:
  - exact dedup is one hash-shuffle on a 16-byte digest (group on md5, keep
    min id) — never on the raw text;
- - MinHash/LSH: signatures are computed row-local from portable 60-bit
-   md5-derived hash functions (array exprs, no UDF, no shuffle), then
-   candidates come from an equi-join on (band_id, band_hash) — the classic
-   shuffle-bounded LSH; verification joins only candidate pairs;
+ - MinHash/LSH: shingle hashes are computed ONCE (token-hash polynomial,
+   no shingle-string materialization in fast mode; md5-derived in the
+   oracle-checked portable mode), signatures are 16 integer universal-hash
+   mins over one hash-partitioned aggregation (only 16 longs per doc cross
+   the shuffle), then candidates come from an equi-join on
+   (band_id, band_hash) — the classic shuffle-bounded LSH; verification
+   joins only candidate pairs and reuses the persisted shingle arrays;
  - SimHash: row-local bit aggregation over token hashes;
  - n-gram Jaccard: blocked self-join (same language + length bucket) to
    bound the pair space, exact array-intersection Jaccard on candidates.
@@ -89,10 +92,11 @@ def minhash_signatures_df(
     computing 16 per-array mins as separate array expressions re-evaluates
     the (expensive) shingle construction per hash — Catalyst does not CSE
     across independent ``transform`` lambdas (measured 16× blowup, ~2 min
-    at sf0.1).  Instead: explode shingles once → one hash-partitioned
-    groupBy with 16 ``min(xxhash64(i, shingle))`` aggregates.  Partial
-    aggregation (map-side combine) means only 16 longs per doc shuffle —
-    this is the shape that survives 100 TB."""
+    at sf0.1).  Instead: explode hashed shingles once → one
+    hash-partitioned groupBy with 16 ``min(a_i*h + b_i)`` universal-hash
+    aggregates over the single shingle hash.  Partial aggregation
+    (map-side combine) means only 16 longs per doc shuffle — this is the
+    shape that survives 100 TB."""
     # a small corpus parquet arrives as ONE input split; shingling is the
     # heavy per-row work, so spread docs across the cluster first.  Hash-
     # partitioning by id also pre-satisfies the groupBy's distribution, so
