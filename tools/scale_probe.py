@@ -28,6 +28,7 @@ from qualityassurancetool_spark.session import get_spark
 
 def main() -> None:
     n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    only = sys.argv[2] if len(sys.argv) > 2 else None  # "window"|"bucketed"
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     obs = events_as_observations(spark, "/root/testdata/sf0.1").select(
@@ -49,7 +50,7 @@ def main() -> None:
     n = big.count()
     print(f"rows: {n:,}")
 
-    for label, fn in [
+    strategies = [
         (
             "window partitionBy(stream)",
             lambda: calc_zscore(
@@ -62,7 +63,10 @@ def main() -> None:
                 big, group_col="observation_type", rolling_time_window="60min"
             ),
         ),
-    ]:
+    ]
+    for label, fn in strategies:
+        if only and only not in label:
+            continue
         t0 = time.perf_counter()
         out = fn()
         got = out.agg(
