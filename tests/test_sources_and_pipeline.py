@@ -221,3 +221,29 @@ def test_export_path_end_to_end_csv(spark, tmp_path):
     assert set(c.lower() for c in back.columns) == set(
         c.lower() for c in wide.columns
     )
+
+
+def test_flags_table_rerun_overwrites_only_touched_days(spark, tmp_path):
+    """§2.8 idempotent re-run: re-QC of one window must replace ONLY that
+    window's partitions (dynamic partition overwrite), leaving earlier
+    days' flags untouched."""
+    day1 = dt.datetime(2023, 1, 1, 12)
+    day2 = dt.datetime(2023, 1, 2, 12)
+    first = spark.createDataFrame(
+        [(1, 1, day1), (2, 1, day2)],
+        "iot_id long, qc_flag tinyint, phenomenon_time timestamp",
+    )
+    path = str(tmp_path / "flags")
+    write_flags_table(first, path)
+
+    # re-run covers only day 2, with a changed flag and a new row
+    rerun = spark.createDataFrame(
+        [(2, 4, day2), (3, 3, day2)],
+        "iot_id long, qc_flag tinyint, phenomenon_time timestamp",
+    )
+    write_flags_table(rerun, path)
+
+    back = {
+        r["iot_id"]: r["qc_flag"] for r in spark.read.parquet(path).collect()
+    }
+    assert back == {1: 1, 2: 4, 3: 3}  # day-1 row survived; day-2 replaced
