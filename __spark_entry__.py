@@ -1168,13 +1168,29 @@ ORDER BY id_a, id_b
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (portable md5-derived token hashes)."""
-    from qualityassurancetool_spark.operators.dedup import simhash
+    """32-bit SimHash per document (portable md5-derived token hashes).
+
+    Two-step projection: the md5 token-hash array is materialized first so
+    the 32 per-bit aggregates read an attribute instead of re-running the
+    md5 pass once per bit (no CSE inside HOF lambdas)."""
+    from qualityassurancetool_spark.operators.dedup import (
+        simhash_from_token_hashes,
+        simhash_token_hashes,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", simhash(F.col("text"), bits=32).alias("simhash32")
-    ).orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id", simhash_token_hashes(F.col("text")).alias("_tokh")
+        )
+        .select(
+            "doc_id",
+            simhash_from_token_hashes(F.col("_tokh"), bits=32).alias(
+                "simhash32"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _simhash_sql(bits: int = 32) -> str:

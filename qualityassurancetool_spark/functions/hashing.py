@@ -43,13 +43,26 @@ def tokens(c: Column) -> Column:
     return F.split(normalize_text(c), " ")
 
 
-def shingles(c: Column, k: int = 3) -> Column:
-    """Word k-shingles of a text column → array<string> (distinct).
+def token_hashes(c: Column) -> Column:
+    """xxhash64 of every token → array<long>.  Single-use-safe: feed the
+    RESULT into :func:`shingle_hashes_from_token_hashes` via a separate
+    projection (see the CSE note there)."""
+    return F.transform(tokens(c), lambda t: F.xxhash64(t))
 
-    Built from pure array functions (no UDF): slide a window of k over the
-    token array with ``transform`` + ``slice`` + ``concat_ws``.
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles from an already-materialized token-array COLUMN →
+    array<string> (distinct).
+
+    ``toks`` MUST be a plain column reference (attribute), not an inline
+    expression: Catalyst does not eliminate common subexpressions inside
+    higher-order-function lambdas, so an embedded ``split(regexp_…)``
+    would be re-evaluated once per shingle — O(tokens²) per row (measured
+    ~6× on the whole MinHash pipeline at sf0.1).  Materializing the token
+    array in its own projection makes every lambda reference a cheap
+    attribute lookup, and CollapseProject keeps the projection because the
+    producing expression is non-cheap and multiply-referenced.
     """
-    toks = tokens(c)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
@@ -57,14 +70,24 @@ def shingles(c: Column, k: int = 3) -> Column:
     )
 
 
-def shingle_hashes(c: Column, k: int = 3) -> Column:
-    """Word k-shingles as 64-bit hashes WITHOUT materializing shingle
-    strings: hash each token once, combine k consecutive token hashes with
-    a wrapping polynomial (distinct-preserving enough at 64 bits for
-    MinHash/Jaccard purposes).  ~k× fewer string hashes and zero shingle
-    string allocation vs hashing ``shingles()`` output — the dedup hot
-    path at corpus scale."""
-    tok_h = F.transform(tokens(c), lambda t: F.xxhash64(t))
+def shingles(c: Column, k: int = 3) -> Column:
+    """Word k-shingles of a text column → array<string> (distinct).
+
+    Convenience form for tests/small inputs.  Hot paths must use
+    :func:`shingles_from_tokens` over a materialized token column — this
+    inline form re-tokenizes per shingle (see the CSE note above).
+    """
+    return shingles_from_tokens(tokens(c), k)
+
+
+def shingle_hashes_from_token_hashes(tok_h: Column, k: int = 3) -> Column:
+    """k-shingle hashes from an already-materialized token-hash COLUMN
+    (see :func:`token_hashes`): combine k consecutive token hashes with a
+    wrapping polynomial (distinct-preserving enough at 64 bits for
+    MinHash/Jaccard).  No shingle-string allocation, one string hash per
+    token — the dedup hot path at corpus scale.  Same attribute-only
+    contract as :func:`shingles_from_tokens`.
+    """
     n = F.size(tok_h)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     p = F.lit(1099511628211)  # FNV-ish odd multiplier, wrapping int64
@@ -79,3 +102,9 @@ def shingle_hashes(c: Column, k: int = 3) -> Column:
         return h
 
     return F.array_distinct(F.transform(idx, combine))
+
+
+def shingle_hashes(c: Column, k: int = 3) -> Column:
+    """Inline convenience form of :func:`shingle_hashes_from_token_hashes`
+    (tests/small inputs only — re-tokenizes per shingle, see CSE note)."""
+    return shingle_hashes_from_token_hashes(token_hashes(c), k)

@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 from qualityassurancetool_spark.functions.hashing import (
     md5_long,
     normalize_text,
-    shingle_hashes,
+    shingle_hashes_from_token_hashes,
     shingles,
+    shingles_from_tokens,
+    token_hashes,
     tokens,
 )
 
@@ -104,11 +106,22 @@ def minhash_signatures_df(
     # count is explicit because AQE would coalesce by pre-explode shuffle
     # bytes — tiny here — and put all the explode work back on one core.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    # hashed shingles (no shingle-string materialization) — see
-    # functions/hashing.shingle_hashes
-    exploded = df.repartition(n_parts, F.col(id_col)).select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("_sh"),
+    # hashed shingles (no shingle-string materialization); the token-hash
+    # array is materialized in its OWN projection so the shingle lambda
+    # reads a cheap attribute — inlining it would re-tokenize per shingle
+    # (no CSE inside HOF lambdas; see functions/hashing).
+    exploded = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            token_hashes(F.col(text_col)).alias("_tokh"),
+        )
+        .select(
+            "_id",
+            F.explode(
+                shingle_hashes_from_token_hashes(F.col("_tokh"), shingle_k)
+            ).alias("_sh"),
+        )
     )
     # universal-hash family over the ONE shingle hash: h_i = a_i * h + b_i
     # in wrapping int64 (a_i odd => bijective mix) — 16 integer mixes, no
@@ -186,11 +199,20 @@ def jaccard_on_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification step)."""
-    sh = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).select(
-        F.col(id_col).alias("_jid"),
-        shingle_hashes(F.col(text_col), shingle_k).alias("_sh"),
+    sh = (
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .select(
+            F.col(id_col).alias("_jid"),
+            token_hashes(F.col(text_col)).alias("_tokh"),
+        )
+        .select(
+            "_jid",
+            shingle_hashes_from_token_hashes(
+                F.col("_tokh"), shingle_k
+            ).alias("_sh"),
+        )
     )
     out = (
         pairs.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -215,17 +237,33 @@ def _mix_constants(mode: str, i: int) -> tuple[int, int]:
     return (2 * i * 48271 + 1, i * 1000003)
 
 
-def portable_shingle_hashes(text: Column, k: int = 3) -> Column:
-    """28-bit md5-derived shingle hashes — identical in DuckDB via
-    CAST(concat('0x', substring(md5(s), 1, 7)) AS BIGINT)."""
+def portable_shingle_hashes_from_tokens(toks: Column, k: int = 3) -> Column:
+    """28-bit md5-derived shingle hashes from a materialized token-array
+    column — identical in DuckDB via
+    CAST(concat('0x', substring(md5(s), 1, 7)) AS BIGINT).  Same
+    attribute-only contract as ``shingles_from_tokens`` (no CSE inside HOF
+    lambdas)."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(
-            shingles(text, k),
-            lambda sh: F.conv(F.substring(F.md5(sh), 1, 7), 16, 10).cast(
-                "long"
-            ),
+            idx,
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long"),
         )
     )
+
+
+def portable_shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Inline convenience form of
+    :func:`portable_shingle_hashes_from_tokens` (tests/small inputs only —
+    re-tokenizes per shingle)."""
+    return portable_shingle_hashes_from_tokens(tokens(text), k)
 
 
 def minhash_dedup(
@@ -251,17 +289,24 @@ def minhash_dedup(
     """
     if hash_mode not in ("fast", "portable"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    sh_expr = (
-        shingle_hashes(F.col(text_col), shingle_k)
-        if hash_mode == "fast"
-        else portable_shingle_hashes(F.col(text_col), shingle_k)
+    # two-step projection: materialize the token(-hash) array, THEN build
+    # shingle hashes from the attribute — inlining re-tokenizes per
+    # shingle because Catalyst has no CSE inside HOF lambdas (measured 6×
+    # on this pipeline at sf0.1; see functions/hashing).
+    if hash_mode == "fast":
+        tok_expr = token_hashes(F.col(text_col))
+        sh_expr = shingle_hashes_from_token_hashes(F.col("_tok"), shingle_k)
+    else:
+        tok_expr = tokens(F.col(text_col))
+        sh_expr = portable_shingle_hashes_from_tokens(F.col("_tok"), shingle_k)
+    sh_df = (
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .select(F.col(id_col).alias("_jid"), tok_expr.alias("_tok"))
+        .select("_jid", sh_expr.alias("_sh"))
+        .persist()
     )
-    sh_df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).select(
-        F.col(id_col).alias("_jid"),
-        sh_expr.alias("_sh"),
-    ).persist()
 
     exploded = sh_df.select(
         F.col("_jid").alias("_id"), F.explode("_sh").alias("_shh")
@@ -331,11 +376,20 @@ def minhash_dedup(
 
 # ---------------------------------------------------------------- simhash
 
-def simhash(text: Column, bits: int = 32) -> Column:
-    """SimHash over word tokens: bit b is set iff the sum over tokens of
-    ±1 (sign of token-hash bit b) is positive.  Row-local array exprs."""
+def simhash_token_hashes(text: Column) -> Column:
+    """The salted md5 token-hash array SimHash consumes.  Materialize this
+    in its OWN projection and feed the attribute to
+    :func:`simhash_from_token_hashes` — the per-bit aggregates reference
+    the array ``bits`` times, and Catalyst has no CSE inside HOF lambdas
+    (inlined, the md5 pass would run once per bit)."""
     tok = F.array_distinct(tokens(text))
-    hashes = F.transform(tok, lambda t: md5_long(t, salt="sh:"))
+    return F.transform(tok, lambda t: md5_long(t, salt="sh:"))
+
+
+def simhash_from_token_hashes(hashes: Column, bits: int = 32) -> Column:
+    """SimHash from a materialized token-hash array column: bit b is set
+    iff the sum over tokens of ±1 (sign of token-hash bit b) is positive.
+    Row-local array exprs; attribute-only contract (see above)."""
 
     def bit_merge(b: int):  # arity-2 closure (see minhash_signature note)
         return lambda acc, h: acc + F.when(
@@ -352,6 +406,12 @@ def simhash(text: Column, bits: int = 32) -> Column:
     for c in bit_cols[1:]:
         out = out + c
     return out
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """Inline convenience form (tests/small inputs only — re-hashes the
+    token array once per bit; hot paths use the two-step form)."""
+    return simhash_from_token_hashes(simhash_token_hashes(text), bits)
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
