@@ -154,6 +154,83 @@ def test_stateful_running_stats_accumulates_across_runs(spark, tmp_path):
     assert any(v[1] > 0 for v in got2.values())  # some BAD rows exist
 
 
+def test_watermark_late_data_discipline(spark, tmp_path):
+    """The watermark IS the reference's overlap knob (§2.8): a row that
+    arrives late while its window is still open (window end > watermark)
+    is folded in; once the watermark passes the window's end the window
+    emits exactly once (append mode) and later rows for it are dropped —
+    Spark drops a late row iff its ENTIRE window is behind the watermark,
+    not merely when the row's own timestamp is.
+
+    Three checkpointed availableNow runs over one landing dir:
+      run 1: 3 on-time rows in window A [10:00,10:10) + an advancer at
+             10:15 → watermark 10:05, window A still open, nothing emits
+      run 2: late row at 10:06 (behind max event time 10:15, but window A
+             end 10:10 > watermark) → accepted; advancer at 10:21 →
+             watermark 10:11 closes window A → emits n=4
+      run 3: too-late row at 10:03 (window A end 10:10 ≤ watermark 10:11)
+             → dropped; window A is never re-emitted or updated
+    """
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("phenomenon_time", T.TimestampType()),
+            T.StructField("qc_flag", T.IntegerType()),
+        ]
+    )
+
+    def rows(*hm):
+        base = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(base + dt.timedelta(hours=h, minutes=m), 0) for h, m in hm],
+            schema,
+        )
+
+    land = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        rollup = tumbling_flag_rollup(
+            stream, window="10 minutes", watermark="10 minutes"
+        )
+
+        def sink(batch_df, _batch_id):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            rollup.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows((10, 0), (10, 2), (10, 4), (10, 15)).write.parquet(land)
+    run_once()
+    window_a = dt.datetime(2024, 1, 1, 10, 0)
+    assert not [r for r in emitted if r["start"] == window_a]  # still open
+
+    # late row (window still open) + advancer that closes window A
+    rows((10, 6), (10, 21)).write.mode("append").parquet(land)
+    run_once()
+    got = [r for r in emitted if r["start"] == window_a]
+    assert len(got) == 1
+    assert got[0]["n"] == 4  # 3 on-time + 1 late-within-open-window
+
+    # too-late: window A's end is now behind the watermark → dropped
+    rows((10, 3)).write.mode("append").parquet(land)
+    run_once()
+    got = [r for r in emitted if r["start"] == window_a]
+    assert len(got) == 1  # never re-emitted or updated
+    assert got[0]["n"] == 4
+
+
 def test_streaming_dedup_drops_overlap_redeliveries(spark, tmp_path):
     """dropDuplicatesWithinWatermark over a file stream containing the
     same rows twice (simulated overlap re-cover) yields each id once."""
