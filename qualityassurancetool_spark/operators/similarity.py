@@ -6,10 +6,35 @@ left-to-right accumulation in double — bit-reproducible across engines,
 unlike parallel float reductions).  Scale path: LSH bucketing via random
 hyperplanes (deterministic md5-seeded) so each query probes one bucket
 neighborhood instead of the full corpus; and an IVF-style coarse
-quantization using top-variance dims.
+quantization with driver-literal centroids (the broadcast-dim analog).
+
+Physical-plan notes (these shaped the implementation):
+
+- **Norms are precomputed per row, never per candidate pair.**  Inlining
+  ``cosine_similarity(q, c)`` after the candidate join re-evaluates both
+  L2 norms for every pair (Catalyst has no CSE inside higher-order-function
+  lambdas), tripling the fold work.  Each side carries its norm through
+  the join instead; the float op order (``dot / (norm_a * norm_b)``) is
+  unchanged, so results are bit-identical.
+- **All hyperplanes live in ONE nested array literal** (planes transposed
+  to ``planes_by_dim[d][p]``), and all plane dot products accumulate in a
+  single left-to-right fold.  The naive form — one ``F.lit`` per weight —
+  builds an 8x64-node expression tree through py4j one call at a time
+  (~2 s of driver time per fresh plan) and bloats codegen; the transposed
+  literal is a single Literal node.  Per-plane accumulation order over
+  dims is identical, so bucket ids are bit-identical to the naive form.
+- **Centroid assignment is join-free and shuffle-free**: centroids are
+  collected (they are a small dim by construction — the 100 TB design
+  broadcasts them) into one nested literal, and each row picks its
+  ``n_nearest`` centroids with an ``array_sort`` over (dist, id) structs.
+  The previous corpus×centroids broadcast join + window ``row_number``
+  shuffled the whole corpus by vec_id just to rank centroids per row.
 
 At 100 TB the corpus side stays partitioned; only queries broadcast.  Top-k
 per query is a window ``row_number`` — shuffle bounded by candidate count.
+
+Reference parity: the reference has no similarity search; this is a
+driver-contract scale operator (BASELINE.json north star).
 """
 
 from __future__ import annotations
@@ -43,6 +68,25 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot_product(a, b) / denom)
 
 
+def _pair_cosine(qvec: Column, cvec: Column, qnorm: Column, cnorm: Column) -> Column:
+    """Cosine from precomputed norms — same op order as
+    :func:`cosine_similarity` (``dot / (norm_q * norm_c)``), bit-identical,
+    but each norm is evaluated once per row instead of once per pair."""
+    denom = qnorm * cnorm
+    return F.when(denom > 0, dot_product(qvec, cvec) / denom)
+
+
+def _topk_by_cosine(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -59,28 +103,26 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
     from qualityassurancetool_spark.functions.partitioning import (
         ensure_min_parallelism,
     )
 
-    joined = ensure_min_parallelism(corpus).alias("c").join(
+    c = ensure_min_parallelism(corpus).withColumn(
+        "_cnorm", l2_norm(F.col(vec_col))
+    )
+    joined = c.alias("c").join(
         F.broadcast(q), F.col(query_id_col) != F.col(f"c.{id_col}")
     )
-    sim = cosine_similarity(F.col("_qvec"), F.col(f"c.{vec_col}"))
     scored = joined.select(
         F.col(query_id_col),
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        sim.alias("cosine"),
+        _pair_cosine(
+            F.col("_qvec"), F.col(f"c.{vec_col}"), F.col("_qnorm"), F.col("_cnorm")
+        ).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk_by_cosine(scored, query_id_col, k)
 
 
 def l2_sq(a: Column, b: Column) -> Column:
@@ -98,6 +140,55 @@ def l2_sq(a: Column, b: Column) -> Column:
     )
 
 
+def nearest_centroids(
+    vec: Column, cent_ids: list[int], cent_vecs: list[list[float]], n_nearest: int
+) -> Column:
+    """Array of the ``n_nearest`` centroid ids for ``vec``, nearest first
+    (squared-L2, deterministic tie-break on centroid id).  Centroids are a
+    single nested literal — no join, no shuffle, tiny expression tree.
+
+    Distance accumulation order over dims matches :func:`l2_sq` exactly,
+    and (dist, id) struct sort matches ``ORDER BY dist ASC, id ASC``, so
+    assignments are bit-identical to the join+window formulation.
+    """
+    from qualityassurancetool_spark.functions.literals import (
+        double_matrix_literal,
+        long_array_literal,
+    )
+
+    dists = F.transform(
+        double_matrix_literal(tuple(tuple(float(x) for x in v) for v in cent_vecs)),
+        lambda cv: l2_sq(vec, cv),
+    )
+    pairs = F.zip_with(
+        dists,
+        long_array_literal(tuple(int(i) for i in cent_ids)),
+        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, n_nearest), lambda s: s["i"]
+    )
+
+
+_CENTROID_CACHE: dict[int, tuple[list[int], list[list[float]]]] = {}
+
+
+def _collect_centroids(
+    centroids: DataFrame, cent_id_col: str, cent_vec_col: str
+) -> tuple[list[int], list[list[float]]]:
+    """Collect the (small) centroid dim once per distinct logical plan —
+    the two assignment sites inside one IVF query, and repeated query
+    builds in a session, share one collect job."""
+    sel = centroids.select(cent_id_col, cent_vec_col).orderBy(cent_id_col)
+    key = sel._jdf.queryExecution().analyzed().semanticHash()
+    if key not in _CENTROID_CACHE:
+        if len(_CENTROID_CACHE) > 16:
+            _CENTROID_CACHE.clear()
+        rows = sel.collect()
+        _CENTROID_CACHE[key] = ([r[0] for r in rows], [list(r[1]) for r in rows])
+    return _CENTROID_CACHE[key]
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -108,23 +199,27 @@ def ivf_assign(
     cent_vec_col: str = "cent_vec",
 ) -> DataFrame:
     """Assign each vector to its ``n_nearest`` centroids by squared-L2
-    (deterministic tie-break on centroid id).  Centroids broadcast; the
-    corpus never shuffles for assignment.  Output: corpus columns +
-    ``cluster_id`` (+ ``_cent_rank`` when n_nearest > 1)."""
-    from qualityassurancetool_spark.functions.partitioning import (
-        ensure_min_parallelism,
-    )
+    (deterministic tie-break on centroid id).  Centroids are collected to a
+    driver literal (small dim by design); the corpus never shuffles.
+    Output: corpus columns + ``cluster_id`` (+ ``_cent_rank`` when
+    n_nearest > 1).
 
-    joined = ensure_min_parallelism(corpus).join(F.broadcast(centroids))
-    d = l2_sq(F.col(vec_col), F.col(cent_vec_col))
-    w = Window.partitionBy(id_col).orderBy(d.asc(), F.col(cent_id_col).asc())
-    out = (
-        joined.withColumn("_cent_rank", F.row_number().over(w))
-        .where(F.col("_cent_rank") <= n_nearest)
-        .withColumn("cluster_id", F.col(cent_id_col))
-        .drop(cent_id_col, cent_vec_col)
+    The assignment always goes through ``posexplode`` (a Generate), even
+    for n_nearest=1: downstream joins on ``cluster_id`` make Catalyst
+    infer ``isnotnull(cluster_id)``, and with a plain ``withColumn`` that
+    filter is substituted through the Project and pushed into the source
+    scan — re-evaluating the whole argmin fold on the raw (possibly
+    single-split) scan, serially, and then again in the Project.  A
+    Generate is a substitution barrier: the fold runs exactly once per
+    row, after any repartition."""
+    ids, vecs = _collect_centroids(centroids, cent_id_col, cent_vec_col)
+    near = nearest_centroids(F.col(vec_col), ids, vecs, n_nearest)
+    exploded = corpus.select(
+        "*", F.posexplode(near).alias("_pos", "cluster_id")
     )
-    return out.drop("_cent_rank") if n_nearest == 1 else out
+    if n_nearest == 1:
+        return exploded.drop("_pos")
+    return exploded.withColumn("_cent_rank", F.col("_pos") + 1).drop("_pos")
 
 
 def ivf_topk(
@@ -141,42 +236,42 @@ def ivf_topk(
     centroid's inverted list; each query scores only the lists of its
     ``nprobe`` nearest centroids.
 
-    The 100 TB shape: centroids are a broadcast dim (10^3-10^5 rows); the
-    corpus is partitioned/bucketed by ``cluster_id`` so a query touches
-    ``nprobe/n_centroids`` of the data; queries broadcast.  Work ratio vs
-    brute force ~= nprobe / n_centroids.
+    The 100 TB shape: centroids are a broadcast/literal dim (10^3-10^5
+    rows); the corpus is partitioned/bucketed by ``cluster_id`` so a query
+    touches ``nprobe/n_centroids`` of the data; queries broadcast.  Work
+    ratio vs brute force ~= nprobe / n_centroids.
     """
-    c_assigned = ivf_assign(
-        corpus, centroids, 1, vec_col, id_col
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
     )
+
+    c_assigned = ivf_assign(
+        ensure_min_parallelism(corpus), centroids, 1, vec_col, id_col
+    ).withColumn("_cnorm", l2_norm(F.col(vec_col)))
     q_assigned = ivf_assign(
         queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            l2_norm(F.col(vec_col)).alias("_qnorm"),
         ),
         centroids,
         nprobe,
         "_qvec",
         query_id_col,
-    ).select(query_id_col, "_qvec", "cluster_id")
+    ).select(query_id_col, "_qvec", "_qnorm", "cluster_id")
     joined = c_assigned.alias("c").join(
         F.broadcast(q_assigned).alias("q"),
         (F.col("c.cluster_id") == F.col("q.cluster_id"))
         & (F.col(query_id_col) != F.col(f"c.{id_col}")),
     )
-    sim = cosine_similarity(F.col("_qvec"), F.col(f"c.{vec_col}"))
     scored = joined.select(
         F.col(query_id_col),
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        sim.alias("cosine"),
+        _pair_cosine(
+            F.col("_qvec"), F.col(f"c.{vec_col}"), F.col("_qnorm"), F.col("_cnorm")
+        ).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk_by_cosine(scored, query_id_col, k)
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
@@ -193,13 +288,42 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
 
 
 def lsh_bucket_id(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket (n_planes sign bits → int)."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        s = dot_product(vec, plane)
-        bucket = bucket + F.when(s >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return bucket
+    """Random-hyperplane LSH bucket (n_planes sign bits → int).
+
+    All planes ship as one transposed nested literal and all dot products
+    accumulate in a single fold; per-plane accumulation order over dims —
+    and therefore every bucket id — is bit-identical to evaluating
+    :func:`dot_product` per plane.
+    """
+    from qualityassurancetool_spark.functions.literals import (
+        double_matrix_literal,
+        long_array_literal,
+    )
+
+    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+    planes_by_dim = tuple(
+        tuple(planes[p][d] for p in range(n_planes)) for d in range(dim)
+    )
+    powers = tuple(1 << p for p in range(n_planes))
+    partial = F.zip_with(
+        vec,
+        double_matrix_literal(planes_by_dim),
+        lambda x, ps: F.transform(ps, lambda w: x.cast("double") * w),
+    )
+    dots = F.aggregate(
+        partial,
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, a: F.zip_with(acc, a, lambda u, v: u + v),
+    )
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            long_array_literal(powers),
+            lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_topk(
@@ -219,12 +343,15 @@ def lsh_topk(
         ensure_min_parallelism,
     )
 
-    c = ensure_min_parallelism(corpus).withColumn(
-        "_bucket", lsh_bucket_id(F.col(vec_col), dim, n_planes)
+    c = (
+        ensure_min_parallelism(corpus)
+        .withColumn("_bucket", lsh_bucket_id(F.col(vec_col), dim, n_planes))
+        .withColumn("_cnorm", l2_norm(F.col(vec_col)))
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
         lsh_bucket_id(F.col(vec_col), dim, n_planes).alias("_qbucket"),
     )
     joined = c.alias("c").join(
@@ -232,17 +359,11 @@ def lsh_topk(
         (F.col("c._bucket") == F.col("_qbucket"))
         & (F.col(query_id_col) != F.col(f"c.{id_col}")),
     )
-    sim = cosine_similarity(F.col("_qvec"), F.col(f"c.{vec_col}"))
     scored = joined.select(
         F.col(query_id_col),
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        sim.alias("cosine"),
+        _pair_cosine(
+            F.col("_qvec"), F.col(f"c.{vec_col}"), F.col("_qnorm"), F.col("_cnorm")
+        ).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk_by_cosine(scored, query_id_col, k)
