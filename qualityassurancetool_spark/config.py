@@ -58,6 +58,10 @@ class QCConfig:
     outlier_max_dx_dt: float | None = None
     # region polygons: [(name, [(lon, lat), ...]), ...]
     region_polygons: list | None = None
+    # materialize the plan once before the dependent as-of branches
+    # (operators/asof._materialize_once: ON for 100 TB inputs, OFF at
+    # small scale where codegen cost dominates re-execution)
+    asof_materialize: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "QCConfig":
@@ -117,6 +121,7 @@ class QCConfig:
             acceleration_max=geo.get("max_acceleration"),
             outlier_time_window=geo.get("time_window", "10min"),
             outlier_max_dx_dt=geo.get("max_dx_dt"),
+            asof_materialize=bool(d.get("asof_materialize", False)),
             region_polygons=polys,
         )
 

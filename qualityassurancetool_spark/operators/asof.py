@@ -100,6 +100,25 @@ def asof_nearest_join(
     return nearest
 
 
+def _materialize_once(df: DataFrame, enabled: bool) -> DataFrame:
+    """Optionally cut the lineage so the three branches below (dependent /
+    independent / passthrough) read one materialized result instead of
+    re-executing the whole upstream plan per branch.
+
+    In the reference-chain capstone the input here is the entire
+    region→outlier→velocity→threshold window chain; Spark executes that
+    chain once per branch (no common-subplan reuse across join/union arms
+    with different pushed filters).  At 100 TB that re-execution re-reads
+    and re-shuffles the whole table twice more, so ``materialize=True``
+    (lazy local checkpoint) is the right setting.  It is OFF by default
+    because at bench scale (10^5 rows) the trade inverts: the checkpoint
+    forces physical planning + whole-stage-codegen compilation of the
+    upstream chain at build time AND for the downstream plan — measured
+    ~2x slower end-to-end than just executing the cheap chain three times
+    (compile time dominates row work)."""
+    return df.localCheckpoint(eager=False) if enabled else df
+
+
 def qc_dependent_quantity_base(
     df: DataFrame,
     independent,
@@ -109,10 +128,13 @@ def qc_dependent_quantity_base(
     ts_col: str = "phenomenon_time",
     flag_col: str = "qc_flag",
     flag_when_missing: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Directly-linked flags: dependent inherits the time-matched
     independent's flag (severity-merge).  Returns ``df`` with the dependent
-    stream's flags updated; all other rows pass through unchanged."""
+    stream's flags updated; all other rows pass through unchanged.  See
+    :func:`_materialize_once` for when to set ``materialize``."""
+    df = _materialize_once(df, materialize)
     dep_rows = df.where(F.col(stream_col) == F.lit(dependent))
     ind_rows = df.where(F.col(stream_col) == F.lit(independent)).select(
         "iot_id", ts_col, flag_col
@@ -147,10 +169,13 @@ def qc_dependent_quantity_secondary(
     ts_col: str = "phenomenon_time",
     flag_col: str = "qc_flag",
     value_col: str = "result",
+    materialize: bool = False,
 ) -> DataFrame:
     """Value-linked check: matched independent's value outside ``range_``
-    (strict bounds, like the range check) ⇒ dependent flagged BAD."""
+    (strict bounds, like the range check) ⇒ dependent flagged BAD.  See
+    :func:`_materialize_once` for when to set ``materialize``."""
     lo, hi = range_
+    df = _materialize_once(df, materialize)
     dep_rows = df.where(F.col(stream_col) == F.lit(dependent))
     ind_rows = df.where(F.col(stream_col) == F.lit(independent)).select(
         "iot_id", ts_col, value_col

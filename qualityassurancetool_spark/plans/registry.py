@@ -111,6 +111,7 @@ def _check_dependent(
         qc_dependent_quantity_secondary,
     )
 
+    materialize = getattr(cfg, "asof_materialize", False)
     for dep in cfg.dependents:
         df = qc_dependent_quantity_base(
             df,
@@ -119,6 +120,7 @@ def _check_dependent(
             dt_tolerance=dep.dt_tolerance,
             stream_col=stream_col,
             flag_when_missing=dep.flag_when_missing,
+            materialize=materialize,
         )
         if dep.qc_range is not None:
             df = qc_dependent_quantity_secondary(
@@ -128,6 +130,7 @@ def _check_dependent(
                 range_=dep.qc_range,
                 dt_tolerance=dep.dt_tolerance,
                 stream_col=stream_col,
+                materialize=materialize,
             )
     return df
 

@@ -147,3 +147,23 @@ def test_asof_unmatched_survives_even_with_neighbors_out_of_tol(spark):
     out = asof_nearest_join(dep, ind, tolerance=0.5).collect()
     assert len(out) == 1
     assert out[0]["ind_iot_id"] is None
+
+
+def test_materialize_flag_is_result_identical(spark):
+    # materialize=True (the 100 TB setting: lazy localCheckpoint before
+    # the three-branch split) must not change a single row or flag
+    df = two_streams(spark, n=6, flags={2: 4, 8: 3})
+    kw = dict(independent=0, dependent=1, dt_tolerance=0.5,
+              flag_when_missing=2)
+    plain = qc_dependent_quantity_base(df, materialize=False, **kw)
+    ckpt = qc_dependent_quantity_base(df, materialize=True, **kw)
+    key = lambda r: r["iot_id"]
+    assert sorted(plain.collect(), key=key) == sorted(ckpt.collect(), key=key)
+
+    plain2 = qc_dependent_quantity_secondary(
+        plain, independent=0, dependent=1, range_=(0.5, 3.5),
+        materialize=False)
+    ckpt2 = qc_dependent_quantity_secondary(
+        ckpt, independent=0, dependent=1, range_=(0.5, 3.5),
+        materialize=True)
+    assert sorted(plain2.collect(), key=key) == sorted(ckpt2.collect(), key=key)
