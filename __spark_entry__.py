@@ -911,6 +911,56 @@ ORDER BY win_start_sec, flag
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 generalized (gaps-and-islands -> sessions): split each user's
+    event stream at >12 h inactivity gaps, aggregate per session.  One
+    shuffle on user_id serves both the session-id window and the final
+    aggregation."""
+    from qualityassurancetool_spark.operators.sessionize import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_stats(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        gap="12h",
+        order_extra=["event_id"],
+        extra_aggs=[F.countDistinct("event_type").alias("n_types")],
+    )
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "session_start_us",
+        F.round("duration_sec", 6).alias("duration_sec_r"),
+        "n_types",
+    ).orderBy("user_id", "session_idx")
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH marked AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 43200000000
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+), sess AS (
+    SELECT *, CAST(1 + SUM(brk) OVER (
+        PARTITION BY user_id ORDER BY t_us, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+    FROM marked
+)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       MIN(t_us) AS session_start_us,
+       round((MAX(t_us) - MIN(t_us)) / 1000000.0, 6) AS duration_sec_r,
+       COUNT(DISTINCT event_type) AS n_types
+FROM sess GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (scans, broadcast joins, aggs, top-k, sorts)
 # ---------------------------------------------------------------------------
@@ -2088,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_export": q_pivot_export,
         "unpivot_roundtrip": q_unpivot_roundtrip,
         "windowed_flag_rollup": q_windowed_flag_rollup,
+        "sessionize_events": q_sessionize_events,
         "distinct_streams": q_distinct_streams,
         "time_window_scan": q_time_window_scan,
         "paged_scan": q_paged_scan,
@@ -2137,6 +2188,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_export": SQL_PIVOT_EXPORT,
         "unpivot_roundtrip": SQL_UNPIVOT_ROUNDTRIP,
         "windowed_flag_rollup": SQL_WINDOWED_FLAG_ROLLUP,
+        "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "distinct_streams": SQL_DISTINCT_STREAMS,
         "time_window_scan": SQL_TIME_WINDOW_SCAN,
         "paged_scan": SQL_PAGED_SCAN,

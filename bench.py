@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "join_segment_revenue",
     "topk_orders_per_segment",
     "shipping_priority",
+    "sessionize_events",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

@@ -208,3 +208,48 @@ def test_ivf_topk_probes_subset_with_valid_scores(spark, sf_dir):
             assert r["cosine"] == pytest.approx(exact_scores[key], rel=1e-9)
             hits += 1
     assert hits >= 3  # non-trivial recall on near-uniform random data
+
+
+def test_sessionize_boundaries_and_single_shuffle(spark):
+    import datetime as dt
+
+    from qualityassurancetool_spark.operators.sessionize import (
+        session_stats,
+        with_session_ids,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: events at 0s, 10s, big gap, 2000s, 2010s -> 2 sessions
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(seconds=10)),
+        (3, 1, t0 + dt.timedelta(seconds=2000)),
+        (4, 1, t0 + dt.timedelta(seconds=2010)),
+        # user 2: single event -> 1 session, duration 0
+        (5, 2, t0),
+        # gap exactly == threshold must NOT split (strictly greater splits)
+        (6, 3, t0),
+        (7, 3, t0 + dt.timedelta(seconds=600)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    sess = with_session_ids(df, gap=600, order_extra=["event_id"])
+    got = {r["event_id"]: r["session_idx"] for r in sess.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1, 7: 1}
+
+    stats = session_stats(df, gap=600, order_extra=["event_id"])
+    by_key = {(r["user_id"], r["session_idx"]): r for r in stats.collect()}
+    assert by_key[(1, 1)]["n_events"] == 2
+    assert by_key[(1, 2)]["duration_sec"] == 10.0
+    assert by_key[(2, 1)]["duration_sec"] == 0.0
+    assert by_key[(3, 1)]["n_events"] == 2
+
+    # scale property: exactly ONE exchange (by user) in the whole plan —
+    # the session window and the aggregation share the partitioning
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the plan twice (Final + Initial) once a stage ran;
+    # count only the final section
+    plan = plan.split("== Initial Plan ==")[0]
+    import re
+
+    n_exchanges = len(re.findall(r"\+- Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan
