@@ -911,6 +911,51 @@ ORDER BY win_start_sec, flag
 """
 
 
+def q_downsample_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 prod-transfer parity: the reference's raw→prod SQL downsample
+    (``time_bucket('10 minutes') + first(result ORDER BY ts)`` per stream,
+    crontab/sta_raw_to_sta_prod_transfer) as a single ``min_by`` aggregate
+    — earliest record per (stream, 10-min bucket), deterministic (ts, id)
+    order, one shuffle, no window."""
+    obs = _obs(spark, sf_dir)
+    t_us = epoch_micros("phenomenon_time")
+    bucket = (F.floor(t_us / F.lit(600_000_000)) * 600).cast("long")
+    return (
+        obs.groupBy(
+            bucket.alias("bucket_sec"), F.col("observation_type")
+        )
+        .agg(
+            F.min_by(
+                F.round(F.col("result"), 6),
+                F.struct(t_us.alias("t"), F.col("iot_id").alias("i")),
+            ).alias("first_result_r"),
+            F.count(F.lit(1)).alias("n_in_bucket"),
+        )
+        .orderBy("bucket_sec", "observation_type")
+    )
+
+
+SQL_DOWNSAMPLE_TRANSFER = EVENTS_CTE + """
+, ranked AS (
+    SELECT CAST(floor(t_us / 600000000) * 600 AS BIGINT) AS bucket_sec,
+           observation_type, result, t_us, iot_id,
+           COUNT(*) OVER (PARTITION BY CAST(floor(t_us / 600000000) * 600 AS BIGINT),
+                          observation_type) AS n_in_bucket
+    FROM obs
+), best AS (
+    SELECT * FROM ranked
+    QUALIFY row_number() OVER (
+        PARTITION BY bucket_sec, observation_type
+        ORDER BY t_us ASC, iot_id ASC) = 1
+)
+SELECT bucket_sec, observation_type,
+       round(result, 6) AS first_result_r,
+       n_in_bucket
+FROM best
+ORDER BY bucket_sec, observation_type
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 generalized (gaps-and-islands -> sessions): split each user's
     event stream at >12 h inactivity gaps, aggregate per session.  One
@@ -2139,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_roundtrip": q_unpivot_roundtrip,
         "windowed_flag_rollup": q_windowed_flag_rollup,
         "sessionize_events": q_sessionize_events,
+        "downsample_transfer": q_downsample_transfer,
         "distinct_streams": q_distinct_streams,
         "time_window_scan": q_time_window_scan,
         "paged_scan": q_paged_scan,
@@ -2189,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_roundtrip": SQL_UNPIVOT_ROUNDTRIP,
         "windowed_flag_rollup": SQL_WINDOWED_FLAG_ROLLUP,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
+        "downsample_transfer": SQL_DOWNSAMPLE_TRANSFER,
         "distinct_streams": SQL_DISTINCT_STREAMS,
         "time_window_scan": SQL_TIME_WINDOW_SCAN,
         "paged_scan": SQL_PAGED_SCAN,
