@@ -1135,6 +1135,91 @@ ORDER BY r.r_name
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (region → nation → total) over the
+    customer→orders join, with explicit grouping flags — the
+    grouping-sets surface the reference lacks but any analytics engine
+    needs.  Catalyst expands the rollup to one Expand + single agg pass
+    (no re-scan per level)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(
+            F.col("g_region"),
+            F.col("g_nation"),
+            F.col("r_name").asc_nulls_last(),
+            F.col("n_name").asc_nulls_last(),
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT r.r_name, n.n_name,
+       CAST(GROUPING(r.r_name) AS INT) AS g_region,
+       CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+ORDER BY g_region, g_nation, r.r_name ASC NULLS LAST, n.n_name ASC NULLS LAST
+"""
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    aggregate — sort-based exact, not the approx sketch; same linear
+    interpolation as SQL ``quantile_cont``).  The W5 exact-median design
+    choice (SURVEY §4.2) surfaced as a first-class aggregation query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda p, name: F.round(
+        F.percentile(F.col("l_extendedprice"), F.lit(p)), 6
+    ).alias(name)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            pct(0.5, "p50"),
+            pct(0.9, "p90"),
+            pct(0.99, "p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_PRICE_PERCENTILES = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup / text / similarity (scale ops)
 # ---------------------------------------------------------------------------
@@ -2192,6 +2277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "topk_orders_per_segment": q_topk_orders_per_segment,
         "nation_region_rollup": q_nation_region_rollup,
+        "rollup_revenue": q_rollup_revenue,
+        "price_percentiles": q_price_percentiles,
         "filtered_revenue": q_filtered_revenue,
         "shipping_priority": q_shipping_priority,
         "dedup_exact": q_dedup_exact,
@@ -2243,6 +2330,8 @@ def oracle_sql() -> dict[str, str]:
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
         "nation_region_rollup": SQL_NATION_REGION_ROLLUP,
+        "rollup_revenue": SQL_ROLLUP_REVENUE,
+        "price_percentiles": SQL_PRICE_PERCENTILES,
         "filtered_revenue": SQL_FILTERED_REVENUE,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "dedup_exact": SQL_DEDUP_EXACT,
