@@ -91,6 +91,65 @@ def streaming_qc(
     return qc_fn(stream.withWatermark(ts_col, watermark))
 
 
+def start_flags_upsert(
+    flagged_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "phenomenon_time",
+    available_now: bool = True,
+):
+    """§2.8 idempotent re-flag sink: ``writeStream.foreachBatch`` where
+    each micro-batch dynamic-partition-overwrites only the flag-table days
+    it touches — the streaming analog of the reference re-PATCHing every
+    overlapped window (last-writer-wins re-flagging,
+    ``src/main.py:366-395``).  Exactly-once per partition comes from the
+    overwrite being deterministic, not from sink transactions: replaying a
+    batch rewrites the same rows.
+
+    Returns the started ``StreamingQuery``; caller awaits termination.
+    """
+    from qualityassurancetool_spark.sources.sinks import write_flags_table
+
+    def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        write_flags_table(batch_df, path, ts_col=ts_col)
+
+    writer = (
+        flagged_stream.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_session_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization: ``session_window`` keeps per-entity open
+    sessions as state, closes one when the watermark passes its end + gap.
+    State is bounded by (active entities x open sessions); the batch twin
+    is ``operators.sessionize`` (same gap semantics: a gap strictly
+    greater than ``gap`` splits)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(entity_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            entity_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def tumbling_flag_rollup(
     stream: DataFrame,
     window: str = "10 minutes",

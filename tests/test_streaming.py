@@ -254,3 +254,112 @@ def test_streaming_dedup_drops_overlap_redeliveries(spark, tmp_path):
     got = [r["iot_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()]
     assert len(got) == 500
     assert len(set(got)) == 500
+
+
+def test_foreachbatch_upsert_reflags_only_replayed_days(spark, tmp_path):
+    """The streaming flag sink: first run lands flags partitioned by day;
+    re-delivering one day's data (the overlap re-run) overwrites exactly
+    that day's partition, leaving the other day's files untouched."""
+    import datetime as dt
+    import os
+
+    from qualityassurancetool_spark.streaming.micro_batch import (
+        start_flags_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    flags = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "iot_id long, result double, phenomenon_time timestamp, qc_flag tinyint"
+    d1 = dt.datetime(2024, 1, 1, 12, 0)
+    d2 = dt.datetime(2024, 1, 2, 12, 0)
+    spark.createDataFrame(
+        [(1, 5.0, d1, 0), (2, 500.0, d1, 0), (3, 5.0, d2, 0)], schema
+    ).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        flagged = streaming_qc(stream, _range_qc, watermark="50 minutes")
+        q = start_flags_upsert(flagged, flags, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    first = {
+        r["iot_id"]: r["qc_flag"]
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert first == {1: 0, 2: 4, 3: 0}
+    day2_files = {
+        f for f in os.listdir(os.path.join(flags, "flag_date=2024-01-02"))
+        if f.endswith(".parquet")
+    }
+
+    # overlap re-delivery: day-1 rows re-arrive, one with a changed value
+    spark.createDataFrame(
+        [(1, 900.0, d1, 0), (2, 500.0, d1, 0)], schema
+    ).write.mode("append").parquet(src)
+    run()
+    second = {
+        r["iot_id"]: r["qc_flag"]
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert second == {1: 4, 2: 4, 3: 0}  # day-1 re-flagged
+    day2_after = {
+        f for f in os.listdir(os.path.join(flags, "flag_date=2024-01-02"))
+        if f.endswith(".parquet")
+    }
+    assert day2_after == day2_files  # day-2 partition untouched
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
+    import datetime as dt
+
+    from qualityassurancetool_spark.operators.sessionize import session_stats
+    from qualityassurancetool_spark.streaming.micro_batch import (
+        streaming_session_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=5)),
+        (3, 1, t0 + dt.timedelta(hours=3)),   # new session
+        (4, 2, t0 + dt.timedelta(minutes=1)),
+    ]
+    schema = "event_id long, user_id long, ts timestamp"
+    src = str(tmp_path / "sessions_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = streaming_session_stats(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    assert got == {
+        (1, t0): 2,
+        (1, t0 + dt.timedelta(hours=3)): 1,
+        (2, t0 + dt.timedelta(minutes=1)): 1,
+    }
+
+    # batch twin agrees on session membership counts
+    batch = session_stats(
+        spark.createDataFrame(rows, schema),
+        gap="30min",
+        order_extra=["event_id"],
+    )
+    batch_counts = sorted(
+        (r["user_id"], r["n_events"]) for r in batch.collect()
+    )
+    assert batch_counts == sorted((u, n) for (u, _s), n in got.items())
