@@ -147,3 +147,52 @@ def test_gradient_matches_np_gradient_model(spark, points):
             i,
             points,
         )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.integers(min_value=0, max_value=100_000),    # offset sec
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=3600),               # gap sec
+)
+@SLOW
+def test_sessionize_matches_python_model(spark, events, gap):
+    from qualityassurancetool_spark.operators.sessionize import (
+        with_session_ids,
+    )
+
+    rows = [
+        (i, u, EPOCH + dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["session_idx"])
+        for r in with_session_ids(
+            df, gap=float(gap), order_extra=["event_id"]
+        ).collect()
+    }
+
+    # independent python model: sort per user by (ts, id), split on
+    # strictly-greater gaps
+    model = {}
+    by_user = {}
+    for i, (u, s) in enumerate(events):
+        by_user.setdefault(u, []).append((s, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        sess = 0
+        prev = None
+        for s, i in evs:
+            if prev is None or s - prev > gap:
+                sess += 1
+            model[i] = (u, sess)
+            prev = s
+    assert got == model
