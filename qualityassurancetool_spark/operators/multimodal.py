@@ -93,6 +93,78 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return slim.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def _fit_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Aspect-preserving fit into a max_dim square (never upscales)."""
+    if w <= 0 or h <= 0 or max(w, h) <= max_dim:
+        return w, h
+    scale = max_dim / float(max(w, h))
+    return max(int(w * scale), 1), max(int(h * scale), 1)
+
+
+def resize_images(df: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Arrow-batched image resize: aspect-preserving fit into a
+    ``max_dim`` square.  Only image rows are processed, and only
+    (media_id, width, height, content) cross into Python — the plumbing
+    that matters at 100 TB (binary columns dominate scan bytes, so
+    everything else is pruned before the Python boundary; the resized
+    table is written back as its own artifact rather than re-joined).
+
+    The pixel kernel is a stub: with ``QAT_FAKE_DECODE=1`` (default) the
+    output payload is a deterministic byte subsample proportional to the
+    area ratio — same length contract as a real resize (smaller output,
+    derived from input bytes) without a codec library; otherwise raises
+    ``NotImplementedError`` where a production build would call PIL.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fake = os.environ.get("QAT_FAKE_DECODE", "1") == "1"
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires codec libraries not present in "
+                    "this container; set QAT_FAKE_DECODE=1 for the "
+                    "deterministic fake"
+                )
+            out_w, out_h, out_c = [], [], []
+            for w, h, c in zip(pdf["width"], pdf["height"], pdf["content"]):
+                w = int(w) if pd.notna(w) else 0
+                h = int(h) if pd.notna(h) else 0
+                nw, nh = _fit_dims(w, h, max_dim)
+                c = c if c is not None else b""
+                if w > 0 and h > 0 and (nw, nh) != (w, h):
+                    # deterministic stand-in: stride-subsample the bytes
+                    # by the area ratio (output size shrinks like a real
+                    # resize would)
+                    stride = max(round((w * h) / float(nw * nh)), 1)
+                    c = c[::stride]
+                out_w.append(nw)
+                out_h.append(nh)
+                out_c.append(c)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "content": out_c,
+                }
+            )
+
+    slim = df.where(F.col("kind") == "image").select(
+        "media_id", "width", "height", "content"
+    )
+    return slim.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (media, frame_ts) —
     the decode itself is stubbed, but the fan-out shape (generator-style

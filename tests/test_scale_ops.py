@@ -253,3 +253,43 @@ def test_sessionize_boundaries_and_single_shuffle(spark):
 
     n_exchanges = len(re.findall(r"\+- Exchange hashpartitioning", plan))
     assert n_exchanges == 1, plan
+
+
+def test_multimodal_resize_plumbing(spark):
+    import pandas as pd
+
+    from qualityassurancetool_spark.operators.multimodal import (
+        _fit_dims,
+        resize_images,
+    )
+
+    # pure kernel math: aspect preserved, never upscales, floors at 1
+    assert _fit_dims(1024, 512, 256) == (256, 128)
+    assert _fit_dims(512, 1024, 256) == (128, 256)
+    assert _fit_dims(100, 50, 256) == (100, 50)       # no upscale
+    assert _fit_dims(10000, 3, 256) == (256, 1)
+
+    rows = [
+        (1, "image", None, bytes(range(256)) * 16, 1024, 512, None),
+        (2, "image", None, b"abcd", 100, 50, None),    # already small
+        (3, "video", None, b"xxxx", None, None, 5.0),  # filtered out
+        (4, "image", None, None, 640, 480, None),      # null payload
+    ]
+    from qualityassurancetool_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, max_dim=256).collect()}
+
+    assert set(out) == {1, 2, 4}                       # only images
+    assert (out[1]["width"], out[1]["height"]) == (256, 128)
+    # deterministic subsample: area ratio (1024*512)/(256*128) = 16
+    assert out[1]["content"] == (bytes(range(256)) * 16)[::16]
+    assert (out[2]["width"], out[2]["height"]) == (100, 50)
+    assert out[2]["content"] == b"abcd"                # untouched
+    assert out[4]["content"] == b""                    # null -> empty
+
+    # determinism across runs (retry-safe at scale)
+    again = {r["media_id"]: r for r in resize_images(df, max_dim=256).collect()}
+    assert {k: v["content"] for k, v in out.items()} == {
+        k: v["content"] for k, v in again.items()
+    }
