@@ -1135,6 +1135,82 @@ ORDER BY r.r_name
 """
 
 
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the set-op family the reference only implies via
+    flag_when_missing on unmatched as-of rows): customers with no
+    pending-status orders, counted per market segment.  Anti joins shuffle only keys and build
+    one hash table — at 100 TB either side can be the big one; AQE picks
+    broadcast when orders' key projection is small."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nohit = cust.join(
+        orders.where(F.col("o_orderstatus") == "P").select("o_custkey"),
+        cust["c_custkey"] == orders["o_custkey"],
+        "left_anti",
+    )
+    return (
+        nohit.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       MIN(c_custkey) AS min_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'P')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (training-pipeline staple): per-column null
+    counts, distinct cardinalities, and value ranges in ONE pass over the
+    table — every statistic is an aggregate over the same scan, so the
+    profile costs one job regardless of column count."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.countDistinct("event_type").alias("distinct_types"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.sum(dec).cast("double").alias("sum_value"),
+        F.min(epoch_micros("ts")).alias("min_ts_us"),
+        F.max(epoch_micros("ts")).alias("max_ts_us"),
+    )
+
+
+SQL_EVENTS_PROFILE = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(DISTINCT event_type) AS distinct_types,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id,
+       round(MIN(value), 6) AS min_value,
+       round(MAX(value), 6) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(epoch_us(ts)) AS min_ts_us,
+       MAX(epoch_us(ts)) AS max_ts_us
+FROM events
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregation (region → nation → total) over the
     customer→orders join, with explicit grouping flags — the
@@ -2277,6 +2353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_segment_revenue": q_join_segment_revenue,
         "topk_orders_per_segment": q_topk_orders_per_segment,
         "nation_region_rollup": q_nation_region_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "events_profile": q_events_profile,
         "rollup_revenue": q_rollup_revenue,
         "price_percentiles": q_price_percentiles,
         "filtered_revenue": q_filtered_revenue,
@@ -2330,6 +2408,8 @@ def oracle_sql() -> dict[str, str]:
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
         "nation_region_rollup": SQL_NATION_REGION_ROLLUP,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "events_profile": SQL_EVENTS_PROFILE,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "price_percentiles": SQL_PRICE_PERCENTILES,
         "filtered_revenue": SQL_FILTERED_REVENUE,
