@@ -68,22 +68,39 @@ _CODE_TO_RANK_ARR = [FLAG_SEVERITY[c] for c in sorted(FLAG_SEVERITY)]
 _RANK_TO_CODE_ARR = [_RANK_TO_CODE[r] for r in sorted(_RANK_TO_CODE)]
 
 
+# The two lookup-array Column objects are memoized: a Column wraps an
+# immutable JVM expression, reusable across every plan in the JVM, and
+# rebuilding one costs ~25 py4j round-trips — flag algebra is embedded in
+# every QC query (the reference-chain build alone made 8k py4j calls,
+# ~2.2 s of driver time, a third of it here).
+_LOOKUP_CACHE: dict[str, Column] = {}
+
+
+def _lookup(key: str) -> Column:
+    col = _LOOKUP_CACHE.get(key)
+    if col is None:
+        if key == "code_to_rank":
+            col = F.array(*[F.lit(r) for r in _CODE_TO_RANK_ARR])
+        else:
+            col = F.array(
+                *[F.lit(code).cast("tinyint") for code in _RANK_TO_CODE_ARR]
+            )
+        _LOOKUP_CACHE[key] = col
+    return col
+
+
 def flag_rank(flag: Column | str) -> Column:
     """Column expression mapping an L20 code column to its severity rank.
     Codes outside 0..9 (or null) yield null (non-ANSI element_at)."""
     c = F.col(flag) if isinstance(flag, str) else flag
-    lookup = F.array(*[F.lit(r) for r in _CODE_TO_RANK_ARR])
     idx = F.when((c >= 0) & (c <= 9), c.cast("int") + 1)
-    return F.element_at(lookup, idx)
+    return F.element_at(_lookup("code_to_rank"), idx)
 
 
 def rank_to_flag(rank: Column) -> Column:
     """Inverse of :func:`flag_rank` as a Column expression."""
-    lookup = F.array(
-        *[F.lit(code).cast("tinyint") for code in _RANK_TO_CODE_ARR]
-    )
     idx = F.when((rank >= 0) & (rank <= 9), rank.cast("int") + 1)
-    return F.element_at(lookup, idx)
+    return F.element_at(_lookup("rank_to_code"), idx)
 
 
 def flag_merge(*flags: Column | str) -> Column:
