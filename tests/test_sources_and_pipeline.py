@@ -247,3 +247,58 @@ def test_flags_table_rerun_overwrites_only_touched_days(spark, tmp_path):
         r["iot_id"]: r["qc_flag"] for r in spark.read.parquet(path).collect()
     }
     assert back == {1: 1, 2: 4, 3: 3}  # day-1 row survived; day-2 replaced
+
+
+def test_sensorthings_datasource_pages_as_partitions(spark, tmp_path):
+    """S1 as a custom DataSource: each landed response page is one input
+    partition (pagination ≡ partitioned reads), flattened to the long
+    observations table inside the executor-side reader."""
+    import json
+    import shutil
+
+    from qualityassurancetool_spark.sources.sta_datasource import (
+        SensorThingsDataSource,
+    )
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    # page 0: the canonical fixture; pages 1-2: shifted ids
+    with open(f"{HERE}/resources/sta_response.json", encoding="utf-8") as fh:
+        doc = json.load(fh)
+    for p in range(3):
+        out = json.loads(json.dumps(doc))
+        for ds in out["Datastreams"]:
+            for o in ds["Observations"]:
+                o["@iot.id"] = o["@iot.id"] + 1000 * p
+        (pages_dir / f"page_{p}.json").write_text(json.dumps(out))
+
+    spark.dataSource.register(SensorThingsDataSource)
+    df = (
+        spark.read.format("sensorthings")
+        .option("pages_per_partition", 1)
+        .load(str(pages_dir))
+    )
+    assert df.rdd.getNumPartitions() == 3  # one partition per page
+    rows = df.collect()
+    assert len(rows) == 36  # 3 pages x 12 observations
+
+    # flattening parity with the Catalyst-native path on the same page
+    native = flatten_response(
+        read_sta_response(spark, f"{HERE}/resources/sta_response.json")
+    ).select(
+        "iot_id", "result", "phenomenon_time", "qc_flag", "datastream_id",
+        "lat", "long", "feature_id", "observation_type", "units",
+    )
+    via_ds = df.where(F.col("iot_id") < 1000)
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, native.collect())
+    )
+
+    # coarser packing: 2 pages per partition -> 2 partitions
+    df2 = (
+        spark.read.format("sensorthings")
+        .option("pages_per_partition", 2)
+        .load(str(pages_dir))
+    )
+    assert df2.rdd.getNumPartitions() == 2
+    assert df2.count() == 36
