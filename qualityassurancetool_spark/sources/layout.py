@@ -1,0 +1,72 @@
+"""Landing-table layout: the physical design that makes every QC run a
+pruned scan.
+
+The reference fetches "one time window of one Thing" per run (S1/P1);
+at 100 TB the equivalent is *not* a query engine trick but table layout:
+
+- **partition by date** — a time-window run touches only its days'
+  directories (partition pruning happens at planning, before any I/O);
+- **sort within partitions by (stream, ts)** — parquet row-group min/max
+  statistics prune inside a day for narrower windows, and per-stream
+  window operators read nearly-sorted runs (cheaper sort, better
+  compression on timestamps/ids);
+- **one writer task per date** (repartition on the partition column) —
+  no small-file explosion: file count scales with days × retries, not
+  days × shuffle partitions.
+
+Re-runs are idempotent: dynamic partition overwrite rewrites only the
+days present in the incoming batch (same contract as
+``sinks.write_flags_table``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_observations_landing(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "phenomenon_time",
+    stream_col: str = "observation_type",
+    date_col: str = "obs_date",
+) -> None:
+    """Write the observations table in the pruning-friendly layout."""
+    (
+        df.withColumn(date_col, F.to_date(F.col(ts_col)))
+        .repartition(F.col(date_col))
+        .sortWithinPartitions(stream_col, ts_col)
+        .write.partitionBy(date_col)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
+def read_observations_window(
+    spark: SparkSession,
+    path: str,
+    start,
+    end,
+    ts_col: str = "phenomenon_time",
+    date_col: str = "obs_date",
+    schema=None,
+) -> DataFrame:
+    """Read one QC window from the landing table.  The date predicate is
+    derived from the timestamp window so partition pruning applies; the
+    timestamp predicate then prunes row groups within the boundary days.
+
+    Pass ``schema`` in production (from the catalog): footer-sampling
+    schema inference is an extra read per planning and touches files the
+    partition filter would never open."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    return df.where(
+        (F.col(date_col) >= F.lit(start.date()))
+        & (F.col(date_col) <= F.lit(end.date()))
+        & (F.col(ts_col) >= F.lit(start))
+        & (F.col(ts_col) < F.lit(end))
+    ).drop(date_col)
