@@ -34,5 +34,11 @@ def get_spark(app_name: str = "qualityassurancetool-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("QAT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # call-site capture for DataFrame error context costs ~4 py4j
+        # round-trips + a Python stack walk on EVERY DataFrame/Column API
+        # call — about half the driver-side plan-build time of the larger
+        # QC chains. This is an engine, not a notebook: trade the enriched
+        # error call-sites for build throughput.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
