@@ -1590,7 +1590,9 @@ def _lang_sql() -> str:
     return expr_lang
 
 
-def _text_stats_sql() -> str:
+def _ntok_quality_sql() -> tuple[str, str, str]:
+    """(n_tokens, avg_token_len, quality) SQL fragments shared by the
+    per-doc text_stats oracle and the per-language rollup oracle."""
     from qualityassurancetool_spark.operators.text import LANG_MARKERS
 
     norm = _NORM_SQL
@@ -1614,6 +1616,12 @@ def _text_stats_sql() -> str:
         f" * 5.0, 1.0)"
     )
     quality = f"({len_score} * 0.4 + {awl_score} * 0.3 + {sw_score} * 0.3)"
+    return n_tok, awl, quality
+
+
+def _text_stats_sql() -> str:
+    norm = _NORM_SQL
+    n_tok, awl, quality = _ntok_quality_sql()
     fp = (
         f"md5(array_to_string(list_sort(list_distinct("
         f"string_split({norm}, ' '))), ' '))"
@@ -1630,6 +1638,56 @@ FROM documents ORDER BY doc_id
 
 
 SQL_TEXT_STATS = _text_stats_sql()
+
+
+def q_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation rollup: per predicted language — document count,
+    token volume, and average quality.  Averages go through per-row
+    6 dp rounding then exact DECIMAL sums so the parallel aggregation is
+    order-free (bit-identical across engines and partitionings)."""
+    from qualityassurancetool_spark.operators.text import (
+        predict_lang,
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        predict_lang(t).alias("predicted_lang"),
+        token_count(t).alias("n_tokens"),
+        F.round(quality_score(t), 6).cast("decimal(18,6)").alias("q"),
+    )
+    return (
+        per_doc.groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                (F.sum("q") / F.count(F.lit(1))).cast("double"), 6
+            ).alias("avg_quality_r"),
+        )
+        .orderBy("predicted_lang")
+    )
+
+
+def _sql_lang_quality_rollup() -> str:
+    n_tok, _awl, quality = _ntok_quality_sql()
+    return f"""
+WITH per_doc AS (
+    SELECT {_lang_sql()} AS predicted_lang,
+           {n_tok} AS n_tokens,
+           CAST(round({quality}, 6) AS DECIMAL(18,6)) AS q
+    FROM documents
+)
+SELECT predicted_lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       round(CAST(SUM(q) / COUNT(*) AS DOUBLE), 6) AS avg_quality_r
+FROM per_doc
+GROUP BY predicted_lang
+ORDER BY predicted_lang
+"""
 
 
 _BPE_PAT = r"[a-z0-9]+|[^a-z0-9\s]"
@@ -2364,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "text_stats": q_text_stats,
+        "lang_quality_rollup": q_lang_quality_rollup,
         "text_tokens_fp": q_text_tokens_fp,
         "sim_topk": q_sim_topk,
         "embedding_stats": q_embedding_stats,
@@ -2419,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "text_stats": SQL_TEXT_STATS,
+        "lang_quality_rollup": _sql_lang_quality_rollup(),
         "text_tokens_fp": SQL_TEXT_TOKENS_FP,
         "sim_topk": SQL_SIM_TOPK,
         "embedding_stats": SQL_EMBEDDING_STATS,
