@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "topk_orders_per_segment",
     "shipping_priority",
     "sessionize_events",
+    "downsample_transfer",
+    "rollup_revenue",
+    "price_percentiles",
+    "events_profile",
+    "lang_quality_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

@@ -24,6 +24,131 @@ from qualityassurancetool_spark.functions.timeutils import parse_timedelta_secon
 QC_TYPES = ("range", "gradient", "zscore")
 
 
+class ConfigError(ValueError):
+    """Raised on invalid QC config (the Cerberus-validation analog —
+    reference ``src/yaml_schema.py:45-224`` and the dedicated CI workflow
+    that validates every YAML against it)."""
+
+
+_TOP_LEVEL_KEYS = {
+    "QC",
+    "QC_dependent",
+    "QC_global",
+    "zscore_time_window",
+    "location",
+    "region_polygons",
+    "asof_materialize",
+    "time",  # run window (orchestration-level; tolerated, unused here)
+}
+# name/description are annotations (the engine's own YAML template and
+# the reference's configs carry them); they are tolerated, not consumed
+_STREAM_KEYS = {"id", "name", "description"} | set(QC_TYPES)
+_DEP_KEYS = {
+    "independent",
+    "dependent",
+    "dt_tolerance",
+    "QC",
+    "dt_stabilization",
+    "max_allowed_downtime",
+    "flag_when_missing",
+}
+_LOCATION_KEYS = {
+    "max_velocity",
+    "max_acceleration",
+    "time_window",
+    "max_dx_dt",
+    "connection",  # reference carries DB credentials here; unused
+}
+
+
+def _check_minmax(owner: str, name: str, rng) -> None:
+    if isinstance(rng, dict):
+        extra = set(rng) - {"min", "max"}
+        if extra:
+            raise ConfigError(f"{owner}.{name}: unknown keys {sorted(extra)}")
+        lo, hi = rng.get("min"), rng.get("max")
+    else:
+        try:
+            lo, hi = rng
+        except (TypeError, ValueError):
+            raise ConfigError(
+                f"{owner}.{name}: expected {{min,max}} or a 2-item pair, "
+                f"got {rng!r}"
+            ) from None
+    for v in (lo, hi):
+        if v is not None and not isinstance(v, (int, float)):
+            raise ConfigError(f"{owner}.{name}: non-numeric bound {v!r}")
+    if lo is not None and hi is not None and lo > hi:
+        raise ConfigError(f"{owner}.{name}: min {lo} > max {hi}")
+
+
+def validate_config_dict(d: dict) -> None:
+    """Schema-validate a QC config dict; raises :class:`ConfigError` with
+    a pointed message on the first violation.  Covers the same classes of
+    mistake the reference's Cerberus schema rejects: unknown keys, missing
+    ids, malformed min/max pairs, inverted bounds, bad timedelta strings.
+    """
+    if not isinstance(d, dict):
+        raise ConfigError(f"config must be a mapping, got {type(d).__name__}")
+    extra = set(d) - _TOP_LEVEL_KEYS
+    if extra:
+        raise ConfigError(f"unknown top-level keys {sorted(extra)}")
+    for i, entry in enumerate(d.get("QC") or []):
+        owner = f"QC[{i}]"
+        if not isinstance(entry, dict) or "id" not in entry:
+            raise ConfigError(f"{owner}: each stream entry needs an 'id'")
+        extra = set(entry) - _STREAM_KEYS
+        if extra:
+            raise ConfigError(f"{owner}: unknown keys {sorted(extra)}")
+        for t in QC_TYPES:
+            if entry.get(t) is not None:
+                _check_minmax(owner, t, entry[t])
+    for i, entry in enumerate(d.get("QC_dependent") or []):
+        owner = f"QC_dependent[{i}]"
+        if not isinstance(entry, dict):
+            raise ConfigError(f"{owner}: expected a mapping")
+        missing = {"independent", "dependent"} - set(entry)
+        if missing:
+            raise ConfigError(f"{owner}: missing {sorted(missing)}")
+        extra = set(entry) - _DEP_KEYS
+        if extra:
+            raise ConfigError(f"{owner}: unknown keys {sorted(extra)}")
+        for k in ("dt_tolerance", "dt_stabilization", "max_allowed_downtime"):
+            if entry.get(k) is not None:
+                try:
+                    parse_timedelta_seconds(entry[k])
+                except Exception:
+                    raise ConfigError(
+                        f"{owner}.{k}: bad timedelta {entry[k]!r}"
+                    ) from None
+        if entry.get("QC", {}).get("range") is not None:
+            _check_minmax(owner, "QC.range", entry["QC"]["range"])
+    for t, rng in (d.get("QC_global") or {}).items():
+        if t not in QC_TYPES:
+            raise ConfigError(f"QC_global: unknown check type {t!r}")
+        if isinstance(rng, dict) and "range" in rng:
+            rng = rng["range"]
+        _check_minmax("QC_global", t, rng)
+    loc = d.get("location") or {}
+    extra = set(loc) - _LOCATION_KEYS
+    if extra:
+        raise ConfigError(f"location: unknown keys {sorted(extra)}")
+    if loc.get("time_window") is not None:
+        try:
+            parse_timedelta_seconds(loc["time_window"])
+        except Exception:
+            raise ConfigError(
+                f"location.time_window: bad timedelta {loc['time_window']!r}"
+            ) from None
+    for i, poly in enumerate(d.get("region_polygons") or []):
+        owner = f"region_polygons[{i}]"
+        if not isinstance(poly, dict) or "name" not in poly or "coords" not in poly:
+            raise ConfigError(f"{owner}: needs 'name' and 'coords'")
+        coords = poly["coords"]
+        if not isinstance(coords, (list, tuple)) or len(coords) < 3:
+            raise ConfigError(f"{owner}: a polygon needs >= 3 coordinates")
+
+
 @dataclass
 class StreamQC:
     stream_id: object  # int or str key
@@ -65,6 +190,7 @@ class QCConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "QCConfig":
+        validate_config_dict(d)
         streams = []
         for entry in d.get("QC", []):
             kw = {"stream_id": entry["id"]}

@@ -40,3 +40,46 @@ def test_yaml_template_roundtrips_into_config(spark, tmp_path):
     # the emitted skeleton must parse through the config layer
     cfg = QCConfig.from_yaml(path)
     assert {s.stream_id for s in cfg.streams} == {"click", "error"}
+
+
+def test_config_validation_rejects_bad_configs():
+    import pytest
+
+    from qualityassurancetool_spark.config import (
+        ConfigError,
+        QCConfig,
+        validate_config_dict,
+    )
+
+    good = {
+        "QC": [{"id": "click", "range": {"min": 1.0, "max": 2.0}}],
+        "QC_dependent": [
+            {"independent": "a", "dependent": "b", "dt_tolerance": "0.5s"}
+        ],
+        "QC_global": {"zscore": {"min": -3, "max": 3}},
+        "location": {"max_velocity": 10.0, "time_window": "10min"},
+    }
+    validate_config_dict(good)          # no raise
+    QCConfig.from_dict(good)            # end-to-end still builds
+
+    cases = [
+        ({"QQ": []}, "unknown top-level"),
+        ({"QC": [{"range": {"min": 0, "max": 1}}]}, "needs an 'id'"),
+        ({"QC": [{"id": "x", "rangee": {}}]}, "unknown keys"),
+        ({"QC": [{"id": "x", "range": {"min": 5, "max": 1}}]}, "min 5 > max 1"),
+        ({"QC": [{"id": "x", "range": {"min": "lo", "max": 1}}]}, "non-numeric"),
+        ({"QC": [{"id": "x", "range": {"minimum": 0}}]}, "unknown keys"),
+        ({"QC_dependent": [{"independent": "a"}]}, "missing"),
+        (
+            {"QC_dependent": [{"independent": "a", "dependent": "b",
+                               "dt_tolerance": "half a second"}]},
+            "bad timedelta",
+        ),
+        ({"QC_global": {"median": [0, 1]}}, "unknown check type"),
+        ({"location": {"velocity_max": 1.0}}, "unknown keys"),
+        ({"region_polygons": [{"name": "x", "coords": [(0, 0)]}]}, ">= 3"),
+    ]
+    for bad, frag in cases:
+        with pytest.raises(ConfigError, match="") as exc:
+            validate_config_dict(bad)
+        assert frag.lower().split()[0] in str(exc.value).lower(), (bad, exc.value)
