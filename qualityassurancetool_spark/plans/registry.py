@@ -32,6 +32,60 @@ def register_check(name: str) -> Callable[[CheckFn], CheckFn]:
     return deco
 
 
+@register_check("stabilization")
+def _check_stabilization(
+    df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str
+) -> DataFrame:
+    """W1–W4 first, like the reference (src/main.py:409-496): for every
+    dependency with ``dt_stabilization``, flag the *independent* stream's
+    rows BAD while the sensor is still stabilizing after downtime; the
+    later "dependent" check as-of-propagates those flags."""
+    from qualityassurancetool_spark.flags import flag_merge
+    from qualityassurancetool_spark.functions.timeutils import (
+        parse_timedelta_seconds,
+    )
+    from qualityassurancetool_spark.operators.stabilization import (
+        apply_stabilization,
+    )
+    from pyspark.sql import functions as F
+
+    deps = [d for d in cfg.dependents if d.dt_stabilization is not None]
+    for dep in deps:
+        stream_cfg = next(
+            (s for s in cfg.streams if s.stream_id == dep.independent), None
+        )
+        rng = (stream_cfg.range if stream_cfg else None) or cfg.global_qc.get(
+            "range"
+        )
+        if rng is None or rng[0] is None or rng[1] is None:
+            continue
+        is_ind = F.col(stream_col) == F.lit(dep.independent)
+        mad = parse_timedelta_seconds(dep.max_allowed_downtime or 0.0)
+        dst = parse_timedelta_seconds(dep.dt_stabilization)
+        df = df.withColumns(
+            {
+                "_stab_rmin": F.when(is_ind, F.lit(float(rng[0]))),
+                "_stab_rmax": F.when(is_ind, F.lit(float(rng[1]))),
+                "_stab_mad": F.when(is_ind, F.lit(float(mad))),
+                "_stab_dst": F.when(is_ind, F.lit(float(dst))),
+            }
+        )
+        df = apply_stabilization(
+            df,
+            group_cols=[stream_col],
+            min_col="_stab_rmin",
+            max_col="_stab_rmax",
+            max_allowed_downtime_col="_stab_mad",
+            dt_stabilization_col="_stab_dst",
+            flag_col="_stab_flag",
+            keep_intermediate=False,
+        )
+        df = df.withColumn(
+            "qc_flag", flag_merge(F.col("qc_flag"), F.col("_stab_flag"))
+        ).drop("_stab_flag", "_stab_rmin", "_stab_rmax", "_stab_mad", "_stab_dst")
+    return df
+
+
 @register_check("region")
 def _check_region(
     df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str

@@ -129,3 +129,68 @@ def test_user_registered_check_participates(spark):
         )
     finally:
         CHECK_REGISTRY.pop("always_probably_bad_on_even", None)
+
+
+def test_stabilization_check_runs_first_and_propagates(spark):
+    """The registered stabilization check: the independent stream's rows
+    are BAD while time_up_since < dt_stabilization, and the later
+    'dependent' check as-of-propagates those flags onto the dependent."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.config import QCConfig
+    from qualityassurancetool_spark.plans.registry import (
+        CHECK_REGISTRY,
+        run_registered_checks,
+    )
+
+    assert list(CHECK_REGISTRY)[0] == "stabilization"  # reference order
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # independent "temp": in-range, then a 30s dropout (out of range), then
+    # back in range -> post-recovery rows still "stabilizing" for 20s
+    pat = [5.0, 5.0, 99.0, 99.0, 99.0, 5.0, 5.0, 5.0, 5.0]
+    for i, v in enumerate(pat):
+        rows.append((i, v, t0 + dt.timedelta(seconds=10 * i), 0, "temp"))
+    # dependent "sal" sampled 1s after each temp row
+    for i in range(len(pat)):
+        rows.append(
+            (100 + i, 35.0, t0 + dt.timedelta(seconds=10 * i + 1), 0, "sal")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "iot_id long, result double, phenomenon_time timestamp, "
+        "qc_flag tinyint, observation_type string",
+    )
+    cfg = QCConfig.from_dict(
+        {
+            "QC": [{"id": "temp", "range": {"min": 0.0, "max": 50.0}}],
+            "QC_dependent": [
+                {
+                    "independent": "temp",
+                    "dependent": "sal",
+                    "dt_tolerance": "2s",
+                    "dt_stabilization": "20s",
+                    "max_allowed_downtime": "5s",
+                }
+            ],
+        }
+    )
+    out = run_registered_checks(
+        df, cfg, spark, checks=["stabilization", "dependent"]
+    )
+    flags = {
+        r["iot_id"]: r["qc_flag"]
+        for r in out.select("iot_id", F.col("qc_flag").cast("int")).collect()
+    }
+    # time_up_since counts from series start / the LAST exceedance row:
+    # rows 0-1 are the sensor's own warm-up (0s, 10s < 20s) -> BAD;
+    # rows 2-4 re-arm the clock while down (each exceedance resets it);
+    # row 5 (10s after the t=40 exceedance) is still stabilizing -> BAD;
+    # row 6 (20s, not strictly < dt_stabilization) has stabilized, as
+    # have 7, 8.
+    assert [flags[i] for i in range(9)] == [4, 4, 4, 4, 4, 4, 0, 0, 0]
+    # dependent inherits each matched partner's flag via the as-of
+    assert [flags[100 + i] for i in range(9)] == [4, 4, 4, 4, 4, 4, 0, 0, 0]
