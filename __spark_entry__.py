@@ -1552,16 +1552,25 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_stats,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    stats = word_stats(t)
-    return docs.select(
+    from qualityassurancetool_spark.functions.hashing import normalize_text
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    # normalized text materialized once; every counter reads the attribute
+    withn = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("_norm")
+    )
+    n = F.col("_norm")
+    stats = word_stats(n, normalized=True)
+    return withn.select(
         "doc_id",
-        predict_lang(t).alias("predicted_lang"),
-        token_count(t).alias("n_tokens"),
+        predict_lang(n, normalized=True).alias("predicted_lang"),
+        token_count(n, normalized=True).alias("n_tokens"),
         F.round(stats["avg_token_len"], 6).alias("avg_tok_len_r"),
-        F.round(quality_score(t), 6).alias("quality_r"),
-        fingerprint(t).alias("fingerprint"),
+        F.round(quality_score(n, normalized=True), 6).alias("quality_r"),
+        fingerprint(n, normalized=True).alias("fingerprint"),
     ).orderBy("doc_id")
 
 
@@ -1651,12 +1660,20 @@ def q_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    per_doc = docs.select(
-        predict_lang(t).alias("predicted_lang"),
-        token_count(t).alias("n_tokens"),
-        F.round(quality_score(t), 6).cast("decimal(18,6)").alias("q"),
+    from qualityassurancetool_spark.functions.hashing import normalize_text
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    withn = docs.select(normalize_text(F.col("text")).alias("_norm"))
+    n = F.col("_norm")
+    per_doc = withn.select(
+        predict_lang(n, normalized=True).alias("predicted_lang"),
+        token_count(n, normalized=True).alias("n_tokens"),
+        F.round(quality_score(n, normalized=True), 6)
+        .cast("decimal(18,6)")
+        .alias("q"),
     )
     return (
         per_doc.groupBy("predicted_lang")
