@@ -911,6 +911,52 @@ ORDER BY win_start_sec, flag
 """
 
 
+def q_window_union_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + §2.8 overlap semantics: two overlapping fetch windows
+    unioned (the reference's START_II = START_I − OVERLAP re-cover);
+    per stream, fetched row count vs distinct observations shows the
+    overlap being absorbed by id-dedup."""
+    obs = _obs(spark, sf_dir)
+    win_a = obs.where(
+        F.col("phenomenon_time").between(
+            F.lit("2024-01-05"), F.lit("2024-01-15")
+        )
+    )
+    win_b = obs.where(
+        F.col("phenomenon_time").between(
+            F.lit("2024-01-12"), F.lit("2024-01-22")
+        )
+    )
+    return (
+        win_a.unionByName(win_b)
+        .groupBy("observation_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetched"),
+            F.countDistinct("iot_id").alias("n_unique"),
+        )
+        .orderBy("observation_type")
+    )
+
+
+SQL_WINDOW_UNION_OVERLAP = EVENTS_CTE + """
+, win_a AS (
+    SELECT * FROM obs
+    WHERE phenomenon_time BETWEEN '2024-01-05' AND '2024-01-15'
+), win_b AS (
+    SELECT * FROM obs
+    WHERE phenomenon_time BETWEEN '2024-01-12' AND '2024-01-22'
+), unioned AS (
+    SELECT * FROM win_a UNION ALL SELECT * FROM win_b
+)
+SELECT observation_type,
+       COUNT(*) AS n_fetched,
+       COUNT(DISTINCT iot_id) AS n_unique
+FROM unioned
+GROUP BY observation_type
+ORDER BY observation_type
+"""
+
+
 def q_downsample_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 prod-transfer parity: the reference's raw→prod SQL downsample
     (``time_bucket('10 minutes') + first(result ORDER BY ts)`` per stream,
@@ -2424,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_flag_rollup": q_windowed_flag_rollup,
         "sessionize_events": q_sessionize_events,
         "downsample_transfer": q_downsample_transfer,
+        "window_union_overlap": q_window_union_overlap,
         "distinct_streams": q_distinct_streams,
         "time_window_scan": q_time_window_scan,
         "paged_scan": q_paged_scan,
@@ -2480,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_flag_rollup": SQL_WINDOWED_FLAG_ROLLUP,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "downsample_transfer": SQL_DOWNSAMPLE_TRANSFER,
+        "window_union_overlap": SQL_WINDOW_UNION_OVERLAP,
         "distinct_streams": SQL_DISTINCT_STREAMS,
         "time_window_scan": SQL_TIME_WINDOW_SCAN,
         "paged_scan": SQL_PAGED_SCAN,
