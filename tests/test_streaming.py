@@ -363,3 +363,79 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
         (r["user_id"], r["n_events"]) for r in batch.collect()
     )
     assert batch_counts == sorted((u, n) for (u, _s), n in got.items())
+
+
+def test_stream_asof_matches_batch_nearest(spark, tmp_path):
+    """Stream-stream interval join + min(struct) nearest-pick must agree
+    with the batch as-of operator on matched pairs."""
+    import datetime as dt
+
+    from qualityassurancetool_spark.operators.asof import asof_nearest_join
+    from qualityassurancetool_spark.streaming.stream_asof import (
+        stream_asof_nearest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    dep_rows = [
+        (1, ts(10.0)), (2, ts(20.0)), (3, ts(95.0)), (4, ts(300.0)),
+        # far-future heartbeat: advances the watermark past dep 4's
+        # aggregation window so append mode emits it; no partner in tol,
+        # so the inner join never surfaces it
+        (99, ts(1000.0)),
+    ]
+    ind_rows = [
+        (100, ts(9.4), 7.0),    # within tol of dep 1 (0.6s)
+        (101, ts(10.2), 8.0),   # nearer to dep 1 (0.2s) -> wins
+        (102, ts(20.0), 9.0),   # exact match dep 2
+        (103, ts(96.1), 1.5),   # 1.1s from dep 3 -> out of tol (1s)
+        (104, ts(299.5), 2.5),  # within tol of dep 4
+        (199, ts(1500.0), 0.0),  # heartbeat for the independent side
+    ]
+    dep_schema = "iot_id long, phenomenon_time timestamp"
+    ind_schema = "iot_id long, phenomenon_time timestamp, result double"
+    dsrc, isrc = str(tmp_path / "dep"), str(tmp_path / "ind")
+    spark.createDataFrame(dep_rows, dep_schema).write.parquet(dsrc)
+    spark.createDataFrame(ind_rows, ind_schema).write.parquet(isrc)
+
+    dep_s = spark.readStream.schema(dep_schema).parquet(dsrc)
+    ind_s = spark.readStream.schema(ind_schema).parquet(isrc)
+    out = stream_asof_nearest(
+        dep_s, ind_s, tolerance=1.0, watermark="10 seconds",
+        ind_payload=["result"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["dep_id"]: (r["ind_id"], r["abs_dt_s"], r["ind_result"])
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+    # dep 1 -> nearest is 101 (0.2s); dep 2 -> exact 102; dep 3 unmatched
+    # (1.1s > tol); dep 4 -> 104
+    assert got == {
+        1: (101, 0.2, 8.0),
+        2: (102, 0.0, 9.0),
+        4: (104, 0.5, 2.5),
+    }
+
+    # batch operator agrees on every matched pair
+    batch = asof_nearest_join(
+        spark.createDataFrame(dep_rows, dep_schema),
+        spark.createDataFrame(ind_rows, ind_schema),
+        tolerance=1.0,
+    )
+    batch_matched = {
+        r["iot_id"]: r["ind_iot_id"]
+        for r in batch.collect()
+        if r["ind_iot_id"] is not None
+    }
+    assert batch_matched == {k: v[0] for k, v in got.items()}
