@@ -92,5 +92,50 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def asof_probe(n_rep: int = 100) -> None:
+    """Bucketed as-of at scale: dependent 'click' events matched to the
+    nearest 'error' event within 60 s over a replicated corpus."""
+    spark = get_spark("scale-probe-asof")
+    spark.sparkContext.setLogLevel("ERROR")
+    from qualityassurancetool_spark.operators.asof import asof_nearest_join
+    from qualityassurancetool_spark.schema import events_as_observations
+
+    obs = events_as_observations(spark, "/root/testdata/sf0.1")
+    big = (
+        obs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1))))
+        .select(
+            (F.col("iot_id") * n_rep + F.col("_r")).alias("iot_id"),
+            "observation_type",
+            F.timestamp_micros(
+                F.unix_micros("phenomenon_time") + F.col("_r") * 7_000_000
+            ).alias("phenomenon_time"),
+            "qc_flag",
+        )
+        .repartition(64)
+        .persist()
+    )
+    n = big.count()
+    dep = big.where(F.col("observation_type") == "click")
+    ind = big.where(F.col("observation_type") == "error").select(
+        "iot_id", "phenomenon_time", "qc_flag"
+    )
+    t0 = time.perf_counter()
+    out = asof_nearest_join(dep, ind, tolerance=60.0)
+    got = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("ind_iot_id").alias("matched"),
+    ).collect()[0]
+    print(
+        f"asof: {n:,} rows ({got['n']:,} dependents, {got['matched']:,} "
+        f"matched) in {time.perf_counter() - t0:.1f}s"
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "asof":
+        asof_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    else:
+        main()
