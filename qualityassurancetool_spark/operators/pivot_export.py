@@ -12,7 +12,7 @@ explosion) and the whole thing is two shuffles (window + pivot agg).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from qualityassurancetool_spark.flags import flag_rank
@@ -43,18 +43,23 @@ def best_record_per_second(
     id_col: str = "iot_id",
 ) -> DataFrame:
     """A2: per (rounded second, stream) keep the record with the best flag,
-    then smallest distance-to-round, then smallest id (deterministic)."""
+    then smallest distance-to-round, then smallest id (deterministic).
+
+    Physical shape: ``min(struct(rank, dt, id, row))`` hash aggregation
+    rather than a ``row_number`` window — partial aggregation ships one
+    candidate per (second, stream, map task) and nothing sorts (same
+    rewrite as the as-of nearest pick; identical outputs because (dt, id)
+    make the order total and the null flag-rank coalesces to a losing
+    sentinel, replicating ASC NULLS LAST)."""
     df = with_rounded_time(df, ts_col)
-    w = Window.partitionBy("ts_round", stream_col).orderBy(
-        flag_rank(flag_col).asc_nulls_last(),
-        F.col("dt_to_round_s").asc(),
-        F.col(id_col).asc(),
+    cand = F.struct(
+        F.coalesce(flag_rank(flag_col).cast("int"), F.lit(1 << 30)).alias("_o0"),
+        F.col("dt_to_round_s").alias("_o1"),
+        F.col(id_col).alias("_o2"),
+        F.struct(*df.columns).alias("row"),
     )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    best = df.groupBy("ts_round", stream_col).agg(F.min(cand).alias("_m"))
+    return best.select("_m.row.*")
 
 
 def pivot_wide(
