@@ -1695,6 +1695,95 @@ FROM documents ORDER BY doc_id
 SQL_TEXT_STATS = _text_stats_sql()
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-ops capstone: the LLM-corpus curation chain in one plan —
+    normalize -> quality score -> threshold filter -> exact near-dup
+    collapse (keep smallest id per canonical digest) -> per-language
+    survivor stats.  Mirrors how the QC capstone chains the sensor
+    checks; every stage is a Column expression over one scan."""
+    from qualityassurancetool_spark.functions.hashing import normalize_text
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
+    )
+    from qualityassurancetool_spark.operators.text import (
+        predict_lang,
+        quality_score,
+        token_count,
+    )
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    n = F.col("_norm")
+    analyzed = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("_norm")
+    ).select(
+        "doc_id",
+        "_norm",
+        predict_lang(n, normalized=True).alias("predicted_lang"),
+        token_count(n, normalized=True).alias("n_tokens"),
+        F.round(quality_score(n, normalized=True), 6).alias("q"),
+    )
+    kept = analyzed.where(F.col("q") >= 0.5)
+    deduped = (
+        kept.groupBy(F.md5(F.col("_norm")).alias("content_hash"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("predicted_lang").alias("predicted_lang"),
+                    F.col("n_tokens").alias("n_tokens"),
+                    F.col("q").alias("q"),
+                )
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return (
+        deduped.groupBy(F.col("m.predicted_lang").alias("predicted_lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_copies").alias("n_docs_before_dedup"),
+            F.sum(F.col("m.n_tokens")).alias("total_tokens"),
+            F.round(
+                (
+                    F.sum(F.col("m.q").cast("decimal(18,6)"))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                6,
+            ).alias("avg_quality_r"),
+        )
+        .orderBy("predicted_lang")
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    n_tok, _awl, quality = _ntok_quality_sql()
+    return f"""
+WITH analyzed AS (
+    SELECT doc_id, {_NORM_SQL} AS norm,
+           {_lang_sql()} AS predicted_lang,
+           {n_tok} AS n_tokens,
+           round({quality}, 6) AS q
+    FROM documents
+), kept AS (
+    SELECT * FROM analyzed WHERE q >= 0.5
+), deduped AS (
+    SELECT md5(norm) AS content_hash,
+           min(struct_pack(doc_id := doc_id, predicted_lang := predicted_lang, n_tokens := n_tokens, q := q)) AS m,
+           COUNT(*) AS n_copies
+    FROM kept GROUP BY md5(norm)
+)
+SELECT m.predicted_lang AS predicted_lang,
+       COUNT(*) AS n_docs_kept,
+       SUM(n_copies) AS n_docs_before_dedup,
+       SUM(m.n_tokens) AS total_tokens,
+       round(CAST(SUM(CAST(m.q AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE), 6)
+           AS avg_quality_r
+FROM deduped
+GROUP BY m.predicted_lang
+ORDER BY predicted_lang
+"""
+
+
 def q_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus curation rollup: per predicted language — document count,
     token volume, and average quality.  Averages go through per-row
@@ -2490,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "text_stats": q_text_stats,
         "lang_quality_rollup": q_lang_quality_rollup,
+        "curation_pipeline": q_curation_pipeline,
         "text_tokens_fp": q_text_tokens_fp,
         "sim_topk": q_sim_topk,
         "embedding_stats": q_embedding_stats,
@@ -2547,6 +2637,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "text_stats": SQL_TEXT_STATS,
         "lang_quality_rollup": _sql_lang_quality_rollup(),
+        "curation_pipeline": _sql_curation_pipeline(),
         "text_tokens_fp": SQL_TEXT_TOKENS_FP,
         "sim_topk": SQL_SIM_TOPK,
         "embedding_stats": SQL_EMBEDDING_STATS,

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "price_percentiles",
     "events_profile",
     "lang_quality_rollup",
+    "curation_pipeline",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
