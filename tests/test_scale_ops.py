@@ -126,6 +126,65 @@ def test_lsh_topk_recall_reasonable(spark, sf_dir):
     assert all(q != n for q, n in approx_set)
 
 
+def test_blocked_cosine_pairs_matches_fold_path(spark, sf_dir):
+    from qualityassurancetool_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        dot_product,
+        l2_norm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    gemm = blocked_cosine_pairs(
+        emb, block_col="label", id_col="vec_id", threshold=0.35
+    ).collect()
+    n = emb.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    fold = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            (
+                dot_product(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+        .collect()
+    )
+    gemm_map = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"] for r in gemm}
+    fold_map = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"] for r in fold}
+    assert set(gemm_map) == set(fold_map)
+    for k in fold_map:
+        assert gemm_map[k] == pytest.approx(fold_map[k], abs=1e-9)
+    # every pair is ordered and same-block by construction
+    assert all(ia < ib for ia, ib in gemm_map)
+
+
+def test_blocked_cosine_pairs_degenerate_blocks(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "solo", [1.0, 0.0]),
+            (1, "pair", [1.0, 0.0]),
+            (2, "pair", [1.0, 0.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    from qualityassurancetool_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    out = blocked_cosine_pairs(df, threshold=0.5).collect()
+    assert [(r["vec_id_a"], r["vec_id_b"]) for r in out] == [(1, 2)]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+
+
 def test_token_count_and_lang(spark):
     df = spark.createDataFrame(
         [
