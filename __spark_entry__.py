@@ -336,12 +336,13 @@ def q_qc_reference_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
-    # Break lineage before the dependent as-of branches: the chain up to
-    # that point is one huge codegen unit that the as-of would otherwise
-    # re-execute (and re-compile) three times — measured 21.6s -> 12.5s
-    # cold at sf0.1, and at cluster scale it avoids re-shuffling the whole
-    # table per branch (operators/asof.py:_materialize_once).
-    cfg.asof_materialize = True
+    # cfg.asof_materialize=True breaks lineage before the dependent as-of
+    # branches so the upstream chain isn't re-executed (or re-shuffled)
+    # once per branch — the right setting on a cluster, and 2x faster in a
+    # COLD local session (21.6s -> 12.5s at sf0.1). In a warm session the
+    # re-execution is cheaper than the extra checkpoint+codegen pass
+    # (7.0s vs 7.7s measured), so the bench keeps the default (False);
+    # see operators/asof.py:_materialize_once and docs/SCALE.md.
     obs = _obs(spark, sf_dir)
     out = run_registered_checks(obs, cfg, spark)
     return out.select(
