@@ -1710,6 +1710,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks; every stage is a Column expression over one scan."""
     from qualityassurancetool_spark.functions.hashing import normalize_text
     from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
         ensure_min_parallelism,
     )
     from qualityassurancetool_spark.operators.text import (
@@ -1720,14 +1721,22 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     n = F.col("_norm")
-    analyzed = docs.select(
-        "doc_id", normalize_text(F.col("text")).alias("_norm")
-    ).select(
-        "doc_id",
-        "_norm",
-        predict_lang(n, normalized=True).alias("predicted_lang"),
-        token_count(n, normalized=True).alias("n_tokens"),
-        F.round(quality_score(n, normalized=True), 6).alias("q"),
+    # Both barriers keep the q >= 0.5 predicate from being substituted
+    # through the projections and pushed below the repartition (where the
+    # whole normalize+score tree would run, re-evaluated per reference, on
+    # the raw single-split scan) — normalize and the three scores each run
+    # exactly once per row, post-repartition; the filter is a field access.
+    normed = compute_behind_barrier(
+        docs.select("doc_id", "text"),
+        {"_norm": normalize_text(F.col("text"))},
+    ).drop("text")
+    analyzed = compute_behind_barrier(
+        normed,
+        {
+            "predicted_lang": predict_lang(n, normalized=True),
+            "n_tokens": token_count(n, normalized=True),
+            "q": F.round(quality_score(n, normalized=True), 6),
+        },
     )
     kept = analyzed.where(F.col("q") >= 0.5)
     deduped = (

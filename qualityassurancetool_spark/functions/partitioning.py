@@ -10,7 +10,7 @@ leave in the scale path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -22,3 +22,31 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def compute_behind_barrier(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Compute ``cols`` exactly once, behind a Generate, and return ``df``
+    with them appended as plain attributes.
+
+    Catalyst's ``PushDownPredicates`` substitutes a predicate's referenced
+    aliases through every intervening Project — a filter on a derived
+    column (e.g. a quality score over normalized text) gets its ENTIRE
+    defining expression tree inlined and pushed below any
+    ``repartition()``, where it runs on the raw (often single-split) scan
+    partitioning and re-evaluates shared subexpressions once per
+    reference.  A Generate (here: ``explode`` of a one-element array of a
+    struct) is a substitution barrier — predicates and projections that
+    reference its output cannot be rewritten past it, so every expression
+    in ``cols`` is evaluated exactly once per row, exactly where the
+    barrier sits in the plan (i.e. AFTER any repartition below it).
+
+    Same trick as the IVF cluster assignment
+    (operators/similarity.py: ``posexplode`` Generate); this is the
+    column-generic version."""
+    packed = F.explode(
+        F.array(F.struct(*[c.alias(k) for k, c in cols.items()]))
+    )
+    tmp = df.select("*", packed.alias("_barrier"))
+    return tmp.select(
+        "*", *[F.col("_barrier")[k].alias(k) for k in cols]
+    ).drop("_barrier")

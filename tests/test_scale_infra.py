@@ -89,3 +89,38 @@ def test_salted_distinct_count_equals_countdistinct(spark):
         for r in salted_distinct_count(df, ["k"], "v").collect()
     }
     assert got == want
+
+
+def test_compute_behind_barrier_blocks_predicate_substitution(spark):
+    """A filter on a barrier-computed column must not get its defining
+    expression inlined and pushed below a repartition: the expensive
+    producer (regexp_replace here) appears exactly once in the optimized
+    plan, and values are unchanged."""
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"word{i} " * (i % 5 + 1)) for i in range(100)],
+        "id long, text string",
+    )
+    expensive = F.length(F.regexp_replace(F.col("text"), r"\s+", " "))
+    naive = (
+        df.repartition(8)
+        .select("id", expensive.alias("n"))
+        .where(F.col("n") > 10)
+    )
+    barriered = (
+        compute_behind_barrier(df.repartition(8), {"n": expensive})
+        .where(F.col("n") > 10)
+        .select("id", "n")
+    )
+    naive_plan = naive._jdf.queryExecution().optimizedPlan().toString()
+    barrier_plan = barriered._jdf.queryExecution().optimizedPlan().toString()
+    # without the barrier the producer is substituted into the filter too
+    assert naive_plan.count("regexp_replace") == 2
+    assert barrier_plan.count("regexp_replace") == 1
+    assert "Generate" in barrier_plan
+    got = {(r["id"], r["n"]) for r in barriered.collect()}
+    want = {(r["id"], r["n"]) for r in naive.collect()}
+    assert got == want and len(got) > 0
