@@ -24,7 +24,7 @@ instead of O(n²).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from qualityassurancetool_spark.flags import (
@@ -138,6 +138,113 @@ def _materialize_once(df: DataFrame, enabled: bool) -> DataFrame:
     return df.localCheckpoint(eager=False) if enabled else df
 
 
+def asof_nearest_context(
+    df: DataFrame,
+    is_candidate,
+    tolerance: str | float,
+    payload_cols: list[str],
+    ts_col: str = "phenomenon_time",
+    id_col: str = "iot_id",
+    out_col: str = "_asof",
+    bucket: str | float | None = None,
+) -> DataFrame:
+    """Single-pass window-strategy as-of: annotate EVERY row of ``df`` with
+    the nearest row satisfying ``is_candidate`` within ``tolerance``
+    (struct of ``payload_cols`` in ``out_col``; null when no candidate).
+
+    Where :func:`asof_nearest_join` splits the input into branches and
+    joins (re-executing the upstream plan once per branch), this keeps the
+    table in ONE flow: rows are hashed into fixed time buckets, candidate
+    rows are replicated into the neighbor buckets whose rows may need them
+    as context (halo bounded by the tolerance — replication factor
+    1 + 2*tol/bucket), and within each bucket two RANGE-frame window
+    aggregates pick the nearest candidate on each side:
+
+      prev = max(struct(ts, -id, payload))  over range [-tol, 0]
+      next = min(struct(ts,  id, payload))  over range [0, +tol]
+
+    min/max over the struct encode the tie order (|Δt|, then smaller
+    candidate ts, then smaller id) exactly as :func:`asof_nearest_join`'s
+    ordering fields; the cross-side compare prefers ``prev`` on equal |Δt|
+    (the smaller timestamp).  One shuffle on (bucket), no join, no branch
+    re-execution — at 100 TB the upstream chain is read and shuffled once
+    instead of three times.  Parallelism = number of buckets (time-uniform
+    by construction), vs. the join strategy's 3-way bucket explode.
+
+    Reference semantics: ``qc_dependent_quantity_base``
+    (/root/reference/src/main.py:464-470) — nearest within ±tolerance.
+    """
+    tol_us = int(parse_timedelta_seconds(tolerance) * 1_000_000)
+    if tol_us <= 0:
+        raise ValueError("tolerance must be positive")
+    bucket_us = (
+        int(parse_timedelta_seconds(bucket) * 1_000_000)
+        if bucket is not None
+        else 8 * tol_us
+    )
+
+    in_cols = df.columns
+    t = epoch_micros(ts_col)
+    cand = F.when(is_candidate, F.lit(True)).otherwise(F.lit(False))
+    # candidate at time t is context for rows in [t-tol, t+tol]; native
+    # bucket must come FIRST in the sequence only by value, so compute
+    # explicitly: non-candidates stay native-only.
+    b_native = F.floor(F.col("_t_us") / F.lit(bucket_us))
+    b_lo = F.floor((F.col("_t_us") - F.lit(tol_us)) / F.lit(bucket_us))
+    b_hi = F.floor((F.col("_t_us") + F.lit(tol_us)) / F.lit(bucket_us))
+    exploded = (
+        df.withColumn("_t_us", t)
+        .withColumn("_is_cand", cand)
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.when(F.col("_is_cand"), F.sequence(b_lo, b_hi)).otherwise(
+                    F.array(b_native)
+                )
+            ),
+        )
+        .withColumn("_native", b_native == F.col("_bucket"))
+    )
+
+    neg_id = (-F.col(id_col)).cast("long").alias("_tie")
+    pos_id = F.col(id_col).cast("long").alias("_tie")
+    payload = [F.col(c).alias(f"_p_{c}") for c in payload_cols]
+    prev_s = F.when(
+        F.col("_is_cand"), F.struct(F.col("_t_us").alias("_ts"), neg_id, *payload)
+    )
+    next_s = F.when(
+        F.col("_is_cand"), F.struct(F.col("_t_us").alias("_ts"), pos_id, *payload)
+    )
+    w = Window.partitionBy("_bucket").orderBy("_t_us")
+    prev = F.max(prev_s).over(w.rangeBetween(-tol_us, 0))
+    nxt = F.min(next_s).over(w.rangeBetween(0, tol_us))
+
+    # windows run over native rows AND halo copies; only then drop copies
+    annotated = exploded.select(
+        *in_cols,
+        "_native",
+        F.col("_t_us").alias("_row_us"),
+        prev.alias("_prev"),
+        nxt.alias("_next"),
+    ).where(F.col("_native")).drop("_native")
+    prev_dt = F.col("_row_us") - F.col("_prev._ts")
+    next_dt = F.col("_next._ts") - F.col("_row_us")
+    best = F.when(
+        F.col("_prev").isNotNull()
+        & (F.col("_next").isNull() | (prev_dt <= next_dt)),
+        F.col("_prev"),
+    ).otherwise(F.col("_next"))
+    out_fields = F.struct(
+        F.col("_best._ts").alias("ts_us"),
+        *[F.col(f"_best._p_{c}").alias(c) for c in payload_cols],
+    )
+    return (
+        annotated.withColumn("_best", best)
+        .withColumn(out_col, F.when(F.col("_best").isNotNull(), out_fields))
+        .select(*in_cols, out_col)
+    )
+
+
 def qc_dependent_quantity_base(
     df: DataFrame,
     independent,
@@ -148,11 +255,44 @@ def qc_dependent_quantity_base(
     flag_col: str = "qc_flag",
     flag_when_missing: int | None = None,
     materialize: bool = False,
+    strategy: str = "join",
 ) -> DataFrame:
     """Directly-linked flags: dependent inherits the time-matched
     independent's flag (severity-merge).  Returns ``df`` with the dependent
     stream's flags updated; all other rows pass through unchanged.  See
-    :func:`_materialize_once` for when to set ``materialize``."""
+    :func:`_materialize_once` for when to set ``materialize``.
+
+    ``strategy="window"`` uses the single-pass
+    :func:`asof_nearest_context` (one consumer of ``df``, no branch
+    re-execution) — preferred when ``df`` is itself an expensive chain;
+    ``"join"`` keeps the bucketed-join formulation (preferred when the
+    dependent stream is a small slice of a cheap scan, where filtering
+    first avoids windowing the whole table)."""
+    if strategy == "window":
+        is_ind = F.col(stream_col) == F.lit(independent)
+        ann = asof_nearest_context(
+            df,
+            is_candidate=is_ind,
+            tolerance=dt_tolerance,
+            payload_cols=[flag_col],
+            ts_col=ts_col,
+        )
+        ind_flag = F.col(f"_asof.{flag_col}")
+        new_flag = flag_merge(F.col(flag_col), ind_flag)
+        if flag_when_missing is not None:
+            new_flag = F.when(
+                ind_flag.isNull(),
+                flag_merge(
+                    F.col(flag_col),
+                    F.lit(int(flag_when_missing)).cast("tinyint"),
+                ),
+            ).otherwise(new_flag)
+        return ann.withColumn(
+            flag_col,
+            F.when(
+                F.col(stream_col) == F.lit(dependent), new_flag
+            ).otherwise(F.col(flag_col)),
+        ).drop("_asof")
     df = _materialize_once(df, materialize)
     dep_rows = df.where(F.col(stream_col) == F.lit(dependent))
     ind_rows = df.where(F.col(stream_col) == F.lit(independent)).select(
@@ -189,11 +329,36 @@ def qc_dependent_quantity_secondary(
     flag_col: str = "qc_flag",
     value_col: str = "result",
     materialize: bool = False,
+    strategy: str = "join",
 ) -> DataFrame:
     """Value-linked check: matched independent's value outside ``range_``
     (strict bounds, like the range check) ⇒ dependent flagged BAD.  See
-    :func:`_materialize_once` for when to set ``materialize``."""
+    :func:`_materialize_once` for when to set ``materialize`` and
+    :func:`qc_dependent_quantity_base` for the strategy choice."""
     lo, hi = range_
+    if strategy == "window":
+        is_ind = F.col(stream_col) == F.lit(independent)
+        ann = asof_nearest_context(
+            df,
+            is_candidate=is_ind,
+            tolerance=dt_tolerance,
+            payload_cols=[value_col],
+            ts_col=ts_col,
+        )
+        ind_val = F.col(f"_asof.{value_col}")
+        bad = ~((ind_val > F.lit(lo)) & (ind_val < F.lit(hi)))
+        new_flag = F.when(
+            ind_val.isNotNull() & bad,
+            flag_merge(
+                F.col(flag_col), F.lit(int(QualityFlags.BAD)).cast("tinyint")
+            ),
+        ).otherwise(F.col(flag_col))
+        return ann.withColumn(
+            flag_col,
+            F.when(
+                F.col(stream_col) == F.lit(dependent), new_flag
+            ).otherwise(F.col(flag_col)),
+        ).drop("_asof")
     df = _materialize_once(df, materialize)
     dep_rows = df.where(F.col(stream_col) == F.lit(dependent))
     ind_rows = df.where(F.col(stream_col) == F.lit(independent)).select(

@@ -166,6 +166,10 @@ def _check_dependent(
     )
 
     materialize = getattr(cfg, "asof_materialize", False)
+    # the chain input here is the whole upstream check DAG — the one-pass
+    # window strategy keeps a single consumer of it (see
+    # operators/asof.asof_nearest_context); "join" re-executes it 3x
+    strategy = getattr(cfg, "asof_strategy", "window")
     for dep in cfg.dependents:
         df = qc_dependent_quantity_base(
             df,
@@ -175,6 +179,7 @@ def _check_dependent(
             stream_col=stream_col,
             flag_when_missing=dep.flag_when_missing,
             materialize=materialize,
+            strategy=strategy,
         )
         if dep.qc_range is not None:
             df = qc_dependent_quantity_secondary(
@@ -185,6 +190,7 @@ def _check_dependent(
                 dt_tolerance=dep.dt_tolerance,
                 stream_col=stream_col,
                 materialize=materialize,
+                strategy=strategy,
             )
     return df
 

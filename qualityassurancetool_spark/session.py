@@ -40,5 +40,12 @@ def get_spark(app_name: str = "qualityassurancetool-spark") -> SparkSession:
         # QC chains. This is an engine, not a notebook: trade the enriched
         # error call-sites for build throughput.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # static conf, read once at first-session creation: the generated-
+        # class cache defaults to 100 entries; a full query-suite pass
+        # produces several hundred codegen units, so structurally-shared
+        # stages (same text-analysis or scan subplans across queries) get
+        # LRU-evicted and Janino-recompiled. Classes are weakly referenced
+        # — a bigger cache costs only metadata.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     return builder.getOrCreate()

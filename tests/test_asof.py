@@ -167,3 +167,83 @@ def test_materialize_flag_is_result_identical(spark):
         ckpt, independent=0, dependent=1, range_=(0.5, 3.5),
         materialize=True)
     assert sorted(plain2.collect(), key=key) == sorted(ckpt2.collect(), key=key)
+
+
+# ---- window-strategy (single-pass) as-of ----------------------------------
+
+
+@pytest.mark.parametrize("strategy", ["join", "window"])
+@pytest.mark.parametrize("fwm", [None, 2])
+def test_strategy_matrix_identical(spark, strategy, fwm):
+    df = two_streams(spark, flags={2: 4, 8: 3})
+    out = qc_dependent_quantity_base(
+        df, independent=0, dependent=1, flag_when_missing=fwm,
+        strategy=strategy,
+    )
+    base = qc_dependent_quantity_base(
+        df, independent=0, dependent=1, flag_when_missing=fwm,
+    )
+    key = lambda r: r["iot_id"]
+    assert sorted(out.collect(), key=key) == sorted(base.collect(), key=key)
+
+
+def test_window_strategy_equidistant_tie_prefers_earlier(spark):
+    from pyspark.sql import functions as F
+    from qualityassurancetool_spark.operators.asof import asof_nearest_context
+
+    # dependent row at t=10; candidates at t=8 and t=12 (both |dt|=2):
+    # earlier timestamp must win, matching asof_nearest_join's ordering
+    rows = [
+        (1, 0.0, ts(8), 4, 0),
+        (2, 0.0, ts(12), 3, 0),
+        (3, 0.0, ts(10), 1, 1),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    ann = asof_nearest_context(
+        df, is_candidate=F.col("datastream_id") == 0, tolerance="5s",
+        payload_cols=["qc_flag"],
+    )
+    got = {r["iot_id"]: r["_asof"] for r in ann.collect()}
+    assert got[3]["qc_flag"] == 4  # t=8 candidate, not t=12
+
+
+def test_window_strategy_same_ts_tie_prefers_smaller_id(spark):
+    from pyspark.sql import functions as F
+    from qualityassurancetool_spark.operators.asof import asof_nearest_context
+
+    rows = [
+        (7, 0.0, ts(9), 4, 0),
+        (5, 0.0, ts(9), 3, 0),   # same instant, smaller id wins
+        (9, 0.0, ts(10), 1, 1),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    ann = asof_nearest_context(
+        df, is_candidate=F.col("datastream_id") == 0, tolerance="5s",
+        payload_cols=["qc_flag"],
+    )
+    got = {r["iot_id"]: r["_asof"] for r in ann.collect()}
+    assert got[9]["qc_flag"] == 3
+
+
+def test_window_strategy_halo_across_bucket_edges(spark):
+    from pyspark.sql import functions as F
+    from qualityassurancetool_spark.operators.asof import asof_nearest_context
+
+    # tiny bucket (== tolerance) forces every match to cross a bucket
+    # boundary; nearest must still be found on both sides
+    rows = [
+        (1, 0.0, ts(0.4), 4, 0),
+        (2, 0.0, ts(3.6), 3, 0),
+        (10, 0.0, ts(1.1), 1, 1),   # nearest: t=0.4 (dt 0.7) vs 3.6 (2.5)
+        (11, 0.0, ts(2.9), 1, 1),   # nearest: t=3.6 (dt 0.7) vs 0.4 (2.5)
+        (12, 0.0, ts(9.0), 1, 1),   # nothing within 1s
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    ann = asof_nearest_context(
+        df, is_candidate=F.col("datastream_id") == 0, tolerance="1s",
+        payload_cols=["qc_flag"], bucket="1s",
+    )
+    got = {r["iot_id"]: r["_asof"] for r in ann.collect()}
+    assert got[10]["qc_flag"] == 4
+    assert got[11]["qc_flag"] == 3
+    assert got[12] is None

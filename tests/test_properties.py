@@ -196,3 +196,45 @@ def test_sessionize_matches_python_model(spark, events, gap):
             model[i] = (u, sess)
             prev = s
     assert got == model
+
+
+@SLOW
+@given(
+    st.lists(st.integers(0, 30_000_000), min_size=1, max_size=25),
+    st.lists(st.integers(0, 30_000_000), min_size=0, max_size=25, unique=True),
+    st.sampled_from([500_000, 1_000_000, 3_000_000]),
+)
+def test_asof_window_strategy_matches_bruteforce_model(
+    spark, dep_us, ind_us, tol_us
+):
+    """Single-pass window as-of == the same brute-force model as the join
+    strategy, with a bucket equal to the tolerance (maximal halo
+    traffic)."""
+    from qualityassurancetool_spark.operators.asof import asof_nearest_context
+
+    rows = [
+        (i, EPOCH + dt.timedelta(microseconds=t), 1)
+        for i, t in enumerate(dep_us)
+    ] + [
+        (100 + j, EPOCH + dt.timedelta(microseconds=t), 0)
+        for j, t in enumerate(ind_us)
+    ]
+    df = spark.createDataFrame(
+        rows, "iot_id int, phenomenon_time timestamp, datastream_id int"
+    )
+    ann = asof_nearest_context(
+        df,
+        is_candidate=F.col("datastream_id") == 0,
+        tolerance=tol_us / 1e6,
+        payload_cols=["iot_id"],
+        bucket=tol_us / 1e6,
+    )
+    got = {
+        r["iot_id"]: (None if r["_asof"] is None else r["_asof"]["iot_id"])
+        for r in ann.collect()
+        if r["datastream_id"] == 1
+    }
+    want = _model_asof(
+        dep_us, [(100 + j, t) for j, t in enumerate(ind_us)], tol_us
+    )
+    assert got == {i: want[i] for i in range(len(dep_us))}
