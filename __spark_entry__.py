@@ -146,44 +146,52 @@ ORDER BY iot_id
 
 
 def q_qc_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6: rolling 60-min trailing z-score per stream."""
-    obs = _obs(spark, sf_dir)
-    z = calc_zscore(
-        obs, group_col="observation_type", rolling_time_window="60min"
-    )
-    return z.select("iot_id", F.round("zscore", 6).alias("zscore_r")).orderBy(
-        "iot_id"
-    )
-
-
-SQL_QC_ZSCORE = EVENTS_CTE + f"""
-SELECT iot_id,
-       round({zscore_sql('result', 't_us', 'observation_type', 3600.0)}, 6) AS zscore_r
-FROM obs
-ORDER BY iot_id
-"""
-
-
-def q_qc_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6 scale path: identical rolling z-score via bucketed-overlap (halo)
-    groups — parallelism streams x time-buckets instead of streams, the
-    100 TB answer to low stream cardinality.  Shares the window z-score's
-    oracle: both physical strategies must hash-match the same SQL."""
+    """W6 + A7: rolling 60-min trailing z-score per stream, computed by
+    BOTH physical strategies — the pure RANGE-frame window expression
+    ('window' variant) and the bucketed-overlap halo-group scale path
+    ('bucketed' variant, streams x time-buckets parallelism — the 100 TB
+    answer to low stream cardinality).  One driver-graded query verifies
+    both implementations against the same oracle (the oracle emits each
+    row twice, once per variant tag)."""
     from qualityassurancetool_spark.operators.partitioned_windows import (
         calc_zscore_bucketed,
     )
 
+    obs = _obs(spark, sf_dir)
+    zw = calc_zscore(
+        obs, group_col="observation_type", rolling_time_window="60min"
+    ).select(
+        F.lit("window").alias("variant"),
+        "iot_id",
+        F.round("zscore", 6).alias("zscore_r"),
+    )
     # project before bucketing: every column crosses the Arrow boundary
     # twice, so ship only what the kernel and the output need
-    obs = _obs(spark, sf_dir).select(
+    obs_slim = _obs(spark, sf_dir).select(
         "iot_id", "observation_type", "phenomenon_time", "result"
     )
-    z = calc_zscore_bucketed(
-        obs, group_col="observation_type", rolling_time_window="60min"
+    zb = calc_zscore_bucketed(
+        obs_slim, group_col="observation_type", rolling_time_window="60min"
+    ).select(
+        F.lit("bucketed").alias("variant"),
+        "iot_id",
+        F.round("zscore", 6).alias("zscore_r"),
     )
-    return z.select("iot_id", F.round("zscore", 6).alias("zscore_r")).orderBy(
-        "iot_id"
-    )
+    return zw.unionByName(zb).orderBy("variant", "iot_id")
+
+
+SQL_QC_ZSCORE = EVENTS_CTE + f"""
+, z AS (
+    SELECT iot_id,
+           round({zscore_sql('result', 't_us', 'observation_type', 3600.0)}, 6)
+               AS zscore_r
+    FROM obs
+)
+SELECT 'bucketed' AS variant, iot_id, zscore_r FROM z
+UNION ALL
+SELECT 'window' AS variant, iot_id, zscore_r FROM z
+ORDER BY variant, iot_id
+"""
 
 
 GRAD_THRESHOLDS: dict[str, tuple[float, float]] = {
@@ -483,7 +491,8 @@ def q_qc_flag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QC_FLAG_HISTOGRAM = (
     "WITH sub AS (" + SQL_QC_RANGE_FLAGS + ")\n"
-    "SELECT flag, SUM(n) AS n_total FROM sub GROUP BY flag ORDER BY flag"
+    "SELECT flag, CAST(SUM(n) AS BIGINT) AS n_total FROM sub"
+    " GROUP BY flag ORDER BY flag"
 )
 
 
@@ -601,49 +610,45 @@ FROM accel ORDER BY iot_id
 
 def q_qc_spatial_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5: exact rolling median lat/long over a centered 10-min window per
-    stream + distance-to-median."""
+    stream + distance-to-median, computed by BOTH physical strategies —
+    the exact ``percentile`` RANGE-frame window ('window' variant) and the
+    bucketed-overlap halo-group scale path ('bucketed' variant).  One
+    driver-graded query verifies both against the same oracle."""
     from qualityassurancetool_spark.operators.spatial_outlier import (
         with_median_track,
     )
-
-    obs = _obs(spark, sf_dir)
-    m = with_median_track(
-        obs, time_window="10min", partition_cols=["observation_type"]
-    )
-    dist = haversine_m(
-        F.col("median_lat"), F.col("median_long"), F.col("lat"), F.col("long")
-    )
-    return m.select(
-        "iot_id",
-        F.round("median_lat", 6).alias("med_lat_r"),
-        F.round("median_long", 6).alias("med_long_r"),
-        F.round(dist, 4).alias("dist_r"),
-    ).orderBy("iot_id")
-
-
-def q_qc_spatial_outlier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5 scale path: same centered exact-median track via bucketed-overlap
-    halo groups (streams x buckets parallelism) — shares the window
-    implementation's oracle."""
     from qualityassurancetool_spark.operators.partitioned_windows import (
         median_track_bucketed,
     )
 
-    obs = _obs(spark, sf_dir).select(
-        "iot_id", "observation_type", "phenomenon_time", "lat", "long"
-    )
-    m = median_track_bucketed(
+    def _out(m: DataFrame, tag: str) -> DataFrame:
+        dist = haversine_m(
+            F.col("median_lat"),
+            F.col("median_long"),
+            F.col("lat"),
+            F.col("long"),
+        )
+        return m.select(
+            F.lit(tag).alias("variant"),
+            "iot_id",
+            F.round("median_lat", 6).alias("med_lat_r"),
+            F.round("median_long", 6).alias("med_long_r"),
+            F.round(dist, 4).alias("dist_r"),
+        )
+
+    obs = _obs(spark, sf_dir)
+    mw = with_median_track(
         obs, time_window="10min", partition_cols=["observation_type"]
     )
-    dist = haversine_m(
-        F.col("median_lat"), F.col("median_long"), F.col("lat"), F.col("long")
+    obs_slim = _obs(spark, sf_dir).select(
+        "iot_id", "observation_type", "phenomenon_time", "lat", "long"
     )
-    return m.select(
-        "iot_id",
-        F.round("median_lat", 6).alias("med_lat_r"),
-        F.round("median_long", 6).alias("med_long_r"),
-        F.round(dist, 4).alias("dist_r"),
-    ).orderBy("iot_id")
+    mb = median_track_bucketed(
+        obs_slim, time_window="10min", partition_cols=["observation_type"]
+    )
+    return _out(mw, "window").unionByName(_out(mb, "bucketed")).orderBy(
+        "variant", "iot_id"
+    )
 
 
 _MED_W = (
@@ -656,11 +661,17 @@ SQL_QC_SPATIAL_OUTLIER = EVENTS_CTE + f"""
            median(lat) {_MED_W} AS median_lat,
            median(long) {_MED_W} AS median_long
     FROM obs
+), outlier AS (
+    SELECT iot_id, round(median_lat, 6) AS med_lat_r,
+           round(median_long, 6) AS med_long_r,
+           round({haversine_sql('median_lat', 'median_long', 'lat', 'long')}, 4)
+               AS dist_r
+    FROM med
 )
-SELECT iot_id, round(median_lat, 6) AS med_lat_r,
-       round(median_long, 6) AS med_long_r,
-       round({haversine_sql('median_lat', 'median_long', 'lat', 'long')}, 4) AS dist_r
-FROM med ORDER BY iot_id
+SELECT 'bucketed' AS variant, * FROM outlier
+UNION ALL
+SELECT 'window' AS variant, * FROM outlier
+ORDER BY variant, iot_id
 """
 
 
@@ -728,7 +739,7 @@ SQL_QC_STABILIZATION = EVENTS_CTE + f"""
            csum - last_value(CASE WHEN rn = 1 THEN 0.0
                                   WHEN time_down > max_allowed_downtime THEN csum END
                              IGNORE NULLS) {_STAB_WC} AS time_up_since,
-           SUM(chg) {_STAB_WC} AS block_id
+           CAST(SUM(chg) {_STAB_WC} AS BIGINT) AS block_id
     FROM s3
 ), s5 AS (
     SELECT *,
@@ -1147,8 +1158,9 @@ def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOPK_ORDERS_PER_SEGMENT = """
 SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
     SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
-           row_number() OVER (PARTITION BY c.c_mktsegment
-                              ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+           CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+               AS INTEGER) AS rk
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 ) WHERE rk <= 3
 ORDER BY c_mktsegment, rk
@@ -1249,8 +1261,10 @@ def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_PROFILE = """
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_value,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_props,
        COUNT(DISTINCT user_id) AS distinct_users,
        COUNT(DISTINCT event_type) AS distinct_types,
        MIN(event_id) AS min_id,
@@ -1596,7 +1610,11 @@ FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID + token stats + quality score + fingerprint per doc."""
+    """Language-ID + token stats + quality score + fingerprint per doc,
+    plus the BPE-ish regex token count (runs + punctuation marks,
+    identical RE2/Java semantics both engines) and a rolling-hash document
+    fingerprint (min over md5-derived 3-gram shingle hashes — a 1-hash
+    MinHash, winnowing-style)."""
     from qualityassurancetool_spark.operators.text import (
         fingerprint,
         predict_lang,
@@ -1605,7 +1623,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_stats,
     )
 
-    from qualityassurancetool_spark.functions.hashing import normalize_text
+    from qualityassurancetool_spark.functions.hashing import (
+        md5_long,
+        normalize_text,
+        shingles,
+    )
     from qualityassurancetool_spark.functions.partitioning import (
         ensure_min_parallelism,
     )
@@ -1613,10 +1635,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     # normalized text materialized once; every counter reads the attribute
     withn = docs.select(
-        "doc_id", normalize_text(F.col("text")).alias("_norm")
+        "doc_id", F.col("text"), normalize_text(F.col("text")).alias("_norm")
     )
     n = F.col("_norm")
+    t = F.col("text")
     stats = word_stats(n, normalized=True)
+    fp_roll = F.array_min(
+        F.transform(shingles(t, 3), lambda s: md5_long(s, salt="fp:"))
+    )
     return withn.select(
         "doc_id",
         predict_lang(n, normalized=True).alias("predicted_lang"),
@@ -1624,6 +1650,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stats["avg_token_len"], 6).alias("avg_tok_len_r"),
         F.round(quality_score(n, normalized=True), 6).alias("quality_r"),
         fingerprint(n, normalized=True).alias("fingerprint"),
+        F.regexp_count(F.lower(t), F.lit(_BPE_PAT)).alias("bpe_tokens"),
+        fp_roll.alias("fp_rolling"),
     ).orderBy("doc_id")
 
 
@@ -1681,6 +1709,9 @@ def _ntok_quality_sql() -> tuple[str, str, str]:
     return n_tok, awl, quality
 
 
+_BPE_PAT = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
 def _text_stats_sql() -> str:
     norm = _NORM_SQL
     n_tok, awl, quality = _ntok_quality_sql()
@@ -1689,13 +1720,25 @@ def _text_stats_sql() -> str:
         f"string_split({norm}, ' '))), ' '))"
     )
     return f"""
+WITH toks AS (
+    SELECT doc_id, text, lower(text) AS lt,
+           string_split({norm}, ' ') AS tok
+    FROM documents
+)
 SELECT doc_id,
        {_lang_sql()} AS predicted_lang,
-       {n_tok} AS n_tokens,
+       CAST({n_tok} AS INTEGER) AS n_tokens,
        round({awl}, 6) AS avg_tok_len_r,
        round({quality}, 6) AS quality_r,
-       {fp} AS fingerprint
-FROM documents ORDER BY doc_id
+       {fp} AS fingerprint,
+       CAST(len(regexp_extract_all(lt, '{_BPE_PAT}')) AS INTEGER) AS bpe_tokens,
+       list_min(list_transform(
+           list_distinct(list_transform(
+               range(1, greatest(len(tok) - 2, 1) + 1),
+               i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))),
+           s -> CAST(concat('0x', substring(md5(concat('fp:', s)), 1, 15)) AS BIGINT)
+       )) AS fp_rolling
+FROM toks ORDER BY doc_id
 """
 
 
@@ -1790,8 +1833,8 @@ WITH analyzed AS (
 )
 SELECT m.predicted_lang AS predicted_lang,
        COUNT(*) AS n_docs_kept,
-       SUM(n_copies) AS n_docs_before_dedup,
-       SUM(m.n_tokens) AS total_tokens,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs_before_dedup,
+       CAST(SUM(m.n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(SUM(CAST(m.q AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE), 6)
            AS avg_quality_r
 FROM deduped
@@ -1850,51 +1893,11 @@ WITH per_doc AS (
 )
 SELECT predicted_lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(SUM(q) / COUNT(*) AS DOUBLE), 6) AS avg_quality_r
 FROM per_doc
 GROUP BY predicted_lang
 ORDER BY predicted_lang
-"""
-
-
-_BPE_PAT = r"[a-z0-9]+|[^a-z0-9\s]"
-
-
-def q_text_tokens_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text batch 2: BPE-ish regex token count (runs + punctuation marks,
-    identical RE2/Java semantics both engines) and a rolling-hash document
-    fingerprint (min over md5-derived 3-gram shingle hashes — a 1-hash
-    MinHash, winnowing-style)."""
-    from qualityassurancetool_spark.functions.hashing import md5_long, shingles
-
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    fp = F.array_min(
-        F.transform(shingles(t, 3), lambda s: md5_long(s, salt="fp:"))
-    )
-    return docs.select(
-        "doc_id",
-        F.regexp_count(F.lower(t), F.lit(_BPE_PAT)).alias("bpe_tokens"),
-        fp.alias("fp_rolling"),
-    ).orderBy("doc_id")
-
-
-SQL_TEXT_TOKENS_FP = f"""
-WITH toks AS (
-    SELECT doc_id, lower(text) AS lt,
-           string_split({_NORM_SQL}, ' ') AS tok
-    FROM documents
-)
-SELECT doc_id,
-       len(regexp_extract_all(lt, '{_BPE_PAT}')) AS bpe_tokens,
-       list_min(list_transform(
-           list_distinct(list_transform(
-               range(1, greatest(len(tok) - 2, 1) + 1),
-               i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))),
-           s -> CAST(concat('0x', substring(md5(concat('fp:', s)), 1, 15)) AS BIGINT)
-       )) AS fp_rolling
-FROM toks ORDER BY doc_id
 """
 
 
@@ -2088,7 +2091,8 @@ def q_nearest_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_NEAREST_LOOKUP = EVENTS_CTE + f"""
-, targets(target) AS (VALUES {", ".join(f"({t})" for t in _LOOKUP_TARGETS)})
+, targets(target) AS (
+    VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in _LOOKUP_TARGETS)})
 , ranked AS (
     SELECT observation_type, target, iot_id, abs(result - target) AS ad,
            row_number() OVER (PARTITION BY observation_type, target
@@ -2356,7 +2360,7 @@ SQL_QC_DEPTH_FLAGS = EVENTS_CTE + f"""
                AS elevation
     FROM obs
 )
-SELECT iot_id, round(elevation, 6) AS elevation_r,
+SELECT iot_id, CAST(round(elevation, 6) AS DOUBLE) AS elevation_r,
        CAST({flag_merge_sql(
            'qc_flag', 'CASE WHEN elevation > 0 THEN 4 ELSE 0 END'
        )} AS INT) AS flag
@@ -2492,7 +2496,7 @@ WITH media AS (
                / (step * 255.0) AS REAL) AS DOUBLE), 6) AS f0_r
     FROM media
 )
-SELECT kind, COUNT(*) AS n_media, SUM(n_bytes) AS total_bytes,
+SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        CAST(SUM(CAST(f0_r AS DECIMAL(18,6))) AS DOUBLE) AS sum_f0_r
 FROM f0 GROUP BY kind ORDER BY kind
 """
@@ -2519,7 +2523,7 @@ WITH media AS (
     FROM documents WHERE doc_id % 3 = 2
 )
 SELECT media_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
-       round(f.frame_idx * 2.5, 6) AS frame_ts_r
+       round(f.frame_idx * CAST(2.5 AS DOUBLE), 6) AS frame_ts_r
 FROM media, unnest(range(greatest(CAST(ceil(duration_s / 2.5) AS BIGINT), 1)))
      AS f(frame_idx)
 ORDER BY media_id, frame_idx
@@ -2543,7 +2547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_range_flags": q_qc_range_flags,
         "qc_gradient": q_qc_gradient,
         "qc_zscore": q_qc_zscore,
-        "qc_zscore_bucketed": q_qc_zscore_bucketed,
         "qc_full_pipeline": q_qc_full_pipeline,
         "qc_reference_chain": q_qc_reference_chain,
         "qc_flag_histogram": q_qc_flag_histogram,
@@ -2551,7 +2554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_asof_dependent": q_qc_asof_dependent,
         "qc_velocity": q_qc_velocity,
         "qc_spatial_outlier": q_qc_spatial_outlier,
-        "qc_spatial_outlier_bucketed": q_qc_spatial_outlier_bucketed,
         "qc_stabilization": q_qc_stabilization,
         "pivot_export": q_pivot_export,
         "unpivot_roundtrip": q_unpivot_roundtrip,
@@ -2579,7 +2581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_quality_rollup": q_lang_quality_rollup,
         "curation_pipeline": q_curation_pipeline,
-        "text_tokens_fp": q_text_tokens_fp,
         "sim_topk": q_sim_topk,
         "embedding_stats": q_embedding_stats,
         "qc_region_flags": q_qc_region_flags,
@@ -2601,7 +2602,6 @@ def oracle_sql() -> dict[str, str]:
         "qc_range_flags": SQL_QC_RANGE_FLAGS,
         "qc_gradient": SQL_QC_GRADIENT,
         "qc_zscore": SQL_QC_ZSCORE,
-        "qc_zscore_bucketed": SQL_QC_ZSCORE,
         "qc_full_pipeline": SQL_QC_FULL_PIPELINE,
         "qc_reference_chain": _sql_qc_reference_chain(),
         "qc_flag_histogram": SQL_QC_FLAG_HISTOGRAM,
@@ -2609,7 +2609,6 @@ def oracle_sql() -> dict[str, str]:
         "qc_asof_dependent": SQL_QC_ASOF_DEPENDENT,
         "qc_velocity": SQL_QC_VELOCITY,
         "qc_spatial_outlier": SQL_QC_SPATIAL_OUTLIER,
-        "qc_spatial_outlier_bucketed": SQL_QC_SPATIAL_OUTLIER,
         "qc_stabilization": SQL_QC_STABILIZATION,
         "pivot_export": SQL_PIVOT_EXPORT,
         "unpivot_roundtrip": SQL_UNPIVOT_ROUNDTRIP,
@@ -2637,7 +2636,6 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "lang_quality_rollup": _sql_lang_quality_rollup(),
         "curation_pipeline": _sql_curation_pipeline(),
-        "text_tokens_fp": SQL_TEXT_TOKENS_FP,
         "sim_topk": SQL_SIM_TOPK,
         "embedding_stats": SQL_EMBEDDING_STATS,
         "qc_region_flags": SQL_QC_REGION_FLAGS,

@@ -23,7 +23,6 @@ BENCH_QUERIES = [
     "qc_range_flags",
     "qc_gradient",
     "qc_zscore",
-    "qc_zscore_bucketed",
     "qc_asof_dependent",
     "qc_depth_flags",
     "qc_spatial_outlier",

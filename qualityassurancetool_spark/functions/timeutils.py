@@ -7,14 +7,37 @@ agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ensure_timestamp(df: DataFrame, col_name: str) -> DataFrame:
+    """Cast ``col_name`` from TIMESTAMP_NTZ to TIMESTAMP if needed.
+
+    Parquet without tz metadata reads as NTZ under Spark 4; watermarks and
+    ``unix_micros`` require TIMESTAMP.  Under the UTC session timezone the
+    cast is value-exact.  Returns the frame unchanged when the column is
+    already TIMESTAMP (or absent), so it is safe to call unconditionally.
+    Works on both batch and streaming frames.
+    """
+    for f_ in df.schema.fields:
+        if f_.name == col_name and isinstance(f_.dataType, T.TimestampNTZType):
+            return df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    return df
 
 
 def epoch_micros(ts: Column | str) -> Column:
-    """Timestamp → integer epoch microseconds (exact; frame-friendly)."""
+    """Timestamp → integer epoch microseconds (exact; frame-friendly).
+
+    The input is cast to ``TIMESTAMP`` first: parquet files without tz
+    metadata surface as ``TIMESTAMP_NTZ`` under Spark 4, and
+    ``unix_micros`` rejects NTZ.  With a UTC session timezone the cast is
+    value-exact, and for already-``TIMESTAMP`` inputs Catalyst removes the
+    no-op cast, so this costs nothing in the plan.
+    """
     c = F.col(ts) if isinstance(ts, str) else ts
-    return F.unix_micros(c)
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def epoch_seconds(ts: Column | str) -> Column:

@@ -69,6 +69,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif f_.name == "ts" and isinstance(f_.dataType, T.TimestampNTZType):
+            # µs-precision parquet without tz metadata reads as TIMESTAMP_NTZ
+            # on some sessions; unix_micros/withWatermark reject NTZ.  The
+            # session timezone is UTC, so the cast is value-exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -27,7 +27,10 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qualityassurancetool_spark.functions.timeutils import parse_timedelta_seconds
+from qualityassurancetool_spark.functions.timeutils import (
+    ensure_timestamp,
+    parse_timedelta_seconds,
+)
 
 
 def iter_windows(
@@ -88,6 +91,7 @@ def streaming_qc(
     """Structured Streaming variant: same column-level checks, late data
     bounded by the watermark (the overlap analog).  Caller attaches the
     sink (``writeStream.foreachBatch(upsert)`` for re-flag semantics)."""
+    stream = ensure_timestamp(stream, ts_col)
     return qc_fn(stream.withWatermark(ts_col, watermark))
 
 
@@ -134,6 +138,7 @@ def streaming_session_stats(
     State is bounded by (active entities x open sessions); the batch twin
     is ``operators.sessionize`` (same gap semantics: a gap strictly
     greater than ``gap`` splits)."""
+    stream = ensure_timestamp(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
@@ -159,6 +164,7 @@ def tumbling_flag_rollup(
 ) -> DataFrame:
     """Windowed flag histogram as a streaming aggregate — the streaming
     analog of the reference's per-run flag counts."""
+    stream = ensure_timestamp(stream, ts_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(

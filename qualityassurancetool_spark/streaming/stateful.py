@@ -91,6 +91,9 @@ def streaming_dedup(
     every run — ``crontab/env_qc_settings:2`` — so the landed stream
     contains duplicates by design; this bounds the dedup state instead of
     keeping all history)."""
+    from qualityassurancetool_spark.functions.timeutils import ensure_timestamp
+
+    stream = ensure_timestamp(stream, ts_col)
     return stream.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
         id_cols
     )

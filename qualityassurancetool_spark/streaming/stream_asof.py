@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from qualityassurancetool_spark.functions.timeutils import (
+    ensure_timestamp,
     parse_timedelta_seconds,
 )
 
@@ -60,7 +61,8 @@ def stream_asof_nearest(
 
     tol_us = int(tol_s * 1_000_000)
     d = (
-        dep_stream.select(
+        ensure_timestamp(dep_stream, dep_ts)
+        .select(
             F.col(dep_id).alias("_dep_id"),
             F.col(dep_ts).alias("_dep_ts"),
         )
@@ -73,7 +75,8 @@ def stream_asof_nearest(
         .drop("_b0")
     )
     i = (
-        ind_stream.select(
+        ensure_timestamp(ind_stream, ind_ts)
+        .select(
             F.col(ind_id).alias("_ind_id"),
             F.col(ind_ts).alias("_ind_ts"),
             *[F.col(c).alias(f"ind_{c}") for c in payload],

@@ -56,6 +56,46 @@ def frame_to_multiset(cols, rows):
     return sorted(out)
 
 
+def canon_spark_type(dt: str) -> str:
+    """Spark dtype string → canonical type tag comparable to DuckDB's."""
+    dt = dt.lower()
+    m = {
+        "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+        "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+        "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+        "binary": "bytes",
+    }
+    if dt in m:
+        return m[dt]
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    if dt.startswith("array<"):
+        return f"list<{canon_spark_type(dt[6:-1])}>"
+    return dt
+
+
+def canon_duck_type(dt: str) -> str:
+    """DuckDB DESCRIBE column_type → the same canonical tags.  HUGEINT maps
+    to 'i128', which no Spark type produces — the round-1 SUM-promotion
+    hash bug surfaces as a type FAIL here before the driver sees it."""
+    dt = dt.upper()
+    m = {
+        "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+        "HUGEINT": "i128", "UTINYINT": "u8", "USMALLINT": "u16",
+        "UINTEGER": "u32", "UBIGINT": "u64", "FLOAT": "f32", "REAL": "f32",
+        "DOUBLE": "f64", "VARCHAR": "str", "BOOLEAN": "bool",
+        "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+        "TIMESTAMP_NS": "ts", "DATE": "date", "BLOB": "bytes",
+    }
+    if dt in m:
+        return m[dt]
+    if dt.startswith("DECIMAL"):
+        return dt.lower().replace(" ", "")
+    if dt.endswith("[]"):
+        return f"list<{canon_duck_type(dt[:-2])}>"
+    return dt.lower()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -93,6 +133,12 @@ def main() -> int:
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            duck_types = [
+                r[1]
+                for r in con.execute(
+                    f"DESCRIBE (SELECT * FROM ({oracles[name]}) _q)"
+                ).fetchall()
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__} {str(e)[:300]}")
             failures += 1
@@ -100,6 +146,12 @@ def main() -> int:
         problems = []
         if [c.lower() for c in spark_cols] != [c.lower() for c in duck_cols]:
             problems.append(f"cols spark={spark_cols} duck={duck_cols}")
+        else:
+            s_types = [canon_spark_type(t) for _, t in sdf.dtypes]
+            d_types = [canon_duck_type(t) for t in duck_types]
+            for c, st, dk in zip(spark_cols, s_types, d_types):
+                if st != dk:
+                    problems.append(f"type[{c}] spark={st} duck={dk}")
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         if not problems:
