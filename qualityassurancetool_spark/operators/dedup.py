@@ -429,15 +429,31 @@ def ngram_jaccard_pairs(
     length_col: str | None = "n_chars",
     length_bucket: int = 64,
     threshold: float = 0.5,
+    max_block_rows: int | None = 4096,
 ) -> DataFrame:
-    """Blocked all-pairs word-set Jaccard: candidate pairs share the block
-    key (e.g. language) and a coarse length bucket; near-identical lengths
-    are required for high Jaccard anyway, so the blocking is safe-ish and
-    bounds the quadratic blowup."""
+    """Blocked word-set Jaccard: candidate pairs share the block key (e.g.
+    language) and a coarse length bucket; near-identical lengths are
+    required for high Jaccard anyway, so the blocking is safe-ish and
+    bounds the quadratic blowup.
+
+    A block with more than ``max_block_rows`` rows (a "hot" block — e.g.
+    all short English docs at corpus scale) would still be O(n²) under the
+    all-pairs self-join, so oversized blocks switch to an **exact**
+    prefix-filter join (AllPairs/PPJoin family): under any global total
+    order over tokens, two sets with Jaccard ≥ t must share at least one
+    token among the first ``n − ⌈t·n⌉ + 1`` of their sorted distinct
+    tokens — so candidates come from an equi-join on (block, prefix
+    token), roughly ``(1−t)·n`` join rows per doc instead of pairing with
+    every block sibling.  Both paths verify with the same exact Jaccard,
+    so the capped output is IDENTICAL to the uncapped one (unlike a
+    MinHash fallback, which would be probabilistic) —
+    ``tests/test_scale_ops.py`` pins this equivalence on a hot block.
+    Set ``max_block_rows=None`` to disable the capped path.
+    """
     blocks = list(block_cols or [])
     sel = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(tokens(F.col(text_col))).alias("_toks"),
+        F.array_sort(F.array_distinct(tokens(F.col(text_col)))).alias("_toks"),
         *[F.col(c).alias(f"_blk_{c}") for c in blocks],
         *(
             [
@@ -448,19 +464,79 @@ def ngram_jaccard_pairs(
         ),
     )
     join_cond = [f"_blk_{c}" for c in blocks] + (["_lb"] if length_col else [])
-    a, b = sel.alias("a"), sel.alias("b")
-    cond = (F.col("a._id") < F.col("b._id"))
+
+    def _jaccard(a_toks, b_toks) -> Column:
+        return F.size(F.array_intersect(a_toks, b_toks)) / F.size(
+            F.array_union(a_toks, b_toks)
+        )
+
+    def _allpairs(frame: DataFrame) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        cond = F.col("a._id") < F.col("b._id")
+        for k in join_cond:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        return (
+            a.join(b, cond)
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                _jaccard(F.col("a._toks"), F.col("b._toks")).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+
+    if max_block_rows is None or not join_cond:
+        return _allpairs(sel)
+
+    # one tiny aggregation decides each block's physical strategy; the
+    # per-block count joins back on the block key (AQE broadcasts it)
+    counts = sel.groupBy(*join_cond).agg(F.count(F.lit(1)).alias("_blk_n"))
+    sel_n = sel.join(counts, join_cond)
+    small = _allpairs(sel_n.where(F.col("_blk_n") <= max_block_rows))
+
+    big = sel_n.where(F.col("_blk_n") > max_block_rows)
+    # prefix length for Jaccard ≥ t: overlap ≥ t·|a∪b| ≥ t·n, so a set
+    # sharing NO token in its first n − ⌈t·n⌉ + 1 sorted tokens with some
+    # other set cannot reach the threshold with it
+    n = F.size("_toks")
+    plen = F.greatest(
+        n - F.ceil(n * F.lit(float(threshold))).cast("int") + 1, F.lit(1)
+    )
+    pref = big.select(
+        "_id",
+        *join_cond,
+        F.explode(F.slice("_toks", 1, plen)).alias("_ptok"),
+    )
+    pa, pb = pref.alias("a"), pref.alias("b")
+    pcond = (F.col("a._id") < F.col("b._id")) & (
+        F.col("a._ptok") == F.col("b._ptok")
+    )
     for k in join_cond:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    return (
-        a.join(b, cond)
+        pcond = pcond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    cand = (
+        pa.join(pb, pcond)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    toks_by_id = big.select("_id", "_toks")
+    big_pairs = (
+        cand.join(
+            toks_by_id.withColumnRenamed("_id", "id_a").withColumnRenamed(
+                "_toks", "_toks_a"
+            ),
+            "id_a",
+        )
+        .join(
+            toks_by_id.withColumnRenamed("_id", "id_b").withColumnRenamed(
+                "_toks", "_toks_b"
+            ),
+            "id_b",
+        )
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            (
-                F.size(F.array_intersect("a._toks", "b._toks"))
-                / F.size(F.array_union("a._toks", "b._toks"))
-            ).alias("jaccard"),
+            "id_a",
+            "id_b",
+            _jaccard(F.col("_toks_a"), F.col("_toks_b")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return small.unionByName(big_pairs)

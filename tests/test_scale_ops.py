@@ -84,6 +84,46 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (0, 2) in got
 
 
+def test_ngram_jaccard_hot_block_cap_is_exact(spark):
+    """Oversized (lang, length-bucket) blocks switch to the prefix-filter
+    join; the capped path must return IDENTICAL pairs to uncapped
+    all-pairs — the cap is a physical strategy change, not a semantic
+    one."""
+    # one hot English block: 40 docs in the same length bucket, built from
+    # overlapping word windows so many pairs straddle the 0.5 threshold
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    rows = []
+    for i in range(40):
+        chunk = [words[(i + j) % len(words)] for j in range(8)]
+        rows.append((i, " ".join(chunk), "en", 50))
+    # plus a cold German block that must stay on the all-pairs path
+    rows += [
+        (100, "der schnelle braune fuchs springt", "de", 33),
+        (101, "der schnelle braune fuchs springt hoch", "de", 38),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+
+    def run(cap):
+        out = ngram_jaccard_pairs(
+            df,
+            block_cols=["lang"],
+            length_bucket=64,
+            threshold=0.5,
+            max_block_rows=cap,
+        ).collect()
+        return {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in out}
+
+    uncapped = run(None)
+    capped = run(8)  # forces the en block (40 > 8) onto the prefix path
+    assert capped == uncapped
+    assert (100, 101) in capped  # cold block still pairs
+    # sanity: the hot block actually produced threshold-passing pairs
+    assert any(a < 100 and b < 100 for a, b in capped)
+
+
 def test_brute_force_topk_matches_numpy(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 3)
