@@ -38,6 +38,8 @@ _TOP_LEVEL_KEYS = {
     "location",
     "region_polygons",
     "asof_materialize",
+    "feature_flags",
+    "overwrite_feature_flags",
     "time",  # run window (orchestration-level; tolerated, unused here)
 }
 # name/description are annotations (the engine's own YAML template and
@@ -140,13 +142,21 @@ def validate_config_dict(d: dict) -> None:
             raise ConfigError(
                 f"location.time_window: bad timedelta {loc['time_window']!r}"
             ) from None
-    for i, poly in enumerate(d.get("region_polygons") or []):
-        owner = f"region_polygons[{i}]"
-        if not isinstance(poly, dict) or "name" not in poly or "coords" not in poly:
-            raise ConfigError(f"{owner}: needs 'name' and 'coords'")
-        coords = poly["coords"]
-        if not isinstance(coords, (list, tuple)) or len(coords) < 3:
-            raise ConfigError(f"{owner}: a polygon needs >= 3 coordinates")
+    rp = d.get("region_polygons")
+    if isinstance(rp, str):
+        pass  # a file path; format checked at load time (polygon_files)
+    else:
+        for i, poly in enumerate(rp or []):
+            owner = f"region_polygons[{i}]"
+            if (
+                not isinstance(poly, dict)
+                or "name" not in poly
+                or "coords" not in poly
+            ):
+                raise ConfigError(f"{owner}: needs 'name' and 'coords'")
+            coords = poly["coords"]
+            if not isinstance(coords, (list, tuple)) or len(coords) < 3:
+                raise ConfigError(f"{owner}: a polygon needs >= 3 coordinates")
 
 
 @dataclass
@@ -187,6 +197,10 @@ class QCConfig:
     # (operators/asof._materialize_once: ON for 100 TB inputs, OFF at
     # small scale where codegen cost dominates re-execution)
     asof_materialize: bool = False
+    # feature-level flag path (reference Df.FEATURE_QC_FLAG + reset.
+    # overwrite_feature_flags): region check also writes feature_qc_flag
+    feature_flags: bool = False
+    overwrite_feature_flags: bool = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "QCConfig":
@@ -233,10 +247,18 @@ class QCConfig:
                 glob[t] = tuple(rng)
         geo = d.get("location", {})
         polys = None
-        if d.get("region_polygons"):
+        rp = d.get("region_polygons")
+        if isinstance(rp, str):
+            # a polygon file (GeoJSON / WKT / WKB / shapefile) — reference
+            # loads real land polygons from file (src/main.py:577)
+            from qualityassurancetool_spark.sources.polygon_files import (
+                load_polygons,
+            )
+
+            polys = load_polygons(rp)
+        elif rp:
             polys = [
-                (p["name"], [tuple(pt) for pt in p["coords"]])
-                for p in d["region_polygons"]
+                (p["name"], [tuple(pt) for pt in p["coords"]]) for p in rp
             ]
         return cls(
             streams=streams,
@@ -248,6 +270,10 @@ class QCConfig:
             outlier_time_window=geo.get("time_window", "10min"),
             outlier_max_dx_dt=geo.get("max_dx_dt"),
             asof_materialize=bool(d.get("asof_materialize", False)),
+            feature_flags=bool(d.get("feature_flags", False)),
+            overwrite_feature_flags=bool(
+                d.get("overwrite_feature_flags", True)
+            ),
             region_polygons=polys,
         )
 

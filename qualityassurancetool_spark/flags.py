@@ -176,6 +176,49 @@ def flag_merge_sql(*flag_sql_exprs: str) -> str:
     return f"CAST(CASE {whens} END AS TINYINT)"
 
 
+def apply_feature_flag(
+    df,
+    bool_col: Column,
+    flag_on_true: int,
+    flag_on_nan: int | None = None,
+    overwrite: bool = True,
+    feature_flag_col: str = "feature_qc_flag",
+    flag_col: str = "qc_flag",
+    merge_into_row_flag: bool = True,
+):
+    """Feature-level flag path (reference ``Df.FEATURE_QC_FLAG``,
+    ``src/main.py:573-592,614-631``): a check whose subject is the
+    *FeatureOfInterest* (the location entity) writes its flag to
+    ``feature_qc_flag`` — created as null when absent — and, like the
+    reference's double ``execute`` call, severity-merges the feature flag
+    into the per-observation ``qc_flag`` as well.
+
+    ``overwrite=True`` is the reference default
+    (``cfg.reset.overwrite_feature_flags`` picks ``lambda x, y: y`` over
+    ``max``): the new flag replaces the old where the check produced one
+    (null bool + ``flag_on_nan=None`` → keeps the old).  ``False`` =
+    severity-max merge.  Pure Column algebra, no shuffle.
+    """
+    new = flag_from_bool(
+        bool_col,
+        flag_on_true=flag_on_true,
+        flag_on_nan=flag_on_nan,
+    )
+    if feature_flag_col not in df.columns:
+        df = df.withColumn(feature_flag_col, F.lit(None).cast("tinyint"))
+    merged = (
+        flag_overwrite(F.col(feature_flag_col), new)
+        if overwrite
+        else flag_merge(F.col(feature_flag_col), new)
+    )
+    df = df.withColumn(feature_flag_col, merged)
+    if merge_into_row_flag:
+        df = df.withColumn(
+            flag_col, flag_merge(F.col(flag_col), F.col(feature_flag_col))
+        )
+    return df
+
+
 def combine_counts(a: dict, b: dict) -> dict:
     """Dict-merge summing/concatenating common keys (reference A8
     ``combine_dicts``, pinned at ``tests/test_qc.py:973-978``): ints/floats

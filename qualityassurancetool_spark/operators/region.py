@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from qualityassurancetool_spark.flags import QualityFlags, flag_from_bool, flag_merge
+from qualityassurancetool_spark.flags import (
+    QualityFlags,
+    apply_feature_flag,
+    flag_from_bool,
+    flag_merge,
+)
 
 
 def null_region_bool(region_col: str = "region"):
@@ -43,4 +48,27 @@ def apply_region_checks(
     )
     return df.withColumn(
         flag_col, flag_merge(F.col(flag_col), nan_flag, land_flag)
+    )
+
+
+def apply_feature_region_check(
+    df: DataFrame,
+    region_col: str = "region",
+    flag_col: str = "qc_flag",
+    feature_flag_col: str = "feature_qc_flag",
+    overwrite: bool = True,
+) -> DataFrame:
+    """Feature-level land check (reference ``src/main.py:577-592``): the
+    on-land verdict belongs to the *FeatureOfInterest* (the position), so
+    it lands in ``feature_qc_flag`` and is then severity-merged into the
+    row flag — the reference's two ``execute(column=FEATURE_QC_FLAG)``
+    calls.  Flags: on land ⇒ BAD, unknown region ⇒ NO_QUALITY_CONTROL."""
+    return apply_feature_flag(
+        df,
+        bool_col=land_region_bool(region_col),
+        flag_on_true=QualityFlags.BAD,
+        flag_on_nan=QualityFlags.NO_QUALITY_CONTROL,
+        overwrite=overwrite,
+        feature_flag_col=feature_flag_col,
+        flag_col=flag_col,
     )

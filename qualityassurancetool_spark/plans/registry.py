@@ -91,8 +91,14 @@ def _check_region(
     df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str
 ) -> DataFrame:
     """P6/P7 (+J5 when polygons configured): assign region from config
-    polygons if the column is absent, then null/MAINLAND flags."""
-    from qualityassurancetool_spark.operators.region import apply_region_checks
+    polygons if the column is absent, then null/MAINLAND flags.  With
+    ``cfg.feature_flags`` the on-land verdict is also recorded per
+    FeatureOfInterest in ``feature_qc_flag`` (reference
+    ``src/main.py:577-592``)."""
+    from qualityassurancetool_spark.operators.region import (
+        apply_feature_region_check,
+        apply_region_checks,
+    )
     from qualityassurancetool_spark.sources.spatial import assign_region
 
     polys = getattr(cfg, "region_polygons", None)
@@ -100,7 +106,12 @@ def _check_region(
         if not polys:
             return df
         df = assign_region(df, polys)
-    return apply_region_checks(df)
+    df = apply_region_checks(df)
+    if getattr(cfg, "feature_flags", False):
+        df = apply_feature_region_check(
+            df, overwrite=getattr(cfg, "overwrite_feature_flags", True)
+        )
+    return df
 
 
 @register_check("spatial_outlier")

@@ -14,6 +14,16 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "qualityassurancetool-spark") -> SparkSession:
+    # Python workers are separate processes that must import this package
+    # for pickled-by-reference kernels (mapInPandas/applyInPandas); make
+    # sure the package root rides along even when the driver script runs
+    # from another directory (cluster deployments ship a wheel instead).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle_parts = os.environ.get("QAT_SHUFFLE_PARTITIONS", cpus)
     builder = (

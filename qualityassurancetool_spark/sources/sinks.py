@@ -36,6 +36,48 @@ def build_patch_bodies(
     )
 
 
+def build_feature_patch_bodies(
+    df: DataFrame,
+    feature_id_col: str = "feature_id",
+    feature_flag_col: str = "feature_qc_flag",
+    url_entity: str = "FeaturesOfInterest",
+) -> DataFrame:
+    """One PATCH body per *FeatureOfInterest* (reference feature-flag
+    patch: ``patch_qc_flags(columns=[Df.FEATURE_ID, Df.FEATURE_QC_FLAG],
+    url_entity=Entities.FEATURESOFINTEREST, json_body_template=
+    FEATURES_BODY_TEMPLATE)``, ``src/main.py:638-652``).
+
+    Observations sharing a feature may carry different flag values after
+    overlapping windows, so the builder aggregates severity-max per
+    feature first — one deterministic body per feature id, not one per
+    observation row.  SensorThings has no ``resultQuality`` on a feature,
+    so the flag travels in the entity's ``properties`` (the public STA
+    extension point)."""
+    from qualityassurancetool_spark.flags import flag_rank, rank_to_flag
+
+    per_feature = (
+        df.where(F.col(feature_id_col).isNotNull())
+        .where(F.col(feature_flag_col).isNotNull())
+        .groupBy(F.col(feature_id_col).alias("entity_id"))
+        .agg(rank_to_flag(F.max(flag_rank(feature_flag_col))).alias("_flag"))
+    )
+    return per_feature.select(
+        "entity_id",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("_flag").cast("int").alias("qc_flag")
+                ).alias("properties")
+            )
+        ).alias("body"),
+        F.concat(
+            F.lit(f"{url_entity}("),
+            F.col("entity_id").cast("string"),
+            F.lit(")"),
+        ).alias("url_path"),
+    )
+
+
 def write_patch_files(df: DataFrame, path: str) -> None:
     """S11: serialize would-be PATCH bodies to files (debug/audit dump)."""
     build_patch_bodies(df).select(
