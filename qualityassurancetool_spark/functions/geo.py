@@ -40,3 +40,75 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f"cos(radians({lat1})) * cos(radians({lat2})) * "
         f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
     )
+
+
+# WGS-84 ellipsoid (public constants)
+WGS84_A_M = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+
+
+def lambert_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Ellipsoidal (WGS-84) distance via Lambert's formula — pure Column
+    math, whole-stage codegen, ~10 m accuracy over thousands of km (vs
+    haversine's ~0.5 % spherical error).  The middle option between
+    haversine and an exact library geodesic: no UDF, no dependency.
+
+    Lambert: reduced latitudes β = atan((1−f)·tan(φ)), central angle σ
+    from haversine on (β, λ), then the P/Q flattening corrections.
+    """
+    f = WGS84_F
+    b1 = F.atan((1 - f) * F.tan(F.radians(lat1)))
+    b2 = F.atan((1 - f) * F.tan(F.radians(lat2)))
+    dlon = F.radians(lon2 - lon1)
+    a_h = (
+        F.pow(F.sin((b2 - b1) / 2), 2)
+        + F.cos(b1) * F.cos(b2) * F.pow(F.sin(dlon / 2), 2)
+    )
+    sigma = 2 * F.asin(F.least(F.sqrt(a_h), F.lit(1.0)))
+    # P = (β1+β2)/2, Q = (β2−β1)/2
+    p, q = (b1 + b2) / 2, (b2 - b1) / 2
+    sin_sigma = F.sin(sigma)
+    # guard the σ→0 and σ→π singularities: corrections vanish at 0
+    x = F.when(
+        sin_sigma != 0,
+        (sigma - sin_sigma)
+        * F.pow(F.sin(p), 2) * F.pow(F.cos(q), 2)
+        / F.pow(F.cos(sigma / 2), 2),
+    ).otherwise(F.lit(0.0))
+    # sin(σ/2) = 0 only at σ = 0, which the guard already excludes
+    y = F.when(
+        sin_sigma != 0,
+        (sigma + sin_sigma)
+        * F.pow(F.cos(p), 2) * F.pow(F.sin(q), 2)
+        / F.pow(F.sin(sigma / 2), 2),
+    ).otherwise(F.lit(0.0))
+    return WGS84_A_M * (sigma - f / 2 * (x + y))
+
+
+def geodesic_m(
+    lat1: Column,
+    lon1: Column,
+    lat2: Column,
+    lon2: Column,
+    method: str = "auto",
+) -> Column:
+    """Distance with a selectable accuracy/throughput tradeoff — the
+    escape hatch for callers pinned to the reference's geopy geodesic
+    (reference fixtures assert Karney distances, ``tests/test_qc.py:37-43``):
+
+    - ``"haversine"`` — spherical, fastest, ≤0.5 % error;
+    - ``"lambert"`` — WGS-84 ellipsoidal correction, pure Columns, ~10 m;
+    - ``"auto"`` — lambert (best no-dependency accuracy).
+
+    An exact Karney implementation needs a library (geopy/pyproj, absent
+    from this container); when one is importable, wire it through a pandas
+    UDF over (lat1, lon1, lat2, lon2) — the operators only consume a
+    distance Column, so the swap is local to this function.
+    """
+    if method == "haversine":
+        return haversine_m(lat1, lon1, lat2, lon2)
+    if method in ("auto", "lambert"):
+        return lambert_m(lat1, lon1, lat2, lon2)
+    raise ValueError(f"unknown geodesic method {method!r}")

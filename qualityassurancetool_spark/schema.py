@@ -59,8 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     does, so oracle comparisons agree exactly.
     """
     # self-heal on sessions not built by session.get_spark (e.g. the
-    # driver harness'): the ns-as-long legacy conf is runtime-settable
+    # driver harness'): these are runtime-settable confs.  ns-as-long for
+    # the ns-precision parquet; ANSI off because the engine's dirty-data
+    # contract is null-on-error (Spark 4 flipped the default to on, which
+    # would fail a whole job on one bad cast/div) — same environment-drift
+    # class as the TIMESTAMP_NTZ round-1 incident.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name == "ts" and isinstance(f_.dataType, T.LongType):

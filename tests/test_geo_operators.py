@@ -65,6 +65,41 @@ def test_haversine_known_distance(spark):
     assert d == pytest.approx(math.pi / 180 * EARTH_RADIUS_M, rel=1e-9)
 
 
+def test_lambert_geodesic_accuracy(spark):
+    """WGS-84 Lambert escape hatch (reference pins geopy geodesic):
+    sub-meter at 1 degree, <10 m pole-to-equator — where haversine is off
+    by 100 m – 5.6 km on the same cases."""
+    from qualityassurancetool_spark.functions.geo import geodesic_m, lambert_m
+
+    cases = [  # (lat1, lon1, lat2, lon2, WGS-84 geodesic meters)
+        (0.0, 0.0, 1.0, 0.0, 110_574.4),     # meridian degree at equator
+        (0.0, 0.0, 0.0, 1.0, 111_319.5),     # equatorial degree
+        (0.0, 0.0, 90.0, 0.0, 10_001_965.7), # equator -> pole
+        (50.0, 3.0, 50.0, 3.0, 0.0),         # coincident points
+    ]
+    df = spark.createDataFrame(
+        cases, "lat1 double, lon1 double, lat2 double, lon2 double, t double"
+    )
+    out = df.select(
+        "t",
+        lambert_m(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+        ).alias("lam"),
+        haversine_m(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+        ).alias("hav"),
+        geodesic_m(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+        ).alias("auto"),
+    ).collect()
+    for r in out:
+        assert abs(r["lam"] - r["t"]) < 10.0
+        assert r["auto"] == pytest.approx(r["lam"])  # auto == lambert
+        if r["t"] > 0:
+            # the escape hatch must beat haversine wherever it matters
+            assert abs(r["lam"] - r["t"]) < abs(r["hav"] - r["t"])
+
+
 def test_velocity_matches_construction(spark):
     steps = [10.0, 10.0, 20.0, 40.0]  # meters per 2 s step
     df = build_track(spark, steps)
