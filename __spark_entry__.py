@@ -1609,67 +1609,106 @@ FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """
 
 
+def _analyzed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared staged text-analysis plan: normalized text → token array →
+    one-pass language-score struct, each materialized in its own
+    projection so every downstream consumer reads attributes (the text is
+    regexp-normalized once, split once, and scanned once for ALL marker
+    counts — the no-CSE-in-HOF-lambda contract)."""
+    from qualityassurancetool_spark.operators.text import lang_score_struct
+
+    from qualityassurancetool_spark.functions.hashing import normalize_text
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            F.col("text"),
+            normalize_text(F.col("text")).alias("_norm"),
+        )
+        .withColumn("_toks", F.split(F.col("_norm"), " "))
+        .withColumn("_ls", lang_score_struct(F.col("_toks")))
+    )
+
+
+def _text_measures() -> dict[str, F.Column]:
+    """Column expressions over _analyzed_docs' attributes."""
+    from qualityassurancetool_spark.operators.text import (
+        predict_lang_from_scores,
+        quality_score_parts,
+    )
+
+    n = F.col("_norm")
+    n_tok = F.when(F.length(n) == 0, F.lit(0)).otherwise(
+        F.size(F.col("_toks"))
+    )
+    awl = F.when(n_tok > 0, (F.length(n) - (n_tok - 1)) / n_tok).cast(
+        "double"
+    )
+    return {
+        "predicted_lang": predict_lang_from_scores(F.col("_ls")),
+        "n_tokens": n_tok,
+        "avg_token_len": awl,
+        "quality": quality_score_parts(n_tok, awl, F.col("_ls.en")),
+    }
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + token stats + quality score + fingerprint per doc,
     plus the BPE-ish regex token count (runs + punctuation marks,
     identical RE2/Java semantics both engines) and a rolling-hash document
     fingerprint (min over md5-derived 3-gram shingle hashes — a 1-hash
     MinHash, winnowing-style)."""
-    from qualityassurancetool_spark.operators.text import (
-        fingerprint,
-        predict_lang,
-        quality_score,
-        token_count,
-        word_stats,
-    )
+    from qualityassurancetool_spark.functions.hashing import md5_long, shingles
 
-    from qualityassurancetool_spark.functions.hashing import (
-        md5_long,
-        normalize_text,
-        shingles,
-    )
-    from qualityassurancetool_spark.functions.partitioning import (
-        ensure_min_parallelism,
-    )
-
-    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    # normalized text materialized once; every counter reads the attribute
-    withn = docs.select(
-        "doc_id", F.col("text"), normalize_text(F.col("text")).alias("_norm")
-    )
-    n = F.col("_norm")
+    analyzed = _analyzed_docs(spark, sf_dir)
+    m = _text_measures()
     t = F.col("text")
-    stats = word_stats(n, normalized=True)
     fp_roll = F.array_min(
         F.transform(shingles(t, 3), lambda s: md5_long(s, salt="fp:"))
     )
-    return withn.select(
+    return analyzed.select(
         "doc_id",
-        predict_lang(n, normalized=True).alias("predicted_lang"),
-        token_count(n, normalized=True).alias("n_tokens"),
-        F.round(stats["avg_token_len"], 6).alias("avg_tok_len_r"),
-        F.round(quality_score(n, normalized=True), 6).alias("quality_r"),
-        fingerprint(n, normalized=True).alias("fingerprint"),
+        m["predicted_lang"].alias("predicted_lang"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["avg_token_len"], 6).alias("avg_tok_len_r"),
+        F.round(m["quality"], 6).alias("quality_r"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("_toks"))))
+        ).alias("fingerprint"),
         F.regexp_count(F.lower(t), F.lit(_BPE_PAT)).alias("bpe_tokens"),
         fp_roll.alias("fp_rolling"),
     ).orderBy("doc_id")
 
 
-def _count_word_sql(word: str) -> str:
-    pad = f"concat(' ', {_NORM_SQL}, ' ')"
-    needle = f" {word} "
-    return (
-        f"CAST((length({pad}) - length(replace({pad}, '{needle}', ' ')))"
-        f" / {len(needle) - 1} AS INT)"
-    )
+# base CTE shared by the text oracles: normalized text + its token list,
+# computed once (the oracle twin of the Spark side's staged projections)
+_TEXT_BASE_CTE = f"""
+WITH tbase AS (
+    SELECT doc_id, text, lower(text) AS lt,
+           {_NORM_SQL} AS norm,
+           string_split({_NORM_SQL}, ' ') AS tok
+    FROM documents
+)
+"""
+
+
+def _lang_count_sql(words: list[str]) -> str:
+    """Token-based marker count over the ``tok`` list column (counts every
+    occurrence, including adjacent repeats — matches the Spark side's
+    single-pass ``lang_score_struct``)."""
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(tok, t -> t IN ({inlist})))"
 
 
 def _lang_sql() -> str:
     from qualityassurancetool_spark.operators.text import LANG_MARKERS
 
     score = {
-        lang: " + ".join(_count_word_sql(w) for w in words)
-        for lang, words in LANG_MARKERS.items()
+        lang: _lang_count_sql(words) for lang, words in LANG_MARKERS.items()
     }
     # fold langs in sorted order with strict > (same as predict_lang)
     expr_lang, expr_score = "'und'", "0"
@@ -1681,21 +1720,18 @@ def _lang_sql() -> str:
 
 
 def _ntok_quality_sql() -> tuple[str, str, str]:
-    """(n_tokens, avg_token_len, quality) SQL fragments shared by the
-    per-doc text_stats oracle and the per-language rollup oracle."""
+    """(n_tokens, avg_token_len, quality) SQL fragments over the
+    ``tbase`` CTE's ``norm``/``tok`` columns — shared by the per-doc
+    text_stats oracle and the rollup/curation oracles."""
     from qualityassurancetool_spark.operators.text import LANG_MARKERS
 
-    norm = _NORM_SQL
-    n_tok = (
-        f"CASE WHEN length({norm}) = 0 THEN 0 ELSE "
-        f"length({norm}) - length(replace({norm}, ' ', '')) + 1 END"
-    )
-    n_chars = f"length({norm})"
+    n_tok = "CASE WHEN length(norm) = 0 THEN 0 ELSE len(tok) END"
+    n_chars = "length(norm)"
     awl = (
         f"CASE WHEN ({n_tok}) > 0 THEN "
         f"CAST(({n_chars}) - (({n_tok}) - 1) AS DOUBLE) / ({n_tok}) END"
     )
-    sw_count = " + ".join(_count_word_sql(w) for w in LANG_MARKERS["en"])
+    sw_count = _lang_count_sql(LANG_MARKERS["en"])
     len_score = f"least(CAST({n_tok} AS DOUBLE) / 20.0, 1.0)"
     awl_score = (
         f"CASE WHEN COALESCE({awl}, 0.0) >= 3.0 AND COALESCE({awl}, 0.0) <= 10.0 "
@@ -1713,18 +1749,9 @@ _BPE_PAT = r"[a-z0-9]+|[^a-z0-9\s]"
 
 
 def _text_stats_sql() -> str:
-    norm = _NORM_SQL
     n_tok, awl, quality = _ntok_quality_sql()
-    fp = (
-        f"md5(array_to_string(list_sort(list_distinct("
-        f"string_split({norm}, ' '))), ' '))"
-    )
-    return f"""
-WITH toks AS (
-    SELECT doc_id, text, lower(text) AS lt,
-           string_split({norm}, ' ') AS tok
-    FROM documents
-)
+    fp = "md5(array_to_string(list_sort(list_distinct(tok)), ' '))"
+    return _TEXT_BASE_CTE + f"""
 SELECT doc_id,
        {_lang_sql()} AS predicted_lang,
        CAST({n_tok} AS INTEGER) AS n_tokens,
@@ -1738,7 +1765,7 @@ SELECT doc_id,
                i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))),
            s -> CAST(concat('0x', substring(md5(concat('fp:', s)), 1, 15)) AS BIGINT)
        )) AS fp_rolling
-FROM toks ORDER BY doc_id
+FROM tbase ORDER BY doc_id
 """
 
 
@@ -1757,30 +1784,46 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_min_parallelism,
     )
     from qualityassurancetool_spark.operators.text import (
-        predict_lang,
-        quality_score,
-        token_count,
+        lang_score_struct,
+        predict_lang_from_scores,
+        quality_score_parts,
     )
 
     docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     n = F.col("_norm")
-    # Both barriers keep the q >= 0.5 predicate from being substituted
-    # through the projections and pushed below the repartition (where the
-    # whole normalize+score tree would run, re-evaluated per reference, on
-    # the raw single-split scan) — normalize and the three scores each run
-    # exactly once per row, post-repartition; the filter is a field access.
+    # The barrier chain keeps the q >= 0.5 predicate from being
+    # substituted through the projections and pushed below the repartition
+    # (where the whole normalize+score tree would run, re-evaluated per
+    # reference, on the raw single-split scan): each stage materializes
+    # what the next consumes several times — normalized text, token
+    # array, the one-pass language-score struct — exactly once per row,
+    # post-repartition; the filter is then a field access.
     normed = compute_behind_barrier(
         docs.select("doc_id", "text"),
         {"_norm": normalize_text(F.col("text"))},
     ).drop("text")
-    analyzed = compute_behind_barrier(
-        normed,
-        {
-            "predicted_lang": predict_lang(n, normalized=True),
-            "n_tokens": token_count(n, normalized=True),
-            "q": F.round(quality_score(n, normalized=True), 6),
-        },
+    toked = compute_behind_barrier(
+        normed, {"_toks": F.split(n, " ")}
     )
+    scored = compute_behind_barrier(
+        toked, {"_ls": lang_score_struct(F.col("_toks"))}
+    )
+    n_tok = F.when(F.length(n) == 0, F.lit(0)).otherwise(
+        F.size(F.col("_toks"))
+    )
+    awl = F.when(n_tok > 0, (F.length(n) - (n_tok - 1)) / n_tok).cast(
+        "double"
+    )
+    analyzed = compute_behind_barrier(
+        scored,
+        {
+            "predicted_lang": predict_lang_from_scores(F.col("_ls")),
+            "n_tokens": n_tok,
+            "q": F.round(
+                quality_score_parts(n_tok, awl, F.col("_ls.en")), 6
+            ),
+        },
+    ).drop("_toks", "_ls")
     kept = analyzed.where(F.col("q") >= 0.5)
     deduped = (
         kept.groupBy(F.md5(F.col("_norm")).alias("content_hash"))
@@ -1816,13 +1859,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_curation_pipeline() -> str:
     n_tok, _awl, quality = _ntok_quality_sql()
-    return f"""
-WITH analyzed AS (
-    SELECT doc_id, {_NORM_SQL} AS norm,
+    return _TEXT_BASE_CTE + f"""
+, analyzed AS (
+    SELECT doc_id, norm,
            {_lang_sql()} AS predicted_lang,
            {n_tok} AS n_tokens,
            round({quality}, 6) AS q
-    FROM documents
+    FROM tbase
 ), kept AS (
     SELECT * FROM analyzed WHERE q >= 0.5
 ), deduped AS (
@@ -1848,26 +1891,12 @@ def q_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     token volume, and average quality.  Averages go through per-row
     6 dp rounding then exact DECIMAL sums so the parallel aggregation is
     order-free (bit-identical across engines and partitionings)."""
-    from qualityassurancetool_spark.operators.text import (
-        predict_lang,
-        quality_score,
-        token_count,
-    )
-
-    from qualityassurancetool_spark.functions.hashing import normalize_text
-    from qualityassurancetool_spark.functions.partitioning import (
-        ensure_min_parallelism,
-    )
-
-    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
-    withn = docs.select(normalize_text(F.col("text")).alias("_norm"))
-    n = F.col("_norm")
-    per_doc = withn.select(
-        predict_lang(n, normalized=True).alias("predicted_lang"),
-        token_count(n, normalized=True).alias("n_tokens"),
-        F.round(quality_score(n, normalized=True), 6)
-        .cast("decimal(18,6)")
-        .alias("q"),
+    analyzed = _analyzed_docs(spark, sf_dir)
+    m = _text_measures()
+    per_doc = analyzed.select(
+        m["predicted_lang"].alias("predicted_lang"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["quality"], 6).cast("decimal(18,6)").alias("q"),
     )
     return (
         per_doc.groupBy("predicted_lang")
@@ -1884,12 +1913,12 @@ def q_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_lang_quality_rollup() -> str:
     n_tok, _awl, quality = _ntok_quality_sql()
-    return f"""
-WITH per_doc AS (
+    return _TEXT_BASE_CTE + f"""
+, per_doc AS (
     SELECT {_lang_sql()} AS predicted_lang,
            {n_tok} AS n_tokens,
            CAST(round({quality}, 6) AS DECIMAL(18,6)) AS q
-    FROM documents
+    FROM tbase
 )
 SELECT predicted_lang,
        COUNT(*) AS n_docs,

@@ -43,13 +43,64 @@ def _norm_of(text: Column, normalized: bool) -> Column:
 def _count_word(norm: Column, word: str) -> Column:
     """Occurrences of a whole word in already-normalized text — portable
     via split-on-delimiter: (len(x) - len(replace(x, w, ''))) / len(w)
-    over the padded text."""
+    over the padded text.  NB: adjacent repeats share their delimiter and
+    undercount (" the the " counts 1) — the token-array path
+    (:func:`lang_score_struct`) counts each occurrence and is the hot-path
+    form; this stays for compatibility with delimiter-counting oracles."""
     padded = F.concat(F.lit(" "), norm, F.lit(" "))
     needle = f" {word} "
     return (
         (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
         / F.lit(len(needle) - 1)
     ).cast("int")
+
+
+def lang_score_struct(toks: Column) -> Column:
+    """All per-language marker counts in ONE pass over a materialized
+    token array: a single ``aggregate`` whose accumulator is a struct of
+    per-language counters (each token does |langs|·|markers| equality
+    checks — ~25 — instead of the 25 full-string replace passes of the
+    delimiter-count form).  Cold codegen is ~3.5× smaller and warm
+    per-row work ~2× cheaper (measured at sf0.1); at 100 TB this is the
+    difference between one scan of the text and 25.
+
+    Attribute-only contract: pass a *materialized* token-array column —
+    inlining ``split(...)`` here would copy it into the lambda (no CSE
+    inside HOF lambdas).
+    """
+    langs = sorted(LANG_MARKERS)
+    zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+
+    def step(acc: Column, t: Column) -> Column:
+        return F.struct(
+            *[
+                (
+                    acc[lang]
+                    + F.when(t.isin(LANG_MARKERS[lang]), 1).otherwise(0)
+                ).alias(lang)
+                for lang in langs
+            ]
+        )
+
+    return F.aggregate(toks, zero, step)
+
+
+def predict_lang_from_scores(scores: Column, default: str = "und") -> Column:
+    """argmax over a materialized :func:`lang_score_struct` column; ties
+    and zero-score → default (earliest sorted language wins ties)."""
+    langs = sorted(LANG_MARKERS)
+    pairs = [
+        F.struct(
+            F.coalesce(scores[lang], F.lit(0)).alias("s"),
+            F.lit(-i).alias("ni"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.greatest(*pairs)
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(
+        best["s"] > 0, F.element_at(lang_arr, -best["ni"] + 1)
+    ).otherwise(F.lit(default))
 
 
 def lang_scores(text: Column, normalized: bool = False) -> dict[str, Column]:
@@ -65,26 +116,15 @@ def lang_scores(text: Column, normalized: bool = False) -> dict[str, Column]:
 def predict_lang(
     text: Column, default: str = "und", normalized: bool = False
 ) -> Column:
-    """argmax over marker-word counts; ties and zero-score → default.
-    Deterministic: earliest language in sorted order wins ties (same
-    semantics as a strict-> fold over sorted languages)."""
+    """argmax over marker-word token counts; ties and zero-score →
+    default.  Inline convenience form (splits the text itself — the
+    split is copied per score expression); hot paths materialize the
+    token array + :func:`lang_score_struct` in their own projections and
+    call :func:`predict_lang_from_scores`."""
     norm = _norm_of(text, normalized)
-    langs = sorted(LANG_MARKERS)
-    scores = [
-        sum((_count_word(norm, w) for w in LANG_MARKERS[lang]), start=F.lit(0))
-        for lang in langs
-    ]
-    pairs = [
-        F.struct(
-            F.coalesce(s, F.lit(0)).alias("s"), F.lit(-i).alias("ni")
-        )
-        for i, s in enumerate(scores)
-    ]
-    best = F.greatest(*pairs)
-    lang_arr = F.array(*[F.lit(lang) for lang in langs])
-    return F.when(
-        best["s"] > 0, F.element_at(lang_arr, -best["ni"] + 1)
-    ).otherwise(F.lit(default))
+    return predict_lang_from_scores(
+        lang_score_struct(F.split(norm, " ")), default
+    )
 
 
 def token_count(text: Column, normalized: bool = False) -> Column:
@@ -108,31 +148,47 @@ def word_stats(text: Column, normalized: bool = False) -> dict[str, Column]:
     }
 
 
-def quality_score(
-    text: Column,
-    stopwords: list[str] | None = None,
-    normalized: bool = False,
+def quality_score_parts(
+    n_tokens: Column, avg_token_len: Column, stopword_count: Column
 ) -> Column:
-    """Heuristic [0,1] quality score: reasonable length, reasonable average
-    word length, some stopword mass.  The exact formula is arbitrary but
-    fixed — oracle-reproducible."""
-    norm = _norm_of(text, normalized)
-    sw = stopwords or LANG_MARKERS["en"]
-    stats = word_stats(norm, normalized=True)
-    n_tok = stats["n_tokens"].cast("double")
-    awl = F.coalesce(stats["avg_token_len"], F.lit(0.0))
-    sw_count = sum((_count_word(norm, w) for w in sw), start=F.lit(0)).cast(
-        "double"
-    )
+    """The quality formula over already-materialized ingredients (hot-path
+    form): reasonable length, reasonable average word length, some
+    stopword mass.  The exact formula is arbitrary but fixed —
+    oracle-reproducible."""
+    n_tok = n_tokens.cast("double")
+    awl = F.coalesce(avg_token_len, F.lit(0.0))
     len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
     awl_score = F.when((awl >= 3.0) & (awl <= 10.0), F.lit(1.0)).otherwise(
         F.lit(0.5)
     )
     sw_score = F.least(
-        sw_count / F.greatest(n_tok, F.lit(1.0)) * F.lit(5.0), F.lit(1.0)
+        stopword_count.cast("double")
+        / F.greatest(n_tok, F.lit(1.0))
+        * F.lit(5.0),
+        F.lit(1.0),
     )
     return (len_score * 0.4 + awl_score * 0.3 + sw_score * 0.3).alias(
         "quality_score"
+    )
+
+
+def quality_score(
+    text: Column,
+    stopwords: list[str] | None = None,
+    normalized: bool = False,
+) -> Column:
+    """Inline convenience form of :func:`quality_score_parts`.  The
+    stopword count is token-based (counts adjacent repeats, unlike the
+    delimiter-count form); the default stopword set is the English marker
+    lexicon, so hot paths reuse the ``en`` field of a materialized
+    :func:`lang_score_struct`."""
+    norm = _norm_of(text, normalized)
+    stats = word_stats(norm, normalized=True)
+    sw = stopwords or LANG_MARKERS["en"]
+    toks = F.split(norm, " ")
+    sw_count = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return quality_score_parts(
+        stats["n_tokens"], stats["avg_token_len"], sw_count
     )
 
 
@@ -145,17 +201,29 @@ def fingerprint(text: Column, normalized: bool = False) -> Column:
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Full per-document analysis.  The normalized text is materialized in
-    its own projection so every downstream counter reads an attribute —
-    exactly one regexp pass per row."""
+    """Full per-document analysis in three staged projections — each
+    stage materializes what the next reads as an attribute (normalized
+    text → token array → one-pass language scores), so the text is
+    regexp-normalized once, split once, and scanned once for all marker
+    counts."""
     withn = df.withColumn("_norm", normalize_text(F.col(text_col)))
     n = F.col("_norm")
-    stats = word_stats(n, normalized=True)
-    return withn.select(
+    witht = withn.withColumn("_toks", F.split(n, " "))
+    withs = witht.withColumn("_ls", lang_score_struct(F.col("_toks")))
+    n_tok = F.when(F.length(n) == 0, F.lit(0)).otherwise(
+        F.size(F.col("_toks"))
+    )
+    n_chars = F.length(n)
+    awl = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).cast("double")
+    return withs.select(
         *df.columns,
-        predict_lang(n, normalized=True).alias("predicted_lang"),
-        stats["n_tokens"].alias("n_tokens"),
-        stats["avg_token_len"].alias("avg_token_len"),
-        quality_score(n, normalized=True).alias("quality_score"),
-        fingerprint(n, normalized=True).alias("fingerprint"),
+        predict_lang_from_scores(F.col("_ls")).alias("predicted_lang"),
+        n_tok.alias("n_tokens"),
+        awl.alias("avg_token_len"),
+        quality_score_parts(n_tok, awl, F.col("_ls.en")).alias(
+            "quality_score"
+        ),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("_toks"))))
+        ).alias("fingerprint"),
     )
