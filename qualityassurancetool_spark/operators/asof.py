@@ -193,8 +193,7 @@ def asof_nearest_context(
     b_lo = F.floor((F.col("_t_us") - F.lit(tol_us)) / F.lit(bucket_us))
     b_hi = F.floor((F.col("_t_us") + F.lit(tol_us)) / F.lit(bucket_us))
     exploded = (
-        df.withColumn("_t_us", t)
-        .withColumn("_is_cand", cand)
+        df.withColumns({"_t_us": t, "_is_cand": cand})
         .withColumn(
             "_bucket",
             F.explode(

@@ -55,7 +55,8 @@ def with_velocity_acceleration(
         F.col(lon_col),
     )
     v = F.when(dt > 0, dist / dt)
-    df = df.withColumn(dt_col, dt).withColumn(velocity_col, v)
+    # dt and velocity are independent: one withColumns = one analysis pass
+    df = df.withColumns({dt_col: dt, velocity_col: v})
     a = F.when(
         F.col(dt_col) > 0,
         (F.col(velocity_col) - F.lag(F.col(velocity_col)).over(w))

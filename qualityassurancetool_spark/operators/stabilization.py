@@ -50,12 +50,18 @@ def apply_stabilization(
     )
     is_first = F.row_number().over(w) == 1
 
-    df = df.withColumn("within_limits", within)
-    df = df.withColumn(
-        "dt",
-        F.coalesce(
-            (t_us - F.lag(t_us).over(w)) / F.lit(1_000_000.0), F.lit(0.0)
-        ),
+    # dependency chain: within/dt → cumsum → time_down → (time_up_since,
+    # block_id) → (max_downtime, flag).  Independent columns share a
+    # withColumns call — 5 plan-analysis passes instead of 8 (each pass
+    # re-analyzes the whole growing plan, so this is a build-time win on
+    # long chains).
+    df = df.withColumns(
+        {
+            "within_limits": within,
+            "dt": F.coalesce(
+                (t_us - F.lag(t_us).over(w)) / F.lit(1_000_000.0), F.lit(0.0)
+            ),
+        }
     )
     df = df.withColumn("cumsum", F.sum("dt").over(w_cum))
 
@@ -73,34 +79,32 @@ def apply_stabilization(
     tmp_up = F.when(is_first, F.lit(0.0)).when(
         F.col("time_down") > F.col(max_allowed_downtime_col), F.col("cumsum")
     )
-    df = df.withColumn(
-        "time_up_since",
-        F.col("cumsum") - F.last(tmp_up, ignorenulls=True).over(w_cum),
-    )
-
     # gaps-and-islands block id (1-based like pandas' cumsum-of-changes)
     changed = F.when(
         F.lag("within_limits").over(w).isNull()
         | (F.col("within_limits") != F.lag("within_limits").over(w)),
         F.lit(1),
     ).otherwise(F.lit(0))
-    df = df.withColumn("block_id", F.sum(changed).over(w_cum))
-
-    w_block = Window.partitionBy(*groups, "block_id")
-    df = df.withColumn(
-        "max_downtime",
-        F.when(F.col("within_limits"), F.lit(0.0)).otherwise(
-            F.max("time_down").over(w_block)
-        ),
+    df = df.withColumns(
+        {
+            "time_up_since": F.col("cumsum")
+            - F.last(tmp_up, ignorenulls=True).over(w_cum),
+            "block_id": F.sum(changed).over(w_cum),
+        }
     )
 
-    df = df.withColumn(
-        flag_col,
-        flag_from_bool(
-            F.col("time_up_since") < F.col(dt_stabilization_col),
-            flag_on_true=QualityFlags.BAD,
-            flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
-        ),
+    w_block = Window.partitionBy(*groups, "block_id")
+    df = df.withColumns(
+        {
+            "max_downtime": F.when(
+                F.col("within_limits"), F.lit(0.0)
+            ).otherwise(F.max("time_down").over(w_block)),
+            flag_col: flag_from_bool(
+                F.col("time_up_since") < F.col(dt_stabilization_col),
+                flag_on_true=QualityFlags.BAD,
+                flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
+            ),
+        }
     )
     if not keep_intermediate:
         df = df.drop(

@@ -47,23 +47,26 @@ def run_qc_pipeline(
         gradient_column("result", "phenomenon_time", [stream_key], ["iot_id"]),
     )
 
-    # strict range on the raw value
+    # strict range on the raw value + gradient range, folded in ONE merge:
+    # neither flag reads the pre-merge flag state and severity-max is
+    # associative, so a single rank→greatest→code pass replaces two nested
+    # code→rank→code translations (smaller expression, one fewer plan
+    # analysis pass at build time)
     range_flag = flag_from_bool(
         out_of_range_bool(
             F.col("result"), F.col("qc_range_min"), F.col("qc_range_max")
         ),
         flag_on_true=QualityFlags.BAD,
     )
-    df = df.withColumn(flag_col, flag_merge(F.col(flag_col), range_flag))
-
-    # gradient range
     grad_flag = flag_from_bool(
         out_of_range_bool(
             F.col("gradient"), F.col("qc_gradient_min"), F.col("qc_gradient_max")
         ),
         flag_on_true=QualityFlags.BAD,
     )
-    df = df.withColumn(flag_col, flag_merge(F.col(flag_col), grad_flag))
+    df = df.withColumn(
+        flag_col, flag_merge(F.col(flag_col), range_flag, grad_flag)
+    )
 
     # rolling z-score computed only on rows still ≤ PROBABLY_GOOD
     # (semantic guard, reference src/main.py:750)
