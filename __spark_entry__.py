@@ -1931,21 +1931,52 @@ ORDER BY predicted_lang
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for the first 8 vectors as queries
-    (deterministic sequential-fold double dot product both engines)."""
-    from qualityassurancetool_spark.operators.similarity import brute_force_topk
+    """ANN top-k, all three physical strategies in one variant-tagged
+    query (first 8 vectors as queries):
+
+    - 'brute': exact cosine top-10, queries broadcast vs full corpus —
+      the correctness baseline;
+    - 'lsh': random-hyperplane bucketing, candidates only from the
+      query's bucket, top-5 — 2^planes× less pairwise work;
+    - 'ivf': stride-sampled centroids, inverted lists, nprobe=2, top-5 —
+      work ratio ~nprobe/n_centroids, the 100 TB shape.
+
+    Each variant has its own oracle branch (the approximate variants are
+    deterministic, so their exact result sets are reproducible in SQL)."""
+    from qualityassurancetool_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 8)
-    out = brute_force_topk(emb, queries_df, k=10)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round("cosine", 6).alias("cosine_r"),
-    ).orderBy("query_id", F.col("cosine_r").desc(), "neighbor_id")
+
+    def _tag(out: DataFrame, tag: str) -> DataFrame:
+        return out.select(
+            F.lit(tag).alias("variant"),
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+
+    brute = _tag(brute_force_topk(emb, queries_df, k=10), "brute")
+    lsh = _tag(
+        lsh_topk(emb, queries_df, dim=_LSH_DIM, k=5, n_planes=_LSH_PLANES),
+        "lsh",
+    )
+    centroids = emb.where(F.col("vec_id") % _IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    ivf = _tag(ivf_topk(emb, queries_df, centroids, k=5, nprobe=2), "ivf")
+    return (
+        brute.unionByName(lsh)
+        .unionByName(ivf)
+        .orderBy("variant", "query_id", F.col("cosine_r").desc(), "neighbor_id")
+    )
 
 
-SQL_SIM_TOPK = """
+_SQL_SIM_BRUTE = """
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
 ), scored AS (
@@ -1962,9 +1993,8 @@ WITH q AS (
                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
     FROM scored
 )
-SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r
+SELECT 'brute' AS variant, query_id, neighbor_id, round(cosine, 6) AS cosine_r
 FROM ranked WHERE rn <= 10
-ORDER BY query_id, cosine_r DESC, neighbor_id
 """
 
 
@@ -2226,22 +2256,7 @@ def _lsh_planes_sql() -> str:
     return " + ".join(terms)
 
 
-def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: random-hyperplane LSH bucketing, candidates only
-    from the query's bucket, top-5 by cosine.  2^planes x less pairwise
-    work than brute force — the 100 TB plan keeps the corpus partitioned
-    by bucket and broadcasts only the query set."""
-    from qualityassurancetool_spark.operators.similarity import lsh_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 8)
-    out = lsh_topk(emb, queries_df, dim=_LSH_DIM, k=5, n_planes=_LSH_PLANES)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
-    ).orderBy("query_id", F.col("cosine_r").desc(), "neighbor_id")
-
-
-SQL_SIM_LSH_TOPK = f"""
+_SQL_SIM_LSH = f"""
 WITH bucketed AS (
     SELECT vec_id, embedding, {_lsh_planes_sql()} AS bucket FROM embeddings
 ), q AS (
@@ -2262,9 +2277,8 @@ WITH bucketed AS (
                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
     FROM scored
 )
-SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r
+SELECT 'lsh' AS variant, query_id, neighbor_id, round(cosine, 6) AS cosine_r
 FROM ranked WHERE rn <= 5
-ORDER BY query_id, cosine_r DESC, neighbor_id
 """
 
 
@@ -2400,29 +2414,12 @@ FROM looked ORDER BY iot_id
 _IVF_STRIDE = 20  # centroids = vectors with vec_id % stride == 0
 
 
-def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: stride-sampled centroids (deterministic "training"),
-    inverted lists by nearest centroid, queries probe their 2 nearest
-    lists, cosine top-5.  Work vs brute force ~= nprobe/n_centroids."""
-    from qualityassurancetool_spark.operators.similarity import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.where(F.col("vec_id") % _IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
-    )
-    queries_df = emb.where(F.col("vec_id") < 8)
-    out = ivf_topk(emb, queries_df, centroids, k=5, nprobe=2)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r")
-    ).orderBy("query_id", F.col("cosine_r").desc(), "neighbor_id")
-
-
 _L2_SQL = (
     "list_sum(list_transform(list_zip({a}, {b}), "
     "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * "
     "(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"
 )
-SQL_SIM_IVF_TOPK = f"""
+_SQL_SIM_IVF = f"""
 WITH cents AS (
     SELECT vec_id AS cent_id, embedding AS cvec
     FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
@@ -2462,9 +2459,22 @@ WITH cents AS (
                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
     FROM scored
 )
-SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r
+SELECT 'ivf' AS variant, query_id, neighbor_id, round(cosine, 6) AS cosine_r
 FROM ranked WHERE rn <= 5
-ORDER BY query_id, cosine_r DESC, neighbor_id
+"""
+
+
+def _sql_sim_topk() -> str:
+    """Union of the three ANN variants' oracles, matching q_sim_topk's
+    variant-tagged output (subquery-wrapped: each branch carries its own
+    WITH clause)."""
+    return f"""
+SELECT * FROM ({_SQL_SIM_BRUTE})
+UNION ALL
+SELECT * FROM ({_SQL_SIM_LSH})
+UNION ALL
+SELECT * FROM ({_SQL_SIM_IVF})
+ORDER BY variant, query_id, cosine_r DESC, neighbor_id
 """
 
 
@@ -2559,6 +2569,135 @@ ORDER BY media_id, frame_idx
 """
 
 
+def q_text_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/PII quality signals per document in LONG
+    format (doc_id, metric, value_r) — duplicate-line fraction, word
+    repetition, top-bigram fraction, symbol ratio, and conservative
+    email/phone/IPv4 detector counts.  Long format is the extensible
+    surface: a new signal adds rows, not schema.  All signals are
+    row-local Column expressions (no shuffle, no UDFs)."""
+    from qualityassurancetool_spark.operators.quality_filters import (
+        quality_signals_long,
+    )
+
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    return quality_signals_long(docs).orderBy("doc_id", "metric")
+
+
+def _sql_text_quality_filters() -> str:
+    from qualityassurancetool_spark.operators.quality_filters import (
+        EMAIL_PAT,
+        IPV4_PAT,
+        PHONE_PAT,
+        SYMBOL_PAT,
+    )
+
+    dup_line = (
+        "CASE WHEN len(string_split(text, chr(10))) > 0 THEN "
+        "1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)"
+        " / len(string_split(text, chr(10))) ELSE 0.0 END"
+    )
+    word_rep = (
+        "CASE WHEN len(tok) > 0 THEN "
+        "1.0 - CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) "
+        "ELSE 0.0 END"
+    )
+    bg = (
+        "list_transform(range(1, greatest(len(tok) - 1, 1) + 1), "
+        "i -> concat_ws(' ', tok[i], tok[i+1]))"
+    )
+    top_bigram = (
+        f"CASE WHEN len(tok) >= 2 THEN "
+        f"CAST(list_max(list_transform(list_distinct({bg}), "
+        f"x -> len(list_filter({bg}, y -> y = x)))) AS DOUBLE) / len({bg}) "
+        f"ELSE 0.0 END"
+    )
+    symbol = (
+        f"CASE WHEN length(lt) > 0 THEN "
+        f"CAST(len(regexp_extract_all(lt, '{SYMBOL_PAT}')) AS DOUBLE)"
+        f" / length(lt) ELSE 0.0 END"
+    )
+    metrics = {
+        "dup_line_fraction": dup_line,
+        "word_rep_ratio": word_rep,
+        "top_bigram_fraction": top_bigram,
+        "symbol_ratio": symbol,
+        "pii_emails": (
+            f"CAST(len(regexp_extract_all(lt, '{EMAIL_PAT}')) AS DOUBLE)"
+        ),
+        "pii_phones": (
+            f"CAST(len(regexp_extract_all(lt, '{PHONE_PAT}')) AS DOUBLE)"
+        ),
+        "pii_ipv4": (
+            f"CAST(len(regexp_extract_all(lt, '{IPV4_PAT}')) AS DOUBLE)"
+        ),
+    }
+    branches = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{name}' AS metric, round({expr}, 6) AS value_r"
+        f" FROM tbase"
+        for name, expr in metrics.items()
+    )
+    return _TEXT_BASE_CTE + f"""
+SELECT * FROM ({branches}) ORDER BY doc_id, metric
+"""
+
+
+SQL_TEXT_QUALITY_FILTERS = _sql_text_quality_filters()
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "und": 0.25}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixing: strata
+    are the predicted language, per-stratum keep fractions ride as a
+    literal CASE, and membership is a pure function of md5(salt || id) —
+    no rand(), so retries and any engine reproduce the exact sample.
+    One filter over the scan; no shuffle."""
+    from qualityassurancetool_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    analyzed = _analyzed_docs(spark, sf_dir)
+    m = _text_measures()
+    per_doc = analyzed.select(
+        "doc_id", m["predicted_lang"].alias("stratum")
+    )
+    kept = stratified_sample(
+        per_doc,
+        fractions=_SAMPLE_FRACTIONS,
+        strata_col="stratum",
+        id_col="doc_id",
+    )
+    return kept.orderBy("doc_id")
+
+
+def _sql_sample_stratified() -> str:
+    from qualityassurancetool_spark.operators.sampling import uniform_hash_sql
+
+    frac = "0.0"
+    for k in sorted(_SAMPLE_FRACTIONS):
+        frac = (
+            f"CASE WHEN stratum = '{k}' THEN {_SAMPLE_FRACTIONS[k]} "
+            f"ELSE {frac} END"
+        )
+    return _TEXT_BASE_CTE + f"""
+, strata AS (
+    SELECT doc_id, {_lang_sql()} AS stratum FROM tbase
+)
+SELECT doc_id, stratum FROM strata
+WHERE {uniform_hash_sql('doc_id')} < {frac}
+ORDER BY doc_id
+"""
+
+
+SQL_SAMPLE_STRATIFIED = _sql_sample_stratified()
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2619,10 +2758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_lookup": q_nearest_lookup,
         "nested_flatten": q_nested_flatten,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
         "media_features": q_media_features,
         "frame_sample_plan": q_frame_sample_plan,
+        "text_quality_filters": q_text_quality_filters,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -2665,7 +2804,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "lang_quality_rollup": _sql_lang_quality_rollup(),
         "curation_pipeline": _sql_curation_pipeline(),
-        "sim_topk": SQL_SIM_TOPK,
+        "sim_topk": _sql_sim_topk(),
         "embedding_stats": SQL_EMBEDDING_STATS,
         "qc_region_flags": SQL_QC_REGION_FLAGS,
         "qc_region_lookup": SQL_QC_REGION_LOOKUP,
@@ -2674,8 +2813,8 @@ def oracle_sql() -> dict[str, str]:
         "nearest_lookup": SQL_NEAREST_LOOKUP,
         "nested_flatten": SQL_NESTED_FLATTEN,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
-        "sim_lsh_topk": SQL_SIM_LSH_TOPK,
-        "sim_ivf_topk": SQL_SIM_IVF_TOPK,
         "media_features": SQL_MEDIA_FEATURES,
         "frame_sample_plan": SQL_FRAME_SAMPLE_PLAN,
+        "text_quality_filters": SQL_TEXT_QUALITY_FILTERS,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
     }

@@ -44,8 +44,8 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "text_stats",
     "sim_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
+    "text_quality_filters",
+    "sample_stratified",
 ]
 
 

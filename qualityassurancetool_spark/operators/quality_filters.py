@@ -1,0 +1,142 @@
+"""Repetition / PII quality signals for corpus curation (Gopher-rule
+family: duplicate-line fraction, top-bigram fraction, word repetition,
+symbol ratio; plus conservative PII detectors).  Everything is a pure
+Column expression — JVM-side, whole-stage codegen, no UDFs — and every
+signal has an exact DuckDB rendering for the oracle gate.
+
+Scale notes: all signals are row-local (no shuffle); the token-array
+signals follow the attribute-only contract (materialize tokens once, pass
+the attribute — no CSE inside HOF lambdas).  ``top_bigram_fraction`` is
+O(distinct-bigrams × bigrams) per row — fine for documents, cap the
+input length upstream for pathological rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.functions.hashing import normalize_text
+
+# conservative patterns valid (and identical in semantics) in both Java
+# regex and RE2 — no backrefs, no lookaround
+EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_PAT = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+IPV4_PAT = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+SYMBOL_PAT = r"[^a-z0-9\s]"
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line (Gopher
+    repetition rule): 1 − distinct/total over newline-split lines."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(lines)) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def word_rep_ratio(toks: Column) -> Column:
+    """1 − distinct/total over the token array (0 for empty docs)."""
+    n = F.size(toks)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(toks)) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def top_bigram_fraction(toks: Column) -> Column:
+    """Occurrences of the most frequent word bigram / total bigrams
+    (Gopher top-2-gram rule); 0 when fewer than 2 tokens."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    bg = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda x: F.size(F.filter(bg, lambda y: y == x)),
+        )
+    )
+    return F.when(n >= 2, top / F.size(bg)).otherwise(F.lit(0.0))
+
+
+def symbol_ratio(lower_text: Column) -> Column:
+    """Non-alphanumeric, non-whitespace characters / total characters."""
+    n = F.length(lower_text)
+    return F.when(
+        n > 0, F.regexp_count(lower_text, F.lit(SYMBOL_PAT)) / n
+    ).otherwise(F.lit(0.0))
+
+
+def pii_counts(lower_text: Column) -> dict[str, Column]:
+    """Conservative PII detector counts (emails, phone-ish numbers, IPv4).
+    Counting, not scrubbing — the scrub is ``regexp_replace`` with the
+    same patterns where a pipeline needs redaction."""
+    return {
+        "pii_emails": F.regexp_count(lower_text, F.lit(EMAIL_PAT)),
+        "pii_phones": F.regexp_count(lower_text, F.lit(PHONE_PAT)),
+        "pii_ipv4": F.regexp_count(lower_text, F.lit(IPV4_PAT)),
+    }
+
+
+def quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Wide per-document signal frame: one column per signal.  Staged
+    projections (text → lower/norm → tokens) keep every expensive
+    intermediate evaluated once per row."""
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        t,
+        F.lower(t).alias("_lt"),
+        normalize_text(t).alias("_qnorm"),
+    ).withColumn("_qtoks", F.split(F.col("_qnorm"), " "))
+    toks = F.col("_qtoks")
+    lt = F.col("_lt")
+    pii = pii_counts(lt)
+    return staged.select(
+        F.col(id_col),
+        dup_line_fraction(t).alias("dup_line_fraction"),
+        word_rep_ratio(toks).alias("word_rep_ratio"),
+        top_bigram_fraction(toks).alias("top_bigram_fraction"),
+        symbol_ratio(lt).alias("symbol_ratio"),
+        *[c.cast("double").alias(k) for k, c in pii.items()],
+    )
+
+
+SIGNAL_NAMES = [
+    "dup_line_fraction",
+    "word_rep_ratio",
+    "top_bigram_fraction",
+    "symbol_ratio",
+    "pii_emails",
+    "pii_phones",
+    "pii_ipv4",
+]
+
+
+def quality_signals_long(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Long-format (id, metric, value_r) rendering — an extensible surface:
+    adding a signal adds rows, not schema."""
+    wide = quality_signals(df, text_col, id_col)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("metric"),
+                    F.round(F.col(name), 6).alias("value_r"),
+                )
+                for name in SIGNAL_NAMES
+            ]
+        )
+    )
+    return wide.select(F.col(id_col), stack.alias("_m")).select(
+        id_col, "_m.metric", "_m.value_r"
+    )

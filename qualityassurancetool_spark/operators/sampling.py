@@ -1,0 +1,79 @@
+"""Deterministic sampling for training-data pipelines: stratified
+fraction sampling and per-stratum deterministic top-k, with no ``rand()``
+anywhere — every decision is a pure function of (salt, id), so re-runs,
+task retries, and any SQL engine reproduce the exact same sample (the
+property that makes a 100 TB sampling job idempotent and auditable).
+
+The uniform variate is md5-derived: the first 15 hex digits of
+``md5(salt || id)`` as an integer, divided by 16^15 — portable to any
+engine with md5 (DuckDB oracle: identical expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = float(16 ** 15)  # 2^60: fits exactly in a double
+
+
+def uniform_hash(id_col: Column, salt: str = "samp:") -> Column:
+    """Deterministic uniform [0, 1) from an id column (md5-derived)."""
+    h = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 15)
+    return F.conv(h, 16, 10).cast("double") / F.lit(_DENOM)
+
+
+def uniform_hash_sql(id_expr: str, salt: str = "samp:") -> str:
+    """DuckDB rendering of :func:`uniform_hash` (bit-identical)."""
+    return (
+        f"CAST(CAST(concat('0x', substring(md5(concat('{salt}', "
+        f"CAST({id_expr} AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)"
+        f" / {_DENOM}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "samp:",
+) -> DataFrame:
+    """Keep each row iff its uniform hash falls under its stratum's
+    fraction — per-stratum Bernoulli sampling with deterministic
+    membership.  Scale shape: a single filter over the scan (no shuffle,
+    no state); the fraction map rides as a literal CASE."""
+    frac = F.lit(float(default_fraction))
+    for k in sorted(fractions):
+        frac = F.when(
+            F.col(strata_col) == F.lit(k), F.lit(float(fractions[k]))
+        ).otherwise(frac)
+    return df.where(uniform_hash(F.col(id_col), salt) < frac)
+
+
+def deterministic_topk_per_stratum(
+    df: DataFrame,
+    k: int,
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "samp:",
+) -> DataFrame:
+    """Exactly-k-per-stratum sample: rank rows inside each stratum by
+    their uniform hash (ties broken by id) and keep the first k — a
+    deterministic reservoir.  One shuffle on the stratum key; partial
+    ``min(struct)`` thinning is not applicable to rank-k, so at extreme
+    skew pre-filter with :func:`stratified_sample` at a safe over-sample
+    fraction first, then exact-rank the survivors."""
+    from pyspark.sql import Window
+
+    u = uniform_hash(F.col(id_col), salt)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(u.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
