@@ -66,6 +66,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # class as the TIMESTAMP_NTZ round-1 incident.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # a foreign session still on Spark's 200-partition default would run
+    # this testdata-scale workload with 6x task overhead; only the
+    # untouched default is overridden (a deliberate setting wins)
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        import os as _os
+
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            _os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
