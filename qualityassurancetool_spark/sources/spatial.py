@@ -52,6 +52,71 @@ def _ray_cast(lons: np.ndarray, lats: np.ndarray, verts: np.ndarray) -> np.ndarr
     return inside
 
 
+def region_expr(
+    polygons: Polygons, lat_col: str = "lat", lon_col: str = "long"
+):
+    """Pure-Column point-in-polygon labeling: the same even-odd ray cast
+    as the numpy kernel, folded over a literal edge array per polygon
+    (bbox prefilter short-circuits).  First matching polygon wins.
+
+    Identical arithmetic to :func:`_ray_cast` (IEEE doubles, same op
+    order), so the two paths are interchangeable — pinned by a parity
+    test.  Right-shaped for SMALL polygon sets: the whole lookup stays
+    inside whole-stage codegen, no Arrow round-trip of the fact table.
+    For coastline-scale vertex counts the broadcast kernel wins (the
+    literal edge array would bloat every task's plan) —
+    :func:`assign_region` dispatches on total vertex count.
+    """
+    from pyspark.sql import functions as F
+
+    x = F.col(lon_col)
+    y = F.col(lat_col)
+    out = F.lit(None).cast("string")
+    # build the WHEN chain back-to-front so the FIRST polygon wins
+    for name, verts in reversed(polygons):
+        v = np.asarray(verts, dtype=np.float64)
+        if not np.array_equal(v[0], v[-1]):
+            v = np.vstack([v, v[:1]])
+        edges = F.array(
+            *[
+                F.struct(
+                    F.lit(float(v[i][0])).alias("x1"),
+                    F.lit(float(v[i][1])).alias("y1"),
+                    F.lit(float(v[i + 1][0])).alias("x2"),
+                    F.lit(float(v[i + 1][1])).alias("y2"),
+                )
+                for i in range(len(v) - 1)
+            ]
+        )
+
+        def crossing(e):
+            crosses = (e["y1"] > y) != (e["y2"] > y)
+            xint = e["x1"] + (y - e["y1"]) * (e["x2"] - e["x1"]) / (
+                e["y2"] - e["y1"]
+            )
+            # y1 == y2 ⇒ crosses is false and false & null = false, so the
+            # div-by-zero null never reaches the accumulator
+            return crosses & (x < xint)
+
+        inside = F.aggregate(
+            edges, F.lit(False), lambda acc, e: acc != crossing(e)
+        )
+        x0, x1_, y0, y1_ = (
+            float(v[:, 0].min()),
+            float(v[:, 0].max()),
+            float(v[:, 1].min()),
+            float(v[:, 1].max()),
+        )
+        bbox = (x >= x0) & (x <= x1_) & (y >= y0) & (y <= y1_)
+        out = F.when(bbox & inside, F.lit(name)).otherwise(out)
+    return out
+
+
+# polygon sets with at most this many total vertices run as pure Column
+# expressions; larger sets use the broadcast numpy kernel
+REGION_EXPR_MAX_VERTICES = 256
+
+
 def assign_region(
     df: DataFrame,
     polygons: Polygons,
@@ -61,9 +126,19 @@ def assign_region(
 ) -> DataFrame:
     """Label each point with the first polygon containing it (else null).
 
-    Polygons are closed over (broadcast with the serialized kernel);
-    per-polygon bbox prefilter bounds the ray-cast work per batch.
+    Two physical strategies, same results (parity-tested):
+
+    - small polygon sets (≤ ``REGION_EXPR_MAX_VERTICES`` total vertices)
+      → :func:`region_expr`, pure whole-stage-codegen Columns — no
+      Python, no Arrow round-trip of the fact table;
+    - larger sets → broadcast numpy ray-cast kernel over Arrow batches
+      (per-polygon bbox prefilter bounds the work per batch).
     """
+    n_vertices = sum(len(verts) for _, verts in polygons)
+    if n_vertices <= REGION_EXPR_MAX_VERTICES:
+        return df.withColumn(
+            out_col, region_expr(polygons, lat_col, lon_col)
+        )
     polys = [
         (name, np.asarray(verts, dtype=np.float64)) for name, verts in polygons
     ]

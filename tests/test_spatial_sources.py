@@ -62,3 +62,39 @@ def test_raster_lookup_nearest_and_clamp(spark):
         r["id"]: r["elevation"] for r in raster_lookup(df, grid).collect()
     }
     assert got == {1: 0.0, 2: 10.0, 3: 3.0, 4: 1.0}
+
+
+def test_region_expr_matches_kernel(spark):
+    """The pure-Column ray cast and the numpy kernel are interchangeable
+    physical strategies — identical output on a dense grid including a
+    concave polygon and priority overlap."""
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.sources.spatial import region_expr
+
+    polys = [
+        ("ELL", ELL),
+        ("BOX", BOX),
+        ("FAR", [(100.0, 100.0), (110.0, 100.0), (110.0, 110.0), (100.0, 110.0)]),
+    ]
+    pts = [
+        (i, -2.0 + (i % 40) * 0.35, -2.0 + (i // 40) * 0.35)
+        for i in range(1600)
+    ]
+    df = spark.createDataFrame(pts, "id bigint, `long` double, lat double")
+    via_expr = df.withColumn("region", region_expr(polys)).orderBy("id")
+    expr_rows = [r["region"] for r in via_expr.collect()]
+
+    # force the kernel path by inflating the vertex budget check: call the
+    # kernel body directly through assign_region with a big synthetic set
+    import qualityassurancetool_spark.sources.spatial as sp
+
+    old = sp.REGION_EXPR_MAX_VERTICES
+    sp.REGION_EXPR_MAX_VERTICES = 0
+    try:
+        via_kernel = assign_region(df, polys).orderBy("id")
+        kernel_rows = [r["region"] for r in via_kernel.collect()]
+    finally:
+        sp.REGION_EXPR_MAX_VERTICES = old
+    assert expr_rows == kernel_rows
+    assert "ELL" in set(expr_rows) and "BOX" in set(expr_rows)
