@@ -94,12 +94,33 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    strategy: str = "fold",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self-matches).
 
-    ``queries`` must be small (it is broadcast); the corpus never moves.
-    Deterministic tie-break on (similarity desc, corpus id asc).
+    ``queries`` must be small; the corpus never moves.  Deterministic
+    tie-break on (similarity desc, corpus id asc).  Two physical
+    strategies, same results at 6-dp rounding:
+
+    - ``"fold"`` (default): pure Column sequential folds —
+      bit-reproducible left-to-right accumulation (the
+      cross-engine-exact mode), and faster for SMALL query sets where
+      Arrow/worker overhead would dominate (measured: 8 queries ×
+      5 k × 64-dim corpus runs ~25 % faster than GEMM);
+    - ``"gemm"``: queries collect to a numpy matrix, the corpus streams
+      through ``mapInPandas`` Arrow batches, each batch scores ALL
+      queries with one dense matmul and emits only its local top-k per
+      query (global top-k ⊆ union of per-batch top-ks), so the shuffle
+      is ``batches × queries × k`` rows.  The scale path once
+      queries × dims is large enough for BLAS to beat the fold — the
+      fold is O(pairs × dims) in generated code, GEMM amortizes across
+      the whole query matrix (GEMM sums in a different float order;
+      identical after the 6-dp round).
     """
+    if strategy == "gemm":
+        return _brute_force_topk_gemm(
+            corpus, queries, k, vec_col, id_col, query_id_col
+        )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
@@ -121,6 +142,77 @@ def brute_force_topk(
         _pair_cosine(
             F.col("_qvec"), F.col(f"c.{vec_col}"), F.col("_qnorm"), F.col("_cnorm")
         ).alias("cosine"),
+    )
+    return _topk_by_cosine(scored, query_id_col, k)
+
+
+def _brute_force_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """GEMM scoring path of :func:`brute_force_topk` (see its docstring).
+    Rows with a zero denominator are dropped (the fold path carries them
+    as null cosine, which never reaches a top-k either)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+
+    schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            denom = norms[:, None] * q_norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (mat @ q_mat.T) / denom
+            cos[~np.isfinite(cos)] = -np.inf
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf  # self-matches
+            kk = min(k, cos.shape[0])
+            out_q, out_n, out_c = [], [], []
+            for j in range(cos.shape[1]):
+                # exact local top-k under the FINAL global order
+                # (cosine desc, id asc) — a plain argpartition could cut a
+                # boundary tie the global id tie-break would have kept
+                order = np.lexsort((ids, -cos[:, j]))[:kk]
+                rows = order[cos[order, j] > -np.inf]
+                out_q.append(np.full(len(rows), q_ids[j], dtype=np.int64))
+                out_n.append(ids[rows])
+                out_c.append(cos[rows, j])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    from qualityassurancetool_spark.functions.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    scored = (
+        ensure_min_parallelism(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(kernel, schema)
     )
     return _topk_by_cosine(scored, query_id_col, k)
 

@@ -84,6 +84,23 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (0, 2) in got
 
 
+def test_brute_force_gemm_matches_fold(spark, sf_dir):
+    """The GEMM scale path and the sequential-fold path agree at 6-dp
+    rounding, including boundary tie-breaks (exact lexicographic local
+    top-k — see the batch-tie note in _brute_force_topk_gemm)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def norm(strategy):
+        out = brute_force_topk(emb, queries, k=7, strategy=strategy)
+        return sorted(
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 6))
+            for r in out.collect()
+        )
+
+    assert norm("fold") == norm("gemm")
+
+
 def test_ngram_jaccard_hot_block_cap_is_exact(spark):
     """Oversized (lang, length-bucket) blocks switch to the prefix-filter
     join; the capped path must return IDENTICAL pairs to uncapped
