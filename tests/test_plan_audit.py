@@ -1,0 +1,66 @@
+"""Physical-plan regression gate over the whole declared query surface:
+no accidental cartesian products, broadcast-nested-loop joins only where
+they are the intended strategy, and the capstone chain keeps its
+single-scan / no-Python shape.  Catches plan regressions the value
+oracles can't see."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+# queries whose plan legitimately contains a BroadcastNestedLoopJoin
+# (broadcast tiny-literal-dim fan-outs and the brute-force ANN baseline)
+BNLJ_ALLOWED = {"sim_topk", "nearest_lookup"}
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    spec = importlib.util.spec_from_file_location(
+        "entrymod_audit", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _plan(df) -> str:
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]
+
+
+def test_no_cartesian_products_anywhere(spark, entrymod, sf_dir):
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoop" in plan and name not in BNLJ_ALLOWED:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
+
+
+def test_reference_chain_shape(spark, entrymod, sf_dir):
+    plan = _plan(entrymod.queries()["qc_reference_chain"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1      # upstream chain scanned once
+    assert "MapInPandas" not in plan            # fully JVM-side
+    assert "ArrowEvalPython" not in plan
+
+
+def test_scans_prune_columns(spark, entrymod, sf_dir):
+    """Queries that don't need the full table must not read it: the
+    text queries read (doc_id, text) only; the TPC-H joins never read
+    o_comment/l_comment."""
+    import re
+
+    def schemas(name):
+        plan = _plan(entrymod.queries()[name](spark, sf_dir))
+        return re.findall(r"ReadSchema: ([^\n]+)", plan)
+
+    for rs in schemas("lang_quality_rollup"):
+        assert "n_chars" not in rs and "lang" not in rs.split("text")[0]
+    for rs in schemas("join_segment_revenue"):
+        assert "o_comment" not in rs and "c_comment" not in rs
+    for rs in schemas("qc_gradient"):
+        assert "props" not in rs  # events.props never needed
