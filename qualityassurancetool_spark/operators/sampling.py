@@ -52,6 +52,28 @@ def stratified_sample(
     return df.where(uniform_hash(F.col(id_col), salt) < frac)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuf:",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Global pseudo-random training-order shuffle: repartition by the
+    uniform hash (uniform data distribution regardless of source skew)
+    and sort within partitions by it — the standard pre-training corpus
+    shuffle, but a pure function of (salt, id): re-runs, retries, and
+    resumed jobs see the identical order.  Change ``salt`` per epoch.
+    Reading partition files in name order yields the full permutation."""
+    u = uniform_hash(F.col(id_col), salt)
+    out = df.withColumn("_shuf", u)
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        out.repartitionByRange(n, "_shuf")
+        .sortWithinPartitions("_shuf")
+        .drop("_shuf")
+    )
+
+
 def deterministic_topk_per_stratum(
     df: DataFrame,
     k: int,

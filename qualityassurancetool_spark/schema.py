@@ -66,6 +66,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # class as the TIMESTAMP_NTZ round-1 incident.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # the NTZ→TIMESTAMP self-heal below is value-exact ONLY under a UTC
+    # session tz; pin it so a foreign session's local tz can't shift
+    # every timestamp relative to the (naive-UTC) SQL oracles
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # a foreign session still on Spark's 200-partition default would run
     # this testdata-scale workload with 6x task overhead; only the
     # untouched default is overridden (a deliberate setting wins)

@@ -93,6 +93,26 @@ def test_deterministic_topk_per_stratum(spark):
     }
 
 
+def test_deterministic_shuffle_is_a_permutation(spark):
+    from qualityassurancetool_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, n_partitions=8)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert sorted(ids) == list(range(5000))       # a permutation
+    assert ids != list(range(5000))               # actually shuffled
+    again = [r["doc_id"] for r in deterministic_shuffle(
+        df, n_partitions=8
+    ).collect()]
+    assert ids == again                           # identical across runs
+    other = [r["doc_id"] for r in deterministic_shuffle(
+        df, salt="epoch2:", n_partitions=8
+    ).collect()]
+    assert ids != other                           # new salt, new order
+
+
 def test_uniform_hash_is_uniform_ish(spark):
     df = spark.range(10_000).select(
         uniform_hash(F.col("id")).alias("u")
