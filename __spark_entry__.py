@@ -463,24 +463,6 @@ ORDER BY z.iot_id
 """
 
 
-def q_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe two-phase distinct count (operators/skew): distinct users
-    per stream — result-identical to countDistinct, but a hot stream's
-    distinct set reduces across all map tasks instead of one."""
-    from qualityassurancetool_spark.operators.skew import salted_distinct_count
-
-    ev = load_table(spark, sf_dir, "events")
-    return salted_distinct_count(
-        ev, ["event_type"], "user_id", out_col="n_users"
-    ).orderBy("event_type")
-
-
-SQL_DISTINCT_USERS_SALTED = """
-SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
 def q_qc_flag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 on the full range-checked table (global flag histogram)."""
     df = q_qc_range_flags(spark, sf_dir)
@@ -497,9 +479,15 @@ SQL_QC_FLAG_HISTOGRAM = (
 
 
 def q_distinct_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5/A6: distinct stream inventory with row counts and emptiness guard."""
+    """A5/A6: distinct stream inventory with row counts and emptiness
+    guard, plus a skew-safe two-phase salted distinct-user count
+    (operators/skew) — result-identical to countDistinct, but a hot
+    stream's distinct set reduces across all map tasks instead of one.
+    The salted agg joins back on the 5-row inventory (broadcast)."""
+    from qualityassurancetool_spark.operators.skew import salted_distinct_count
+
     obs = _obs(spark, sf_dir)
-    return (
+    inv = (
         obs.groupBy("observation_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -507,8 +495,11 @@ def q_distinct_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("result"), 6).alias("min_result"),
             F.round(F.max("result"), 6).alias("max_result"),
         )
-        .orderBy("observation_type")
     )
+    users = salted_distinct_count(
+        obs, ["observation_type"], "user_id", out_col="n_users"
+    )
+    return inv.join(users, "observation_type").orderBy("observation_type")
 
 
 SQL_DISTINCT_STREAMS = EVENTS_CTE + """
@@ -516,7 +507,8 @@ SELECT observation_type,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT iot_id) AS n_ids,
        round(MIN(result), 6) AS min_result,
-       round(MAX(result), 6) AS max_result
+       round(MAX(result), 6) AS max_result,
+       COUNT(DISTINCT user_id) AS n_users
 FROM obs
 GROUP BY observation_type
 ORDER BY observation_type
@@ -1440,21 +1432,60 @@ LIMIT 10
 """
 
 
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on documents: digest groups with keep-id and group size."""
-    from qualityassurancetool_spark.operators.dedup import exact_dedup
+def q_dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc dedup signature sheet: exact-dedup group columns (digest,
+    keep-id, group size — operators/dedup.exact_dedup) joined back to
+    each doc, plus the 32-bit SimHash.  One query exercises both
+    row-local signature computation and the digest-keyed group shuffle;
+    the join key IS the exact-dedup shuffle key, so the group join
+    reuses the digest hash partitioning rather than adding a new one."""
+    from qualityassurancetool_spark.operators.dedup import (
+        exact_dedup,
+        simhash_from_token_hashes,
+        simhash_token_hashes,
+    )
+    from qualityassurancetool_spark.functions.hashing import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup(docs).orderBy("content_hash")
+    groups = exact_dedup(docs)
+    perdoc = docs.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("content_hash"),
+        simhash_token_hashes(F.col("text")).alias("_tokh"),
+    ).select(
+        "doc_id",
+        "content_hash",
+        simhash_from_token_hashes(F.col("_tokh"), bits=32).alias("simhash32"),
+    )
+    return (
+        perdoc.join(groups, "content_hash")
+        .select("doc_id", "content_hash", "keep_id", "n_dups", "simhash32")
+        .orderBy("doc_id")
+    )
 
 
-SQL_DEDUP_EXACT = f"""
-SELECT md5({_NORM_SQL}) AS content_hash,
-       MIN(doc_id) AS keep_id,
-       COUNT(*) AS n_dups
-FROM documents
-GROUP BY 1
-ORDER BY content_hash
+def _sql_dedup_signatures(bits: int = 32) -> str:
+    hash_list = (
+        "list_transform(list_distinct(string_split(" + _NORM_SQL + ", ' ')), "
+        "t -> CAST(concat('0x', substring(md5(concat('sh:', t)), 1, 15)) AS BIGINT))"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN len(list_filter(h, x -> (x >> {b}) & 1 = 1)) * 2 > len(h) "
+        f"THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH perdoc AS (
+    SELECT doc_id, md5({_NORM_SQL}) AS content_hash, {hash_list} AS h
+    FROM documents
+), grp AS (
+    SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM perdoc GROUP BY content_hash
+)
+SELECT p.doc_id, p.content_hash, g.keep_id, g.n_dups,
+       CAST({bit_terms} AS BIGINT) AS simhash32
+FROM perdoc p JOIN grp g USING (content_hash)
+ORDER BY doc_id
 """
 
 
@@ -1490,54 +1521,6 @@ ORDER BY id_a, id_b
 """
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (portable md5-derived token hashes).
-
-    Two-step projection: the md5 token-hash array is materialized first so
-    the 32 per-bit aggregates read an attribute instead of re-running the
-    md5 pass once per bit (no CSE inside HOF lambdas)."""
-    from qualityassurancetool_spark.operators.dedup import (
-        simhash_from_token_hashes,
-        simhash_token_hashes,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id", simhash_token_hashes(F.col("text")).alias("_tokh")
-        )
-        .select(
-            "doc_id",
-            simhash_from_token_hashes(F.col("_tokh"), bits=32).alias(
-                "simhash32"
-            ),
-        )
-        .orderBy("doc_id")
-    )
-
-
-def _simhash_sql(bits: int = 32) -> str:
-    hash_list = (
-        "list_transform(list_distinct(string_split(" + _NORM_SQL + ", ' ')), "
-        "t -> CAST(concat('0x', substring(md5(concat('sh:', t)), 1, 15)) AS BIGINT))"
-    )
-    bit_terms = " + ".join(
-        f"(CASE WHEN len(list_filter(h, x -> (x >> {b}) & 1 = 1)) * 2 > len(h) "
-        f"THEN {2 ** b} ELSE 0 END)"
-        for b in range(bits)
-    )
-    return f"""
-WITH hashes AS (
-    SELECT doc_id, {hash_list} AS h FROM documents
-)
-SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash32
-FROM hashes ORDER BY doc_id
-"""
-
-
-SQL_DEDUP_SIMHASH = _simhash_sql(32)
-
-
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline: banded candidates -> exact Jaccard,
     in portable hash mode (md5-derived 28-bit shingle hashes +
@@ -1557,7 +1540,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _sql_dedup_minhash_lsh() -> str:
+def _sql_minhash_pair_ctes() -> str:
+    """CTE chain ``toks → … → jac`` reproducing the portable-mode MinHash
+    pipeline's verified pairs.  Returned WITHOUT the leading ``WITH`` so
+    callers can prefix ``WITH`` or ``WITH RECURSIVE`` and append further
+    CTEs (the clusters oracle builds its recursive reachability on top)."""
     from qualityassurancetool_spark.operators.dedup import _mix_constants
 
     num_hashes, bands, rpb = 16, 8, 2
@@ -1576,8 +1563,7 @@ def _sql_dedup_minhash_lsh() -> str:
         + ")) AS bh FROM sig"
         for b in range(bands)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tok FROM documents
 ), sh AS (
     SELECT doc_id, list_distinct(list_transform(
@@ -1603,9 +1589,118 @@ WITH toks AS (
     FROM pairs p
     JOIN shh x ON x.doc_id = p.id_a
     JOIN shh y ON y.doc_id = p.id_b
-)
+)"""
+
+
+def _sql_dedup_minhash_lsh() -> str:
+    return f"""
+WITH {_sql_minhash_pair_ctes()}
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
 FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: MinHash-LSH verified pairs →
+    connected components (min-reachable-id labels, iterative label
+    propagation with pointer jumping — operators/components) → per-doc
+    cluster id + cluster size.  The step every production dedup pipeline
+    runs after pair generation; the oracle reproduces the labeling as a
+    recursive min-reachable-id fixpoint over the same pair CTEs."""
+    from qualityassurancetool_spark.operators.components import (
+        connected_components,
+    )
+    from qualityassurancetool_spark.operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    prs = minhash_dedup(
+        docs, num_hashes=16, bands=8, shingle_k=3, threshold=0.5,
+        hash_mode="portable",
+    ).select("id_a", "id_b")
+    cc = connected_components(prs, out_id="doc_id", out_comp="cluster_id")
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_pair_ctes()},
+prs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM prs
+    UNION ALL
+    SELECT id_b, id_a FROM prs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+    SELECT id, id AS r FROM nodes
+    UNION
+    SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp ORDER BY doc_id
+"""
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam): a deterministic
+    ~4% md5-split of documents plays the held-out benchmark; every other
+    (train) doc is scored by how many of its distinct word 3-gram hashes
+    appear anywhere in the benchmark set.  Returns contaminated docs
+    only.  Scale shape: benchmark gram set broadcast, map-side explode +
+    broadcast semi join on 8-byte gram hashes, one doc_id shuffle over
+    hit rows."""
+    from qualityassurancetool_spark.operators.decontam import (
+        benchmark_ngram_overlap,
+    )
+    from qualityassurancetool_spark.operators.sampling import uniform_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = uniform_hash(F.col("doc_id"), salt="bench:") < 0.04
+    out = benchmark_ngram_overlap(
+        docs.where(~is_bench), docs.where(is_bench), k=3
+    )
+    return out.orderBy("doc_id")
+
+
+def _sql_decontaminate_overlap(k: int = 3) -> str:
+    from qualityassurancetool_spark.operators.decontam import GRAM_SALT
+    from qualityassurancetool_spark.operators.sampling import uniform_hash_sql
+
+    gram = "concat_ws(' ', " + ", ".join(
+        f"tok[i+{j}]" if j else "tok[i]" for j in range(k)
+    ) + ")"
+    ghash = (
+        f"CAST(concat('0x', substring(md5(concat('{GRAM_SALT}', {gram})),"
+        f" 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tok,
+           {uniform_hash_sql('doc_id', 'bench:')} < 0.04 AS is_bench
+    FROM documents
+), grams AS (
+    SELECT doc_id, is_bench, list_distinct(list_transform(
+        range(1, greatest(len(tok) - {k - 1}, 1) + 1),
+        i -> {ghash})) AS gs
+    FROM toks
+), bset AS (
+    SELECT list_distinct(flatten(list(gs))) AS bs FROM grams WHERE is_bench
+), scored AS (
+    SELECT g.doc_id,
+           CAST(len(list_intersect(g.gs, b.bs)) AS BIGINT) AS n_overlap,
+           CAST(len(g.gs) AS BIGINT) AS n_grams
+    FROM grams g CROSS JOIN bset b
+    WHERE NOT g.is_bench
+)
+SELECT doc_id, n_overlap, n_grams,
+       round(n_overlap::DOUBLE / n_grams, 6) AS overlap_frac
+FROM scored WHERE n_overlap >= 1 ORDER BY doc_id
 """
 
 
@@ -2718,7 +2813,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_full_pipeline": q_qc_full_pipeline,
         "qc_reference_chain": q_qc_reference_chain,
         "qc_flag_histogram": q_qc_flag_histogram,
-        "distinct_users_salted": q_distinct_users_salted,
         "qc_asof_dependent": q_qc_asof_dependent,
         "qc_velocity": q_qc_velocity,
         "qc_spatial_outlier": q_qc_spatial_outlier,
@@ -2742,10 +2836,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         "filtered_revenue": q_filtered_revenue,
         "shipping_priority": q_shipping_priority,
-        "dedup_exact": q_dedup_exact,
+        "dedup_signatures": q_dedup_signatures,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate_overlap": q_decontaminate_overlap,
         "text_stats": q_text_stats,
         "lang_quality_rollup": q_lang_quality_rollup,
         "curation_pipeline": q_curation_pipeline,
@@ -2773,7 +2868,6 @@ def oracle_sql() -> dict[str, str]:
         "qc_full_pipeline": SQL_QC_FULL_PIPELINE,
         "qc_reference_chain": _sql_qc_reference_chain(),
         "qc_flag_histogram": SQL_QC_FLAG_HISTOGRAM,
-        "distinct_users_salted": SQL_DISTINCT_USERS_SALTED,
         "qc_asof_dependent": SQL_QC_ASOF_DEPENDENT,
         "qc_velocity": SQL_QC_VELOCITY,
         "qc_spatial_outlier": SQL_QC_SPATIAL_OUTLIER,
@@ -2797,10 +2891,11 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles": SQL_PRICE_PERCENTILES,
         "filtered_revenue": SQL_FILTERED_REVENUE,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
-        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_signatures": _sql_dedup_signatures(),
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
-        "dedup_simhash": SQL_DEDUP_SIMHASH,
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
+        "dedup_clusters": _sql_dedup_clusters(),
+        "decontaminate_overlap": _sql_decontaminate_overlap(),
         "text_stats": SQL_TEXT_STATS,
         "lang_quality_rollup": _sql_lang_quality_rollup(),
         "curation_pipeline": _sql_curation_pipeline(),

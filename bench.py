@@ -39,7 +39,8 @@ BENCH_QUERIES = [
     "events_profile",
     "lang_quality_rollup",
     "curation_pipeline",
-    "dedup_exact",
+    "dedup_signatures",
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "text_stats",

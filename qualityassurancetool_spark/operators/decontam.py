@@ -1,0 +1,95 @@
+"""Benchmark decontamination: flag training documents sharing word
+n-grams with a held-out evaluation/benchmark set — the standard guard
+against test-set leakage in LLM training-data pipelines (the GPT-3/PaLM
+style n-gram overlap check, reproduced as a pure Spark plan).
+
+Scale design (100 TB train corpus, eval-set-sized benchmark):
+ - the benchmark n-gram set is TINY relative to train (benchmarks are
+   thousands of docs, train is billions) → build it once, broadcast it;
+ - the train side is a map-side explode of per-doc DISTINCT n-gram
+   hashes followed by a broadcast-hash semi join — no shuffle touches
+   the corpus until the final per-doc count, which shuffles only
+   (doc_id, n_grams, gram) hit rows (contaminated grams are rare);
+ - n-grams are hashed (portable md5-derived 60-bit ints) so only fixed
+   8-byte keys cross the join, never gram strings; the same expression
+   is emitted by any md5-capable SQL engine, which is what makes the
+   operator oracle-checkable bit-for-bit.
+
+Token/shingle semantics are shared with the dedup family
+(``functions.hashing``): normalize → whitespace split → k-gram join with
+single spaces, distinct per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.functions.hashing import (
+    md5_long,
+    shingles_from_tokens,
+    tokens,
+)
+
+GRAM_SALT = "dg:"
+
+
+def doc_gram_hashes(
+    df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc distinct word-k-gram hash array: ``(id_col, _gs)``.
+
+    Two-step projection (token array materialized first) — Catalyst has
+    no CSE inside higher-order-function lambdas, so inlining the split
+    would re-tokenize per gram (see functions/hashing)."""
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
+        .select(
+            id_col,
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("_tok"), k),
+                    lambda s: md5_long(s, salt=GRAM_SALT),
+                )
+            ).alias("_gs"),
+        )
+    )
+
+
+def benchmark_ngram_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Per train doc: how many of its distinct k-grams appear anywhere in
+    the benchmark set.  Returns only contaminated docs (``n_overlap >=
+    min_overlap``): ``(id_col, n_overlap, n_grams, overlap_frac)``."""
+    bench_set = (
+        doc_gram_hashes(bench, k, text_col, id_col)
+        .select(F.explode("_gs").alias("g"))
+        .distinct()
+    )
+    exploded = doc_gram_hashes(train, k, text_col, id_col).select(
+        F.col(id_col),
+        F.size("_gs").cast("long").alias("n_grams"),
+        F.explode("_gs").alias("g"),
+    )
+    hits = exploded.join(F.broadcast(bench_set), "g")
+    out = (
+        hits.groupBy(id_col, "n_grams")
+        # grams are distinct per doc before the explode, so a plain
+        # count is already a distinct-gram count (no countDistinct state)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    return out.select(
+        id_col,
+        "n_overlap",
+        "n_grams",
+        F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias(
+            "overlap_frac"
+        ),
+    )

@@ -40,6 +40,11 @@ NESTED_LOOP_OK = {
     "nearest_lookup",    # fan-out against a 4-row literal target dim
 }
 
+# queries whose plan legitimately scans a LogicalRDD: checkpointed
+# iterative state (connected components truncates its self-join lineage
+# with localCheckpoint — NOT a Python->JVM dim round-trip)
+EXISTING_RDD_OK = {"dedup_clusters"}
+
 
 def audit(sf_dir: str) -> int:
     from qualityassurancetool_spark.session import get_spark
@@ -57,7 +62,7 @@ def audit(sf_dir: str) -> int:
             problems.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
             problems.append("BroadcastNestedLoopJoin")
-        if "Scan ExistingRDD" in plan:
+        if "Scan ExistingRDD" in plan and name not in EXISTING_RDD_OK:
             problems.append("ExistingRDD-scan")
         # every FileScan with DataFilters should push them to parquet
         for scan in re.findall(r"FileScan parquet [^\n]*", plan):
