@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "dedup_signatures",
     "dedup_clusters",
+    "decontaminate_overlap",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "text_stats",

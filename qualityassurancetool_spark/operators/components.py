@@ -38,6 +38,9 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+LOCAL_EDGE_THRESHOLD = 1_000_000  # ~16 MB of (long, long) rows on the driver
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -45,11 +48,35 @@ def connected_components(
     out_id: str = "id",
     out_comp: str = "component",
     max_rounds: int = 50,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Cluster nodes of an undirected pair list; returns one row per node
     appearing in any pair: ``(out_id, out_comp)`` where ``out_comp`` is
-    the min reachable node id.  Deterministic for any input order."""
+    the min reachable node id.  Deterministic for any input order.
+
+    ``strategy``: ``"distributed"`` always runs the iterative label
+    propagation; ``"local"`` collects the edge list and runs union-find
+    on the driver; ``"auto"`` (default) counts the edges and picks —
+    verified near-dup pair sets are usually metadata-scale even when the
+    corpus is not (a corpus with |pairs| ≳ 10⁶ has a duplication problem
+    upstream of clustering), and the distributed path costs 3–4 scheduled
+    rounds of joins that dwarf a tiny graph.  Same honest-default
+    precedent as the IVF centroid collect: collect what is provably
+    small, distribute what is not.  Both paths produce identical labels
+    (property-tested against each other)."""
+    if strategy not in ("auto", "distributed", "local"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if strategy == "auto":
+        # probe-collect: ONE execution of the (possibly expensive)
+        # upstream pair pipeline decides the strategy AND supplies the
+        # local path's input; only on overflow does the distributed path
+        # re-execute it
+        rows = e.limit(LOCAL_EDGE_THRESHOLD + 1).collect()
+        if len(rows) <= LOCAL_EDGE_THRESHOLD:
+            return _cc_local(e, rows, out_id, out_comp)
+    elif strategy == "local":
+        return _cc_local(e, e.collect(), out_id, out_comp)
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -107,3 +134,37 @@ def connected_components(
         prev_sum = cur_sum
     edges.unpersist()
     return lab.select(F.col("id").alias(out_id), F.col("comp").alias(out_comp))
+
+
+def _cc_local(e: DataFrame, rows, out_id: str, out_comp: str) -> DataFrame:
+    """Driver union-find over a collected metadata-scale edge list, with
+    min-id root selection so labels match the distributed path exactly."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the min-reachable-id invariant
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(n, find(n)) for n in parent]
+    schema = e.select(
+        e.columns[0], F.col(e.columns[0]).alias("_c")
+    ).schema
+    spark = e.sparkSession
+    df = spark.createDataFrame(out, schema=schema)
+    return df.select(
+        F.col(schema[0].name).alias(out_id), F.col("_c").alias(out_comp)
+    )

@@ -67,15 +67,27 @@ def benchmark_ngram_overlap(
     """Per train doc: how many of its distinct k-grams appear anywhere in
     the benchmark set.  Returns only contaminated docs (``n_overlap >=
     min_overlap``): ``(id_col, n_overlap, n_grams, overlap_frac)``."""
+    # explode_OUTER, not explode: plain explode makes Catalyst infer a
+    # ``size(_gs) > 0`` filter and push it below the gram projection,
+    # substituting the ENTIRE tokenize→shingle→hash tree into the filter
+    # — including a re-tokenize per shingle inside the lambda (the
+    # no-CSE-in-HOF trap; measured ~6× on this query at sf0.1).  With
+    # explode_outer no filter is inferred; the null guard sits ABOVE the
+    # Generate, where it reads an attribute and cannot be pushed through.
     bench_set = (
         doc_gram_hashes(bench, k, text_col, id_col)
-        .select(F.explode("_gs").alias("g"))
+        .select(F.explode_outer("_gs").alias("g"))
+        .where(F.col("g").isNotNull())
         .distinct()
     )
-    exploded = doc_gram_hashes(train, k, text_col, id_col).select(
-        F.col(id_col),
-        F.size("_gs").cast("long").alias("n_grams"),
-        F.explode("_gs").alias("g"),
+    exploded = (
+        doc_gram_hashes(train, k, text_col, id_col)
+        .select(
+            F.col(id_col),
+            F.size("_gs").cast("long").alias("n_grams"),
+            F.explode_outer("_gs").alias("g"),
+        )
+        .where(F.col("g").isNotNull())
     )
     hits = exploded.join(F.broadcast(bench_set), "g")
     out = (

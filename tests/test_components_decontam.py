@@ -13,22 +13,24 @@ from qualityassurancetool_spark.operators.decontam import (
 )
 
 
-def _cc_dict(spark, pairs):
+def _cc_dict(spark, pairs, strategy="auto"):
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
-    out = connected_components(df)
+    out = connected_components(df, strategy=strategy)
     return {r["id"]: r["component"] for r in out.collect()}
 
 
-def test_cc_two_components(spark):
+@pytest.mark.parametrize("strategy", ["local", "distributed"])
+def test_cc_two_components(spark, strategy):
     # {1,2,3} via chain, {10,11} separate
-    got = _cc_dict(spark, [(1, 2), (2, 3), (10, 11)])
+    got = _cc_dict(spark, [(1, 2), (2, 3), (10, 11)], strategy)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_cc_long_chain_converges(spark):
+@pytest.mark.parametrize("strategy", ["local", "distributed"])
+def test_cc_long_chain_converges(spark, strategy):
     # path graph 0-1-2-...-12: diameter >> 2, exercises pointer jumping
     pairs = [(i, i + 1) for i in range(12)]
-    got = _cc_dict(spark, pairs)
+    got = _cc_dict(spark, pairs, strategy)
     assert set(got.values()) == {0}
     assert len(got) == 13
 
@@ -37,6 +39,19 @@ def test_cc_cycle_and_order_invariance(spark):
     # same component regardless of pair orientation / duplicates
     got = _cc_dict(spark, [(5, 4), (4, 5), (3, 5), (2, 3), (2, 2)])
     assert got == {2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_cc_strategies_agree_on_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _cc_dict(spark, pairs, "local") == _cc_dict(
+        spark, pairs, "distributed"
+    )
 
 
 def test_cc_empty(spark):
