@@ -36,7 +36,8 @@ def _assert_equal_maps(a, b):
             assert vb == pytest.approx(va, rel=1e-9, abs=1e-9), k
 
 
-def test_zscore_bucketed_matches_window(spark):
+@pytest.mark.parametrize("strategy", ["window", "pandas"])
+def test_zscore_bucketed_matches_window(spark, strategy):
     obs = events_as_observations(spark, SF_DIR)
     ref = calc_zscore(obs, group_col="observation_type", rolling_time_window="60min")
     # small bucket (2x window) to force many buckets and heavy halo use
@@ -45,13 +46,15 @@ def test_zscore_bucketed_matches_window(spark):
         group_col="observation_type",
         rolling_time_window="60min",
         bucket="120min",
+        strategy=strategy,
     )
     _assert_equal_maps(
         _collect_map(ref, "iot_id", "zscore"), _collect_map(got, "iot_id", "zscore")
     )
 
 
-def test_median_track_bucketed_matches_window(spark):
+@pytest.mark.parametrize("strategy", ["window", "pandas"])
+def test_median_track_bucketed_matches_window(spark, strategy):
     obs = events_as_observations(spark, SF_DIR)
     ref = with_median_track(
         obs, time_window="10min", partition_cols=["observation_type"]
@@ -61,6 +64,7 @@ def test_median_track_bucketed_matches_window(spark):
         time_window="10min",
         partition_cols=["observation_type"],
         bucket="30min",
+        strategy=strategy,
     )
     for c in ["median_lat", "median_long"]:
         _assert_equal_maps(

@@ -58,9 +58,18 @@ def main() -> None:
             ),
         ),
         (
-            "bucketed-overlap halo",
+            "bucketed-overlap halo (JVM window)",
             lambda: calc_zscore_bucketed(
                 big, group_col="observation_type", rolling_time_window="60min"
+            ),
+        ),
+        (
+            "bucketed-overlap halo (pandas kernel)",
+            lambda: calc_zscore_bucketed(
+                big,
+                group_col="observation_type",
+                rolling_time_window="60min",
+                strategy="pandas",
             ),
         ),
     ]
