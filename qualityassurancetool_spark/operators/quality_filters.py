@@ -140,3 +140,44 @@ def quality_signals_long(
     return wide.select(F.col(id_col), stack.alias("_m")).select(
         id_col, "_m.metric", "_m.value_r"
     )
+
+
+# ------------------------------------------------------------- URLs/domains
+
+URL_PAT = r"https?://[^\s<>\"']+"
+# capture group 1 = registrable host (scheme and leading www. stripped)
+URL_HOST_PAT = r"https?://(?:www\.)?([^\s<>\"'/:?#]+)"
+
+
+def url_count(lower_text: Column) -> Column:
+    """Number of http(s) URLs in the text (conservative RE2/Java-common
+    pattern, same count on any engine)."""
+    return F.regexp_count(lower_text, F.lit(URL_PAT))
+
+
+def extract_domains(lower_text: Column) -> Column:
+    """Distinct registrable hosts mentioned in the text →
+    array<string> (``www.`` stripped, lowercase)."""
+    return F.array_distinct(
+        F.regexp_extract_all(lower_text, F.lit(URL_HOST_PAT), 1)
+    )
+
+
+def domain_blocklist_hit(
+    lower_text: Column, blocked_domains: list[str]
+) -> Column:
+    """True iff any URL host (or subdomain of) a blocked domain appears.
+
+    The blocklist rides the plan as a literal array (config-scale, like
+    the QC threshold dims) — suffix match covers subdomains.  For
+    million-entry blocklists use a broadcast join on the exploded domain
+    column instead."""
+    doms = extract_domains(lower_text)
+    blocked = F.lit([d.lower() for d in blocked_domains])
+    return F.exists(
+        doms,
+        lambda d: F.exists(
+            blocked,
+            lambda b: (d == b) | d.endswith(F.concat(F.lit("."), b)),
+        ),
+    )

@@ -516,3 +516,43 @@ def blocked_cosine_pairs(
     return df.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(
         lambda _, pdf: score(pdf), out_schema
     )
+
+
+# ------------------------------------------------------------ quantization
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_vec: str = "qvec",
+    out_scale: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q = round(v/s)`` with
+    ``s = max|v| / 127`` — the standard storage/bandwidth reduction for
+    ANN at corpus scale (4× smaller vectors, dot products stay rank-
+    faithful to ~1e-2 relative).  Pure Column exprs: one ``aggregate``
+    fold for the scale, one ``transform`` for the components; no Python.
+
+    Zero vectors get scale 0 and all-zero components (dequantizes to the
+    zero vector exactly)."""
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    s = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    df = df.withColumn(out_scale, s)
+    q = F.transform(
+        v,
+        lambda x: F.when(F.col(out_scale) > 0, F.round(x / F.col(out_scale)))
+        .otherwise(F.lit(0.0))
+        .cast("tinyint"),
+    )
+    return df.withColumn(out_vec, q)
+
+
+def dequantize_int8(
+    qvec: Column,
+    scale: Column,
+) -> Column:
+    """Inverse of :func:`quantize_int8` (float array; max per-component
+    error = scale/2)."""
+    return F.transform(qvec, lambda x: x.cast("double") * scale)

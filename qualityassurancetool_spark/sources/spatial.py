@@ -205,6 +205,32 @@ class RasterGrid:
         return self.values[i, j]
 
 
+# grids with at most this many cells ride the plan as ONE flattened
+# array literal and index with element_at — pure whole-stage-codegen, no
+# Python stage (same small-side-as-literal pattern as region_expr and
+# the IVF centroids); larger rasters use the broadcast numpy kernel
+RASTER_EXPR_MAX_CELLS = 65536
+
+
+def raster_expr(
+    grid: RasterGrid, lat_col: str = "lat", lon_col: str = "long"
+) -> Column:
+    """Nearest-cell raster value as a pure Column expression.
+
+    Identical IEEE-double arithmetic to :meth:`RasterGrid.lookup`
+    (``floor((coord-origin)/step + 0.5)``, clamped), so the two physical
+    strategies are value-exact twins (parity-tested)."""
+    from pyspark.sql import functions as F
+
+    n_lat, n_lon = grid.values.shape
+    i = F.floor((F.col(lat_col) - grid.lat0) / grid.dlat + 0.5).cast("long")
+    j = F.floor((F.col(lon_col) - grid.lon0) / grid.dlon + 0.5).cast("long")
+    i = F.least(F.greatest(i, F.lit(0)), F.lit(int(n_lat - 1)))
+    j = F.least(F.greatest(j, F.lit(0)), F.lit(int(n_lon - 1)))
+    flat = [float(v) for v in grid.values.ravel()]
+    return F.element_at(F.lit(flat), (i * n_lon + j + 1).cast("int"))
+
+
 def raster_lookup(
     df: DataFrame,
     grid: RasterGrid,
@@ -212,8 +238,13 @@ def raster_lookup(
     lon_col: str = "long",
     out_col: str = "elevation",
 ) -> DataFrame:
-    """Attach the nearest-cell raster value per point (broadcast grid,
-    Arrow-batched kernel; the fact table never moves)."""
+    """Attach the nearest-cell raster value per point.
+
+    Small grids (≤ ``RASTER_EXPR_MAX_CELLS``) → :func:`raster_expr`,
+    pure Columns; larger (real ETOPO-scale) → broadcast numpy kernel
+    over Arrow batches (the fact table never moves either way)."""
+    if grid.values.size <= RASTER_EXPR_MAX_CELLS:
+        return df.withColumn(out_col, raster_expr(grid, lat_col, lon_col))
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
     )

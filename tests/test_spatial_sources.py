@@ -98,3 +98,30 @@ def test_region_expr_matches_kernel(spark):
         sp.REGION_EXPR_MAX_VERTICES = old
     assert expr_rows == kernel_rows
     assert "ELL" in set(expr_rows) and "BOX" in set(expr_rows)
+
+
+def test_raster_expr_matches_kernel(spark):
+    """The pure-Column nearest-cell lookup and the numpy kernel are
+    value-exact twins, including edge rounding and clamping."""
+    import qualityassurancetool_spark.sources.spatial as sp
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=(20, 30)) * 100
+    grid = RasterGrid(vals, lat0=-1.0, lon0=2.0, dlat=0.05, dlon=0.07)
+    pts = [
+        (i, -1.3 + (i % 50) * 0.03, 1.8 + (i // 50) * 0.06)
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(pts, "id bigint, lat double, `long` double")
+    via_expr = {
+        r["id"]: r["elevation"] for r in raster_lookup(df, grid).collect()
+    }
+    old = sp.RASTER_EXPR_MAX_CELLS
+    sp.RASTER_EXPR_MAX_CELLS = 0
+    try:
+        via_kernel = {
+            r["id"]: r["elevation"] for r in raster_lookup(df, grid).collect()
+        }
+    finally:
+        sp.RASTER_EXPR_MAX_CELLS = old
+    assert via_expr == via_kernel  # exact doubles, no tolerance
