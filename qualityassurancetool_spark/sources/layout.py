@@ -70,3 +70,41 @@ def read_observations_window(
         & (F.col(ts_col) >= F.lit(start))
         & (F.col(ts_col) < F.lit(end))
     ).drop(date_col)
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    partition_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "shard:",
+) -> None:
+    """Training-corpus layout: partition directories by ``partition_col``
+    (language/source — the axis curation and sampling filter on), a FIXED
+    number of shard files per partition, and DETERMINISTIC shard
+    membership (md5(salt‖id) — no ``rand()``), so task retries, re-runs,
+    and incremental rebuilds place every doc in the same shard file.
+
+    The shard is a PARTITION DIRECTORY (``lang=X/shard=K/``), not a file
+    name: a shard's row set is a pure function of the data even when the
+    shuffle maps two shard groups onto one task (directory membership
+    survives task-level collisions; file names never carry meaning).
+    File count is bounded by partitions × n_shards regardless of
+    upstream parallelism — no small-file explosion at 100 TB — and shard
+    sizes stay balanced because membership is a uniform hash.  Dynamic
+    partition overwrite keeps re-runs idempotent per directory."""
+    from qualityassurancetool_spark.operators.sampling import uniform_hash
+
+    shard = F.floor(
+        uniform_hash(F.col(id_col), salt) * F.lit(float(n_shards))
+    ).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .repartition(F.col(partition_col), F.col("shard"))
+        .sortWithinPartitions(id_col)
+        .write.partitionBy(partition_col, "shard")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )

@@ -174,3 +174,33 @@ def tumbling_flag_rollup(
         .agg(F.count(F.lit(1)).alias("n"))
         .select("w.start", "w.end", "flag", "n")
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    digest_col: str = "content_hash",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen document per normalized-text
+    digest survives; later copies inside the watermark horizon drop.
+
+    ``dropDuplicatesWithinWatermark`` keys STATE on the 16-byte digest,
+    never the text — state size is bounded by distinct-docs-per-horizon,
+    and eviction follows the event-time watermark (the unbounded-state
+    hazard of plain ``dropDuplicates`` on a stream).  Batch parity: the
+    digest is exactly ``operators/dedup.exact_dedup``'s grouping key, so
+    a backfill and the stream agree on what is a duplicate (which copy
+    survives differs — streams keep the first ARRIVED, batch keeps the
+    min id; both are one-representative-per-digest)."""
+    from qualityassurancetool_spark.functions.hashing import normalize_text
+    from qualityassurancetool_spark.functions.timeutils import ensure_timestamp
+
+    stream = ensure_timestamp(stream, ts_col)
+    withd = stream.withColumn(
+        digest_col, F.md5(normalize_text(F.col(text_col)))
+    )
+    return withd.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [digest_col]
+    )

@@ -48,3 +48,20 @@ def test_dedup_on_empty(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert exact_dedup(docs).count() == 0
     assert minhash_dedup(docs).count() == 0
+
+
+def test_new_ops_on_empty(spark):
+    from qualityassurancetool_spark.operators.decontam import (
+        benchmark_ngram_overlap,
+    )
+    from qualityassurancetool_spark.operators.tfidf import top_terms_per_doc
+    from qualityassurancetool_spark.operators.similarity import quantize_int8
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    some = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # empty train and empty bench both yield zero contaminated rows
+    assert benchmark_ngram_overlap(docs, some, k=2).count() == 0
+    assert benchmark_ngram_overlap(some, docs, k=2).count() == 0
+    assert top_terms_per_doc(docs).count() == 0
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert quantize_int8(vecs).count() == 0

@@ -157,3 +157,48 @@ def test_url_domain_signals(spark):
     assert sorted(out[3]["doms"]) == ["a.io", "sub.a.io"]
     assert out[3]["blocked_a"] is True
     assert out[3]["blocked"] is False
+
+
+def test_tfidf_matches_duckdb_oracle(spark):
+    """Cross-engine oracle for the operator that has no driver query
+    slot: identical tf/df/weight on a generated corpus in DuckDB."""
+    import duckdb
+    import random
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12))))
+        for i in range(40)
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    from qualityassurancetool_spark.operators.tfidf import tfidf
+
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], round(r["tfidf"], 9))
+        for r in tfidf(sdf).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    want_rows = con.execute("""
+        WITH tf AS (
+            SELECT doc_id, t.term, COUNT(*) AS tf
+            FROM docs, UNNEST(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS t(term)
+            WHERE t.term <> ''
+            GROUP BY doc_id, t.term
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        )
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * (ln((SELECT COUNT(*)+1 FROM docs)::DOUBLE/(df.df+1)) + 1)
+        FROM tf JOIN df USING (term)
+    """).fetchall()
+    want = {
+        (d, t): (tf_, df_, round(w, 9)) for d, t, tf_, df_, w in want_rows
+    }
+    assert got == want
