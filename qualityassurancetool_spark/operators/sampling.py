@@ -99,3 +99,38 @@ def deterministic_topk_per_stratum(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def split_by_group(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str,
+    out_col: str = "split",
+    salt: str = "split:",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of the same
+    GROUP (domain, source document, conversation, …) lands in the same
+    split, because the assignment hashes the group key, not the row id —
+    the guard against near-duplicate leakage across splits that row-wise
+    sampling cannot give.  ``fractions`` maps split name → fraction
+    (must sum to ≤ 1; remainder falls into the last split listed).
+
+    Pure row-local Column exprs (one md5 per row, no shuffle); fully
+    deterministic — re-runs, retries, and any md5-capable SQL engine
+    assign identical splits."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    u = uniform_hash(F.col(group_col).cast("string"), salt)
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    cuts = []
+    for name in names:
+        acc += float(fractions[name])
+        cuts.append((name, acc))
+    for name, hi in reversed(cuts):
+        expr = F.when(u < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -122,3 +122,43 @@ def test_uniform_hash_is_uniform_ish(spark):
     ).collect()[0]
     assert 0.0 <= row["lo"] and row["hi"] < 1.0
     assert abs(row["mu"] - 0.5) < 0.02
+
+
+def test_split_by_group_no_leakage_and_determinism(spark):
+    from qualityassurancetool_spark.operators.sampling import split_by_group
+
+    rows = [(i, f"domain{i % 17}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out = split_by_group(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, "domain"
+    )
+    # every group maps to exactly one split (no leakage across splits)
+    per_group = (
+        out.groupBy("domain")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_group)
+    # deterministic across invocations
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_by_group(
+            df, {"train": 0.8, "val": 0.1, "test": 0.1}, "domain"
+        ).collect()
+    }
+    assert a == b
+    # all three splits appear across 17 domains and fractions are sane
+    assert {r["split"] for r in out.collect()} <= {"train", "val", "test"}
+
+
+def test_split_by_group_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from qualityassurancetool_spark.operators.sampling import split_by_group
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "g"])
+    with _pytest.raises(ValueError):
+        split_by_group(df, {}, "g")
+    with _pytest.raises(ValueError):
+        split_by_group(df, {"a": 0.9, "b": 0.3}, "g")

@@ -64,12 +64,20 @@ def audit(sf_dir: str) -> int:
             problems.append("BroadcastNestedLoopJoin")
         if "Scan ExistingRDD" in plan and name not in EXISTING_RDD_OK:
             problems.append("ExistingRDD-scan")
-        # every FileScan with DataFilters should push them to parquet
+        # every FileScan whose DataFilters contain a PUSHABLE predicate
+        # (bare attribute comparison / null check) must show PushedFilters.
+        # Derived-expression predicates (md5-hash membership, computed
+        # columns) are unpushable by construction and are not flagged.
+        pushable_pat = re.compile(
+            r"(?:isnotnull|isnull)\(\w+#\d+L?\)"
+            r"|\(?\w+#\d+L?\s*(?:=|>=|<=|>|<|IN)\s"
+        )
         for scan in re.findall(r"FileScan parquet [^\n]*", plan):
-            if "DataFilters: \\[\\]" not in scan and "DataFilters: [" in scan:
-                body = scan.split("DataFilters: [", 1)[1]
-                has_data_filters = not body.startswith("]")
-                if has_data_filters and "PushedFilters: []" in scan:
+            if "DataFilters: [" in scan:
+                body = scan.split("DataFilters: [", 1)[1].split("]", 1)[0]
+                if body and pushable_pat.search(body) and (
+                    "PushedFilters: []" in scan
+                ):
                     problems.append("unpushed-filters")
         status = "OK " if not problems else "FAIL"
         if problems:
