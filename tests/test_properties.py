@@ -238,3 +238,43 @@ def test_asof_window_strategy_matches_bruteforce_model(
         dep_us, [(100 + j, t) for j, t in enumerate(ind_us)], tol_us
     )
     assert got == {i: want[i] for i in range(len(dep_us))}
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=2, max_size=12
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@SLOW
+def test_decontam_matches_python_model(spark, texts, k):
+    """benchmark_ngram_overlap == a brute-force python n-gram model for
+    arbitrary (messy-whitespace) corpora; doc 0 is the benchmark."""
+    from qualityassurancetool_spark.operators.decontam import (
+        benchmark_ngram_overlap,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench = df.where(F.col("doc_id") == 0)
+    train = df.where(F.col("doc_id") != 0)
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["n_grams"])
+        for r in benchmark_ngram_overlap(train, bench, k=k).collect()
+    }
+
+    def grams(t):
+        # same normalize/tokenize contract as functions/hashing: collapse
+        # whitespace, split on single spaces (empty text -> [''])
+        toks = " ".join(t.lower().split()).split(" ")
+        hi = max(len(toks) - (k - 1), 1)
+        return {" ".join(toks[i : i + k]) for i in range(hi)}
+
+    bench_set = grams(texts[0])
+    want = {}
+    for i, t in docs[1:]:
+        gs = grams(t)
+        n_ov = len(gs & bench_set)
+        if n_ov >= 1:
+            want[i] = (n_ov, len(gs))
+    assert got == want
