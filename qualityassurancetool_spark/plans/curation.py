@@ -1,0 +1,229 @@
+"""Config-driven corpus curation — the training-data twin of the QC
+chain: the reference drives its sensor checks from validated YAML
+(``conf/config.yaml`` + ``src/yaml_schema.py``); this module gives the
+curation side the same contract.  One validated config object → one
+Catalyst plan: language gate, quality threshold, repetition/symbol
+caps, domain blocklist, exact near-dup collapse, per-language keep
+fraction — each an optional rule, all applied in one pass over one scan.
+
+Every decision is recorded: ``curate`` returns per-doc ``keep`` +
+``drop_reason`` (FIRST failing rule, in documented order) so a 100 TB
+run can report per-rule kill counts without a second pass.
+
+Scale shape: identical to the capstone query — staged
+``compute_behind_barrier`` projections (normalize → tokens → scores
+computed exactly once per row, post-repartition), the dedup group join
+keyed on the same digest as its aggregation, filters as field accesses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.config import ConfigError
+
+# rule evaluation order (first failing rule names the drop_reason)
+RULES = (
+    "lang",
+    "quality",
+    "dup_lines",
+    "word_rep",
+    "symbols",
+    "blocked_domain",
+    "duplicate",
+    "sampled_out",
+)
+
+
+@dataclass
+class CurationConfig:
+    """Validated curation rules; ``None`` disables a rule."""
+
+    langs: list[str] | None = None
+    min_quality: float | None = None
+    max_dup_line_fraction: float | None = None
+    max_word_rep_ratio: float | None = None
+    max_symbol_ratio: float | None = None
+    blocked_domains: list[str] = field(default_factory=list)
+    dedup: str = "exact"  # "exact" | "none"
+    sample_fractions: dict[str, float] | None = None  # per-lang keep frac
+    sample_salt: str = "cur:"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CurationConfig":
+        known = {
+            "langs", "min_quality", "max_dup_line_fraction",
+            "max_word_rep_ratio", "max_symbol_ratio", "blocked_domains",
+            "dedup", "sample_fractions", "sample_salt",
+        }
+        unknown = set(d) - known
+        if unknown:
+            raise ConfigError(f"unknown curation keys: {sorted(unknown)}")
+        for k in ("min_quality", "max_dup_line_fraction",
+                  "max_word_rep_ratio", "max_symbol_ratio"):
+            v = d.get(k)
+            if v is not None and not isinstance(v, (int, float)):
+                raise ConfigError(f"{k} must be numeric, got {v!r}")
+        for k in ("max_dup_line_fraction", "max_word_rep_ratio",
+                  "max_symbol_ratio"):
+            v = d.get(k)
+            if v is not None and not (0.0 <= float(v) <= 1.0):
+                raise ConfigError(f"{k} must be in [0, 1], got {v}")
+        if d.get("dedup", "exact") not in ("exact", "none"):
+            raise ConfigError(f"dedup must be exact|none, got {d['dedup']!r}")
+        fr = d.get("sample_fractions")
+        if fr is not None:
+            for lang, f_ in fr.items():
+                if not (0.0 <= float(f_) <= 1.0):
+                    raise ConfigError(
+                        f"sample_fractions[{lang!r}] must be in [0,1]"
+                    )
+        langs = d.get("langs")
+        if langs is not None and (
+            not isinstance(langs, (list, tuple)) or not langs
+        ):
+            raise ConfigError("langs must be a non-empty list or null")
+        return cls(
+            langs=list(langs) if langs else None,
+            min_quality=d.get("min_quality"),
+            max_dup_line_fraction=d.get("max_dup_line_fraction"),
+            max_word_rep_ratio=d.get("max_word_rep_ratio"),
+            max_symbol_ratio=d.get("max_symbol_ratio"),
+            blocked_domains=list(d.get("blocked_domains", [])),
+            dedup=d.get("dedup", "exact"),
+            sample_fractions=dict(fr) if fr else None,
+            sample_salt=d.get("sample_salt", "cur:"),
+        )
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "CurationConfig":
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+
+def curate(
+    docs: DataFrame,
+    cfg: CurationConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc curation decision sheet: input columns +
+    ``predicted_lang, quality, keep (bool), drop_reason (str|null)``."""
+    from qualityassurancetool_spark.functions.hashing import normalize_text
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+        ensure_min_parallelism,
+    )
+    from qualityassurancetool_spark.operators.quality_filters import (
+        domain_blocklist_hit,
+        dup_line_fraction,
+        symbol_ratio,
+        word_rep_ratio,
+    )
+    from qualityassurancetool_spark.operators.sampling import uniform_hash
+    from qualityassurancetool_spark.operators.text import (
+        lang_score_struct,
+        predict_lang_from_scores,
+        quality_score_parts,
+    )
+
+    docs = ensure_min_parallelism(docs)
+    lower = F.lower(F.col(text_col))
+    normed = compute_behind_barrier(
+        docs, {"_norm": normalize_text(F.col(text_col))}
+    )
+    toked = compute_behind_barrier(
+        normed, {"_toks": F.split(F.col("_norm"), " ")}
+    )
+    scored = compute_behind_barrier(
+        toked, {"_ls": lang_score_struct(F.col("_toks"))}
+    )
+    n = F.col("_norm")
+    n_tok = F.when(F.length(n) == 0, F.lit(0)).otherwise(
+        F.size(F.col("_toks"))
+    )
+    awl = F.when(n_tok > 0, (F.length(n) - (n_tok - 1)) / n_tok).cast(
+        "double"
+    )
+    measures = {
+        "predicted_lang": predict_lang_from_scores(F.col("_ls")),
+        "quality": F.round(
+            quality_score_parts(n_tok, awl, F.col("_ls.en")), 6
+        ),
+    }
+    if cfg.max_dup_line_fraction is not None:
+        measures["_dlf"] = dup_line_fraction(F.col(text_col))
+    if cfg.max_word_rep_ratio is not None:
+        measures["_wrr"] = word_rep_ratio(F.col("_toks"))
+    if cfg.max_symbol_ratio is not None:
+        measures["_sym"] = symbol_ratio(n)
+    if cfg.blocked_domains:
+        measures["_blocked"] = domain_blocklist_hit(
+            lower, cfg.blocked_domains
+        )
+    out = compute_behind_barrier(scored, measures)
+
+    # first-failing-rule CASE chain, in RULES order
+    reason = F.lit(None).cast("string")
+    checks: list[tuple[str, F.Column]] = []
+    if cfg.langs is not None:
+        checks.append(
+            ("lang", ~F.col("predicted_lang").isin(*cfg.langs))
+        )
+    if cfg.min_quality is not None:
+        checks.append(("quality", F.col("quality") < cfg.min_quality))
+    if cfg.max_dup_line_fraction is not None:
+        checks.append(
+            ("dup_lines", F.col("_dlf") > cfg.max_dup_line_fraction)
+        )
+    if cfg.max_word_rep_ratio is not None:
+        checks.append(
+            ("word_rep", F.col("_wrr") > cfg.max_word_rep_ratio)
+        )
+    if cfg.max_symbol_ratio is not None:
+        checks.append(("symbols", F.col("_sym") > cfg.max_symbol_ratio))
+    if cfg.blocked_domains:
+        checks.append(("blocked_domain", F.col("_blocked")))
+    if cfg.dedup == "exact":
+        keep_id = F.min(id_col).over(
+            Window.partitionBy(F.md5(F.col("_norm")))
+        )
+        checks.append(("duplicate", F.col(id_col) != keep_id))
+    if cfg.sample_fractions is not None:
+        frac = F.lit(0.0)
+        for lang in sorted(cfg.sample_fractions):
+            frac = F.when(
+                F.col("predicted_lang") == lang,
+                F.lit(float(cfg.sample_fractions[lang])),
+            ).otherwise(frac)
+        checks.append(
+            (
+                "sampled_out",
+                uniform_hash(F.col(id_col), cfg.sample_salt) >= frac,
+            )
+        )
+    for name, failed in reversed(checks):
+        reason = F.when(failed, F.lit(name)).otherwise(reason)
+    # evaluate rules in declared order: earlier rule wins the reason
+    out = out.withColumn("drop_reason", reason)
+    out = out.withColumn("keep", F.col("drop_reason").isNull())
+    return out.drop(
+        *[c for c in ("_norm", "_toks", "_ls", "_dlf", "_wrr", "_sym",
+                      "_blocked") if c in out.columns]
+    )
+
+
+def drop_report(decisions: DataFrame) -> DataFrame:
+    """Per-rule kill counts + kept count from a ``curate`` output."""
+    return (
+        decisions.groupBy(
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("rule")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("rule")
+    )

@@ -1,0 +1,114 @@
+"""Config-driven curation (plans/curation): validation, rule order,
+drop reporting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.config import ConfigError
+from qualityassurancetool_spark.plans.curation import (
+    CurationConfig,
+    curate,
+    drop_report,
+)
+
+
+def test_config_validation_errors():
+    with pytest.raises(ConfigError):
+        CurationConfig.from_dict({"nope": 1})
+    with pytest.raises(ConfigError):
+        CurationConfig.from_dict({"min_quality": "high"})
+    with pytest.raises(ConfigError):
+        CurationConfig.from_dict({"max_symbol_ratio": 1.5})
+    with pytest.raises(ConfigError):
+        CurationConfig.from_dict({"dedup": "fuzzy"})
+    with pytest.raises(ConfigError):
+        CurationConfig.from_dict({"sample_fractions": {"en": 2.0}})
+    with pytest.raises(ConfigError):
+        CurationConfig.from_dict({"langs": []})
+    cfg = CurationConfig.from_dict(
+        {"min_quality": 0.2, "dedup": "none", "langs": ["en"]}
+    )
+    assert cfg.min_quality == 0.2 and cfg.dedup == "none"
+
+
+DOCS = [
+    # id, text — crafted per-rule
+    (1, "the and is with that this for are was from have more will"),
+    (2, "the and is with that this for are was from have more will"),  # dup of 1
+    (3, "zzz qqq xxx"),                                   # low quality, short
+    (4, "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa"),  # word repetition
+    (5, "see https://spam.bad.site/x for the offer and more details here"),
+]
+
+
+def _decisions(spark, cfg):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in curate(df, cfg).collect()}
+
+
+def test_rules_fire_in_order_and_dedup_keeps_min_id(spark):
+    cfg = CurationConfig.from_dict(
+        {
+            "min_quality": 0.4,  # doc 3 scores 0.36
+            "max_word_rep_ratio": 0.5,
+            "blocked_domains": ["bad.site"],
+        }
+    )
+    got = _decisions(spark, cfg)
+    assert got[1]["keep"] is True
+    # doc 2 is a byte-identical duplicate of 1 → duplicate rule
+    assert got[2]["drop_reason"] == "duplicate"
+    assert got[3]["drop_reason"] == "quality"
+    # doc 4: repetition rule (quality may pass; word_rep must name it
+    # only if quality passed first — either way it must NOT be kept)
+    assert got[4]["keep"] is False
+    assert got[4]["drop_reason"] in ("quality", "word_rep")
+    assert got[5]["drop_reason"] == "blocked_domain"
+
+
+def test_lang_gate_and_report(spark):
+    cfg = CurationConfig.from_dict({"langs": ["en"], "dedup": "none"})
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = curate(df, cfg)
+    rep = {r["rule"]: r["n"] for r in drop_report(out).collect()}
+    assert sum(rep.values()) == len(DOCS)
+    assert rep.get("kept", 0) >= 1
+    # every non-kept doc names exactly one first-failing rule
+    assert set(rep) <= {"kept", "lang"}
+
+
+def test_sampling_rule_deterministic(spark):
+    cfg = CurationConfig.from_dict(
+        {"dedup": "none", "sample_fractions": {"en": 0.5}}
+    )
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    a = {r["doc_id"]: r["keep"] for r in curate(df, cfg).collect()}
+    b = {r["doc_id"]: r["keep"] for r in curate(df, cfg).collect()}
+    assert a == b
+    # unconfigured languages sample out entirely (fraction 0 default)
+    und = [
+        r["doc_id"]
+        for r in curate(df, cfg)
+        .where(F.col("predicted_lang") != "en")
+        .collect()
+    ]
+    got = {r["doc_id"]: r for r in curate(df, cfg).collect()}
+    for d in und:
+        assert got[d]["drop_reason"] == "sampled_out"
+
+
+def test_from_yaml_roundtrip(tmp_path):
+    p = tmp_path / "cur.yaml"
+    p.write_text(
+        "min_quality: 0.4\nlangs: [en, nl]\nblocked_domains: [bad.site]\n"
+        "dedup: exact\nsample_fractions:\n  en: 0.9\n"
+    )
+    cfg = CurationConfig.from_yaml(str(p))
+    assert cfg.min_quality == 0.4
+    assert cfg.langs == ["en", "nl"]
+    assert cfg.sample_fractions == {"en": 0.9}
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("")
+    assert CurationConfig.from_yaml(str(empty)).dedup == "exact"
