@@ -181,3 +181,21 @@ def domain_blocklist_hit(
             lambda b: (d == b) | d.endswith(F.concat(F.lit("."), b)),
         ),
     )
+
+
+# --------------------------------------------------------- intra-doc clean
+
+def dedup_paragraphs(text: Column, sep: str = "\n\n") -> Column:
+    """Remove repeated paragraphs WITHIN a document, keeping first
+    occurrences in order (``array_distinct`` preserves first-seen order)
+    — the intra-doc half of the dedup story (boilerplate headers,
+    scraped nav blocks repeating mid-page).  Row-local, no shuffle."""
+    return F.array_join(
+        F.array_distinct(F.split(text, F.lit(sep), -1)), sep
+    )
+
+
+def dedup_lines(text: Column) -> Column:
+    """Line-level variant of :func:`dedup_paragraphs` (drops repeated
+    lines, keeps first occurrences and their order)."""
+    return F.array_join(F.array_distinct(F.split(text, "\n", -1)), "\n")

@@ -202,3 +202,30 @@ def test_tfidf_matches_duckdb_oracle(spark):
         (d, t): (tf_, df_, round(w, 9)) for d, t, tf_, df_, w in want_rows
     }
     assert got == want
+
+
+def test_intra_doc_dedup(spark):
+    from qualityassurancetool_spark.operators.quality_filters import (
+        dedup_lines,
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\n\nbody one\n\nheader\n\nbody two\n\nheader"),
+            (2, "a\nb\na\nc\nb"),
+            (3, "only once"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["p"], r["l"])
+        for r in docs.select(
+            "doc_id",
+            dedup_paragraphs(F.col("text")).alias("p"),
+            dedup_lines(F.col("text")).alias("l"),
+        ).collect()
+    }
+    assert got[1][0] == "header\n\nbody one\n\nbody two"
+    assert got[2][1] == "a\nb\nc"
+    assert got[3] == ("only once", "only once")
