@@ -139,7 +139,7 @@ def q_qc_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QC_GRADIENT = EVENTS_CTE + f"""
 SELECT iot_id,
-       round({gradient_sql('result', 't_us', 'observation_type', 't_us, iot_id')}, 6) AS gradient_r
+       round({gradient_sql('result', 't_us', 'observation_type', 't_us, iot_id')}, 6) + 0.0 AS gradient_r
 FROM obs
 ORDER BY iot_id
 """
@@ -184,7 +184,7 @@ SQL_QC_ZSCORE = EVENTS_CTE + f"""
 , z AS (
     SELECT iot_id,
            round({zscore_sql('result', 't_us', 'observation_type', 3600.0)}, 6)
-               AS zscore_r
+               + 0.0 AS zscore_r
     FROM obs
 )
 SELECT 'bucketed' AS variant, iot_id, zscore_r FROM z
@@ -594,8 +594,9 @@ SQL_QC_VELOCITY = EVENTS_CTE + f"""
            END AS acceleration_ms2
     FROM base
 )
-SELECT iot_id, round(dt_s, 6) AS dt_r, round(velocity_ms, 4) AS velocity_r,
-       round(acceleration_ms2, 4) AS accel_r
+SELECT iot_id, round(dt_s, 6) + 0.0 AS dt_r,
+       round(velocity_ms, 4) + 0.0 AS velocity_r,
+       round(acceleration_ms2, 4) + 0.0 AS accel_r
 FROM accel ORDER BY iot_id
 """
 

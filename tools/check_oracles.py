@@ -35,6 +35,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0"  # driver's formatted hash distinguishes -0.0 from 0.0
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6f}"
@@ -43,6 +45,8 @@ def norm_cell(v):
 
         if isinstance(v, decimal.Decimal):
             f = float(v)
+            if f == 0.0 and math.copysign(1.0, f) < 0:
+                return "-0"
             if f == int(f) and abs(f) < 1e15:
                 return str(int(f))
             return f"{f:.6f}"
