@@ -11,6 +11,7 @@ their partition's batches; nothing funnels through the driver).
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, Row
@@ -106,6 +107,52 @@ def write_flags_table(
             "partitionOverwriteMode", "dynamic"
         )
     writer.parquet(path)
+
+
+def make_http_batch_sender(
+    base_url: str,
+    auth: tuple[str, str] | None = None,
+    timeout: float = 30.0,
+    retries: int = 4,
+    backoff: float = 0.5,
+) -> Callable[[list[Row]], None]:
+    """Live sender for :func:`http_patch_sink`: POSTs each batch as ONE
+    SensorThings ``$batch`` request (JSON batching, the reference's
+    ``$batch`` endpoint — ``src/main.py:318,854-859``) with
+    retry/backoff.  Runs executor-side: the returned closure only
+    captures plain strings/numbers, so it pickles cleanly into
+    ``foreachPartition``.
+
+    Raises :class:`~..sources.http_client.HttpError` (which fails the
+    task → Spark task retry → idempotent re-PATCH, safe because flag
+    writes are last-writer-wins) if a batch cannot be delivered."""
+    batch_url = base_url.rstrip("/") + "/$batch"
+
+    def sender(rows: list[Row]) -> None:
+        from .http_client import request_json
+
+        body = {
+            "requests": [
+                {
+                    "id": str(i),
+                    "method": "patch",
+                    "url": r["url_path"],
+                    "body": json.loads(r["body"]),
+                }
+                for i, r in enumerate(rows)
+            ]
+        }
+        request_json(
+            batch_url,
+            method="POST",
+            body=body,
+            auth=auth,
+            timeout=timeout,
+            retries=retries,
+            backoff=backoff,
+        )
+
+    return sender
 
 
 def http_patch_sink(

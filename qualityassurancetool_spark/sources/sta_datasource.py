@@ -15,10 +15,17 @@ contract onto Spark's scan architecture directly:
 - the driver side only enumerates pages (the cheap ``$count``/``$skip``
   probe), never touches observation payloads.
 
-This build enumerates page *files* (a landed crawl of the REST responses
-— the hermetic form the tests drive).  A live deployment swaps
-``_read_page``'s ``open()`` for an HTTP GET of the page URL; the
-partition planning, flattening, and schema contract stay identical.
+Two page sources behind one contract:
+
+- **file pages** (hermetic, the landed-crawl form): ``load(dir)`` of
+  ``*.json`` response documents;
+- **live HTTP** (``load("http://host/v1.1/Things(1)?$expand=...")``): the
+  driver runs one cheap ``$top=0&$count=true`` probe to learn the total
+  observation count (reference count probe: ``Settings.TOP(0)``,
+  ``src/main.py:86``), derives ``ceil(count/page_size)`` page URLs with
+  ``$top/$skip``, and each page URL becomes an input partition fetched
+  *in executors, in parallel* with retry/backoff — the driver never
+  touches observation payloads.
 
 Usage::
 
@@ -30,6 +37,9 @@ Usage::
     df = (spark.read.format("sensorthings")
           .option("pages_per_partition", 1)
           .load("/path/to/page-files"))
+    live = (spark.read.format("sensorthings")
+            .option("page_size", 1000)
+            .load("http://frost:8080/v1.1/Things(1)?$expand=Datastreams"))
 """
 
 from __future__ import annotations
@@ -66,8 +76,13 @@ OBS_SCHEMA = StructType(
 
 
 class _PagePartition(InputPartition):
-    def __init__(self, paths: list[str]):
+    def __init__(self, paths: list[str], http_opts: dict | None = None):
         self.paths = paths
+        self.http_opts = http_opts or {}
+
+
+def _is_url(s: str) -> bool:
+    return s.startswith("http://") or s.startswith("https://")
 
 
 def _parse_ts(s):
@@ -106,8 +121,11 @@ def _flatten_page(doc: dict) -> Iterator[tuple]:
             )
 
 
-def _read_page(path: str) -> dict:
-    # live deployment: requests.get(page_url).json() — same contract
+def _read_page(path: str, http_opts: dict | None = None) -> dict:
+    if _is_url(path):
+        from .http_client import request_json
+
+        return request_json(path, **(http_opts or {})) or {}
     with open(path, encoding="utf-8") as fh:
         return json.load(fh)
 
@@ -118,9 +136,35 @@ class SensorThingsReader(DataSourceReader):
         if not self.root:
             raise ValueError("sensorthings source requires a path")
         self.pages_per_partition = int(options.get("pages_per_partition", 1))
+        self.page_size = int(options.get("page_size", 1000))
+        self.http_opts = {
+            "timeout": float(options.get("timeout", 30.0)),
+            "retries": int(options.get("retries", 4)),
+            "backoff": float(options.get("backoff", 0.5)),
+        }
+        user = options.get("auth_user")
+        if user is not None:
+            self.http_opts["auth"] = (user, options.get("auth_pass", ""))
+
+    def _http_pages(self) -> list[str]:
+        """Driver-side page planning: one ``$top=0&$count=true`` probe →
+        ``$top/$skip`` page URLs.  Only the count crosses the wire here;
+        observation payloads are fetched executor-side."""
+        from .http_client import request_json, with_query
+
+        probe = request_json(
+            with_query(self.root, "$top=0&$count=true"), **self.http_opts
+        ) or {}
+        count = int(probe.get("@iot.count", 0))
+        return [
+            with_query(self.root, f"$top={self.page_size}&$skip={skip}")
+            for skip in range(0, count, self.page_size)
+        ]
 
     def partitions(self) -> list[InputPartition]:
-        if os.path.isdir(self.root):
+        if _is_url(self.root):
+            pages = self._http_pages()
+        elif os.path.isdir(self.root):
             pages = sorted(
                 os.path.join(self.root, f)
                 for f in os.listdir(self.root)
@@ -130,11 +174,13 @@ class SensorThingsReader(DataSourceReader):
             pages = [self.root]
         k = max(self.pages_per_partition, 1)
         groups = [pages[i : i + k] for i in range(0, len(pages), k)]
-        return [_PagePartition(g) for g in groups] or [_PagePartition([])]
+        return [_PagePartition(g, self.http_opts) for g in groups] or [
+            _PagePartition([], self.http_opts)
+        ]
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
         for path in partition.paths:
-            yield from _flatten_page(_read_page(path))
+            yield from _flatten_page(_read_page(path, partition.http_opts))
 
 
 class SensorThingsDataSource(DataSource):
