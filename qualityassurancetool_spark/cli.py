@@ -1,0 +1,238 @@
+"""Command-line entry point with dotted config overrides.
+
+The reference's operational surface is ``python src/main.py
+time.start=... time.end=...`` — Hydra composes ``conf/config.yaml`` with
+dotted CLI overrides (reference ``src/main.py:280``,
+``README.adoc:126-131``).  This module reproduces that surface without
+Hydra: a YAML config file merged with ``key.path=value`` tokens, feeding
+the windowed batch runner.
+
+Commands::
+
+    python -m qualityassurancetool_spark run \
+        --config qc.yaml data.input=/data/obs data.flags_out=/data/flags \
+        time.start=2023-01-01T00:00:00 time.end=2023-01-02T00:00:00 \
+        time.window=10min time.overlap=50min location.max_velocity=12
+
+    python -m qualityassurancetool_spark validate --config qc.yaml
+    python -m qualityassurancetool_spark template --thing events --out qc.yaml
+
+Override values are parsed as YAML scalars (``a.b=3`` → int,
+``a.b=null`` → None, ``a.b=[1,2]`` → list), matching OmegaConf's typing
+behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import datetime as dt
+import sys
+from typing import Any
+
+import yaml
+
+from qualityassurancetool_spark.config import ConfigError, QCConfig
+
+# orchestration-level sections consumed by the CLI itself, not QCConfig
+_RUN_SECTIONS = ("time", "data", "run")
+
+
+def parse_override(token: str) -> tuple[list[str], Any]:
+    """``a.b.c=v`` → (["a","b","c"], parsed v).  Values go through YAML
+    scalar parsing so numbers/bools/null/lists type correctly."""
+    if "=" not in token:
+        raise ConfigError(
+            f"override {token!r} is not of the form key.path=value"
+        )
+    key, raw = token.split("=", 1)
+    key = key.strip()
+    if not key:
+        raise ConfigError(f"override {token!r} has an empty key")
+    try:
+        value = yaml.safe_load(raw) if raw != "" else ""
+    except yaml.YAMLError:
+        value = raw  # unparseable YAML → keep the literal string
+    return key.split("."), value
+
+
+def apply_overrides(cfg: dict, tokens: list[str]) -> dict:
+    """Deep-merge dotted overrides into a config dict (pure: returns a
+    new dict).  Intermediate mappings are created on demand; overriding
+    through a non-mapping is an error with the offending path named."""
+    out = copy.deepcopy(cfg)
+    for token in tokens:
+        path, value = parse_override(token)
+        node = out
+        for i, part in enumerate(path[:-1]):
+            nxt = node.get(part)
+            if nxt is None:
+                nxt = node[part] = {}
+            elif not isinstance(nxt, dict):
+                raise ConfigError(
+                    f"override {token!r}: {'.'.join(path[: i + 1])} is a "
+                    f"{type(nxt).__name__}, not a mapping"
+                )
+            node = nxt
+        node[path[-1]] = value
+    return out
+
+
+def load_run_config(
+    config_path: str | None, overrides: list[str]
+) -> tuple[dict, dict]:
+    """→ (run_sections, qc_config_dict).  The YAML file holds BOTH the
+    orchestration sections (``time``/``data``) and the QC subtree, like
+    the reference's single conf/config.yaml; overrides may touch
+    either."""
+    base: dict = {}
+    if config_path:
+        with open(config_path) as f:
+            base = yaml.safe_load(f) or {}
+    merged = apply_overrides(base, overrides)
+    run = {k: merged.pop(k, {}) or {} for k in _RUN_SECTIONS}
+    return run, merged
+
+
+def _parse_when(v, what: str) -> dt.datetime:
+    if isinstance(v, dt.datetime):
+        return v
+    if isinstance(v, dt.date):
+        return dt.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        return dt.datetime.fromisoformat(v)
+    raise ConfigError(f"{what}: expected an ISO datetime, got {v!r}")
+
+
+def cmd_run(args, overrides: list[str]) -> int:
+    run, qc_dict = load_run_config(args.config, overrides)
+    cfg = QCConfig.from_dict(qc_dict)
+    time_c, data_c = run["time"], run["data"]
+    for req, owner in ((time_c, "time"), (data_c, "data")):
+        if not isinstance(req, dict):
+            raise ConfigError(f"{owner}: expected a mapping")
+    missing = [
+        k
+        for k, c, o in (
+            ("time.start", time_c, "start"),
+            ("time.end", time_c, "end"),
+            ("data.input", data_c, "input"),
+            ("data.flags_out", data_c, "flags_out"),
+        )
+        if c.get(o) is None
+    ]
+    if missing:
+        raise ConfigError(f"missing required settings: {', '.join(missing)}")
+    start = _parse_when(time_c["start"], "time.start")
+    end = _parse_when(time_c["end"], "time.end")
+
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.plans.qc_pipeline import run_qc_pipeline
+    from qualityassurancetool_spark.session import get_spark
+    from qualityassurancetool_spark.sources.sinks import write_flags_table
+    from qualityassurancetool_spark.streaming.micro_batch import (
+        windowed_batch_runner,
+    )
+
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-run"))
+    try:
+        if data_c.get("table", "observations") == "events":
+            from qualityassurancetool_spark.schema import (
+                events_as_observations,
+            )
+
+            obs_all = events_as_observations(spark, data_c["input"])
+        else:
+            obs_all = spark.read.parquet(data_c["input"])
+
+        def load_window(lo: dt.datetime, hi: dt.datetime):
+            return obs_all.where(
+                (F.col("phenomenon_time") >= F.lit(lo))
+                & (F.col("phenomenon_time") < F.lit(hi))
+            )
+
+        def sink(df, lo, hi):
+            write_flags_table(df, data_c["flags_out"])
+
+        n = windowed_batch_runner(
+            spark,
+            load_window,
+            lambda df: run_qc_pipeline(df, cfg, spark),
+            sink,
+            start=start,
+            end=end,
+            width=time_c.get("window", "10min"),
+            overlap=time_c.get("overlap", 0.0),
+            lookback=time_c.get("lookback", 0.0),
+        )
+        print(f"ran {n} window(s): [{start} .. {end}) -> "
+              f"{data_c['flags_out']}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
+def cmd_validate(args, overrides: list[str]) -> int:
+    _, qc_dict = load_run_config(args.config, overrides)
+    QCConfig.from_dict(qc_dict)
+    print("config OK")
+    return 0
+
+
+def cmd_template(args, overrides: list[str]) -> int:
+    from qualityassurancetool_spark.config import write_qc_yaml_template
+    from qualityassurancetool_spark.schema import events_as_observations
+    from qualityassurancetool_spark.session import get_spark
+
+    spark = get_spark("qat-template")
+    try:
+        obs = events_as_observations(spark, args.input)
+        write_qc_yaml_template(obs, args.out, id_col="observation_type")
+        print(f"wrote {args.out}")
+        return 0
+    finally:
+        spark.stop()
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="qualityassurancetool_spark",
+        description=__doc__.split("\n\n")[0],
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="windowed QC run over a parquet dir")
+    p_run.add_argument("-c", "--config", default=None)
+    p_run.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_run.add_argument("override", nargs="*", help="key.path=value")
+
+    p_val = sub.add_parser("validate", help="schema-check a config")
+    p_val.add_argument("-c", "--config", default=None)
+    p_val.add_argument("override", nargs="*")
+
+    p_tpl = sub.add_parser(
+        "template", help="emit a per-stream QC YAML skeleton"
+    )
+    p_tpl.add_argument("--input", required=True)
+    p_tpl.add_argument("--out", required=True)
+    p_tpl.add_argument("override", nargs="*")
+
+    args = parser.parse_args(argv)
+    handler = {
+        "run": cmd_run,
+        "validate": cmd_validate,
+        "template": cmd_template,
+    }[args.command]
+    try:
+        return handler(args, list(getattr(args, "override", [])))
+    except ConfigError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

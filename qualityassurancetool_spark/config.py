@@ -318,6 +318,14 @@ class QCConfig:
             )
             return f"('{sid}', {vals})"
 
+        if not rows:
+            # no per-stream rules (e.g. a config carrying only global /
+            # geo checks): an empty VALUES list is invalid SQL, so emit
+            # an empty relation with the same schema
+            schema = "stream_id STRING, " + ", ".join(
+                f"qc_{t}_{mm} DOUBLE" for t in QC_TYPES for mm in ("min", "max")
+            )
+            return spark.createDataFrame([], schema)
         values = ", ".join(row_sql(r) for r in rows)
         return spark.sql(
             f"SELECT * FROM (VALUES {values}) AS t({', '.join(cols)})"

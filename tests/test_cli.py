@@ -1,0 +1,143 @@
+"""CLI surface (reference ``python src/main.py time.start=... ...`` via
+Hydra — ``src/main.py:280``, ``README.adoc:126-131``): dotted-override
+parsing golden tests, validate/run commands, end-to-end flags output."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+import yaml
+
+from qualityassurancetool_spark.cli import (
+    apply_overrides,
+    load_run_config,
+    main,
+    parse_override,
+)
+from qualityassurancetool_spark.config import ConfigError
+
+
+def test_parse_override_golden():
+    # golden table: token → (path, typed value), OmegaConf-style typing
+    cases = [
+        ("time.start=2023-01-01T00:00:00",
+         (["time", "start"], dt.datetime(2023, 1, 1))),
+        ("location.max_velocity=12.5", (["location", "max_velocity"], 12.5)),
+        ("a.b.c=3", (["a", "b", "c"], 3)),
+        ("feature_flags=true", (["feature_flags"], True)),
+        ("x=null", (["x"], None)),
+        ("ids=[1, 2, 3]", (["ids"], [1, 2, 3])),
+        ("name=plain string", (["name"], "plain string")),
+        ("empty=", (["empty"], "")),
+    ]
+    for token, expected in cases:
+        assert parse_override(token) == expected, token
+
+
+def test_parse_override_errors():
+    with pytest.raises(ConfigError, match="key.path=value"):
+        parse_override("no-equals-here")
+    with pytest.raises(ConfigError, match="empty key"):
+        parse_override("=5")
+
+
+def test_apply_overrides_merge_and_conflict():
+    base = {"time": {"start": "a", "window": "10min"}, "QC_global": {}}
+    out = apply_overrides(
+        base, ["time.start=2023-01-01", "time.overlap=50min",
+               "QC_global.range.min=0"]
+    )
+    assert out["time"] == {
+        "start": dt.date(2023, 1, 1), "window": "10min", "overlap": "50min",
+    }
+    assert out["QC_global"] == {"range": {"min": 0}}
+    assert base["time"]["start"] == "a"  # pure — input untouched
+    with pytest.raises(ConfigError, match="not a mapping"):
+        apply_overrides({"time": {"window": "10min"}}, ["time.window.x=1"])
+
+
+def test_load_run_config_splits_sections(tmp_path):
+    p = tmp_path / "qc.yaml"
+    p.write_text(yaml.safe_dump({
+        "time": {"window": "10min"},
+        "QC": [{"id": "click", "range": {"min": 0, "max": 100}}],
+    }))
+    run, qc = load_run_config(str(p), ["data.input=/x", "time.overlap=5min"])
+    assert run["time"] == {"window": "10min", "overlap": "5min"}
+    assert run["data"] == {"input": "/x"}
+    assert "time" not in qc and "data" not in qc
+    assert qc["QC"][0]["id"] == "click"
+
+
+def test_validate_command(tmp_path, capsys):
+    p = tmp_path / "qc.yaml"
+    p.write_text(yaml.safe_dump(
+        {"QC": [{"id": "click", "range": {"min": 0, "max": 100}}]}
+    ))
+    assert main(["validate", "-c", str(p)]) == 0
+    assert "config OK" in capsys.readouterr().out
+    # an override can break it → exit 2 with a pointed message
+    assert main(["validate", "-c", str(p), "QC_global.range.min=5",
+                 "QC_global.range.max=1"]) == 2
+    assert "min 5 > max 1" in capsys.readouterr().err
+
+
+def test_run_missing_settings_is_pointed(tmp_path, capsys):
+    assert main(["run"]) == 2
+    err = capsys.readouterr().err
+    for k in ("time.start", "time.end", "data.input", "data.flags_out"):
+        assert k in err
+
+
+def test_run_no_config_file(spark, tmp_path, capsys):
+    """A bare run (no YAML, no per-stream rules) must not crash: the
+    thresholds dimension is empty, every flag stays NO_QC."""
+    flags_out = str(tmp_path / "flags0")
+    rc = main([
+        "run", "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=events",
+        f"data.flags_out={flags_out}",
+        "time.start=2024-01-01T00:00:00", "time.end=2024-01-02T00:00:00",
+        "time.window=720min",
+    ])
+    assert rc == 0
+    assert "ran 2 window(s)" in capsys.readouterr().out
+    assert spark.read.parquet(flags_out).count() > 0
+
+
+def test_run_end_to_end(spark, sf_dir, tmp_path, capsys):
+    """Windowed QC run over the events table: 2 days in 1-day windows,
+    flags land partitioned by date, BAD count matches the range rule."""
+    flags_out = str(tmp_path / "flags")
+    cfg = tmp_path / "qc.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "QC": [
+            {"id": t, "range": {"min": 0.0, "max": 400.0}}
+            for t in ["click", "purchase", "view", "signup", "error"]
+        ],
+    }))
+    rc = main([
+        "run", "-c", str(cfg), "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=events",
+        f"data.flags_out={flags_out}",
+        "time.start=2024-01-01T00:00:00", "time.end=2024-01-03T00:00:00",
+        "time.window=1440min",
+    ])
+    assert rc == 0
+    assert "ran 2 window(s)" in capsys.readouterr().out
+
+    from pyspark.sql import functions as F
+
+    flags = spark.read.parquet(flags_out)
+    assert flags.select("flag_date").distinct().count() == 2
+    n_bad = flags.where(F.col("qc_flag") == 4).count()
+    # oracle: events in the window with value outside (0, 400)
+    import duckdb
+
+    exp = duckdb.connect().execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet' "
+        "WHERE ts >= '2024-01-01' AND ts < '2024-01-03' "
+        "AND NOT (value > 0.0 AND value < 400.0)"
+    ).fetchone()[0]
+    assert n_bad == exp and flags.count() > 0
