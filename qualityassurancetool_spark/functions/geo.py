@@ -11,6 +11,7 @@ variant can be swapped in where the tolerance matters.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -70,21 +71,143 @@ def lambert_m(
     # P = (β1+β2)/2, Q = (β2−β1)/2
     p, q = (b1 + b2) / 2, (b2 - b1) / 2
     sin_sigma = F.sin(sigma)
-    # guard the σ→0 and σ→π singularities: corrections vanish at 0
+    # guard BOTH singularities with an epsilon, not exact-zero tests:
+    # σ→0 (coincident) and σ→π (antipodal, cos²(σ/2)→0 — Lambert's known
+    # breakdown where the P/Q corrections blow up).  Near either end the
+    # flattening correction is dropped and the arc term a·σ stands alone
+    # (error there ~f·a ≈ 21 km worst-case at exact antipodes, but finite
+    # — unlike the unguarded division, which diverges).
+    _EPS = 1e-6
+    regular = (sin_sigma > _EPS) & (sigma < 3.141592653589793 - _EPS)
     x = F.when(
-        sin_sigma != 0,
+        regular,
         (sigma - sin_sigma)
         * F.pow(F.sin(p), 2) * F.pow(F.cos(q), 2)
         / F.pow(F.cos(sigma / 2), 2),
     ).otherwise(F.lit(0.0))
     # sin(σ/2) = 0 only at σ = 0, which the guard already excludes
     y = F.when(
-        sin_sigma != 0,
+        regular,
         (sigma + sin_sigma)
         * F.pow(F.cos(p), 2) * F.pow(F.sin(q), 2)
         / F.pow(F.sin(sigma / 2), 2),
     ).otherwise(F.lit(0.0))
     return WGS84_A_M * (sigma - f / 2 * (x + y))
+
+
+def vincenty_m_np(lat1, lon1, lat2, lon2, max_iter: int = 200):
+    """Vectorized Vincenty inverse on the WGS-84 ellipsoid (numpy arrays
+    of degrees → meters).  Public algorithm (Vincenty 1975); agrees with
+    the exact Karney geodesic to sub-millimeter except *near-antipodal*
+    pairs, where Vincenty's λ-iteration may not converge — those rows
+    (and only those) fall back to the spherical great-circle value, and
+    coincident points short-circuit to 0.
+
+    All rows iterate together under a convergence mask (no per-row Python
+    loop), so the kernel is Arrow-batch friendly for the pandas UDF in
+    :func:`geodesic_udf_m`.
+    """
+    import numpy as np
+
+    a, f = WGS84_A_M, WGS84_F
+    b = a * (1 - f)
+    p1, p2 = np.radians(np.asarray(lat1, float)), np.radians(np.asarray(lat2, float))
+    L = np.radians(np.asarray(lon2, float) - np.asarray(lon1, float))
+    # normalize to [-pi, pi] so east/west wrap converges
+    L = (L + np.pi) % (2 * np.pi) - np.pi
+    U1, U2 = np.arctan((1 - f) * np.tan(p1)), np.arctan((1 - f) * np.tan(p2))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+
+    lam = L.copy()
+    active = np.ones(L.shape, dtype=bool)
+    sin_sig = np.zeros_like(L)
+    cos_sig = np.ones_like(L)
+    sigma = np.zeros_like(L)
+    cos2_alpha = np.ones_like(L)
+    cos_2sigm = np.ones_like(L)
+    for _ in range(max_iter):
+        if not active.any():
+            break
+        sl, cl = np.sin(lam), np.cos(lam)
+        ss = np.sqrt(
+            (cosU2 * sl) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cl) ** 2
+        )
+        cs = sinU1 * sinU2 + cosU1 * cosU2 * cl
+        sig = np.arctan2(ss, cs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(ss != 0, cosU1 * cosU2 * sl / ss, 0.0)
+            c2a = 1.0 - sin_alpha**2
+            # equatorial line (cos²α = 0): cos(2σₘ) term drops out
+            c2sm = np.where(c2a != 0, cs - 2 * sinU1 * sinU2 / np.where(c2a == 0, 1, c2a), 0.0)
+        C = f / 16 * c2a * (4 + f * (4 - 3 * c2a))
+        lam_new = L + (1 - C) * f * sin_alpha * (
+            sig + C * ss * (c2sm + C * cs * (-1 + 2 * c2sm**2))
+        )
+        upd = active
+        sin_sig = np.where(upd, ss, sin_sig)
+        cos_sig = np.where(upd, cs, cos_sig)
+        sigma = np.where(upd, sig, sigma)
+        cos2_alpha = np.where(upd, c2a, cos2_alpha)
+        cos_2sigm = np.where(upd, c2sm, cos_2sigm)
+        converged = np.abs(lam_new - lam) < 1e-12
+        lam = np.where(active, lam_new, lam)
+        active = active & ~converged
+    # `active` still True ⇒ non-convergent (near-antipodal)
+    u2 = cos2_alpha * (a**2 - b**2) / b**2
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    d_sig = B * sin_sig * (
+        cos_2sigm
+        + B / 4 * (
+            cos_sig * (-1 + 2 * cos_2sigm**2)
+            - B / 6 * cos_2sigm * (-3 + 4 * sin_sig**2) * (-3 + 4 * cos_2sigm**2)
+        )
+    )
+    s = b * A * (sigma - d_sig)
+    if active.any():
+        # spherical fallback only where Vincenty cannot converge
+        R = EARTH_RADIUS_M
+        dlat, dlon = p2 - p1, L
+        h = np.sin(dlat / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlon / 2) ** 2
+        s = np.where(active, 2 * R * np.arcsin(np.minimum(np.sqrt(h), 1.0)), s)
+    return np.where(sin_sig + np.abs(sigma) == 0, 0.0, s)
+
+
+def geodesic_udf_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Exact-geodesic distance as an Arrow-batched pandas UDF.
+
+    Uses geopy's Karney geodesic when importable (the reference's exact
+    library — fixtures pin it, ``tests/test_qc.py:33-47``); otherwise the
+    vectorized Vincenty kernel (sub-mm agreement with Karney away from
+    antipodes).  This is the UDF swap point :func:`geodesic_m` documents:
+    only distances cross the Arrow boundary, four doubles in, one out."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dist(la1: pd.Series, lo1: pd.Series, la2: pd.Series, lo2: pd.Series) -> pd.Series:
+        try:  # exact Karney via geopy, when the image ships it
+            from geopy.distance import geodesic
+
+            return pd.Series(
+                [
+                    geodesic((a_, b_), (c_, d_)).meters
+                    if not (pd.isna(a_) or pd.isna(b_) or pd.isna(c_) or pd.isna(d_))
+                    else None
+                    for a_, b_, c_, d_ in zip(la1, lo1, la2, lo2)
+                ]
+            )
+        except ImportError:
+            return pd.Series(
+                vincenty_m_np(
+                    la1.to_numpy(), lo1.to_numpy(),
+                    la2.to_numpy(), lo2.to_numpy(),
+                )
+            )
+
+    return _dist(lat1, lon1, lat2, lon2)
 
 
 def geodesic_m(
@@ -100,15 +223,15 @@ def geodesic_m(
 
     - ``"haversine"`` — spherical, fastest, ≤0.5 % error;
     - ``"lambert"`` — WGS-84 ellipsoidal correction, pure Columns, ~10 m;
-    - ``"auto"`` — lambert (best no-dependency accuracy).
-
-    An exact Karney implementation needs a library (geopy/pyproj, absent
-    from this container); when one is importable, wire it through a pandas
-    UDF over (lat1, lon1, lat2, lon2) — the operators only consume a
-    distance Column, so the swap is local to this function.
+    - ``"exact"`` — Arrow-batched pandas UDF: geopy Karney when
+      importable, else vectorized Vincenty (:func:`geodesic_udf_m`);
+    - ``"auto"`` — lambert (best whole-stage-codegen accuracy; the UDF
+      leaves codegen, so exactness is opt-in).
     """
     if method == "haversine":
         return haversine_m(lat1, lon1, lat2, lon2)
     if method in ("auto", "lambert"):
         return lambert_m(lat1, lon1, lat2, lon2)
+    if method == "exact":
+        return geodesic_udf_m(lat1, lon1, lat2, lon2)
     raise ValueError(f"unknown geodesic method {method!r}")
