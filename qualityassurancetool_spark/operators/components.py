@@ -71,12 +71,15 @@ def connected_components(
         # probe-collect: ONE execution of the (possibly expensive)
         # upstream pair pipeline decides the strategy AND supplies the
         # local path's input; only on overflow does the distributed path
-        # re-execute it
-        rows = e.limit(LOCAL_EDGE_THRESHOLD + 1).collect()
-        if len(rows) <= LOCAL_EDGE_THRESHOLD:
-            return _cc_local(e, rows, out_id, out_comp)
+        # re-execute it.  Arrow transfer (toPandas), NOT collect(): 1M
+        # (long, long) rows land as two 8 MB columns instead of a million
+        # ~100-byte Row objects, so the probe's driver-heap ceiling is
+        # the advertised ~16 MB
+        probe = e.limit(LOCAL_EDGE_THRESHOLD + 1).toPandas()
+        if len(probe) <= LOCAL_EDGE_THRESHOLD:
+            return _cc_local(e, probe, out_id, out_comp)
     elif strategy == "local":
-        return _cc_local(e, e.collect(), out_id, out_comp)
+        return _cc_local(e, e.toPandas(), out_id, out_comp)
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -136,9 +139,10 @@ def connected_components(
     return lab.select(F.col("id").alias(out_id), F.col("comp").alias(out_comp))
 
 
-def _cc_local(e: DataFrame, rows, out_id: str, out_comp: str) -> DataFrame:
-    """Driver union-find over a collected metadata-scale edge list, with
-    min-id root selection so labels match the distributed path exactly."""
+def _cc_local(e: DataFrame, pdf, out_id: str, out_comp: str) -> DataFrame:
+    """Driver union-find over an Arrow-collected metadata-scale edge
+    list (pandas frame), with min-id root selection so labels match the
+    distributed path exactly."""
     parent: dict = {}
 
     def find(x):
@@ -149,8 +153,9 @@ def _cc_local(e: DataFrame, rows, out_id: str, out_comp: str) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        a, b = row[0], row[1]
+    for a, b in zip(
+        pdf.iloc[:, 0].to_list(), pdf.iloc[:, 1].to_list()
+    ):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

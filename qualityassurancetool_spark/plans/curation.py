@@ -190,7 +190,15 @@ def curate(
     if cfg.blocked_domains:
         checks.append(("blocked_domain", F.col("_blocked")))
     if cfg.dedup == "exact":
-        keep_id = F.min(id_col).over(
+        # the keeper is the min id among rows that PASS every preceding
+        # rule — a representative killed by an earlier rule (lang,
+        # quality, ...) must not drag its surviving copies down with it
+        # under first-failing-rule semantics: one copy per content group
+        # survives whenever any copy passes the other filters
+        pre_fail = F.lit(False)
+        for _, cond in checks:
+            pre_fail = pre_fail | F.coalesce(cond, F.lit(False))
+        keep_id = F.min(F.when(~pre_fail, F.col(id_col))).over(
             Window.partitionBy(F.md5(F.col("_norm")))
         )
         checks.append(("duplicate", F.col(id_col) != keep_id))

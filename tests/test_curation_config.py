@@ -68,6 +68,33 @@ def test_rules_fire_in_order_and_dedup_keeps_min_id(spark):
     assert got[5]["drop_reason"] == "blocked_domain"
 
 
+def test_dedup_keeper_survives_earlier_rules(spark):
+    """If the min-id copy of a content group is killed by an EARLIER
+    rule, the surviving copies must not all be tagged 'duplicate': the
+    keeper is the smallest id among rows passing the preceding rules.
+
+    Dedup groups by NORMALIZED text while dup_lines reads RAW text, so
+    two docs can share a digest yet diverge on the rule: doc 1 repeats
+    its lines (high dup-line fraction), doc 2 says the same words on one
+    line."""
+    words = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [
+            (1, "\n".join([words] * 4)),   # 4 identical lines → dup_lines
+            (2, " ".join([words] * 4)),    # one line, same normalized form
+            (3, " ".join([words] * 4)),    # true duplicate of doc 2
+        ],
+        ["doc_id", "text"],
+    )
+    cfg = CurationConfig.from_dict({"max_dup_line_fraction": 0.5})
+    got = {r["doc_id"]: r for r in curate(df, cfg).collect()}
+    assert got[1]["drop_reason"] == "dup_lines"
+    # pre-fix, doc 1 (group min id) was the keeper, so 2 AND 3 were both
+    # dropped as 'duplicate' and the content vanished from the corpus
+    assert got[2]["keep"] is True
+    assert got[3]["drop_reason"] == "duplicate"
+
+
 def test_lang_gate_and_report(spark):
     cfg = CurationConfig.from_dict({"langs": ["en"], "dedup": "none"})
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
