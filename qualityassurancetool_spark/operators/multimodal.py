@@ -1,18 +1,27 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode/feature kernels need codec libraries not present in this
-container, so the kernels are STUBS behind ``QAT_FAKE_DECODE`` — a
-deterministic fake that derives pseudo-features from the byte content —
-or raise ``NotImplementedError``.  The Spark-side plumbing (schema,
-batching, partition sizing) is real and tested: that is the part that has
+Kernel selection is INJECTABLE (``decoder=`` on each operator):
+
+- ``"fake"`` — deterministic byte-derived pseudo-features/subsampling;
+  hermetic, used by every test and oracle in this repo;
+- ``"pil"`` — real image decoding through Pillow when the executor image
+  ships it (import-gated; a pointed ``NotImplementedError`` otherwise);
+- ``"auto"`` — ``"pil"`` if importable else ``"fake"``.
+
+The default honors ``QAT_FAKE_DECODE`` (default fake) so hermetic runs
+stay byte-identical.  The Spark-side plumbing (schema, batching,
+partition sizing) is identical across kernels: that is the part that has
 to be right at 100 TB (binary columns dominate scan size; feature columns
 must be pruned-out of scans that don't need them; decode parallelism is
-per-batch, not per-row).
+per-batch, not per-row).  Video codecs (ffmpeg) are a process dependency,
+not a Python import — ``frame_sample_plan`` stays plan-only with the
+decode seam documented.
 """
 
 from __future__ import annotations
 
+import io
 import os
 from collections.abc import Iterator
 
@@ -20,6 +29,36 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _resolve_decoder(decoder: str | None, purpose: str) -> str:
+    """→ "fake" | "pil".  Resolution happens executor-side per batch so a
+    heterogeneous cluster image fails loudly, not silently."""
+    if decoder is None:
+        decoder = (
+            "fake" if os.environ.get("QAT_FAKE_DECODE", "1") == "1" else "auto"
+        )
+    if decoder == "auto":
+        try:
+            import PIL  # noqa: F401
+
+            return "pil"
+        except ImportError:
+            return "fake"
+    if decoder == "pil":
+        try:
+            import PIL  # noqa: F401
+
+            return "pil"
+        except ImportError:
+            raise NotImplementedError(
+                f"{purpose} with decoder='pil' needs Pillow, which this "
+                "image does not ship; install Pillow or use "
+                "decoder='fake'/'auto'"
+            ) from None
+    if decoder == "fake":
+        return "fake"
+    raise ValueError(f"unknown decoder {decoder!r} (fake|pil|auto)")
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -56,27 +95,44 @@ def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
     return out
 
 
-def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.
+def _pil_feature(content: bytes, kind: str, dim: int) -> list[float]:
+    """Real image feature: grayscale thumbnail of ``dim`` pixels (one row),
+    normalized to [0,1).  Non-image kinds and undecodable payloads fall
+    back to the byte-derived fake so one bad file never kills a batch."""
+    if kind != "image" or not content:
+        return _fake_feature(content or b"", dim)
+    try:
+        from PIL import Image
 
-    Real decoding is stubbed: set ``QAT_FAKE_DECODE=1`` (default here) for
-    the deterministic fake; otherwise raises ``NotImplementedError`` where a
-    production build would call the codec library.
-    """
+        img = Image.open(io.BytesIO(content)).convert("L").resize((dim, 1))
+        return [px / 255.0 for px in img.getdata()]
+    except Exception:
+        return _fake_feature(content, dim)
+
+
+def extract_features(
+    df: DataFrame, dim: int = 8, decoder: str | None = None
+) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column; kernel
+    selected by ``decoder`` (module docstring) — default honors
+    ``QAT_FAKE_DECODE`` (fake, hermetic)."""
+
+    if decoder not in (None, "fake", "pil", "auto"):
+        raise ValueError(f"unknown decoder {decoder!r} (fake|pil|auto)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fake = os.environ.get("QAT_FAKE_DECODE", "1") == "1"
+        mode = _resolve_decoder(decoder, "media feature extraction")
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this container; set QAT_FAKE_DECODE=1 for the "
-                    "deterministic fake"
-                )
-            feats = [
-                _fake_feature(c if c is not None else b"", dim)
-                for c in pdf["content"]
-            ]
+            if mode == "pil":
+                feats = [
+                    _pil_feature(c, k, dim)
+                    for c, k in zip(pdf["content"], pdf["kind"])
+                ]
+            else:
+                feats = [
+                    _fake_feature(c if c is not None else b"", dim)
+                    for c in pdf["content"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -111,7 +167,23 @@ def _fit_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
     return max(int(w * scale), 1), max(int(h * scale), 1)
 
 
-def resize_images(df: DataFrame, max_dim: int = 256) -> DataFrame:
+def _pil_resize(content: bytes, nw: int, nh: int) -> bytes | None:
+    """Real resize via Pillow, re-encoded as PNG; undecodable → None
+    content (recorded, not fatal)."""
+    try:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(content)).resize((nw, nh))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+    except Exception:
+        return None
+
+
+def resize_images(
+    df: DataFrame, max_dim: int = 256, decoder: str | None = None
+) -> DataFrame:
     """Arrow-batched image resize: aspect-preserving fit into a
     ``max_dim`` square.  Only image rows are processed, and only
     (media_id, width, height, content) cross into Python — the plumbing
@@ -119,22 +191,18 @@ def resize_images(df: DataFrame, max_dim: int = 256) -> DataFrame:
     everything else is pruned before the Python boundary; the resized
     table is written back as its own artifact rather than re-joined).
 
-    The pixel kernel is a stub: with ``QAT_FAKE_DECODE=1`` (default) the
-    output payload is a deterministic byte subsample proportional to the
-    area ratio — same length contract as a real resize (smaller output,
-    derived from input bytes) without a codec library; otherwise raises
-    ``NotImplementedError`` where a production build would call PIL.
+    Pixel kernel selected by ``decoder`` (module docstring): the fake
+    stride-subsamples bytes by the area ratio (same length contract as a
+    real resize — smaller output, derived from input bytes); ``"pil"``
+    decodes, resizes and re-encodes PNG.
     """
 
+    if decoder not in (None, "fake", "pil", "auto"):
+        raise ValueError(f"unknown decoder {decoder!r} (fake|pil|auto)")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fake = os.environ.get("QAT_FAKE_DECODE", "1") == "1"
+        mode = _resolve_decoder(decoder, "image resize")
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires codec libraries not present in "
-                    "this container; set QAT_FAKE_DECODE=1 for the "
-                    "deterministic fake"
-                )
             out_w, out_h, out_c = [], [], []
             for w, h, c in zip(pdf["width"], pdf["height"], pdf["content"]):
                 w = int(w) if pd.notna(w) else 0
@@ -142,11 +210,14 @@ def resize_images(df: DataFrame, max_dim: int = 256) -> DataFrame:
                 nw, nh = _fit_dims(w, h, max_dim)
                 c = c if c is not None else b""
                 if w > 0 and h > 0 and (nw, nh) != (w, h):
-                    # deterministic stand-in: stride-subsample the bytes
-                    # by the area ratio (output size shrinks like a real
-                    # resize would)
-                    stride = max(round((w * h) / float(nw * nh)), 1)
-                    c = c[::stride]
+                    if mode == "pil":
+                        c = _pil_resize(c, nw, nh)
+                    else:
+                        # deterministic stand-in: stride-subsample the
+                        # bytes by the area ratio (output size shrinks
+                        # like a real resize would)
+                        stride = max(round((w * h) / float(nw * nh)), 1)
+                        c = c[::stride]
                 out_w.append(nw)
                 out_h.append(nh)
                 out_c.append(c)
