@@ -1,8 +1,13 @@
 """Dev harness mimicking the driver's correctness gate: run every
 ``queries()`` entry against its ``oracle_sql()`` in DuckDB at a given sf
 and compare row count, column names, and order-insensitive values.
+After the declared queries it runs ``tools/extra_oracles.py`` — the
+cross-engine checks for scale operators the 50-query cap keeps
+undeclared — so one command covers every oracle.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+(a name filter selects among declared AND extra checks; extras are
+named ``x_*``)
 """
 
 from __future__ import annotations
@@ -177,8 +182,58 @@ def main() -> int:
             failures += 1
         else:
             print(f"OK    {name}: rows={len(spark_rows)}")
+
+    failures += run_extras(spark, con, sf_dir, only)
     spark.stop()
     return 1 if failures else 0
+
+
+def run_extras(spark, con, sf_dir: str, only: set) -> int:
+    """Undeclared-operator oracles (tools/extra_oracles.py).  Value
+    comparison only (multiset + row count): extras are not driver-hashed,
+    so column-type canonicalization is not load-bearing here."""
+    sys.path.insert(0, "/root/repo/tools")
+    from extra_oracles import EXTRA_CHECKS
+
+    failures = 0
+    for name, check in EXTRA_CHECKS.items():
+        if only and name not in only:
+            continue
+        try:
+            left, right = check(spark, con, sf_dir)
+            if hasattr(left, "collect"):  # (spark_df, duck_sql) shape
+                cols = left.columns
+                s_rows = [tuple(r) for r in left.collect()]
+                res = con.execute(right)
+                d_cols = [d[0] for d in res.description]
+                d_rows = res.fetchall()
+                if [c.lower() for c in cols] != [c.lower() for c in d_cols]:
+                    print(f"FAIL  {name}: cols spark={cols} duck={d_cols}")
+                    failures += 1
+                    continue
+            else:  # already-materialized (rows, rows) shape
+                s_rows, d_rows = left, right
+            s_ms = frame_to_multiset(None, s_rows)
+            d_ms = frame_to_multiset(None, d_rows)
+            if len(s_rows) != len(d_rows) or s_ms != d_ms:
+                diff_i = next(
+                    (i for i, (a, b) in enumerate(zip(s_ms, d_ms)) if a != b),
+                    None,
+                )
+                detail = (
+                    f" first-diff@{diff_i}: spark={s_ms[diff_i]}"
+                    f" duck={d_ms[diff_i]}"
+                    if diff_i is not None
+                    else f" rowcount {len(s_rows)} vs {len(d_rows)}"
+                )
+                print(f"FAIL  {name}: value multiset mismatch{detail}")
+                failures += 1
+            else:
+                print(f"OK    {name}: rows={len(s_rows)}")
+        except Exception as e:  # noqa: BLE001 - harness boundary
+            print(f"FAIL  {name}: {type(e).__name__} {str(e)[:300]}")
+            failures += 1
+    return failures
 
 
 if __name__ == "__main__":

@@ -1,0 +1,284 @@
+"""Cross-engine oracles for the scale operators the 50-query driver cap
+leaves undeclared (VERDICT r2: chunking/packing, int8 quantization,
+leakage-safe group split, streaming exact dedup, corpus shard layout,
+intra-doc paragraph dedup).  Run through ``tools/check_oracles.py``
+(after the declared queries) so ONE command regression-checks every
+oracle, declared or not.
+
+Each check runs the Spark operator and an independent DuckDB (or
+Spark-batch) re-implementation on the same testdata and compares the
+full value multiset — same comparison the declared-query gate uses.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+CHUNK, OVERLAP = 64, 16
+STRIDE = CHUNK - OVERLAP
+BUDGET, MAXDOC = 512, 64
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+N_SHARDS = 8
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NTOK = (
+    "CASE WHEN length(norm) = 0 THEN 0 "
+    "ELSE len(string_split(norm, ' ')) END"
+)
+
+
+def _docs(spark, sf_dir):
+    from qualityassurancetool_spark.schema import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def x_chunking(spark, con, sf_dir):
+    """chunk_documents vs a DuckDB token-window re-implementation."""
+    from qualityassurancetool_spark.operators.chunking import chunk_documents
+
+    sdf = chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=CHUNK, overlap_tokens=OVERLAP
+    )
+    sql = f"""
+WITH base AS (
+    SELECT doc_id, {_NORM} AS norm FROM documents
+), toks AS (
+    SELECT doc_id, string_split(norm, ' ') AS t, {_NTOK} AS n FROM base
+), idx AS (
+    SELECT doc_id, t, n,
+           unnest(generate_series(0,
+               CAST(1 + ceil(greatest(n - {CHUNK}, 0) / {STRIDE}) AS INT) - 1
+           )) AS chunk_idx
+    FROM toks
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(list_slice(t, chunk_idx * {STRIDE} + 1,
+           chunk_idx * {STRIDE} + least({CHUNK}, n - chunk_idx * {STRIDE})),
+           ' ') AS chunk_text,
+       CAST(least({CHUNK}, n - chunk_idx * {STRIDE}) AS INT)
+           AS n_chunk_tokens
+FROM idx
+"""
+    return sdf, sql
+
+
+def x_packing(spark, con, sf_dir):
+    """pack_documents (running-total bucket, hard cap via headroom) vs a
+    DuckDB window re-implementation, partitioned by lang."""
+    from qualityassurancetool_spark.functions.hashing import normalize_text
+    from qualityassurancetool_spark.operators.chunking import pack_documents
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.least(
+            F.when(
+                F.length(normalize_text(F.col("text"))) == 0, F.lit(0)
+            ).otherwise(F.size(F.split(normalize_text(F.col("text")), " "))),
+            F.lit(MAXDOC),
+        ).alias("n_tokens"),
+    )
+    sdf = pack_documents(
+        d,
+        budget_tokens=BUDGET,
+        partition_cols=["lang"],
+        max_doc_tokens=MAXDOC,
+    ).select(
+        "doc_id", "lang", "n_tokens",
+        F.col("pack_id").cast("long").alias("pack_id"),
+    )
+    eff = BUDGET - MAXDOC
+    sql = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           least({_NTOK}, {MAXDOC}) AS n_tokens
+    FROM (SELECT doc_id, lang, {_NORM} AS norm FROM documents)
+), b AS (
+    SELECT *, floor(COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY lang ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        / {eff}) AS bucket
+    FROM d
+)
+SELECT doc_id, lang, n_tokens,
+       DENSE_RANK() OVER (PARTITION BY lang ORDER BY bucket) - 1 AS pack_id
+FROM b
+"""
+    return sdf, sql
+
+
+def x_quantize_int8(spark, con, sf_dir):
+    """Symmetric int8 quantization vs DuckDB list arithmetic (same
+    round-half-away-from-zero semantics, probed in tests)."""
+    from qualityassurancetool_spark.operators.similarity import quantize_int8
+    from qualityassurancetool_spark.schema import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sdf = quantize_int8(emb).select("vec_id", "qscale", "qvec")
+    sql = """
+WITH s AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS amax
+    FROM embeddings
+)
+SELECT vec_id,
+       CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS qscale,
+       list_transform(embedding, x -> CAST(
+           CASE WHEN amax > 0
+                THEN round(CAST(x AS DOUBLE) / (amax / 127.0))
+                ELSE 0.0 END AS TINYINT)) AS qvec
+FROM s
+"""
+    return sdf, sql
+
+
+def x_group_split(spark, con, sf_dir):
+    """Leakage-safe group split vs the md5 CASE chain in DuckDB (same
+    float cut arithmetic, same salt)."""
+    from qualityassurancetool_spark.operators.sampling import (
+        split_by_group,
+        uniform_hash_sql,
+    )
+
+    sdf = split_by_group(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        SPLITS,
+        group_col="source",
+    )
+    u = uniform_hash_sql("CAST(source AS VARCHAR)", "split:")
+    names = list(SPLITS)
+    acc, cuts = 0.0, []
+    for name in names:
+        acc += float(SPLITS[name])
+        cuts.append((name, acc))
+    case = f"'{names[-1]}'"
+    for name, hi in reversed(cuts):
+        case = f"CASE WHEN {u} < {hi!r} THEN '{name}' ELSE {case} END"
+    sql = f"SELECT doc_id, source, {case} AS split FROM documents"
+    return sdf, sql
+
+
+def x_dedup_paragraphs(spark, con, sf_dir):
+    """Intra-doc first-seen paragraph dedup vs a DuckDB
+    unnest+ordinality re-implementation, on doubled documents (so every
+    doc has guaranteed repeats)."""
+    from qualityassurancetool_spark.operators.quality_filters import (
+        dedup_paragraphs,
+    )
+
+    doubled = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("\n\n", F.col("text"), F.col("text")).alias("text"),
+    )
+    sdf = doubled.select(
+        "doc_id", dedup_paragraphs(F.col("text")).alias("deduped")
+    )
+    sql = """
+WITH t AS (
+    SELECT doc_id, concat(text, '\n\n', text) AS txt FROM documents
+), e AS (
+    SELECT doc_id,
+           unnest(string_split(txt, '\n\n')) AS para,
+           generate_subscripts(string_split(txt, '\n\n'), 1) AS ord
+    FROM t
+), firsts AS (
+    SELECT doc_id, para, min(ord) AS first_ord
+    FROM e GROUP BY doc_id, para
+)
+SELECT doc_id,
+       string_agg(para, e'\n\n' ORDER BY first_ord) AS deduped
+FROM firsts GROUP BY doc_id
+"""
+    return sdf, sql
+
+
+def x_shard_layout(spark, con, sf_dir):
+    """write_corpus_shards round trip: the written partition directories
+    must contain exactly the DuckDB-recomputed (doc_id, lang, shard)
+    membership."""
+    from qualityassurancetool_spark.operators.sampling import uniform_hash_sql
+    from qualityassurancetool_spark.sources.layout import write_corpus_shards
+
+    tmp = tempfile.mkdtemp(prefix="qat_shards_")
+    try:
+        write_corpus_shards(
+            _docs(spark, sf_dir).select("doc_id", "lang", "text"),
+            tmp,
+            n_shards=N_SHARDS,
+        )
+        back = spark.read.parquet(tmp).select(
+            "doc_id", F.col("lang").cast("string"),
+            F.col("shard").cast("int"),
+        )
+        rows = [tuple(r) for r in back.collect()]
+        u = uniform_hash_sql("doc_id", "shard:")
+        duck = con.execute(
+            f"SELECT doc_id, lang, CAST(floor({u} * {N_SHARDS}.0) AS INT) "
+            "AS shard FROM documents"
+        ).fetchall()
+        return rows, duck
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def x_streaming_dedup(spark, con, sf_dir):
+    """Streaming exact dedup (availableNow over a landed parquet source)
+    keeps exactly one representative per content digest: the surviving
+    digest set must equal DuckDB's DISTINCT md5(normalized text)."""
+    from qualityassurancetool_spark.streaming.micro_batch import (
+        streaming_exact_dedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="qat_stream_")
+    try:
+        src = f"{tmp}/src"
+        static = _docs(spark, sf_dir).select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id") % 3600
+            ).alias("ingest_ts"),
+        )
+        static.write.parquet(src)
+        stream = (
+            spark.readStream.schema(static.schema).parquet(src)
+        )
+        deduped = streaming_exact_dedup(stream)
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("x_stream_dedup")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        digests = [
+            (r["content_hash"],)
+            for r in spark.table("x_stream_dedup")
+            .select("content_hash")
+            .collect()
+        ]
+        duck = con.execute(
+            f"SELECT DISTINCT md5({_NORM}) FROM documents"
+        ).fetchall()
+        return digests, duck
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# name → check.  Two shapes: (spark_df, duck_sql) for plan-vs-SQL checks,
+# (rows, rows) for round-trip checks that already materialized both sides.
+EXTRA_CHECKS = {
+    "x_chunking": x_chunking,
+    "x_packing": x_packing,
+    "x_quantize_int8": x_quantize_int8,
+    "x_group_split": x_group_split,
+    "x_dedup_paragraphs": x_dedup_paragraphs,
+    "x_shard_layout": x_shard_layout,
+    "x_streaming_dedup": x_streaming_dedup,
+}
