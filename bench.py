@@ -5,6 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed with a count-consuming action (foreach-noop) so the
 full plan runs without driver-side collection dominating the measurement.
+
+Stability: each query runs ``$SPARK_GRAFT_BENCH_ITERS`` times (default 3,
+back-to-back so iterations 2+ are warm) and reports the per-query MEDIAN;
+the headline value is the sum of medians.  Cold-JVM/codegen variance was
+the dominant driver-vs-local gap in round 2 (2.4-2.6x on the two heaviest
+dedup queries, same plans) — medians of warm runs measure the plan, not
+the JIT.
 """
 
 from __future__ import annotations
@@ -12,6 +19,7 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -73,16 +81,25 @@ def main() -> None:
     for t in ("region", "events", "documents", "embeddings", "lineitem"):
         load_table(spark, sf_dir, t).count()
 
+    iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")), 1)
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
+        samples = []
+        n = 0
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        dt = statistics.median(samples)
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        print(
+            f"# {name}: median {dt:.3f}s over {iters} "
+            f"(min {min(samples):.3f} max {max(samples):.3f}) rows={n}",
+            file=sys.stderr,
+        )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -93,6 +110,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "iters": iters,
             }
         )
     )
