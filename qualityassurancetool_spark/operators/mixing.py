@@ -1,0 +1,96 @@
+"""Deterministic training-mixture construction across corpus sources.
+
+Mixture weights ("sample source A at 2.3 epochs, B at 0.4") are the
+standard knob for composing pretraining data.  This builds the mixture
+WITHOUT randomness: per-source sampling uses the md5 uniform variate
+(``operators/sampling.uniform_hash``), upsampling (weight > 1) becomes
+whole EPOCH copies plus one hash-sampled fractional epoch — each epoch
+salted differently so fractional epochs draw different rows — and the
+interleave order is itself a hash (``mix_key``), so a sorted write
+yields a shuffled-but-reproducible mixture.  Re-runs, task retries, and
+any md5-capable engine produce the identical mixture.
+
+Scale shape: pure row-local Column exprs per source (no shuffle to
+decide membership), one union, and the final order is delegated to the
+writer (sort by ``mix_key`` within output shards — no global sort
+required for training-shard consumption).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.sampling import uniform_hash
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix:",
+) -> DataFrame:
+    """Union of per-source samples with epoch expansion.
+
+    ``weights[name]`` = epochs of that source to include (2.4 → two full
+    copies + a 0.4 hash-sample).  Output adds ``source`` (name),
+    ``epoch`` (0-based copy index) and ``mix_key`` (uniform [0,1) hash of
+    (source, epoch, id) — the deterministic interleave order).  Sources
+    must share a schema (enforced by ``unionByName``).
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    missing = set(sources) - set(weights)
+    if missing:
+        raise ValueError(f"missing weights for {sorted(missing)}")
+    bad = {n: w for n, w in weights.items() if n in sources and w < 0}
+    if bad:
+        raise ValueError(f"negative weights: {bad}")
+
+    parts: list[DataFrame] = []
+    for name, df in sources.items():
+        w = float(weights[name])
+        full_epochs = int(math.floor(w))
+        frac = w - full_epochs
+        for epoch in range(full_epochs):
+            parts.append(_epoch_part(df, name, epoch, 1.0, id_col, salt))
+        if frac > 0:
+            parts.append(
+                _epoch_part(df, name, full_epochs, frac, id_col, salt)
+            )
+    if not parts:
+        # all weights zero → empty mixture with the first source's schema
+        first = next(iter(sources.items()))
+        return _epoch_part(first[1], first[0], 0, 1.0, id_col, salt).where(
+            F.lit(False)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _epoch_part(
+    df: DataFrame, name: str, epoch: int, frac: float, id_col: str, salt: str
+) -> DataFrame:
+    esalt = f"{salt}{name}:{epoch}:"
+    part = df.withColumn("source", F.lit(name)).withColumn(
+        "epoch", F.lit(epoch)
+    )
+    if frac < 1.0:
+        part = part.where(uniform_hash(F.col(id_col), esalt) < frac)
+    return part.withColumn(
+        "mix_key", uniform_hash(F.col(id_col), esalt + "k:")
+    )
+
+
+def mixture_report(mixture: DataFrame) -> DataFrame:
+    """Per-(source, epoch) row counts — the sanity sheet for a mixture
+    build (did the 0.4 fractional epoch land near 40%?)."""
+    return (
+        mixture.groupBy("source", "epoch")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("source", "epoch")
+    )

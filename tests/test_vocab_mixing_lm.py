@@ -1,0 +1,146 @@
+"""Vocabulary/OOV, deterministic corpus mixing, and char-LM scoring —
+round-3 training-data operators.  DuckDB cross-engine oracles live in
+tools/extra_oracles.py (x_vocab, x_mixing, x_lm_score); these tests pin
+the semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.lm_score import (
+    lm_filter,
+    score_documents,
+    train_char_lm,
+)
+from qualityassurancetool_spark.operators.mixing import (
+    mix_corpora,
+    mixture_report,
+)
+from qualityassurancetool_spark.operators.vocab import (
+    oov_stats,
+    token_vocabulary,
+)
+
+
+def test_token_vocabulary_counts_and_coverage(spark):
+    df = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, "c a  a"), (3, "")], ["doc_id", "text"]
+    )
+    # counts: a=3, b=2, c=4  (empty doc contributes nothing)
+    vocab = token_vocabulary(df, top_k=2)
+    rows = {r["token"]: r for r in vocab.collect()}
+    assert set(rows) == {"c", "a"}
+    assert rows["c"]["n"] == 4 and rows["c"]["rank"] == 1
+    assert rows["a"]["n"] == 3 and rows["a"]["rank"] == 2
+    assert rows["c"]["coverage"] == pytest.approx(4 / 9)
+    assert rows["a"]["coverage"] == pytest.approx(7 / 9)
+
+
+def test_vocab_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "z y x w z y x w")], ["doc_id", "text"]
+    )
+    toks = [r["token"] for r in token_vocabulary(df, top_k=3).collect()]
+    assert toks == ["w", "x", "y"]  # equal counts → lexicographic
+
+
+def test_oov_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a b weird"), (2, "a a a"), (3, "")], ["doc_id", "text"]
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], ["token"])
+    got = {r["doc_id"]: r for r in oov_stats(df, vocab).collect()}
+    assert got[1]["n_tokens"] == 3 and got[1]["n_oov"] == 1
+    assert got[1]["oov_rate"] == pytest.approx(1 / 3)
+    assert got[2]["n_oov"] == 0
+    assert 3 not in got  # empty doc yields no token rows
+
+
+def _sources(spark):
+    a = spark.createDataFrame(
+        [(i, f"doc a{i}") for i in range(200)], ["doc_id", "text"]
+    )
+    b = spark.createDataFrame(
+        [(i, f"doc b{i}") for i in range(100, 400)], ["doc_id", "text"]
+    )
+    return {"a": a, "b": b}
+
+
+def test_mixture_epochs_and_fractions(spark):
+    mix = mix_corpora(_sources(spark), {"a": 2.4, "b": 0.5})
+    rep = {
+        (r["source"], r["epoch"]): r["n_rows"]
+        for r in mixture_report(mix).collect()
+    }
+    assert rep[("a", 0)] == 200 and rep[("a", 1)] == 200
+    # fractional epochs: hash-sampled, ~frac of the source
+    assert 0.25 * 200 <= rep[("a", 2)] <= 0.55 * 200
+    assert 0.35 * 300 <= rep[("b", 0)] <= 0.65 * 300
+    # determinism: identical mixture on a re-run, mix_key in [0, 1)
+    again = mix_corpora(_sources(spark), {"a": 2.4, "b": 0.5})
+    assert sorted(map(tuple, mix.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    ks = [r["mix_key"] for r in mix.select("mix_key").collect()]
+    assert all(0.0 <= k < 1.0 for k in ks)
+    # distinct epochs of one source sample DIFFERENT fractional rows:
+    # epoch salts differ, so mix keys differ per (source, epoch)
+    k0 = {r["doc_id"] for r in mix.where(
+        (F.col("source") == "a") & (F.col("epoch") == 2)).collect()}
+    assert k0 != {r["doc_id"] for r in mix.where(
+        (F.col("source") == "b") & (F.col("epoch") == 0)).collect()}
+
+
+def test_mixture_validation_and_zero(spark):
+    src = _sources(spark)
+    with pytest.raises(ValueError, match="missing weights"):
+        mix_corpora(src, {"a": 1.0})
+    with pytest.raises(ValueError, match="negative"):
+        mix_corpora(src, {"a": -0.1, "b": 1.0})
+    empty = mix_corpora(src, {"a": 0.0, "b": 0.0})
+    assert empty.count() == 0
+    assert "mix_key" in empty.columns
+
+
+FLUENT = [
+    "the cat sat on the mat and the dog sat on the rug",
+    "a cat and a dog sat near the door of the house",
+    "the dog ran to the house and the cat ran to the mat",
+] * 5
+
+
+def test_lm_scores_rank_fluent_above_gibberish(spark):
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FLUENT)], ["doc_id", "text"]
+    )
+    lm = train_char_lm(ref)
+    probe = spark.createDataFrame(
+        [
+            (1, "the cat sat near the door"),        # in-distribution
+            (2, "zq xv jj qq wx zk vq jx qz xq"),    # gibberish
+            (3, "ab"),                               # too short → floor
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in score_documents(probe, lm).collect()}
+    assert got[1]["lm_logp"] > got[2]["lm_logp"]
+    assert got[3]["n_grams"] == 0
+    assert got[3]["lm_logp"] == pytest.approx(lm.floor_logp())
+    assert got[1]["n_grams"] == len("the cat sat near the door") - 2
+    # probabilities: every score is a log of something <= 1
+    assert all(r["lm_logp"] < 0 for r in got.values())
+    thresh = (got[1]["lm_logp"] + got[2]["lm_logp"]) / 2
+    kept = lm_filter(probe, lm, min_logp=thresh)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_lm_unseen_context_floor(spark):
+    ref = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    lm = train_char_lm(ref)
+    probe = spark.createDataFrame([(1, "zzzz")], ["doc_id", "text"])
+    got = score_documents(probe, lm).collect()[0]
+    # all trigrams unseen in unseen contexts → exactly the floor
+    assert got["lm_logp"] == pytest.approx(math.log(1.0 / lm.alphabet))

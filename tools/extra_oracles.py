@@ -271,6 +271,132 @@ def x_streaming_dedup(spark, con, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+VOCAB_K = 200
+LM_TOP = 100_000
+MIX_WEIGHTS = {"en": 1.4, "other": 0.6}
+
+
+def x_vocab(spark, con, sf_dir):
+    """token_vocabulary (top-k + rank + cumulative coverage) vs a DuckDB
+    window re-implementation with the same tie-break."""
+    from qualityassurancetool_spark.operators.vocab import token_vocabulary
+
+    sdf = token_vocabulary(_docs(spark, sf_dir), top_k=VOCAB_K)
+    sql = f"""
+WITH base AS (SELECT {_NORM} AS norm FROM documents),
+tok AS (SELECT unnest(string_split(norm, ' ')) AS token FROM base),
+counts AS (
+    SELECT token, COUNT(*) AS n FROM tok
+    WHERE length(token) > 0 GROUP BY token
+),
+total AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts),
+top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {VOCAB_K})
+SELECT token, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+       SUM(n) OVER (ORDER BY n DESC, token
+                    ROWS UNBOUNDED PRECEDING) / (SELECT t FROM total)
+           AS coverage
+FROM top
+"""
+    return sdf, sql
+
+
+def x_mixing(spark, con, sf_dir):
+    """mix_corpora epochs + fractional hash-sampling + mix_key vs the
+    same md5 arithmetic in DuckDB."""
+    from qualityassurancetool_spark.operators.mixing import mix_corpora
+    from qualityassurancetool_spark.operators.sampling import uniform_hash_sql
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    sources = {
+        "en": docs.where(F.col("lang") == "en"),
+        "other": docs.where(F.col("lang") != "en"),
+    }
+    sdf = mix_corpora(sources, MIX_WEIGHTS).select(
+        "doc_id", "source", "epoch", "mix_key"
+    )
+
+    def part(name, where, epoch, frac):
+        esalt = f"mix:{name}:{epoch}:"
+        u = uniform_hash_sql("doc_id", esalt)
+        k = uniform_hash_sql("doc_id", esalt + "k:")
+        cond = f"AND {u} < {frac!r}" if frac < 1.0 else ""
+        return (
+            f"SELECT doc_id, '{name}' AS source, {epoch} AS epoch, "
+            f"{k} AS mix_key FROM documents WHERE {where} {cond}"
+        )
+
+    sql = " UNION ALL ".join(
+        [
+            part("en", "lang = 'en'", 0, 1.0),
+            part("en", "lang = 'en'", 1, MIX_WEIGHTS["en"] - 1),
+            part("other", "lang <> 'en'", 0, MIX_WEIGHTS["other"]),
+        ]
+    )
+    return sdf, sql
+
+
+def x_lm_score(spark, con, sf_dir):
+    """Char-trigram LM: train on the en slice, score every doc — full
+    train+score chain re-implemented in DuckDB (same add-k smoothing,
+    same top-M tie-break, same floor for short docs)."""
+    from qualityassurancetool_spark.operators.lm_score import (
+        score_documents,
+        train_char_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = train_char_lm(docs.where(F.col("lang") == "en"), max_grams=LM_TOP)
+    sdf = score_documents(docs, lm).select(
+        "doc_id", "n_grams", F.round("lm_logp", 6).alias("lm_logp_r")
+    )
+    tri = (
+        "unnest(list_transform(generate_series(1, length(norm) - 2), "
+        "i -> substr(norm, i, 3)))"
+    )
+    sql = f"""
+WITH ref AS (SELECT {_NORM} AS norm FROM documents WHERE lang = 'en'),
+tri AS (SELECT {tri} AS gram FROM ref WHERE length(norm) >= 3),
+gcounts AS (SELECT gram, COUNT(*) AS n_gram FROM tri GROUP BY gram),
+ctx AS (
+    SELECT substr(gram, 1, 2) AS c, SUM(n_gram) AS n_context
+    FROM gcounts GROUP BY substr(gram, 1, 2)
+),
+top AS (
+    SELECT g.gram, g.n_gram, ctx.n_context
+    FROM (SELECT gram, n_gram FROM gcounts
+          ORDER BY n_gram DESC, gram LIMIT {LM_TOP}) g
+    JOIN ctx ON substr(g.gram, 1, 2) = ctx.c
+),
+alpha AS (
+    SELECT CAST(COUNT(DISTINCT ch) AS DOUBLE) AS a FROM (
+        SELECT unnest(list_transform(generate_series(1, length(norm)),
+            i -> substr(norm, i, 1))) AS ch FROM ref
+    ) WHERE length(ch) > 0
+),
+docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+dtri AS (
+    SELECT doc_id, {tri} AS gram FROM docs WHERE length(norm) >= 3
+),
+j AS (
+    SELECT d.doc_id,
+           ln((COALESCE(t.n_gram, 0) + 1.0) /
+              (COALESCE(t.n_context, 0) + (SELECT a FROM alpha)))
+               AS lp
+    FROM dtri d LEFT JOIN top t USING (gram)
+),
+sc AS (
+    SELECT doc_id, COUNT(*) AS n_grams, AVG(lp) AS lm_logp FROM j
+    GROUP BY doc_id
+)
+SELECT doc_id, n_grams, round(lm_logp, 6) + 0.0 AS lm_logp_r FROM sc
+UNION ALL
+SELECT doc_id, 0, round(ln(1.0 / (SELECT a FROM alpha)), 6) + 0.0
+FROM docs WHERE length(norm) < 3
+"""
+    return sdf, sql
+
+
 # name → check.  Two shapes: (spark_df, duck_sql) for plan-vs-SQL checks,
 # (rows, rows) for round-trip checks that already materialized both sides.
 EXTRA_CHECKS = {
@@ -281,4 +407,7 @@ EXTRA_CHECKS = {
     "x_dedup_paragraphs": x_dedup_paragraphs,
     "x_shard_layout": x_shard_layout,
     "x_streaming_dedup": x_streaming_dedup,
+    "x_vocab": x_vocab,
+    "x_mixing": x_mixing,
+    "x_lm_score": x_lm_score,
 }
