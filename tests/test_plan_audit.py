@@ -41,6 +41,50 @@ def test_no_cartesian_products_anywhere(spark, entrymod, sf_dir):
     assert not offenders, offenders
 
 
+def test_round3_operator_plan_shapes(spark, sf_dir):
+    """The new training-data operators keep their designed physical
+    shapes: broadcast model/vocab joins (never shuffled fact joins), a
+    Generate barrier before the LM trigram lambda, TakeOrdered top-k for
+    the vocabulary, and a shuffle-free mixture build."""
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.operators.lm_score import (
+        score_documents,
+        train_char_lm,
+    )
+    from qualityassurancetool_spark.operators.mixing import mix_corpora
+    from qualityassurancetool_spark.operators.vocab import (
+        oov_stats,
+        token_vocabulary,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = train_char_lm(docs.where(F.col("lang") == "en"), max_grams=1000)
+    p = _plan(score_documents(docs, lm))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    assert "Generate" in p  # the no-CSE-in-HOF barrier is in place
+
+    vocab = token_vocabulary(docs, top_k=50)
+    assert "TakeOrdered" in _plan(vocab)
+
+    p = _plan(oov_stats(docs, vocab))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    mix = mix_corpora(
+        {
+            "en": docs.where(F.col("lang") == "en"),
+            "o": docs.where(F.col("lang") != "en"),
+        },
+        {"en": 1.4, "o": 0.5},
+    )
+    p = _plan(mix)
+    assert "Union" in p
+    # membership + mix_key are row-local: no shuffle exchange at all
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
 def test_reference_chain_shape(spark, entrymod, sf_dir):
     plan = _plan(entrymod.queries()["qc_reference_chain"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1      # upstream chain scanned once
