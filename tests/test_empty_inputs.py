@@ -50,6 +50,34 @@ def test_dedup_on_empty(spark):
     assert minhash_dedup(docs).count() == 0
 
 
+def test_round3_ops_on_empty(spark):
+    from qualityassurancetool_spark.operators.lm_score import (
+        CharLM,
+        score_documents,
+        train_char_lm,
+    )
+    from qualityassurancetool_spark.operators.mixing import mix_corpora
+    from qualityassurancetool_spark.operators.vocab import (
+        oov_stats,
+        token_vocabulary,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert token_vocabulary(docs, top_k=10).count() == 0
+    vocab = spark.createDataFrame([("a",)], ["token"])
+    assert oov_stats(docs, vocab).count() == 0
+    # empty mixture sources survive; weights over empties yield empties
+    mix = mix_corpora({"a": docs, "b": docs}, {"a": 1.5, "b": 0.3})
+    assert mix.count() == 0 and "mix_key" in mix.columns
+    # a model trained on an empty corpus still scores (floor everywhere)
+    lm = train_char_lm(docs)
+    assert isinstance(lm, CharLM) and lm.alphabet >= 1
+    probe = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    out = score_documents(probe, lm).collect()
+    assert len(out) == 1 and out[0]["lm_logp"] is not None
+    assert score_documents(docs, lm).count() == 0
+
+
 def test_new_ops_on_empty(spark):
     from qualityassurancetool_spark.operators.decontam import (
         benchmark_ngram_overlap,

@@ -278,3 +278,74 @@ def test_decontam_matches_python_model(spark, texts, k):
         if n_ov >= 1:
             want[i] = (n_ov, len(gs))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 3: geodesic kernel and mixture properties
+# ---------------------------------------------------------------------------
+
+_lat = st.floats(min_value=-85.0, max_value=85.0)
+_lon = st.floats(min_value=-180.0, max_value=180.0)
+
+
+@SLOW
+@given(st.lists(st.tuples(_lat, _lon, _lat, _lon), min_size=1, max_size=30))
+def test_vincenty_properties(pairs):
+    """Symmetry, non-negativity, identity, and the spherical sandwich:
+    Vincenty on WGS-84 stays within the flattening bound (~0.6%) of
+    haversine for any pair (numpy-only — no Spark session needed)."""
+    from qualityassurancetool_spark.functions.geo import (
+        EARTH_RADIUS_M,
+        vincenty_m_np,
+    )
+
+    la1, lo1, la2, lo2 = map(np.array, zip(*pairs))
+    d = vincenty_m_np(la1, lo1, la2, lo2)
+    assert np.all(np.isfinite(d)) and np.all(d >= 0)
+    np.testing.assert_allclose(
+        d, vincenty_m_np(la2, lo2, la1, lo1), rtol=1e-9, atol=1e-6
+    )
+    assert np.all(vincenty_m_np(la1, lo1, la1, lo1) == 0.0)
+    # spherical comparison (same haversine the Column expr uses)
+    p1, p2 = np.radians(la1), np.radians(la2)
+    dl = np.radians(lo2 - lo1)
+    h = (
+        np.sin((p2 - p1) / 2) ** 2
+        + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+    )
+    hav = 2 * EARTH_RADIUS_M * np.arcsin(np.minimum(np.sqrt(h), 1.0))
+    far = hav > 1000.0  # relative bound is meaningless at meter scales
+    assert np.all(np.abs(d[far] - hav[far]) <= 0.0067 * hav[far])
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+             max_size=80, unique=True),
+    st.floats(min_value=0.0, max_value=3.0),
+)
+def test_mixture_epoch_counts(spark, ids, weight):
+    """Full epochs contribute every row exactly once; the fractional
+    epoch is exactly the md5-sampled subset; total = closed form."""
+    import math
+
+    from qualityassurancetool_spark.operators.mixing import mix_corpora
+    from qualityassurancetool_spark.operators.sampling import uniform_hash
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    mix = mix_corpora({"s": df}, {"s": weight})
+    full = int(math.floor(weight))
+    frac = weight - full
+    per_epoch = {
+        r["epoch"]: r["cnt"]
+        for r in mix.groupBy("epoch").agg(F.count("*").alias("cnt")).collect()
+    }
+    for e in range(full):
+        assert per_epoch.get(e) == len(ids)
+    if frac > 0:
+        esalt = f"mix:s:{full}:"
+        expected = df.where(
+            uniform_hash(F.col("doc_id"), esalt) < frac
+        ).count()
+        assert per_epoch.get(full, 0) == expected
+    assert sum(per_epoch.values()) == mix.count()
