@@ -21,7 +21,7 @@ from md5-based hashing that DuckDB reproduces bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qualityassurancetool_spark.functions.hashing import (
@@ -540,3 +540,40 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return small.unionByName(big_pairs)
+
+
+# ------------------------------------------------- incremental (snapshots)
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "content_hash",
+) -> DataFrame:
+    """Cross-snapshot exact dedup: drop new documents whose normalized
+    content digest already exists in a previously-ingested corpus, then
+    collapse remaining within-batch duplicates to the min-id copy —
+    the incremental half of the dedup story (a daily crawl must not
+    re-admit yesterday's documents).
+
+    ``seen_digests`` needs a ``digest_col`` column (e.g. the
+    ``content_hash`` sheet :func:`exact_dedup` produces, persisted per
+    snapshot).  The anti join is digest-keyed: 16-byte hex strings cross
+    the shuffle, never text — and when the seen set fits the broadcast
+    threshold Catalyst plans a broadcast anti join with zero shuffle of
+    the new batch.  Output: the surviving rows of ``new_df`` plus their
+    ``digest_col``.
+    """
+    withd = new_df.withColumn(
+        digest_col, F.md5(normalize_text(F.col(text_col)))
+    )
+    fresh = withd.join(
+        seen_digests.select(digest_col), digest_col, "left_anti"
+    )
+    w_min = F.min(F.col(id_col)).over(Window.partitionBy(digest_col))
+    return (
+        fresh.withColumn("_keep", F.col(id_col) == w_min)
+        .where(F.col("_keep"))
+        .drop("_keep")
+    )

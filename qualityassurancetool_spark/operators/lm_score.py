@@ -151,6 +151,24 @@ def score_documents(
     return scored.unionByName(shorts)
 
 
+def lm_threshold_for_quantile(
+    scores: DataFrame, keep_fraction: float, score_col: str = "lm_logp"
+) -> float:
+    """The CCNet-style cut: the threshold that keeps the best
+    ``keep_fraction`` of documents by LM score (CCNet keeps the
+    "head"+"middle" perplexity tertiles).  Exact interpolated percentile
+    over the (small) score column — one aggregation, a single scalar to
+    the driver."""
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    q = 1.0 - keep_fraction
+    return float(
+        scores.agg(
+            F.percentile(F.col(score_col), F.lit(q)).alias("t")
+        ).head()["t"]
+    )
+
+
 def lm_filter(
     df: DataFrame,
     lm: CharLM,

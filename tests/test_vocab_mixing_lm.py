@@ -144,3 +144,49 @@ def test_lm_unseen_context_floor(spark):
     got = score_documents(probe, lm).collect()[0]
     # all trigrams unseen in unseen contexts → exactly the floor
     assert got["lm_logp"] == pytest.approx(math.log(1.0 / lm.alphabet))
+
+
+def test_lm_threshold_for_quantile(spark):
+    from qualityassurancetool_spark.operators.lm_score import (
+        lm_threshold_for_quantile,
+    )
+
+    scores = spark.createDataFrame(
+        [(i, -float(i)) for i in range(1, 11)], ["doc_id", "lm_logp"]
+    )
+    # keep best 30% of 10 docs → threshold at the 70th percentile of
+    # score = -3.7 (interpolated); exactly 3 docs ≥ it
+    t = lm_threshold_for_quantile(scores, 0.3)
+    assert t == pytest.approx(-3.7)
+    assert scores.where(F.col("lm_logp") >= t).count() == 3
+    assert lm_threshold_for_quantile(scores, 1.0) == pytest.approx(-10.0)
+    with pytest.raises(ValueError):
+        lm_threshold_for_quantile(scores, 0.0)
+
+
+def test_dedup_against_corpus(spark):
+    from qualityassurancetool_spark.operators.dedup import (
+        dedup_against_corpus,
+        exact_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "the old doc"), (2, "another   OLD doc")], ["doc_id", "text"]
+    )
+    seen = exact_dedup(old).select("content_hash")
+    new = spark.createDataFrame(
+        [
+            (10, "The Old Doc"),        # normalizes to a seen digest
+            (11, "a brand new doc"),
+            (12, "a  brand NEW doc"),   # within-batch dup of 11
+            (13, "another fresh one"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup_against_corpus(new, seen)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [11, 13]
+    assert "content_hash" in out.columns
+    # idempotence: re-running against seen ∪ new-survivors drops all
+    seen2 = seen.unionByName(out.select("content_hash"))
+    assert dedup_against_corpus(new, seen2).count() == 0

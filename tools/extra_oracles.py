@@ -276,6 +276,38 @@ LM_TOP = 100_000
 MIX_WEIGHTS = {"en": 1.4, "other": 0.6}
 
 
+def x_incremental_dedup(spark, con, sf_dir):
+    """dedup_against_corpus (cross-snapshot anti join + within-batch
+    min-id collapse) vs the same logic in DuckDB; the 'seen' snapshot is
+    every third document's digest."""
+    from qualityassurancetool_spark.operators.dedup import (
+        dedup_against_corpus,
+        exact_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seen = exact_dedup(docs.where(F.col("doc_id") % 3 == 0)).select(
+        "content_hash"
+    )
+    sdf = dedup_against_corpus(docs, seen).select("doc_id", "content_hash")
+    sql = f"""
+WITH newd AS (
+    SELECT doc_id, md5({_NORM}) AS content_hash FROM documents
+),
+seen AS (
+    SELECT DISTINCT content_hash FROM newd WHERE doc_id % 3 = 0
+),
+fresh AS (
+    SELECT n.doc_id, n.content_hash
+    FROM newd n LEFT JOIN seen s USING (content_hash)
+    WHERE s.content_hash IS NULL
+)
+SELECT doc_id, content_hash FROM fresh
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+"""
+    return sdf, sql
+
+
 def x_vocab(spark, con, sf_dir):
     """token_vocabulary (top-k + rank + cumulative coverage) vs a DuckDB
     window re-implementation with the same tie-break."""
@@ -410,4 +442,5 @@ EXTRA_CHECKS = {
     "x_vocab": x_vocab,
     "x_mixing": x_mixing,
     "x_lm_score": x_lm_score,
+    "x_incremental_dedup": x_incremental_dedup,
 }
