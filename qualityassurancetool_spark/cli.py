@@ -17,6 +17,10 @@ Commands::
     python -m qualityassurancetool_spark validate --config qc.yaml
     python -m qualityassurancetool_spark template --thing events --out qc.yaml
 
+    python -m qualityassurancetool_spark curate \
+        --config rules.yaml data.input=/data/docs data.out=/data/curated \
+        min_quality=0.5 langs=[en]
+
 Override values are parsed as YAML scalars (``a.b=3`` → int,
 ``a.b=null`` → None, ``a.b=[1,2]`` → list), matching OmegaConf's typing
 behavior.
@@ -174,6 +178,41 @@ def cmd_run(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_curate(args, overrides: list[str]) -> int:
+    """Corpus-side twin of ``run``: config-driven curation over a
+    documents parquet → per-doc decision sheet + per-rule kill report."""
+    run, rules = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
+        raise ConfigError("missing required settings: data.input, data.out")
+
+    from qualityassurancetool_spark.plans.curation import (
+        CurationConfig,
+        curate,
+        drop_report,
+    )
+    from qualityassurancetool_spark.session import get_spark
+
+    cfg = CurationConfig.from_dict(rules)
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-curate"))
+    try:
+        if data_c.get("table", "parquet") == "documents":
+            from qualityassurancetool_spark.schema import load_table
+
+            docs = load_table(spark, data_c["input"], "documents")
+        else:
+            docs = spark.read.parquet(data_c["input"])
+        decisions = curate(docs, cfg)
+        decisions.write.mode("overwrite").parquet(data_c["out"])
+        back = spark.read.parquet(data_c["out"])
+        for r in drop_report(back).collect():
+            print(f"{r['rule']}: {r['n']}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def cmd_validate(args, overrides: list[str]) -> int:
     _, qc_dict = load_run_config(args.config, overrides)
     QCConfig.from_dict(qc_dict)
@@ -210,6 +249,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_run.add_argument("override", nargs="*", help="key.path=value")
 
+    p_cur = sub.add_parser(
+        "curate", help="config-driven curation over a documents parquet"
+    )
+    p_cur.add_argument("-c", "--config", default=None)
+    p_cur.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_cur.add_argument("override", nargs="*", help="key.path=value")
+
     p_val = sub.add_parser("validate", help="schema-check a config")
     p_val.add_argument("-c", "--config", default=None)
     p_val.add_argument("override", nargs="*")
@@ -224,6 +272,7 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     handler = {
         "run": cmd_run,
+        "curate": cmd_curate,
         "validate": cmd_validate,
         "template": cmd_template,
     }[args.command]

@@ -141,3 +141,29 @@ def test_run_end_to_end(spark, sf_dir, tmp_path, capsys):
         "AND NOT (value > 0.0 AND value < 400.0)"
     ).fetchone()[0]
     assert n_bad == exp and flags.count() > 0
+
+
+def test_curate_command(spark, tmp_path, capsys):
+    """Corpus-side CLI: curation rules via dotted overrides, decisions
+    parquet + per-rule kill report on stdout."""
+    out = str(tmp_path / "curated")
+    rc = main([
+        "curate", "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=documents",
+        f"data.out={out}",
+        "min_quality=0.5", "dedup=exact",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    back = spark.read.parquet(out)
+    n_docs = back.count()
+    assert sum(int(v) for v in report.values()) == n_docs
+    assert back.where("keep").count() == int(report.get("kept", 0))
+    # an invalid rule override fails with a pointed message
+    assert main([
+        "curate", "--keep-session", "data.input=/x", "data.out=/y",
+        "min_quality=not_a_number",
+    ]) == 2

@@ -223,3 +223,64 @@ def test_nc_to_raster_lookup_spark(spark, tmp_path):
             assert got[i] is None or np.isnan(got[i])
         else:
             assert got[i] == pytest.approx(e)
+
+
+def test_record_variables_deinterleave(tmp_path):
+    """Record (unlimited-dim) variables: two interleaved record vars are
+    de-interleaved into full arrays; a single record var reads its
+    contiguous layout.  Element sizes are multiples of 4 so the classic
+    format's per-record padding is a no-op in both layouts."""
+    nrec = 3
+    tvals = np.array([100, 200, 300], dtype=np.int32)
+    gvals = np.arange(nrec * 5, dtype=np.float64).reshape(nrec, 5)
+
+    def header_and_meta(variables, numrecs):
+        header = b"CDF\x01" + struct.pack(">I", numrecs)
+        header += struct.pack(">II", 0x0A, 2)
+        header += _name("time") + struct.pack(">I", 0)   # record dim
+        header += _name("lon") + struct.pack(">I", 5)
+        header += _att_list({})
+        header += struct.pack(">II", 0x0B, len(variables))
+        metas, vsizes = [], []
+        for n, dimids, arr in variables:
+            t = _TYPE_OF_DTYPE[arr.dtype.str[1:]]
+            per_rec = arr[0:1].nbytes if dimids and dimids[0] == 0 else arr.nbytes
+            vsize = per_rec + ((4 - per_rec % 4) % 4)
+            meta = _name(n) + struct.pack(">I", len(dimids))
+            meta += b"".join(struct.pack(">I", d) for d in dimids)
+            meta += _att_list({}) + struct.pack(">II", t, vsize)
+            metas.append(meta)
+            vsizes.append(vsize)
+        return header, metas, vsizes
+
+    # --- two record vars: records interleave with stride = recsize
+    variables = [("t", [0], tvals), ("grid2", [0, 1], gvals)]
+    header, metas, vsizes = header_and_meta(variables, nrec)
+    begin0 = len(header) + sum(len(m) + 4 for m in metas)
+    begins = [begin0, begin0 + vsizes[0]]
+    body = b"".join(
+        m + struct.pack(">I", b) for m, b in zip(metas, begins)
+    )
+    records = b""
+    for k in range(nrec):
+        records += tvals[k : k + 1].astype(">i4").tobytes()
+        records += gvals[k].astype(">f8").tobytes()
+    p = str(tmp_path / "rec2.nc")
+    with open(p, "wb") as f:
+        f.write(header + body + records)
+    nc = read_netcdf_classic(p)
+    assert nc.dimensions["time"] == nrec
+    np.testing.assert_array_equal(nc.variables["t"].data, tvals)
+    assert nc.variables["grid2"].shape == (nrec, 5)
+    np.testing.assert_array_equal(nc.variables["grid2"].data, gvals)
+
+    # --- single record var: contiguous record layout
+    variables = [("grid2", [0, 1], gvals)]
+    header, metas, vsizes = header_and_meta(variables, nrec)
+    begin0 = len(header) + len(metas[0]) + 4
+    body = metas[0] + struct.pack(">I", begin0)
+    p1 = str(tmp_path / "rec1.nc")
+    with open(p1, "wb") as f:
+        f.write(header + body + gvals.astype(">f8").tobytes())
+    nc1 = read_netcdf_classic(p1)
+    np.testing.assert_array_equal(nc1.variables["grid2"].data, gvals)
