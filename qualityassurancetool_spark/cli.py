@@ -213,6 +213,62 @@ def cmd_curate(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_export(args, overrides: list[str]) -> int:
+    """The reference's second entry point (``src/aums_data_request.py``):
+    fetch a window → best record per rounded second per stream → pivot
+    wide → CSV."""
+    run, _ = load_run_config(args.config, overrides)
+    time_c, data_c = run["time"], run["data"]
+    if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("csv_out"):
+        raise ConfigError("missing required settings: data.input, data.csv_out")
+
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.operators.pivot_export import pivot_wide
+    from qualityassurancetool_spark.session import get_spark
+    from qualityassurancetool_spark.sources.sinks import write_csv
+
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-export"))
+    try:
+        if data_c.get("table", "observations") == "events":
+            from qualityassurancetool_spark.schema import (
+                events_as_observations,
+            )
+
+            obs = events_as_observations(spark, data_c["input"])
+        else:
+            obs = spark.read.parquet(data_c["input"])
+        if time_c.get("start"):
+            obs = obs.where(
+                F.col("phenomenon_time")
+                >= F.lit(_parse_when(time_c["start"], "time.start"))
+            )
+        if time_c.get("end"):
+            obs = obs.where(
+                F.col("phenomenon_time")
+                < F.lit(_parse_when(time_c["end"], "time.end"))
+            )
+        stream_col = data_c.get("stream_col", "observation_type")
+        streams = data_c.get("streams")
+        if not streams:
+            # explicit pivot values keep the plan single-pass; when the
+            # caller doesn't name them, one metadata-scale distinct pass
+            # discovers them (sorted for a deterministic schema)
+            streams = sorted(
+                r[0] for r in obs.select(stream_col).distinct().collect()
+            )
+        wide = pivot_wide(obs, streams, stream_col=stream_col)
+        write_csv(
+            wide, data_c["csv_out"],
+            single_file=bool(data_c.get("single_file", False)),
+        )
+        print(f"exported {len(streams)} stream(s) -> {data_c['csv_out']}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def cmd_validate(args, overrides: list[str]) -> int:
     _, qc_dict = load_run_config(args.config, overrides)
     QCConfig.from_dict(qc_dict)
@@ -258,6 +314,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_cur.add_argument("override", nargs="*", help="key.path=value")
 
+    p_exp = sub.add_parser(
+        "export", help="pivoted best-record-per-second CSV export"
+    )
+    p_exp.add_argument("-c", "--config", default=None)
+    p_exp.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_exp.add_argument("override", nargs="*", help="key.path=value")
+
     p_val = sub.add_parser("validate", help="schema-check a config")
     p_val.add_argument("-c", "--config", default=None)
     p_val.add_argument("override", nargs="*")
@@ -273,6 +338,7 @@ def main(argv: list[str] | None = None) -> int:
     handler = {
         "run": cmd_run,
         "curate": cmd_curate,
+        "export": cmd_export,
         "validate": cmd_validate,
         "template": cmd_template,
     }[args.command]

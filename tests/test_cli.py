@@ -167,3 +167,26 @@ def test_curate_command(spark, tmp_path, capsys):
         "curate", "--keep-session", "data.input=/x", "data.out=/y",
         "min_quality=not_a_number",
     ]) == 2
+
+
+def test_export_command(spark, tmp_path, capsys):
+    """aums_data_request parity: windowed export pivots to one row per
+    rounded second with {stream}_result/{stream}_flag columns."""
+    out = str(tmp_path / "export_csv")
+    rc = main([
+        "export", "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=events",
+        f"data.csv_out={out}", "data.single_file=true",
+        "time.start=2024-01-01T00:00:00", "time.end=2024-01-08T00:00:00",
+    ])
+    assert rc == 0
+    assert "exported 5 stream(s)" in capsys.readouterr().out
+    back = spark.read.option("header", True).csv(out)
+    cols = set(back.columns)
+    assert "ts_round" in cols
+    for t in ("click", "purchase", "view", "signup", "error"):
+        assert {f"{t}_result", f"{t}_flag"} <= cols
+    # one row per rounded second, all inside the window
+    n = back.count()
+    assert n == back.select("ts_round").distinct().count() > 0
+    assert main(["export"]) == 2  # pointed error on missing settings
