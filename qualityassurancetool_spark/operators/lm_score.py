@@ -35,10 +35,18 @@ def _explode_trigrams(df: DataFrame, text_col: str, keep: list[str]):
     """``keep`` columns + one exploded ``gram`` row per character trigram
     of the normalized text (docs shorter than 3 chars yield no rows).
 
-    The normalized text is materialized behind a Generate barrier BEFORE
-    the per-trigram lambda touches it: higher-order functions get no
-    common-subexpression elimination, so an inlined ``normalize_text``
-    tree would re-run its regexp once per trigram per row."""
+    Two traps avoided here, both measured:
+
+    - the normalized text is materialized behind a Generate barrier
+      BEFORE any per-trigram lambda touches it (no common-subexpression
+      elimination inside higher-order functions — an inlined
+      ``normalize_text`` tree would re-run its regexp per trigram);
+    - trigrams index a pre-split CHAR ARRAY, not the string:
+      ``substr(i, 3)`` on UTF-8 scans from the string start to find
+      char ``i`` (variable-width encoding), making per-trigram substr
+      O(doc_len²) per document — the char-array form is O(doc_len)
+      (measured 37.9 s → seconds for 100k docs,
+      ``tools/scale_probe_r3.py``)."""
     from qualityassurancetool_spark.functions.partitioning import (
         compute_behind_barrier,
     )
@@ -47,18 +55,33 @@ def _explode_trigrams(df: DataFrame, text_col: str, keep: list[str]):
         df.select(*keep, text_col)
         if text_col not in keep
         else df.select(*keep),
-        {"_lmnorm": normalize_text(F.col(text_col))},
+        {"_lmchars": F.split(normalize_text(F.col(text_col)), "")},
     )
-    n = F.col("_lmnorm")
-    grams = F.when(
-        F.length(n) < 3, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(n) - 2),
-            lambda i: n.substr(i, F.lit(3)),
+    # split("", "") yields [""] — its size-1 array still fails the >= 3
+    # gate, so empty docs yield no trigram rows either way
+    c = F.col("_lmchars")
+    n_ch = F.size(c)
+    # explode POSITIONS (an int sequence), then assemble each trigram
+    # per exploded row: building the whole trigram string-array per row
+    # and exploding that measured 8x slower (30M per-row string-array
+    # allocations materialized through the Generate).  Short docs emit
+    # ONE sentinel position ("" gram — never a real trigram) instead of
+    # zero rows, so scoring needs no separate re-attach-the-shorts pass
+    # (which would re-execute this pipeline as an anti-join side).
+    poss = F.when(n_ch < 3, F.array(F.lit(0))).otherwise(
+        F.sequence(F.lit(1), n_ch - 2)
+    )
+    i = F.col("_i")
+    gram = F.when(i == 0, F.lit("")).otherwise(
+        F.concat(
+            F.element_at(c, i),
+            F.element_at(c, i + 1),
+            F.element_at(c, i + 2),
         )
     )
-    return normed.select(*keep, F.explode(grams).alias("gram"))
+    return normed.select(
+        *keep, "_lmchars", F.explode(poss).alias("_i")
+    ).select(*keep, gram.alias("gram"))
 
 
 @dataclass
@@ -88,7 +111,9 @@ def train_char_lm(
     ``n_context`` is the total count of the trigram's 2-char prefix
     (aggregated BEFORE the top-M cut, so probabilities stay properly
     normalized even for truncated tails)."""
-    tri = _explode_trigrams(df, text_col, keep=[])
+    # drop the short-doc sentinel rows: "" must stay out of the model so
+    # it remains unseen-by-construction at scoring time
+    tri = _explode_trigrams(df, text_col, keep=[]).where(F.col("gram") != "")
     gcounts = tri.groupBy("gram").agg(F.count(F.lit(1)).alias("n_gram"))
     ctx = (
         gcounts.groupBy(F.substring("gram", 1, 2).alias("_ctx"))
@@ -126,7 +151,13 @@ def score_documents(
 
     Unseen trigrams fall back to the add-k floor; documents with no
     trigrams (< 3 chars) score the floor exactly — rankable, never
-    null.  The model join is an explicit broadcast."""
+    null.  The model join is an explicit broadcast.
+
+    Single-pass: short docs ride the same explode as a sentinel row
+    (which, being unseen by construction, scores the floor through the
+    same smoothing formula — no special case), so the pipeline executes
+    once instead of re-running as an anti-join side to find the
+    shorts."""
     a, k = float(lm.alphabet), lm.k
     exploded = _explode_trigrams(df, text_col, keep=[id_col])
     joined = exploded.join(F.broadcast(lm.grams), "gram", "left")
@@ -134,21 +165,11 @@ def score_documents(
         (F.coalesce(F.col("n_gram"), F.lit(0)) + F.lit(k))
         / (F.coalesce(F.col("n_context"), F.lit(0)) + F.lit(k * a))
     )
-    scored = joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
+    is_real = F.col("gram") != ""
+    return joined.groupBy(id_col).agg(
+        F.sum(is_real.cast("long")).alias("n_grams"),
         F.avg(logp).alias(out_col),
     )
-    # docs too short to produce trigrams: re-attach with the floor score
-    shorts = (
-        df.select(id_col)
-        .join(scored.select(id_col), id_col, "left_anti")
-        .select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("n_grams"),
-            F.lit(lm.floor_logp()).alias(out_col),
-        )
-    )
-    return scored.unionByName(shorts)
 
 
 def lm_threshold_for_quantile(
