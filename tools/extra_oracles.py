@@ -276,6 +276,33 @@ LM_TOP = 100_000
 MIX_WEIGHTS = {"en": 1.4, "other": 0.6}
 
 
+def x_tfidf(spark, con, sf_dir):
+    """TF-IDF term weighting vs DuckDB (same smoothed-idf formula) over
+    the full documents table — promotes the pytest fixture oracle into
+    the one-command harness at testdata scale."""
+    from qualityassurancetool_spark.operators.tfidf import tfidf
+
+    sdf = tfidf(_docs(spark, sf_dir)).select(
+        "doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf_r")
+    )
+    sql = f"""
+WITH tf AS (
+    SELECT doc_id, t.term, COUNT(*) AS tf
+    FROM (SELECT doc_id, {_NORM} AS norm FROM documents),
+         UNNEST(string_split(norm, ' ')) AS t(term)
+    WHERE t.term <> ''
+    GROUP BY doc_id, t.term
+), df AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       round(tf.tf * (ln((SELECT COUNT(*) + 1 FROM documents)::DOUBLE
+                      / (df.df + 1)) + 1), 6) AS tfidf_r
+FROM tf JOIN df USING (term)
+"""
+    return sdf, sql
+
+
 def x_incremental_dedup(spark, con, sf_dir):
     """dedup_against_corpus (cross-snapshot anti join + within-batch
     min-id collapse) vs the same logic in DuckDB; the 'seen' snapshot is
@@ -443,4 +470,5 @@ EXTRA_CHECKS = {
     "x_mixing": x_mixing,
     "x_lm_score": x_lm_score,
     "x_incremental_dedup": x_incremental_dedup,
+    "x_tfidf": x_tfidf,
 }
