@@ -207,9 +207,16 @@ class RasterGrid:
 
 # grids with at most this many cells ride the plan as ONE flattened
 # array literal and index with element_at — pure whole-stage-codegen, no
-# Python stage (same small-side-as-literal pattern as region_expr and
-# the IVF centroids); larger rasters use the broadcast numpy kernel
-RASTER_EXPR_MAX_CELLS = 65536
+# Python stage.  The threshold is small because element_at on an array
+# LITERAL costs linear-in-array-size PER ROW (measured: 2500 cells →
+# ~11 µs/row, 34x the 64-cell cost — the codegen'd literal is
+# re-materialized per access), so beyond a few hundred cells the
+# Arrow-batched numpy kernel wins (0.36 s vs 1.23 s at 2500 cells x
+# 100k rows) despite its fixed worker cost.  Unlike region_expr and the
+# IVF centroid literals — where every row must touch every element
+# anyway — a raster lookup reads ONE cell, so the literal's linear cost
+# is pure waste.
+RASTER_EXPR_MAX_CELLS = 512
 
 
 def raster_expr(
