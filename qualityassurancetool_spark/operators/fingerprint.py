@@ -1,0 +1,183 @@
+"""Document fingerprinting via winnowing (rolling char k-gram hashes).
+
+Implements the winnowing scheme of Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD 2003):
+hash every character k-gram of the normalized text, slide a window of
+``w`` consecutive gram hashes, and keep the minimum hash of each window.
+The distinct window-mins are the document's fingerprint set — any shared
+substring of length >= k + w - 1 between two documents is GUARANTEED to
+produce at least one shared fingerprint, while only ~2/(w+1) of all gram
+hashes are kept.
+
+Design for 100 TB:
+ - fingerprint extraction is row-local (pure higher-order-function
+   Columns, no shuffle, no Python);
+ - the copy-detection join is an equi-join on the 8-byte fingerprint —
+   the same shuffle-bounded shape as LSH banding (operators/dedup.py);
+ - ``max_df`` drops fingerprints shared by more than ``max_df`` documents
+   BEFORE the self-join (one count aggregation on the fingerprint key),
+   so a boilerplate substring shared by millions of pages can never
+   create a quadratic pair blowup — the standard frequency-cap used by
+   every production near-dup pipeline;
+ - like the dedup family, hashing is portable md5 in the oracle-checked
+   mode and engine-native ``xxhash64`` in the fast mode (hash per char
+   position; md5 costs ~10x — see the measured 118s -> 2s note on
+   MinHash in operators/dedup.py).
+
+Reference parity: the reference engine has no fingerprinting operator —
+this is a beyond-reference training-data-pipeline addition (SURVEY.md
+S2c), same family as MinHash/SimHash in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.functions.hashing import (
+    md5_long,
+    normalize_text,
+)
+
+
+def chargram_hashes(
+    norm: Column, k: int = 8, hash_mode: str = "portable"
+) -> Column:
+    """Hashes of every character k-gram of ``norm`` -> array<long>.
+
+    ``norm`` MUST be a plain column reference (attribute), not an inline
+    expression — Catalyst does not eliminate common subexpressions inside
+    higher-order-function lambdas, so an embedded ``regexp_replace`` would
+    re-run once per position (see functions/hashing.py CSE note).
+
+    Documents shorter than ``k`` characters produce an empty array (the
+    winnowing paper's semantics: nothing to fingerprint below the noise
+    threshold k).
+    """
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    if hash_mode == "portable":
+        gram_hash = lambda i: md5_long(norm.substr(i, F.lit(k)))
+    else:
+        gram_hash = lambda i: F.xxhash64(norm.substr(i, F.lit(k)))
+    return F.when(n >= k, F.transform(idx, gram_hash)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def winnow(grams: Column, w: int = 4) -> Column:
+    """Winnowing selection over an array of gram hashes -> array<long>
+    (distinct window-mins).
+
+    Every window of ``w`` consecutive gram hashes contributes its minimum;
+    the result is the DISTINCT set (ties collapse, which is exactly the
+    fingerprint-set semantics of the paper — robust winnowing's rightmost
+    tie-break only matters for positional fingerprints, which we don't
+    keep).  An array with 0 < len < w grams degenerates to one window
+    (its global min); an empty array stays empty.
+
+    Cost is O(n_grams * w) comparisons per row, JVM-side inside
+    whole-stage codegen.  For the deque-based O(n) variant to matter, w
+    would have to be large; typical w in [4, 64] keeps this within 2x of
+    optimal while staying a pure Column expression (no Python stage).
+    """
+    n_g = F.size(grams)
+    n_w = F.greatest(n_g - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_w), lambda j: F.array_min(F.slice(grams, j, w))
+    )
+    return F.when(n_g > 0, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def document_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 8,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """(id, fingerprint) rows — the exploded distinct winnowing set.
+
+    Row-local until the final explode; no shuffle.  Feed into
+    :func:`fingerprint_overlap_pairs` or persist as the corpus
+    fingerprint index (8 bytes per fingerprint, ~2/(w+1) of n_chars rows
+    per doc).
+    """
+    return (
+        df.select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+        )
+        .select(
+            id_col, chargram_hashes(F.col("_norm"), k, hash_mode).alias("_g")
+        )
+        .select(id_col, F.explode(winnow(F.col("_g"), w)).alias("fingerprint"))
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 8,
+    max_df: int = 50,
+    min_shared: int = 2,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Copy-candidate pairs by shared winnowing fingerprints.
+
+    Returns (doc_a, doc_b, n_shared, containment) with doc_a < doc_b,
+    where ``containment`` = n_shared / min(|fp_a|, |fp_b|) estimates how
+    much of the smaller document's fingerprint set the pair shares (1.0 =
+    one document's fingerprinted content is contained in the other).
+
+    Scale shape: one count-agg on the fingerprint key to apply ``max_df``
+    (drops boilerplate fingerprints BEFORE the join), one equi-join on the
+    fingerprint, one pair-key aggregation.  Shuffle keys are 8-byte longs
+    throughout; raw text never moves.
+    """
+    fp = document_fingerprints(df, text_col, id_col, k, w, hash_mode)
+    # per-doc fingerprint set size (for containment denominator)
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    # frequency cap: fingerprints in more than max_df docs are boilerplate
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fingerprint")
+    )
+    fp_r = fp.join(rare, "fingerprint")
+    a = fp_r.select(
+        F.col(id_col).alias("doc_a"), F.col("fingerprint")
+    )
+    b = fp_r.select(
+        F.col(id_col).alias("doc_b"), F.col("fingerprint")
+    )
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("_na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("_nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("_na", "_nb"), 6
+            ).alias("containment"),
+        )
+    )

@@ -456,6 +456,69 @@ FROM docs WHERE length(norm) < 3
     return sdf, sql
 
 
+FP_K, FP_W, FP_MAXDF, FP_MINSHARED = 20, 8, 50, 2
+
+
+def x_fingerprint(spark, con, sf_dir):
+    """Winnowing copy-candidate pairs (operators/fingerprint.py) vs a
+    DuckDB lateral generate_series + window-min re-implementation."""
+    from qualityassurancetool_spark.operators.fingerprint import (
+        fingerprint_overlap_pairs,
+    )
+
+    sdf = fingerprint_overlap_pairs(
+        _docs(spark, sf_dir),
+        k=FP_K,
+        w=FP_W,
+        max_df=FP_MAXDF,
+        min_shared=FP_MINSHARED,
+    )
+    sql = f"""
+WITH d AS (
+    SELECT doc_id, {_NORM} AS norm FROM documents
+), pos AS (
+    SELECT doc_id, norm,
+           unnest(generate_series(1, length(norm) - {FP_K} + 1)) AS i
+    FROM d WHERE length(norm) >= {FP_K}
+), g AS (
+    SELECT doc_id, i,
+           CAST(concat('0x',
+               substring(md5(substring(norm, CAST(i AS INT), {FP_K})),
+                         1, 15)) AS BIGINT) AS h
+    FROM pos
+), win AS (
+    SELECT doc_id, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW
+                        AND {FP_W - 1} FOLLOWING) AS mh,
+           count(*) OVER (PARTITION BY doc_id) AS n_g
+    FROM g
+), fp AS (
+    SELECT DISTINCT doc_id, mh AS fingerprint
+    FROM win WHERE i <= greatest(n_g - {FP_W} + 1, 1)
+), sizes AS (
+    SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id
+), rare AS (
+    SELECT fingerprint FROM fp
+    GROUP BY fingerprint HAVING count(*) <= {FP_MAXDF}
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fp a
+    JOIN rare r ON a.fingerprint = r.fingerprint
+    JOIN fp b ON b.fingerprint = a.fingerprint
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {FP_MINSHARED}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       round(p.n_shared / least(sa.n_fp, sb.n_fp), 6) + 0.0 AS containment
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+    return sdf, sql
+
+
 # name → check.  Two shapes: (spark_df, duck_sql) for plan-vs-SQL checks,
 # (rows, rows) for round-trip checks that already materialized both sides.
 EXTRA_CHECKS = {
@@ -471,4 +534,5 @@ EXTRA_CHECKS = {
     "x_lm_score": x_lm_score,
     "x_incremental_dedup": x_incremental_dedup,
     "x_tfidf": x_tfidf,
+    "x_fingerprint": x_fingerprint,
 }
