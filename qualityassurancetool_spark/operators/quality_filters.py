@@ -109,6 +109,55 @@ def quality_signals(
     )
 
 
+# ---------------------------------------------------------------- redaction
+
+REDACT_ORDER = [
+    # (pattern, placeholder, case_insensitive) — EMAIL must run first:
+    # an address like user.10.0.0.1@host would otherwise have its digits
+    # eaten by the IPv4 pass and stop matching EMAIL_PAT.  IPv4 before
+    # PHONE so dotted quads are typed <IP>, not swallowed into a phone
+    # run (the phone charset excludes '.', but a quad adjacent to digits
+    # could extend one).
+    (EMAIL_PAT, "<EMAIL>", True),
+    (IPV4_PAT, "<IP>", False),
+    (PHONE_PAT, "<PHONE>", False),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Typed-placeholder PII scrub: emails → <EMAIL>, dotted quads →
+    <IP>, phone-ish digit runs → <PHONE>, applied in REDACT_ORDER.
+
+    Pure ``regexp_replace`` chain — row-local, JVM-side, identical
+    semantics in DuckDB (same RE2-safe patterns as the counting
+    signals; email matching is case-insensitive via ``(?i)``)."""
+    out = text
+    for pat, repl, ci in REDACT_ORDER:
+        out = F.regexp_replace(out, ("(?i)" if ci else "") + pat, repl)
+    return out
+
+
+def redact_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, redacted, n_redacted_{emails,ipv4,phones}) — the scrub plus a
+    pre-redaction audit count per type (what a compliance report needs:
+    how much PII was removed, per document).  Counts are taken on the
+    ORIGINAL lowercased text so they are independent of placeholder
+    insertion order."""
+    t = F.col(text_col)
+    staged = df.select(F.col(id_col), t, F.lower(t).alias("_lt"))
+    pii = pii_counts(F.col("_lt"))
+    return staged.select(
+        F.col(id_col),
+        redact_pii(t).alias("redacted"),
+        *[
+            c.cast("long").alias(k.replace("pii_", "n_redacted_"))
+            for k, c in pii.items()
+        ],
+    )
+
+
 SIGNAL_NAMES = [
     "dup_line_fraction",
     "word_rep_ratio",

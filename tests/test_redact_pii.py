@@ -1,0 +1,67 @@
+"""PII redaction (operators/quality_filters.redact_pii): placeholder
+typing, replacement order, and audit counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.quality_filters import (
+    redact_documents,
+    redact_pii,
+)
+
+
+def _redact(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return [
+        r["redacted"]
+        for r in df.select(redact_pii(F.col("text")).alias("redacted"))
+        .orderBy("doc_id")
+        .collect()
+    ]
+
+
+def test_each_type_gets_its_placeholder(spark):
+    out = _redact(
+        spark,
+        [
+            "mail me at Alice.Smith+x@Example.COM today",
+            "server at 192.168.1.100 is down",
+            "call +32 2 123 45 67 now",
+            "clean text with no pii at all",
+        ],
+    )
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "server at <IP> is down"
+    assert out[2] == "call <PHONE> now"
+    assert out[3] == "clean text with no pii at all"
+
+
+def test_email_wins_over_inner_ip_and_digits(spark):
+    """An address whose local part looks like a dotted quad must be
+    redacted as ONE email, not partially as an IP (REDACT_ORDER)."""
+    (out,) = _redact(spark, ["ping user.10.0.0.1@example.com please"])
+    assert out == "ping <EMAIL> please"
+    assert "<IP>" not in out
+
+
+def test_mixed_document_counts(spark):
+    df = spark.createDataFrame(
+        [(7, "a@b.co and c@d.org, box 10.0.0.5, tel +1 555 123 4567 x")],
+        "doc_id long, text string",
+    )
+    row = redact_documents(df).collect()[0]
+    assert row["n_redacted_emails"] == 2
+    assert row["n_redacted_ipv4"] == 1
+    assert row["n_redacted_phones"] == 1
+    assert row["redacted"] == "<EMAIL> and <EMAIL>, box <IP>, tel <PHONE> x"
+
+
+def test_plan_is_pure_columns(spark):
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = (
+        redact_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan

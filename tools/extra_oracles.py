@@ -456,6 +456,60 @@ FROM docs WHERE length(norm) < 3
     return sdf, sql
 
 
+def x_redact_pii(spark, con, sf_dir):
+    """redact_documents vs a DuckDB regexp_replace chain, on documents
+    augmented with a deterministic PII suffix (the raw corpus has no
+    planted PII, so augment BOTH engines identically)."""
+    from qualityassurancetool_spark.operators.quality_filters import (
+        redact_documents,
+    )
+
+    suffix = (
+        F.concat(
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@Example.COM or +32 2 123 45 67, host 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+        )
+    )
+    aug = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    sdf = redact_documents(aug)
+    from qualityassurancetool_spark.operators.quality_filters import (
+        EMAIL_PAT,
+        IPV4_PAT,
+        PHONE_PAT,
+    )
+
+    sql = f"""
+WITH t AS (
+    SELECT doc_id,
+           text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                || '@Example.COM or +32 2 123 45 67, host 10.0.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.' AS txt
+    FROM documents
+), r AS (
+    SELECT doc_id, txt, lower(txt) AS lt FROM t
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(txt, '{EMAIL_PAT}', '<EMAIL>', 'gi'),
+               '{IPV4_PAT}', '<IP>', 'g'),
+           '{PHONE_PAT}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(lt, '{EMAIL_PAT}')) AS BIGINT)
+           AS n_redacted_emails,
+       CAST(len(regexp_extract_all(lt, '{PHONE_PAT}')) AS BIGINT)
+           AS n_redacted_phones,
+       CAST(len(regexp_extract_all(lt, '{IPV4_PAT}')) AS BIGINT)
+           AS n_redacted_ipv4
+FROM r
+"""
+    return sdf, sql
+
+
 FP_K, FP_W, FP_MAXDF, FP_MINSHARED = 20, 8, 50, 2
 
 
@@ -535,4 +589,5 @@ EXTRA_CHECKS = {
     "x_incremental_dedup": x_incremental_dedup,
     "x_tfidf": x_tfidf,
     "x_fingerprint": x_fingerprint,
+    "x_redact_pii": x_redact_pii,
 }
