@@ -510,6 +510,75 @@ FROM r
     return sdf, sql
 
 
+SPAN_L = 20
+
+
+def x_span_dedup(spark, con, sf_dir):
+    """duplicated_span_dedup (ExactSubstr-style keep-first window dedup)
+    vs a DuckDB window-hash + gaps-and-islands re-implementation."""
+    from qualityassurancetool_spark.operators.span_dedup import (
+        duplicated_span_dedup,
+    )
+
+    sdf = duplicated_span_dedup(
+        _docs(spark, sf_dir), window_tokens=SPAN_L
+    )
+    sql = f"""
+WITH d AS (
+    SELECT doc_id, {_NORM} AS norm FROM documents
+), tk AS (
+    SELECT doc_id, string_split(norm, ' ') AS t, {_NTOK} AS n FROM d
+), pos AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, n - {SPAN_L} + 1)) AS i
+    FROM tk WHERE n >= {SPAN_L}
+), w AS (
+    SELECT doc_id, i,
+           CAST(concat('0x', substring(md5(
+               array_to_string(list_slice(t, i, i + {SPAN_L} - 1), ' ')
+           ), 1, 15)) AS BIGINT) AS h
+    FROM pos
+), w2 AS (
+    SELECT doc_id, i,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+           count(*) OVER (PARTITION BY h) AS c
+    FROM w
+), dups AS (
+    SELECT doc_id, i FROM w2 WHERE c >= 2 AND rn > 1
+), cov AS (
+    SELECT DISTINCT doc_id,
+           unnest(generate_series(i, i + {SPAN_L} - 1)) AS p
+    FROM dups
+), isl AS (
+    SELECT doc_id, p,
+           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+    FROM cov
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_removed,
+           count(DISTINCT grp) AS n_spans
+    FROM isl GROUP BY doc_id
+), alltok AS (
+    SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+    FROM tk WHERE n > 0
+), keptok AS (
+    SELECT a.doc_id, a.tok, a.p
+    FROM alltok a LEFT JOIN cov c ON c.doc_id = a.doc_id AND c.p = a.p
+    WHERE c.doc_id IS NULL
+), cleaned AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS deduped
+    FROM keptok GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       coalesce(cl.deduped, '') AS deduped,
+       coalesce(pd.n_removed, 0) AS n_tokens_removed,
+       coalesce(pd.n_spans, 0) AS n_spans
+FROM tk
+LEFT JOIN cleaned cl ON cl.doc_id = tk.doc_id
+LEFT JOIN per_doc pd ON pd.doc_id = tk.doc_id
+"""
+    return sdf, sql
+
+
 FP_K, FP_W, FP_MAXDF, FP_MINSHARED = 20, 8, 50, 2
 
 
@@ -590,4 +659,5 @@ EXTRA_CHECKS = {
     "x_tfidf": x_tfidf,
     "x_fingerprint": x_fingerprint,
     "x_redact_pii": x_redact_pii,
+    "x_span_dedup": x_span_dedup,
 }
