@@ -510,6 +510,100 @@ FROM r
     return sdf, sql
 
 
+def x_url_canonical(spark, con, sf_dir):
+    """canonicalize_url + dedup_by_canonical_url vs a DuckDB rendering
+    of the identical normalization, on URLs synthesized per doc_id in
+    five spellings (two of which canonicalize identically)."""
+    from qualityassurancetool_spark.operators.urls import (
+        canonicalize_url,
+        dedup_by_canonical_url,
+    )
+
+    h = (F.col("doc_id") % 13).cast("string")
+    m = (F.col("doc_id") % 37).cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTPS://WWW.Site"), h, F.lit(".COM:443/p/"), m, F.lit("/?utm_source=x#f")))
+        .when(v == 1, F.concat(F.lit("https://site"), h, F.lit(".com/p/"), m))
+        .when(v == 2, F.concat(F.lit("http://Site"), h, F.lit(".com:80/p/"), m, F.lit("?gclid=z")))
+        .when(v == 3, F.concat(F.lit("https://site"), h, F.lit(".com/p/"), m, F.lit("/?b=2&a=1")))
+        .otherwise(F.concat(F.lit("not a url "), m))
+    )
+    urls = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    canon = urls.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    sdf = canon.join(dedup_by_canonical_url(urls), "canonical_url").select(
+        "doc_id", "canonical_url", "keep_id", "n_dups"
+    )
+    sql = """
+WITH t AS (
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 13 AS VARCHAR)
+                      || '.COM:443/p/' || CAST(doc_id % 37 AS VARCHAR)
+                      || '/?utm_source=x#f'
+             WHEN 1 THEN 'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                      || '.com/p/' || CAST(doc_id % 37 AS VARCHAR)
+             WHEN 2 THEN 'http://Site' || CAST(doc_id % 13 AS VARCHAR)
+                      || '.com:80/p/' || CAST(doc_id % 37 AS VARCHAR)
+                      || '?gclid=z'
+             WHEN 3 THEN 'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                      || '.com/p/' || CAST(doc_id % 37 AS VARCHAR)
+                      || '/?b=2&a=1'
+             ELSE 'not a url ' || CAST(doc_id % 37 AS VARCHAR)
+           END AS url
+    FROM documents
+), c0 AS (
+    SELECT doc_id, trim(url) AS u FROM t
+), p1 AS (
+    SELECT doc_id, u,
+        lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(
+            lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+            '^www\\.', '') AS auth0,
+        regexp_replace(
+            regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', ''),
+            '#.*$', '') AS rest
+    FROM c0
+), p2 AS (
+    SELECT doc_id, u, scheme,
+        CASE WHEN scheme = 'http' AND auth0 LIKE '%:80'
+               THEN regexp_replace(auth0, ':80$', '')
+             WHEN scheme = 'https' AND auth0 LIKE '%:443'
+               THEN regexp_replace(auth0, ':443$', '')
+             ELSE auth0 END AS auth,
+        regexp_extract(rest, '^([^?]*)', 1) AS path0,
+        regexp_extract(rest, '\\?(.*)$', 1) AS query
+    FROM p1
+), p3 AS (
+    SELECT doc_id, u, scheme, auth,
+        CASE WHEN path0 = '' THEN '/'
+             WHEN length(path0) > 1 AND path0 LIKE '%/'
+               THEN regexp_replace(path0, '/$', '')
+             ELSE path0 END AS path,
+        array_to_string(list_sort(list_filter(string_split(query, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+                '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|ref)='))),
+            '&') AS q_norm
+    FROM p2
+), canon AS (
+    SELECT doc_id,
+        CASE WHEN scheme = '' THEN lower(u)
+             ELSE scheme || '://' || auth || path
+                  || CASE WHEN q_norm <> '' THEN '?' || q_norm ELSE '' END
+        END AS canonical_url
+    FROM p3
+), dd AS (
+    SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM canon GROUP BY canonical_url
+)
+SELECT c.doc_id, c.canonical_url, dd.keep_id, dd.n_dups
+FROM canon c JOIN dd USING (canonical_url)
+"""
+    return sdf, sql
+
+
 SPAN_L = 20
 
 
@@ -660,4 +754,5 @@ EXTRA_CHECKS = {
     "x_fingerprint": x_fingerprint,
     "x_redact_pii": x_redact_pii,
     "x_span_dedup": x_span_dedup,
+    "x_url_canonical": x_url_canonical,
 }
