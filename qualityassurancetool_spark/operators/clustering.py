@@ -1,0 +1,187 @@
+"""Embedding clustering (Lloyd's k-means) and semantic deduplication.
+
+``kmeans_fit`` is classic Lloyd's re-expressed in the engine's IVF
+vocabulary: assignment reuses ``similarity.ivf_assign`` (centroids as a
+driver literal — join-free, shuffle-free over the corpus), and the
+update step is ONE partial-aggregable groupBy producing per-dimension
+sums (k x dim doubles cross the shuffle, never vectors).  Each
+iteration is one corpus pass; callers persist the corpus when iterating
+at scale (the 100 TB norm for Lloyd's).
+
+``semantic_dedup`` is the SemDeDup recipe (Abbas et al. 2023,
+arXiv:2303.09540): cluster the embedding space, then within each
+cluster drop every vector whose cosine similarity to a LOWER-id vector
+in the same cluster exceeds ``threshold`` (keep-min-id — deterministic,
+order-free).  The pair space is bounded by the cluster partition — the
+paper's own device for avoiding corpus-wide all-pairs — and the
+within-cluster join is an equi-join on cluster_id.
+
+Determinism: centroid init is the stride-sampled id convention used by
+the declared IVF query (``vec_id % stride == 0``, first k by id);
+distance folds are sequential (similarity.l2_sq), so a fixed corpus
+yields bit-stable assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from qualityassurancetool_spark.operators.similarity import (
+    cosine_similarity,
+    ivf_assign,
+)
+
+
+def _embedding_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not row:
+        raise ValueError("empty corpus: cannot infer embedding dim")
+    return row[0]["d"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_stride: int = 20,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means; returns the final [(cent_id, centroid)] list
+    (small by design — k x dim doubles, the driver-literal contract of
+    ``ivf_assign``).
+
+    Init: the first ``k`` vectors with ``id % init_stride == 0``
+    (ordered by id) — same deterministic stride convention as the
+    declared IVF query.  Empty clusters keep their previous centroid.
+    """
+    dim = _embedding_dim(df, vec_col)
+    init_rows = (
+        df.filter(F.col(id_col) % init_stride == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"init produced {len(init_rows)} < k={k} centroids; "
+            f"lower init_stride"
+        )
+    cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(init_rows)]
+
+    spark = df.sparkSession
+    for _ in range(max_iter):
+        cent_df = spark.createDataFrame(
+            [(c, v) for c, v in cents], "cent_id int, cent_vec array<double>"
+        )
+        assigned = ivf_assign(
+            df.select(id_col, vec_col), cent_df, 1, vec_col, id_col
+        )
+        sums = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster_id"]: r for r in sums}
+        new_cents = []
+        for cid, old in cents:
+            r = by_cluster.get(cid)
+            if r is None or r["n"] == 0:
+                new_cents.append((cid, old))  # empty cluster: keep position
+            else:
+                new_cents.append(
+                    (cid, [r[f"s{i}"] / r["n"] for i in range(dim)])
+                )
+        if all(
+            nv == ov for (_, nv), (_, ov) in zip(new_cents, cents)
+        ):
+            cents = new_cents
+            break
+        cents = new_cents
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus + ``cluster_id`` for a fitted centroid list (one row per
+    input row; join-free literal assignment)."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cent_id int, cent_vec array<double>"
+    )
+    return ivf_assign(df, cent_df, 1, vec_col, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_stride: int = 20,
+) -> DataFrame:
+    """SemDeDup: (id, cluster_id, kept, dup_of).
+
+    ``kept`` is false iff some lower-id vector in the same cluster has
+    cosine similarity >= ``threshold``; ``dup_of`` is the smallest such
+    id (null for kept rows).  Keep-min-id is deterministic and
+    transitivity-free: each dropped row names an explicit kept-or-
+    dropped predecessor, and the minimum id of every near-dup set is
+    always kept — the paper's "keep one representative per group".
+
+    Plan shape: cluster assignment (no shuffle) → one self-equi-join on
+    cluster_id with ``id_a < id_b`` → min-agg on the dropped side →
+    left join back.  Pair work is sum over clusters of |c|^2, the
+    SemDeDup bound; raw vectors cross the within-cluster join only.
+    """
+    cents = kmeans_fit(df, k, max_iter, vec_col, id_col, init_stride)
+    assigned = kmeans_assign(
+        df.select(id_col, vec_col), cents, vec_col, id_col
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_similarity(F.col("va"), F.col("vb")) >= F.lit(threshold)
+        )
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(
+            dropped.select(
+                F.col("id_b").alias(id_col), F.col("dup_of")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )

@@ -510,6 +510,115 @@ FROM r
     return sdf, sql
 
 
+KM_K, KM_ITER, KM_STRIDE, SEM_T = 8, 3, 20, 0.95
+
+
+def x_semantic_dedup(spark, con, sf_dir):
+    """kmeans_fit + semantic_dedup vs a numpy Lloyd's re-implementation
+    with the same init/tie-break/threshold, on embeddings augmented with
+    scaled clones (cosine exactly 1 in exact arithmetic — far above the
+    threshold, so FP ulps cannot flip the verdict).
+
+    The numpy side replicates Spark's SEQUENTIAL per-dim folds (python
+    loop, not np.sum's pairwise tree) for distances and cosines; only
+    the centroid-mean accumulation order differs (Spark partial aggs),
+    which perturbs centroids at ~1e-15 — no assignment sits that close
+    to a boundary on this data."""
+    import numpy as np
+
+    from qualityassurancetool_spark.operators.clustering import (
+        semantic_dedup,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.02).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.unionByName(clones)
+    sdf = semantic_dedup(
+        aug, k=KM_K, max_iter=KM_ITER, threshold=SEM_T,
+        init_stride=KM_STRIDE,
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    # ---- numpy oracle ----
+    base = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in base] + [r[0] + 10000 for r in base if r[0] < 40]
+    vecs = [
+        [float(np.float64(np.float32(x))) for x in r[1]] for r in base
+    ] + [
+        [float(np.float64(np.float32(x)) * 1.02) for x in r[1]]
+        for r in base
+        if r[0] < 40
+    ]
+    by_id = dict(zip(ids, vecs))
+    dim = len(vecs[0])
+
+    def seq_l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+
+    def seq_cos(a, b):
+        na = math.sqrt(seq_dot(a, a))
+        nb = math.sqrt(seq_dot(b, b))
+        return seq_dot(a, b) / (na * nb)
+
+    init_ids = sorted(i for i in ids if i % KM_STRIDE == 0)[:KM_K]
+    cents = [list(by_id[i]) for i in init_ids]
+    assign = {}
+    for _ in range(KM_ITER):
+        sums = [[0.0] * dim for _ in range(KM_K)]
+        counts = [0] * KM_K
+        for i in ids:
+            v = by_id[i]
+            dists = [seq_l2(v, c) for c in cents]
+            best = min(range(KM_K), key=lambda j: (dists[j], j))
+            assign[i] = best
+            counts[best] += 1
+            for d in range(dim):
+                sums[best][d] += v[d]
+        for j in range(KM_K):
+            if counts[j]:
+                cents[j] = [s / counts[j] for s in sums[j]]
+    # final assignment with the final centroids (mirror kmeans_assign)
+    for i in ids:
+        v = by_id[i]
+        dists = [seq_l2(v, c) for c in cents]
+        assign[i] = min(range(KM_K), key=lambda j: (dists[j], j))
+
+    d_rows = []
+    for i in ids:
+        lower = [
+            j
+            for j in ids
+            if j < i
+            and assign[j] == assign[i]
+            and seq_cos(by_id[j], by_id[i]) >= SEM_T
+        ]
+        d_rows.append(
+            (i, assign[i], not lower, min(lower) if lower else None)
+        )
+    return s_rows, d_rows
+
+
 def x_url_canonical(spark, con, sf_dir):
     """canonicalize_url + dedup_by_canonical_url vs a DuckDB rendering
     of the identical normalization, on URLs synthesized per doc_id in
@@ -755,4 +864,5 @@ EXTRA_CHECKS = {
     "x_redact_pii": x_redact_pii,
     "x_span_dedup": x_span_dedup,
     "x_url_canonical": x_url_canonical,
+    "x_semantic_dedup": x_semantic_dedup,
 }
