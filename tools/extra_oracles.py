@@ -510,6 +510,87 @@ FROM r
     return sdf, sql
 
 
+CLF_BUCKETS = 512
+
+
+def x_classifier(spark, con, sf_dir):
+    """train_log_odds + score_linear vs an exact Python replication
+    (same md5 bucketing, same count arithmetic, same sequential score
+    fold — training is integer-exact, scoring differs only at the
+    sigmoid's last ulp, absorbed by round(6))."""
+    import hashlib
+    import math
+    import re
+
+    from qualityassurancetool_spark.operators.classifier import (
+        score_linear,
+        train_log_odds,
+    )
+
+    labeled = _docs(spark, sf_dir).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    w, b = train_log_odds(labeled, n_buckets=CLF_BUCKETS)
+    sdf = score_linear(_docs(spark, sf_dir), w, b, n_buckets=CLF_BUCKETS)
+    s_rows = [
+        (r["doc_id"], r["n_features"],
+         round(r["score"], 6) + 0.0, round(r["prob"], 6) + 0.0)
+        for r in sdf.collect()
+    ]
+
+    docs = con.execute(
+        "SELECT doc_id, text, lang FROM documents ORDER BY doc_id"
+    ).fetchall()
+
+    def feats(text):
+        norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
+        if not norm:
+            return []
+        toks = norm.split(" ")
+        fs = list(toks)
+        fs += [f"{a} {b2}" for a, b2 in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % CLF_BUCKETS
+            for f in fs
+        ]
+
+    pos_b = [0] * CLF_BUCKETS
+    tot_b = [0] * CLF_BUCKETS
+    n_pos = 0
+    cache = {}
+    for doc_id, text, lang in docs:
+        bs = feats(text)
+        cache[doc_id] = bs
+        y = lang == "en"
+        n_pos += y
+        for bb in bs:
+            tot_b[bb] += 1
+            pos_b[bb] += y
+    pos_total = sum(pos_b)
+    neg_total = sum(tot_b) - pos_total
+    s = 1.0
+    wp = [
+        math.log((pos_b[i] + s) / (pos_total + s * CLF_BUCKETS))
+        - math.log((tot_b[i] - pos_b[i] + s) / (neg_total + s * CLF_BUCKETS))
+        for i in range(CLF_BUCKETS)
+    ]
+    bias = math.log((n_pos + s) / (len(docs) - n_pos + s))
+    assert wp == w and bias == b, "training replication must be exact"
+
+    d_rows = []
+    for doc_id, text, lang in docs:
+        bs = cache[doc_id]
+        acc = 0.0
+        for bb in bs:
+            acc += wp[bb]
+        score = bias + acc / len(bs) if bs else bias
+        prob = 1.0 / (1.0 + math.exp(-score))
+        d_rows.append(
+            (doc_id, len(bs), round(score, 6) + 0.0, round(prob, 6) + 0.0)
+        )
+    return s_rows, d_rows
+
+
 KM_K, KM_ITER, KM_STRIDE, SEM_T = 8, 3, 20, 0.95
 
 
@@ -865,4 +946,5 @@ EXTRA_CHECKS = {
     "x_span_dedup": x_span_dedup,
     "x_url_canonical": x_url_canonical,
     "x_semantic_dedup": x_semantic_dedup,
+    "x_classifier": x_classifier,
 }
