@@ -32,8 +32,11 @@ RULES = (
     "dup_lines",
     "word_rep",
     "symbols",
+    "pii",
     "blocked_domain",
+    "classifier",
     "duplicate",
+    "near_duplicate",
     "sampled_out",
 )
 
@@ -47,6 +50,8 @@ class CurationConfig:
     max_dup_line_fraction: float | None = None
     max_word_rep_ratio: float | None = None
     max_symbol_ratio: float | None = None
+    max_pii_total: int | None = None
+    min_classifier_prob: float | None = None
     blocked_domains: list[str] = field(default_factory=list)
     dedup: str = "exact"  # "exact" | "none"
     sample_fractions: dict[str, float] | None = None  # per-lang keep frac
@@ -56,17 +61,27 @@ class CurationConfig:
     def from_dict(cls, d: dict) -> "CurationConfig":
         known = {
             "langs", "min_quality", "max_dup_line_fraction",
-            "max_word_rep_ratio", "max_symbol_ratio", "blocked_domains",
+            "max_word_rep_ratio", "max_symbol_ratio", "max_pii_total",
+            "min_classifier_prob", "blocked_domains",
             "dedup", "sample_fractions", "sample_salt",
         }
         unknown = set(d) - known
         if unknown:
             raise ConfigError(f"unknown curation keys: {sorted(unknown)}")
         for k in ("min_quality", "max_dup_line_fraction",
-                  "max_word_rep_ratio", "max_symbol_ratio"):
+                  "max_word_rep_ratio", "max_symbol_ratio",
+                  "max_pii_total", "min_classifier_prob"):
             v = d.get(k)
             if v is not None and not isinstance(v, (int, float)):
                 raise ConfigError(f"{k} must be numeric, got {v!r}")
+        v = d.get("max_pii_total")
+        if v is not None and int(v) < 0:
+            raise ConfigError(f"max_pii_total must be >= 0, got {v}")
+        v = d.get("min_classifier_prob")
+        if v is not None and not (0.0 <= float(v) <= 1.0):
+            raise ConfigError(
+                f"min_classifier_prob must be in [0, 1], got {v}"
+            )
         for k in ("max_dup_line_fraction", "max_word_rep_ratio",
                   "max_symbol_ratio"):
             v = d.get(k)
@@ -92,6 +107,16 @@ class CurationConfig:
             max_dup_line_fraction=d.get("max_dup_line_fraction"),
             max_word_rep_ratio=d.get("max_word_rep_ratio"),
             max_symbol_ratio=d.get("max_symbol_ratio"),
+            max_pii_total=(
+                int(d["max_pii_total"])
+                if d.get("max_pii_total") is not None
+                else None
+            ),
+            min_classifier_prob=(
+                float(d["min_classifier_prob"])
+                if d.get("min_classifier_prob") is not None
+                else None
+            ),
             blocked_domains=list(d.get("blocked_domains", [])),
             dedup=d.get("dedup", "exact"),
             sample_fractions=dict(fr) if fr else None,
@@ -111,9 +136,21 @@ def curate(
     cfg: CurationConfig,
     text_col: str = "text",
     id_col: str = "doc_id",
+    classifier_model: tuple[list[float], float] | None = None,
+    near_dup_drops: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc curation decision sheet: input columns +
-    ``predicted_lang, quality, keep (bool), drop_reason (str|null)``."""
+    ``predicted_lang, quality, keep (bool), drop_reason (str|null)``.
+
+    ``classifier_model`` is the (weights, bias) pair from
+    ``operators.classifier.train_log_odds`` — required when
+    ``cfg.min_classifier_prob`` is set; scoring joins nothing (JSON
+    weight literal + row-local fold).  ``near_dup_drops`` is an optional
+    (id) frame of externally computed near-duplicate victims (MinHash
+    clusters, SemDeDup, winnowing pairs …); they drop with reason
+    ``near_duplicate`` unless an earlier rule already claimed them —
+    the decision sheet stays ONE pass over one scan either way (the
+    drop set enters as a broadcast-able semi-join mark)."""
     from qualityassurancetool_spark.functions.hashing import normalize_text
     from qualityassurancetool_spark.functions.partitioning import (
         compute_behind_barrier,
@@ -162,11 +199,54 @@ def curate(
         measures["_wrr"] = word_rep_ratio(F.col("_toks"))
     if cfg.max_symbol_ratio is not None:
         measures["_sym"] = symbol_ratio(n)
+    if cfg.max_pii_total is not None:
+        from qualityassurancetool_spark.operators.quality_filters import (
+            pii_counts,
+        )
+
+        pii = pii_counts(lower)
+        total = None
+        for c in pii.values():
+            total = c if total is None else total + c
+        measures["_pii"] = total
     if cfg.blocked_domains:
         measures["_blocked"] = domain_blocklist_hit(
             lower, cfg.blocked_domains
         )
+    if cfg.min_classifier_prob is not None:
+        if classifier_model is None:
+            raise ConfigError(
+                "min_classifier_prob requires a classifier_model"
+            )
+        from qualityassurancetool_spark.functions.literals import (
+            double_array_literal,
+        )
+        from qualityassurancetool_spark.operators.classifier import (
+            hashed_ngram_buckets,
+        )
+
+        weights, bias = classifier_model
+        toks_ne = F.when(
+            F.length(n) == 0, F.array().cast("array<string>")
+        ).otherwise(F.col("_toks"))
+        buckets = hashed_ngram_buckets(toks_ne, len(weights))
+        w = double_array_literal(tuple(float(x) for x in weights))
+        nb = F.size(buckets)
+        fold = F.aggregate(
+            buckets,
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(w, (b + 1).cast("int")),
+        )
+        s = F.when(nb > 0, F.lit(float(bias)) + fold / nb).otherwise(
+            F.lit(float(bias))
+        )
+        measures["_clf_prob"] = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
     out = compute_behind_barrier(scored, measures)
+    if near_dup_drops is not None:
+        mark = near_dup_drops.select(
+            F.col(id_col), F.lit(True).alias("_near_dup")
+        ).dropDuplicates([id_col])
+        out = out.join(mark, id_col, "left")
 
     # first-failing-rule CASE chain, in RULES order
     reason = F.lit(None).cast("string")
@@ -187,8 +267,14 @@ def curate(
         )
     if cfg.max_symbol_ratio is not None:
         checks.append(("symbols", F.col("_sym") > cfg.max_symbol_ratio))
+    if cfg.max_pii_total is not None:
+        checks.append(("pii", F.col("_pii") > cfg.max_pii_total))
     if cfg.blocked_domains:
         checks.append(("blocked_domain", F.col("_blocked")))
+    if cfg.min_classifier_prob is not None:
+        checks.append(
+            ("classifier", F.col("_clf_prob") < cfg.min_classifier_prob)
+        )
     if cfg.dedup == "exact":
         # the keeper is the min id among rows that PASS every preceding
         # rule — a representative killed by an earlier rule (lang,
@@ -202,6 +288,10 @@ def curate(
             Window.partitionBy(F.md5(F.col("_norm")))
         )
         checks.append(("duplicate", F.col(id_col) != keep_id))
+    if near_dup_drops is not None:
+        checks.append(
+            ("near_duplicate", F.coalesce(F.col("_near_dup"), F.lit(False)))
+        )
     if cfg.sample_fractions is not None:
         frac = F.lit(0.0)
         for lang in sorted(cfg.sample_fractions):
@@ -222,7 +312,8 @@ def curate(
     out = out.withColumn("keep", F.col("drop_reason").isNull())
     return out.drop(
         *[c for c in ("_norm", "_toks", "_ls", "_dlf", "_wrr", "_sym",
-                      "_blocked") if c in out.columns]
+                      "_pii", "_blocked", "_clf_prob", "_near_dup")
+          if c in out.columns]
     )
 
 

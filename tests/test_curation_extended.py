@@ -1,0 +1,91 @@
+"""Round-3 curation rules: PII cap, classifier gate, external
+near-dup drops — first-failing-reason semantics preserved."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.config import ConfigError
+from qualityassurancetool_spark.operators.classifier import train_log_odds
+from qualityassurancetool_spark.plans.curation import (
+    CurationConfig,
+    curate,
+)
+
+CLEAN = "good clean useful prose text with many plain words in it"
+SPAMMY = "spam click buy now offer spam click buy now offer spam click"
+
+
+def test_pii_rule(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, CLEAN),
+            (2, CLEAN + " mail a@b.co and c@d.org and e@f.io now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curate(
+        docs, CurationConfig.from_dict({"max_pii_total": 2, "dedup": "none"})
+    ).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["drop_reason"] == "pii"
+
+
+def test_classifier_rule_and_model_requirement(spark):
+    train = spark.createDataFrame(
+        [(1, CLEAN, True), (2, SPAMMY, False)],
+        "doc_id long, text string, label boolean",
+    )
+    model = train_log_odds(train, n_buckets=128)
+    docs = spark.createDataFrame(
+        [(10, CLEAN), (11, SPAMMY)], "doc_id long, text string"
+    )
+    cfg = CurationConfig.from_dict(
+        {"min_classifier_prob": 0.5, "dedup": "none"}
+    )
+    out = {r["doc_id"]: r for r in curate(
+        docs, cfg, classifier_model=model
+    ).collect()}
+    assert out[10]["keep"] is True
+    assert out[11]["drop_reason"] == "classifier"
+    with pytest.raises(ConfigError):
+        curate(docs, cfg).collect()
+
+
+def test_near_dup_drops_and_rule_order(spark):
+    docs = spark.createDataFrame(
+        [(1, CLEAN), (2, CLEAN + " extra"), (3, SPAMMY)],
+        "doc_id long, text string",
+    )
+    drops = spark.createDataFrame(
+        [(2,), (3,)], "doc_id long"
+    )
+    # doc 3 also fails the pii-free quality-free blocked-free chain? no:
+    # give it a blocked domain so an EARLIER rule claims it first
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 3,
+            F.concat(F.col("text"), F.lit(" see https://bad.example.com/x")),
+        ).otherwise(F.col("text")),
+    )
+    cfg = CurationConfig.from_dict(
+        {"blocked_domains": ["bad.example.com"], "dedup": "none"}
+    )
+    out = {r["doc_id"]: r for r in curate(
+        docs, cfg, near_dup_drops=drops
+    ).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["drop_reason"] == "near_duplicate"
+    # earlier rule wins the reason even though 3 is in the drop set
+    assert out[3]["drop_reason"] == "blocked_domain"
+
+
+def test_config_validation(spark):
+    with pytest.raises(ConfigError):
+        CurationConfig.from_dict({"max_pii_total": -1})
+    with pytest.raises(ConfigError):
+        CurationConfig.from_dict({"min_classifier_prob": 1.5})
+    with pytest.raises(ConfigError):
+        CurationConfig.from_dict({"min_classifier_probX": 0.5})
