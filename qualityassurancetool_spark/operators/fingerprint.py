@@ -77,14 +77,20 @@ def winnow(grams: Column, w: int = 4) -> Column:
     (its global min); an empty array stays empty.
 
     Cost is O(n_grams * w) comparisons per row, JVM-side inside
-    whole-stage codegen.  For the deque-based O(n) variant to matter, w
-    would have to be large; typical w in [4, 64] keeps this within 2x of
-    optimal while staying a pure Column expression (no Python stage).
+    whole-stage codegen — as ``least`` over ``w`` ``element_at`` calls,
+    NOT ``array_min(slice(...))``: the slice form allocates a w-element
+    array per window (measured ~1.5x slower on the 100k-doc probe).
+    ``element_at`` past the end returns null and ``least`` ignores
+    nulls, which exactly handles the degenerate fewer-than-w-grams
+    window.  For the deque-based O(n) variant to matter, w would have
+    to be large; typical w in [4, 64] keeps this within 2x of optimal
+    while staying a pure Column expression (no Python stage).
     """
     n_g = F.size(grams)
     n_w = F.greatest(n_g - (w - 1), F.lit(1))
     mins = F.transform(
-        F.sequence(F.lit(1), n_w), lambda j: F.array_min(F.slice(grams, j, w))
+        F.sequence(F.lit(1), n_w),
+        lambda j: F.least(*[F.element_at(grams, j + i) for i in range(w)]),
     )
     return F.when(n_g > 0, F.array_distinct(mins)).otherwise(
         F.array().cast("array<long>")
@@ -105,15 +111,28 @@ def document_fingerprints(
     :func:`fingerprint_overlap_pairs` or persist as the corpus
     fingerprint index (8 bytes per fingerprint, ~2/(w+1) of n_chars rows
     per doc).
+
+    Both intermediates sit behind Generate barriers
+    (functions/partitioning.compute_behind_barrier): CollapseProject
+    would otherwise inline ``_norm`` into the per-position substring
+    lambda (one regexp evaluation PER CHAR POSITION — O(n²) per doc,
+    measured 8x on the 100k-doc probe) and ``_g`` into every window
+    slice.
     """
-    return (
-        df.select(
-            F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
-        )
-        .select(
-            id_col, chargram_hashes(F.col("_norm"), k, hash_mode).alias("_g")
-        )
-        .select(id_col, F.explode(winnow(F.col("_g"), w)).alias("fingerprint"))
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+
+    normed = compute_behind_barrier(
+        df.select(F.col(id_col), F.col(text_col)),
+        {"_norm": normalize_text(F.col(text_col))},
+    )
+    grams = compute_behind_barrier(
+        normed.select(id_col, "_norm"),
+        {"_g": chargram_hashes(F.col("_norm"), k, hash_mode)},
+    )
+    return grams.select(
+        id_col, F.explode(winnow(F.col("_g"), w)).alias("fingerprint")
     )
 
 
@@ -140,6 +159,11 @@ def fingerprint_overlap_pairs(
     throughout; raw text never moves.
     """
     fp = document_fingerprints(df, text_col, id_col, k, w, hash_mode)
+    # the index feeds FOUR subplans (sizes, frequency cap, both join
+    # sides); Catalyst does not share common subplans across joins, so
+    # persist the (id, fingerprint) longs — ~16 bytes/row — instead of
+    # extracting fingerprints four times
+    fp = fp.persist()
     # per-doc fingerprint set size (for containment denominator)
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     # frequency cap: fingerprints in more than max_df docs are boilerplate

@@ -125,12 +125,24 @@ def duplicated_span_dedup(
     """(id, deduped, n_tokens_removed, n_spans): the corpus with every
     non-first occurrence of a duplicated ``window_tokens``-token window
     removed (keep-first = smallest (doc_id, position))."""
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+
     L = window_tokens
-    staged = df.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
-    ).select(
-        id_col, "_norm", F.split(F.col("_norm"), " ").alias("_t"),
-        _ntok(F.col("_norm")).alias("_n"),
+    # Generate barriers: CollapseProject would inline _norm into the
+    # tokenizer and _t into every per-position lambda (O(n²) regexp /
+    # split re-evaluation; see fingerprint.py note)
+    normed = compute_behind_barrier(
+        df.select(F.col(id_col), F.col(text_col)),
+        {"_norm": normalize_text(F.col(text_col))},
+    )
+    staged = compute_behind_barrier(
+        normed.select(id_col, "_norm"),
+        {
+            "_t": F.split(F.col("_norm"), " "),
+            "_n": _ntok(F.col("_norm")),
+        },
     )
     wins = staged.select(
         id_col,

@@ -229,7 +229,12 @@ def curate(
         toks_ne = F.when(
             F.length(n) == 0, F.array().cast("array<string>")
         ).otherwise(F.col("_toks"))
-        buckets = hashed_ngram_buckets(toks_ne, len(weights))
+        # bucket array behind its own barrier: it is referenced three
+        # times below (fold, two size uses) and must stay an attribute
+        scored = compute_behind_barrier(
+            scored, {"_clf_b": hashed_ngram_buckets(toks_ne, len(weights))}
+        )
+        buckets = F.col("_clf_b")
         w = double_array_literal(tuple(float(x) for x in weights))
         nb = F.size(buckets)
         fold = F.aggregate(
@@ -312,7 +317,8 @@ def curate(
     out = out.withColumn("keep", F.col("drop_reason").isNull())
     return out.drop(
         *[c for c in ("_norm", "_toks", "_ls", "_dlf", "_wrr", "_sym",
-                      "_pii", "_blocked", "_clf_prob", "_near_dup")
+                      "_pii", "_blocked", "_clf_b", "_clf_prob",
+                      "_near_dup")
           if c in out.columns]
     )
 

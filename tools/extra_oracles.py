@@ -624,9 +624,19 @@ def x_semantic_dedup(spark, con, sf_dir):
     aug = emb.unionByName(clones)
     sdf = semantic_dedup(
         aug, k=KM_K, max_iter=KM_ITER, threshold=SEM_T,
-        init_stride=KM_STRIDE,
+        init_stride=KM_STRIDE, strategy="fold",
     )
     s_rows = [tuple(r) for r in sdf.collect()]
+    # the GEMM strategy must agree with the fold twin at this threshold
+    # margin (clones are at cosine 1.0, non-dups far below SEM_T)
+    g_rows = [
+        tuple(r)
+        for r in semantic_dedup(
+            aug, k=KM_K, max_iter=KM_ITER, threshold=SEM_T,
+            init_stride=KM_STRIDE, strategy="gemm",
+        ).collect()
+    ]
+    assert sorted(g_rows) == sorted(s_rows), "gemm/fold strategy drift"
 
     # ---- numpy oracle ----
     base = con.execute(
