@@ -101,6 +101,56 @@ def deterministic_topk_per_stratum(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    salt: str = "wsamp:",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    row gets key ``u^(1/w)`` with ``u`` the md5-uniform variate and
+    ``w`` its weight; the k largest keys are an exact weighted sample.
+    Like every sampler here there is no ``rand()`` — re-runs, retries,
+    and the DuckDB oracle reproduce the identical sample.
+
+    Rows with weight <= 0 or null are excluded (zero-weight items have
+    sampling probability 0; E-S keys are undefined for them).  Output
+    adds ``sample_rank`` (1 = largest key).  With ``strata_col``, top-k
+    per stratum (one shuffle on the stratum key); without, a global
+    TakeOrdered-style sort+limit (no full-sort shuffle: Spark's
+    ``orderBy.limit(k)`` plans as a per-partition top-k + driver-side
+    merge of k·partitions candidates)."""
+    from pyspark.sql import Window
+
+    w_val = F.col(weight_col).cast("double")
+    u = uniform_hash(F.col(id_col), salt)
+    key = F.pow(u, F.lit(1.0) / w_val)
+    filtered = df.where(w_val > 0).withColumn("_es_key", key)
+    if strata_col is not None:
+        win = Window.partitionBy(strata_col).orderBy(
+            F.col("_es_key").desc(), F.col(id_col).asc()
+        )
+        return (
+            filtered.withColumn("sample_rank", F.row_number().over(win))
+            .where(F.col("sample_rank") <= k)
+            .drop("_es_key")
+        )
+    topk = (
+        filtered.orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    win = Window.orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+    # ranking k rows on one partition is fine: limit(k) already
+    # materialized the global top-k
+    return (
+        topk.withColumn("sample_rank", F.row_number().over(win))
+        .drop("_es_key")
+    )
+
+
 def split_by_group(
     df: DataFrame,
     fractions: dict[str, float],

@@ -510,6 +510,39 @@ FROM r
     return sdf, sql
 
 
+WS_K = 40
+
+
+def x_weighted_sample(spark, con, sf_dir):
+    """weighted_sample_topk (Efraimidis-Spirakis keys) vs the identical
+    DuckDB rendering, globally and per-language."""
+    from qualityassurancetool_spark.operators.sampling import (
+        uniform_hash_sql,
+        weighted_sample_topk,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    sdf = weighted_sample_topk(
+        docs, WS_K, "n_chars", strata_col="lang"
+    ).select("doc_id", "lang", "sample_rank")
+    u = uniform_hash_sql("doc_id", "wsamp:")
+    sql = f"""
+WITH keyed AS (
+    SELECT doc_id, lang,
+           pow({u}, 1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+    FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+), ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY es_key DESC, doc_id ASC)
+               AS sample_rank
+    FROM keyed
+)
+SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= {WS_K}
+"""
+    return sdf, sql
+
+
 CLF_BUCKETS = 512
 
 
@@ -957,4 +990,5 @@ EXTRA_CHECKS = {
     "x_url_canonical": x_url_canonical,
     "x_semantic_dedup": x_semantic_dedup,
     "x_classifier": x_classifier,
+    "x_weighted_sample": x_weighted_sample,
 }
