@@ -136,6 +136,81 @@ def document_fingerprints(
     )
 
 
+def near_dedup_against_corpus(
+    new_df: DataFrame,
+    seen_fp: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 8,
+    threshold: float = 0.5,
+    max_df: int = 50,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Cross-snapshot NEAR-dup admission control: the winnowing analog
+    of ``dedup.dedup_against_corpus`` (a daily crawl must not re-admit
+    yesterday's documents under a trivial edit).
+
+    ``seen_fp`` is the persisted corpus fingerprint index —
+    (id, fingerprint) rows from :func:`document_fingerprints` over prior
+    snapshots (the caller appends survivors' fingerprints after each
+    batch).  A new document is dropped when >= ``threshold`` of ITS
+    fingerprints already appear in some single seen document.
+
+    Output: (id, n_fp, kept, dup_of_seen, containment) — one row per
+    new document; ``dup_of_seen`` is the smallest qualifying seen id.
+    Documents too short to fingerprint keep vacuously (containment 0).
+
+    Scale shape: fingerprints of the new batch only (row-local), one
+    equi-join against the index on the 8-byte fingerprint with the
+    ``max_df`` boilerplate cap applied to the SEEN side first, one
+    (new, seen) pair aggregation.  The index never rescans its text.
+    Within-batch near-dups are a separate concern — run
+    :func:`fingerprint_overlap_pairs` on the survivors.
+    """
+    fp_new = document_fingerprints(
+        new_df, text_col, id_col, k, w, hash_mode
+    ).persist()
+    sizes = fp_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    rare_seen = (
+        seen_fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fingerprint")
+    )
+    seen_r = seen_fp.join(rare_seen, "fingerprint").select(
+        F.col(id_col).alias("_seen_id"), "fingerprint"
+    )
+    shared = (
+        fp_new.join(seen_r, "fingerprint")
+        .groupBy(id_col, "_seen_id")
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+    )
+    hits = (
+        shared.join(sizes, id_col)
+        .withColumn("_cont", F.col("_n_shared") / F.col("n_fp"))
+        .filter(F.col("_cont") >= F.lit(threshold))
+        .groupBy(id_col)
+        .agg(
+            F.min("_seen_id").alias("dup_of_seen"),
+            F.max("_cont").alias("_max_cont"),
+        )
+    )
+    base = new_df.select(id_col).join(sizes, id_col, "left")
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_fp"), F.lit(0)).alias("n_fp"),
+            F.col("dup_of_seen").isNull().alias("kept"),
+            "dup_of_seen",
+            F.round(F.coalesce(F.col("_max_cont"), F.lit(0.0)), 6).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 def fingerprint_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -121,3 +121,32 @@ def test_plan_has_no_python_stage(spark):
     plan = document_fingerprints(df, k=K, w=W)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "InMemory" not in plan
+
+
+def test_incremental_near_dedup_against_corpus(spark):
+    """Tail-edited re-submissions are caught against the persisted
+    index; genuinely new and unfingerprintable docs are admitted."""
+    from qualityassurancetool_spark.operators.fingerprint import (
+        near_dedup_against_corpus,
+    )
+
+    rng = random.Random(21)
+    seen_rows = [(i, _rand_text(rng, 80)) for i in range(5)]
+    seen = spark.createDataFrame(seen_rows, "doc_id long, text string")
+    idx = document_fingerprints(seen, k=K, w=W)
+    new = spark.createDataFrame(
+        [
+            (100, seen_rows[2][1] + " small tail edit"),  # near-dup of 2
+            (101, _rand_text(rng, 80)),                   # genuinely new
+            (102, "tiny"),                                # no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in near_dedup_against_corpus(
+        new, idx, k=K, w=W, threshold=0.5
+    ).collect()}
+    assert out[100]["kept"] is False
+    assert out[100]["dup_of_seen"] == 2
+    assert out[100]["containment"] > 0.5
+    assert out[101]["kept"] is True
+    assert out[102]["kept"] is True and out[102]["n_fp"] == 0

@@ -907,6 +907,103 @@ LEFT JOIN per_doc pd ON pd.doc_id = tk.doc_id
 
 
 FP_K, FP_W, FP_MAXDF, FP_MINSHARED = 20, 8, 50, 2
+INC_T = 0.5
+
+# winnowing fingerprint CTE body, parameterized by the docs CTE name
+_FP_CTES = """
+{name}_pos AS (
+    SELECT doc_id, norm,
+           unnest(generate_series(1, length(norm) - {k} + 1)) AS i
+    FROM {src} WHERE length(norm) >= {k}
+), {name}_g AS (
+    SELECT doc_id, i,
+           CAST(concat('0x', substring(md5(substring(norm, CAST(i AS INT),
+               {k})), 1, 15)) AS BIGINT) AS h
+    FROM {name}_pos
+), {name}_win AS (
+    SELECT doc_id, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW
+                        AND {w1} FOLLOWING) AS mh,
+           count(*) OVER (PARTITION BY doc_id) AS n_g
+    FROM {name}_g
+), {name}_fp AS (
+    SELECT DISTINCT doc_id, mh AS fingerprint
+    FROM {name}_win WHERE i <= greatest(n_g - {w} + 1, 1)
+)"""
+
+
+def _fp_ctes(name: str, src: str) -> str:
+    return _FP_CTES.format(name=name, src=src, k=FP_K, w=FP_W, w1=FP_W - 1)
+
+
+def x_incremental_fingerprint(spark, con, sf_dir):
+    """near_dedup_against_corpus vs DuckDB: seen = doc_id < 250, new =
+    doc_id >= 250 plus tail-edited clones of the first 100 seen docs
+    (which must be caught as near-dups of their originals)."""
+    from qualityassurancetool_spark.operators.fingerprint import (
+        document_fingerprints,
+        near_dedup_against_corpus,
+    )
+
+    docs = _docs(spark, sf_dir)
+    seen_docs = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    seen_fp = document_fingerprints(seen_docs, k=FP_K, w=FP_W)
+    clones = seen_docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words here")).alias(
+            "text"
+        ),
+    )
+    new = (
+        docs.filter(F.col("doc_id") >= 250)
+        .select("doc_id", "text")
+        .unionByName(clones)
+    )
+    sdf = near_dedup_against_corpus(
+        new, seen_fp, k=FP_K, w=FP_W, threshold=INC_T, max_df=FP_MAXDF
+    )
+    sql = f"""
+WITH seen_d AS (
+    SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 250
+), new_d AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(txt), '\\s+', ' ', 'g')) AS norm
+    FROM (
+        SELECT doc_id, text AS txt FROM documents WHERE doc_id >= 250
+        UNION ALL
+        SELECT doc_id + 10000, text || ' extra tail words here'
+        FROM documents WHERE doc_id < 100
+    )
+), {_fp_ctes("s", "seen_d")}, {_fp_ctes("n", "new_d")},
+sizes AS (
+    SELECT doc_id, count(*) AS n_fp FROM n_fp GROUP BY doc_id
+), rare AS (
+    SELECT fingerprint FROM s_fp
+    GROUP BY fingerprint HAVING count(*) <= {FP_MAXDF}
+), shared AS (
+    SELECT n_fp.doc_id, s_fp.doc_id AS seen_id, count(*) AS n_shared
+    FROM n_fp
+    JOIN rare USING (fingerprint)
+    JOIN s_fp ON s_fp.fingerprint = n_fp.fingerprint
+    GROUP BY 1, 2
+), hits AS (
+    SELECT sh.doc_id, min(sh.seen_id) AS dup_of_seen,
+           max(sh.n_shared * 1.0 / sz.n_fp) AS max_cont
+    FROM shared sh JOIN sizes sz ON sz.doc_id = sh.doc_id
+    WHERE sh.n_shared * 1.0 / sz.n_fp >= {INC_T}
+    GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       coalesce(sz.n_fp, 0) AS n_fp,
+       h.dup_of_seen IS NULL AS kept,
+       h.dup_of_seen,
+       round(coalesce(h.max_cont, 0.0), 6) AS containment
+FROM new_d d
+LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+    return sdf, sql
 
 
 def x_fingerprint(spark, con, sf_dir):
@@ -991,4 +1088,5 @@ EXTRA_CHECKS = {
     "x_semantic_dedup": x_semantic_dedup,
     "x_classifier": x_classifier,
     "x_weighted_sample": x_weighted_sample,
+    "x_incremental_fingerprint": x_incremental_fingerprint,
 }
