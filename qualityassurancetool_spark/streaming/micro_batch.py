@@ -204,3 +204,48 @@ def streaming_exact_dedup(
     return withd.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [digest_col]
     )
+
+
+def streaming_curate(
+    stream: DataFrame,
+    cfg,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    classifier_model: tuple[list[float], float] | None = None,
+    available_now: bool = True,
+):
+    """Streaming corpus curation: apply the config-driven decision sheet
+    (``plans.curation.curate``) to each micro-batch via ``foreachBatch``
+    and append decisions to a parquet sink.
+
+    ``curate``'s exact-dedup rule needs a window over the content
+    digest, which Structured Streaming cannot run statelessly — so the
+    ``duplicate`` rule collapses copies WITHIN a micro-batch only.
+    Cross-batch exact dedup composes upstream:
+    ``streaming_exact_dedup(stream) |> streaming_curate(...)`` gives
+    watermark-bounded global dedup plus per-batch rules, the standard
+    split between bounded-state and stateless stages.  Idempotence
+    under retry comes from the checkpoint (foreachBatch re-runs a
+    failed batch with the same batch_id and the same input slice).
+
+    Returns the started ``StreamingQuery``.
+    """
+    from qualityassurancetool_spark.plans.curation import curate
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        decisions = curate(
+            batch_df, cfg, text_col=text_col, id_col=id_col,
+            classifier_model=classifier_model,
+        )
+        decisions.write.mode("append").parquet(out_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

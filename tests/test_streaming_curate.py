@@ -1,0 +1,71 @@
+"""Streaming curation (streaming/micro_batch.streaming_curate):
+file source → per-batch decision sheet → parquet sink, idempotent
+under checkpointed re-run."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.plans.curation import CurationConfig
+from qualityassurancetool_spark.streaming.micro_batch import (
+    streaming_curate,
+)
+
+SCHEMA = "doc_id long, text string"
+GOOD = "plenty of clean readable prose words in this document body"
+SPAM = "zz zz zz zz zz zz zz zz zz zz zz zz"
+
+
+def _land(dirpath, spark, rows, name):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(dirpath, name))
+
+
+def test_streaming_curate_end_to_end(spark):
+    root = tempfile.mkdtemp(prefix="scur")
+    land = os.path.join(root, "land")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        os.makedirs(land)
+        _land(land, spark, [(1, GOOD), (2, SPAM), (3, GOOD)], "a")
+        cfg = CurationConfig.from_dict(
+            {"max_word_rep_ratio": 0.5, "dedup": "exact"}
+        )
+        stream = spark.readStream.schema(SCHEMA).parquet(land + "/*")
+        q = streaming_curate(stream, cfg, out, ckpt)
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got[1]["keep"] is True
+        assert got[2]["drop_reason"] == "word_rep"
+        # within-batch exact dedup: doc 3 duplicates doc 1
+        assert got[3]["drop_reason"] == "duplicate"
+
+        # second availableNow run with NO new files appends nothing
+        q2 = streaming_curate(
+            spark.readStream.schema(SCHEMA).parquet(land + "/*"),
+            cfg, out, ckpt,
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 3
+
+        # a new landing file is processed incrementally
+        _land(land, spark, [(4, GOOD + " fresh")], "b")
+        q3 = streaming_curate(
+            spark.readStream.schema(SCHEMA).parquet(land + "/*"),
+            cfg, out, ckpt,
+        )
+        q3.awaitTermination(120)
+        rows = spark.read.parquet(out)
+        assert rows.count() == 4
+        assert rows.filter(F.col("doc_id") == 4).collect()[0]["keep"] is True
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
