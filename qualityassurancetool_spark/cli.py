@@ -213,6 +213,108 @@ def cmd_curate(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_dedup(args, overrides: list[str]) -> int:
+    """Deduplication report over a documents parquet.  ``method``
+    selects the family (all fast-hash production modes):
+
+    - ``exact``: (content_hash, keep_id, n_dups) collapse sheet;
+    - ``fingerprint``: winnowing copy-candidate pairs with containment;
+    - ``spans``: ExactSubstr duplicated-span removal (cleaned text);
+    - ``semantic``: SemDeDup over an embeddings parquet.
+    """
+    run, knobs = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
+        raise ConfigError("missing required settings: data.input, data.out")
+    method = knobs.get("method", "exact")
+    if method not in ("exact", "fingerprint", "spans", "semantic"):
+        raise ConfigError(
+            f"unknown dedup method {method!r} "
+            "(exact|fingerprint|spans|semantic)"
+        )
+
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.session import get_spark
+
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-dedup"))
+    try:
+        if method == "semantic":
+            from qualityassurancetool_spark.operators.clustering import (
+                semantic_dedup,
+            )
+
+            emb = spark.read.parquet(data_c["input"])
+            out = semantic_dedup(
+                emb,
+                k=int(knobs.get("k", 8)),
+                max_iter=int(knobs.get("max_iter", 5)),
+                threshold=float(knobs.get("threshold", 0.85)),
+            )
+            out.write.mode("overwrite").parquet(data_c["out"])
+            back = spark.read.parquet(data_c["out"])
+            print(f"vectors: {back.count()}")
+            print(f"dropped: {back.where('NOT kept').count()}")
+            return 0
+
+        if data_c.get("table", "parquet") == "documents":
+            from qualityassurancetool_spark.schema import load_table
+
+            docs = load_table(spark, data_c["input"], "documents")
+        else:
+            docs = spark.read.parquet(data_c["input"])
+        if method == "exact":
+            from qualityassurancetool_spark.operators.dedup import (
+                exact_dedup,
+            )
+
+            out = exact_dedup(docs)
+            out.write.mode("overwrite").parquet(data_c["out"])
+            back = spark.read.parquet(data_c["out"])
+            n_groups = back.count()
+            n_extra = back.agg(
+                F.sum(F.col("n_dups") - 1).alias("x")
+            ).collect()[0]["x"]
+            print(f"groups: {n_groups}")
+            print(f"duplicates: {n_extra or 0}")
+        elif method == "fingerprint":
+            from qualityassurancetool_spark.operators.fingerprint import (
+                fingerprint_overlap_pairs,
+            )
+
+            out = fingerprint_overlap_pairs(
+                docs,
+                k=int(knobs.get("k", 20)),
+                w=int(knobs.get("w", 8)),
+                max_df=int(knobs.get("max_df", 50)),
+                min_shared=int(knobs.get("min_shared", 2)),
+                hash_mode="fast",
+            )
+            out.write.mode("overwrite").parquet(data_c["out"])
+            print(f"pairs: {spark.read.parquet(data_c['out']).count()}")
+        elif method == "spans":
+            from qualityassurancetool_spark.operators.span_dedup import (
+                duplicated_span_dedup,
+            )
+
+            out = duplicated_span_dedup(
+                docs,
+                window_tokens=int(knobs.get("window_tokens", 50)),
+                hash_mode="fast",
+            )
+            out.write.mode("overwrite").parquet(data_c["out"])
+            back = spark.read.parquet(data_c["out"])
+            removed = back.agg(
+                F.sum("n_tokens_removed").alias("x")
+            ).collect()[0]["x"]
+            print(f"docs: {back.count()}")
+            print(f"tokens_removed: {removed or 0}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def cmd_export(args, overrides: list[str]) -> int:
     """The reference's second entry point (``src/aums_data_request.py``):
     fetch a window → best record per rounded second per stream → pivot
@@ -323,6 +425,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_exp.add_argument("override", nargs="*", help="key.path=value")
 
+    p_ddp = sub.add_parser(
+        "dedup", help="dedup report (exact|fingerprint|spans|semantic)"
+    )
+    p_ddp.add_argument("-c", "--config", default=None)
+    p_ddp.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_ddp.add_argument("override", nargs="*", help="key.path=value")
+
     p_val = sub.add_parser("validate", help="schema-check a config")
     p_val.add_argument("-c", "--config", default=None)
     p_val.add_argument("override", nargs="*")
@@ -338,6 +449,7 @@ def main(argv: list[str] | None = None) -> int:
     handler = {
         "run": cmd_run,
         "curate": cmd_curate,
+        "dedup": cmd_dedup,
         "export": cmd_export,
         "validate": cmd_validate,
         "template": cmd_template,

@@ -190,3 +190,40 @@ def test_export_command(spark, tmp_path, capsys):
     n = back.count()
     assert n == back.select("ts_round").distinct().count() > 0
     assert main(["export"]) == 2  # pointed error on missing settings
+
+
+def test_dedup_command(spark, tmp_path, capsys):
+    """Dedup CLI: exact and fingerprint methods over the documents
+    table, knobs via dotted overrides."""
+    out = str(tmp_path / "dd_exact")
+    rc = main([
+        "dedup", "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=documents",
+        f"data.out={out}", "method=exact",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(report["groups"]) > 0
+    assert spark.read.parquet(out).count() == int(report["groups"])
+
+    out2 = str(tmp_path / "dd_fp")
+    rc = main([
+        "dedup", "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=documents",
+        f"data.out={out2}", "method=fingerprint", "min_shared=3",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert spark.read.parquet(out2).count() == int(report["pairs"])
+
+    # unknown method is a pointed config error
+    assert main([
+        "dedup", "--keep-session", "data.input=/x", "data.out=/y",
+        "method=nope",
+    ]) == 2
