@@ -205,3 +205,46 @@ def lm_filter(
         id_col,
         "left_semi",
     )
+
+
+def lm_perplexity_buckets(
+    scores: DataFrame,
+    group_col: str | None = "lang",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    score_col: str = "lm_logp",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): bucket
+    documents by LM score quantiles, per group (language) so every
+    language keeps its own head — a global cut would label whole
+    low-resource languages "tail".
+
+    ``cuts`` are cumulative fractions from the BEST-scoring side (head
+    = top third by default; higher mean log-prob = lower perplexity =
+    head).  Implementation: exact interpolated per-group percentiles in
+    ONE aggregation (two scalars per group — k rows to the join, not a
+    window sort over the corpus), then a broadcast join + CASE.  Adding
+    the bucket label is therefore shuffle-free on the scores side.
+
+    Output: scores + ``lm_bucket`` in {'head', 'middle', 'tail'}.
+    """
+    lo, hi = cuts
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    g = [group_col] if group_col else []
+    # head = scores ABOVE the (1-lo) percentile; tail = below (1-hi)
+    q_head = F.percentile(F.col(score_col), F.lit(1.0 - lo)).alias("_q_head")
+    q_tail = F.percentile(F.col(score_col), F.lit(1.0 - hi)).alias("_q_tail")
+    qs = scores.groupBy(*g).agg(q_head, q_tail) if g else scores.agg(
+        q_head, q_tail
+    )
+    joined = (
+        scores.join(F.broadcast(qs), g) if g else scores.crossJoin(
+            F.broadcast(qs)
+        )
+    )
+    bucket = (
+        F.when(F.col(score_col) >= F.col("_q_head"), F.lit("head"))
+        .when(F.col(score_col) < F.col("_q_tail"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return joined.withColumn("lm_bucket", bucket).drop("_q_head", "_q_tail")

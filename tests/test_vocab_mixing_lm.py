@@ -190,3 +190,34 @@ def test_dedup_against_corpus(spark):
     # idempotence: re-running against seen ∪ new-survivors drops all
     seen2 = seen.unionByName(out.select("content_hash"))
     assert dedup_against_corpus(new, seen2).count() == 0
+
+
+def test_lm_perplexity_buckets(spark):
+    """CCNet head/middle/tail: per-group tertiles on a constructed
+    score sheet with obvious cut points."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.operators.lm_score import (
+        lm_perplexity_buckets,
+    )
+
+    rows = [(i, "en", float(-i)) for i in range(9)]  # -0 best ... -8 worst
+    rows += [(100 + i, "de", float(-10 * i)) for i in range(3)]
+    scores = spark.createDataFrame(
+        rows, "doc_id long, lang string, lm_logp double"
+    )
+    out = {r["doc_id"]: r["lm_bucket"] for r in lm_perplexity_buckets(
+        scores, group_col="lang"
+    ).collect()}
+    # en: 9 docs, thirds at interpolated q(2/3) and q(1/3)
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # de: 3 docs, one per bucket
+    assert [out[100 + i] for i in range(3)] == ["head", "middle", "tail"]
+    # grouped=None crosses the whole sheet
+    glob = lm_perplexity_buckets(scores, group_col=None)
+    assert glob.where(F.col("lm_bucket") == "head").count() > 0
+    with pytest.raises(ValueError):
+        lm_perplexity_buckets(scores, cuts=(0.9, 0.1))

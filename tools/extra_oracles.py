@@ -447,11 +447,102 @@ j AS (
 sc AS (
     SELECT doc_id, COUNT(*) AS n_grams, AVG(lp) AS lm_logp FROM j
     GROUP BY doc_id
+),
+scores AS (
+    SELECT doc_id, n_grams, lm_logp FROM sc
+    UNION ALL
+    SELECT doc_id, 0, ln(1.0 / (SELECT a FROM alpha))
+    FROM docs WHERE length(norm) < 3
 )
-SELECT doc_id, n_grams, round(lm_logp, 6) + 0.0 AS lm_logp_r FROM sc
-UNION ALL
-SELECT doc_id, 0, round(ln(1.0 / (SELECT a FROM alpha)), 6) + 0.0
-FROM docs WHERE length(norm) < 3
+SELECT doc_id, n_grams, round(lm_logp, 6) + 0.0 AS lm_logp_r FROM scores
+"""
+    return sdf, sql
+
+
+# the WITH-chain above, reusable: train-on-en + score-all → scores CTE
+def _lm_scores_ctes() -> str:
+    tri = (
+        "unnest(list_transform(generate_series(1, length(norm) - 2), "
+        "i -> substr(norm, i, 3)))"
+    )
+    return f"""
+WITH ref AS (SELECT {_NORM} AS norm FROM documents WHERE lang = 'en'),
+tri AS (SELECT {tri} AS gram FROM ref WHERE length(norm) >= 3),
+gcounts AS (SELECT gram, COUNT(*) AS n_gram FROM tri GROUP BY gram),
+ctx AS (
+    SELECT substr(gram, 1, 2) AS c, SUM(n_gram) AS n_context
+    FROM gcounts GROUP BY substr(gram, 1, 2)
+),
+top AS (
+    SELECT g.gram, g.n_gram, ctx.n_context
+    FROM (SELECT gram, n_gram FROM gcounts
+          ORDER BY n_gram DESC, gram LIMIT {LM_TOP}) g
+    JOIN ctx ON substr(g.gram, 1, 2) = ctx.c
+),
+alpha AS (
+    SELECT CAST(COUNT(DISTINCT ch) AS DOUBLE) AS a FROM (
+        SELECT unnest(list_transform(generate_series(1, length(norm)),
+            i -> substr(norm, i, 1))) AS ch FROM ref
+    ) WHERE length(ch) > 0
+),
+docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+dtri AS (
+    SELECT doc_id, {tri} AS gram FROM docs WHERE length(norm) >= 3
+),
+j AS (
+    SELECT d.doc_id,
+           ln((COALESCE(t.n_gram, 0) + 1.0) /
+              (COALESCE(t.n_context, 0) + (SELECT a FROM alpha)))
+               AS lp
+    FROM dtri d LEFT JOIN top t USING (gram)
+),
+sc AS (
+    SELECT doc_id, COUNT(*) AS n_grams, AVG(lp) AS lm_logp FROM j
+    GROUP BY doc_id
+),
+scores AS (
+    SELECT doc_id, n_grams, lm_logp FROM sc
+    UNION ALL
+    SELECT doc_id, 0, ln(1.0 / (SELECT a FROM alpha))
+    FROM docs WHERE length(norm) < 3
+)"""
+
+
+def x_lm_buckets(spark, con, sf_dir):
+    """lm_perplexity_buckets (CCNet head/middle/tail per language) vs
+    DuckDB quantile_cont on the UNROUNDED score chain — rounding before
+    the percentile would shift cut points by up to 5e-7 and flip
+    boundary docs whenever (n-1)*q is integral."""
+    from qualityassurancetool_spark.operators.lm_score import (
+        lm_perplexity_buckets,
+        score_documents,
+        train_char_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = train_char_lm(docs.where(F.col("lang") == "en"), max_grams=LM_TOP)
+    scored = score_documents(docs, lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    sdf = lm_perplexity_buckets(scored, group_col="lang").select(
+        "doc_id", "lang", "n_grams", "lm_bucket"
+    )
+    sql = _lm_scores_ctes() + """,
+langed AS (
+    SELECT s.doc_id, d.lang, s.n_grams, s.lm_logp
+    FROM scores s JOIN documents d USING (doc_id)
+),
+qs AS (
+    SELECT lang,
+           quantile_cont(lm_logp, 2.0/3.0) AS q_head,
+           quantile_cont(lm_logp, 1.0/3.0) AS q_tail
+    FROM langed GROUP BY lang
+)
+SELECT l.doc_id, l.lang, l.n_grams,
+       CASE WHEN l.lm_logp >= q.q_head THEN 'head'
+            WHEN l.lm_logp < q.q_tail THEN 'tail'
+            ELSE 'middle' END AS lm_bucket
+FROM langed l JOIN qs q USING (lang)
 """
     return sdf, sql
 
@@ -1089,4 +1180,5 @@ EXTRA_CHECKS = {
     "x_classifier": x_classifier,
     "x_weighted_sample": x_weighted_sample,
     "x_incremental_fingerprint": x_incremental_fingerprint,
+    "x_lm_buckets": x_lm_buckets,
 }
