@@ -108,3 +108,53 @@ def test_scans_prune_columns(spark, entrymod, sf_dir):
         assert "o_comment" not in rs and "c_comment" not in rs
     for rs in schemas("qc_gradient"):
         assert "props" not in rs  # events.props never needed
+
+
+def test_round3b_operator_plan_shapes(spark, sf_dir):
+    """Second-batch round-3 operators keep their designed shapes:
+    join-free classifier scoring, barrier-staged fingerprint/span
+    extraction (no O(n^2) inline regexp), TakeOrdered weighted top-k,
+    and no cartesian anywhere."""
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.operators.classifier import (
+        score_linear,
+    )
+    from qualityassurancetool_spark.operators.fingerprint import (
+        document_fingerprints,
+        fingerprint_overlap_pairs,
+    )
+    from qualityassurancetool_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+    from qualityassurancetool_spark.operators.span_dedup import (
+        duplicated_span_dedup,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # classifier scoring: no join, no exchange, no Python
+    p = _plan(score_linear(docs, [0.0] * 64, 0.0, n_buckets=64))
+    assert "Join" not in p and "EvalPython" not in p
+    assert "Exchange" not in p  # embarrassingly parallel by design
+
+    # fingerprint extraction: Generate barriers present, no Python
+    p = _plan(document_fingerprints(docs))
+    assert p.count("Generate") >= 3  # 2 barriers + the explode
+    assert "EvalPython" not in p
+
+    # pair join: every join is a plain shuffled/broadcast HASH join
+    p = _plan(fingerprint_overlap_pairs(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+    # span dedup: hash joins only, barrier-staged extraction
+    p = _plan(duplicated_span_dedup(docs, window_tokens=20))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "EvalPython" not in p
+
+    # global weighted top-k: TakeOrdered, not a full sort
+    p = _plan(weighted_sample_topk(docs, 10, "n_chars"))
+    assert "TakeOrdered" in p
