@@ -232,6 +232,44 @@ def domain_blocklist_hit(
     )
 
 
+def domain_reputation(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain reputation sheet — the input to C4-style domain-level
+    filtering (a domain whose documents are consistently spammy gets
+    blocked wholesale, catching pages the per-doc rules miss):
+
+    (domain, n_docs, avg_symbol_ratio, pii_doc_rate) where ``n_docs``
+    counts documents MENTIONING the domain (distinct per doc), and
+    ``pii_doc_rate`` is the fraction of those docs containing any PII.
+
+    Plan: row-local signal extraction + domain explode, one groupBy on
+    the domain string.  Feed thresholded domains into
+    :func:`domain_blocklist_hit` (config-scale) or a broadcast join
+    (million-entry lists)."""
+    lower = F.lower(F.col(text_col))
+    pii = pii_counts(lower)
+    total = None
+    for c in pii.values():
+        total = c if total is None else total + c
+    staged = df.select(
+        F.col(id_col),
+        extract_domains(lower).alias("_doms"),
+        symbol_ratio(lower).alias("_sym"),
+        (total > 0).alias("_has_pii"),
+    )
+    exploded = staged.select(
+        F.explode("_doms").alias("domain"), "_sym", "_has_pii"
+    )
+    return exploded.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_sym"), 6).alias("avg_symbol_ratio"),
+        F.round(
+            F.avg(F.col("_has_pii").cast("double")), 6
+        ).alias("pii_doc_rate"),
+    )
+
+
 # --------------------------------------------------------- intra-doc clean
 
 def dedup_paragraphs(text: Column, sep: str = "\n\n") -> Column:

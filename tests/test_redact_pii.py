@@ -65,3 +65,25 @@ def test_plan_is_pure_columns(spark):
         redact_documents(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_domain_reputation_sheet(spark):
+    from qualityassurancetool_spark.operators.quality_filters import (
+        domain_reputation,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean words http://spam.io/x mail a@b.co"),
+            (2, "more text https://spam.io/y $$$ ### !!!"),
+            (3, "https://good.org/a plain and tidy prose"),
+            (4, "no urls at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["domain"]: r for r in domain_reputation(df).collect()}
+    assert set(rep) == {"spam.io", "good.org"}
+    assert rep["spam.io"]["n_docs"] == 2
+    assert rep["spam.io"]["pii_doc_rate"] == 0.5
+    assert rep["good.org"]["pii_doc_rate"] == 0.0
+    assert rep["spam.io"]["avg_symbol_ratio"] > rep["good.org"]["avg_symbol_ratio"]

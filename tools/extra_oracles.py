@@ -601,6 +601,67 @@ FROM r
     return sdf, sql
 
 
+def x_domain_reputation(spark, con, sf_dir):
+    """domain_reputation vs DuckDB, on docs augmented with a
+    doc_id-keyed URL (and PII on every third doc) so domains repeat
+    across documents."""
+    from qualityassurancetool_spark.operators.quality_filters import (
+        EMAIL_PAT,
+        IPV4_PAT,
+        PHONE_PAT,
+        SYMBOL_PAT,
+        domain_reputation,
+    )
+
+    suffix = F.concat(
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit(".example.org/p"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" mail a@b.co")).otherwise(
+            F.lit("")
+        ),
+    )
+    aug = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    sdf = domain_reputation(aug)
+    cnt = (
+        "CAST(len(regexp_extract_all(lt, '{p}')) AS BIGINT)"
+    )
+    pii_sum = " + ".join(
+        cnt.format(p=p) for p in (EMAIL_PAT, PHONE_PAT, IPV4_PAT)
+    )
+    sql = f"""
+WITH t AS (
+    SELECT doc_id,
+           text || ' see https://site' || CAST(doc_id % 11 AS VARCHAR)
+                || '.example.org/p'
+                || CASE WHEN doc_id % 3 = 0 THEN ' mail a@b.co'
+                        ELSE '' END AS txt
+    FROM documents
+), sig AS (
+    SELECT doc_id, lower(txt) AS lt FROM t
+), per_doc AS (
+    SELECT doc_id,
+           list_distinct(regexp_extract_all(lt,
+               'https?://(?:www\\.)?([^\\s<>"''/:?#]+)', 1)) AS doms,
+           CASE WHEN length(lt) > 0
+                THEN CAST(len(regexp_extract_all(lt, '{SYMBOL_PAT}'))
+                     AS DOUBLE) / length(lt)
+                ELSE 0.0 END AS sym,
+           ({pii_sum}) > 0 AS has_pii
+    FROM sig
+), e AS (
+    SELECT unnest(doms) AS domain, sym, has_pii FROM per_doc
+)
+SELECT domain, count(*) AS n_docs,
+       round(avg(sym), 6) + 0.0 AS avg_symbol_ratio,
+       round(avg(CAST(has_pii AS DOUBLE)), 6) + 0.0 AS pii_doc_rate
+FROM e GROUP BY domain
+"""
+    return sdf, sql
+
+
 WS_K = 40
 
 
@@ -1181,4 +1242,5 @@ EXTRA_CHECKS = {
     "x_weighted_sample": x_weighted_sample,
     "x_incremental_fingerprint": x_incremental_fingerprint,
     "x_lm_buckets": x_lm_buckets,
+    "x_domain_reputation": x_domain_reputation,
 }
