@@ -270,6 +270,54 @@ def domain_reputation(
     )
 
 
+def compression_ratios(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(id, n_bytes, compression_ratio): zlib-compressed size over raw
+    UTF-8 size — the Gopher/RefinedWeb repetitiveness signal (highly
+    repetitive or templated text compresses far below ~0.4; random or
+    already-compressed junk sits near 1.0).  Empty docs ratio 1.0.
+
+    zlib has no Column equivalent, so this is the one quality signal
+    that runs as Python — Arrow-batched ``mapInPandas`` over (id, text)
+    only (never the full row), row-local, no shuffle.  Deterministic:
+    zlib at a fixed level is bit-stable across runs and platforms for
+    our purposes (same zlib everywhere in the fleet by construction of
+    the runtime image; the TEST oracle is the same interpreter's zlib).
+    """
+    import pandas as pd  # noqa: F401  (executor-side import context)
+
+    out_schema = f"{id_col} long, n_bytes long, compression_ratio double"
+    slim = df.select(id_col, text_col)
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [
+                (t or "").encode("utf-8") for t in pdf[text_col].tolist()
+            ]
+            n = [len(b) for b in raw]
+            ratio = [
+                (len(zlib.compress(b, level)) / nb) if nb else 1.0
+                for b, nb in zip(raw, n)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n,
+                    "compression_ratio": ratio,
+                }
+            )
+
+    return slim.mapInPandas(run, schema=out_schema)
+
+
 # --------------------------------------------------------- intra-doc clean
 
 def dedup_paragraphs(text: Column, sep: str = "\n\n") -> Column:

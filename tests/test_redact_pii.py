@@ -87,3 +87,30 @@ def test_domain_reputation_sheet(spark):
     assert rep["spam.io"]["pii_doc_rate"] == 0.5
     assert rep["good.org"]["pii_doc_rate"] == 0.0
     assert rep["spam.io"]["avg_symbol_ratio"] > rep["good.org"]["avg_symbol_ratio"]
+
+
+def test_compression_ratio_signal(spark):
+    import random
+
+    from qualityassurancetool_spark.operators.quality_filters import (
+        compression_ratios,
+    )
+
+    rng = random.Random(5)
+    noisy = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 !?.,;")
+        for _ in range(1000)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 200),                      # highly repetitive
+            (2, noisy),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratios(df).collect()}
+    assert out[1]["compression_ratio"] < 0.15      # repetition collapses
+    assert out[2]["compression_ratio"] > 0.5       # high-entropy stays big
+    assert out[3]["compression_ratio"] == 1.0
+    assert out[3]["n_bytes"] == 0

@@ -601,6 +601,37 @@ FROM r
     return sdf, sql
 
 
+def x_compression_ratio(spark, con, sf_dir):
+    """compression_ratios vs the driver interpreter's own zlib — exact
+    ((rows, rows) shape; DuckDB has no zlib)."""
+    import zlib
+
+    from qualityassurancetool_spark.operators.quality_filters import (
+        compression_ratios,
+    )
+
+    sdf = compression_ratios(_docs(spark, sf_dir))
+    s_rows = [
+        (r["doc_id"], r["n_bytes"], round(r["compression_ratio"], 9))
+        for r in sdf.collect()
+    ]
+    d_rows = []
+    for doc_id, text in con.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        b = (text or "").encode("utf-8")
+        d_rows.append(
+            (
+                doc_id,
+                len(b),
+                round(len(zlib.compress(b, 6)) / len(b), 9)
+                if b
+                else 1.0,
+            )
+        )
+    return s_rows, d_rows
+
+
 def x_domain_reputation(spark, con, sf_dir):
     """domain_reputation vs DuckDB, on docs augmented with a
     doc_id-keyed URL (and PII on every third doc) so domains repeat
@@ -1243,4 +1274,5 @@ EXTRA_CHECKS = {
     "x_incremental_fingerprint": x_incremental_fingerprint,
     "x_lm_buckets": x_lm_buckets,
     "x_domain_reputation": x_domain_reputation,
+    "x_compression_ratio": x_compression_ratio,
 }
