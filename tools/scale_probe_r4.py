@@ -84,6 +84,34 @@ def main() -> None:
         "classifier score",
         score_linear(docs, w, b, hash_mode="fast"),
     )
+    t0 = time.monotonic()
+    from qualityassurancetool_spark.operators.quality_filters import (
+        compression_ratios,
+    )
+
+    timed("compression_ratios (zlib mapInPandas)", compression_ratios(docs))
+
+    import shutil
+    import tempfile
+
+    from qualityassurancetool_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="wds_probe")
+    try:
+        t0 = time.monotonic()
+        man = write_webdataset_shards(
+            docs.withColumnRenamed("lang", "l"), tmp, n_shards=32,
+            meta_cols=("l",),
+        )
+        total = sum(r["n_bytes"] for r in man.collect())
+        print(
+            f"# webdataset write (32 shards): {time.monotonic()-t0:.2f}s "
+            f"bytes={total}"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     docs.unpersist()
 
     emb = load_table(spark, sf_dir, "embeddings")
