@@ -227,3 +227,56 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("_toks"))))
         ).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------- script profile
+
+# Unicode block ranges as literal character classes — the ranges are
+# embedded as actual codepoints so the SAME pattern string is valid in
+# Java regex (Spark) and RE2 (DuckDB); \p{script=...} syntax differs
+# between engines and is avoided.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "a-zA-Z",
+    "cjk": "一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "가-힯",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+    "greek": "Ͱ-Ͽ",
+}
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts (one ``regexp_count`` each — pure
+    Columns, engine-portable literal ranges)."""
+    return {
+        name: F.regexp_count(text, F.lit(f"[{rng}]"))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, <script> counts…, dominant_script): writing-system
+    detection by codepoint-block counting — the cheap, deterministic
+    complement to the word-list language scorer (a zh/ja/ko/ru/ar doc is
+    identified by its script long before any word list matches; mixed-
+    script docs expose their ratio).  ``dominant_script`` is the argmax
+    with ties broken by the declared SCRIPT_RANGES order; documents with
+    no counted characters get 'none'."""
+    t = F.col(text_col)
+    counts = script_counts(t)
+    out = df.select(
+        F.col(id_col), F.length(t).alias("n_chars"),
+        *[c.cast("long").alias(k) for k, c in counts.items()],
+    )
+    names = list(SCRIPT_RANGES)
+    best_n = F.greatest(*[F.col(k) for k in names])
+    dom = F.lit("none")
+    for name in reversed(names):
+        dom = F.when(
+            (best_n > 0) & (F.col(name) == best_n), F.lit(name)
+        ).otherwise(dom)
+    return out.withColumn("dominant_script", dom)

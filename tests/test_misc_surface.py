@@ -83,3 +83,28 @@ def test_config_validation_rejects_bad_configs():
         with pytest.raises(ConfigError, match="") as exc:
             validate_config_dict(bad)
         assert frag.lower().split()[0] in str(exc.value).lower(), (bad, exc.value)
+
+
+def test_script_profile(spark):
+    """Codepoint-block script detection: dominant script per doc,
+    mixed-script counts, empty doc → 'none'."""
+    from qualityassurancetool_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello plain english words"),
+            (2, "这是一段中文文本内容"),
+            (3, "Это русский текст"),
+            (4, "mixed 中文 and english text here"),
+            (5, "12345 !!! ??? ..."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert out[1]["dominant_script"] == "latin"
+    assert out[2]["dominant_script"] == "cjk"
+    assert out[2]["cjk"] == 10
+    assert out[3]["dominant_script"] == "cyrillic"
+    assert out[4]["cjk"] == 2 and out[4]["latin"] > 2
+    assert out[4]["dominant_script"] == "latin"
+    assert out[5]["dominant_script"] == "none"

@@ -601,6 +601,38 @@ FROM r
     return sdf, sql
 
 
+def x_script_profile(spark, con, sf_dir):
+    """script_profile vs DuckDB regexp_extract_all counting with the
+    identical literal codepoint-range classes."""
+    from qualityassurancetool_spark.operators.text import (
+        SCRIPT_RANGES,
+        script_profile,
+    )
+
+    sdf = script_profile(_docs(spark, sf_dir))
+    count_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '[{rng}]')) AS BIGINT) AS {name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    names = list(SCRIPT_RANGES)
+    best = "greatest(" + ", ".join(names) + ")"
+    dom = "'none'"
+    for name in reversed(names):
+        dom = (
+            f"CASE WHEN {best} > 0 AND {name} = {best} "
+            f"THEN '{name}' ELSE {dom} END"
+        )
+    sql = f"""
+WITH c AS (
+    SELECT doc_id, length(text) AS n_chars,
+       {count_cols}
+    FROM documents
+)
+SELECT c.*, {dom} AS dominant_script FROM c
+"""
+    return sdf, sql
+
+
 def x_compression_ratio(spark, con, sf_dir):
     """compression_ratios vs the driver interpreter's own zlib — exact
     ((rows, rows) shape; DuckDB has no zlib)."""
@@ -1275,4 +1307,5 @@ EXTRA_CHECKS = {
     "x_lm_buckets": x_lm_buckets,
     "x_domain_reputation": x_domain_reputation,
     "x_compression_ratio": x_compression_ratio,
+    "x_script_profile": x_script_profile,
 }
