@@ -93,3 +93,64 @@ def test_new_ops_on_empty(spark):
     assert top_terms_per_doc(docs).count() == 0
     vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert quantize_int8(vecs).count() == 0
+
+
+def test_round3b_ops_on_empty_docs(spark):
+    """The second round-3 operator batch on zero documents."""
+    from qualityassurancetool_spark.operators.classifier import score_linear
+    from qualityassurancetool_spark.operators.fingerprint import (
+        document_fingerprints,
+        fingerprint_overlap_pairs,
+        near_dedup_against_corpus,
+    )
+    from qualityassurancetool_spark.operators.quality_filters import (
+        compression_ratios,
+        domain_reputation,
+        redact_documents,
+    )
+    from qualityassurancetool_spark.operators.span_dedup import (
+        duplicated_span_dedup,
+    )
+    from qualityassurancetool_spark.operators.text import script_profile
+    from qualityassurancetool_spark.operators.urls import (
+        dedup_by_canonical_url,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert document_fingerprints(docs).count() == 0
+    assert fingerprint_overlap_pairs(docs).count() == 0
+    assert duplicated_span_dedup(docs, window_tokens=5).count() == 0
+    assert redact_documents(docs).count() == 0
+    assert domain_reputation(docs).count() == 0
+    assert compression_ratios(docs).count() == 0
+    assert script_profile(docs).count() == 0
+    assert score_linear(docs, [0.0] * 16, 0.0).count() == 0
+    urls = spark.createDataFrame([], "doc_id long, url string")
+    assert dedup_by_canonical_url(urls).count() == 0
+    # empty NEW batch against a non-empty index, and vice versa
+    some = spark.createDataFrame(
+        [(1, "enough words to fingerprint across this sentence easily ok")],
+        "doc_id long, text string",
+    )
+    idx = document_fingerprints(some, k=20, w=8)
+    assert near_dedup_against_corpus(docs, idx).count() == 0
+    out = near_dedup_against_corpus(
+        some, document_fingerprints(docs)
+    ).collect()
+    assert len(out) == 1 and out[0]["kept"] is True
+
+
+def test_round3b_sampling_clustering_on_empty(spark):
+    import pytest
+
+    from qualityassurancetool_spark.operators.clustering import kmeans_fit
+    from qualityassurancetool_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, grp string, w double")
+    assert weighted_sample_topk(docs, 5, "w").count() == 0
+    assert weighted_sample_topk(docs, 5, "w", strata_col="grp").count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        kmeans_fit(emb, k=2)
