@@ -601,6 +601,68 @@ FROM r
     return sdf, sql
 
 
+T5_P, T5_MEAN, T5_SALT = 0.06, 3, "t5:"
+
+
+def x_span_corruption(spark, con, sf_dir):
+    """span_corruption vs an exact Python replication of the md5 span
+    model and T5 rendering ((rows, rows); fully integer/string, no FP)."""
+    import hashlib
+    import re
+
+    from qualityassurancetool_spark.operators.augment import (
+        span_corruption,
+    )
+
+    sdf = span_corruption(
+        _docs(spark, sf_dir), p_start=T5_P, mean_span_len=T5_MEAN,
+        salt=T5_SALT,
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    max_len = 2 * T5_MEAN - 1
+    d_rows = []
+    for doc_id, text in con.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
+        toks = norm.split(" ") if norm else []
+        n = len(toks)
+        spans = []
+        nxt = 1
+        for i in range(1, max(n, 1) + 1):
+            u1 = md5_long(f"{T5_SALT}s:{doc_id}:{i}") / 2**60
+            ln = md5_long(f"{T5_SALT}l:{doc_id}:{i}") % max_len + 1
+            if i >= nxt and u1 < T5_P:
+                e = min(i + ln - 1, n)
+                spans.append((i, e, len(spans)))
+                nxt = e + 2
+        pieces = []
+        for i in range(1, n + 1):
+            hit = [v for v in spans if v[0] <= i <= v[1]]
+            if hit and i == hit[0][0]:
+                pieces.append(f"<extra_id_{hit[0][2]}>")
+            elif not hit:
+                pieces.append(toks[i - 1])
+        targets = " ".join(
+            f"<extra_id_{k}> " + " ".join(toks[s - 1:e])
+            for s, e, k in spans
+        )
+        d_rows.append(
+            (
+                doc_id,
+                " ".join(pieces),
+                targets,
+                len(spans),
+                sum(e - s + 1 for s, e, _ in spans),
+            )
+        )
+    return s_rows, d_rows
+
+
 def x_script_profile(spark, con, sf_dir):
     """script_profile vs DuckDB regexp_extract_all counting with the
     identical literal codepoint-range classes."""
@@ -1308,4 +1370,5 @@ EXTRA_CHECKS = {
     "x_domain_reputation": x_domain_reputation,
     "x_compression_ratio": x_compression_ratio,
     "x_script_profile": x_script_profile,
+    "x_span_corruption": x_span_corruption,
 }
