@@ -163,3 +163,66 @@ def span_corruption(
         F.size(spans).cast("long").alias("n_spans"),
         n_masked.cast("long").alias("n_masked_tokens"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate: float = 0.5,
+    salt: str = "fim:",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    with probability ``fim_rate`` a document is split at two
+    md5-deterministic token cut points into (prefix, middle, suffix)
+    and re-rendered in PSM order with sentinels —
+    ``<fim_prefix> P <fim_suffix> S <fim_middle> M`` — else passed
+    through unchanged.  (id, fim_text, is_fim).
+
+    Cut points: u1, u2 uniform over token boundaries 0..n (derived from
+    (salt, id, 1|2)); lo = min, hi = max.  Degenerate docs (< 2 tokens)
+    pass through.  Row-local pure Columns; per-epoch remix via salt.
+    """
+    staged = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    ).select(
+        id_col,
+        "_norm",
+        F.when(
+            F.length("_norm") == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.col("_norm"), " ")).alias("_t"),
+    )
+    did, toks = F.col(id_col), F.col("_t")
+    n = F.size(toks)
+    pick = _u(salt + "r:", did, F.lit(0)) < F.lit(fim_rate)
+    c1 = F.pmod(
+        md5_long(F.concat(F.lit(salt + "c1:"), did.cast("string"))), n + 1
+    ).cast("int")
+    c2 = F.pmod(
+        md5_long(F.concat(F.lit(salt + "c2:"), did.cast("string"))), n + 1
+    ).cast("int")
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    fim = F.concat(
+        F.lit("<fim_prefix> "),
+        F.concat_ws(" ", F.slice(toks, 1, lo)),
+        F.lit(" <fim_suffix> "),
+        F.concat_ws(
+            " ", F.when(hi < n, F.slice(toks, hi + 1, n - hi)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ),
+        F.lit(" <fim_middle> "),
+        F.concat_ws(
+            " ",
+            F.when(hi > lo, F.slice(toks, lo + 1, hi - lo)).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ),
+    )
+    use_fim = pick & (n >= 2)
+    return staged.select(
+        id_col,
+        F.when(use_fim, fim).otherwise(F.col("_norm")).alias("fim_text"),
+        use_fim.alias("is_fim"),
+    )

@@ -71,3 +71,27 @@ def test_no_python_stage(spark):
         span_corruption(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_fim_reconstruction_and_rate(spark):
+    """PSM pieces reassemble the original; pass-through docs unchanged;
+    fim_rate=0 and 1 behave as promised."""
+    from qualityassurancetool_spark.operators.augment import fim_transform
+
+    docs = [(i, " ".join(f"t{j}" for j in range(20))) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = fim_transform(df, fim_rate=1.0).collect()
+    for r in out:
+        assert r["is_fim"] is True
+        body = r["fim_text"]
+        pre = body.split("<fim_prefix>")[1].split("<fim_suffix>")[0].split()
+        suf = body.split("<fim_suffix>")[1].split("<fim_middle>")[0].split()
+        mid = body.split("<fim_middle>")[1].split()
+        assert pre + mid + suf == docs[0][1].split()
+    none = fim_transform(df, fim_rate=0.0).collect()
+    assert all(r["is_fim"] is False for r in none)
+    assert none[0]["fim_text"] == docs[0][1]
+    # intermediate rate: some of each, deterministic across calls
+    a = {r["doc_id"]: r["is_fim"] for r in fim_transform(df, fim_rate=0.5).collect()}
+    b = {r["doc_id"]: r["is_fim"] for r in fim_transform(df, fim_rate=0.5).collect()}
+    assert a == b and any(a.values()) and not all(a.values())

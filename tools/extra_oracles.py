@@ -663,6 +663,49 @@ def x_span_corruption(spark, con, sf_dir):
     return s_rows, d_rows
 
 
+FIM_RATE, FIM_SALT = 0.5, "fim:"
+
+
+def x_fim(spark, con, sf_dir):
+    """fim_transform vs an exact Python replication (md5 cut points,
+    PSM rendering)."""
+    import hashlib
+    import re
+
+    from qualityassurancetool_spark.operators.augment import fim_transform
+
+    sdf = fim_transform(
+        _docs(spark, sf_dir), fim_rate=FIM_RATE, salt=FIM_SALT
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    d_rows = []
+    for doc_id, text in con.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
+        toks = norm.split(" ") if norm else []
+        n = len(toks)
+        pick = md5_long(f"{FIM_SALT}r:{doc_id}:0") / 2**60 < FIM_RATE
+        use = pick and n >= 2
+        if not use:
+            d_rows.append((doc_id, norm, False))
+            continue
+        c1 = md5_long(f"{FIM_SALT}c1:{doc_id}") % (n + 1)
+        c2 = md5_long(f"{FIM_SALT}c2:{doc_id}") % (n + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        out = (
+            "<fim_prefix> " + " ".join(toks[:lo])
+            + " <fim_suffix> " + " ".join(toks[hi:])
+            + " <fim_middle> " + " ".join(toks[lo:hi])
+        )
+        d_rows.append((doc_id, out, True))
+    return s_rows, d_rows
+
+
 def x_script_profile(spark, con, sf_dir):
     """script_profile vs DuckDB regexp_extract_all counting with the
     identical literal codepoint-range classes."""
@@ -1371,4 +1414,5 @@ EXTRA_CHECKS = {
     "x_compression_ratio": x_compression_ratio,
     "x_script_profile": x_script_profile,
     "x_span_corruption": x_span_corruption,
+    "x_fim": x_fim,
 }
