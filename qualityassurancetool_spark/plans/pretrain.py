@@ -1,0 +1,172 @@
+"""End-to-end pretraining-corpus pipeline — the corpus-side capstone
+composition (the training-data twin of ``plans/qc_pipeline``'s check
+chain): one callable takes raw documents to loader-ready shards with a
+full audit trail.
+
+Stages (each an engine operator; every stage optional via config):
+
+ 1. ingest      — parquet documents table or JSONL with quarantine;
+ 2. curate      — the one-pass decision sheet (lang/quality/
+                  repetition/PII/blocklist/classifier rules, exact
+                  dedup, per-lang sampling);
+ 3. near-dedup  — MinHash-LSH verified pairs → connected components →
+                  keep the min-id representative per cluster (fed back
+                  into the SAME decision sheet as the
+                  ``near_duplicate`` rule, so drop accounting stays in
+                  one place);
+ 4. chunk+pack  — token-window chunks, fixed-budget packing;
+ 5. write       — WebDataset tar shards (or parquet), plus the
+                  decisions sheet and per-rule kill report.
+
+Determinism end to end: every stage is md5-keyed (no rand()), so a
+re-run writes byte-identical shards — the property that makes a 100 TB
+build resumable and auditable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.config import ConfigError
+from qualityassurancetool_spark.plans.curation import (
+    CurationConfig,
+    curate,
+    drop_report,
+)
+
+
+@dataclass
+class PretrainConfig:
+    curation: CurationConfig = field(default_factory=CurationConfig)
+    near_dedup: bool = True
+    minhash_threshold: float = 0.7
+    chunk_tokens: int = 512
+    overlap_tokens: int = 64
+    pack_budget: int = 2048
+    n_shards: int = 8
+    output_format: str = "webdataset"  # webdataset | parquet
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PretrainConfig":
+        known = {
+            "curation", "near_dedup", "minhash_threshold", "chunk_tokens",
+            "overlap_tokens", "pack_budget", "n_shards", "output_format",
+        }
+        unknown = set(d) - known
+        if unknown:
+            raise ConfigError(f"unknown pretrain keys: {sorted(unknown)}")
+        fmt = d.get("output_format", "webdataset")
+        if fmt not in ("webdataset", "parquet"):
+            raise ConfigError(
+                f"output_format must be webdataset|parquet, got {fmt!r}"
+            )
+        return cls(
+            curation=CurationConfig.from_dict(d.get("curation", {}) or {}),
+            near_dedup=bool(d.get("near_dedup", True)),
+            minhash_threshold=float(d.get("minhash_threshold", 0.7)),
+            chunk_tokens=int(d.get("chunk_tokens", 512)),
+            overlap_tokens=int(d.get("overlap_tokens", 64)),
+            pack_budget=int(d.get("pack_budget", 2048)),
+            n_shards=int(d.get("n_shards", 8)),
+            output_format=fmt,
+        )
+
+
+def run_pretrain_pipeline(
+    docs: DataFrame,
+    cfg: PretrainConfig,
+    out_dir: str,
+    classifier_model: tuple[list[float], float] | None = None,
+) -> dict:
+    """Documents in, shards + audit out.  Returns the report dict:
+    per-rule kill counts, chunk/pack counts, shard manifest rows."""
+    import os
+
+    from qualityassurancetool_spark.operators.chunking import (
+        chunk_documents,
+        pack_documents,
+    )
+
+    near_drops = None
+    if cfg.near_dedup:
+        from qualityassurancetool_spark.operators.components import (
+            connected_components,
+        )
+        from qualityassurancetool_spark.operators.dedup import minhash_dedup
+
+        pairs = minhash_dedup(
+            docs, threshold=cfg.minhash_threshold, hash_mode="fast"
+        )
+        comp = connected_components(pairs)
+        # victims = every clustered doc except its component's min id
+        near_drops = comp.filter(
+            F.col("id") != F.col("component")
+        ).select(F.col("id").alias("doc_id"))
+
+    decisions = curate(
+        docs,
+        cfg.curation,
+        classifier_model=classifier_model,
+        near_dup_drops=near_drops,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    decisions_path = os.path.join(out_dir, "decisions")
+    decisions.write.mode("overwrite").parquet(decisions_path)
+    decisions = docs.sparkSession.read.parquet(decisions_path)
+    kept = decisions.where("keep").select("doc_id", "text")
+
+    chunks = chunk_documents(
+        kept,
+        chunk_tokens=cfg.chunk_tokens,
+        overlap_tokens=cfg.overlap_tokens,
+    )
+    packed = pack_documents(
+        chunks.select(
+            F.concat_ws(
+                "#",
+                F.col("doc_id").cast("string"),
+                F.col("chunk_idx").cast("string"),
+            ).alias("chunk_key"),
+            (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("seq_id"),
+            F.col("chunk_text"),
+            F.col("n_chunk_tokens").alias("n_tokens"),
+        ),
+        budget_tokens=cfg.pack_budget,
+        token_col="n_tokens",
+        id_col="seq_id",
+        max_doc_tokens=cfg.chunk_tokens,
+    )
+
+    report: dict = {
+        "rules": {
+            r["rule"]: r["n"] for r in drop_report(decisions).collect()
+        },
+        "n_chunks": packed.count(),
+    }
+    if cfg.output_format == "webdataset":
+        from qualityassurancetool_spark.sources.webdataset import (
+            write_webdataset_shards,
+        )
+
+        manifest = write_webdataset_shards(
+            packed,
+            os.path.join(out_dir, "shards"),
+            n_shards=cfg.n_shards,
+            key_col="seq_id",
+            text_col="chunk_text",
+            meta_cols=("chunk_key", "pack_id", "n_tokens"),
+        )
+        rows = manifest.collect()
+        report["shards"] = {
+            int(r["shard"]): int(r["n_samples"]) for r in rows
+        }
+        report["shard_bytes"] = sum(int(r["n_bytes"]) for r in rows)
+    else:
+        packed.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "packed")
+        )
+        report["shards"] = None
+    return report

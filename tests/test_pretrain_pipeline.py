@@ -1,0 +1,68 @@
+"""End-to-end pretraining pipeline (plans/pretrain): documents →
+curate → near-dedup → chunk+pack → WebDataset shards, with a coherent
+audit report and deterministic re-runs."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from qualityassurancetool_spark.config import ConfigError
+from qualityassurancetool_spark.plans.pretrain import (
+    PretrainConfig,
+    run_pretrain_pipeline,
+)
+from qualityassurancetool_spark.schema import load_table
+
+
+def test_end_to_end_on_testdata(spark):
+    out = tempfile.mkdtemp(prefix="pretrain")
+    try:
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        n_docs = docs.count()
+        cfg = PretrainConfig.from_dict(
+            {
+                "curation": {"max_word_rep_ratio": 0.9, "dedup": "exact"},
+                "minhash_threshold": 0.6,
+                "chunk_tokens": 64,
+                "overlap_tokens": 8,
+                "pack_budget": 256,
+                "n_shards": 4,
+            }
+        )
+        report = run_pretrain_pipeline(docs, cfg, out)
+        # audit coherence: every document got exactly one verdict
+        assert sum(report["rules"].values()) == n_docs
+        assert report["rules"].get("kept", 0) > 0
+        # the corpus has planted duplicates: some rule killed them
+        killed = {k: v for k, v in report["rules"].items() if k != "kept"}
+        assert sum(killed.values()) > 0
+        assert report["n_chunks"] > 0
+        assert sum(report["shards"].values()) == report["n_chunks"]
+        tars = glob.glob(os.path.join(out, "shards", "*.tar"))
+        assert len(tars) == len(report["shards"])
+        # decisions sheet is on disk for the audit trail
+        back = spark.read.parquet(os.path.join(out, "decisions"))
+        assert back.count() == n_docs
+
+        # deterministic re-run: identical shard bytes
+        before = {p: open(p, "rb").read() for p in tars}
+        report2 = run_pretrain_pipeline(docs, cfg, out)
+        assert report2 == report
+        for p, blob in before.items():
+            assert open(p, "rb").read() == blob
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_config_validation():
+    with pytest.raises(ConfigError):
+        PretrainConfig.from_dict({"output_format": "csv"})
+    with pytest.raises(ConfigError):
+        PretrainConfig.from_dict({"nope": 1})
+    with pytest.raises(ConfigError):
+        PretrainConfig.from_dict({"curation": {"bad_rule": 1}})
