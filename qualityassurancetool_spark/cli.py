@@ -315,6 +315,54 @@ def cmd_dedup(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_pretrain(args, overrides: list[str]) -> int:
+    """End-to-end corpus build: documents parquet/JSONL → curate →
+    near-dedup → chunk+pack → WebDataset shards + audit report
+    (``plans/pretrain``).  Pipeline knobs ride the non-data config
+    subtree (``curation.min_quality=…``, ``chunk_tokens=…``)."""
+    run, knobs = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
+        raise ConfigError("missing required settings: data.input, data.out")
+
+    from qualityassurancetool_spark.plans.pretrain import (
+        PretrainConfig,
+        run_pretrain_pipeline,
+    )
+    from qualityassurancetool_spark.session import get_spark
+
+    cfg = PretrainConfig.from_dict(knobs)
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-pretrain"))
+    try:
+        if data_c.get("table", "parquet") == "documents":
+            from qualityassurancetool_spark.schema import load_table
+
+            docs = load_table(spark, data_c["input"], "documents")
+        elif data_c.get("table") == "jsonl":
+            from qualityassurancetool_spark.sources.jsonl import (
+                jsonl_ingest_report,
+                read_jsonl,
+            )
+
+            docs, n_bad = jsonl_ingest_report(
+                read_jsonl(spark, data_c["input"])
+            )
+            print(f"quarantined: {n_bad}")
+        else:
+            docs = spark.read.parquet(data_c["input"])
+        report = run_pretrain_pipeline(docs, cfg, data_c["out"])
+        for rule, n in sorted(report["rules"].items()):
+            print(f"{rule}: {n}")
+        print(f"chunks: {report['n_chunks']}")
+        if report["shards"] is not None:
+            print(f"shards: {len(report['shards'])}")
+            print(f"shard_bytes: {report['shard_bytes']}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def cmd_export(args, overrides: list[str]) -> int:
     """The reference's second entry point (``src/aums_data_request.py``):
     fetch a window → best record per rounded second per stream → pivot
@@ -434,6 +482,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_ddp.add_argument("override", nargs="*", help="key.path=value")
 
+    p_pre = sub.add_parser(
+        "pretrain",
+        help="documents → curate → dedup → chunk+pack → shards",
+    )
+    p_pre.add_argument("-c", "--config", default=None)
+    p_pre.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_pre.add_argument("override", nargs="*", help="key.path=value")
+
     p_val = sub.add_parser("validate", help="schema-check a config")
     p_val.add_argument("-c", "--config", default=None)
     p_val.add_argument("override", nargs="*")
@@ -450,6 +508,7 @@ def main(argv: list[str] | None = None) -> int:
         "run": cmd_run,
         "curate": cmd_curate,
         "dedup": cmd_dedup,
+        "pretrain": cmd_pretrain,
         "export": cmd_export,
         "validate": cmd_validate,
         "template": cmd_template,

@@ -227,3 +227,25 @@ def test_dedup_command(spark, tmp_path, capsys):
         "dedup", "--keep-session", "data.input=/x", "data.out=/y",
         "method=nope",
     ]) == 2
+
+
+def test_pretrain_command(spark, tmp_path, capsys):
+    """Capstone CLI: documents parquet → shards with report printed."""
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "pretrain", "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=documents",
+        f"data.out={out}",
+        "chunk_tokens=64", "overlap_tokens=8", "pack_budget=256",
+        "n_shards=2", "curation.max_word_rep_ratio=0.9",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(report["chunks"]) > 0
+    assert int(report["shards"]) >= 1
+    import glob
+    import os
+    assert glob.glob(os.path.join(out, "shards", "*.tar"))
