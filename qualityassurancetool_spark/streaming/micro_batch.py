@@ -249,3 +249,87 @@ def streaming_curate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_near_dedup_admission(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 8,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Cross-batch NEAR-dup admission control on a stream: each
+    micro-batch is screened against the persisted winnowing fingerprint
+    index (``operators/fingerprint.near_dedup_against_corpus``), its
+    decisions append to ``out_path``, and the fingerprints of ADMITTED
+    documents extend the index — so a document resubmitted with a small
+    edit in a LATER batch is caught, which watermark-keyed exact dedup
+    cannot do.
+
+    Retry idempotence: the index grows as one parquet subdirectory per
+    batch id (``batch=N``), written with overwrite — a re-run of batch N
+    replaces its own contribution instead of appending twice.  Within a
+    batch, earlier documents do not screen later ones (batch-atomic
+    semantics); run the batch operator on the output for intra-batch
+    pairs.
+
+    Returns the started StreamingQuery.
+    """
+    import os
+
+    from qualityassurancetool_spark.operators.fingerprint import (
+        document_fingerprints,
+        near_dedup_against_corpus,
+    )
+
+    os.makedirs(index_path, exist_ok=True)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            existing = [
+                d for d in os.listdir(index_path) if d.startswith("batch=")
+            ]
+            if existing:
+                seen_fp = spark.read.parquet(
+                    *[os.path.join(index_path, d) for d in existing]
+                )
+            else:
+                seen_fp = spark.createDataFrame(
+                    [], f"{id_col} long, fingerprint long"
+                )
+            decisions = near_dedup_against_corpus(
+                batch_df, seen_fp, text_col, id_col,
+                k=k, w=w, threshold=threshold,
+            ).withColumn("batch_id", F.lit(batch_id))
+            decisions.write.mode("append").parquet(out_path)
+            admitted = batch_df.join(
+                spark.read.parquet(out_path)
+                .where(F.col("batch_id") == batch_id)
+                .where("kept")
+                .select(id_col),
+                id_col,
+                "left_semi",
+            )
+            document_fingerprints(
+                admitted, text_col, id_col, k=k, w=w
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_path, f"batch={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -69,3 +69,63 @@ def test_streaming_curate_end_to_end(spark):
         assert rows.filter(F.col("doc_id") == 4).collect()[0]["keep"] is True
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_near_dedup_admission(spark):
+    """Cross-batch near-dup: a tail-edited resubmission in a LATER batch
+    is rejected against the persisted fingerprint index; genuinely new
+    docs admit and extend the index."""
+    import random
+
+    from qualityassurancetool_spark.streaming.micro_batch import (
+        streaming_near_dedup_admission,
+    )
+
+    rng = random.Random(3)
+
+    def doc(n):
+        return " ".join(
+            "".join(rng.choice("abcdefghij") for _ in range(6))
+            for _ in range(n)
+        )
+
+    d1, d2, d3 = doc(60), doc(60), doc(60)
+    root = tempfile.mkdtemp(prefix="snda")
+    land = os.path.join(root, "land")
+    idx = os.path.join(root, "index")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        os.makedirs(land)
+        _land(land, spark, [(1, d1), (2, d2)], "a")
+        q = streaming_near_dedup_admission(
+            spark.readStream.schema(SCHEMA).parquet(land + "/*"),
+            idx, out, ckpt,
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert got[1]["kept"] is True and got[2]["kept"] is True
+
+        # batch 2: a tail-edit of d1 plus a new doc
+        _land(land, spark, [(10, d1 + " tiny edit"), (11, d3)], "b")
+        q2 = streaming_near_dedup_admission(
+            spark.readStream.schema(SCHEMA).parquet(land + "/*"),
+            idx, out, ckpt,
+        )
+        q2.awaitTermination(120)
+        got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert got[10]["kept"] is False
+        assert got[10]["dup_of_seen"] == 1
+        assert got[11]["kept"] is True
+
+        # batch 3: near-copy of the batch-2 ADMITTED doc is also caught
+        _land(land, spark, [(20, d3 + " more tail")], "c")
+        q3 = streaming_near_dedup_admission(
+            spark.readStream.schema(SCHEMA).parquet(land + "/*"),
+            idx, out, ckpt,
+        )
+        q3.awaitTermination(120)
+        got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert got[20]["kept"] is False and got[20]["dup_of_seen"] == 11
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
