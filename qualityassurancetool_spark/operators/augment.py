@@ -64,15 +64,26 @@ def span_corruption(
     with no tokens (or no selected spans) pass through with empty
     targets.
     """
-    max_len = 2 * mean_span_len - 1
-    staged = df.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
-    ).select(
-        id_col,
-        F.when(
-            F.length("_norm") == 0, F.array().cast("array<string>")
-        ).otherwise(F.split(F.col("_norm"), " ")).alias("_t"),
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
     )
+
+    max_len = 2 * mean_span_len - 1
+    # Generate barriers (see fingerprint.py note): keep _norm/_t as
+    # attributes so CollapseProject cannot inline the regexp/split into
+    # the per-position fold and rebuild lambdas
+    normed = compute_behind_barrier(
+        df.select(F.col(id_col), F.col(text_col)),
+        {"_norm": normalize_text(F.col(text_col))},
+    )
+    staged = compute_behind_barrier(
+        normed.select(id_col, "_norm"),
+        {
+            "_t": F.when(
+                F.length("_norm") == 0, F.array().cast("array<string>")
+            ).otherwise(F.split(F.col("_norm"), " "))
+        },
+    ).select(id_col, "_t")
     toks = F.col("_t")
     n = F.size(toks)
     did = F.col(id_col)
@@ -112,13 +123,14 @@ def span_corruption(
             ),
         ).otherwise(acc)
 
-    folded = staged.select(
-        id_col,
-        "_t",
-        F.aggregate(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))), init, step
-        )["spans"].alias("_spans"),
-    )
+    folded = compute_behind_barrier(
+        staged,
+        {
+            "_spans": F.aggregate(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))), init, step
+            )["spans"]
+        },
+    ).select(id_col, "_t", "_spans")
     spans = F.col("_spans")
     toks = F.col("_t")
     n = F.size(toks)
@@ -184,15 +196,22 @@ def fim_transform(
     (salt, id, 1|2)); lo = min, hi = max.  Degenerate docs (< 2 tokens)
     pass through.  Row-local pure Columns; per-epoch remix via salt.
     """
-    staged = df.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
-    ).select(
-        id_col,
-        "_norm",
-        F.when(
-            F.length("_norm") == 0, F.array().cast("array<string>")
-        ).otherwise(F.split(F.col("_norm"), " ")).alias("_t"),
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
     )
+
+    normed = compute_behind_barrier(
+        df.select(F.col(id_col), F.col(text_col)),
+        {"_norm": normalize_text(F.col(text_col))},
+    )
+    staged = compute_behind_barrier(
+        normed.select(id_col, "_norm"),
+        {
+            "_t": F.when(
+                F.length("_norm") == 0, F.array().cast("array<string>")
+            ).otherwise(F.split(F.col("_norm"), " "))
+        },
+    ).select(id_col, "_norm", "_t")
     did, toks = F.col(id_col), F.col("_t")
     n = F.size(toks)
     pick = _u(salt + "r:", did, F.lit(0)) < F.lit(fim_rate)
