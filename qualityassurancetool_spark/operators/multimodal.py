@@ -248,3 +248,114 @@ def frame_sample_plan(df: DataFrame, every_s: float = 1.0) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_s", F.col("frame_idx") * every_s)
+
+
+# ------------------------------------------------------ perceptual dedup
+
+def perceptual_hash(
+    df: DataFrame, decoder: str | None = None
+) -> DataFrame:
+    """(media_id, phash): 64-bit average-hash over the decoded 64-dim
+    feature vector (aHash: bit i set iff feature_i > mean).  Kernel-
+    injectable like every multimodal op — with the Pillow decoder this
+    is a real image aHash (8x8 grayscale thumbnail); with the fake
+    kernel it is a deterministic byte-profile hash, which is exactly
+    what the hermetic tests and oracle need.
+
+    Pure Columns after decode: the mean and the bit-packing fold are
+    staged behind Generate barriers so neither re-evaluates per bit."""
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+
+    feats = extract_features(df, dim=64, decoder=decoder).select(
+        "media_id", "feature"
+    )
+    v = F.col("feature")
+    staged = compute_behind_barrier(
+        feats,
+        {
+            "_mean": F.aggregate(
+                v, F.lit(0.0), lambda a, x: a + x
+            )
+            / F.size(v)
+        },
+    )
+    m = F.col("_mean")
+    phash = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(
+            F.element_at(F.col("feature"), i.cast("int")) > m, 1
+        ).otherwise(0),
+    )
+    return staged.select("media_id", phash.alias("phash"))
+
+
+def media_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 4,
+    decoder: str | None = None,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: SimHash-style banding on the
+    64-bit aHash (two hashes within ``max_hamming`` bits must agree on
+    at least one of ``bands`` disjoint 16-bit bands whenever
+    max_hamming < bands — the pigeonhole guarantee), then exact Hamming
+    verification with ``bit_count(xor)``.
+
+    Shuffle shape: one explode to (band_idx, band_val) rows, one
+    equi-join on the band key, one verify join on the two hashes —
+    identical to the text SimHash path; 8-byte keys only."""
+    hashes = perceptual_hash(df, decoder=decoder).persist()
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("phash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = hashes.select(
+        "media_id", F.explode(band_vals).alias("bv")
+    ).select("media_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    cand = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            hashes.select(
+                F.col("media_id").alias("id_a"), F.col("phash").alias("_ha")
+            ),
+            "id_a",
+        )
+        .join(
+            hashes.select(
+                F.col("media_id").alias("id_b"), F.col("phash").alias("_hb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -87,3 +87,37 @@ def test_pil_real_roundtrip(spark):  # pragma: no cover - env-dependent
     assert (out["width"], out["height"]) == (32, 24)
     img = Image.open(io.BytesIO(out["content"]))
     assert img.size == (32, 24)
+
+
+def test_perceptual_near_dup(spark):
+    """aHash banding finds a byte-appended clone at Hamming ~0; unrelated
+    payloads stay apart; the pigeonhole guarantee holds (hamming < bands
+    implies a shared band, so verified pairs are complete up to
+    max_hamming < 4)."""
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.operators.multimodal import (
+        media_near_dup_pairs,
+        perceptual_hash,
+    )
+
+    rows = [
+        (1, b"A" * 200 + b"B" * 200),
+        (2, b"A" * 200 + b"B" * 199 + b"C"),   # near-dup of 1
+        (3, bytes(range(256)) * 2),            # different profile
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", "application/octet-stream", c) for i, c in rows],
+        "media_id long, kind string, mime string, content binary",
+    )
+    ph = {r["media_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+    assert len(set(ph.values())) >= 2
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # exhaustive-verify completeness check for hamming < bands
+    for (a, b), d in pairs.items():
+        assert bin((ph[a] ^ ph[b]) & ((1 << 64) - 1)).count("1") == d

@@ -663,6 +663,76 @@ def x_span_corruption(spark, con, sf_dir):
     return s_rows, d_rows
 
 
+PH_MAXH = 6
+
+
+def x_media_phash(spark, con, sf_dir):
+    """perceptual_hash + media_near_dup_pairs (fake decode kernel) vs
+    an exact Python replication: byte-window features with float32
+    truncation, sequential mean fold, aHash packing, 16-bit banding,
+    Hamming verify."""
+    import numpy as np
+
+    from qualityassurancetool_spark.operators.multimodal import (
+        media_near_dup_pairs,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    sdf = media_near_dup_pairs(media, max_hamming=PH_MAXH)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    def feature(content: bytes, dim: int = 64):
+        if not content:
+            return [np.float32(0.0)] * dim
+        step = max(len(content) // dim, 1)
+        out = []
+        for i in range(dim):
+            chunk = content[i * step : (i + 1) * step] or content[-step:]
+            out.append(np.float32(sum(chunk) / (len(chunk) * 255.0)))
+        return out
+
+    hashes = {}
+    for doc_id, text in con.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        f = feature((text or "").encode("utf-8"))
+        acc = 0.0
+        for x in f:
+            acc += float(x)
+        mean = acc / 64
+        h = 0
+        for x in f:
+            h = h * 2 + (1 if float(x) > mean else 0)
+        # Spark's long fold wraps; 64 bits never exceeds signed range
+        # here because bit 63 is the FIRST feature's flag times 2^63 —
+        # replicate two's complement wrap
+        hashes[doc_id] = h - (1 << 64) if h >= (1 << 63) else h
+
+    ids = sorted(hashes)
+    mask = (1 << 16) - 1
+    d_rows = []
+    for i_a in ids:
+        for i_b in ids:
+            if i_a >= i_b:
+                continue
+            ha, hb = hashes[i_a], hashes[i_b]
+            share = any(
+                ((ha >> (16 * b)) & mask) == ((hb >> (16 * b)) & mask)
+                for b in range(4)
+            )
+            if not share:
+                continue
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= PH_MAXH:
+                d_rows.append((i_a, i_b, d))
+    return s_rows, d_rows
+
+
 FIM_RATE, FIM_SALT = 0.5, "fim:"
 
 
@@ -1415,4 +1485,5 @@ EXTRA_CHECKS = {
     "x_script_profile": x_script_profile,
     "x_span_corruption": x_span_corruption,
     "x_fim": x_fim,
+    "x_media_phash": x_media_phash,
 }
