@@ -334,3 +334,57 @@ def dedup_lines(text: Column) -> Column:
     """Line-level variant of :func:`dedup_paragraphs` (drops repeated
     lines, keeps first occurrences and their order)."""
     return F.array_join(F.array_distinct(F.split(text, "\n", -1)), "\n")
+
+
+def corpus_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots, per quality
+    signal: exact interpolated quantiles of every ``quality_signals``
+    column on each side plus the max absolute quantile gap — the
+    monitoring sheet that catches a crawler or filter regression before
+    it ships ('todays symbol_ratio p90 doubled').
+
+    One aggregation per side (k x signals scalars), a tiny join on the
+    signal name — the corpora themselves never join.  Output:
+    (signal, q_a array, q_b array, max_gap)."""
+    probs = list(quantiles)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        sig = quality_signals(df, text_col, id_col)
+        aggs = [
+            F.percentile(F.col(s), F.lit(probs)).alias(s)
+            for s in SIGNAL_NAMES
+        ]
+        wide = sig.agg(*aggs)
+        stacked = wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("signal"),
+                            F.col(s).alias(f"q_{tag}"),
+                        )
+                        for s in SIGNAL_NAMES
+                    ]
+                )
+            ).alias("r")
+        )
+        return stacked.select("r.signal", f"r.q_{tag}")
+
+    joined = side(a, "a").join(side(b, "b"), "signal")
+    gap = F.array_max(
+        F.zip_with(
+            F.col("q_a"), F.col("q_b"), lambda x, y: F.abs(x - y)
+        )
+    )
+    return joined.select(
+        "signal",
+        F.transform(F.col("q_a"), lambda v: F.round(v, 6)).alias("q_a"),
+        F.transform(F.col("q_b"), lambda v: F.round(v, 6)).alias("q_b"),
+        F.round(gap, 6).alias("max_gap"),
+    )

@@ -114,3 +114,30 @@ def test_compression_ratio_signal(spark):
     assert out[2]["compression_ratio"] > 0.5       # high-entropy stays big
     assert out[3]["compression_ratio"] == 1.0
     assert out[3]["n_bytes"] == 0
+
+
+def test_corpus_drift_detects_planted_shift(spark):
+    from qualityassurancetool_spark.operators.quality_filters import (
+        corpus_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(i, "plain clean words here repeated differently") for i in range(40)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, "plain clean words here $$$ ### !!! ???") for i in range(40)],
+        "doc_id long, text string",
+    )
+    drift = {r["signal"]: r for r in corpus_drift(a, b).collect()}
+    assert set(drift) == {
+        "dup_line_fraction", "word_rep_ratio", "top_bigram_fraction",
+        "symbol_ratio", "pii_emails", "pii_phones", "pii_ipv4",
+    }
+    assert drift["symbol_ratio"]["max_gap"] > 0.1
+    assert drift["pii_emails"]["max_gap"] == 0.0
+    # identical snapshots: zero drift everywhere
+    zero = corpus_drift(a, a).agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).max("max_gap")
+    ).collect()[0][0]
+    assert zero == 0.0

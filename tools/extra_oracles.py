@@ -663,6 +663,109 @@ def x_span_corruption(spark, con, sf_dir):
     return s_rows, d_rows
 
 
+DRIFT_QS = "[0.1, 0.25, 0.5, 0.75, 0.9]"
+
+
+def _signal_exprs() -> dict[str, str]:
+    """DuckDB renderings of the quality signals (same formulas the
+    declared text_quality_filters oracle uses), over a CTE exposing
+    (text, lt, tok)."""
+    from qualityassurancetool_spark.operators.quality_filters import (
+        EMAIL_PAT,
+        IPV4_PAT,
+        PHONE_PAT,
+        SYMBOL_PAT,
+    )
+
+    bg = (
+        "list_transform(range(1, greatest(len(tok) - 1, 1) + 1), "
+        "i -> concat_ws(' ', tok[i], tok[i+1]))"
+    )
+    return {
+        "dup_line_fraction": (
+            "CASE WHEN len(string_split(text, chr(10))) > 0 THEN "
+            "1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) "
+            "AS DOUBLE) / len(string_split(text, chr(10))) ELSE 0.0 END"
+        ),
+        "word_rep_ratio": (
+            "CASE WHEN len(tok) > 0 THEN "
+            "1.0 - CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) "
+            "ELSE 0.0 END"
+        ),
+        "top_bigram_fraction": (
+            f"CASE WHEN len(tok) >= 2 THEN "
+            f"CAST(list_max(list_transform(list_distinct({bg}), "
+            f"x -> len(list_filter({bg}, y -> y = x)))) AS DOUBLE) "
+            f"/ len({bg}) ELSE 0.0 END"
+        ),
+        "symbol_ratio": (
+            f"CASE WHEN length(lt) > 0 THEN "
+            f"CAST(len(regexp_extract_all(lt, '{SYMBOL_PAT}')) AS DOUBLE)"
+            f" / length(lt) ELSE 0.0 END"
+        ),
+        "pii_emails": (
+            f"CAST(len(regexp_extract_all(lt, '{EMAIL_PAT}')) AS DOUBLE)"
+        ),
+        "pii_phones": (
+            f"CAST(len(regexp_extract_all(lt, '{PHONE_PAT}')) AS DOUBLE)"
+        ),
+        "pii_ipv4": (
+            f"CAST(len(regexp_extract_all(lt, '{IPV4_PAT}')) AS DOUBLE)"
+        ),
+    }
+
+
+def x_corpus_drift(spark, con, sf_dir):
+    """corpus_drift vs DuckDB quantile_cont, snapshots = id-halves with
+    a planted symbol-heavy suffix on side b."""
+    from qualityassurancetool_spark.operators.quality_filters import (
+        corpus_drift,
+    )
+
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("doc_id") < 250)
+    b = docs.filter(F.col("doc_id") >= 250).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" $$$ ###"))
+    )
+    sdf = corpus_drift(a, b)
+
+    def base(name: str, where: str, suffix: str) -> str:
+        txt = "text" + (f" || '{suffix}'" if suffix else "")
+        return f"""{name} AS (
+    SELECT {txt} AS text, lower({txt}) AS lt,
+           string_split(trim(regexp_replace(lower({txt}), '\\s+', ' ',
+               'g')), ' ') AS tok
+    FROM documents WHERE {where}
+)"""
+
+    exprs = _signal_exprs()
+    sides = []
+    for tag, src in (("a", "base_a"), ("b", "base_b")):
+        branches = "\nUNION ALL\n".join(
+            f"SELECT '{name}' AS signal, "
+            f"quantile_cont({expr}, {DRIFT_QS}) AS q_{tag} FROM {src}"
+            for name, expr in exprs.items()
+        )
+        sides.append(f"q{tag} AS (\n{branches}\n)")
+    sql = (
+        "WITH "
+        + base("base_a", "doc_id < 250", "")
+        + ",\n"
+        + base("base_b", "doc_id >= 250", " $$$ ###")
+        + ",\n"
+        + ",\n".join(sides)
+        + """
+SELECT qa.signal,
+       list_transform(qa.q_a, x -> round(x, 6)) AS q_a,
+       list_transform(qb.q_b, x -> round(x, 6)) AS q_b,
+       round(list_max(list_transform(range(1, 6),
+           i -> abs(qa.q_a[i] - qb.q_b[i]))), 6) AS max_gap
+FROM qa JOIN qb ON qa.signal = qb.signal
+"""
+    )
+    return sdf, sql
+
+
 PH_MAXH = 6
 
 
@@ -1486,4 +1589,5 @@ EXTRA_CHECKS = {
     "x_span_corruption": x_span_corruption,
     "x_fim": x_fim,
     "x_media_phash": x_media_phash,
+    "x_corpus_drift": x_corpus_drift,
 }
