@@ -663,6 +663,60 @@ def x_span_corruption(spark, con, sf_dir):
     return s_rows, d_rows
 
 
+BPE_MERGES = 150
+
+
+def x_bpe(spark, con, sf_dir):
+    """bpe_train + bpe_encode vs a Python replication from DuckDB word
+    counts (identical tie-breaks; integer-exact throughout)."""
+    import re
+
+    from qualityassurancetool_spark.operators.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_train,
+        bpe_train_from_counts,
+        encode_word,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=BPE_MERGES)
+    sdf = bpe_encode(docs, merges)
+    s_rows = [
+        (r["doc_id"], r["n_words"], r["n_bpe_tokens"],
+         " ".join(r["tokens"]))
+        for r in sdf.collect()
+    ]
+
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    wc: dict[str, int] = {}
+    norms = {}
+    for doc_id, text in rows:
+        norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip()
+        norms[doc_id] = norm
+        for w in (norm.split(" ") if norm else []):
+            wc[w] = wc.get(w, 0) + 1
+    counts = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:100_000]
+    ref_merges = bpe_train_from_counts(counts, n_merges=BPE_MERGES)
+    assert ref_merges == merges, "merge lists must match exactly"
+    ranks = {tuple(p): i for i, p in enumerate(ref_merges)}
+    cache: dict[str, list[str]] = {}
+    d_rows = []
+    for doc_id, _ in rows:
+        words = norms[doc_id].split(" ") if norms[doc_id] else []
+        enc: list[str] = []
+        for w in words:
+            got = cache.get(w)
+            if got is None:
+                got = encode_word(w, ranks)
+                cache[w] = got
+            enc.extend(got)
+        d_rows.append((doc_id, len(words), len(enc), " ".join(enc)))
+    return s_rows, d_rows
+
+
 DRIFT_QS = "[0.1, 0.25, 0.5, 0.75, 0.9]"
 
 
@@ -1590,4 +1644,5 @@ EXTRA_CHECKS = {
     "x_fim": x_fim,
     "x_media_phash": x_media_phash,
     "x_corpus_drift": x_corpus_drift,
+    "x_bpe": x_bpe,
 }
