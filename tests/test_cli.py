@@ -249,3 +249,38 @@ def test_pretrain_command(spark, tmp_path, capsys):
     import glob
     import os
     assert glob.glob(os.path.join(out, "shards", "*.tar"))
+
+
+def test_pretrain_command_jsonl_input(spark, tmp_path, capsys):
+    """JSONL ingest path: quarantine count printed, corpus built from
+    the clean rows."""
+    import json
+
+    land = tmp_path / "docs.jsonl"
+    with open(land, "w") as f:
+        for i in range(30):
+            f.write(json.dumps({
+                "doc_id": i,
+                "text": f"document number {i} with several plain words "
+                        f"and unique token tk{i}",
+                "lang": "en", "source": "t", "n_chars": 40,
+            }) + "\n")
+        f.write("{ broken json line\n")
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "pretrain", "--keep-session",
+        f"data.input={land}", "data.table=jsonl", f"data.out={out}",
+        "chunk_tokens=8", "overlap_tokens=2", "pack_budget=32",
+        "n_shards=2", "near_dedup=false",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert report["quarantined"] == "1"
+    assert sum(
+        int(v) for k, v in report.items()
+        if k not in ("quarantined", "chunks", "shards", "shard_bytes")
+    ) == 30
+    assert int(report["chunks"]) > 30  # several chunks per doc at 8 tokens
