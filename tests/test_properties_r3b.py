@@ -130,3 +130,36 @@ def test_weighted_sample_nesting(spark, n, k1, extra):
     }
     for i, rk in small.items():
         assert big[i] == rk
+
+
+@SLOW
+@given(
+    words=st.lists(WORD, min_size=3, max_size=12, unique=True),
+    reps=st.lists(st.integers(1, 6), min_size=3, max_size=12),
+    seed=st.integers(0, 99),
+)
+def test_bpe_order_invariance_and_reconstruction(spark, words, reps, seed):
+    """Merges depend only on the word MULTISET (the count agg is
+    order-free), and encoding always reconstructs the characters."""
+    import random
+
+    from qualityassurancetool_spark.operators.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_train,
+    )
+
+    bag = [w for w, r in zip(words, reps) for _ in range(r)]
+    rng = random.Random(seed)
+    docs1 = [(i, " ".join(bag[i::3])) for i in range(3)]
+    shuffled = bag[:]
+    rng.shuffle(shuffled)
+    docs2 = [(i, " ".join(shuffled[i::3])) for i in range(3)]
+    df1 = spark.createDataFrame(docs1, "doc_id long, text string")
+    df2 = spark.createDataFrame(docs2, "doc_id long, text string")
+    m1, m2 = bpe_train(df1, n_merges=20), bpe_train(df2, n_merges=20)
+    assert m1 == m2
+    for r in bpe_encode(df1, m1).collect():
+        rebuilt = "".join(r["tokens"]).replace(EOW, " ").strip()
+        orig = dict(docs1)[r["doc_id"]]
+        assert rebuilt == " ".join(orig.split())
