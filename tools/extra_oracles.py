@@ -676,7 +676,6 @@ def x_bpe(spark, con, sf_dir):
         bpe_encode,
         bpe_train,
         bpe_train_from_counts,
-        encode_word,
     )
 
     docs = _docs(spark, sf_dir)
@@ -701,7 +700,24 @@ def x_bpe(spark, con, sf_dir):
     counts = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:100_000]
     ref_merges = bpe_train_from_counts(counts, n_merges=BPE_MERGES)
     assert ref_merges == merges, "merge lists must match exactly"
-    ranks = {tuple(p): i for i, p in enumerate(ref_merges)}
+    # independent encode: apply merges in LEARNED ORDER (subword-nmt's
+    # formulation) rather than the operator's rank-greedy loop — the
+    # two are equivalent for BPE, so any divergence is a real bug in
+    # one of them
+    def encode_in_order(word: str) -> list[str]:
+        syms = list(word) + [EOW]
+        for a, b in ref_merges:
+            i, out = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
     cache: dict[str, list[str]] = {}
     d_rows = []
     for doc_id, _ in rows:
@@ -710,7 +726,7 @@ def x_bpe(spark, con, sf_dir):
         for w in words:
             got = cache.get(w)
             if got is None:
-                got = encode_word(w, ranks)
+                got = encode_in_order(w)
                 cache[w] = got
             enc.extend(got)
         d_rows.append((doc_id, len(words), len(enc), " ".join(enc)))
