@@ -663,6 +663,93 @@ def x_span_corruption(spark, con, sf_dir):
     return s_rows, d_rows
 
 
+KN_D, KN_K = 0.75, 0.5
+
+
+def x_kn_lm(spark, con, sf_dir):
+    """Kneser-Ney bigram LM (train on en, score all) vs a full DuckDB
+    re-implementation of the discount/backoff/floor arithmetic."""
+    from qualityassurancetool_spark.operators.kn_lm import (
+        score_kn,
+        train_kn_bigram,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = train_kn_bigram(
+        docs.where(F.col("lang") == "en"), discount=KN_D, k=KN_K
+    )
+    sdf = score_kn(model, docs).select(
+        "doc_id",
+        "n_bigrams",
+        (F.round("kn_logp", 6) + F.lit(0.0)).alias("kn_logp_r"),
+    )
+    sql = f"""
+WITH ref AS (
+    SELECT {_NORM} AS norm FROM documents WHERE lang = 'en'
+), rtok AS (
+    SELECT string_split(norm, ' ') AS t FROM ref WHERE length(norm) > 0
+), rpos AS (
+    SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM rtok WHERE len(t) >= 2
+), rbg AS (
+    SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2 FROM rpos
+), big AS (
+    SELECT w1, w2, COUNT(*) AS c FROM rbg GROUP BY 1, 2
+), ctx AS (
+    SELECT w1, SUM(c) AS c1, COUNT(*) AS n_follow FROM big GROUP BY w1
+), cont AS (
+    SELECT w2, COUNT(*) AS n_prec FROM big GROUP BY w2
+), tot AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS t_types FROM big
+), voc AS (
+    SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v_sz FROM (
+        SELECT w1 AS w FROM rbg UNION SELECT w2 FROM rbg
+    )
+), d AS (
+    SELECT doc_id, {_NORM} AS norm FROM documents
+), dtok AS (
+    SELECT doc_id,
+           CASE WHEN length(norm) = 0 THEN []::VARCHAR[]
+                ELSE string_split(norm, ' ') END AS t
+    FROM d
+), dpos AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM dtok WHERE len(t) >= 2
+), dbg AS (
+    SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+    FROM dpos
+), j AS (
+    SELECT dbg.doc_id,
+           CASE WHEN ctx.c1 IS NOT NULL THEN
+               greatest(COALESCE(big.c, 0) - {KN_D}, 0.0) / ctx.c1
+               + {KN_D} * ctx.n_follow / ctx.c1
+                 * ((COALESCE(cont.n_prec, 0) + {KN_K})
+                    / ((SELECT t_types FROM tot)
+                       + {KN_K} * (SELECT v_sz FROM voc)))
+           ELSE
+               (COALESCE(cont.n_prec, 0) + {KN_K})
+               / ((SELECT t_types FROM tot)
+                  + {KN_K} * (SELECT v_sz FROM voc))
+           END AS p
+    FROM dbg
+    LEFT JOIN big ON big.w1 = dbg.w1 AND big.w2 = dbg.w2
+    LEFT JOIN ctx ON ctx.w1 = dbg.w1
+    LEFT JOIN cont ON cont.w2 = dbg.w2
+), sc AS (
+    SELECT doc_id, COUNT(*) AS n_bigrams, AVG(ln(p)) AS kn_logp
+    FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       round(COALESCE(sc.kn_logp,
+           ln({KN_K} / ((SELECT t_types FROM tot)
+                        + {KN_K} * (SELECT v_sz FROM voc)))), 6) + 0.0
+           AS kn_logp_r
+FROM d LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+    return sdf, sql
+
+
 BPE_MERGES = 150
 
 
@@ -1661,4 +1748,5 @@ EXTRA_CHECKS = {
     "x_media_phash": x_media_phash,
     "x_corpus_drift": x_corpus_drift,
     "x_bpe": x_bpe,
+    "x_kn_lm": x_kn_lm,
 }
