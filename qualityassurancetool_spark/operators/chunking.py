@@ -123,3 +123,29 @@ def pack_documents(
         out.withColumn("pack_id", F.dense_rank().over(wb) - 1)
         .drop("_bucket")
     )
+
+
+def pack_offsets(
+    packed: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Loader metadata for a :func:`pack_documents` output: within-pack
+    ``seq_idx`` (0-based position of the document inside its pack) and
+    ``pack_offset`` (token start — the attention-mask / position-id
+    boundary a sequence-packed trainer needs to reset at document
+    edges).  One window over (partition, pack_id, id); adds no shuffle
+    beyond the packing's own key."""
+    parts = list(partition_cols or [])
+    w = Window.partitionBy(*parts, "pack_id").orderBy(id_col)
+    tok = F.col(token_col).cast("long")
+    return packed.withColumn(
+        "seq_idx", F.row_number().over(w) - 1
+    ).withColumn(
+        "pack_offset",
+        F.coalesce(
+            F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    )

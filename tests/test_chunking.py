@@ -116,3 +116,33 @@ def test_pack_partitioned(spark):
     for lang in ("en", "de"):
         ids = sorted(r["pack_id"] for r in per if r["lang"] == lang)
         assert ids == list(range(len(ids)))
+
+
+def test_pack_offsets(spark):
+    """Offsets partition each pack: contiguous, starting at 0, and
+    offset + n_tokens of the last row stays within budget."""
+    from qualityassurancetool_spark.operators.chunking import (
+        pack_documents,
+        pack_offsets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 30 + (i % 3) * 10) for i in range(40)],
+        "doc_id long, n_tokens long",
+    )
+    packed = pack_documents(df, budget_tokens=128, max_doc_tokens=64)
+    out = pack_offsets(packed)
+    rows = sorted(
+        (r["pack_id"], r["seq_idx"], r["pack_offset"], r["n_tokens"])
+        for r in out.collect()
+    )
+    by_pack: dict[int, list] = {}
+    for pid, sidx, off, n in rows:
+        by_pack.setdefault(pid, []).append((sidx, off, n))
+    for pid, seq in by_pack.items():
+        assert [s for s, _, _ in seq] == list(range(len(seq)))
+        run = 0
+        for _, off, n in seq:
+            assert off == run
+            run += n
+        assert run < 128  # hard budget with max_doc_tokens headroom
