@@ -106,6 +106,16 @@ def canon_duck_type(dt: str) -> str:
 
 
 def main() -> int:
+    if "--list" in sys.argv:
+        # print every check name (declared then extras), one per line —
+        # for building chunked runs that stay under an outer timeout
+        m = load_entry()
+        sys.path.insert(0, "/root/repo/tools")
+        from extra_oracles import EXTRA_CHECKS
+
+        for name in list(m.queries()) + list(EXTRA_CHECKS):
+            print(name)
+        return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
