@@ -332,3 +332,26 @@ def drop_report(decisions: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("rule")
     )
+
+
+def drop_examples(
+    decisions: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic audit samples: ``k`` example documents per
+    drop_reason (plus 'kept') from a ``curate`` output — the thing a
+    human reviews to sanity-check each rule before a 100 TB run.
+    Reuses the md5-rank reservoir (operators/sampling), so re-runs
+    show the same examples."""
+    from qualityassurancetool_spark.operators.sampling import (
+        deterministic_topk_per_stratum,
+    )
+
+    tagged = decisions.withColumn(
+        "rule", F.coalesce(F.col("drop_reason"), F.lit("kept"))
+    )
+    return deterministic_topk_per_stratum(
+        tagged.select("rule", id_col, text_col), k, "rule", id_col
+    ).orderBy("rule", id_col)

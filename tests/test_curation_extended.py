@@ -89,3 +89,28 @@ def test_config_validation(spark):
         CurationConfig.from_dict({"min_classifier_prob": 1.5})
     with pytest.raises(ConfigError):
         CurationConfig.from_dict({"min_classifier_probX": 0.5})
+
+
+def test_drop_examples(spark):
+    docs = spark.createDataFrame(
+        [(i, CLEAN if i % 2 else SPAMMY) for i in range(40)],
+        "doc_id long, text string",
+    )
+    from qualityassurancetool_spark.plans.curation import drop_examples
+
+    cfg = CurationConfig.from_dict(
+        {"max_word_rep_ratio": 0.5, "dedup": "none"}
+    )
+    decisions = curate(docs, cfg)
+    ex = drop_examples(decisions, k=3)
+    rows = [(r["rule"], r["doc_id"]) for r in ex.collect()]
+    by_rule: dict[str, list[int]] = {}
+    for rule, did in rows:
+        by_rule.setdefault(rule, []).append(did)
+    assert set(by_rule) == {"kept", "word_rep"}
+    assert all(len(v) == 3 for v in by_rule.values())
+    # deterministic across calls
+    ex2 = [(r["rule"], r["doc_id"]) for r in drop_examples(
+        curate(docs, cfg), k=3
+    ).collect()]
+    assert rows == ex2
