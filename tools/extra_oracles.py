@@ -1716,6 +1716,89 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
     return sdf, sql
 
 
+def x_dsir(spark, con, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): fit hashed uni+bigram
+    bucket models for target (lang='en') vs raw (all docs), score every
+    doc with the log-ratio sum, Gumbel-top-k select — the FULL
+    fit→score→select chain re-implemented in DuckDB (same md5 buckets,
+    same Laplace smoothing, same md5-uniform Gumbel noise)."""
+    from qualityassurancetool_spark.functions.hashing import md5_long_sql
+    from qualityassurancetool_spark.operators.dsir import (
+        dsir_resample,
+        fit_log_ratio,
+    )
+
+    B, K = 2048, 200
+    docs = _docs(spark, sf_dir)
+    lr = fit_log_ratio(
+        raw=docs,
+        target=docs.where(F.col("lang") == "en"),
+        n_buckets=B,
+        smoothing=1.0,
+    )
+    sel = dsir_resample(docs, lr, k=K)
+    sdf = sel.select(
+        "doc_id",
+        "n_features",
+        (F.round("dsir_score", 6) + F.lit(0.0)).alias("score_r"),
+        (F.round("dsir_key", 6) + F.lit(0.0)).alias("key_r"),
+    )
+    mb = md5_long_sql("g", salt="dsir:")
+    mg = md5_long_sql("CAST(doc_id AS VARCHAR)", salt="dsir-g:")
+    sql = f"""
+WITH docs AS (SELECT doc_id, lang, {_NORM} AS norm FROM documents),
+tok AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(norm, ' '), t -> length(t) > 0) AS t
+    FROM docs
+),
+grams AS (
+    SELECT doc_id, lang,
+           list_concat(t,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i + 1])
+                    ELSE [] END) AS g
+    FROM tok
+),
+fb AS (SELECT doc_id, lang, list_transform(g, g -> {mb} % {B}) AS b
+       FROM grams),
+fx AS (SELECT doc_id, lang, unnest(b) AS b FROM fb),
+cp AS (SELECT b, COUNT(*) AS n FROM fx WHERE lang = 'en' GROUP BY b),
+cq AS (SELECT b, COUNT(*) AS n FROM fx GROUP BY b),
+tot AS (SELECT
+    CAST((SELECT COALESCE(SUM(n), 0) FROM cp) AS DOUBLE) + 1.0 * {B} AS np,
+    CAST((SELECT COALESCE(SUM(n), 0) FROM cq) AS DOUBLE) + 1.0 * {B} AS nq),
+lam AS (
+    SELECT r.range AS b,
+           ln((COALESCE(cp.n, 0) + 1.0) / (SELECT np FROM tot))
+         - ln((COALESCE(cq.n, 0) + 1.0) / (SELECT nq FROM tot)) AS lr
+    FROM range(0, {B}) r
+    LEFT JOIN cp ON cp.b = r.range
+    LEFT JOIN cq ON cq.b = r.range
+),
+sc AS (
+    SELECT fx.doc_id, COUNT(*) AS nf, SUM(l.lr) AS s
+    FROM fx JOIN lam l USING (b) GROUP BY fx.doc_id
+),
+scored AS (
+    SELECT d.doc_id,
+           COALESCE(sc.nf, 0) AS n_features,
+           COALESCE(sc.s, 0.0) AS score
+    FROM docs d LEFT JOIN sc USING (doc_id)
+),
+keyed AS (
+    SELECT doc_id, n_features, score,
+           score - ln(-ln((({mg}) + 1) / 1152921504606846978.0)) AS key
+    FROM scored
+)
+SELECT doc_id, n_features, round(score, 6) + 0.0 AS score_r,
+       round(key, 6) + 0.0 AS key_r
+FROM keyed ORDER BY key DESC, doc_id LIMIT {K}
+"""
+    return sdf, sql
+
+
 # name → check.  Two shapes: (spark_df, duck_sql) for plan-vs-SQL checks,
 # (rows, rows) for round-trip checks that already materialized both sides.
 EXTRA_CHECKS = {
@@ -1749,4 +1832,5 @@ EXTRA_CHECKS = {
     "x_corpus_drift": x_corpus_drift,
     "x_bpe": x_bpe,
     "x_kn_lm": x_kn_lm,
+    "x_dsir": x_dsir,
 }
