@@ -1716,6 +1716,114 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
     return sdf, sql
 
 
+def _line_aug(spark, sf_dir):
+    """Deterministic multi-line augmentation for the line-level checks
+    (raw testdata docs are single-line): break at ' the ', then append
+    a javascript boilerplate line (identical corpus-wide), a shared
+    footer (7 variants → ~71 docs each), and a short 'ok' line."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(" the "), F.lit(".\n")),
+            F.lit("\nPlease enable javascript to view this page."),
+            F.lit("\nShared boilerplate footer variant "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" all rights reserved.\nok"),
+        ).alias("text"),
+    )
+
+
+_LINE_AUG_SQL = """
+SELECT doc_id,
+       replace(text, ' the ', '.' || chr(10))
+       || chr(10) || 'Please enable javascript to view this page.'
+       || chr(10) || 'Shared boilerplate footer variant '
+       || CAST(doc_id % 7 AS VARCHAR)
+       || ' all rights reserved.' || chr(10) || 'ok' AS txt
+FROM documents
+"""
+
+# DuckDB spelling of line_dedup.TERMINAL_PUNCT_RE / C4 word count
+_TERM_RE_SQL = "[.!?][\"’'']?$"
+_KEEP_SQL = (
+    "regexp_matches(trim(x), '" + _TERM_RE_SQL + "') AND "
+    "len(list_filter(string_split_regex(trim(x), '\\s+'), "
+    "w -> length(w) > 0)) >= 3 AND "
+    "NOT contains(lower(trim(x)), 'javascript')"
+)
+
+
+def x_c4_lines(spark, con, sf_dir):
+    """c4_clean (C4 §2.2 line+page rules) vs a DuckDB list_filter
+    re-implementation on identically augmented multi-line docs."""
+    from qualityassurancetool_spark.operators.line_dedup import c4_clean
+
+    sdf = c4_clean(_line_aug(spark, sf_dir))
+    sql = f"""
+WITH t AS ({_LINE_AUG_SQL}),
+l AS (
+    SELECT doc_id, txt, string_split(txt, chr(10)) AS lines FROM t
+),
+k AS (
+    SELECT doc_id, txt, lines,
+           list_filter(lines, x -> {_KEEP_SQL}) AS kept
+    FROM l
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       len(lines) AS n_lines,
+       len(kept) AS n_kept,
+       (contains(lower(txt), 'lorem ipsum') OR contains(lower(txt), '{{')
+        OR len(kept) < 1) AS page_drop
+FROM k
+"""
+    return sdf, sql
+
+
+def x_corpus_line_dedup(spark, con, sf_dir):
+    """corpus_line_dedup (cross-doc keep-first line dedup) vs a DuckDB
+    window re-implementation: same md5 line hashes, same (doc_id, idx)
+    keep-first order, same index-based rebuild."""
+    from qualityassurancetool_spark.functions.hashing import md5_long_sql
+    from qualityassurancetool_spark.operators.line_dedup import (
+        corpus_line_dedup,
+    )
+
+    sdf = corpus_line_dedup(_line_aug(spark, sf_dir))
+    h = md5_long_sql("trim(ln)", salt="cl:")
+    sql = f"""
+WITH t AS ({_LINE_AUG_SQL}),
+lines AS (
+    SELECT doc_id,
+           unnest(string_split(txt, chr(10))) AS ln,
+           generate_subscripts(string_split(txt, chr(10)), 1) - 1 AS idx
+    FROM t
+),
+elig AS (
+    SELECT doc_id, idx, {h} AS hsh
+    FROM lines WHERE length(trim(ln)) >= 10
+),
+marked AS (
+    SELECT doc_id, idx,
+           ROW_NUMBER() OVER (PARTITION BY hsh ORDER BY doc_id, idx) AS rn
+    FROM elig
+),
+drops AS (
+    SELECT doc_id, list(idx ORDER BY idx) AS di, COUNT(*) AS nd
+    FROM marked WHERE rn > 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN d.di IS NULL THEN t.txt
+            ELSE array_to_string(
+                list_filter(string_split(t.txt, chr(10)),
+                            (x, i) -> NOT list_contains(d.di, i - 1)),
+                chr(10)) END AS text,
+       COALESCE(d.nd, 0) AS n_dup_lines_removed
+FROM t LEFT JOIN drops d USING (doc_id)
+"""
+    return sdf, sql
+
+
 def x_dsir(spark, con, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): fit hashed uni+bigram
     bucket models for target (lang='en') vs raw (all docs), score every
@@ -1833,4 +1941,6 @@ EXTRA_CHECKS = {
     "x_bpe": x_bpe,
     "x_kn_lm": x_kn_lm,
     "x_dsir": x_dsir,
+    "x_c4_lines": x_c4_lines,
+    "x_corpus_line_dedup": x_corpus_line_dedup,
 }
