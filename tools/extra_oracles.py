@@ -1824,6 +1824,63 @@ FROM t LEFT JOIN drops d USING (doc_id)
     return sdf, sql
 
 
+def x_bloom(spark, con, sf_dir):
+    """Bloom build+probe vs a DuckDB bit-SET re-implementation (same
+    md5 double-hash positions; packing-independent semantics): every
+    probe's might_contain must match, INCLUDING the false positives —
+    same hash math ⇒ same collisions in both engines."""
+    from qualityassurancetool_spark.functions.hashing import md5_long_sql
+    from qualityassurancetool_spark.operators.bloom import (
+        bloom_parameters,
+        build_bloom,
+        might_contain,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keys = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("v")
+    )
+    m_bits, k = bloom_parameters(keys.count(), fpp=0.05)
+    words = build_bloom(keys, "v", m_bits, k)
+    probe = docs.select(
+        "doc_id",
+        F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("v"),
+    )
+    sdf = probe.select(
+        "doc_id", might_contain(F.col("v"), words, k).alias("might")
+    )
+    h1 = md5_long_sql("v", salt="bf1:")
+    h2 = md5_long_sql("v", salt="bf2:")
+    sql = f"""
+WITH keys AS (
+    SELECT 'k' || CAST(doc_id AS VARCHAR) AS v
+    FROM documents WHERE doc_id % 3 = 0
+),
+probe AS (
+    SELECT doc_id, 'k' || CAST(doc_id AS VARCHAR) AS v FROM documents
+),
+kh AS (SELECT {h1} % {m_bits} AS h1,
+              {h2} % {m_bits - 1} + 1 AS h2 FROM keys),
+bits AS (
+    SELECT DISTINCT (h1 + r.range * h2) % {m_bits} AS pos
+    FROM kh, range(0, {k}) r
+),
+ph AS (SELECT doc_id, {h1} % {m_bits} AS h1,
+              {h2} % {m_bits - 1} + 1 AS h2 FROM probe),
+pp AS (
+    SELECT doc_id, (h1 + r.range * h2) % {m_bits} AS pos
+    FROM ph, range(0, {k}) r
+),
+miss AS (
+    SELECT DISTINCT doc_id
+    FROM pp LEFT JOIN bits USING (pos) WHERE bits.pos IS NULL
+)
+SELECT p.doc_id, (m.doc_id IS NULL) AS might
+FROM probe p LEFT JOIN miss m USING (doc_id)
+"""
+    return sdf, sql
+
+
 def x_dsir(spark, con, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): fit hashed uni+bigram
     bucket models for target (lang='en') vs raw (all docs), score every
@@ -1943,4 +2000,5 @@ EXTRA_CHECKS = {
     "x_dsir": x_dsir,
     "x_c4_lines": x_c4_lines,
     "x_corpus_line_dedup": x_corpus_line_dedup,
+    "x_bloom": x_bloom,
 }
