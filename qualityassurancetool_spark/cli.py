@@ -213,6 +213,41 @@ def cmd_curate(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_report(args, overrides: list[str]) -> int:
+    """Dataset-card numbers over a documents parquet: volume, language
+    mix, exact-dup rate, PII exposure, signal quantiles — printed as a
+    markdown card and optionally written as parquet
+    (``data.out=...``)."""
+    run, _ = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if not isinstance(data_c, dict) or not data_c.get("input"):
+        raise ConfigError("missing required setting: data.input")
+
+    from qualityassurancetool_spark.plans.corpus_report import (
+        corpus_report,
+        report_markdown,
+    )
+    from qualityassurancetool_spark.session import get_spark
+
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-report"))
+    try:
+        if data_c.get("table", "parquet") == "documents":
+            from qualityassurancetool_spark.schema import load_table
+
+            docs = load_table(spark, data_c["input"], "documents")
+        else:
+            docs = spark.read.parquet(data_c["input"])
+        rep = corpus_report(docs)
+        if data_c.get("out"):
+            rep.write.mode("overwrite").parquet(data_c["out"])
+            rep = spark.read.parquet(data_c["out"])
+        print(report_markdown(rep.orderBy("metric")))
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def cmd_dedup(args, overrides: list[str]) -> int:
     """Deduplication report over a documents parquet.  ``method``
     selects the family (all fast-hash production modes):
@@ -494,6 +529,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_pre.add_argument("override", nargs="*", help="key.path=value")
 
+    p_rep = sub.add_parser(
+        "report", help="corpus report (dataset-card numbers)"
+    )
+    p_rep.add_argument("-c", "--config", default=None)
+    p_rep.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_rep.add_argument("override", nargs="*", help="key.path=value")
+
     p_val = sub.add_parser("validate", help="schema-check a config")
     p_val.add_argument("-c", "--config", default=None)
     p_val.add_argument("override", nargs="*")
@@ -510,6 +554,7 @@ def main(argv: list[str] | None = None) -> int:
         "run": cmd_run,
         "curate": cmd_curate,
         "dedup": cmd_dedup,
+        "report": cmd_report,
         "pretrain": cmd_pretrain,
         "export": cmd_export,
         "validate": cmd_validate,

@@ -1824,6 +1824,85 @@ FROM t LEFT JOIN drops d USING (doc_id)
     return sdf, sql
 
 
+def x_corpus_report(spark, con, sf_dir):
+    """corpus_report (dataset-card long frame) vs a DuckDB UNION-ALL
+    re-implementation: same normalization/tokens/digests, same
+    percentile interpolation, same lang-share math."""
+    from qualityassurancetool_spark.operators.quality_filters import (
+        EMAIL_PAT,
+        IPV4_PAT,
+        PHONE_PAT,
+        SYMBOL_PAT,
+    )
+    from qualityassurancetool_spark.plans.corpus_report import corpus_report
+
+    sdf = corpus_report(_docs(spark, sf_dir)).select(
+        "metric", (F.round("value", 6) + F.lit(0.0)).alias("value_r")
+    )
+    cnt = "len(regexp_extract_all(lt, '{p}'))"
+    pii_any = " + ".join(
+        cnt.format(p=p) for p in (EMAIL_PAT, PHONE_PAT, IPV4_PAT)
+    )
+    sql = f"""
+WITH base AS (
+    SELECT doc_id, lang, text, lower(text) AS lt, {_NORM} AS norm
+    FROM documents
+),
+per AS (
+    SELECT doc_id, lang,
+           {_NTOK} AS n_tokens,
+           length(text) AS n_chars,
+           CASE WHEN length(lt) > 0
+                THEN CAST(len(regexp_extract_all(lt, '{SYMBOL_PAT}'))
+                     AS DOUBLE) / length(lt)
+                ELSE 0.0 END AS sym,
+           CASE WHEN len(string_split(text, chr(10))) > 0
+                THEN 1.0 - CAST(len(list_distinct(string_split(text,
+                     chr(10)))) AS DOUBLE)
+                     / len(string_split(text, chr(10)))
+                ELSE 0.0 END AS dupl,
+           CASE WHEN ({pii_any}) > 0 THEN 1.0 ELSE 0.0 END AS has_pii,
+           md5(norm) AS digest
+    FROM base
+),
+g AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS docs,
+           CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) AS total_chars,
+           AVG(CAST(n_tokens AS DOUBLE)) AS avg_tokens_per_doc,
+           CAST(COUNT(DISTINCT digest) AS DOUBLE) AS n_distinct,
+           AVG(has_pii) AS pii_doc_rate,
+           quantile_cont(sym, [0.1, 0.5, 0.9]) AS q_sym,
+           quantile_cont(dupl, [0.1, 0.5, 0.9]) AS q_dup,
+           quantile_cont(CAST(n_tokens AS DOUBLE), [0.1, 0.5, 0.9]) AS q_tok
+    FROM per
+),
+u AS (
+    SELECT 'docs' AS metric, docs AS value FROM g
+    UNION ALL SELECT 'total_tokens', total_tokens FROM g
+    UNION ALL SELECT 'total_chars', total_chars FROM g
+    UNION ALL SELECT 'avg_tokens_per_doc', avg_tokens_per_doc FROM g
+    UNION ALL SELECT 'pii_doc_rate', pii_doc_rate FROM g
+    UNION ALL SELECT 'exact_dup_rate', 1.0 - n_distinct / docs FROM g
+    UNION ALL SELECT 'symbol_ratio_p10', q_sym[1] FROM g
+    UNION ALL SELECT 'symbol_ratio_p50', q_sym[2] FROM g
+    UNION ALL SELECT 'symbol_ratio_p90', q_sym[3] FROM g
+    UNION ALL SELECT 'dup_line_fraction_p10', q_dup[1] FROM g
+    UNION ALL SELECT 'dup_line_fraction_p50', q_dup[2] FROM g
+    UNION ALL SELECT 'dup_line_fraction_p90', q_dup[3] FROM g
+    UNION ALL SELECT 'n_tokens_p10', q_tok[1] FROM g
+    UNION ALL SELECT 'n_tokens_p50', q_tok[2] FROM g
+    UNION ALL SELECT 'n_tokens_p90', q_tok[3] FROM g
+    UNION ALL
+    SELECT 'lang_share:' || lang,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT docs FROM g)
+    FROM per GROUP BY lang
+)
+SELECT metric, round(value, 6) + 0.0 AS value_r FROM u
+"""
+    return sdf, sql
+
+
 def x_bloom(spark, con, sf_dir):
     """Bloom build+probe vs a DuckDB bit-SET re-implementation (same
     md5 double-hash positions; packing-independent semantics): every
@@ -2001,4 +2080,5 @@ EXTRA_CHECKS = {
     "x_c4_lines": x_c4_lines,
     "x_corpus_line_dedup": x_corpus_line_dedup,
     "x_bloom": x_bloom,
+    "x_corpus_report": x_corpus_report,
 }
