@@ -1824,6 +1824,48 @@ FROM t LEFT JOIN drops d USING (doc_id)
     return sdf, sql
 
 
+def x_snapshot_diff(spark, con, sf_dir):
+    """snapshot_diff vs a DuckDB full-outer digest join on an augmented
+    'new' snapshot: drop doc_id%10==0 (removed), edit %7 (changed),
+    append shifted ids (added)."""
+    from qualityassurancetool_spark.operators.snapshot import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" edited tail")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    sdf = snapshot_diff(docs, new)
+    sql = f"""
+WITH old AS (SELECT doc_id, md5({_NORM}) AS dg FROM documents),
+newt AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' edited tail'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 10 != 0
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+),
+newd AS (SELECT doc_id, md5({_NORM}) AS dg FROM newt)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.dg IS NULL THEN 'added'
+            WHEN n.dg IS NULL THEN 'removed'
+            WHEN o.dg != n.dg THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN newd n USING (doc_id)
+"""
+    return sdf, sql
+
+
 def x_corpus_report(spark, con, sf_dir):
     """corpus_report (dataset-card long frame) vs a DuckDB UNION-ALL
     re-implementation: same normalization/tokens/digests, same
@@ -2081,4 +2123,5 @@ EXTRA_CHECKS = {
     "x_corpus_line_dedup": x_corpus_line_dedup,
     "x_bloom": x_bloom,
     "x_corpus_report": x_corpus_report,
+    "x_snapshot_diff": x_snapshot_diff,
 }
