@@ -35,11 +35,12 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from qualityassurancetool_spark.functions.hashing import md5_long
 from qualityassurancetool_spark.functions.literals import long_array_literal
+from qualityassurancetool_spark.functions.partitioning import (
+    compute_behind_barrier,
+)
 
-H1_SALT = "bf1:"
-H2_SALT = "bf2:"
+BF_SALT = "bf:"
 WORD_BITS = 32  # packed into longs; 32-bit words stay non-negative,
 # so the pow(2, b) mask arithmetic is exact and sign-free
 MAX_BITS = 1 << 26  # 8 MB literal cap — documented driver/plan bound
@@ -56,12 +57,32 @@ def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
+def _hash_pair(col: Column) -> tuple[Column, Column]:
+    """(h1, h2) from ONE md5: hex chars 1–15 and 17–31 as two 60-bit
+    ints — one hash per row instead of 2k (md5 dominates probe cost;
+    the k positions are then integer arithmetic)."""
+    hx = F.md5(F.concat(F.lit(BF_SALT), col.cast("string")))
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def _positions_from(
+    h1: Column, h2: Column, m_bits: int, k: int
+) -> list[Column]:
+    """k double-hashed bit positions ``(h1 + i*h2) mod m`` (Kirsch–
+    Mitzenmacher) with the stride forced ≥ 1 so it never degenerates."""
+    p1 = h1 % F.lit(m_bits)
+    p2 = h2 % F.lit(m_bits - 1) + 1
+    return [(p1 + F.lit(i) * p2) % F.lit(m_bits) for i in range(k)]
+
+
 def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
-    """k double-hashed bit positions: ``(h1 + i*h2) mod m`` with h2
-    forced odd-ranged ≥ 1 so strides never degenerate."""
-    h1 = md5_long(col.cast("string"), salt=H1_SALT) % F.lit(m_bits)
-    h2 = md5_long(col.cast("string"), salt=H2_SALT) % F.lit(m_bits - 1) + 1
-    return [(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)]
+    """Inline convenience form (h1/h2 NOT staged — fine inside a single
+    Generate/explode, see build_bloom; probe hot paths use
+    ``with_might_contain`` which stages them behind a barrier)."""
+    h1, h2 = _hash_pair(col)
+    return _positions_from(h1, h2, m_bits, k)
 
 
 def build_bloom(
@@ -75,9 +96,17 @@ def build_bloom(
         raise ValueError(f"m_bits={m_bits} exceeds MAX_BITS={MAX_BITS}")
     if m_bits % WORD_BITS:
         raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
-    pos = F.explode(F.array(*_positions(F.col(col), m_bits, k))).alias("p")
+    h1, h2 = _hash_pair(F.col(col))
+    staged = compute_behind_barrier(
+        df.select(F.col(col)), {"_h1": h1, "_h2": h2}
+    )
+    pos = F.explode(
+        F.array(
+            *_positions_from(F.col("_h1"), F.col("_h2"), m_bits, k)
+        )
+    ).alias("p")
     words = (
-        df.select(pos)
+        staged.select(pos)
         .select(
             (F.col("p") / WORD_BITS).cast("long").alias("w"),
             F.pow(F.lit(2.0), (F.col("p") % WORD_BITS).cast("double"))
@@ -94,20 +123,67 @@ def build_bloom(
     return tuple(vec)
 
 
+def _bit_tests(
+    h1: Column, h2: Column, words: tuple[int, ...], k: int
+) -> Column:
+    """AND of the k bit probes as ONE ``aggregate`` fold over the
+    position array, so the (potentially multi-MB) words literal appears
+    exactly ONCE in the plan.  An unrolled k-conjunct chain embeds k
+    copies of the literal — and plan stringification (codegen comments,
+    AQE plan-description updates) is linear in plan text, which made
+    the unrolled form ~10× slower in DRIVER time (13.8 s → 1.4 s at
+    m=9.6 M bits, measured independent of row count)."""
+    m_bits = len(words) * WORD_BITS
+    lit = long_array_literal(words)
+    pos = F.array(*_positions_from(h1, h2, m_bits, k))
+    return F.aggregate(
+        pos,
+        F.lit(True),
+        lambda acc, p: acc
+        & (
+            F.element_at(lit, (p / WORD_BITS).cast("int") + 1).bitwiseAND(
+                F.pow(F.lit(2.0), (p % WORD_BITS).cast("double")).cast(
+                    "long"
+                )
+            )
+            != 0
+        ),
+    )
+
+
 def might_contain(
     col: Column, words: tuple[int, ...], k: int
 ) -> Column:
     """Pure-Column Bloom probe: true ⇒ possibly inserted, false ⇒
-    definitely absent.  k word lookups against the single array
-    literal — zero shuffle, no join."""
-    m_bits = len(words) * WORD_BITS
-    lit = long_array_literal(words)
-    out = F.lit(True)
-    for p in _positions(col, m_bits, k):
-        word = F.element_at(lit, (p / WORD_BITS).cast("int") + 1)
-        mask = F.pow(F.lit(2.0), (p % WORD_BITS).cast("double")).cast("long")
-        out = out & (word.bitwiseAND(mask) != 0)
-    return out
+    definitely absent.  Composable form — inside a bare Filter the
+    shared md5 may evaluate up to 2k times (no substitution barrier);
+    hot paths should use :func:`with_might_contain`, which stages the
+    hash pair once per row (measured 5× at 2 M probes)."""
+    h1, h2 = _hash_pair(col)
+    return _bit_tests(h1, h2, words, k)
+
+
+def with_might_contain(
+    df: DataFrame,
+    probe_col: str,
+    words: tuple[int, ...],
+    k: int,
+    out_col: str = "might",
+) -> DataFrame:
+    """Staged Bloom probe: the md5 hex is computed exactly once per row
+    behind a Generate barrier, and the boolean itself sits behind a
+    second barrier — a downstream ``where(out_col)`` then carries only
+    an attribute reference, keeping the words literal out of the Filter
+    predicate (Filter predicates are re-stringified by AQE plan
+    updates).  Zero shuffle, no join."""
+    hx = F.md5(F.concat(F.lit(BF_SALT), F.col(probe_col).cast("string")))
+    staged = compute_behind_barrier(df, {"_bf_hx": hx})
+    h1 = F.conv(F.substring("_bf_hx", 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring("_bf_hx", 17, 15), 16, 10).cast("long")
+    out = compute_behind_barrier(
+        staged, {out_col: _bit_tests(h1, h2, words, k)}
+    )
+    return out.drop("_bf_hx")
 
 
 def bloom_prefilter(
@@ -126,4 +202,8 @@ def bloom_prefilter(
     n = keys.select(key_col).distinct().count()
     m_bits, k = bloom_parameters(max(n, 1), fpp)
     words = build_bloom(keys.select(key_col).distinct(), key_col, m_bits, k)
-    return probe.where(might_contain(F.col(probe_col), words, k))
+    return (
+        with_might_contain(probe, probe_col, words, k, out_col="_might")
+        .where(F.col("_might"))
+        .drop("_might")
+    )

@@ -46,6 +46,9 @@ from qualityassurancetool_spark.functions.hashing import (
 from qualityassurancetool_spark.functions.literals import (
     double_array_literal,
 )
+from qualityassurancetool_spark.functions.partitioning import (
+    compute_behind_barrier,
+)
 
 BUCKET_SALT = "dsir:"
 GUMBEL_SALT = "dsir-g:"
@@ -68,15 +71,25 @@ def _clean_tokens(text: Column) -> Column:
 
 
 def feature_buckets(
-    toks: Column, n_buckets: int, salt: str = BUCKET_SALT
+    toks: Column,
+    n_buckets: int,
+    salt: str = BUCKET_SALT,
+    hash_mode: str = "portable",
 ) -> Column:
     """Hashed uni+bigram bag (WITH multiplicity, per the paper's
     bag-of-hashed-ngrams model) → ``array<long>`` of bucket ids in
     ``[0, n_buckets)``.
 
+    ``hash_mode="portable"`` (default) buckets via md5 — bit-identical
+    in DuckDB, the oracle mode.  ``"fast"`` uses engine-native
+    xxhash64 (~2.5× extraction; the production path, same convention
+    as the dedup family).  Fit and score MUST use the same mode.
+
     ``toks`` must be a materialized attribute (Generate-barrier
     contract shared with ``functions.hashing.shingles_from_tokens``).
     """
+    if hash_mode not in ("portable", "fast"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     n = F.size(toks)
     uni = toks
     bi_idx = F.sequence(F.lit(1), n - F.lit(1))
@@ -90,6 +103,13 @@ def feature_buckets(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(uni, bi)
+    if hash_mode == "fast":
+        return F.transform(
+            grams,
+            lambda g: F.pmod(
+                F.xxhash64(F.concat(F.lit(salt), g)), F.lit(n_buckets)
+            ),
+        )
     return F.transform(
         grams, lambda g: md5_long(g, salt=salt) % F.lit(n_buckets)
     )
@@ -100,15 +120,22 @@ def doc_features(
     n_buckets: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "portable",
 ) -> DataFrame:
-    """``(id_col, _fb)`` — per-doc feature-bucket array.  Token array is
-    materialized in its own projection (no-CSE-in-lambda rule)."""
-    return df.select(
-        F.col(id_col), _clean_tokens(F.col(text_col)).alias("_tok")
-    ).select(
-        id_col,
-        feature_buckets(F.col("_tok"), n_buckets).alias("_fb"),
+    """``(id_col, _fb)`` — per-doc feature-bucket array.  Both stages
+    sit behind Generate barriers: a bare projection would be
+    CollapseProject-inlined, re-running normalize/split once per
+    element access — O(tokens²) per row (measured: the barrier cut the
+    100k-doc fit from 377 s to 24 s portable / 12.5 s fast)."""
+    with_tok = compute_behind_barrier(
+        df.select(F.col(id_col), F.col(text_col)),
+        {"_tok": _clean_tokens(F.col(text_col))},
     )
+    return compute_behind_barrier(
+        with_tok,
+        {"_fb": feature_buckets(F.col("_tok"), n_buckets,
+                                hash_mode=hash_mode)},
+    ).select(id_col, "_fb")
 
 
 def _bucket_counts(feats: DataFrame) -> dict[int, int]:
@@ -130,6 +157,7 @@ def fit_log_ratio(
     smoothing: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "portable",
 ) -> tuple[float, ...]:
     """Fit per-bucket importance log-ratios
     ``λ_b = ln p_target(b) − ln p_raw(b)`` with add-``smoothing``
@@ -140,8 +168,12 @@ def fit_log_ratio(
             f"n_buckets={n_buckets} exceeds MAX_BUCKETS={MAX_BUCKETS} "
             "(log-ratio vector is a driver literal)"
         )
-    cp = _bucket_counts(doc_features(target, n_buckets, text_col, id_col))
-    cq = _bucket_counts(doc_features(raw, n_buckets, text_col, id_col))
+    cp = _bucket_counts(
+        doc_features(target, n_buckets, text_col, id_col, hash_mode)
+    )
+    cq = _bucket_counts(
+        doc_features(raw, n_buckets, text_col, id_col, hash_mode)
+    )
     np_tot = sum(cp.values()) + smoothing * n_buckets
     nq_tot = sum(cq.values()) + smoothing * n_buckets
     return tuple(
@@ -156,13 +188,14 @@ def importance_scores(
     log_ratio: tuple[float, ...],
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Per-doc importance score = Σ_features λ_bucket (zero-feature docs
     score 0.0).  Adds ``n_features`` and ``dsir_score``; row-local —
     the λ vector rides along as one array literal, no join."""
     n_buckets = len(log_ratio)
     lam = double_array_literal(log_ratio)
-    feats = doc_features(df, n_buckets, text_col, id_col)
+    feats = doc_features(df, n_buckets, text_col, id_col, hash_mode)
     scored = feats.select(
         id_col,
         F.size("_fb").alias("n_features"),
@@ -193,11 +226,12 @@ def dsir_resample(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = GUMBEL_SALT,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Select ``k`` docs by Gumbel top-k over the importance scores.
     Global top-k is TakeOrdered (never a full sort); ties broken by id
     so the selection is total-order deterministic."""
-    scored = importance_scores(df, log_ratio, text_col, id_col)
+    scored = importance_scores(df, log_ratio, text_col, id_col, hash_mode)
     keyed = scored.withColumn(
         "dsir_key", gumbel_key(F.col("dsir_score"), F.col(id_col), salt)
     )

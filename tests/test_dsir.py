@@ -112,3 +112,27 @@ def test_gumbel_key_is_pure_column(spark):
 def test_bucket_cap_guard(docs):
     with pytest.raises(ValueError):
         fit_log_ratio(docs, docs, n_buckets=MAX_BUCKETS + 1)
+
+
+def test_fast_mode_same_structure(docs):
+    """xxhash64 fast mode: same API, same shapes, different hash family
+    — selection differs but the target-shift property must hold."""
+    lr = fit_log_ratio(
+        raw=docs,
+        target=docs.where(F.col("lang") == "en"),
+        n_buckets=B,
+        hash_mode="fast",
+    )
+    assert len(lr) == B
+    scored = importance_scores(docs, lr, hash_mode="fast")
+    rows = scored.groupBy("lang").agg(F.avg("dsir_score").alias("m")).collect()
+    means = {r["lang"]: r["m"] for r in rows}
+    en = means.pop("en")
+    assert all(en > m for m in means.values()), means
+
+
+def test_hash_mode_guard(docs):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fit_log_ratio(docs, docs, n_buckets=64, hash_mode="nope")

@@ -1950,11 +1950,10 @@ def x_bloom(spark, con, sf_dir):
     md5 double-hash positions; packing-independent semantics): every
     probe's might_contain must match, INCLUDING the false positives —
     same hash math ⇒ same collisions in both engines."""
-    from qualityassurancetool_spark.functions.hashing import md5_long_sql
     from qualityassurancetool_spark.operators.bloom import (
         bloom_parameters,
         build_bloom,
-        might_contain,
+        with_might_contain,
     )
 
     docs = _docs(spark, sf_dir)
@@ -1967,11 +1966,13 @@ def x_bloom(spark, con, sf_dir):
         "doc_id",
         F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("v"),
     )
-    sdf = probe.select(
-        "doc_id", might_contain(F.col("v"), words, k).alias("might")
+    sdf = with_might_contain(probe, "v", words, k).select("doc_id", "might")
+    h1 = (
+        "CAST(concat('0x', substring(md5('bf:' || v), 1, 15)) AS BIGINT)"
     )
-    h1 = md5_long_sql("v", salt="bf1:")
-    h2 = md5_long_sql("v", salt="bf2:")
+    h2 = (
+        "CAST(concat('0x', substring(md5('bf:' || v), 17, 15)) AS BIGINT)"
+    )
     sql = f"""
 WITH keys AS (
     SELECT 'k' || CAST(doc_id AS VARCHAR) AS v
