@@ -32,9 +32,11 @@ RULES = (
     "dup_lines",
     "word_rep",
     "symbols",
+    "c4_page",
     "pii",
     "blocked_domain",
     "classifier",
+    "dsir",
     "duplicate",
     "near_duplicate",
     "sampled_out",
@@ -51,7 +53,9 @@ class CurationConfig:
     max_word_rep_ratio: float | None = None
     max_symbol_ratio: float | None = None
     max_pii_total: int | None = None
+    c4_page_rules: bool = False
     min_classifier_prob: float | None = None
+    min_dsir_score: float | None = None
     blocked_domains: list[str] = field(default_factory=list)
     dedup: str = "exact"  # "exact" | "none"
     sample_fractions: dict[str, float] | None = None  # per-lang keep frac
@@ -62,15 +66,16 @@ class CurationConfig:
         known = {
             "langs", "min_quality", "max_dup_line_fraction",
             "max_word_rep_ratio", "max_symbol_ratio", "max_pii_total",
-            "min_classifier_prob", "blocked_domains",
-            "dedup", "sample_fractions", "sample_salt",
+            "c4_page_rules", "min_classifier_prob", "min_dsir_score",
+            "blocked_domains", "dedup", "sample_fractions", "sample_salt",
         }
         unknown = set(d) - known
         if unknown:
             raise ConfigError(f"unknown curation keys: {sorted(unknown)}")
         for k in ("min_quality", "max_dup_line_fraction",
                   "max_word_rep_ratio", "max_symbol_ratio",
-                  "max_pii_total", "min_classifier_prob"):
+                  "max_pii_total", "min_classifier_prob",
+                  "min_dsir_score"):
             v = d.get(k)
             if v is not None and not isinstance(v, (int, float)):
                 raise ConfigError(f"{k} must be numeric, got {v!r}")
@@ -87,6 +92,10 @@ class CurationConfig:
             v = d.get(k)
             if v is not None and not (0.0 <= float(v) <= 1.0):
                 raise ConfigError(f"{k} must be in [0, 1], got {v}")
+        if not isinstance(d.get("c4_page_rules", False), bool):
+            raise ConfigError(
+                f"c4_page_rules must be a bool, got {d['c4_page_rules']!r}"
+            )
         if d.get("dedup", "exact") not in ("exact", "none"):
             raise ConfigError(f"dedup must be exact|none, got {d['dedup']!r}")
         fr = d.get("sample_fractions")
@@ -112,9 +121,15 @@ class CurationConfig:
                 if d.get("max_pii_total") is not None
                 else None
             ),
+            c4_page_rules=bool(d.get("c4_page_rules", False)),
             min_classifier_prob=(
                 float(d["min_classifier_prob"])
                 if d.get("min_classifier_prob") is not None
+                else None
+            ),
+            min_dsir_score=(
+                float(d["min_dsir_score"])
+                if d.get("min_dsir_score") is not None
                 else None
             ),
             blocked_domains=list(d.get("blocked_domains", [])),
@@ -138,6 +153,7 @@ def curate(
     id_col: str = "doc_id",
     classifier_model: tuple[list[float], float] | None = None,
     near_dup_drops: DataFrame | None = None,
+    dsir_log_ratio: tuple[float, ...] | None = None,
 ) -> DataFrame:
     """Per-doc curation decision sheet: input columns +
     ``predicted_lang, quality, keep (bool), drop_reason (str|null)``.
@@ -246,6 +262,46 @@ def curate(
             F.lit(float(bias))
         )
         measures["_clf_prob"] = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+    if cfg.c4_page_rules:
+        from qualityassurancetool_spark.operators.line_dedup import (
+            C4_PAGE_BLOCKLIST,
+            c4_line_keep,
+            split_lines,
+        )
+
+        kept = F.filter(split_lines(F.col(text_col)), c4_line_keep)
+        block = F.lit(False)
+        for phrase in C4_PAGE_BLOCKLIST:
+            block = block | lower.contains(phrase)
+        measures["_c4_drop"] = block | (F.size(kept) < 1)
+    if cfg.min_dsir_score is not None:
+        if dsir_log_ratio is None:
+            raise ConfigError("min_dsir_score requires a dsir_log_ratio")
+        from qualityassurancetool_spark.functions.literals import (
+            double_array_literal as _dal,
+        )
+        from qualityassurancetool_spark.operators.dsir import (
+            feature_buckets as _dsir_fb,
+        )
+
+        # same attribute discipline as the classifier buckets
+        scored = compute_behind_barrier(
+            scored,
+            {"_dsir_b": _dsir_fb(
+                F.filter(F.col("_toks"), lambda t: F.length(t) > 0),
+                len(dsir_log_ratio),
+            )},
+        )
+        lam = _dal(tuple(float(x) for x in dsir_log_ratio))
+        nb = F.size("_dsir_b")
+        fold = F.aggregate(
+            F.col("_dsir_b"),
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(lam, (b + 1).cast("int")),
+        )
+        # per-feature MEAN log-ratio: a length-invariant "how much does
+        # this doc look like the target" score the threshold applies to
+        measures["_dsir"] = F.when(nb > 0, fold / nb).otherwise(F.lit(0.0))
     out = compute_behind_barrier(scored, measures)
     if near_dup_drops is not None:
         mark = near_dup_drops.select(
@@ -272,6 +328,8 @@ def curate(
         )
     if cfg.max_symbol_ratio is not None:
         checks.append(("symbols", F.col("_sym") > cfg.max_symbol_ratio))
+    if cfg.c4_page_rules:
+        checks.append(("c4_page", F.col("_c4_drop")))
     if cfg.max_pii_total is not None:
         checks.append(("pii", F.col("_pii") > cfg.max_pii_total))
     if cfg.blocked_domains:
@@ -280,6 +338,8 @@ def curate(
         checks.append(
             ("classifier", F.col("_clf_prob") < cfg.min_classifier_prob)
         )
+    if cfg.min_dsir_score is not None:
+        checks.append(("dsir", F.col("_dsir") < cfg.min_dsir_score))
     if cfg.dedup == "exact":
         # the keeper is the min id among rows that PASS every preceding
         # rule — a representative killed by an earlier rule (lang,
@@ -318,7 +378,7 @@ def curate(
     return out.drop(
         *[c for c in ("_norm", "_toks", "_ls", "_dlf", "_wrr", "_sym",
                       "_pii", "_blocked", "_clf_b", "_clf_prob",
-                      "_near_dup")
+                      "_c4_drop", "_dsir_b", "_dsir", "_near_dup")
           if c in out.columns]
     )
 

@@ -114,3 +114,73 @@ def test_drop_examples(spark):
         curate(docs, cfg), k=3
     ).collect()]
     assert rows == ex2
+
+
+def test_c4_page_rule(spark):
+    from qualityassurancetool_spark.plans.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    cfg = CurationConfig.from_dict({"c4_page_rules": True, "dedup": "none"})
+    df = spark.createDataFrame(
+        [
+            (1, "A perfectly normal document sentence."),
+            (2, "Lorem ipsum dolor sit amet paragraph filler."),
+            (3, "code only { no prose here }"),
+            (4, "no terminal punctuation at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["drop_reason"] for r in curate(df, cfg).collect()}
+    assert out[1] is None
+    assert out[2] == "c4_page"
+    assert out[3] == "c4_page"
+    assert out[4] == "c4_page"  # zero kept lines
+
+
+def test_dsir_rule(spark, sf_dir):
+    from qualityassurancetool_spark.operators.dsir import fit_log_ratio
+    from qualityassurancetool_spark.plans.curation import (
+        CurationConfig,
+        curate,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lr = fit_log_ratio(
+        raw=docs, target=docs.where(F.col("lang") == "en"), n_buckets=256
+    )
+    cfg = CurationConfig.from_dict(
+        {"min_dsir_score": 0.0, "dedup": "none"}
+    )
+    out = curate(docs, cfg, dsir_log_ratio=lr)
+    dropped = out.where(F.col("drop_reason") == "dsir")
+    kept = out.where(F.col("keep"))
+    assert dropped.count() > 0 and kept.count() > 0
+    # the gate actually tracks the target: kept docs skew en
+    en_kept = kept.where(F.col("lang") == "en").count() / kept.count()
+    en_all = docs.where(F.col("lang") == "en").count() / docs.count()
+    assert en_kept > en_all
+
+    # model required when the rule is on
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        curate(docs, cfg).collect()
+
+
+def test_new_rule_config_validation():
+    from qualityassurancetool_spark.config import ConfigError
+    from qualityassurancetool_spark.plans.curation import CurationConfig
+
+    import pytest as _pt
+
+    with _pt.raises(ConfigError):
+        CurationConfig.from_dict({"c4_page_rules": "yes"})
+    with _pt.raises(ConfigError):
+        CurationConfig.from_dict({"min_dsir_score": "high"})
+    cfg = CurationConfig.from_dict(
+        {"c4_page_rules": True, "min_dsir_score": -0.5}
+    )
+    assert cfg.c4_page_rules and cfg.min_dsir_score == -0.5

@@ -154,3 +154,50 @@ def test_round3b_sampling_clustering_on_empty(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         kmeans_fit(emb, k=2)
+
+
+def test_round3_batch5_ops_on_empty(spark):
+    """DSIR / line family / bloom / report / snapshot on zero rows."""
+    from qualityassurancetool_spark.operators.bloom import (
+        bloom_parameters,
+        build_bloom,
+        with_might_contain,
+    )
+    from qualityassurancetool_spark.operators.dsir import (
+        dsir_resample,
+        fit_log_ratio,
+        importance_scores,
+    )
+    from qualityassurancetool_spark.operators.line_dedup import (
+        c4_clean,
+        corpus_line_dedup,
+    )
+    from qualityassurancetool_spark.operators.snapshot import snapshot_diff
+    from qualityassurancetool_spark.plans.corpus_report import corpus_report
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    some = spark.createDataFrame([(1, "hello world text")], ["doc_id", "text"])
+
+    # DSIR: fitting on empty corpora yields the pure-smoothing model
+    lr = fit_log_ratio(docs, docs, n_buckets=64)
+    assert len(lr) == 64 and all(v == 0.0 for v in lr)
+    assert importance_scores(docs, lr).count() == 0
+    assert dsir_resample(docs, lr, k=5).count() == 0
+
+    assert c4_clean(docs).count() == 0
+    assert corpus_line_dedup(docs).count() == 0
+    assert corpus_line_dedup(some).count() == 1  # empty hash side
+
+    m, k = bloom_parameters(1, 0.01)
+    words = build_bloom(docs, "text", m, k)  # empty filter: all zeros
+    assert all(w == 0 for w in words)
+    out = with_might_contain(some, "text", words, k)
+    assert [r["might"] for r in out.collect()] == [False]
+
+    assert corpus_report(docs).where(
+        F.col("metric") == "docs"
+    ).collect()[0]["value"] == 0.0
+    assert snapshot_diff(docs, docs).count() == 0
+    assert {
+        r["status"] for r in snapshot_diff(docs, some).collect()
+    } == {"added"}
