@@ -1824,6 +1824,34 @@ FROM t LEFT JOIN drops d USING (doc_id)
     return sdf, sql
 
 
+def x_ngram_topk(spark, con, sf_dir):
+    """top_kgrams (corpus-wide frequent k-grams by document frequency)
+    vs a DuckDB list_transform re-implementation with the same shingle
+    convention and tie-break."""
+    from qualityassurancetool_spark.operators.ngram_stats import top_kgrams
+
+    K, TOP = 3, 150
+    sdf = top_kgrams(_docs(spark, sf_dir), k=K, top=TOP)
+    sql = f"""
+WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+tok AS (SELECT doc_id, string_split(norm, ' ') AS t FROM base),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - {K - 1}, 1)),
+               i -> array_to_string(t[i:i + {K - 1}], ' '))) AS g
+    FROM tok
+),
+gx AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+counts AS (
+    SELECT gram, COUNT(*) AS n_docs FROM gx
+    WHERE length(gram) > 0 GROUP BY gram
+)
+SELECT gram, n_docs FROM counts ORDER BY n_docs DESC, gram LIMIT {TOP}
+"""
+    return sdf, sql
+
+
 def x_snapshot_diff(spark, con, sf_dir):
     """snapshot_diff vs a DuckDB full-outer digest join on an augmented
     'new' snapshot: drop doc_id%10==0 (removed), edit %7 (changed),
@@ -2125,4 +2153,5 @@ EXTRA_CHECKS = {
     "x_bloom": x_bloom,
     "x_corpus_report": x_corpus_report,
     "x_snapshot_diff": x_snapshot_diff,
+    "x_ngram_topk": x_ngram_topk,
 }
