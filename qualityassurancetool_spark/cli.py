@@ -255,6 +255,7 @@ def cmd_dedup(args, overrides: list[str]) -> int:
     - ``exact``: (content_hash, keep_id, n_dups) collapse sheet;
     - ``fingerprint``: winnowing copy-candidate pairs with containment;
     - ``spans``: ExactSubstr duplicated-span removal (cleaned text);
+    - ``lines``: cross-document duplicate-line removal (keep-first);
     - ``semantic``: SemDeDup over an embeddings parquet.
     """
     run, knobs = load_run_config(args.config, overrides)
@@ -262,10 +263,10 @@ def cmd_dedup(args, overrides: list[str]) -> int:
     if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
         raise ConfigError("missing required settings: data.input, data.out")
     method = knobs.get("method", "exact")
-    if method not in ("exact", "fingerprint", "spans", "semantic"):
+    if method not in ("exact", "fingerprint", "spans", "lines", "semantic"):
         raise ConfigError(
             f"unknown dedup method {method!r} "
-            "(exact|fingerprint|spans|semantic)"
+            "(exact|fingerprint|spans|lines|semantic)"
         )
 
     from pyspark.sql import functions as F
@@ -346,6 +347,22 @@ def cmd_dedup(args, overrides: list[str]) -> int:
             ).collect()[0]["x"]
             print(f"docs: {back.count()}")
             print(f"tokens_removed: {removed or 0}")
+        elif method == "lines":
+            from qualityassurancetool_spark.operators.line_dedup import (
+                corpus_line_dedup,
+            )
+
+            out = corpus_line_dedup(
+                docs,
+                min_line_chars=int(knobs.get("min_line_chars", 10)),
+            )
+            out.write.mode("overwrite").parquet(data_c["out"])
+            back = spark.read.parquet(data_c["out"])
+            removed = back.agg(
+                F.sum("n_dup_lines_removed").alias("x")
+            ).collect()[0]["x"]
+            print(f"docs: {back.count()}")
+            print(f"lines_removed: {removed or 0}")
         return 0
     finally:
         if not args.keep_session:
@@ -511,7 +528,7 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("override", nargs="*", help="key.path=value")
 
     p_ddp = sub.add_parser(
-        "dedup", help="dedup report (exact|fingerprint|spans|semantic)"
+        "dedup", help="dedup report (exact|fingerprint|spans|lines|semantic)"
     )
     p_ddp.add_argument("-c", "--config", default=None)
     p_ddp.add_argument(

@@ -284,3 +284,19 @@ def test_pretrain_command_jsonl_input(spark, tmp_path, capsys):
         if k not in ("quarantined", "chunks", "shards", "shard_bytes")
     ) == 30
     assert int(report["chunks"]) > 30  # several chunks per doc at 8 tokens
+
+
+def test_dedup_lines_method(spark, tmp_path, capsys):
+    out = str(tmp_path / "dd_lines")
+    rc = main([
+        "dedup", "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=documents",
+        f"data.out={out}", "method=lines",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(report["docs"]) > 0
+    assert "lines_removed" in report
