@@ -1824,6 +1824,43 @@ FROM t LEFT JOIN drops d USING (doc_id)
     return sdf, sql
 
 
+def x_unicode_nfc(spark, con, sf_dir):
+    """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
+    native nfc_normalize, on docs augmented with decomposed accents,
+    precomposed forms, and control characters."""
+    from qualityassurancetool_spark.operators.unicode_norm import (
+        normalize_documents,
+    )
+
+    # e + COMBINING ACUTE, A + COMBINING RING, a BEL control char,
+    # ANGSTROM SIGN (U+212B, NFC-normalizes to U+00C5) — the Spark
+    # literal is built from the SAME codepoints as the DuckDB chr()
+    # concatenation below (decomposed forms, NOT precomposed)
+    raw = " cafe\u0301 A\u030a x\x07y \u212b#"
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(raw), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    sdf = normalize_documents(aug, form="NFC").select("doc_id", "text")
+    sql = """
+WITH t AS (
+    SELECT doc_id,
+           text || ' cafe' || chr(769) || ' A' || chr(778) || ' x'
+                || chr(7) || 'y ' || chr(8491) || '#'
+                || CAST(doc_id AS VARCHAR) AS txt
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(nfc_normalize(txt),
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g')
+           AS text
+FROM t
+"""
+    return sdf, sql
+
+
 def x_ngram_topk(spark, con, sf_dir):
     """top_kgrams (corpus-wide frequent k-grams by document frequency)
     vs a DuckDB list_transform re-implementation with the same shingle
@@ -2154,4 +2191,5 @@ EXTRA_CHECKS = {
     "x_corpus_report": x_corpus_report,
     "x_snapshot_diff": x_snapshot_diff,
     "x_ngram_topk": x_ngram_topk,
+    "x_unicode_nfc": x_unicode_nfc,
 }
