@@ -1,0 +1,188 @@
+"""Product quantization (Jégou, Douze, Schmid — "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011) for the embedding column:
+compress D-dim float vectors to M small codes (one per subspace) and
+answer top-k queries with asymmetric distance computation (ADC) —
+query-to-codebook lookup tables instead of full-vector arithmetic.
+
+This completes the ANN family: brute force (exact baseline), LSH
+buckets, IVF lists (`operators/similarity`), int8 range quantization
+(storage), and now PQ (storage AND search: a 64-dim float vector
+becomes M=4 bytes of codes, 64× smaller, with O(M) adds per candidate
+at query time).
+
+Scale design (10⁹+ vector corpus):
+ - fit reuses ``clustering.kmeans_fit`` per subspace on SLICED vectors
+   — M small k-means runs whose centroid tables are (K × D/M) doubles,
+   the driver-literal contract shared with IVF;
+ - encode is ZERO-shuffle: per subspace an argmin fold against the
+   codebook literal (``similarity.nearest_centroids`` on the slice),
+   behind a Generate barrier; the corpus never moves;
+ - search: queries are SMALL by contract (the ``brute_force_topk``
+   convention).  Each query's M×K distance table is computed driver-
+   side (numpy-scale work) and shipped as ONE flat literal per query
+   row through a broadcast crossJoin; per-candidate cost is M array
+   lookups + M adds — no vector arithmetic touches the corpus at
+   query time.  Only (query_id, vec_id, dist) enters the top-k
+   shuffle.  Compose with IVF lists to cut the candidate set first
+   (IVF-ADC, the paper's IVFADC system) — both pieces exist here.
+
+Oracle: numpy exact-replica of the full fit→encode→search chain
+(``tools/extra_oracles.py::x_pq``) — same deterministic stride init,
+same assignment tie-break, same early stop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.functions.literals import (
+    double_array_literal,
+)
+from qualityassurancetool_spark.functions.partitioning import (
+    compute_behind_barrier,
+)
+from qualityassurancetool_spark.operators.clustering import (
+    _embedding_dim,
+    kmeans_fit,
+)
+from qualityassurancetool_spark.operators.similarity import (
+    nearest_centroids,
+)
+
+
+def subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """[(start_1based, length)] per subspace; dim must divide evenly
+    (pad upstream otherwise — keeping the math trivially portable)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    w = dim // m
+    return [(i * w + 1, w) for i in range(m)]
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_stride: int = 20,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks ``[m][k] -> centroid`` via the shared
+    deterministic Lloyd's fit on vector slices."""
+    dim = _embedding_dim(df, vec_col)
+    books: list[list[list[float]]] = []
+    for start, width in subspace_bounds(dim, m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), start, width).alias(vec_col),
+        )
+        cents = kmeans_fit(
+            sliced,
+            k=k,
+            max_iter=max_iter,
+            vec_col=vec_col,
+            id_col=id_col,
+            init_stride=init_stride,
+        )
+        books.append([v for _, v in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Input columns + ``pq_code`` (array<int>, length M) — per
+    subspace the argmin codebook entry (squared-L2, tie-break on code
+    id, matching ``nearest_centroids`` exactly).  Row-local."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dim = m * len(codebooks[0][0])
+    codes = []
+    for (start, width), book in zip(subspace_bounds(dim, m), codebooks):
+        near = nearest_centroids(
+            F.slice(F.col(vec_col), start, width),
+            list(range(k)),
+            book,
+            1,
+        )
+        codes.append(F.element_at(near, 1).cast("int"))
+    return compute_behind_barrier(df, {"pq_code": F.array(*codes)})
+
+
+def adc_tables(
+    qvec: list[float], codebooks: list[list[list[float]]]
+) -> list[float]:
+    """Flat ADC lookup table for one query: ``dt[sub * K + code] =
+    ||q_sub − codebook[sub][code]||²`` (driver-side micro-work: M×K×
+    (D/M) multiplies)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    width = len(codebooks[0][0])
+    out = []
+    for s in range(m):
+        q = qvec[s * width : (s + 1) * width]
+        for c in range(k):
+            cv = codebooks[s][c]
+            out.append(
+                float(sum((a - b) * (a - b) for a, b in zip(q, cv)))
+            )
+    return out
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k: ``(query_id, neighbor_id, adc_dist)``, nearest first
+    per query (ties broken by neighbor id).  ``corpus_codes`` is a
+    ``pq_encode`` output; ``queries`` is SMALL (collected to build the
+    per-query tables — the brute-force-queries contract)."""
+    n_k = len(codebooks[0])
+    qrows = queries.select(query_id_col, vec_col).collect()
+    spark = corpus_codes.sparkSession
+    qt = spark.createDataFrame(
+        [
+            (r[0], adc_tables([float(x) for x in r[1]], codebooks))
+            for r in qrows
+        ],
+        f"{query_id_col} long, _dt array<double>",
+    )
+    # idx[m] = m*K + code[m]; dist = Σ dt[idx[m]] — M lookups + M adds
+    m_count = len(codebooks)
+    idx = F.zip_with(
+        F.col("pq_code"),
+        F.sequence(F.lit(0), F.lit(m_count - 1)),
+        lambda c, s: s * n_k + c,
+    )
+    dist = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at("_dt", (i + 1).cast("int")),
+    )
+    scored = (
+        corpus_codes.select(id_col, "pq_code")
+        .crossJoin(F.broadcast(qt))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            dist.alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,117 @@
+"""Product quantization (operators/pq).  Exact-replica oracle:
+tools/extra_oracles.py::x_pq."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.pq import (
+    pq_encode,
+    pq_fit,
+    pq_topk,
+    subspace_bounds,
+)
+from qualityassurancetool_spark.schema import load_table
+
+M, K = 4, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_fit(emb, m=M, k=K, max_iter=3)
+
+
+def test_subspace_bounds():
+    assert subspace_bounds(64, 4) == [(1, 16), (17, 16), (33, 16), (49, 16)]
+    with pytest.raises(ValueError):
+        subspace_bounds(10, 3)
+
+
+def test_fit_shapes(books, emb):
+    dim = len(emb.select("embedding").head()["embedding"])
+    assert len(books) == M
+    assert all(len(b) == K for b in books)
+    assert all(len(c) == dim // M for b in books for c in b)
+
+
+def test_encode_codes_in_range(emb, books):
+    codes = pq_encode(emb, books)
+    row = codes.select("pq_code").head()["pq_code"]
+    assert len(row) == M
+    stats = codes.select(
+        F.min(F.array_min("pq_code")).alias("lo"),
+        F.max(F.array_max("pq_code")).alias("hi"),
+    ).head()
+    assert 0 <= stats["lo"] and stats["hi"] < K
+    # codes actually vary (the codebook is used, not collapsed)
+    assert codes.select("pq_code").distinct().count() > K
+
+
+def test_adc_recall_vs_exact(emb, books):
+    """PQ is approximate — but its top-10 must overlap the exact
+    squared-L2 top-10 substantially on real data."""
+    from qualityassurancetool_spark.operators.similarity import l2_sq
+
+    codes = pq_encode(emb, books).persist()
+    queries = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    approx = pq_topk(codes, queries, books, k=10)
+    got = {
+        (r["query_id"], r["neighbor_id"]) for r in approx.collect()
+    }
+    # exact: crossJoin + l2_sq, same tie-break
+    q = queries.select(
+        "query_id", F.col("embedding").alias("_qv")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2_sq(F.col("embedding"), F.col("_qv")).alias("d"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id").asc()
+    )
+    ex = {
+        (r["query_id"], r["neighbor_id"])
+        for r in exact.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 10)
+        .collect()
+    }
+    overlap = len(got & ex) / len(ex)
+    # synthetic embeddings are ~random — the PQ worst case (no cluster
+    # structure for the codebooks to exploit); 4 subspace codes still
+    # beat chance (10/500 = 2%) by an order of magnitude
+    assert overlap >= 0.2, overlap
+    # a query's own vector carries the minimal quantization error —
+    # it lands in the ADC top-k for (at least most) queries
+    qids = {qid for qid, _ in got}
+    own_hits = sum(1 for qid in qids if (qid, qid) in got)
+    assert own_hits >= len(qids) - 1
+    codes.unpersist()
+
+
+def test_topk_deterministic_and_sorted(emb, books):
+    codes = pq_encode(emb, books)
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = [tuple(r) for r in pq_topk(codes, queries, books, k=5).collect()]
+    b = [tuple(r) for r in pq_topk(codes, queries, books, k=5).collect()]
+    assert a == b
+    per_q = {}
+    for qid, nid, d in a:
+        per_q.setdefault(qid, []).append(d)
+    assert all(ds == sorted(ds) for ds in per_q.values())

@@ -1824,6 +1824,92 @@ FROM t LEFT JOIN drops d USING (doc_id)
     return sdf, sql
 
 
+def x_pq(spark, con, sf_dir):
+    """Product quantization fit→encode→ADC-top-k vs a numpy exact
+    replica (same stride init, same argmin tie-break, same early stop
+    — the x_semantic_dedup contract).  Returns (rows, rows)."""
+    import numpy as np
+
+    from qualityassurancetool_spark.operators.pq import (
+        adc_tables,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    M, K, ITER, TOPK = 4, 16, 4, 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=M, k=K, max_iter=ITER)
+    codes = pq_encode(emb, books)
+    queries = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = pq_topk(codes, queries, books, k=TOPK)
+    s_rows = [
+        (r["query_id"], r["neighbor_id"], round(r["adc_dist"], 6))
+        for r in got.collect()
+    ]
+
+    # ---- numpy replica
+    rows = sorted(
+        (int(r[0]), np.array(r[1], dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    X = np.stack([r[1] for r in rows])
+    dim = X.shape[1]
+    w = dim // M
+    np_books = []
+    for s in range(M):
+        Xs = X[:, s * w : (s + 1) * w]
+        init_ids = ids[ids % 20 == 0][:K]
+        cents = Xs[np.isin(ids, init_ids)][:K].copy()
+        for _ in range(ITER):
+            d = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)  # first min == smallest cid
+            new = cents.copy()
+            for c in range(K):
+                mask = assign == c
+                if mask.any():
+                    new[c] = Xs[mask].mean(axis=0)
+            if np.array_equal(new, cents):
+                break
+            cents = new
+        np_books.append(cents)
+    # encode + ADC per query
+    codes_np = np.stack(
+        [
+            (
+                (X[:, s * w : (s + 1) * w][:, None, :] - np_books[s][None])
+                ** 2
+            )
+            .sum(axis=2)
+            .argmin(axis=1)
+            for s in range(M)
+        ],
+        axis=1,
+    )
+    d_rows = []
+    qs = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.collect()
+    ]
+    books_list = [[list(map(float, c)) for c in b] for b in np_books]
+    for qid, qv in qs:
+        dt = np.array(adc_tables(qv, books_list))
+        dists = dt[
+            (np.arange(M)[None, :] * K + codes_np).reshape(len(ids), M)
+        ].sum(axis=1)
+        order = np.lexsort((ids, dists))[:TOPK]
+        for i in order:
+            d_rows.append((qid, int(ids[i]), round(float(dists[i]), 6)))
+    return s_rows, d_rows
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2192,4 +2278,5 @@ EXTRA_CHECKS = {
     "x_snapshot_diff": x_snapshot_diff,
     "x_ngram_topk": x_ngram_topk,
     "x_unicode_nfc": x_unicode_nfc,
+    "x_pq": x_pq,
 }
