@@ -186,3 +186,154 @@ def pq_topk(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# ------------------------------------------------------------- IVFADC
+
+def ivfadc_index(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The paper's IVFADC index (Jégou et al. 2011 §IV): coarse-assign
+    each vector to its IVF list, then PQ-encode the RESIDUAL
+    ``x − centroid(list(x))`` — residuals are far more clusterable than
+    raw vectors, which is what buys IVFADC its accuracy.
+
+    Output: ``(id_col, cluster_id, pq_code)``.  Zero shuffle: coarse
+    assignment and residual are literal folds, the residual encode is
+    the ``pq_encode`` barrier.  ``codebooks`` must be fitted on
+    residuals (see ``ivfadc_fit``)."""
+    from qualityassurancetool_spark.functions.literals import (
+        double_matrix_literal,
+    )
+    from qualityassurancetool_spark.operators.similarity import ivf_assign
+
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cent_id int, cent_vec array<double>"
+    )
+    assigned = ivf_assign(
+        df.select(id_col, vec_col), cent_df, 1, vec_col, id_col
+    )
+    centmat = double_matrix_literal(
+        tuple(tuple(float(x) for x in v) for _, v in cents)
+    )
+    residual = F.zip_with(
+        F.col(vec_col),
+        F.element_at(centmat, (F.col("cluster_id") + 1).cast("int")),
+        lambda a, b: a.cast("double") - b,
+    )
+    staged = compute_behind_barrier(assigned, {"_resid": residual})
+    coded = pq_encode(staged, codebooks, vec_col="_resid", id_col=id_col)
+    return coded.select(id_col, "cluster_id", "pq_code")
+
+
+def ivfadc_fit(
+    df: DataFrame,
+    n_lists: int = 8,
+    m: int = 4,
+    k: int = 16,
+    max_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Fit the coarse quantizer, then the PQ codebooks on residuals.
+    Returns ``(cents, codebooks)``."""
+    from qualityassurancetool_spark.functions.literals import (
+        double_matrix_literal,
+    )
+    from qualityassurancetool_spark.operators.clustering import kmeans_fit
+    from qualityassurancetool_spark.operators.similarity import ivf_assign
+
+    cents = kmeans_fit(
+        df, k=n_lists, max_iter=max_iter, vec_col=vec_col, id_col=id_col
+    )
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cent_id int, cent_vec array<double>"
+    )
+    assigned = ivf_assign(
+        df.select(id_col, vec_col), cent_df, 1, vec_col, id_col
+    )
+    centmat = double_matrix_literal(
+        tuple(tuple(float(x) for x in v) for _, v in cents)
+    )
+    residual = F.zip_with(
+        F.col(vec_col),
+        F.element_at(centmat, (F.col("cluster_id") + 1).cast("int")),
+        lambda a, b: a.cast("double") - b,
+    )
+    resid_df = compute_behind_barrier(assigned, {"_resid": residual}).select(
+        F.col(id_col), F.col("_resid").alias(vec_col)
+    )
+    books = pq_fit(
+        resid_df, m=m, k=k, max_iter=max_iter, vec_col=vec_col,
+        id_col=id_col,
+    )
+    return cents, books
+
+
+def ivfadc_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC search: probe the ``nprobe`` nearest lists per query and
+    ADC-score only their members against per-(query, list) residual
+    tables ``dt[m][c] = ||(q − centroid)_m − codebook[m][c]||²``.
+
+    The scale property the flat ``pq_topk`` lacks: candidates enter via
+    an equi-JOIN on ``cluster_id`` against the broadcast (query, list,
+    table) frame — the corpus outside the probed lists is never
+    touched (~nprobe/n_lists of it scores)."""
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qt_rows = []
+    for r in qrows:
+        qid, qv = int(r[0]), [float(x) for x in r[1]]
+        by_d = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+            for cid, cv in cents
+        )[:nprobe]
+        for _, cid in by_d:
+            cv = dict(cents)[cid]
+            resid_q = [a - b for a, b in zip(qv, cv)]
+            qt_rows.append((qid, cid, adc_tables(resid_q, codebooks)))
+    spark = index.sparkSession
+    qt = spark.createDataFrame(
+        qt_rows,
+        f"{query_id_col} long, cluster_id int, _dt array<double>",
+    )
+    n_k = len(codebooks[0])
+    m_count = len(codebooks)
+    idx = F.zip_with(
+        F.col("pq_code"),
+        F.sequence(F.lit(0), F.lit(m_count - 1)),
+        lambda c, s: s * n_k + c,
+    )
+    dist = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at("_dt", (i + 1).cast("int")),
+    )
+    scored = index.join(F.broadcast(qt), "cluster_id").select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        dist.alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -115,3 +115,38 @@ def test_topk_deterministic_and_sorted(emb, books):
     for qid, nid, d in a:
         per_q.setdefault(qid, []).append(d)
     assert all(ds == sorted(ds) for ds in per_q.values())
+
+
+def test_ivfadc_end_to_end(emb):
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_fit,
+        ivfadc_index,
+        ivfadc_topk,
+    )
+
+    cents, books = ivfadc_fit(emb, n_lists=4, m=M, k=K, max_iter=2)
+    index = ivfadc_index(emb, cents, books).persist()
+    assert index.columns == ["vec_id", "cluster_id", "pq_code"]
+    assert index.count() == emb.count()
+    n_lists_used = index.select("cluster_id").distinct().count()
+    assert 1 < n_lists_used <= 4
+
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfadc_topk(index, queries, cents, books, k=5, nprobe=2)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {r["query_id"] for r in queries.collect()}
+    for qid, rs in by_q.items():
+        ds = [r["adc_dist"] for r in rs]
+        assert ds == sorted(ds) and len(rs) <= 5
+        # the query's own vector sits in a probed list (its own) and
+        # carries only quantization error — it must be found
+        assert any(r["neighbor_id"] == qid for r in rs)
+    # nprobe=all lists == scoring everything: candidates grow monotonically
+    out_all = ivfadc_topk(index, queries, cents, books, k=5, nprobe=4)
+    assert out_all.count() == out.count()
+    index.unpersist()

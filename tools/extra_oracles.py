@@ -1910,6 +1910,83 @@ def x_pq(spark, con, sf_dir):
     return s_rows, d_rows
 
 
+def x_ivfadc(spark, con, sf_dir):
+    """IVFADC index+search vs a numpy replica.  The coarse centroids
+    and residual codebooks come FROM the Spark fit (plain lists — fit
+    math is already pinned by x_pq/x_semantic_dedup); the replica
+    independently re-derives assignment, residual encode, probed
+    lists, and ADC scoring.  Returns (rows, rows)."""
+    import numpy as np
+
+    from qualityassurancetool_spark.operators.pq import (
+        adc_tables,
+        ivfadc_fit,
+        ivfadc_index,
+        ivfadc_topk,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    NL, M, K, TOPK, NPROBE = 8, 4, 16, 10, 3
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = ivfadc_fit(emb, n_lists=NL, m=M, k=K, max_iter=3)
+    index = ivfadc_index(emb, cents, books)
+    queries = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = ivfadc_topk(index, queries, cents, books, k=TOPK, nprobe=NPROBE)
+    s_rows = [
+        (r["query_id"], r["neighbor_id"], round(r["adc_dist"], 6))
+        for r in got.collect()
+    ]
+
+    rows = sorted(
+        (int(r[0]), np.array(r[1], dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    X = np.stack([r[1] for r in rows])
+    C = np.stack([np.array(v) for _, v in cents])
+    dim = X.shape[1]
+    w = dim // M
+    # coarse assignment (argmin = smallest cid on ties)
+    dcoarse = ((X[:, None, :] - C[None]) ** 2).sum(axis=2)
+    assign = dcoarse.argmin(axis=1)
+    resid = X - C[assign]
+    np_books = [np.stack([np.array(c) for c in b]) for b in books]
+    codes_np = np.stack(
+        [
+            ((resid[:, s * w : (s + 1) * w][:, None, :]
+              - np_books[s][None]) ** 2).sum(axis=2).argmin(axis=1)
+            for s in range(M)
+        ],
+        axis=1,
+    )
+    d_rows = []
+    for r in queries.collect():
+        qid, qv = int(r[0]), np.array(r[1], dtype=np.float64)
+        qd = ((qv[None] - C) ** 2).sum(axis=1)
+        probe = np.lexsort((np.arange(NL), qd))[:NPROBE]
+        cand = np.isin(assign, probe)
+        dists = np.full(len(ids), np.inf)
+        for cid in probe:
+            in_list = assign == cid
+            if not in_list.any():
+                continue
+            rq = (qv - C[cid]).tolist()
+            dt = np.array(adc_tables(rq, [b.tolist() for b in np_books]))
+            dists[in_list] = dt[
+                (np.arange(M)[None, :] * K + codes_np[in_list])
+            ].sum(axis=1)
+        order = np.lexsort((ids[cand], dists[cand]))[:TOPK]
+        cids_, cds_ = ids[cand], dists[cand]
+        for i in order:
+            d_rows.append((qid, int(cids_[i]), round(float(cds_[i]), 6)))
+    return s_rows, d_rows
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2279,4 +2356,5 @@ EXTRA_CHECKS = {
     "x_ngram_topk": x_ngram_topk,
     "x_unicode_nfc": x_unicode_nfc,
     "x_pq": x_pq,
+    "x_ivfadc": x_ivfadc,
 }
