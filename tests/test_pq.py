@@ -150,3 +150,22 @@ def test_ivfadc_end_to_end(emb):
     out_all = ivfadc_topk(index, queries, cents, books, k=5, nprobe=4)
     assert out_all.count() == out.count()
     index.unpersist()
+
+
+def test_gemm_encode_parity(emb, books):
+    """The GEMM kernel must agree with the Column oracle path
+    row-for-row on real data (float-associativity differences only
+    matter on exact distance ties, absent here)."""
+    a = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(emb, books).select("vec_id", "pq_code").collect()
+    }
+    b = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(emb, books, strategy="gemm")
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        pq_encode(emb, books, strategy="nope")

@@ -112,6 +112,55 @@ def main() -> None:
         ),
     )
 
+    # --- PQ / IVFADC over a replicated vector corpus (2k -> 80k:
+    # each replica jittered by a deterministic per-replica offset so
+    # codes vary; replicas stay near their source -> clusterable)
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_fit,
+        ivfadc_index,
+        ivfadc_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    reps = spark.range(40).select(F.col("id").alias("_rep"))
+    big = (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") * 40 + F.col("_rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x + (F.col("_rep") % 7).cast("double") * 0.003,
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    nvec = big.count()
+    print(f"# vectors: {nvec}")
+    t0 = time.monotonic()
+    books = pq_fit(big, m=4, k=16, max_iter=3)
+    print(f"# pq_fit(m=4,k=16): {time.monotonic() - t0:.2f}s")
+    coded = pq_encode(big, books, strategy="gemm").persist()
+    t0 = time.monotonic(); coded.count()
+    print(f"# pq_encode({nvec}): {time.monotonic() - t0:.2f}s")
+    pqq = big.where(F.col("vec_id") % 10000 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("pq_topk(flat ADC)", pq_topk(coded, pqq, books, k=10))
+    t0 = time.monotonic()
+    cents, rbooks = ivfadc_fit(big, n_lists=16, m=4, k=16, max_iter=3)
+    print(f"# ivfadc_fit(16 lists): {time.monotonic() - t0:.2f}s")
+    index = ivfadc_index(big, cents, rbooks, strategy="gemm").persist()
+    t0 = time.monotonic(); index.count()
+    print(f"# ivfadc_index({nvec}): {time.monotonic() - t0:.2f}s")
+    timed(
+        "ivfadc_topk(nprobe=2/16)",
+        ivfadc_topk(index, pqq, cents, rbooks, k=10, nprobe=2),
+    )
+
     # --- report + snapshot diff over the replicated corpus
     timed("corpus_report", corpus_report(docs))
     new = docs.where(F.col("doc_id") % 10 != 0)
