@@ -1,0 +1,144 @@
+"""Exact heavy hitters over unbounded key cardinality in two passes.
+
+``top_kgrams`` (ngram_stats) relies on Spark's partial aggregation: each
+task's hash map holds every distinct key seen in its partition.  That is
+the right default, but at 100 TB with billions of distinct tokens/URLs
+the per-task map spills and the shuffle carries one record per distinct
+(key, partition) pair.  The classic fix (Misra & Gries 1982; mergeable
+form: Agarwal et al., "Mergeable Summaries", PODS 2012) bounds state:
+
+ - **Pass 1 (candidates)**: every partition maintains a Misra–Gries
+   summary of at most ``capacity`` counters — built per Arrow batch with
+   a C-speed ``value_counts`` (an exact, hence error-free, MG summary of
+   the batch) and merged into the running summary by pointwise addition
+   followed by the MG prune (subtract the (capacity+1)-th largest count,
+   drop non-positive).  Merged deficit per key ≤ n_p/(capacity+1), so
+   any key with partition share > 1/(capacity+1) survives.  By
+   averaging, a key with GLOBAL share ≥ ``min_fraction`` has at least
+   that share in some partition, so with
+   ``capacity = ceil(1/min_fraction)`` the union of partition summaries
+   is a guaranteed superset of the true heavy hitters.  At most
+   ``n_partitions × capacity`` candidate keys leave pass 1.
+ - **Pass 2 (exact)**: broadcast-semi-join the corpus against the
+   candidate set and count exactly.  The partial-agg maps now track only
+   candidate keys, so memory and shuffle are bounded by
+   ``n_partitions × capacity`` regardless of corpus cardinality, and the
+   final ``HAVING n >= total * min_fraction`` filter makes the output
+   EXACT — fully checkable by a plain SQL GROUP BY/HAVING oracle
+   (``tools/extra_oracles.py::x_heavy_hitters``).
+
+Reference scope note: beyond-reference training-data family (SURVEY
+§2b/2c) — corpus-frequency audits (stopword/boilerplate discovery,
+domain concentration) at cardinalities where one-pass groupBy state is
+the bottleneck.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from qualityassurancetool_spark.functions.hashing import tokens
+from qualityassurancetool_spark.functions.partitioning import (
+    compute_behind_barrier,
+)
+
+
+def mg_candidates(
+    df: DataFrame, key_col: str, capacity: int
+) -> DataFrame:
+    """Distinct candidate keys from per-partition Misra–Gries summaries
+    of at most ``capacity`` counters (see module docstring for the
+    superset guarantee).  Null keys are ignored — a null is never a
+    meaningful heavy hitter and ``value_counts`` drops it anyway."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    keyed = df.select(F.col(key_col)).where(F.col(key_col).isNotNull())
+    out_schema = StructType(
+        [StructField(key_col, keyed.schema[key_col].dataType)]
+    )
+
+    def kernel(batches):
+        import heapq
+
+        counts: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()  # exact MG of the batch
+            for k, c in vc.items():
+                counts[k] = counts.get(k, 0) + int(c)
+            if len(counts) > capacity:
+                # MG merge-prune: subtract the (capacity+1)-th largest
+                # count, drop non-positive — at most `capacity` keys
+                # can strictly exceed it.
+                cut = heapq.nlargest(capacity + 1, counts.values())[-1]
+                counts = {k: c - cut for k, c in counts.items() if c > cut}
+        if counts:
+            import pandas as pd
+
+            yield pd.DataFrame({key_col: list(counts.keys())})
+
+    return keyed.mapInPandas(kernel, out_schema).distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_fraction: float,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact ``(key_col, n)`` for every non-null key whose occurrence
+    count is ≥ ``min_fraction`` of all non-null rows.
+
+    ``capacity`` defaults to ``ceil(1/min_fraction)`` — the smallest
+    summary for which the candidate pass is a guaranteed superset.
+    Larger capacities trade pass-1 memory for fewer false candidates in
+    pass 2; smaller ones (explicitly passed) break the exactness
+    guarantee and are rejected.
+    """
+    if not (0.0 < min_fraction <= 1.0):
+        raise ValueError(f"min_fraction must be in (0, 1], got {min_fraction}")
+    floor_cap = math.ceil(1.0 / min_fraction)
+    if capacity is None:
+        capacity = floor_cap
+    elif capacity < floor_cap:
+        raise ValueError(
+            f"capacity {capacity} < ceil(1/min_fraction) = {floor_cap}: "
+            "the candidate pass would not be a superset"
+        )
+    keyed = df.select(F.col(key_col)).where(F.col(key_col).isNotNull())
+    cand = mg_candidates(df, key_col, capacity)
+    counts = (
+        keyed.join(F.broadcast(cand), key_col, "leftsemi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = keyed.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") >= F.col("_total") * F.lit(float(min_fraction)))
+        .select(key_col, "n")
+    )
+
+
+def token_heavy_hitters(
+    df: DataFrame,
+    min_fraction: float = 0.002,
+    text_col: str = "text",
+    capacity: int | None = None,
+) -> DataFrame:
+    """Corpus-wide heavy-hitter TOKENS: ``(token, n)`` for tokens whose
+    occurrence share of the whole token stream is ≥ ``min_fraction``.
+    Tokenization is the corpus-standard normalize → whitespace split
+    (``functions.hashing.tokens``), so counts line up with
+    vocab/decontam/ngram numbers.  Occurrence counts, not document
+    frequency — the complementary audit to ``top_kgrams``."""
+    toked = compute_behind_barrier(
+        df.select(F.col(text_col)), {"_tok": tokens(F.col(text_col))}
+    )
+    stream = toked.select(F.explode("_tok").alias("token")).where(
+        F.length("token") > 0
+    )
+    return heavy_hitters(stream, "token", min_fraction, capacity)

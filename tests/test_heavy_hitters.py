@@ -1,0 +1,91 @@
+"""Two-pass exact heavy hitters (operators/heavy_hitters).
+Cross-engine parity: tools/extra_oracles.py::x_heavy_hitters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.heavy_hitters import (
+    heavy_hitters,
+    mg_candidates,
+    token_heavy_hitters,
+)
+
+
+def _stream(spark, pairs):
+    """pairs = [(key, count)] → one row per occurrence, interleaved and
+    spread over several partitions so the MG kernel sees mixed runs."""
+    rows = [(k,) for k, c in pairs for _ in range(c)]
+    return (
+        spark.createDataFrame(rows, ["k"])
+        .withColumn("_h", F.xxhash64("k", F.monotonically_increasing_id()))
+        .repartition(8, "_h")
+        .drop("_h")
+    )
+
+
+def test_exact_vs_groupby(spark):
+    pairs = [("hot", 400), ("warm", 120), ("meh", 40)] + [
+        (f"cold{i}", 1) for i in range(440)
+    ]
+    df = _stream(spark, pairs)  # total = 1000
+    got = {
+        r["k"]: r["n"]
+        for r in heavy_hitters(df, "k", min_fraction=0.05).collect()
+    }
+    # exact answer: every key with count >= 50
+    assert got == {"hot": 400, "warm": 120}
+
+
+def test_candidates_are_superset_at_minimal_capacity(spark):
+    # 1/min_fraction = 20 → capacity 20 must still catch the heavy keys
+    pairs = [("a", 300), ("b", 100)] + [(f"z{i}", 2) for i in range(300)]
+    df = _stream(spark, pairs)
+    cand = {r["k"] for r in mg_candidates(df, "k", capacity=20).collect()}
+    assert {"a", "b"} <= cand
+
+
+def test_threshold_boundary_inclusive(spark):
+    # exactly total * min_fraction must be KEPT (>= semantics, matching
+    # the oracle's HAVING)
+    pairs = [("edge", 10), ("under", 9)] + [(f"f{i}", 1) for i in range(81)]
+    df = _stream(spark, pairs)  # total = 100, f=0.1 → threshold 10
+    got = {r["k"] for r in heavy_hitters(df, "k", min_fraction=0.1).collect()}
+    assert got == {"edge"}
+
+
+def test_nulls_ignored_everywhere(spark):
+    df = spark.createDataFrame(
+        [("x",)] * 6 + [(None,)] * 90 + [("y",)] * 4, ["k"]
+    )
+    # total counts only non-null rows (10), so x=6 passes f=0.5
+    got = {
+        r["k"]: r["n"]
+        for r in heavy_hitters(df, "k", min_fraction=0.5).collect()
+    }
+    assert got == {"x": 6}
+
+
+def test_capacity_below_floor_rejected(spark):
+    df = _stream(spark, [("a", 5)])
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", min_fraction=0.01, capacity=50)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", min_fraction=0.0)
+    with pytest.raises(ValueError):
+        mg_candidates(df, "k", capacity=0)
+
+
+def test_token_heavy_hitters_tokenization(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The  THE the quick fox"),
+            (2, "the lazy dog and the cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    # token stream: 11 tokens, 'the' appears 5x (case-folded, collapsed)
+    got = {
+        r["token"]: r["n"]
+        for r in token_heavy_hitters(docs, min_fraction=0.4).collect()
+    }
+    assert got == {"the": 5}

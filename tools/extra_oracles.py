@@ -1987,6 +1987,31 @@ def x_ivfadc(spark, con, sf_dir):
     return s_rows, d_rows
 
 
+def x_heavy_hitters(spark, con, sf_dir):
+    """token_heavy_hitters (two-pass Misra–Gries candidates + exact
+    verification count) vs a plain DuckDB GROUP BY / HAVING over the
+    same normalized token stream — the two-pass design is EXACT by
+    construction, so the oracle is the straightforward one."""
+    from qualityassurancetool_spark.operators.heavy_hitters import (
+        token_heavy_hitters,
+    )
+
+    FRAC = 0.004
+    sdf = token_heavy_hitters(_docs(spark, sf_dir), min_fraction=FRAC)
+    sql = f"""
+WITH tok AS (
+    SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+nz AS (SELECT token FROM tok WHERE length(token) > 0),
+tot AS (SELECT COUNT(*) AS total FROM nz)
+SELECT token, COUNT(*) AS n
+FROM nz, tot
+GROUP BY token, total
+HAVING COUNT(*) >= total * {FRAC}
+"""
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2357,4 +2382,5 @@ EXTRA_CHECKS = {
     "x_unicode_nfc": x_unicode_nfc,
     "x_pq": x_pq,
     "x_ivfadc": x_ivfadc,
+    "x_heavy_hitters": x_heavy_hitters,
 }
