@@ -36,6 +36,133 @@ def _embedding_dim(df: DataFrame, vec_col: str) -> int:
     return row[0]["d"]
 
 
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int,
+    l: int | None = None,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "kmpar:",
+) -> list[tuple[int, list[float]]]:
+    """Scalable k-means|| initialization (Bahmani et al., "Scalable
+    k-means++", VLDB 2012) — deterministic hash-random variant.
+
+    Stride init (the declared-IVF convention) is cheap but blind: on a
+    corpus whose low ids concentrate in one region, all k seeds land in
+    one cluster and Lloyd's cannot split them apart.  k-means|| fixes
+    this with ``rounds`` corpus passes that oversample ~``l`` points
+    per round proportionally to d²(x, C) — far regions are found with
+    overwhelming probability — then reduces the ≤ 1 + l·rounds
+    candidates to k locally, weighted by how many corpus points each
+    candidate owns.
+
+    Spark shape per round: the current candidate set enters as ONE
+    nested matrix literal (no join, corpus never shuffles); d² is an
+    ``array_min`` over the literal behind a Generate barrier; φ = Σd²
+    is one partial-agged scalar agg; selection is the engine-standard
+    md5 ``uniform_hash(id, salt·round) < l·d²/φ`` — reproducible, no
+    ``rand()``.  Only the ~l selected (id, vector) rows reach the
+    driver per round.  The final weighting is one more literal
+    assignment + count groupBy.  Total: 2·rounds + 2 corpus passes —
+    callers persist ``df`` when iterating at scale (same norm as
+    ``kmeans_fit``).
+
+    Local reduction: deterministic weighted farthest-point — start
+    from the heaviest candidate, repeatedly add the candidate
+    maximizing weight × d²(candidate, chosen) (ties on candidate
+    order).  Same greedy family the paper suggests for the final
+    k-means++ step, but deterministic for reproducibility.
+
+    Randomized-iterative with driver-loop scalars → no cross-engine
+    SQL oracle (the PCA precedent); property tests in
+    ``tests/test_clustering.py``.
+    """
+    import numpy as np
+
+    from qualityassurancetool_spark.functions.literals import (
+        double_matrix_literal,
+    )
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+    from qualityassurancetool_spark.operators.sampling import uniform_hash
+    from qualityassurancetool_spark.operators.similarity import l2_sq
+
+    if l is None:
+        l = 2 * k
+    seed_row = (
+        df.orderBy(id_col).select(id_col, vec_col).limit(1).collect()
+    )
+    if not seed_row:
+        raise ValueError("empty corpus: cannot initialize")
+    cand_ids = [int(seed_row[0][0])]
+    cand_vecs = [[float(x) for x in seed_row[0][1]]]
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    for r in range(rounds):
+        lit = double_matrix_literal(
+            tuple(tuple(v) for v in cand_vecs)
+        )
+        staged = compute_behind_barrier(
+            base,
+            {
+                "_d2": F.array_min(
+                    F.transform(lit, lambda cv: l2_sq(F.col(vec_col), cv))
+                )
+            },
+        )
+        phi = staged.agg(F.sum("_d2").alias("s")).collect()[0]["s"]
+        if not phi or phi <= 0.0:
+            break  # every point coincides with a candidate
+        picked = (
+            staged.where(
+                uniform_hash(F.col(id_col), salt=f"{salt}{r}:")
+                < F.lit(float(l)) * F.col("_d2") / F.lit(float(phi))
+            )
+            .select(id_col, vec_col)
+            .collect()
+        )
+        known = set(cand_ids)
+        for row in sorted(picked, key=lambda x: x[0]):
+            if int(row[0]) not in known:
+                cand_ids.append(int(row[0]))
+                cand_vecs.append([float(x) for x in row[1]])
+                known.add(int(row[0]))
+    if len(cand_ids) < k:
+        raise ValueError(
+            f"k-means|| produced {len(cand_ids)} < k={k} candidates; "
+            f"raise l or rounds (corpus may be tiny)"
+        )
+    # weight candidates by owned corpus points (one literal assignment)
+    cand_df = df.sparkSession.createDataFrame(
+        list(zip(range(len(cand_ids)), cand_vecs)),
+        "cent_id int, cent_vec array<double>",
+    )
+    w_rows = (
+        ivf_assign(base, cand_df, 1, vec_col, id_col)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    weights = np.zeros(len(cand_ids))
+    for row in w_rows:
+        weights[row["cluster_id"]] = float(row["w"])
+    C = np.asarray(cand_vecs, dtype=np.float64)
+    # deterministic weighted farthest-point reduction to k
+    chosen = [int(weights.argmax())]
+    d2 = ((C - C[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        score = weights * d2
+        score[chosen] = -1.0
+        nxt = int(score.argmax())
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((C - C[nxt]) ** 2).sum(axis=1))
+    return [
+        (i, [float(x) for x in C[c]]) for i, c in enumerate(chosen)
+    ]
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -43,29 +170,43 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     init_stride: int = 20,
+    init: str = "stride",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means; returns the final [(cent_id, centroid)] list
     (small by design — k x dim doubles, the driver-literal contract of
     ``ivf_assign``).
 
-    Init: the first ``k`` vectors with ``id % init_stride == 0``
-    (ordered by id) — same deterministic stride convention as the
-    declared IVF query.  Empty clusters keep their previous centroid.
+    ``init="stride"``: the first ``k`` vectors with
+    ``id % init_stride == 0`` (ordered by id) — same deterministic
+    stride convention as the declared IVF query.  ``init="parallel"``:
+    k-means|| (:func:`kmeans_parallel_init`) — use when id order
+    correlates with embedding-space position, where stride seeding
+    collapses into one region.  Empty clusters keep their previous
+    centroid.
     """
-    dim = _embedding_dim(df, vec_col)
-    init_rows = (
-        df.filter(F.col(id_col) % init_stride == 0)
-        .orderBy(id_col)
-        .limit(k)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    if len(init_rows) < k:
-        raise ValueError(
-            f"init produced {len(init_rows)} < k={k} centroids; "
-            f"lower init_stride"
+    if init == "parallel":
+        cents = kmeans_parallel_init(
+            df, k, vec_col=vec_col, id_col=id_col
         )
-    cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(init_rows)]
+    elif init != "stride":
+        raise ValueError(f"unknown init {init!r}")
+    else:
+        init_rows = (
+            df.filter(F.col(id_col) % init_stride == 0)
+            .orderBy(id_col)
+            .limit(k)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        if len(init_rows) < k:
+            raise ValueError(
+                f"init produced {len(init_rows)} < k={k} centroids; "
+                f"lower init_stride"
+            )
+        cents = [
+            (i, [float(x) for x in r[1]]) for i, r in enumerate(init_rows)
+        ]
+    dim = _embedding_dim(df, vec_col)
 
     spark = df.sparkSession
     for _ in range(max_iter):

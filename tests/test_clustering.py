@@ -93,3 +93,68 @@ def test_kmeans_empty_corpus_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         kmeans_fit(df, k=2)
+
+
+def _blobs_sorted_by_blob(n_per: int, seed: int = 1):
+    """Adversarial id layout: ALL of blob 0's ids come before blob 1's,
+    etc., so stride init seeds every centroid inside blob 0."""
+    rng = random.Random(seed)
+    rows = []
+    i = 0
+    for b, c in enumerate(CENTERS):
+        for _ in range(n_per):
+            rows.append((i, [x + rng.gauss(0, 0.5) for x in c], b))
+            i += 1
+    return rows
+
+
+def test_parallel_init_recovers_blobs_where_stride_cannot(spark):
+    from qualityassurancetool_spark.operators.clustering import (
+        kmeans_parallel_init,
+    )
+
+    rows = _blobs_sorted_by_blob(40)
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    truth = {i: b for i, _, b in rows}
+
+    def purity(cents):
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in kmeans_assign(df, cents).collect()
+        }
+        by_cluster: dict[int, set[int]] = {}
+        for i, c in got.items():
+            by_cluster.setdefault(c, set()).add(truth[i])
+        return by_cluster
+
+    # stride seeds all inside blob 0 (ids 0..2*stride are blob 0): Lloyd
+    # cannot discover blobs 1/2 — some cluster stays mixed
+    stride_cents = kmeans_fit(df, k=3, max_iter=8, init_stride=7)
+    assert any(len(b) > 1 for b in purity(stride_cents).values())
+
+    par_cents = kmeans_fit(df, k=3, max_iter=8, init="parallel")
+    by_cluster = purity(par_cents)
+    assert all(len(b) == 1 for b in by_cluster.values())
+    assert len(by_cluster) == 3
+
+    # hash-random sampling is deterministic: bit-identical re-run
+    assert kmeans_parallel_init(df, k=3) == kmeans_parallel_init(df, k=3)
+
+
+def test_parallel_init_validation(spark):
+    from qualityassurancetool_spark.operators.clustering import (
+        kmeans_parallel_init,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):  # 1 candidate < k
+        kmeans_parallel_init(df, k=3)
+    empty = df.where(F.col("vec_id") < 0)
+    with pytest.raises(ValueError):
+        kmeans_parallel_init(empty, k=2)
+    with pytest.raises(ValueError):
+        kmeans_fit(df, k=1, init="nope")
