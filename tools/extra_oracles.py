@@ -2012,6 +2012,49 @@ HAVING COUNT(*) >= total * {FRAC}
     return sdf, sql
 
 
+def x_interval_join(spark, con, sf_dir):
+    """interval_lookup (bucketed point-in-interval equi-join) vs a plain
+    DuckDB BETWEEN join: orders priced into 100 overlapping price bands
+    (width 6000, stride 4000 — every point can hit 1-2 bands), rolled up
+    to order-insensitive per-band stats."""
+    from qualityassurancetool_spark.operators.interval_join import (
+        interval_lookup,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    bands = spark.range(100).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 4000.0).alias("lo"),
+        (F.col("id") * 4000.0 + 6000.0).alias("hi"),
+    )
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    joined = interval_lookup(
+        pts,
+        bands,
+        "o_totalprice",
+        bucket_width=4000.0,
+        broadcast_intervals=True,
+    )
+    sdf = joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    sql = """
+WITH bands AS (
+    SELECT i AS band_id, i * 4000.0 AS lo, i * 4000.0 + 6000.0 AS hi
+    FROM generate_series(0, 99) t(i)
+)
+SELECT band_id, COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+GROUP BY band_id
+"""
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2383,4 +2426,5 @@ EXTRA_CHECKS = {
     "x_pq": x_pq,
     "x_ivfadc": x_ivfadc,
     "x_heavy_hitters": x_heavy_hitters,
+    "x_interval_join": x_interval_join,
 }
