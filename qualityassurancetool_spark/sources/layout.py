@@ -110,6 +110,41 @@ def write_corpus_shards(
     )
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    x_range: tuple[float, float],
+    y_col: str,
+    y_range: tuple[float, float],
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """2-D-clustered parquet layout: range-partition + sort by the
+    Morton key of (x_col, y_col) so every output file covers a compact
+    rectangle of the 2-D space — per-file min/max column statistics
+    become tight in BOTH dimensions, and rectangle predicates
+    (lat BETWEEN … AND long BETWEEN …) skip most files at scan time.
+    The key is computed from EXPLICIT ranges (stable across incremental
+    writes) and dropped before writing — the layout leaves the schema
+    untouched.  `tests/test_zorder.py` proves the pruning effect
+    behaviorally: summed per-file bounding-box area shrinks ~10x vs an
+    id-ordered layout of the same data."""
+    from qualityassurancetool_spark.functions.zorder import zorder_key
+
+    key = zorder_key(
+        F.col(x_col), x_range, F.col(y_col), y_range, bits=bits
+    )
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_dataset(
     spark,
     path: str,

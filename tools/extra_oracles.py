@@ -2055,6 +2055,29 @@ GROUP BY band_id
     return sdf, sql
 
 
+def x_zorder(spark, con, sf_dir):
+    """zorder_key (clamped grid quantization + magic-mask Morton
+    interleave, pure bit arithmetic) vs the SQL rendering of the SAME
+    expression in DuckDB — bit-identical by construction, over orders
+    (o_totalprice x o_custkey)."""
+    from qualityassurancetool_spark.functions.zorder import (
+        zorder_key,
+        zorder_key_sql,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    XR, YR, BITS = (0.0, 600000.0), (0.0, 150000.0), 16
+    sdf = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        zorder_key(
+            F.col("o_totalprice"), XR, F.col("o_custkey"), YR, bits=BITS
+        ).alias("zkey"),
+    )
+    zsql = zorder_key_sql("o_totalprice", XR, "o_custkey", YR, bits=BITS)
+    sql = f"SELECT o_orderkey, {zsql} AS zkey FROM orders"
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2427,4 +2450,5 @@ EXTRA_CHECKS = {
     "x_ivfadc": x_ivfadc,
     "x_heavy_hitters": x_heavy_hitters,
     "x_interval_join": x_interval_join,
+    "x_zorder": x_zorder,
 }
