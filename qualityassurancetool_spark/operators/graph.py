@@ -1,0 +1,151 @@
+"""PageRank over an edge DataFrame — domain/document authority scores.
+
+Training-data curation weighs sources by link authority (the OpenWebText
+"karma" filter, Common-Crawl domain ranking): given a (src, dst) edge
+table, produce a stationary-ish importance score per node.  Complements
+``operators/components`` (connected components) as the second classic
+iterative-graph workload.
+
+Spark shape (Page et al. 1999; the standard dataflow formulation):
+ - edges are hash-partitioned ONCE on ``src`` and persisted by the
+   caller for iteration (every round's contribution join then reuses
+   that partitioning — one shuffle of the rank table per round, the
+   irreducible PageRank cost, and none of the edge table);
+ - each round is contribs = edges ⋈ ranks (rank/out_degree, partial-agg
+   summed by dst) + the dangling-mass scalar folded in as a broadcast
+   one-row crossJoin (lazy — no driver action in the loop body);
+ - the rank table is ``localCheckpoint``-ed each round: it is referenced
+   TWICE per round (contributions and dangling mass), so without
+   lineage truncation the logical plan doubles per round — exponential
+   analysis cost that OOMs the driver after ~8 rounds (the
+   ``components.py`` discipline; substitute ``checkpoint()`` on a real
+   cluster for executor-loss tolerance).
+
+Scores are damped sums of double terms: cross-engine runs agree to
+~1e-12 relative, so the oracle compares ranks rounded to 8 dp
+(``tools/extra_oracles.py::x_pagerank`` — fixed-iteration chained-CTE
+SQL replica, sign-normalized like every rounded oracle output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``(node, rank)`` after ``iters`` synchronous rounds from a
+    uniform start.  Nodes are everything appearing as src or dst;
+    parallel edges count once per occurrence (weight them upstream by
+    pre-aggregating if that is not wanted); nodes without out-edges
+    (dangling) redistribute their mass uniformly — ranks sum to 1
+    every round."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    if not (0.0 <= damping <= 1.0):
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
+    deg.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(
+                deg.withColumnRenamed("src", "node"), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()  # truncate lineage: see module docstring
+        )
+        ranks = new_ranks
+    nodes.unpersist()
+    deg.unpersist()
+    return ranks
+
+
+def pagerank_sql(
+    edges_cte: str,
+    iters: int = 5,
+    damping: float = 0.85,
+    round_dp: int = 8,
+) -> str:
+    """Chained-CTE SQL replica of :func:`pagerank` for a fixed
+    iteration count — the cross-engine oracle twin.  ``edges_cte`` is a
+    SELECT yielding (src, dst).  Emits (node, rank_r) with rank rounded
+    to ``round_dp`` and -0.0-normalized."""
+    d = damping
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)",
+    ]
+    for i in range(iters):
+        p, q = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"""{q} AS (
+  WITH contrib AS (
+    SELECT e.dst AS node, SUM(r.rank / deg.out_deg) AS contrib
+    FROM edges e JOIN {p} r ON e.src = r.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ),
+  dang AS (
+    SELECT COALESCE(SUM(r.rank), 0.0) AS dang FROM {p} r
+    WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.node)
+  )
+  SELECT nodes.node,
+         (1.0 - {d}) / nn.n
+           + {d} * (COALESCE(c.contrib, 0.0) + dang.dang / nn.n) AS rank
+  FROM nodes LEFT JOIN contrib c ON nodes.node = c.node, nn, dang
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, {round_dp}) + 0.0 AS rank_r"
+        f" FROM r{iters}"
+    )

@@ -2078,6 +2078,41 @@ def x_zorder(spark, con, sf_dir):
     return sdf, sql
 
 
+def x_pagerank(spark, con, sf_dir):
+    """pagerank (synchronous damped iteration, dangling redistribution)
+    vs the chained-CTE SQL replica, on a deterministic synthetic link
+    graph over documents: doc i links to (7i+3) mod N and (13i+5) mod N.
+    Double sums agree cross-engine to ~1e-12 relative; ranks rounded to
+    8 dp, -0.0-normalized."""
+    from qualityassurancetool_spark.operators.graph import (
+        pagerank,
+        pagerank_sql,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    ITERS = 5
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n_docs).alias("dst"),
+    ).union(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % n_docs).alias("dst"),
+        )
+    )
+    sdf = pagerank(edges, iters=ITERS).select(
+        "node", (F.round("rank", 8) + F.lit(0.0)).alias("rank_r")
+    )
+    edges_cte = (
+        f"SELECT doc_id AS src, (doc_id * 7 + 3) % {n_docs} AS dst"
+        " FROM documents UNION ALL "
+        f"SELECT doc_id, (doc_id * 13 + 5) % {n_docs} FROM documents"
+    )
+    return sdf, pagerank_sql(edges_cte, iters=ITERS)
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2451,4 +2486,5 @@ EXTRA_CHECKS = {
     "x_heavy_hitters": x_heavy_hitters,
     "x_interval_join": x_interval_join,
     "x_zorder": x_zorder,
+    "x_pagerank": x_pagerank,
 }
