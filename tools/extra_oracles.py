@@ -2113,6 +2113,28 @@ def x_pagerank(spark, con, sf_dir):
     return sdf, pagerank_sql(edges_cte, iters=ITERS)
 
 
+def x_robust_outlier(spark, con, sf_dir):
+    """robust_outlier_flags (exact-percentile median/MAD robust z) vs
+    the DuckDB quantile_cont replica, per event_type over events.value."""
+    from qualityassurancetool_spark.operators.robust import (
+        robust_outlier_flags,
+        robust_outlier_sql,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    sdf = robust_outlier_flags(ev, "value", "event_type").select(
+        "event_id",
+        "event_type",
+        (F.round("robust_z", 6) + F.lit(0.0)).alias("robust_z_r"),
+        "is_outlier",
+    )
+    sql = robust_outlier_sql("events", "value", "event_type", "event_id")
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2487,4 +2509,5 @@ EXTRA_CHECKS = {
     "x_interval_join": x_interval_join,
     "x_zorder": x_zorder,
     "x_pagerank": x_pagerank,
+    "x_robust_outlier": x_robust_outlier,
 }
