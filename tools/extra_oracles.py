@@ -2135,6 +2135,58 @@ def x_robust_outlier(spark, con, sf_dir):
     return sdf, sql
 
 
+def x_scd2(spark, con, sf_dir):
+    """scd2_lookup (point-in-time dimension join, half-open intervals)
+    vs a plain SQL key+BETWEEN join: customers versioned into three
+    800-day validity windows (last one open-ended), orders joined at
+    o_orderdate."""
+    from qualityassurancetool_spark.operators.scd import scd2_lookup
+    from qualityassurancetool_spark.schema import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    vers = spark.range(3).select(F.col("id").alias("v"))
+    dim = cust.crossJoin(vers).select(
+        F.col("c_custkey").alias("k"),
+        F.date_add(F.lit("1992-01-01").cast("date"), (F.col("v") * 800).cast("int")).alias(
+            "valid_from"
+        ),
+        F.when(
+            F.col("v") < 2,
+            F.date_add(
+                F.lit("1992-01-01").cast("date"),
+                ((F.col("v") + 1) * 800).cast("int"),
+            ),
+        )
+        .otherwise(F.lit("9999-12-31").cast("date"))
+        .alias("valid_to"),
+        F.concat_ws("#", F.col("c_mktsegment"), F.col("v")).alias(
+            "seg_version"
+        ),
+    )
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k"), "o_orderdate"
+    )
+    sdf = scd2_lookup(facts, dim, "k", "o_orderdate").select(
+        "o_orderkey", "seg_version"
+    )
+    sql = """
+WITH dim AS (
+    SELECT c_custkey AS k,
+           DATE '1992-01-01' + INTERVAL (v * 800) DAY AS valid_from,
+           CASE WHEN v < 2
+                THEN DATE '1992-01-01' + INTERVAL ((v + 1) * 800) DAY
+                ELSE DATE '9999-12-31' END AS valid_to,
+           c_mktsegment || '#' || v AS seg_version
+    FROM customer, generate_series(0, 2) t(v)
+)
+SELECT o_orderkey, seg_version
+FROM orders LEFT JOIN dim
+  ON o_custkey = dim.k
+ AND o_orderdate >= dim.valid_from AND o_orderdate < dim.valid_to
+"""
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2510,4 +2562,5 @@ EXTRA_CHECKS = {
     "x_zorder": x_zorder,
     "x_pagerank": x_pagerank,
     "x_robust_outlier": x_robust_outlier,
+    "x_scd2": x_scd2,
 }
