@@ -105,3 +105,78 @@ def benchmark_ngram_overlap(
             "overlap_frac"
         ),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench_vectors: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-level benchmark contamination: per corpus vector, the
+    max cosine similarity against any benchmark vector, the (min) id of
+    a benchmark vector achieving it, and ``contaminated`` (max_sim >=
+    threshold).  Catches paraphrased/reformatted leakage the n-gram
+    check (:func:`benchmark_ngram_overlap`) misses — the embedding-space
+    complement, same contract (Brown et al. 2020 App. C uses n-grams;
+    semantic variants are standard practice since).
+
+    Scale shape: the benchmark set is SMALL by contract (that is what a
+    benchmark is) and enters as ONE nested matrix literal — no join, no
+    shuffle, no Python stage; the corpus is scanned once, row-locally.
+    Distances use the engine's sequential-fold dot (bit-reproducible);
+    benchmark norms are precomputed driver-side, the corpus norm once
+    per row.  For benchmark sets too big for a literal (>~10k vectors),
+    fall back to ``similarity.blocked_cosine_pairs`` — documented, not
+    the default, because real benchmark suites are literal-sized.
+
+    Cross-engine: ``tools/extra_oracles.py::x_semantic_decontam``
+    (DuckDB cross join + list_cosine_similarity, rounded).
+    """
+    import math
+
+    from qualityassurancetool_spark.functions.literals import (
+        double_matrix_literal,
+        long_array_literal,
+    )
+    from qualityassurancetool_spark.operators.similarity import dot_product
+
+    if not bench_vectors:
+        raise ValueError("bench_vectors is empty")
+    ids = [int(i) for i, _ in bench_vectors]
+    norms = [
+        math.sqrt(sum(float(x) * float(x) for x in v))
+        for _, v in bench_vectors
+    ]
+    if any(n == 0.0 for n in norms):
+        raise ValueError("zero-norm benchmark vector")
+    # pre-divide each benchmark vector by its norm: the per-row fold is
+    # then dot(corpus_vec, unit_bench) / |corpus_vec|
+    mat = double_matrix_literal(
+        tuple(
+            tuple(float(x) / n for x in v)
+            for (_, v), n in zip(bench_vectors, norms)
+        )
+    )
+    cnorm = F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
+    sims = F.transform(mat, lambda bv: dot_product(F.col(vec_col), bv) / cnorm)
+    pairs = F.zip_with(
+        sims,
+        long_array_literal(tuple(ids)),
+        # (sim, -id): array_max then yields max sim, min id on ties
+        lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")),
+    )
+    best = F.array_max(pairs)
+    return (
+        corpus.withColumn("_best", best)
+        .select(
+            "*",
+            F.col("_best.s").alias("max_sim"),
+            (-F.col("_best.ni")).alias("matched_bench_id"),
+            (F.col("_best.s") >= F.lit(float(threshold))).alias(
+                "contaminated"
+            ),
+        )
+        .drop("_best")
+    )

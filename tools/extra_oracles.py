@@ -2187,6 +2187,53 @@ FROM orders LEFT JOIN dim
     return sdf, sql
 
 
+def x_semantic_decontam(spark, con, sf_dir):
+    """semantic_decontaminate (benchmark matrix literal, row-local max
+    cosine) vs a DuckDB cross-join max(list_cosine_similarity) — the
+    join-free literal fold must equal the naive cross join."""
+    from qualityassurancetool_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench_rows = (
+        emb.where(F.col("vec_id") % 40 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    bench = [(int(r[0]), [float(x) for x in r[1]]) for r in bench_rows]
+    corpus = emb.where(F.col("vec_id") % 40 != 0)
+    sdf = semantic_decontaminate(corpus, bench, threshold=0.9).select(
+        "vec_id",
+        (F.round("max_sim", 5) + F.lit(0.0)).alias("max_sim_r"),
+        "matched_bench_id",
+        "contaminated",
+    )
+    sql = """
+WITH bench AS (
+    SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bvec
+    FROM embeddings WHERE vec_id % 40 = 0
+),
+scored AS (
+    SELECT c.vec_id, b.bid,
+           list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), b.bvec)
+               AS sim
+    FROM embeddings c CROSS JOIN bench b
+    WHERE c.vec_id % 40 != 0
+),
+best AS (
+    SELECT vec_id, MAX(sim) AS max_sim FROM scored GROUP BY vec_id
+)
+SELECT s.vec_id, round(b.max_sim, 5) + 0.0 AS max_sim_r,
+       MIN(s.bid) AS matched_bench_id,
+       b.max_sim >= 0.9 AS contaminated
+FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.sim = b.max_sim
+GROUP BY s.vec_id, b.max_sim
+"""
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2563,4 +2610,5 @@ EXTRA_CHECKS = {
     "x_pagerank": x_pagerank,
     "x_robust_outlier": x_robust_outlier,
     "x_scd2": x_scd2,
+    "x_semantic_decontam": x_semantic_decontam,
 }
