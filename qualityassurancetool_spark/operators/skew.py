@@ -60,3 +60,35 @@ def salted_distinct_count(
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias(out_col))
     )
+
+
+def key_skew_report(df: "DataFrame", key_col: str) -> "DataFrame":
+    """One-row shuffle-health diagnostic for a prospective join/groupBy
+    key: ``(n_rows, n_keys, max_count, avg_count, p50_count, p99_count,
+    skew_ratio)`` where ``skew_ratio = max/avg`` — the straggler factor
+    a shuffle on this key would suffer (ratio ≫ 1 ⇒ reach for
+    :func:`salted_join` / AQE skew handling).  Null keys are excluded
+    (they hash to one partition — a skew all of their own; count them
+    separately).
+
+    Cost: one partial-agged count shuffle + one exact-percentile agg
+    over the (small) per-key counts table.  Exact percentiles keep the
+    report cross-engine checkable (``x_skew_report``); at extreme key
+    cardinality substitute percentile_approx — same plan shape.
+    """
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return counts.agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_c").alias("max_count"),
+        (F.sum("_c") / F.count(F.lit(1))).alias("avg_count"),
+        F.percentile(F.col("_c"), F.lit(0.5)).alias("p50_count"),
+        F.percentile(F.col("_c"), F.lit(0.99)).alias("p99_count"),
+        (
+            F.max("_c") / (F.sum("_c") / F.count(F.lit(1)))
+        ).alias("skew_ratio"),
+    )

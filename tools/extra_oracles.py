@@ -2234,6 +2234,37 @@ GROUP BY s.vec_id, b.max_sim
     return sdf, sql
 
 
+def x_skew_report(spark, con, sf_dir):
+    """key_skew_report (shuffle-health diagnostic) vs a plain SQL
+    replica over lineitem.l_orderkey (naturally 1-7 rows per key)."""
+    from qualityassurancetool_spark.operators.skew import key_skew_report
+    from qualityassurancetool_spark.schema import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sdf = key_skew_report(li, "l_orderkey").select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        (F.round("avg_count", 6) + F.lit(0.0)).alias("avg_r"),
+        (F.round("p50_count", 6) + F.lit(0.0)).alias("p50_r"),
+        (F.round("p99_count", 6) + F.lit(0.0)).alias("p99_r"),
+        (F.round("skew_ratio", 6) + F.lit(0.0)).alias("skew_r"),
+    )
+    sql = """
+WITH c AS (
+    SELECT l_orderkey, COUNT(*) AS c FROM lineitem
+    WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey
+)
+SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys, MAX(c) AS max_count,
+       round(SUM(c) / COUNT(*), 6) + 0.0 AS avg_r,
+       round(quantile_cont(c, 0.5), 6) + 0.0 AS p50_r,
+       round(quantile_cont(c, 0.99), 6) + 0.0 AS p99_r,
+       round(MAX(c) / (SUM(c) / COUNT(*)), 6) + 0.0 AS skew_r
+FROM c
+"""
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2611,4 +2642,5 @@ EXTRA_CHECKS = {
     "x_robust_outlier": x_robust_outlier,
     "x_scd2": x_scd2,
     "x_semantic_decontam": x_semantic_decontam,
+    "x_skew_report": x_skew_report,
 }
