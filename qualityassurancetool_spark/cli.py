@@ -369,6 +369,182 @@ def cmd_dedup(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_ann(args, overrides: list[str]) -> int:
+    """ANN search over an embeddings parquet: fit the chosen index and
+    write per-query top-k neighbors.  ``method``:
+
+    - ``brute``: GEMM brute-force cosine (the exactness baseline);
+    - ``ivf``: k-means coarse lists, probed-list scan;
+    - ``pq``: flat ADC over product-quantized codes;
+    - ``ivfadc``: residual PQ over IVF lists (Jégou et al. 2011);
+    - ``opq``: learned-rotation PQ (Ge et al. 2013).
+
+    Queries default to every ``query_stride``-th corpus vector
+    (deterministic, self-contained); point ``queries.input`` at a
+    parquet of (query_id, embedding) to search external queries.
+    """
+    run, knobs = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
+        raise ConfigError("missing required settings: data.input, data.out")
+    method = knobs.get("method", "brute")
+    if method not in ("brute", "ivf", "pq", "ivfadc", "opq"):
+        raise ConfigError(
+            f"unknown ann method {method!r} (brute|ivf|pq|ivfadc|opq)"
+        )
+    k = int(knobs.get("k", 10))
+    nprobe = int(knobs.get("nprobe", 2))
+    n_lists = int(knobs.get("n_lists", 8))
+    m = int(knobs.get("m", 4))
+    kcode = int(knobs.get("kcode", 16))
+
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.session import get_spark
+
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-ann"))
+    try:
+        emb = spark.read.parquet(data_c["input"])
+        queries_c = knobs.get("queries", {})
+        if isinstance(queries_c, dict) and queries_c.get("input"):
+            queries = spark.read.parquet(queries_c["input"])
+        else:
+            stride = int(knobs.get("query_stride", 100))
+            queries = emb.where(F.col("vec_id") % stride == 0).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+        if method == "brute":
+            from qualityassurancetool_spark.operators.similarity import (
+                brute_force_topk,
+            )
+
+            # brute takes queries keyed like the corpus (it renames to
+            # query_id itself); the code-based methods take query_id
+            out = brute_force_topk(
+                emb,
+                queries.withColumnRenamed("query_id", "vec_id"),
+                k=k,
+                strategy="gemm",
+            )
+        elif method == "ivf":
+            from qualityassurancetool_spark.operators.clustering import (
+                kmeans_fit,
+            )
+            from qualityassurancetool_spark.operators.similarity import (
+                ivf_topk,
+            )
+
+            cents = kmeans_fit(emb, k=n_lists, max_iter=3)
+            cent_df = spark.createDataFrame(
+                cents, "cent_id int, cent_vec array<double>"
+            )
+            out = ivf_topk(emb, queries, cent_df, k=k, nprobe=nprobe)
+        elif method == "pq":
+            from qualityassurancetool_spark.operators.pq import (
+                pq_encode,
+                pq_fit,
+                pq_topk,
+            )
+
+            books = pq_fit(emb, m=m, k=kcode, max_iter=3)
+            coded = pq_encode(emb, books, strategy="gemm")
+            out = pq_topk(coded, queries, books, k=k)
+        elif method == "ivfadc":
+            from qualityassurancetool_spark.operators.pq import (
+                ivfadc_fit,
+                ivfadc_index,
+                ivfadc_topk,
+            )
+
+            cents, books = ivfadc_fit(
+                emb, n_lists=n_lists, m=m, k=kcode, max_iter=3
+            )
+            index = ivfadc_index(emb, cents, books, strategy="gemm")
+            out = ivfadc_topk(index, queries, cents, books, k=k, nprobe=nprobe)
+        else:  # opq
+            from qualityassurancetool_spark.operators.opq import (
+                opq_encode,
+                opq_fit,
+                opq_topk,
+            )
+
+            R, books = opq_fit(
+                emb, m=m, k=kcode,
+                opq_iters=int(knobs.get("opq_iters", 2)), lloyd_iters=3,
+            )
+            coded = opq_encode(emb, R, books)
+            out = opq_topk(coded, queries, R, books, k=k)
+        out.write.mode("overwrite").parquet(data_c["out"])
+        back = spark.read.parquet(data_c["out"])
+        print(f"queries: {back.select('query_id').distinct().count()}")
+        print(f"results: {back.count()}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
+def cmd_profile(args, overrides: list[str]) -> int:
+    """Corpus/shuffle profiling.  ``method``:
+
+    - ``tokens``: exact heavy-hitter tokens over a documents parquet
+      (two-pass Misra–Gries; ``min_fraction`` knob);
+    - ``skew``: one-row key-skew report for ``key=<column>``;
+    - ``pagerank``: authority scores over a (src, dst) edges parquet.
+    """
+    run, knobs = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
+        raise ConfigError("missing required settings: data.input, data.out")
+    method = knobs.get("method", "tokens")
+    if method not in ("tokens", "skew", "pagerank"):
+        raise ConfigError(
+            f"unknown profile method {method!r} (tokens|skew|pagerank)"
+        )
+
+    from qualityassurancetool_spark.session import get_spark
+
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-profile"))
+    try:
+        if method == "tokens":
+            from qualityassurancetool_spark.operators.heavy_hitters import (
+                token_heavy_hitters,
+            )
+            from qualityassurancetool_spark.schema import load_table
+
+            if data_c.get("table", "parquet") == "documents":
+                docs = load_table(spark, data_c["input"], "documents")
+            else:
+                docs = spark.read.parquet(data_c["input"])
+            out = token_heavy_hitters(
+                docs, min_fraction=float(knobs.get("min_fraction", 0.002))
+            )
+        elif method == "skew":
+            key = knobs.get("key")
+            if not key:
+                raise ConfigError("skew profiling needs key=<column>")
+            from qualityassurancetool_spark.operators.skew import (
+                key_skew_report,
+            )
+
+            out = key_skew_report(spark.read.parquet(data_c["input"]), key)
+        else:  # pagerank
+            from qualityassurancetool_spark.operators.graph import pagerank
+
+            edges = spark.read.parquet(data_c["input"])
+            out = pagerank(
+                edges,
+                iters=int(knobs.get("iters", 5)),
+                damping=float(knobs.get("damping", 0.85)),
+            )
+        out.write.mode("overwrite").parquet(data_c["out"])
+        print(f"rows: {spark.read.parquet(data_c['out']).count()}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def cmd_pretrain(args, overrides: list[str]) -> int:
     """End-to-end corpus build: documents parquet/JSONL → curate →
     near-dedup → chunk+pack → WebDataset shards + audit report
@@ -546,6 +722,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_pre.add_argument("override", nargs="*", help="key.path=value")
 
+    p_ann = sub.add_parser(
+        "ann", help="ANN top-k search (brute|ivf|pq|ivfadc|opq)"
+    )
+    p_ann.add_argument("-c", "--config", default=None)
+    p_ann.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_ann.add_argument("override", nargs="*", help="key.path=value")
+
+    p_prof = sub.add_parser(
+        "profile", help="corpus/shuffle profiling (tokens|skew|pagerank)"
+    )
+    p_prof.add_argument("-c", "--config", default=None)
+    p_prof.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_prof.add_argument("override", nargs="*", help="key.path=value")
+
     p_rep = sub.add_parser(
         "report", help="corpus report (dataset-card numbers)"
     )
@@ -571,6 +765,8 @@ def main(argv: list[str] | None = None) -> int:
         "run": cmd_run,
         "curate": cmd_curate,
         "dedup": cmd_dedup,
+        "ann": cmd_ann,
+        "profile": cmd_profile,
         "report": cmd_report,
         "pretrain": cmd_pretrain,
         "export": cmd_export,

@@ -300,3 +300,72 @@ def test_dedup_lines_method(spark, tmp_path, capsys):
     )
     assert int(report["docs"]) > 0
     assert "lines_removed" in report
+
+
+def test_ann_command(spark, tmp_path, capsys):
+    """ANN CLI: brute and ivfadc methods over the embeddings parquet,
+    self-queries via query_stride."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "ann_brute")
+    rc = main([
+        "ann", "--keep-session", f"data.input={src}", f"data.out={out}",
+        "method=brute", "k=5", "query_stride=20",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    nq, nr = int(report["queries"]), int(report["results"])
+    assert nq > 0 and nr == nq * 5
+
+    out2 = str(tmp_path / "ann_ivfadc")
+    rc = main([
+        "ann", "--keep-session", f"data.input={src}", f"data.out={out2}",
+        "method=ivfadc", "k=3", "query_stride=20", "n_lists=4",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(report["results"]) == int(report["queries"]) * 3
+
+    assert main([
+        "ann", "--keep-session", "data.input=/x", "data.out=/y",
+        "method=nope",
+    ]) == 2
+
+
+def test_profile_command(spark, tmp_path, capsys):
+    """Profile CLI: token heavy hitters and key-skew report."""
+    out = str(tmp_path / "prof_tok")
+    rc = main([
+        "profile", "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=documents",
+        f"data.out={out}", "method=tokens", "min_fraction=0.01",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(report["rows"]) > 0
+    cols = spark.read.parquet(out).columns
+    assert sorted(cols) == ["n", "token"]
+
+    out2 = str(tmp_path / "prof_skew")
+    rc = main([
+        "profile", "--keep-session",
+        "data.input=/root/testdata/sf0.001/events.parquet",
+        f"data.out={out2}", "method=skew", "key=user_id",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert spark.read.parquet(out2).count() == 1
+
+    # missing key for skew is a pointed config error
+    assert main([
+        "profile", "--keep-session", "data.input=/x", "data.out=/y",
+        "method=skew",
+    ]) == 2
