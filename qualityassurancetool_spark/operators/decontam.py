@@ -113,6 +113,7 @@ def semantic_decontaminate(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    strategy: str = "gemm",
 ) -> DataFrame:
     """Embedding-level benchmark contamination: per corpus vector, the
     max cosine similarity against any benchmark vector, the (min) id of
@@ -130,6 +131,14 @@ def semantic_decontaminate(
     per row.  For benchmark sets too big for a literal (>~10k vectors),
     fall back to ``similarity.blocked_cosine_pairs`` — documented, not
     the default, because real benchmark suites are literal-sized.
+
+    ``strategy="column"`` is the sequential-fold oracle mode
+    (bit-reproducible, replicated by the DuckDB oracle);
+    ``"gemm"`` (default) scores each Arrow batch against the whole
+    benchmark matrix with one BLAS multiply — the HOF fold is
+    interpreted, not codegen'd, and measured 55 s vs 1.5 s at
+    80k × 50 × 64-dim (the ``pq_encode`` convention; differences are
+    float-associativity ulps, invisible at any real threshold).
 
     Cross-engine: ``tools/extra_oracles.py::x_semantic_decontam``
     (DuckDB cross join + list_cosine_similarity, rounded).
@@ -151,6 +160,12 @@ def semantic_decontaminate(
     ]
     if any(n == 0.0 for n in norms):
         raise ValueError("zero-norm benchmark vector")
+    if strategy == "gemm":
+        return _semantic_decontam_gemm(
+            corpus, bench_vectors, ids, norms, threshold, vec_col
+        )
+    if strategy != "column":
+        raise ValueError(f"unknown strategy {strategy!r}")
     # pre-divide each benchmark vector by its norm: the per-row fold is
     # then dot(corpus_vec, unit_bench) / |corpus_vec|
     mat = double_matrix_literal(
@@ -180,3 +195,61 @@ def semantic_decontaminate(
         )
         .drop("_best")
     )
+
+
+def _semantic_decontam_gemm(
+    corpus: DataFrame,
+    bench_vectors: list[tuple[int, list[float]]],
+    ids: list[int],
+    norms: list[float],
+    threshold: float,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-batched BLAS kernel for :func:`semantic_decontaminate`."""
+    import numpy as np
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    B = np.asarray(
+        [v for _, v in bench_vectors], dtype=np.float64
+    ) / np.asarray(norms, dtype=np.float64)[:, None]
+    ids_np = np.asarray(ids, dtype=np.int64)
+    # argmax with min-id tie-break: scan candidates in ascending-id
+    # order so the FIRST max wins (np.argmax keeps the first)
+    order = np.argsort(ids_np, kind="stable")
+    B, ids_np = B[order], ids_np[order]
+    out_schema = StructType(
+        list(corpus.schema.fields)
+        + [
+            StructField("max_sim", DoubleType()),
+            StructField("matched_bench_id", LongType()),
+            StructField("contaminated", BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["max_sim"] = []
+                pdf["matched_bench_id"] = []
+                pdf["contaminated"] = []
+                yield pdf
+                continue
+            X = np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            sims = (X @ B.T) / np.linalg.norm(X, axis=1)[:, None]
+            best = sims.argmax(axis=1)
+            mx = sims[np.arange(len(sims)), best]
+            pdf["max_sim"] = mx
+            pdf["matched_bench_id"] = ids_np[best]
+            pdf["contaminated"] = mx >= threshold
+            yield pdf
+
+    return corpus.mapInPandas(kernel, out_schema)

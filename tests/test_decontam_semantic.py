@@ -52,3 +52,29 @@ def test_validation(spark):
         semantic_decontaminate(df, [])
     with pytest.raises(ValueError, match="zero-norm"):
         semantic_decontaminate(df, [(1, [0.0, 0.0])])
+
+
+def test_gemm_strategy_parity(spark):
+    rng = random.Random(9)
+    corpus = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(300)]
+    bench = [(50 + j, [rng.gauss(0, 1) for _ in range(8)]) for j in range(6)]
+    df = spark.createDataFrame(
+        corpus, "vec_id long, embedding array<double>"
+    ).repartition(8)
+    cols = ["vec_id", "max_sim", "matched_bench_id", "contaminated"]
+    a = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(df, bench, 0.5, strategy="column")
+        .select(cols).collect()
+    }
+    b = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(df, bench, 0.5, strategy="gemm")
+        .select(cols).collect()
+    }
+    for i in a:
+        assert a[i]["max_sim"] == pytest.approx(b[i]["max_sim"], abs=1e-12)
+        assert a[i]["matched_bench_id"] == b[i]["matched_bench_id"]
+        assert a[i]["contaminated"] == b[i]["contaminated"]
+    with pytest.raises(ValueError):
+        semantic_decontaminate(df, bench, 0.5, strategy="nope")

@@ -2204,7 +2204,9 @@ def x_semantic_decontam(spark, con, sf_dir):
     )
     bench = [(int(r[0]), [float(x) for x in r[1]]) for r in bench_rows]
     corpus = emb.where(F.col("vec_id") % 40 != 0)
-    sdf = semantic_decontaminate(corpus, bench, threshold=0.9).select(
+    sdf = semantic_decontaminate(
+        corpus, bench, threshold=0.9, strategy="column"
+    ).select(
         "vec_id",
         (F.round("max_sim", 5) + F.lit(0.0)).alias("max_sim_r"),
         "matched_bench_id",
