@@ -1,0 +1,115 @@
+"""Fuzzy string join — q-gram Jaccard set-similarity join.
+
+Entity resolution over short strings (titles, names, addresses — the
+metadata side of corpus curation, where ``dedup.ngram_jaccard``'s
+word-level shingles are too coarse: "Jon Smith" / "John Smith" share
+zero word trigrams but most character trigrams).
+
+Shape is the standard distributed set-similarity join (the SSJoin /
+VernicaJoin family, public literature): explode each side's DISTINCT
+padded character q-grams, equi-join on the gram (candidates = pairs
+sharing ≥ 1 gram), count shared grams per pair with one partial-agged
+groupBy, and compute Jaccard = common / (|A| + |B| − common) from the
+per-side gram counts carried through the explode — set sizes travel as
+ints, strings never join more than once per shared gram.  Stop-gram
+capping (``max_df``) bounds the candidate blowup from ubiquitous grams
+exactly like the fingerprint join's boilerplate cap: a gram appearing
+in more than ``max_df`` right-side strings generates no candidates
+(recall loss only for pairs ALL of whose shared grams are that hot —
+documented, measured trade).
+
+Cross-engine: ``tools/extra_oracles.py::x_fuzzy_join`` replicates the
+gram definition with generate_series + substr in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.functions.hashing import normalize_text
+
+PAD = "\x01"  # boundary sentinel; cannot occur in normalized text
+
+
+def qgrams(c: Column, q: int = 3) -> Column:
+    """Distinct padded character q-grams of the normalized string —
+    ``q-1`` sentinel chars on each side, so every character
+    participates in exactly q grams and single-char edits disturb at
+    most q grams (the standard q-gram edit-distance bound)."""
+    padded = F.concat(F.lit(PAD * (q - 1)), normalize_text(c), F.lit(PAD * (q - 1)))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - (q - 1)),
+            lambda i: F.substring(padded, i, q),
+        )
+    )
+
+
+def _gram_side(
+    df: DataFrame, id_col: str, text_col: str, q: int, prefix: str
+) -> DataFrame:
+    toked = df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        qgrams(F.col(text_col), q).alias("_gs"),
+    )
+    return toked.select(
+        f"{prefix}_id",
+        F.size("_gs").alias(f"{prefix}_n"),
+        F.explode("_gs").alias("gram"),
+    )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float = 0.5,
+    q: int = 3,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """``(left_id, right_id, n_common, jaccard)`` for every cross-side
+    pair whose padded q-gram Jaccard ≥ ``threshold`` (≥, matching the
+    oracle).  Identical ids on both sides are NOT excluded — the
+    caller filters self-pairs when joining a table to itself.
+
+    ``max_df``: grams occurring in more than this many RIGHT-side
+    strings are dropped from candidate generation on BOTH sides (the
+    right side is the "index" side by convention — put the smaller /
+    cleaner table there)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    lg = _gram_side(left, left_id, left_col, q, "l")
+    rg = _gram_side(right, right_id, right_col, q, "r")
+    if max_df is not None:
+        hot = (
+            rg.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("gram")
+        )
+        lg = lg.join(F.broadcast(hot), "gram", "left_anti")
+        rg = rg.join(F.broadcast(hot), "gram", "left_anti")
+    pairs = (
+        lg.join(rg, "gram")
+        .groupBy("l_id", "r_id", "l_n", "r_n")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("l_n") + F.col("r_n") - F.col("n_common")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select(
+            F.col("l_id").alias(left_id),
+            F.col("r_id").alias(right_id),
+            "n_common",
+            "jaccard",
+        )
+    )

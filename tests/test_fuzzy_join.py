@@ -1,0 +1,87 @@
+"""q-gram Jaccard fuzzy string join (operators/fuzzy_join).
+Cross-engine parity: tools/extra_oracles.py::x_fuzzy_join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.fuzzy_join import (
+    fuzzy_string_join,
+    qgrams,
+)
+
+
+def _py_qgrams(s, q=3):
+    s = " ".join(s.lower().split())
+    p = "\x01" * (q - 1) + s + "\x01" * (q - 1)
+    return {p[i : i + q] for i in range(len(p) - q + 1)}
+
+
+def _jac(a, b):
+    return len(a & b) / len(a | b)
+
+
+def test_qgrams_match_python_reference(spark):
+    rows = [(0, "John  Smith"), (1, "x"), (2, "ABC abc")]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    got = {
+        r["id"]: set(r["g"])
+        for r in df.select("id", qgrams(F.col("s")).alias("g")).collect()
+    }
+    for i, s in rows:
+        assert got[i] == _py_qgrams(s)
+
+
+def test_join_equals_naive_jaccard(spark):
+    names_l = ["john smith", "jane doe", "acme corp", "quality tool"]
+    names_r = ["jon smith", "jane m doe", "acme corporation", "zzz"]
+    left = spark.createDataFrame(list(enumerate(names_l)), ["left_id", "s"])
+    right = spark.createDataFrame(
+        [(100 + i, s) for i, s in enumerate(names_r)], ["right_id", "t"]
+    )
+    TH = 0.4
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in fuzzy_string_join(
+            left, right, "s", "t", threshold=TH
+        ).collect()
+    }
+    want = {
+        (i, 100 + j): _jac(_py_qgrams(a), _py_qgrams(b))
+        for i, a in enumerate(names_l)
+        for j, b in enumerate(names_r)
+        if _jac(_py_qgrams(a), _py_qgrams(b)) >= TH
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
+    assert (0, 100) in got  # john smith ~ jon smith survives
+
+
+def test_hot_gram_cap_bounds_candidates(spark):
+    # every right string shares the hot padding-free gram "aaa"; with
+    # max_df=2 those grams generate no candidates
+    left = spark.createDataFrame([(0, "aaa")], ["left_id", "s"])
+    right = spark.createDataFrame(
+        [(i, "aaa") for i in range(5)], ["right_id", "t"]
+    )
+    assert (
+        fuzzy_string_join(
+            left, right, "s", "t", threshold=0.1, max_df=2
+        ).count()
+        == 0
+    )
+    assert (
+        fuzzy_string_join(
+            left, right, "s", "t", threshold=0.1, max_df=None
+        ).count()
+        == 5
+    )
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(0, "x")], ["left_id", "s"])
+    r = spark.createDataFrame([(0, "x")], ["right_id", "t"])
+    with pytest.raises(ValueError):
+        fuzzy_string_join(df, r, "s", "t", threshold=0.0)
+    with pytest.raises(ValueError):
+        fuzzy_string_join(df, r, "s", "t", q=1)

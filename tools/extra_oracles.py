@@ -2267,6 +2267,68 @@ FROM c
     return sdf, sql
 
 
+def x_fuzzy_join(spark, con, sf_dir):
+    """fuzzy_string_join (q-gram Jaccard set-similarity join) vs a
+    DuckDB replica with the same padded-gram definition, over document
+    text prefixes from two overlapping slices."""
+    from qualityassurancetool_spark.operators.fuzzy_join import (
+        fuzzy_string_join,
+    )
+
+    docs = _docs(spark, sf_dir)
+    left = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("left_id"),
+        F.substring("text", 1, 40).alias("s"),
+    )
+    right = docs.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("right_id"),
+        F.substring("text", 1, 40).alias("t"),
+    )
+    sdf = fuzzy_string_join(
+        left, right, "s", "t", threshold=0.5, max_df=None
+    ).select(
+        "left_id",
+        "right_id",
+        "n_common",
+        (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard_r"),
+    )
+    norm = "trim(regexp_replace(lower(substr(text, 1, 40)), '\\s+', ' ', 'g'))"
+    sql = f"""
+WITH l0 AS (
+    SELECT doc_id AS id, repeat(chr(1), 2) || {norm} || repeat(chr(1), 2)
+        AS p FROM documents WHERE doc_id % 7 = 0
+),
+r0 AS (
+    SELECT doc_id AS id, repeat(chr(1), 2) || {norm} || repeat(chr(1), 2)
+        AS p FROM documents WHERE doc_id % 5 = 0
+),
+lg AS (
+    SELECT DISTINCT id,
+           unnest(list_transform(generate_series(1, length(p) - 2),
+                                 i -> substr(p, i, 3))) AS gram
+    FROM l0
+),
+rg AS (
+    SELECT DISTINCT id,
+           unnest(list_transform(generate_series(1, length(p) - 2),
+                                 i -> substr(p, i, 3))) AS gram
+    FROM r0
+),
+ln AS (SELECT id, COUNT(*) AS n FROM lg GROUP BY id),
+rn AS (SELECT id, COUNT(*) AS n FROM rg GROUP BY id),
+common AS (
+    SELECT lg.id AS lid, rg.id AS rid, COUNT(*) AS n_common
+    FROM lg JOIN rg USING (gram) GROUP BY lg.id, rg.id
+)
+SELECT c.lid AS left_id, c.rid AS right_id, c.n_common,
+       round(c.n_common * 1.0 / (ln.n + rn.n - c.n_common), 6) + 0.0
+           AS jaccard_r
+FROM common c JOIN ln ON c.lid = ln.id JOIN rn ON c.rid = rn.id
+WHERE c.n_common * 1.0 / (ln.n + rn.n - c.n_common) >= 0.5
+"""
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2645,4 +2707,5 @@ EXTRA_CHECKS = {
     "x_scd2": x_scd2,
     "x_semantic_decontam": x_semantic_decontam,
     "x_skew_report": x_skew_report,
+    "x_fuzzy_join": x_fuzzy_join,
 }
