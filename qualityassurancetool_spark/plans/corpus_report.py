@@ -141,3 +141,47 @@ def report_markdown(report: DataFrame) -> str:
         v = r["value"]
         lines.append(f"| {r['metric']} | {v:.6g} |")
     return "\n".join(lines)
+
+
+def value_histogram(
+    df,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    group_col: str | None = None,
+):
+    """Fixed-width histogram of a numeric column — the dataset-card
+    companion to :func:`corpus_report`'s scalar signals (length/score
+    distributions, drift eyeballing).  Explicit [lo, hi) range (no
+    min/max pre-pass, stable across snapshots); underflow clamps to
+    bin 0, overflow to bin n_bins-1, nulls are dropped and reported by
+    the caller's row counts.  One partial-agged groupBy on the bin id
+    (× ``group_col`` when given) — ~n_bins rows out regardless of
+    corpus size.  Cross-engine: ``x_histogram``."""
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    raw = F.floor(
+        (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)
+    )
+    bin_id = F.greatest(
+        F.lit(0), F.least(F.lit(n_bins - 1), raw)
+    ).cast("int")
+    keys = ([F.col(group_col)] if group_col else []) + [
+        bin_id.alias("bin_id")
+    ]
+    out = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    width = (hi - lo) / n_bins
+    return out.select(
+        *([group_col] if group_col else []),
+        "bin_id",
+        (F.lit(lo) + F.col("bin_id") * F.lit(width)).alias("bin_lo"),
+        (F.lit(lo) + (F.col("bin_id") + 1) * F.lit(width)).alias("bin_hi"),
+        "n",
+    )

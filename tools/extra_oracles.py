@@ -2329,6 +2329,40 @@ WHERE c.n_common * 1.0 / (ln.n + rn.n - c.n_common) >= 0.5
     return sdf, sql
 
 
+def x_histogram(spark, con, sf_dir):
+    """value_histogram (fixed-width clamped bins, one partial-agg) vs
+    the SQL replica — events.value per event_type."""
+    from qualityassurancetool_spark.plans.corpus_report import (
+        value_histogram,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sdf = value_histogram(
+        ev, "value", lo=0.0, hi=500.0, n_bins=25, group_col="event_type"
+    ).select(
+        "event_type",
+        "bin_id",
+        (F.round("bin_lo", 6) + F.lit(0.0)).alias("bin_lo_r"),
+        (F.round("bin_hi", 6) + F.lit(0.0)).alias("bin_hi_r"),
+        "n",
+    )
+    sql = """
+WITH b AS (
+    SELECT event_type,
+           CAST(greatest(0, least(24,
+               floor((value - 0.0) / 500.0 * 25))) AS INT) AS bin_id
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bin_id,
+       round(0.0 + bin_id * 20.0, 6) + 0.0 AS bin_lo_r,
+       round(0.0 + (bin_id + 1) * 20.0, 6) + 0.0 AS bin_hi_r,
+       COUNT(*) AS n
+FROM b GROUP BY event_type, bin_id
+"""
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2708,4 +2742,5 @@ EXTRA_CHECKS = {
     "x_semantic_decontam": x_semantic_decontam,
     "x_skew_report": x_skew_report,
     "x_fuzzy_join": x_fuzzy_join,
+    "x_histogram": x_histogram,
 }
