@@ -438,7 +438,14 @@ def cmd_ann(args, overrides: list[str]) -> int:
             cent_df = spark.createDataFrame(
                 cents, "cent_id int, cent_vec array<double>"
             )
-            out = ivf_topk(emb, queries, cent_df, k=k, nprobe=nprobe)
+            # ivf_topk, like brute, takes corpus-keyed queries
+            out = ivf_topk(
+                emb,
+                queries.withColumnRenamed("query_id", "vec_id"),
+                cent_df,
+                k=k,
+                nprobe=nprobe,
+            )
         elif method == "pq":
             from qualityassurancetool_spark.operators.pq import (
                 pq_encode,

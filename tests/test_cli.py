@@ -319,17 +319,19 @@ def test_ann_command(spark, tmp_path, capsys):
     nq, nr = int(report["queries"]), int(report["results"])
     assert nq > 0 and nr == nq * 5
 
-    out2 = str(tmp_path / "ann_ivfadc")
-    rc = main([
-        "ann", "--keep-session", f"data.input={src}", f"data.out={out2}",
-        "method=ivfadc", "k=3", "query_stride=20", "n_lists=4",
-    ])
-    assert rc == 0
-    report = dict(
-        line.split(": ")
-        for line in capsys.readouterr().out.strip().splitlines()
-    )
-    assert int(report["results"]) == int(report["queries"]) * 3
+    for method in ("ivfadc", "ivf"):
+        out2 = str(tmp_path / f"ann_{method}")
+        rc = main([
+            "ann", "--keep-session", f"data.input={src}",
+            f"data.out={out2}", f"method={method}", "k=3",
+            "query_stride=20", "n_lists=4",
+        ])
+        assert rc == 0
+        report = dict(
+            line.split(": ")
+            for line in capsys.readouterr().out.strip().splitlines()
+        )
+        assert int(report["results"]) == int(report["queries"]) * 3
 
     assert main([
         "ann", "--keep-session", "data.input=/x", "data.out=/y",
