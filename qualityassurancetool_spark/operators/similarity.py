@@ -556,3 +556,69 @@ def dequantize_int8(
     """Inverse of :func:`quantize_int8` (float array; max per-component
     error = scale/2)."""
     return F.transform(qvec, lambda x: x.cast("double") * scale)
+
+
+def exact_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact-distance rerank of an ANN candidate list — the standard
+    second stage over PQ/IVFADC shortlists (Jégou et al. 2011 §V.C):
+    search with cheap approximate distances at high k, then re-score
+    only the shortlist against the raw vectors and keep the true top-k.
+    Recovers the ADC families' quantization-induced ranking errors;
+    the recall ceiling becomes "is the true neighbor in the probed
+    shortlist at all".
+
+    ``candidates``: (query_id, neighbor_id) — typically ``pq_topk`` /
+    ``ivfadc_topk`` output at ``k=R`` (R ≈ 3–10×k).  Cost: ONE
+    broadcast-semi-shaped join of the (queries × R)-row shortlist
+    against the corpus by id — the corpus never scores outside the
+    shortlist — plus the per-pair exact distance.  Output:
+    (query_id, neighbor_id, cosine|l2_dist), top-k per query,
+    deterministic tie-break on neighbor id.
+    """
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    cand = candidates.select(query_id_col, "neighbor_id")
+    qv = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+    )
+    # shortlist × query-vectors: both sides are query-sized — broadcast;
+    # then ONE broadcast hash join hydrates candidate vectors from the
+    # corpus scan (the corpus never scores outside the shortlist)
+    pairs = cand.join(F.broadcast(qv), query_id_col)
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    hydrated = cvec.join(F.broadcast(pairs), "neighbor_id")
+    if metric == "cosine":
+        scored = hydrated.select(
+            query_id_col,
+            "neighbor_id",
+            (
+                dot_product(F.col("_qvec"), F.col("_cvec"))
+                / (l2_norm(F.col("_qvec")) * l2_norm(F.col("_cvec")))
+            ).alias("cosine"),
+        )
+        return _topk_by_cosine(scored, query_id_col, k)
+    scored = hydrated.select(
+        query_id_col,
+        "neighbor_id",
+        F.sqrt(l2_sq(F.col("_qvec"), F.col("_cvec"))).alias("l2_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -143,6 +143,18 @@ def main() -> None:
             ivfadc_topk(index, queries, icents, ibooks, k=k, nprobe=nprobe),
         )
 
+    # IVFADC shortlist + exact rerank (the serving recipe)
+    from qualityassurancetool_spark.operators.similarity import exact_rerank
+
+    for rr in (5 * k, 10 * k):
+        short = ivfadc_topk(
+            index, queries, icents, ibooks, k=rr, nprobe=4
+        ).select("query_id", "neighbor_id")
+        report(
+            f"ivfadc(nprobe=4) + rerank R={rr}",
+            exact_rerank(short, corpus, queries, k=k, metric="cosine"),
+        )
+
     spark.stop()
 
 
