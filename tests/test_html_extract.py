@@ -1,0 +1,80 @@
+"""HTML → text extraction (operators/html_extract).
+No SQL oracle (DuckDB cannot parse HTML) — golden-fixture gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.html_extract import (
+    extract_blocks,
+    extract_documents,
+)
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>T</title><style>p { color: red }</style>
+<script>var x = "SCRIPT NOISE";</script></head>
+<body>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/x">X</a></nav>
+<article>
+<h1>A Real Headline For The Piece</h1>
+<p>This is the first real paragraph of body text, long enough to keep
+and it even has <a href="ref">one inline link</a> inside the prose.</p>
+<p>Second paragraph with an &amp; entity and some more words to pass
+the minimum length bar comfortably.</p>
+</article>
+<footer><a href="/tos">Terms</a> | <a href="/priv">Privacy</a></footer>
+</body></html>"""
+
+
+def test_blocks_keep_prose_drop_nav_and_script():
+    text, kept, dropped = extract_blocks(PAGE)
+    assert "first real paragraph" in text
+    assert "Second paragraph with an & entity" in text
+    assert "A Real Headline For The Piece" in text
+    assert "SCRIPT NOISE" not in text
+    assert "color: red" not in text
+    assert "Home" not in text          # nav: short + link-dense
+    assert "Privacy" not in text       # footer links
+    assert kept == 3 and dropped >= 2
+
+
+def test_long_linky_prose_survives_short_nav_does_not():
+    linky = (
+        "<p>"
+        + " ".join(f'<a href="{i}">reference {i}</a>' for i in range(30))
+        + "</p>"
+    )
+    # long but ~100% link density → still boilerplate
+    text, kept, dropped = extract_blocks(linky)
+    assert kept == 0 and dropped == 1
+    body = (
+        "<p>A genuinely long paragraph of body text that happens to "
+        'cite <a href="a">one</a> source and keeps flowing with many '
+        "more ordinary words after the citation.</p>"
+    )
+    text, kept, _ = extract_blocks(body)
+    assert kept == 1 and "keeps flowing" in text
+
+
+def test_malformed_and_empty():
+    assert extract_blocks("") == ("", 0, 0)
+    assert extract_blocks(None) == ("", 0, 0)
+    # unclosed tags: parser tolerance, text still extracted
+    text, kept, _ = extract_blocks(
+        "<div><p>Unclosed but perfectly readable paragraph content here"
+    )
+    assert kept == 1 and "perfectly readable" in text
+
+
+def test_dataframe_kernel(spark):
+    df = spark.createDataFrame(
+        [(1, PAGE), (2, "<p>Too short</p>"), (3, None)],
+        ["doc_id", "html"],
+    )
+    out = {r["doc_id"]: r for r in extract_documents(df).collect()}
+    assert sorted(extract_documents(df).columns) == sorted(
+        ["doc_id", "text", "n_blocks", "n_boilerplate_blocks"]
+    )
+    assert out[1]["n_blocks"] == 3
+    assert "first real paragraph" in out[1]["text"]
+    assert out[2]["text"] == "" and out[2]["n_boilerplate_blocks"] == 1
+    assert out[3]["text"] == "" and out[3]["n_blocks"] == 0
