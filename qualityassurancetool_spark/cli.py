@@ -491,6 +491,61 @@ def cmd_ann(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_extract(args, overrides: list[str]) -> int:
+    """Crawl front end: WARC archives or an HTML-column parquet →
+    documents parquet (doc_id, url, text, n_blocks,
+    n_boilerplate_blocks).  ``format=warc`` (default; ``data.input``
+    is a ``*.warc[.gz]`` glob) or ``format=html`` (parquet with an
+    ``html`` column).  Successful 200 text/html responses only in warc
+    mode; doc ids are deterministic (md5 of url‖date, 60-bit)."""
+    run, knobs = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
+        raise ConfigError("missing required settings: data.input, data.out")
+    fmt = knobs.get("format", "warc")
+    if fmt not in ("warc", "html"):
+        raise ConfigError(f"unknown extract format {fmt!r} (warc|html)")
+
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.functions.hashing import md5_long
+    from qualityassurancetool_spark.operators.html_extract import (
+        extract_documents,
+    )
+    from qualityassurancetool_spark.session import get_spark
+
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-extract"))
+    try:
+        if fmt == "warc":
+            from qualityassurancetool_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, data_c["input"]).where(
+                (F.col("http_status") == 200)
+                & F.col("content_type").startswith("text/html")
+            )
+            pages = pages.withColumn(
+                "doc_id",
+                md5_long(
+                    F.concat_ws("\x1f", "url", "warc_date"), salt="warc:"
+                ),
+            ).select("doc_id", "url", "html")
+        else:
+            pages = spark.read.parquet(data_c["input"])
+        out = extract_documents(
+            pages,
+            max_link_density=float(knobs.get("max_link_density", 0.5)),
+            min_block_chars=int(knobs.get("min_block_chars", 25)),
+        )
+        out.write.mode("overwrite").parquet(data_c["out"])
+        back = spark.read.parquet(data_c["out"])
+        print(f"docs: {back.count()}")
+        print(f"nonempty: {back.where(F.length('text') > 0).count()}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def cmd_profile(args, overrides: list[str]) -> int:
     """Corpus/shuffle profiling.  ``method``:
 
@@ -738,6 +793,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_ann.add_argument("override", nargs="*", help="key.path=value")
 
+    p_ext = sub.add_parser(
+        "extract", help="WARC/HTML → documents parquet (crawl front end)"
+    )
+    p_ext.add_argument("-c", "--config", default=None)
+    p_ext.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_ext.add_argument("override", nargs="*", help="key.path=value")
+
     p_prof = sub.add_parser(
         "profile", help="corpus/shuffle profiling (tokens|skew|pagerank)"
     )
@@ -773,6 +837,7 @@ def main(argv: list[str] | None = None) -> int:
         "curate": cmd_curate,
         "dedup": cmd_dedup,
         "ann": cmd_ann,
+        "extract": cmd_extract,
         "profile": cmd_profile,
         "report": cmd_report,
         "pretrain": cmd_pretrain,

@@ -99,3 +99,35 @@ def test_warc_to_text_pipeline(spark, tmp_path):
     assert len(out) == 1
     assert "real paragraph of crawled body text" in out[0]["text"]
     assert out[0]["n_boilerplate_blocks"] >= 1
+
+
+def test_extract_cli_on_warc(spark, tmp_path, capsys):
+    from qualityassurancetool_spark.cli import main
+
+    page = (
+        b"<html><body><p>Command line extraction of a long enough "
+        b"paragraph from a WARC archive works end to end.</p>"
+        b"</body></html>"
+    )
+    arc = _record("response", "http://cli.example/", _http(page))
+    (tmp_path / "d.warc").write_bytes(arc)
+    out = str(tmp_path / "docs")
+    rc = main([
+        "extract", "--keep-session",
+        f"data.input={tmp_path}/d.warc", f"data.out={out}",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert report == {"docs": "1", "nonempty": "1"}
+    row = spark.read.parquet(out).collect()[0]
+    assert row["url"] == "http://cli.example/"
+    assert "Command line extraction" in row["text"]
+    assert isinstance(row["doc_id"], int)
+
+    assert main([
+        "extract", "--keep-session", "data.input=/x", "data.out=/y",
+        "format=nope",
+    ]) == 2
