@@ -39,15 +39,24 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    tol: float | None = None,
 ) -> DataFrame:
     """``(node, rank)`` after ``iters`` synchronous rounds from a
     uniform start.  Nodes are everything appearing as src or dst;
     parallel edges count once per occurrence (weight them upstream by
     pre-aggregating if that is not wanted); nodes without out-edges
     (dangling) redistribute their mass uniformly — ranks sum to 1
-    every round."""
+    every round.
+
+    ``tol``: when set, stop early once ``max |Δrank|`` over nodes
+    drops below it (one extra max-agg job per round — the L∞ residual,
+    the standard power-iteration stop); ``iters`` then caps the worst
+    case.  Graphs with 2-cycles can oscillate without damping ever
+    converging pointwise — the cap, not the tolerance, ends those."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"tol must be > 0, got {tol}")
     if not (0.0 <= damping <= 1.0):
         raise ValueError(f"damping must be in [0, 1], got {damping}")
 
@@ -99,7 +108,18 @@ def pagerank(
             )
             .localCheckpoint()  # truncate lineage: see module docstring
         )
-        ranks = new_ranks
+        if tol is not None:
+            delta = (
+                new_ranks.withColumnRenamed("rank", "_new")
+                .join(ranks, "node")
+                .agg(F.max(F.abs(F.col("_new") - F.col("rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     nodes.unpersist()
     deg.unpersist()
     return ranks

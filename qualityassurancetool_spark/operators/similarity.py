@@ -622,3 +622,33 @@ def exact_rerank(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Unit-normalize a vector column (``out_col`` defaults to
+    replacing ``vec_col``).  Run this ONCE at ingest when serving the
+    ADC families: on unit vectors L2 ordering ≡ cosine ordering
+    (‖a−b‖² = 2 − 2·cos), so PQ/IVFADC's L2-trained codes rank by the
+    metric queries actually want — the recall gap measured in
+    `tools/ann_recall.py` between ADC (L2) and the cosine ground truth
+    is largely this mismatch.  Zero vectors pass through unchanged
+    (null would poison downstream folds; callers filter them).
+    Row-local; one fold for the norm, one transform."""
+    out = out_col or vec_col
+    # the norm is referenced inside the transform lambda: stage it
+    # behind a barrier so it is not re-evaluated per element (no CSE
+    # inside HOF lambdas)
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+
+    staged = compute_behind_barrier(df, {"_vnorm": l2_norm(F.col(vec_col))})
+    unit = F.when(
+        F.col("_vnorm") > 0,
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.col("_vnorm")
+        ),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    return staged.withColumn(out, unit).drop("_vnorm")

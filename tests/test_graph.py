@@ -76,3 +76,23 @@ def test_validation(spark):
         pagerank(e, iters=-1)
     with pytest.raises(ValueError):
         pagerank(e, damping=1.5)
+
+
+def test_tolerance_early_stop_matches_converged_ranks(spark):
+    """With tol set, the result equals running the full iteration
+    budget (the chain has converged), and validation rejects bad tol."""
+    pairs = [(i, 0) for i in range(1, 8)] + [(0, i) for i in range(1, 8)]
+    full = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, pairs), iters=60).collect()
+    }
+    tolled = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges(spark, pairs), iters=60, tol=1e-10
+        ).collect()
+    }
+    for v in full:
+        assert tolled[v] == pytest.approx(full[v], abs=1e-8)
+    with pytest.raises(ValueError):
+        pagerank(_edges(spark, pairs), tol=0.0)

@@ -81,3 +81,22 @@ def test_l2_metric_and_k_rows(spark, data):
     assert "l2_dist" in out.columns
     with pytest.raises(ValueError):
         exact_rerank(short, corpus, queries, metric="dot")
+
+
+def test_l2_normalize(spark):
+    from qualityassurancetool_spark.operators.similarity import (
+        l2_normalize,
+        l2_norm,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [0.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["embedding"] for r in l2_normalize(df).collect()}
+    assert got[0] == pytest.approx([0.6, 0.8])
+    assert got[1] == [0.0, 0.0]  # zero vector passes through
+    assert got[2] == pytest.approx([0.0, -1.0])
+    # out_col mode keeps the original column
+    out = l2_normalize(df, out_col="unit")
+    assert set(out.columns) == {"vec_id", "embedding", "unit"}

@@ -143,6 +143,23 @@ def main() -> None:
             ivfadc_topk(index, queries, icents, ibooks, k=k, nprobe=nprobe),
         )
 
+    # PQ over a UNIT-NORMALIZED corpus: L2 ordering ≡ cosine ordering,
+    # so the ADC families stop paying the metric-mismatch tax
+    from qualityassurancetool_spark.operators.similarity import (
+        l2_normalize,
+    )
+
+    ncorpus = l2_normalize(corpus).persist()
+    ncorpus.count()
+    nqueries = l2_normalize(queries)
+    nbooks = pq_fit(ncorpus, m=4, k=16, max_iter=3)
+    ncoded = pq_encode(ncorpus, nbooks, strategy="gemm").persist()
+    ncoded.count()
+    report(
+        "pq(m=4,k=16, unit-normalized)",
+        pq_topk(ncoded, nqueries, nbooks, k=k),
+    )
+
     # IVFADC shortlist + exact rerank (the serving recipe)
     from qualityassurancetool_spark.operators.similarity import exact_rerank
 

@@ -2363,6 +2363,46 @@ FROM b GROUP BY event_type, bin_id
     return sdf, sql
 
 
+def x_l2_normalize(spark, con, sf_dir):
+    """l2_normalize (barrier-staged fold norm + transform divide) vs
+    DuckDB list arithmetic on the same embeddings."""
+    from qualityassurancetool_spark.operators.similarity import (
+        l2_normalize,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    sdf = l2_normalize(emb).select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x * x
+            ),
+            6,
+        ).alias("unit_norm_sq"),
+        (F.round(F.element_at("embedding", 1), 6) + F.lit(0.0)).alias(
+            "first_r"
+        ),
+    )
+    sql = """
+WITH u AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_sum(list_transform(
+                   CAST(embedding AS DOUBLE[]), y -> y * y)))) AS unit
+    FROM embeddings
+)
+SELECT vec_id,
+       round(list_sum(list_transform(unit, x -> x * x)), 6)
+           AS unit_norm_sq,
+       round(unit[1], 6) + 0.0 AS first_r
+FROM u
+"""
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2743,4 +2783,5 @@ EXTRA_CHECKS = {
     "x_skew_report": x_skew_report,
     "x_fuzzy_join": x_fuzzy_join,
     "x_histogram": x_histogram,
+    "x_l2_normalize": x_l2_normalize,
 }
