@@ -382,6 +382,13 @@ def cmd_ann(args, overrides: list[str]) -> int:
     Queries default to every ``query_stride``-th corpus vector
     (deterministic, self-contained); point ``queries.input`` at a
     parquet of (query_id, embedding) to search external queries.
+
+    Result contract is uniform across methods: query ids share the
+    corpus id space, and a result row with ``neighbor_id == query_id``
+    (the query finding itself) is never returned — brute/ivf exclude
+    it natively; the code-based families search at k+1 and the self
+    row is filtered + trimmed here, so every method returns exactly k
+    rows per query.
     """
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
@@ -446,41 +453,59 @@ def cmd_ann(args, overrides: list[str]) -> int:
                 k=k,
                 nprobe=nprobe,
             )
-        elif method == "pq":
-            from qualityassurancetool_spark.operators.pq import (
-                pq_encode,
-                pq_fit,
-                pq_topk,
-            )
+        else:
+            # code-based families do NOT exclude self-matches natively:
+            # search at k+1, drop the self row, trim back to k by the
+            # family's own ranking (adc_dist asc, neighbor asc)
+            if method == "pq":
+                from qualityassurancetool_spark.operators.pq import (
+                    pq_encode,
+                    pq_fit,
+                    pq_topk,
+                )
 
-            books = pq_fit(emb, m=m, k=kcode, max_iter=3)
-            coded = pq_encode(emb, books, strategy="gemm")
-            out = pq_topk(coded, queries, books, k=k)
-        elif method == "ivfadc":
-            from qualityassurancetool_spark.operators.pq import (
-                ivfadc_fit,
-                ivfadc_index,
-                ivfadc_topk,
-            )
+                books = pq_fit(emb, m=m, k=kcode, max_iter=3)
+                coded = pq_encode(emb, books, strategy="gemm")
+                out = pq_topk(coded, queries, books, k=k + 1)
+            elif method == "ivfadc":
+                from qualityassurancetool_spark.operators.pq import (
+                    ivfadc_fit,
+                    ivfadc_index,
+                    ivfadc_topk,
+                )
 
-            cents, books = ivfadc_fit(
-                emb, n_lists=n_lists, m=m, k=kcode, max_iter=3
-            )
-            index = ivfadc_index(emb, cents, books, strategy="gemm")
-            out = ivfadc_topk(index, queries, cents, books, k=k, nprobe=nprobe)
-        else:  # opq
-            from qualityassurancetool_spark.operators.opq import (
-                opq_encode,
-                opq_fit,
-                opq_topk,
-            )
+                cents, books = ivfadc_fit(
+                    emb, n_lists=n_lists, m=m, k=kcode, max_iter=3
+                )
+                index = ivfadc_index(emb, cents, books, strategy="gemm")
+                out = ivfadc_topk(
+                    index, queries, cents, books, k=k + 1, nprobe=nprobe
+                )
+            else:  # opq
+                from qualityassurancetool_spark.operators.opq import (
+                    opq_encode,
+                    opq_fit,
+                    opq_topk,
+                )
 
-            R, books = opq_fit(
-                emb, m=m, k=kcode,
-                opq_iters=int(knobs.get("opq_iters", 2)), lloyd_iters=3,
+                R, books = opq_fit(
+                    emb, m=m, k=kcode,
+                    opq_iters=int(knobs.get("opq_iters", 2)),
+                    lloyd_iters=3,
+                )
+                coded = opq_encode(emb, R, books)
+                out = opq_topk(coded, queries, R, books, k=k + 1)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("adc_dist").asc(), F.col("neighbor_id").asc()
             )
-            coded = opq_encode(emb, R, books)
-            out = opq_topk(coded, queries, R, books, k=k)
+            out = (
+                out.where(F.col("neighbor_id") != F.col("query_id"))
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .drop("_rn")
+            )
         out.write.mode("overwrite").parquet(data_c["out"])
         back = spark.read.parquet(data_c["out"])
         print(f"queries: {back.select('query_id').distinct().count()}")

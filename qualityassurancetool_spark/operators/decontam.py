@@ -174,8 +174,9 @@ def semantic_decontaminate(
             for (_, v), n in zip(bench_vectors, norms)
         )
     )
-    cnorm = F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
-    sims = F.transform(mat, lambda bv: dot_product(F.col(vec_col), bv) / cnorm)
+    sims = F.transform(
+        mat, lambda bv: dot_product(F.col(vec_col), bv) / F.col("_cn")
+    )
     pairs = F.zip_with(
         sims,
         long_array_literal(tuple(ids)),
@@ -183,17 +184,22 @@ def semantic_decontaminate(
         lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")),
     )
     best = F.array_max(pairs)
+    ok = F.col("_cn") > 0  # zero-norm corpus vector: null/null/False
     return (
-        corpus.withColumn("_best", best)
+        corpus.withColumn(
+            "_cn", F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
+        )
+        .withColumn("_best", best)
         .select(
             "*",
-            F.col("_best.s").alias("max_sim"),
-            (-F.col("_best.ni")).alias("matched_bench_id"),
-            (F.col("_best.s") >= F.lit(float(threshold))).alias(
-                "contaminated"
-            ),
+            F.when(ok, F.col("_best.s")).alias("max_sim"),
+            F.when(ok, -F.col("_best.ni")).alias("matched_bench_id"),
+            F.coalesce(
+                F.when(ok, F.col("_best.s") >= F.lit(float(threshold))),
+                F.lit(False),
+            ).alias("contaminated"),
         )
-        .drop("_best")
+        .drop("_best", "_cn")
     )
 
 
@@ -241,15 +247,25 @@ def _semantic_decontam_gemm(
                 pdf["contaminated"] = []
                 yield pdf
                 continue
+            import pandas as pd
+
             X = np.stack(
                 pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
             )
-            sims = (X @ B.T) / np.linalg.norm(X, axis=1)[:, None]
+            norms = np.linalg.norm(X, axis=1)
+            zero = norms == 0.0  # contract: null/null/False (see column path)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (X @ B.T) / norms[:, None]
+            sims = np.nan_to_num(sims, nan=-np.inf)
             best = sims.argmax(axis=1)
             mx = sims[np.arange(len(sims)), best]
-            pdf["max_sim"] = mx
-            pdf["matched_bench_id"] = ids_np[best]
-            pdf["contaminated"] = mx >= threshold
+            ms = pd.array(mx, dtype="Float64")
+            mb = pd.array(ids_np[best], dtype="Int64")
+            ms[zero] = pd.NA
+            mb[zero] = pd.NA
+            pdf["max_sim"] = ms
+            pdf["matched_bench_id"] = mb
+            pdf["contaminated"] = (mx >= threshold) & ~zero
             yield pdf
 
     return corpus.mapInPandas(kernel, out_schema)

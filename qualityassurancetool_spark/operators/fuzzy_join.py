@@ -29,15 +29,20 @@ from pyspark.sql import functions as F
 
 from qualityassurancetool_spark.functions.hashing import normalize_text
 
-PAD = "\x01"  # boundary sentinel; cannot occur in normalized text
+PAD = "\x01"  # boundary sentinel — stripped from input text below
 
 
 def qgrams(c: Column, q: int = 3) -> Column:
     """Distinct padded character q-grams of the normalized string —
     ``q-1`` sentinel chars on each side, so every character
     participates in exactly q grams and single-char edits disturb at
-    most q grams (the standard q-gram edit-distance bound)."""
-    padded = F.concat(F.lit(PAD * (q - 1)), normalize_text(c), F.lit(PAD * (q - 1)))
+    most q grams (the standard q-gram edit-distance bound).  The
+    sentinel char is STRIPPED from the input first (crawled text
+    carries stray control bytes): without that, an interior \\x01
+    would forge boundary grams and inflate Jaccard between unrelated
+    strings."""
+    clean = F.replace(normalize_text(c), F.lit(PAD), F.lit(""))
+    padded = F.concat(F.lit(PAD * (q - 1)), clean, F.lit(PAD * (q - 1)))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(padded) - (q - 1)),

@@ -39,7 +39,12 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    StructField,
+    StructType,
+)
 
 from qualityassurancetool_spark.functions.hashing import tokens
 from qualityassurancetool_spark.functions.partitioning import (
@@ -47,34 +52,56 @@ from qualityassurancetool_spark.functions.partitioning import (
 )
 
 
+def mg_merge(counts: dict, vc, capacity: int) -> dict:
+    """THE Misra–Gries merge-prune — pointwise add a batch's exact
+    counts (a ``value_counts`` Series), then subtract the
+    (capacity+1)-th largest and drop non-positive (at most
+    ``capacity`` keys can strictly exceed it).  Shared by the batch
+    kernel and the streaming state update
+    (``streaming/heavy_hitters``) so the two can never drift."""
+    import heapq
+
+    for k, c in vc.items():
+        counts[k] = counts.get(k, 0) + int(c)
+    if len(counts) > capacity:
+        cut = heapq.nlargest(capacity + 1, counts.values())[-1]
+        counts = {k: c - cut for k, c in counts.items() if c > cut}
+    return counts
+
+
+def _non_null_keys(df: DataFrame, key_col: str) -> DataFrame:
+    """Null AND NaN keys removed — pandas ``value_counts`` silently
+    drops NaN, so a NaN key could never become a candidate while still
+    counting toward the total, breaking the exactness guarantee; both
+    passes must agree on the excluded set."""
+    keyed = df.select(F.col(key_col)).where(F.col(key_col).isNotNull())
+    if isinstance(
+        keyed.schema[key_col].dataType, (DoubleType, FloatType)
+    ):
+        keyed = keyed.where(~F.isnan(F.col(key_col)))
+    return keyed
+
+
 def mg_candidates(
     df: DataFrame, key_col: str, capacity: int
 ) -> DataFrame:
     """Distinct candidate keys from per-partition Misra–Gries summaries
     of at most ``capacity`` counters (see module docstring for the
-    superset guarantee).  Null keys are ignored — a null is never a
-    meaningful heavy hitter and ``value_counts`` drops it anyway."""
+    superset guarantee).  Null/NaN keys are ignored — never meaningful
+    heavy hitters, and excluded consistently from both passes."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
-    keyed = df.select(F.col(key_col)).where(F.col(key_col).isNotNull())
+    keyed = _non_null_keys(df, key_col)
     out_schema = StructType(
         [StructField(key_col, keyed.schema[key_col].dataType)]
     )
 
     def kernel(batches):
-        import heapq
-
         counts: dict = {}
         for pdf in batches:
-            vc = pdf[key_col].value_counts()  # exact MG of the batch
-            for k, c in vc.items():
-                counts[k] = counts.get(k, 0) + int(c)
-            if len(counts) > capacity:
-                # MG merge-prune: subtract the (capacity+1)-th largest
-                # count, drop non-positive — at most `capacity` keys
-                # can strictly exceed it.
-                cut = heapq.nlargest(capacity + 1, counts.values())[-1]
-                counts = {k: c - cut for k, c in counts.items() if c > cut}
+            counts = mg_merge(
+                counts, pdf[key_col].value_counts(), capacity
+            )
         if counts:
             import pandas as pd
 
@@ -108,7 +135,7 @@ def heavy_hitters(
             f"capacity {capacity} < ceil(1/min_fraction) = {floor_cap}: "
             "the candidate pass would not be a superset"
         )
-    keyed = df.select(F.col(key_col)).where(F.col(key_col).isNotNull())
+    keyed = _non_null_keys(df, key_col)
     cand = mg_candidates(df, key_col, capacity)
     counts = (
         keyed.join(F.broadcast(cand), key_col, "leftsemi")

@@ -39,7 +39,11 @@ def robust_outlier_flags(
     (null when MAD is 0 — a degenerate constant-valued group cannot
     score deviations), ``is_outlier`` (``|robust_z| > k``; false when
     robust_z is null).  Null values never flag and are excluded from
-    the medians (SQL aggregate semantics)."""
+    the medians (SQL aggregate semantics).  Rows with a NULL GROUP are
+    excluded from the OUTPUT entirely (made explicit below — the
+    equi-join would drop them silently otherwise): a null group has no
+    peer distribution to score against; count them upstream."""
+    df = df.where(F.col(group_col).isNotNull())
     med = df.groupBy(group_col).agg(
         F.percentile(F.col(value_col), F.lit(0.5)).alias("group_median")
     )

@@ -39,10 +39,15 @@ def scd2_violations(
     """Rows of ``dim`` that break SCD2 well-formedness, tagged with
     ``violation``: ``empty`` (from >= to, matches nothing),
     ``null_bound`` (either bound null), or ``overlap`` (starts before
-    the previous version of the same key ends).  Empty result ⇔ every
-    timestamp matches at most one version per key."""
+    the latest end among ALL earlier-starting versions of the same key
+    — a running max, not just the immediately preceding row, so a
+    short version contained inside a long one tags the contained row
+    too).  Empty result ⇔ every timestamp matches at most one version
+    per key."""
     w = Window.partitionBy(key).orderBy(from_col)
-    prev_to = F.lag(to_col).over(w)
+    prev_to = F.max(to_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     v = (
         F.when(
             F.col(from_col).isNull() | F.col(to_col).isNull(),

@@ -586,7 +586,10 @@ def exact_rerank(
     """
     if metric not in ("cosine", "l2"):
         raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
-    cand = candidates.select(query_id_col, "neighbor_id")
+    # shortlists are often UNIONS (multi-probe, PQ+IVF): dedup pairs
+    # here — a duplicate pair would otherwise occupy two top-k slots.
+    # The distinct is over the query-sized shortlist, not the corpus.
+    cand = candidates.select(query_id_col, "neighbor_id").distinct()
     qv = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),

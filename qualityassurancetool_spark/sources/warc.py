@@ -132,9 +132,13 @@ def read_warc(
     def kernel(batches):
         import pandas as pd
 
+        cols = [f.name for f in WARC_SCHEMA.fields]
         for pdf in batches:
-            rows = []
+            # yield PER FILE: the memory contract is one archive's
+            # documents at a time, even when binaryFile batches
+            # several ~1 GB files into one Arrow batch
             for fpath, raw in zip(pdf["path"], pdf["content"]):
+                rows = []
                 for headers, payload in iter_warc_records(bytes(raw)):
                     if headers.get("warc-type") != "response":
                         continue
@@ -152,8 +156,7 @@ def read_warc(
                             body.decode(encoding, errors="replace"),
                         )
                     )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_SCHEMA.fields]
-            )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return binary.mapInPandas(kernel, WARC_SCHEMA)

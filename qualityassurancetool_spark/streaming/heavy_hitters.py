@@ -52,16 +52,9 @@ HH_STATE_SCHEMA = T.StructType(
 )
 
 
-def _mg_merge(counts: dict, vc: "pd.Series", capacity: int) -> dict:
-    """The batch kernel's merge: pointwise add, then MG prune."""
-    import heapq
-
-    for k, c in vc.items():
-        counts[k] = counts.get(k, 0) + int(c)
-    if len(counts) > capacity:
-        cut = heapq.nlargest(capacity + 1, counts.values())[-1]
-        counts = {k: c - cut for k, c in counts.items() if c > cut}
-    return counts
+# the in-state merge IS the batch kernel's merge — one function, no
+# duplication-by-convention (operators/heavy_hitters.mg_merge)
+from qualityassurancetool_spark.operators.heavy_hitters import mg_merge
 
 
 def streaming_heavy_hitter_summaries(
@@ -92,7 +85,7 @@ def streaming_heavy_hitter_summaries(
             counts = {}
         for pdf in pdfs:
             if len(pdf):
-                counts = _mg_merge(
+                counts = mg_merge(
                     counts, pdf["_hh_key"].value_counts(), capacity
                 )
         state.update((list(counts.keys()), list(counts.values())))

@@ -332,6 +332,9 @@ def test_ann_command(spark, tmp_path, capsys):
             for line in capsys.readouterr().out.strip().splitlines()
         )
         assert int(report["results"]) == int(report["queries"]) * 3
+        res = spark.read.parquet(out2)
+        # uniform contract: the query never returns itself
+        assert res.where("neighbor_id = query_id").count() == 0
 
     assert main([
         "ann", "--keep-session", "data.input=/x", "data.out=/y",

@@ -78,3 +78,22 @@ def test_gemm_strategy_parity(spark):
         assert a[i]["contaminated"] == b[i]["contaminated"]
     with pytest.raises(ValueError):
         semantic_decontaminate(df, bench, 0.5, strategy="nope")
+
+
+def test_zero_norm_corpus_rows_contract_both_strategies(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = [(7, [1.0, 0.0])]
+    for strat in ("column", "gemm"):
+        got = {
+            r["vec_id"]: r
+            for r in semantic_decontaminate(
+                df, bench, 0.9, strategy=strat
+            ).collect()
+        }
+        assert got[0]["contaminated"] is True
+        assert got[1]["max_sim"] is None, strat
+        assert got[1]["matched_bench_id"] is None, strat
+        assert got[1]["contaminated"] is False, strat

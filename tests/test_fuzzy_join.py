@@ -11,7 +11,7 @@ from qualityassurancetool_spark.operators.fuzzy_join import (
 
 
 def _py_qgrams(s, q=3):
-    s = " ".join(s.lower().split())
+    s = " ".join(s.lower().split()).replace("\x01", "")
     p = "\x01" * (q - 1) + s + "\x01" * (q - 1)
     return {p[i : i + q] for i in range(len(p) - q + 1)}
 

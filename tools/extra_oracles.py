@@ -2292,7 +2292,11 @@ def x_fuzzy_join(spark, con, sf_dir):
         "n_common",
         (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard_r"),
     )
-    norm = "trim(regexp_replace(lower(substr(text, 1, 40)), '\\s+', ' ', 'g'))"
+    # same normalize + \x01 sentinel strip as operators.fuzzy_join.qgrams
+    norm = (
+        "replace(trim(regexp_replace(lower(substr(text, 1, 40)),"
+        " '\\s+', ' ', 'g')), chr(1), '')"
+    )
     sql = f"""
 WITH l0 AS (
     SELECT doc_id AS id, repeat(chr(1), 2) || {norm} || repeat(chr(1), 2)
