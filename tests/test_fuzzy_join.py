@@ -85,3 +85,15 @@ def test_validation(spark):
         fuzzy_string_join(df, r, "s", "t", threshold=0.0)
     with pytest.raises(ValueError):
         fuzzy_string_join(df, r, "s", "t", q=1)
+
+
+def test_sentinel_char_in_input_cannot_forge_boundary_grams(spark):
+    """A literal \\x01 inside input text is stripped before padding, so
+    it cannot collide with the boundary sentinel (review finding)."""
+    left = spark.createDataFrame([(0, "a\x01\x01")], ["left_id", "s"])
+    right = spark.createDataFrame([(0, "zzz")], ["right_id", "t"])
+    # 'a\x01\x01' reduces to 'a' → grams identical to plain 'a'
+    gl = {r["g"] for r in left.select(
+        F.explode(qgrams(F.col("s"))).alias("g")).collect()}
+    assert gl == _py_qgrams("a")
+    assert fuzzy_string_join(left, right, "s", "t", 0.1).count() == 0

@@ -89,3 +89,17 @@ def test_token_heavy_hitters_tokenization(spark):
         for r in token_heavy_hitters(docs, min_fraction=0.4).collect()
     }
     assert got == {"the": 5}
+
+
+def test_nan_keys_excluded_consistently(spark):
+    """NaN double keys must be excluded from BOTH passes (pandas
+    value_counts drops NaN, so counting them in the total would break
+    the exactness guarantee — review finding)."""
+    rows = [(1.5,)] * 6 + [(float("nan"),)] * 90 + [(2.5,)] * 4
+    df = spark.createDataFrame(rows, "k double")
+    got = {
+        r["k"]: r["n"]
+        for r in heavy_hitters(df, "k", min_fraction=0.5).collect()
+    }
+    # total counts only the 10 non-NaN rows → 1.5 (6/10) passes f=0.5
+    assert got == {1.5: 6}

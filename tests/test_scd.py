@@ -78,3 +78,21 @@ def test_validation(spark):
     clash = facts.withColumnRenamed("fid", "attr")
     with pytest.raises(ValueError, match="overlapping non-key"):
         scd2_lookup(clash, dim, "k", "ts")
+
+
+def test_contained_version_overlap_is_tagged(spark):
+    """A short version strictly inside an earlier long one must itself
+    be tagged 'overlap' (running max over all earlier versions, not
+    just the immediate predecessor — review finding)."""
+    dim = _dim(
+        spark,
+        [
+            (1, _d("2020-01-01"), _d("2020-12-31"), "long"),
+            (1, _d("2020-02-01"), _d("2020-02-02"), "containedA"),
+            (1, _d("2020-05-01"), _d("2020-05-02"), "containedB"),
+        ],
+    )
+    got = {
+        r["attr"]: r["violation"] for r in scd2_violations(dim, "k").collect()
+    }
+    assert got == {"containedA": "overlap", "containedB": "overlap"}
