@@ -184,3 +184,43 @@ def split_by_group(
     for name, hi in reversed(cuts):
         expr = F.when(u < F.lit(hi), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def split_by_time(
+    df: DataFrame,
+    ts_col: str,
+    train_end,
+    embargo: str = "0 seconds",
+    test_end=None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe temporal split: ``split`` ∈ train / embargo / test
+    / null.  ``train`` is strictly before ``train_end``; an ``embargo``
+    buffer after it is assigned to NEITHER side (rows whose influence
+    straddles the boundary — label lookahead, rolling features — leak
+    into test without it: the purged/embargoed split of the
+    backtesting literature, López de Prado 2018 ch.7); ``test`` runs
+    from the embargo end to ``test_end`` (unbounded when None).  Rows
+    with null timestamps get a null split (surface them, don't guess).
+    Pure Columns — one scan, no shuffle; the split column is a stable
+    function of the timestamp so re-runs and backfills agree."""
+    from qualityassurancetool_spark.functions.timeutils import (
+        parse_timedelta_seconds,
+    )
+
+    train_end_c = F.lit(train_end).cast("timestamp")
+    emb_s = parse_timedelta_seconds(embargo)
+    emb_end = train_end_c + F.make_dt_interval(secs=F.lit(float(emb_s)))
+    ts = F.col(ts_col)
+    split = (
+        F.when(ts.isNull(), F.lit(None).cast("string"))
+        .when(ts < train_end_c, F.lit("train"))
+        .when(ts < emb_end, F.lit("embargo"))
+    )
+    if test_end is not None:
+        split = split.when(
+            ts < F.lit(test_end).cast("timestamp"), F.lit("test")
+        )
+    else:
+        split = split.when(ts >= emb_end, F.lit("test"))
+    return df.withColumn(out_col, split)

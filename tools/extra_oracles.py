@@ -2407,6 +2407,29 @@ FROM u
     return sdf, sql
 
 
+def x_time_split(spark, con, sf_dir):
+    """split_by_time (embargoed temporal split) vs a CASE replica over
+    events: 12h embargo after the train boundary."""
+    from qualityassurancetool_spark.operators.sampling import (
+        split_by_time,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    sdf = split_by_time(
+        ev, "ts", "2024-01-15 00:00:00", embargo="12 hours"
+    ).select("event_id", "split")
+    sql = """
+SELECT event_id,
+       CASE WHEN ts IS NULL THEN NULL
+            WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+            WHEN ts < TIMESTAMP '2024-01-15 12:00:00' THEN 'embargo'
+            ELSE 'test' END AS split
+FROM events
+"""
+    return sdf, sql
+
+
 def x_unicode_nfc(spark, con, sf_dir):
     """normalize_documents(NFC) — the Arrow pandas kernel — vs DuckDB's
     native nfc_normalize, on docs augmented with decomposed accents,
@@ -2788,4 +2811,5 @@ EXTRA_CHECKS = {
     "x_fuzzy_join": x_fuzzy_join,
     "x_histogram": x_histogram,
     "x_l2_normalize": x_l2_normalize,
+    "x_time_split": x_time_split,
 }
