@@ -383,12 +383,16 @@ def cmd_ann(args, overrides: list[str]) -> int:
     (deterministic, self-contained); point ``queries.input`` at a
     parquet of (query_id, embedding) to search external queries.
 
-    Result contract is uniform across methods: query ids share the
-    corpus id space, and a result row with ``neighbor_id == query_id``
-    (the query finding itself) is never returned — brute/ivf exclude
-    it natively; the code-based families search at k+1 and the self
-    row is filtered + trimmed here, so every method returns exactly k
-    rows per query.
+    Result contract: for corpus-derived (stride) queries, query ids
+    ARE corpus ids and a row with ``neighbor_id == query_id`` (the
+    query finding itself) is never returned — brute/ivf exclude it
+    natively; the code-based families search at k+1 and the self row
+    is filtered + trimmed here.  With ``queries.input`` set the id
+    spaces are unrelated, so pq/ivfadc/opq return raw top-k with NO
+    self-filter (a coincidental id collision is a legitimate
+    neighbor); brute/ivf still exclude collisions inside the operator
+    — a note is printed so the assumption is visible.  Every method
+    returns exactly k rows per query either way.
     """
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
@@ -413,8 +417,21 @@ def cmd_ann(args, overrides: list[str]) -> int:
     try:
         emb = spark.read.parquet(data_c["input"])
         queries_c = knobs.get("queries", {})
-        if isinstance(queries_c, dict) and queries_c.get("input"):
+        external_queries = isinstance(queries_c, dict) and bool(
+            queries_c.get("input")
+        )
+        if external_queries:
             queries = spark.read.parquet(queries_c["input"])
+            # brute/ivf exclude query_id == vec_id inside the operator,
+            # so external query ids are assumed to live in the corpus
+            # id space (a collision IS a self-match); the code-based
+            # self-filter below is skipped for external queries.
+            print(
+                "note: queries.input set — query ids colliding with "
+                "corpus vec_ids are treated as self-matches by "
+                "brute/ivf; pq/ivfadc/opq return raw top-k",
+                file=sys.stderr,
+            )
         else:
             stride = int(knobs.get("query_stride", 100))
             queries = emb.where(F.col("vec_id") % stride == 0).select(
@@ -454,9 +471,14 @@ def cmd_ann(args, overrides: list[str]) -> int:
                 nprobe=nprobe,
             )
         else:
-            # code-based families do NOT exclude self-matches natively:
-            # search at k+1, drop the self row, trim back to k by the
-            # family's own ranking (adc_dist asc, neighbor asc)
+            # code-based families do NOT exclude self-matches natively.
+            # For corpus-derived (stride) queries the ids ARE corpus
+            # ids: search at k+1, drop the self row, trim back to k by
+            # the family's own ranking (adc_dist asc, neighbor asc).
+            # For external queries the id spaces are unrelated — a
+            # coincidental collision is a legitimate neighbor, so
+            # search at k and return raw top-k unfiltered.
+            k_search = k if external_queries else k + 1
             if method == "pq":
                 from qualityassurancetool_spark.operators.pq import (
                     pq_encode,
@@ -466,7 +488,7 @@ def cmd_ann(args, overrides: list[str]) -> int:
 
                 books = pq_fit(emb, m=m, k=kcode, max_iter=3)
                 coded = pq_encode(emb, books, strategy="gemm")
-                out = pq_topk(coded, queries, books, k=k + 1)
+                out = pq_topk(coded, queries, books, k=k_search)
             elif method == "ivfadc":
                 from qualityassurancetool_spark.operators.pq import (
                     ivfadc_fit,
@@ -479,7 +501,7 @@ def cmd_ann(args, overrides: list[str]) -> int:
                 )
                 index = ivfadc_index(emb, cents, books, strategy="gemm")
                 out = ivfadc_topk(
-                    index, queries, cents, books, k=k + 1, nprobe=nprobe
+                    index, queries, cents, books, k=k_search, nprobe=nprobe
                 )
             else:  # opq
                 from qualityassurancetool_spark.operators.opq import (
@@ -494,18 +516,19 @@ def cmd_ann(args, overrides: list[str]) -> int:
                     lloyd_iters=3,
                 )
                 coded = opq_encode(emb, R, books)
-                out = opq_topk(coded, queries, R, books, k=k + 1)
-            from pyspark.sql import Window
+                out = opq_topk(coded, queries, R, books, k=k_search)
+            if not external_queries:
+                from pyspark.sql import Window
 
-            w = Window.partitionBy("query_id").orderBy(
-                F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-            )
-            out = (
-                out.where(F.col("neighbor_id") != F.col("query_id"))
-                .withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") <= k)
-                .drop("_rn")
-            )
+                w = Window.partitionBy("query_id").orderBy(
+                    F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+                )
+                out = (
+                    out.where(F.col("neighbor_id") != F.col("query_id"))
+                    .withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") <= k)
+                    .drop("_rn")
+                )
         out.write.mode("overwrite").parquet(data_c["out"])
         back = spark.read.parquet(data_c["out"])
         print(f"queries: {back.select('query_id').distinct().count()}")

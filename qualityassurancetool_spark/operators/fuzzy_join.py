@@ -14,9 +14,9 @@ per-side gram counts carried through the explode — set sizes travel as
 ints, strings never join more than once per shared gram.  Stop-gram
 capping (``max_df``) bounds the candidate blowup from ubiquitous grams
 exactly like the fingerprint join's boilerplate cap: a gram appearing
-in more than ``max_df`` right-side strings generates no candidates
-(recall loss only for pairs ALL of whose shared grams are that hot —
-documented, measured trade).
+in more than ``max_df`` right-side strings generates no candidates,
+and set sizes are recomputed over the reduced gram universe so the
+reported Jaccard stays consistent (see ``fuzzy_string_join``).
 
 Cross-engine: ``tools/extra_oracles.py::x_fuzzy_join`` replicates the
 gram definition with generate_series + substr in DuckDB.
@@ -82,9 +82,16 @@ def fuzzy_string_join(
     caller filters self-pairs when joining a table to itself.
 
     ``max_df``: grams occurring in more than this many RIGHT-side
-    strings are dropped from candidate generation on BOTH sides (the
-    right side is the "index" side by convention — put the smaller /
-    cleaner table there)."""
+    strings are dropped on BOTH sides (the right side is the "index"
+    side by convention — put the smaller / cleaner table there).  The
+    reported ``jaccard`` is then the CONSISTENT Jaccard over the
+    reduced gram universe: hot grams are removed from the per-side set
+    sizes as well as from the intersection, so a pair of near-identical
+    strings sharing a hot gram still scores ≈1 rather than being
+    penalized for grams that could never be counted as common.  Recall
+    is lost only for pairs whose reduced-universe similarity falls
+    below ``threshold`` — in particular pairs ALL of whose shared
+    grams are hot (reduced n_common = 0) generate no candidate at all."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if q < 2:
@@ -100,6 +107,18 @@ def fuzzy_string_join(
         )
         lg = lg.join(F.broadcast(hot), "gram", "left_anti")
         rg = rg.join(F.broadcast(hot), "gram", "left_anti")
+        # Recompute per-string set sizes over the REDUCED gram universe
+        # so the Jaccard below is consistent (hot grams removed from
+        # numerator and denominator alike).  One count-window per side,
+        # shuffling only (id, gram) rows, and only when max_df trims.
+        from pyspark.sql import Window
+
+        lg = lg.withColumn(
+            "l_n", F.count(F.lit(1)).over(Window.partitionBy("l_id"))
+        )
+        rg = rg.withColumn(
+            "r_n", F.count(F.lit(1)).over(Window.partitionBy("r_id"))
+        )
     pairs = (
         lg.join(rg, "gram")
         .groupBy("l_id", "r_id", "l_n", "r_n")

@@ -23,9 +23,13 @@ form: Agarwal et al., "Mergeable Summaries", PODS 2012) bounds state:
    candidate set and count exactly.  The partial-agg maps now track only
    candidate keys, so memory and shuffle are bounded by
    ``n_partitions × capacity`` regardless of corpus cardinality, and the
-   final ``HAVING n >= total * min_fraction`` filter makes the output
-   EXACT — fully checkable by a plain SQL GROUP BY/HAVING oracle
-   (``tools/extra_oracles.py::x_heavy_hitters``).
+   final share filter makes the output EXACT.  The threshold convention:
+   ``min_fraction`` is interpreted as the nearest rational with
+   denominator ≤ 1e6 (so decimal inputs like 0.07 mean exactly 7/100)
+   and the filter is integer ``n*den >= total*num`` — no float-rounding
+   exclusions at the boundary.  Fully checkable by a plain SQL GROUP
+   BY/HAVING oracle (``tools/extra_oracles.py::x_heavy_hitters``, whose
+   DuckDB decimal literal arithmetic is likewise exact).
 
 Reference scope note: beyond-reference training-data family (SURVEY
 §2b/2c) — corpus-frequency audits (stopword/boilerplate discovery,
@@ -36,6 +40,7 @@ the bottleneck.
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -143,9 +148,20 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = keyed.agg(F.count(F.lit(1)).alias("_total"))
+    # Exactness at the boundary: ``n >= total * min_fraction`` in
+    # floating point can exclude a key sitting EXACTLY at the
+    # documented share (total=100, min_fraction=0.07 → 7.0000000000000001).
+    # Interpret min_fraction as the nearest rational with denominator
+    # ≤ 1e6 (decimal inputs like 0.07 → exactly 7/100) and compare in
+    # integer arithmetic, widened to decimal so counts up to 1e32 can't
+    # overflow: n * den >= total * num.
+    frac = Fraction(float(min_fraction)).limit_denominator(10**6)
     return (
         counts.crossJoin(F.broadcast(total))
-        .where(F.col("n") >= F.col("_total") * F.lit(float(min_fraction)))
+        .where(
+            F.col("n").cast("decimal(38,0)") * F.lit(frac.denominator)
+            >= F.col("_total").cast("decimal(38,0)") * F.lit(frac.numerator)
+        )
         .select(key_col, "n")
     )
 

@@ -108,9 +108,11 @@ def extract_blocks(
     min_block_chars: int = 25,
 ) -> tuple[str, int, int]:
     """(text, n_blocks_kept, n_blocks_dropped) for one document.  A
-    block survives when it is long enough OR link-sparse: short
-    link-dense runs are navigation; long text is kept even with links
-    (body prose cites things)."""
+    block survives only when it is BOTH long enough
+    (``min_block_chars``) AND link-sparse (``max_link_density``):
+    short runs are navigation/chrome regardless of links, and
+    link-dense runs are menus regardless of length — both conditions
+    must hold, which is the jusText "good block" core."""
     p = _BlockParser()
     try:
         p.feed(html or "")

@@ -139,7 +139,11 @@ def report_markdown(report: DataFrame) -> str:
     lines = ["| metric | value |", "|---|---|"]
     for r in report.collect():
         v = r["value"]
-        lines.append(f"| {r['metric']} | {v:.6g} |")
+        # null-valued metrics (percentiles over an empty corpus) render
+        # as n/a instead of crashing the report
+        lines.append(
+            f"| {r['metric']} | {'n/a' if v is None else format(v, '.6g')} |"
+        )
     return "\n".join(lines)
 
 

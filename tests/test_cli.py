@@ -374,3 +374,30 @@ def test_profile_command(spark, tmp_path, capsys):
         "profile", "--keep-session", "data.input=/x", "data.out=/y",
         "method=skew",
     ]) == 2
+
+
+def test_ann_external_queries_keep_id_collisions(spark, tmp_path, capsys):
+    """With queries.input set, pq returns raw top-k: a query id that
+    coincidentally equals a corpus vec_id is NOT self-filtered
+    (ADVICE r3), and every query still gets exactly k rows."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(src)
+    # external queries reusing corpus vectors AND their ids — the
+    # strongest-possible collision case
+    qpath = str(tmp_path / "ext_queries")
+    emb.where("vec_id % 50 = 0").select(
+        emb.vec_id.alias("query_id"), "embedding"
+    ).write.parquet(qpath)
+    out = str(tmp_path / "ann_ext")
+    rc = main([
+        "ann", "--keep-session", f"data.input={src}", f"data.out={out}",
+        "method=pq", "k=3", f"queries.input={qpath}", "m=4", "kcode=8",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    res = spark.read.parquet(out)
+    nq = res.select("query_id").distinct().count()
+    assert res.count() == nq * 3
+    # the colliding id is a legitimate neighbor here — with identical
+    # vectors the self row has ADC distance ~0 and must appear
+    assert res.where("neighbor_id = query_id").count() > 0

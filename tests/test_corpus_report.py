@@ -71,3 +71,21 @@ def test_report_cli(spark, tmp_path, capsys):
     assert "| docs |" in printed
     back = spark.read.parquet(out)
     assert back.where(F.col("metric") == "docs").count() == 1
+
+
+def test_report_markdown_null_values(spark):
+    """Null metric values (percentiles over an empty corpus) render as
+    n/a instead of raising TypeError (ADVICE r3)."""
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    rep = spark.createDataFrame(
+        [("docs", 0.0), ("len_p50", None)],
+        StructType([
+            StructField("metric", StringType()),
+            StructField("value", DoubleType()),
+        ]),
+    )
+    md = report_markdown(rep)
+    assert "n/a" in md and "len_p50" in md

@@ -97,3 +97,48 @@ def test_sentinel_char_in_input_cannot_forge_boundary_grams(spark):
         F.explode(qgrams(F.col("s"))).alias("g")).collect()}
     assert gl == _py_qgrams("a")
     assert fuzzy_string_join(left, right, "s", "t", 0.1).count() == 0
+
+
+def test_max_df_jaccard_consistent_over_reduced_universe(spark):
+    """When max_df trims hot grams, per-side set sizes are recomputed
+    over the reduced gram universe, so near-identical strings sharing a
+    hot gram still score ~1 instead of being penalized for grams that
+    can never count as common (ADVICE r3)."""
+    # 'the acme corp' appears on 4 right rows → its grams are hot at
+    # max_df=3; the left twin must still match its right twin with
+    # jaccard computed over the surviving (non-hot) grams only.
+    right_rows = [(100 + i, f"the acme corp {chr(97 + i)}x") for i in range(4)]
+    left = spark.createDataFrame(
+        [(0, "the acme corp ax")], ["left_id", "s"]
+    )
+    right = spark.createDataFrame(right_rows, ["right_id", "t"])
+    out = {
+        (r["left_id"], r["right_id"]): (r["n_common"], r["jaccard"])
+        for r in fuzzy_string_join(
+            left, right, "s", "t", threshold=0.1, max_df=3
+        ).collect()
+    }
+    # python reference: reduced universe = grams minus those with
+    # right-side df > 3
+    import collections
+
+    rg = {rid: _py_qgrams(t) for rid, t in right_rows}
+    df_count = collections.Counter(g for gs in rg.values() for g in gs)
+    hot = {g for g, c in df_count.items() if c > 3}
+    lred = _py_qgrams("the acme corp ax") - hot
+    for rid, t in right_rows:
+        rred = rg[rid] - hot
+        common = lred & rred
+        if not common:
+            assert (0, rid) not in out
+            continue
+        jac = len(common) / len(lred | rred)
+        if jac >= 0.1:
+            n_common, got_jac = out[(0, rid)]
+            assert n_common == len(common)
+            assert got_jac == pytest.approx(jac)
+        else:
+            assert (0, rid) not in out
+    # the twin pair must survive with a near-1 score
+    twin = out[(0, 100)]
+    assert twin[1] > 0.9

@@ -103,3 +103,13 @@ def test_nan_keys_excluded_consistently(spark):
     }
     # total counts only the 10 non-NaN rows → 1.5 (6/10) passes f=0.5
     assert got == {1.5: 6}
+
+
+def test_threshold_boundary_float_artifact(spark):
+    # total=100, min_fraction=0.07: 100*0.07 = 7.000000000000001 in
+    # float, which used to exclude a key at exactly the documented 7%
+    # share.  The rational threshold (7/100) keeps it (ADVICE r3).
+    pairs = [("edge", 7), ("under", 6)] + [(f"f{i}", 1) for i in range(87)]
+    df = _stream(spark, pairs)  # total = 100
+    got = {r["k"] for r in heavy_hitters(df, "k", min_fraction=0.07).collect()}
+    assert got == {"edge"}
