@@ -81,6 +81,20 @@ def main() -> None:
     for t in ("region", "events", "documents", "embeddings", "lineitem"):
         load_table(spark, sf_dir, t).count()
 
+    # One untimed pass over the FULL query set before any timing: the
+    # round-3 driver run showed the first bench slots absorbing
+    # session-wide JIT/codegen warm-up (qc_full_pipeline read 2.77 s
+    # driver vs 0.57 s local median with an unchanged plan).  Table
+    # counts alone don't warm the codegen paths each query exercises;
+    # executing every query once does, so slot order stops mattering.
+    t_warm = time.perf_counter()
+    for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir).count()
+    print(
+        f"# warm-up pass: {time.perf_counter() - t_warm:.1f}s (untimed)",
+        file=sys.stderr,
+    )
+
     iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")), 1)
     total = 0.0
     for name in BENCH_QUERIES:
