@@ -2795,6 +2795,237 @@ SQL_SAMPLE_STRATIFIED = _sql_sample_stratified()
 
 
 # ---------------------------------------------------------------------------
+# round-3 flagships, driver-declared in round 4 (VERDICT r3 item 5):
+# the hard iterative / interval / importance-sampling operators graded
+# directly by the hash gate instead of the x_* side harness.
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped synchronous PageRank (5 iterations, dangling-mass
+    redistribution) over a deterministic synthetic link graph: doc i
+    links to (7i+3) mod N and (13i+5) mod N.  One rank shuffle per
+    iteration, broadcast dangling scalar, localCheckpoint lineage cut —
+    the web-graph primitive of crawl-frontier prioritization
+    (beyond-reference training-data family, SURVEY §2c)."""
+    from qualityassurancetool_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n_docs).alias("dst"),
+    ).union(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 5) % n_docs).alias("dst"),
+        )
+    )
+    return (
+        pagerank(edges, iters=5)
+        .select(
+            "node", (F.round("rank", 8) + F.lit(0.0)).alias("rank_r")
+        )
+        .orderBy("node")
+    )
+
+
+def _sql_pagerank() -> str:
+    from qualityassurancetool_spark.operators.graph import pagerank_sql
+
+    n = "(SELECT COUNT(*) FROM documents)"
+    edges_cte = (
+        f"SELECT doc_id AS src, (doc_id * 7 + 3) % {n} AS dst"
+        " FROM documents UNION ALL "
+        f"SELECT doc_id, (doc_id * 13 + 5) % {n} FROM documents"
+    )
+    return pagerank_sql(edges_cte, iters=5) + " ORDER BY node"
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD type-2) dimension join: customers versioned
+    into three 800-day half-open validity windows (last open-ended),
+    orders resolved at o_orderdate.  The interval predicate rides a
+    broadcastable equi-join on the natural key — no range shuffle."""
+    from qualityassurancetool_spark.operators.scd import scd2_lookup
+
+    cust = load_table(spark, sf_dir, "customer")
+    vers = spark.range(3).select(F.col("id").alias("v"))
+    dim = cust.crossJoin(vers).select(
+        F.col("c_custkey").alias("k"),
+        F.date_add(
+            F.lit("1992-01-01").cast("date"), (F.col("v") * 800).cast("int")
+        ).alias("valid_from"),
+        F.when(
+            F.col("v") < 2,
+            F.date_add(
+                F.lit("1992-01-01").cast("date"),
+                ((F.col("v") + 1) * 800).cast("int"),
+            ),
+        )
+        .otherwise(F.lit("9999-12-31").cast("date"))
+        .alias("valid_to"),
+        F.concat_ws("#", F.col("c_mktsegment"), F.col("v")).alias(
+            "seg_version"
+        ),
+    )
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k"), "o_orderdate"
+    )
+    return scd2_lookup(facts, dim, "k", "o_orderdate").select(
+        "o_orderkey", "seg_version"
+    )
+
+
+SQL_SCD2_LOOKUP = """
+WITH dim AS (
+    SELECT c_custkey AS k,
+           DATE '1992-01-01' + INTERVAL (v * 800) DAY AS valid_from,
+           CASE WHEN v < 2
+                THEN DATE '1992-01-01' + INTERVAL ((v + 1) * 800) DAY
+                ELSE DATE '9999-12-31' END AS valid_to,
+           c_mktsegment || '#' || v AS seg_version
+    FROM customer, generate_series(0, 2) t(v)
+)
+SELECT o_orderkey, seg_version
+FROM orders LEFT JOIN dim
+  ON o_custkey = dim.k
+ AND o_orderdate >= dim.valid_from AND o_orderdate < dim.valid_to
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via bucket decomposition: 100 overlapping
+    price bands (width 6000, stride 4000) against order totals, rolled
+    up per band.  The plan is a broadcast equi-join on the bucket id —
+    asserted NestedLoop/Cartesian-free in tests — where a naive BETWEEN
+    join is a cartesian at scale."""
+    from qualityassurancetool_spark.operators.interval_join import (
+        interval_lookup,
+    )
+
+    bands = spark.range(100).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 4000.0).alias("lo"),
+        (F.col("id") * 4000.0 + 6000.0).alias("hi"),
+    )
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    joined = interval_lookup(
+        pts,
+        bands,
+        "o_totalprice",
+        bucket_width=4000.0,
+        broadcast_intervals=True,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH bands AS (
+    SELECT i AS band_id, i * 4000.0 AS lo, i * 4000.0 + 6000.0 AS hi
+    FROM generate_series(0, 99) t(i)
+)
+SELECT band_id, COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+GROUP BY band_id
+"""
+
+_DSIR_BUCKETS, _DSIR_K = 2048, 200
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    bucket models for target (lang='en') vs raw, per-doc log-ratio
+    score as a literal-vector fold (no model join), md5-Gumbel top-k
+    selection — deterministic, rand()-free, one agg per model fit."""
+    from qualityassurancetool_spark.operators.dsir import (
+        dsir_resample,
+        fit_log_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lr = fit_log_ratio(
+        raw=docs,
+        target=docs.where(F.col("lang") == "en"),
+        n_buckets=_DSIR_BUCKETS,
+        smoothing=1.0,
+    )
+    sel = dsir_resample(docs, lr, k=_DSIR_K)
+    return sel.select(
+        "doc_id",
+        F.col("n_features").cast("long").alias("n_features"),
+        (F.round("dsir_score", 6) + F.lit(0.0)).alias("score_r"),
+        (F.round("dsir_key", 6) + F.lit(0.0)).alias("key_r"),
+    )
+
+
+def _sql_dsir_resample() -> str:
+    from qualityassurancetool_spark.functions.hashing import md5_long_sql
+
+    B, K = _DSIR_BUCKETS, _DSIR_K
+    mb = md5_long_sql("g", salt="dsir:")
+    mg = md5_long_sql("CAST(doc_id AS VARCHAR)", salt="dsir-g:")
+    return f"""
+WITH docs AS (SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents),
+tok AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(norm, ' '), t -> length(t) > 0) AS t
+    FROM docs
+),
+grams AS (
+    SELECT doc_id, lang,
+           list_concat(t,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i + 1])
+                    ELSE [] END) AS g
+    FROM tok
+),
+fb AS (SELECT doc_id, lang, list_transform(g, g -> {mb} % {B}) AS b
+       FROM grams),
+fx AS (SELECT doc_id, lang, unnest(b) AS b FROM fb),
+cp AS (SELECT b, COUNT(*) AS n FROM fx WHERE lang = 'en' GROUP BY b),
+cq AS (SELECT b, COUNT(*) AS n FROM fx GROUP BY b),
+tot AS (SELECT
+    CAST((SELECT COALESCE(SUM(n), 0) FROM cp) AS DOUBLE) + 1.0 * {B} AS np,
+    CAST((SELECT COALESCE(SUM(n), 0) FROM cq) AS DOUBLE) + 1.0 * {B} AS nq),
+lam AS (
+    SELECT r.range AS b,
+           ln((COALESCE(cp.n, 0) + 1.0) / (SELECT np FROM tot))
+         - ln((COALESCE(cq.n, 0) + 1.0) / (SELECT nq FROM tot)) AS lr
+    FROM range(0, {B}) r
+    LEFT JOIN cp ON cp.b = r.range
+    LEFT JOIN cq ON cq.b = r.range
+),
+sc AS (
+    SELECT fx.doc_id, COUNT(*) AS nf, SUM(l.lr) AS s
+    FROM fx JOIN lam l USING (b) GROUP BY fx.doc_id
+),
+scored AS (
+    SELECT d.doc_id,
+           COALESCE(sc.nf, 0) AS n_features,
+           COALESCE(sc.s, 0.0) AS score
+    FROM docs d LEFT JOIN sc USING (doc_id)
+),
+keyed AS (
+    SELECT doc_id, n_features, score,
+           score - ln(-ln((({mg}) + 1) / 1152921504606846978.0)) AS key
+    FROM scored
+)
+SELECT doc_id, n_features, round(score, 6) + 0.0 AS score_r,
+       round(key, 6) + 0.0 AS key_r
+FROM keyed ORDER BY key DESC, doc_id LIMIT {K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -2830,12 +3061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_segment_revenue": q_join_segment_revenue,
         "topk_orders_per_segment": q_topk_orders_per_segment,
-        "nation_region_rollup": q_nation_region_rollup,
-        "customers_without_orders": q_customers_without_orders,
         "events_profile": q_events_profile,
         "rollup_revenue": q_rollup_revenue,
         "price_percentiles": q_price_percentiles,
-        "filtered_revenue": q_filtered_revenue,
         "shipping_priority": q_shipping_priority,
         "dedup_signatures": q_dedup_signatures,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2846,7 +3074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_rollup": q_lang_quality_rollup,
         "curation_pipeline": q_curation_pipeline,
         "sim_topk": q_sim_topk,
-        "embedding_stats": q_embedding_stats,
         "qc_region_flags": q_qc_region_flags,
         "qc_region_lookup": q_qc_region_lookup,
         "qc_depth_flags": q_qc_depth_flags,
@@ -2858,6 +3085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_plan": q_frame_sample_plan,
         "text_quality_filters": q_text_quality_filters,
         "sample_stratified": q_sample_stratified,
+        "pagerank": q_pagerank,
+        "scd2_lookup": q_scd2_lookup,
+        "interval_join": q_interval_join,
+        "dsir_resample": q_dsir_resample,
     }
 
 
@@ -2885,12 +3116,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
-        "nation_region_rollup": SQL_NATION_REGION_ROLLUP,
-        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "events_profile": SQL_EVENTS_PROFILE,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "price_percentiles": SQL_PRICE_PERCENTILES,
-        "filtered_revenue": SQL_FILTERED_REVENUE,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "dedup_signatures": _sql_dedup_signatures(),
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
@@ -2901,7 +3129,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality_rollup": _sql_lang_quality_rollup(),
         "curation_pipeline": _sql_curation_pipeline(),
         "sim_topk": _sql_sim_topk(),
-        "embedding_stats": SQL_EMBEDDING_STATS,
         "qc_region_flags": SQL_QC_REGION_FLAGS,
         "qc_region_lookup": SQL_QC_REGION_LOOKUP,
         "qc_depth_flags": SQL_QC_DEPTH_FLAGS,
@@ -2913,4 +3140,8 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample_plan": SQL_FRAME_SAMPLE_PLAN,
         "text_quality_filters": SQL_TEXT_QUALITY_FILTERS,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
+        "pagerank": _sql_pagerank(),
+        "scd2_lookup": SQL_SCD2_LOOKUP,
+        "interval_join": SQL_INTERVAL_JOIN,
+        "dsir_resample": _sql_dsir_resample(),
     }

@@ -2757,6 +2757,39 @@ FROM keyed ORDER BY key DESC, doc_id LIMIT {K}
     return sdf, sql
 
 
+def _entry_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod_x", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _retired(name):
+    """Round-4 flagship swap (VERDICT r3 item 5) retired four trivial
+    declared queries from the 50-row driver gate; they stay covered
+    here with the same driver-grade comparison."""
+
+    def check(spark, con, sf_dir):
+        m = _entry_mod()
+        fn = getattr(m, f"q_{name}")
+        sql = getattr(m, f"SQL_{name.upper()}")
+        return fn(spark, sf_dir), sql
+
+    check.__name__ = f"x_{name}"
+    check.__doc__ = _retired.__doc__
+    return check
+
+
+x_filtered_revenue = _retired("filtered_revenue")
+x_embedding_stats = _retired("embedding_stats")
+x_nation_region_rollup = _retired("nation_region_rollup")
+x_customers_without_orders = _retired("customers_without_orders")
+
+
 # name → check.  Two shapes: (spark_df, duck_sql) for plan-vs-SQL checks,
 # (rows, rows) for round-trip checks that already materialized both sides.
 EXTRA_CHECKS = {
@@ -2812,4 +2845,8 @@ EXTRA_CHECKS = {
     "x_histogram": x_histogram,
     "x_l2_normalize": x_l2_normalize,
     "x_time_split": x_time_split,
+    "x_filtered_revenue": x_filtered_revenue,
+    "x_embedding_stats": x_embedding_stats,
+    "x_nation_region_rollup": x_nation_region_rollup,
+    "x_customers_without_orders": x_customers_without_orders,
 }

@@ -38,12 +38,18 @@ NESTED_LOOP_OK = {
     "dedup_ngram_jaccard",  # blocked self-join, non-equi by design
     "dedup_embedding_cosine",
     "nearest_lookup",    # fan-out against a 4-row literal target dim
+    "scd2_lookup",       # dim build: customer x 3-row version literal;
+                         # the lookup itself is a BroadcastHashJoin on
+                         # the natural key with the BETWEEN as residual
 }
 
 # queries whose plan legitimately scans a LogicalRDD: checkpointed
 # iterative state (connected components truncates its self-join lineage
 # with localCheckpoint — NOT a Python->JVM dim round-trip)
-EXISTING_RDD_OK = {"dedup_clusters"}
+EXISTING_RDD_OK = {
+    "dedup_clusters",
+    "pagerank",  # localCheckpoint per iteration truncates rank lineage
+}
 
 
 def audit(sf_dir: str) -> int:
