@@ -307,3 +307,56 @@ def load_polygons(path: str, name_property: str = "name") -> Polygons:
     if ext == ".shp":
         return polygons_from_shapefile(path)
     raise ValueError(f"unsupported polygon file extension: {ext}")
+
+
+# ---------------------------------------------------------------- live JDBC
+
+def load_polygons_jdbc(
+    spark,
+    url: str,
+    table: str | None = None,
+    geom_col: str = "geom_wkb",
+    name_col: str = "name",
+    *,
+    query: str | None = None,
+    driver: str | None = None,
+    properties: dict | None = None,
+) -> Polygons:
+    """Region polygons from a LIVE database over ``spark.read.jdbc`` —
+    the strict S5 seam: the reference queries SeaVox sea-region
+    polygons from a live PostGIS with credentials from the environment
+    (``/root/reference/src/main.py:528-533``; the DB logic lives in its
+    unvendored ``searegion_detection`` package).  A user with only DB
+    access — no file export — loads regions here and everything
+    downstream is unchanged.
+
+    The geometry column must arrive as WKB/EWKB (binary or hex): for
+    PostGIS pass ``query="SELECT name, ST_AsBinary(geom) AS geom_wkb
+    FROM seavox_areas"`` so geometry serializes server-side; any DB
+    already storing WKB blobs works with plain ``table=``.  Rows with
+    NULL geometry are skipped.
+
+    Scale shape: region polygons are driver-side metadata (a few MB for
+    world coastlines) — collected ONCE through the JDBC reader, parsed
+    by the same :func:`polygons_from_wkb` decoder as file ingestion,
+    then broadcast by ``assign_region``; the fact table never moves and
+    the database is read exactly once, not per-partition.
+    """
+    if (table is None) == (query is None):
+        raise ValueError("pass exactly one of table= or query=")
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"({query}) q" if query else table)
+    )
+    if driver:
+        reader = reader.option("driver", driver)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, str(v))
+    rows = reader.load().select(name_col, geom_col).collect()
+    items = [
+        (str(r[name_col]), r[geom_col])
+        for r in rows
+        if r[geom_col] is not None
+    ]
+    return polygons_from_wkb(items)
