@@ -95,13 +95,18 @@ def lambert_m(
     return WGS84_A_M * (sigma - f / 2 * (x + y))
 
 
-def vincenty_m_np(lat1, lon1, lat2, lon2, max_iter: int = 200):
+def vincenty_m_np(
+    lat1, lon1, lat2, lon2, max_iter: int = 200, return_converged: bool = False
+):
     """Vectorized Vincenty inverse on the WGS-84 ellipsoid (numpy arrays
     of degrees → meters).  Public algorithm (Vincenty 1975); agrees with
     the exact Karney geodesic to sub-millimeter except *near-antipodal*
     pairs, where Vincenty's λ-iteration may not converge — those rows
     (and only those) fall back to the spherical great-circle value, and
-    coincident points short-circuit to 0.
+    coincident points short-circuit to 0.  With
+    ``return_converged=True`` also returns the per-row convergence mask
+    so callers (the pandas UDF) can re-solve exactly the failed band
+    with the vendored Karney solver (:mod:`.karney`).
 
     All rows iterate together under a convergence mask (no per-row Python
     loop), so the kernel is Arrow-batch friendly for the pandas UDF in
@@ -171,7 +176,10 @@ def vincenty_m_np(lat1, lon1, lat2, lon2, max_iter: int = 200):
         dlat, dlon = p2 - p1, L
         h = np.sin(dlat / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlon / 2) ** 2
         s = np.where(active, 2 * R * np.arcsin(np.minimum(np.sqrt(h), 1.0)), s)
-    return np.where(sin_sig + np.abs(sigma) == 0, 0.0, s)
+    out = np.where(sin_sig + np.abs(sigma) == 0, 0.0, s)
+    if return_converged:
+        return out, ~active
+    return out
 
 
 def geodesic_udf_m(
@@ -180,10 +188,15 @@ def geodesic_udf_m(
     """Exact-geodesic distance as an Arrow-batched pandas UDF.
 
     Uses geopy's Karney geodesic when importable (the reference's exact
-    library — fixtures pin it, ``tests/test_qc.py:33-47``); otherwise the
-    vectorized Vincenty kernel (sub-mm agreement with Karney away from
-    antipodes).  This is the UDF swap point :func:`geodesic_m` documents:
-    only distances cross the Arrow boundary, four doubles in, one out."""
+    library — fixtures pin it, ``tests/test_qc.py:33-47``); otherwise
+    the vectorized Vincenty kernel for every row it converges on
+    (sub-mm agreement with Karney, proven in-container by
+    ``tests/test_geodesic_exact.py``) with the rare non-convergent
+    near-antipodal rows re-solved EXACTLY by the vendored pure-Python
+    Karney solver (:mod:`.karney`) — so the no-dependency path is exact
+    everywhere, not exact-except-antipodes.  This is the UDF swap point
+    :func:`geodesic_m` documents: only distances cross the Arrow
+    boundary, four doubles in, one out."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -200,12 +213,22 @@ def geodesic_udf_m(
                 ]
             )
         except ImportError:
-            return pd.Series(
-                vincenty_m_np(
-                    la1.to_numpy(), lo1.to_numpy(),
-                    la2.to_numpy(), lo2.to_numpy(),
-                )
+            import numpy as np
+
+            from qualityassurancetool_spark.functions.karney import (
+                karney_inverse_np,
             )
+
+            a1, o1 = la1.to_numpy(), lo1.to_numpy()
+            a2, o2 = la2.to_numpy(), lo2.to_numpy()
+            s, ok = vincenty_m_np(a1, o1, a2, o2, return_converged=True)
+            bad = ~ok & ~(
+                np.isnan(a1) | np.isnan(o1) | np.isnan(a2) | np.isnan(o2)
+            )
+            if bad.any():  # near-antipodal band: exact Karney per row
+                s = s.copy()
+                s[bad] = karney_inverse_np(a1[bad], o1[bad], a2[bad], o2[bad])
+            return pd.Series(s)
 
     return _dist(lat1, lon1, lat2, lon2)
 

@@ -108,11 +108,70 @@ def test_antipodal_finite_and_bounded(spark):
         assert abs(r["lam"] - half_circ) / half_circ < 0.005
 
 
-@pytest.mark.skipif(not HAVE_GEOPY, reason="geopy not installed")
-def test_vincenty_matches_geopy_karney():  # pragma: no cover - env-dependent
-    from geopy.distance import geodesic
+def test_vincenty_matches_exact_karney():
+    """Container-provable exact-geodesic parity (closes the r3 skip):
+    the vendored pure-Python Karney solver (exact auxiliary-sphere
+    integrals by quadrature, no series constants to mistype) agrees
+    with the independent Vincenty algorithm to sub-millimeter wherever
+    Vincenty converges — two unrelated formulations pinning each other.
+    When geopy IS present, both are additionally pinned to its Karney
+    implementation (the reference's fixture library)."""
+    from qualityassurancetool_spark.functions.karney import (
+        karney_inverse_m,
+        karney_inverse_np,
+    )
 
-    la1, lo1, la2, lo2 = map(np.array, zip(*PAIRS[:4]))
-    vin = vincenty_m_np(la1, lo1, la2, lo2)
-    for (a, b, c, d), v in zip(PAIRS[:4], vin):
-        assert v == pytest.approx(geodesic((a, b), (c, d)).meters, abs=1e-3)
+    la1, lo1, la2, lo2 = map(np.array, zip(*PAIRS))
+    vin, ok = vincenty_m_np(la1, lo1, la2, lo2, return_converged=True)
+    kar = karney_inverse_np(la1, lo1, la2, lo2)
+    assert ok.all()  # none of PAIRS is antipodal
+    np.testing.assert_allclose(vin, kar, atol=1e-3)  # sub-mm
+    if HAVE_GEOPY:  # pragma: no cover - env-dependent extra pin
+        from geopy.distance import geodesic
+
+        for (a, b, c, d), k in zip(PAIRS, kar):
+            assert k == pytest.approx(geodesic((a, b), (c, d)).meters, abs=1e-3)
+    # public WGS-84 anchors, independent of both iterations
+    assert karney_inverse_m(0, 0, 90, 0) == pytest.approx(10001965.729, abs=1e-2)
+    assert karney_inverse_m(0, 0, 0, 1) == pytest.approx(
+        WGS84_A_M * math.pi / 180, abs=1e-3
+    )
+    # equatorial antipodes route over the pole: half the meridian
+    # circumference, NOT pi*a
+    assert karney_inverse_m(0, 0, 0, 180) == pytest.approx(
+        2 * 10001965.729, abs=1e-2
+    )
+
+
+def test_antipodal_band_is_exact_in_udf(spark):
+    """method="exact" without geopy: Vincenty rows that fail to
+    converge are re-solved by the vendored Karney solver — the UDF
+    output equals the exact solver, not the spherical fallback."""
+    from qualityassurancetool_spark.functions.karney import karney_inverse_np
+
+    near_anti = [(0.0, 0.0, 0.5, 179.7), (10.0, 20.0, -10.0, -160.2)]
+    la1, lo1, la2, lo2 = map(np.array, zip(*near_anti))
+    _, ok = vincenty_m_np(la1, lo1, la2, lo2, return_converged=True)
+    if HAVE_GEOPY:  # pragma: no cover - this container has no geopy
+        pytest.skip("UDF takes the geopy branch when geopy is present")
+    assert not ok.any()  # these pairs ARE the non-convergent band
+    rows = (
+        spark.createDataFrame(
+            near_anti, "lat1 double, lon1 double, lat2 double, lon2 double"
+        )
+        .select(
+            geodesic_m(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
+                method="exact",
+            ).alias("d")
+        )
+        .collect()
+    )
+    want = karney_inverse_np(la1, lo1, la2, lo2)
+    for r, w in zip(rows, want):
+        assert r["d"] == pytest.approx(w, abs=1e-6)
+    # and the exact values sit inside the geometric envelope: within
+    # 0.5% below the antipodal maximum (these pairs are ≤ ~65 km off
+    # the exact antipode), never above it
+    for w in want:
+        assert 2 * 10001965.729 * 0.995 < w <= 2 * 10001965.8
