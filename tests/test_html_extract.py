@@ -78,3 +78,87 @@ def test_dataframe_kernel(spark):
     assert "first real paragraph" in out[1]["text"]
     assert out[2]["text"] == "" and out[2]["n_boilerplate_blocks"] == 1
     assert out[3]["text"] == "" and out[3]["n_blocks"] == 0
+
+
+GOOD_PARA = (
+    "This is a long paragraph of body prose with plenty of the usual "
+    "English function words so that the stopword density is high and "
+    "the classifier can see that it was written for a reader and not "
+    "for a navigation menu, which is what we want it to decide here."
+)
+
+ARTICLE = f"""
+<html><body>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>
+<h1>A Short Headline</h1>
+<p>{GOOD_PARA}</p>
+<p>Brief quote.</p>
+<p>{GOOD_PARA}</p>
+<div><a href="/a">one</a> <a href="/b">two</a> <a href="/c">three</a></div>
+</body></html>
+"""
+
+
+def test_justext_recovers_headings_and_short_quotes():
+    """The full jusText revision keeps the heading above good prose and
+    the short quote BETWEEN good paragraphs — exactly what the core
+    AND-filter drops — while still dropping both nav clusters."""
+    from qualityassurancetool_spark.operators.html_extract import (
+        extract_blocks_justext,
+    )
+
+    core_text, _, _ = extract_blocks(ARTICLE)
+    jx_text, kept, dropped = extract_blocks_justext(ARTICLE)
+    assert "A Short Headline" not in core_text  # core trades recall…
+    assert "Brief quote." not in core_text
+    assert "A Short Headline" in jx_text        # …justext recovers it
+    assert "Brief quote." in jx_text
+    for text in (core_text, jx_text):
+        assert "Home" not in text and "Contact" not in text
+        assert GOOD_PARA in text
+    assert kept == 4 and dropped == 2
+
+
+def test_justext_short_block_amid_bad_stays_dropped():
+    """The same short string inside a navigation cluster is NOT kept:
+    classification is contextual, not textual."""
+    from qualityassurancetool_spark.operators.html_extract import (
+        extract_blocks_justext,
+    )
+
+    nav_page = """
+    <div><a href="/a">one</a> <a href="/b">two</a></div>
+    <p>Brief quote.</p>
+    <div><a href="/c">three</a> <a href="/d">four</a></div>
+    """
+    text, kept, dropped = extract_blocks_justext(nav_page)
+    assert "Brief quote." not in text
+    assert kept == 0 and dropped == 3
+
+
+def test_extract_documents_engine_dispatch(spark):
+    from qualityassurancetool_spark.operators.html_extract import (
+        extract_documents,
+    )
+
+    df = spark.createDataFrame([(1, ARTICLE)], ["doc_id", "html"])
+    jx = extract_documents(df, engine="justext").collect()[0]
+    assert "A Short Headline" in jx["text"]
+    assert jx["n_blocks"] == 4 and jx["n_boilerplate_blocks"] == 2
+    with pytest.raises(ValueError):
+        extract_documents(df, engine="nope")
+
+
+def test_trafilatura_engine_gated():
+    from qualityassurancetool_spark.operators.html_extract import (
+        extract_blocks_trafilatura,
+    )
+
+    try:
+        import trafilatura  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="justext"):
+            extract_blocks_trafilatura(ARTICLE)
+    else:  # pragma: no cover - env-dependent
+        text, kept, dropped = extract_blocks_trafilatura(ARTICLE)
+        assert "paragraph of body prose" in text and dropped == -1
