@@ -545,7 +545,10 @@ def cmd_extract(args, overrides: list[str]) -> int:
     n_boilerplate_blocks).  ``format=warc`` (default; ``data.input``
     is a ``*.warc[.gz]`` glob) or ``format=html`` (parquet with an
     ``html`` column).  Successful 200 text/html responses only in warc
-    mode; doc ids are deterministic (md5 of url‖date, 60-bit)."""
+    mode; doc ids are deterministic (md5 of url‖date, 60-bit).
+    ``engine=core|justext|trafilatura`` selects the boilerplate
+    classifier (justext knobs — ``length_low`` etc. — pass straight
+    through)."""
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
     if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
@@ -579,10 +582,23 @@ def cmd_extract(args, overrides: list[str]) -> int:
             ).select("doc_id", "url", "html")
         else:
             pages = spark.read.parquet(data_c["input"])
+        engine = knobs.get("engine", "core")
+        engine_kw = {
+            k: knobs[k]
+            for k in (
+                "length_low", "length_high", "stopwords_low",
+                "stopwords_high", "max_heading_distance",
+            )
+            if k in knobs
+        }
+        if engine != "core" and "max_link_density" in knobs:
+            engine_kw["max_link_density"] = float(knobs["max_link_density"])
         out = extract_documents(
             pages,
             max_link_density=float(knobs.get("max_link_density", 0.5)),
             min_block_chars=int(knobs.get("min_block_chars", 25)),
+            engine=engine,
+            **engine_kw,
         )
         out.write.mode("overwrite").parquet(data_c["out"])
         back = spark.read.parquet(data_c["out"])

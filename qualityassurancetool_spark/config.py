@@ -144,7 +144,19 @@ def validate_config_dict(d: dict) -> None:
             ) from None
     rp = d.get("region_polygons")
     if isinstance(rp, str):
-        pass  # a file path; format checked at load time (polygon_files)
+        pass  # a file path or URL; format checked at load time
+    elif isinstance(rp, dict):
+        # live database source: {jdbc: {url, table|query, ...}} —
+        # the reference's PostGIS SeaVox shape (src/main.py:528-533)
+        spec = rp.get("jdbc")
+        if not isinstance(spec, dict) or not spec.get("url"):
+            raise ConfigError(
+                "region_polygons: mapping form needs jdbc.url"
+            )
+        if bool(spec.get("table")) == bool(spec.get("query")):
+            raise ConfigError(
+                "region_polygons.jdbc: exactly one of table/query"
+            )
     else:
         for i, poly in enumerate(rp or []):
             owner = f"region_polygons[{i}]"
@@ -193,6 +205,10 @@ class QCConfig:
     outlier_max_dx_dt: float | None = None
     # region polygons: [(name, [(lon, lat), ...]), ...]
     region_polygons: list | None = None
+    # deferred live-DB polygon source ({url, table|query, ...}) — needs
+    # a SparkSession, so it resolves lazily in the registry region
+    # check via sources.polygon_files.load_polygons_jdbc (strict S5)
+    region_polygons_jdbc: dict | None = None
     # materialize the plan once before the dependent as-of branches
     # (operators/asof._materialize_once: ON for 100 TB inputs, OFF at
     # small scale where codegen cost dominates re-execution)
@@ -247,8 +263,34 @@ class QCConfig:
                 glob[t] = tuple(rng)
         geo = d.get("location", {})
         polys = None
+        polys_jdbc = None
         rp = d.get("region_polygons")
-        if isinstance(rp, str):
+        if isinstance(rp, str) and rp.startswith(("http://", "https://")):
+            # remote asset (Natural Earth-style zip, or a bare polygon
+            # file): download-once-then-cache via sources.assets — the
+            # reference's get_ne_10m_shp behavior (src/main.py:577)
+            import os as _os
+            import tempfile as _tempfile
+
+            from qualityassurancetool_spark.sources.assets import (
+                fetch_cached,
+                get_natural_earth_land,
+            )
+            from qualityassurancetool_spark.sources.polygon_files import (
+                load_polygons,
+            )
+
+            cache = _os.environ.get(
+                "QAT_ASSET_CACHE",
+                _os.path.join(_tempfile.gettempdir(), "qat_assets"),
+            )
+            path = (
+                get_natural_earth_land(cache, rp)
+                if rp.endswith(".zip")
+                else fetch_cached(rp, cache)
+            )
+            polys = load_polygons(path)
+        elif isinstance(rp, str):
             # a polygon file (GeoJSON / WKT / WKB / shapefile) — reference
             # loads real land polygons from file (src/main.py:577)
             from qualityassurancetool_spark.sources.polygon_files import (
@@ -256,6 +298,8 @@ class QCConfig:
             )
 
             polys = load_polygons(rp)
+        elif isinstance(rp, dict):
+            polys_jdbc = dict(rp["jdbc"])  # validated above
         elif rp:
             polys = [
                 (p["name"], [tuple(pt) for pt in p["coords"]]) for p in rp
@@ -275,6 +319,7 @@ class QCConfig:
                 d.get("overwrite_feature_flags", True)
             ),
             region_polygons=polys,
+            region_polygons_jdbc=polys_jdbc,
         )
 
     @classmethod

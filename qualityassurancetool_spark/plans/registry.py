@@ -102,6 +102,19 @@ def _check_region(
     from qualityassurancetool_spark.sources.spatial import assign_region
 
     polys = getattr(cfg, "region_polygons", None)
+    jdbc_spec = getattr(cfg, "region_polygons_jdbc", None)
+    if polys is None and jdbc_spec:
+        # strict S5: polygons from a live database (the reference's
+        # PostGIS SeaVox source).  Resolved here because it needs the
+        # SparkSession; memoized on the config so repeated windows of a
+        # batch run read the DB once.
+        from qualityassurancetool_spark.sources.polygon_files import (
+            load_polygons_jdbc,
+        )
+
+        spec = dict(jdbc_spec)
+        polys = load_polygons_jdbc(spark, spec.pop("url"), **spec)
+        cfg.region_polygons = polys
     if "region" not in df.columns:
         if not polys:
             return df

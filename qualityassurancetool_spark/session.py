@@ -42,7 +42,13 @@ def get_spark(app_name: str = "qualityassurancetool-spark") -> SparkSession:
         # ns timestamp); schema.load_table converts to µs TimestampType
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("QAT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for throughput; SPARK_GRAFT_UI=1 re-enables it for the
+        # probes that read shuffle/spill metrics from the UI REST API
+        # (tools/dress_rehearsal.py)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # call-site capture for DataFrame error context costs ~4 py4j
         # round-trips + a Python stack walk on EVERY DataFrame/Column API

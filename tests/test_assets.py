@@ -180,3 +180,21 @@ def test_etopo_netcdf_roundtrip(server, tmp_path):
     )
     ds = read_netcdf_classic(p)
     assert ds.variables  # parses to a non-empty dataset
+
+
+def test_config_remote_polygon_url(server, tmp_path, monkeypatch, spark):
+    """region_polygons: https://... in the QC config downloads once
+    through fetch_cached (QAT_ASSET_CACHE) and parses with the normal
+    file loaders — the reference's download-into-resources/ behavior
+    lifted to the config surface."""
+    from qualityassurancetool_spark.config import QCConfig
+
+    tri = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (0.0, 0.0)]
+    wkb = test_polygon_files._wkb_polygon(tri)
+    server.files["/land.wkb"] = f"LAND\t{wkb.hex()}\n".encode()
+    monkeypatch.setenv("QAT_ASSET_CACHE", str(tmp_path / "cache"))
+    cfg_dict = {"QC": [], "region_polygons": _url(server, "/land.wkb")}
+    cfg = QCConfig.from_dict(cfg_dict)
+    assert [n for n, _ in cfg.region_polygons] == ["LAND"]
+    QCConfig.from_dict(cfg_dict)  # second parse: cache hit
+    assert server.hits["/land.wkb"] == 1

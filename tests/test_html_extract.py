@@ -162,3 +162,21 @@ def test_trafilatura_engine_gated():
     else:  # pragma: no cover - env-dependent
         text, kept, dropped = extract_blocks_trafilatura(ARTICLE)
         assert "paragraph of body prose" in text and dropped == -1
+
+
+def test_extract_cli_engine_knob(spark, tmp_path, capsys):
+    from qualityassurancetool_spark.cli import main
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [(1, ARTICLE)], ["doc_id", "html"]
+    ).write.parquet(src)
+    out = str(tmp_path / "docs")
+    rc = main([
+        "extract", "--keep-session", f"data.input={src}",
+        f"data.out={out}", "format=html", "engine=justext",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    row = spark.read.parquet(out).collect()[0]
+    assert "A Short Headline" in row["text"]

@@ -118,3 +118,49 @@ def test_jdbc_arg_validation(spark):
         load_polygons_jdbc(
             spark, "jdbc:derby:x", table="t", query="SELECT 1"
         )
+
+
+def test_config_jdbc_region_source_end_to_end(spark, derby_db):
+    """region_polygons: {jdbc: {...}} in the QC config resolves lazily
+    (registry region check, memoized on the config) and produces the
+    same region assignment as the file-config path — the strict S5
+    config surface."""
+    from qualityassurancetool_spark.config import ConfigError, QCConfig
+    from qualityassurancetool_spark.plans.registry import (
+        run_registered_checks,
+    )
+
+    url, rows = derby_db
+    cfg = QCConfig.from_dict(
+        {
+            "QC": [],
+            "region_polygons": {
+                "jdbc": {
+                    "url": url,
+                    "table": "regions",
+                    "name_col": "name",
+                    "driver": DRIVER,
+                }
+            },
+        }
+    )
+    assert cfg.region_polygons is None  # deferred until a session exists
+    obs = spark.createDataFrame(
+        [(0, 2.0, 2.0, 0), (1, 25.0, 25.0, 0), (2, -5.0, -5.0, 0)],
+        ["iot_id", "long", "lat", "qc_flag"],
+    )
+    got = run_registered_checks(obs, cfg, spark, checks=["region"])
+    regions = {r["iot_id"]: r["region"] for r in got.collect()}
+    assert regions == {0: "MAINLAND", 1: "ISLAND", 2: None}
+    # memoized: the resolved polygons now live on the config
+    assert [n for n, _ in cfg.region_polygons] == ["MAINLAND", "ISLAND"]
+
+    # validation: malformed specs fail fast at config parse
+    with pytest.raises(ConfigError):
+        QCConfig.from_dict({"QC": [], "region_polygons": {"jdbc": {}}})
+    with pytest.raises(ConfigError):
+        QCConfig.from_dict(
+            {"QC": [], "region_polygons": {"jdbc": {
+                "url": "x", "table": "t", "query": "SELECT 1",
+            }}}
+        )
