@@ -1,0 +1,129 @@
+"""BM25 ranked retrieval over the documents table.
+
+Okapi BM25 (Robertson & Walker 1994; the formulation in Robertson &
+Zaragoza 2009, "The Probabilistic Relevance Framework") — the lexical
+retrieval primitive a curation stack needs next to embedding ANN:
+nearest-prose lookup for decontamination audits, seed-document
+expansion for DSIR-style targeting, and hard-negative mining for
+training retrieval models.  ``operators/tfidf`` weights terms per doc;
+this scores DOC×QUERY relevance and returns top-k per query:
+
+    score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf · (k1+1) /
+                              (tf + k1 · (1 − b + b·dl/avgdl))
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+Scale shape (the part that matters at 100 TB):
+
+- **Queries are small by contract** (the ANN-family invariant): their
+  distinct terms broadcast, and the corpus explode is SEMI-JOINED down
+  to query terms immediately — per-doc work is proportional to matched
+  terms, never vocabulary size.  The corpus is scanned once.
+- Corpus statistics (N, avgdl) are one partial agg → two driver
+  scalars; per-term document frequencies are computed only for query
+  terms (a ``|Q|``-row broadcast dimension).
+- The final ranking is ``row_number`` over (query, score desc, doc
+  asc) on the scored pairs — at most ``|matched docs| × |queries|``
+  rows ever shuffle, text never does.
+
+Cross-engine: ``tools/extra_oracles.py::x_bm25`` replicates tokenize,
+df, idf and the saturation formula in DuckDB and must match to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.functions.hashing import tokens
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, dl, term) exploded token stream with per-doc length."""
+    toked = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0).alias(
+            "_toks"
+        ),
+    )
+    return toked.select(
+        id_col,
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25:
+    ``(query_id, doc_id, score, n_terms_matched)``, ranked score desc
+    with doc-id tie-break (total deterministic order).  Documents
+    sharing no term with a query are not returned (BM25 score would be
+    0).  ``queries`` is small by contract — see module docstring."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dterms = _doc_terms(docs, text_col, id_col)
+    qterms = _doc_terms(
+        queries, query_text_col, query_id_col
+    ).select(query_id_col, "term").distinct()
+
+    # corpus scalars: one partial agg, two driver numbers
+    stats = dterms.groupBy(id_col).agg(F.first("dl").alias("dl"))
+    row = stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+
+    # tf for query terms only: the broadcast semi-join BEFORE the agg is
+    # what keeps per-doc work O(matched terms)
+    qvocab = qterms.select("term").distinct()
+    matched = dterms.join(F.broadcast(qvocab), "term", "left_semi")
+    tf = matched.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    # df per query term (|Q|-row dimension), then idf as a Column
+    dfreq = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .select(
+            query_id_col,
+            id_col,
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.lit(avgdl or 1.0))
+                )
+            ).alias("_term_score"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum("_term_score").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,70 @@
+"""Okapi BM25 ranked retrieval (operators/bm25).
+Cross-engine parity: tools/extra_oracles.py::x_bm25."""
+
+import math
+
+import pytest
+
+from qualityassurancetool_spark.operators.bm25 import bm25_topk
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog chased the cat"),
+    (3, "dogs and cats living together"),
+    (4, "a completely unrelated document about spark plans"),
+    (5, "cat cat cat cat"),
+]
+QUERIES = [(100, "the cat"), (200, "spark document"), (300, "zebra")]
+K1, B = 1.2, 0.75
+
+
+def _py_bm25():
+    toks = {i: t.split() for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for qid, q in QUERIES:
+        qterms = set(q.split())
+        for did, dt in toks.items():
+            matched = [t for t in qterms if t in dt]
+            if not matched:
+                continue
+            s = 0.0
+            for t in matched:
+                tf = dt.count(t)
+                df = sum(1 for v in toks.values() if t in v)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (K1 + 1) / (
+                    tf + K1 * (1 - B + B * len(dt) / avgdl)
+                )
+            out[(qid, did)] = (s, len(matched))
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    queries = spark.createDataFrame(QUERIES, ["query_id", "query_text"])
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["n_terms_matched"])
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    want = _py_bm25()
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == pytest.approx(want[key][0], rel=1e-12)
+        assert got[key][1] == want[key][1]
+    # zebra matches nothing; no rows for query 300
+    assert not any(q == 300 for q, _ in got)
+
+
+def test_bm25_topk_ranking_and_cutoff(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    queries = spark.createDataFrame([(1, "cat")], ["query_id", "query_text"])
+    rows = bm25_topk(docs, queries, k=2).orderBy("doc_id").collect()
+    assert len(rows) == 2
+    # hand-check for the single-term query "cat": doc 5 (tf=4, short)
+    # saturates highest, doc 2 (tf=1, dl=5) beats doc 1 (tf=1, dl=6)
+    # on length normalization — top-2 = {5, 2}
+    assert {r["doc_id"] for r in rows} == {5, 2}
+    with pytest.raises(ValueError):
+        bm25_topk(docs, queries, k=0)

@@ -12,7 +12,14 @@ import pytest
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin
 # (broadcast tiny-literal-dim fan-outs and the brute-force ANN baseline)
-BNLJ_ALLOWED = {"sim_topk", "nearest_lookup"}
+BNLJ_ALLOWED = {
+    "sim_topk",
+    "nearest_lookup",
+    # dim build fans customer out against a 3-row version literal; the
+    # SCD2 lookup itself is a BroadcastHashJoin on the natural key with
+    # the BETWEEN as residual (asserted in tools/plan_audit.py)
+    "scd2_lookup",
+}
 
 
 @pytest.fixture(scope="module")
