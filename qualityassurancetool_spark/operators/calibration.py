@@ -1,0 +1,121 @@
+"""Isotonic (monotone) score calibration — classifier scores → true
+match rates.
+
+The quality/fasttext-style classifiers this engine trains
+(``operators/classifier``, ``operators/lm_score``) emit uncalibrated
+scores; curation thresholds ("keep if P(good) ≥ 0.8") need
+PROBABILITIES.  Isotonic regression (pool-adjacent-violators, PAV —
+Ayer et al. 1955; the standard calibration method of Zadrozny &
+Elkan KDD 2002) fits the best monotone step function from score to
+empirical label rate, assuming only that more score ⇒ no less likely
+good.
+
+Spark shape (same two-phase pattern as PCA): scores bin into
+``n_bins`` fixed-width buckets with ONE partial agg — per-bin (label
+sum, count) — so only ``n_bins`` rows reach the driver; PAV runs on
+those bins (O(n_bins), exact); application is pure Column arithmetic
+(bucket index → literal array lookup), no UDF, no second shuffle.
+Binned PAV is the standard large-scale formulation (exact PAV over
+per-bin sufficient statistics ≡ PAV over the sorted raw scores when
+ties-within-bin are acceptable at 1/n_bins score resolution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pav(values: list[float], weights: list[float]) -> list[float]:
+    """Pool-adjacent-violators: the isotonic (non-decreasing) fit
+    minimizing weighted squared error.  Returns the fitted value per
+    input position.  Classic stack formulation, O(n)."""
+    if len(values) != len(weights):
+        raise ValueError("values/weights length mismatch")
+    # stack of (mean, weight, count of source bins)
+    stack: list[list[float]] = []
+    for v, w in zip(values, weights):
+        stack.append([float(v), float(w), 1])
+        while len(stack) > 1 and stack[-2][0] >= stack[-1][0]:
+            m2, w2, c2 = stack.pop()
+            m1, w1, c1 = stack.pop()
+            tot = w1 + w2
+            stack.append(
+                [(m1 * w1 + m2 * w2) / tot if tot else m1, tot, c1 + c2]
+            )
+    out: list[float] = []
+    for mean, _w, c in stack:
+        out.extend([mean] * c)
+    return out
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 100,
+) -> dict:
+    """Calibration model fitted on (score, binary/0-1 label) rows:
+    ``{"lo", "hi", "n_bins", "rates": [per-bin calibrated rate]}``.
+    Empty bins inherit the fitted rate of the nearest populated bin to
+    the left (monotonicity makes that the correct lower envelope);
+    leading empties take the first populated rate."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    base = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    r = base.agg(
+        F.min("_s").alias("lo"), F.max("_s").alias("hi")
+    ).collect()[0]
+    if r["lo"] is None:
+        raise ValueError("no non-null (score, label) rows to calibrate on")
+    lo, hi = float(r["lo"]), float(r["hi"])
+    span = (hi - lo) or 1.0
+    binned = (
+        base.select(
+            F.least(
+                F.floor((F.col("_s") - lo) / span * n_bins).cast("int"),
+                F.lit(n_bins - 1),
+            ).alias("bin"),
+            "_y",
+        )
+        .groupBy("bin")
+        .agg(F.sum("_y").alias("pos"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_bin = {int(b["bin"]): (float(b["pos"]), int(b["n"])) for b in binned}
+    filled = [by_bin.get(i, (0.0, 0)) for i in range(n_bins)]
+    populated = [i for i, (_p, n) in enumerate(filled) if n > 0]
+    fit_vals = pav(
+        [filled[i][0] / filled[i][1] for i in populated],
+        [float(filled[i][1]) for i in populated],
+    )
+    rates = [0.0] * n_bins
+    cur = fit_vals[0]
+    j = 0
+    for i in range(n_bins):
+        if j < len(populated) and i == populated[j]:
+            cur = fit_vals[j]
+            j += 1
+        rates[i] = cur
+    return {"lo": lo, "hi": hi, "n_bins": n_bins, "rates": rates}
+
+
+def isotonic_apply(
+    model: dict, score: Column, clamp: bool = True
+) -> Column:
+    """Calibrated probability Column for ``score`` under ``model`` —
+    bucket index arithmetic + one literal array lookup, whole-stage
+    codegen, no UDF.  Out-of-range scores clamp to the edge bins (the
+    isotonic step function is constant beyond the training range)."""
+    lo, hi = model["lo"], model["hi"]
+    n = model["n_bins"]
+    span = (hi - lo) or 1.0
+    idx = F.floor((score - F.lit(lo)) / F.lit(span) * n).cast("int")
+    if clamp:
+        idx = F.greatest(F.lit(0), F.least(idx, F.lit(n - 1)))
+    return F.element_at(
+        F.array(*[F.lit(float(v)) for v in model["rates"]]), idx + 1
+    )

@@ -2888,6 +2888,39 @@ GROUP BY kc.k
     return sdf, sql
 
 
+def x_multipattern(spark, con, sf_dir):
+    """Aho-Corasick multi-pattern counts (overlapping occurrences over
+    normalized text) vs a DuckDB position-scan replica — the O(n+m)
+    automaton must agree with the O(n*m) brute force exactly."""
+    from qualityassurancetool_spark.operators.multipattern import (
+        match_counts,
+    )
+
+    PATS = ["scan", "fast ", "que", "table table", "a a"]
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sdf = match_counts(docs, PATS)
+    vals = ", ".join(f"('{p}')" for p in PATS)
+    sql = f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+pats(p) AS (VALUES {vals}),
+hits AS (
+    SELECT d.doc_id, p.p, COUNT(*) AS c
+    FROM docs d
+    JOIN pats p ON TRUE
+    JOIN generate_series(1, 100000) g(i)
+      ON i + length(p.p) - 1 <= length(d.t)
+     AND substr(d.t, i, length(p.p)) = p.p
+    GROUP BY d.doc_id, p.p
+)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS n_matches,
+       CAST(COUNT(h.p) AS INT) AS n_patterns_matched
+FROM docs d LEFT JOIN hits h USING (doc_id)
+GROUP BY d.doc_id
+"""
+    return sdf, sql
+
+
 def _entry_mod():
     import importlib.util
 
@@ -2978,6 +3011,7 @@ EXTRA_CHECKS = {
     "x_time_split": x_time_split,
     "x_bm25": x_bm25,
     "x_cms": x_cms,
+    "x_multipattern": x_multipattern,
     "x_filtered_revenue": x_filtered_revenue,
     "x_embedding_stats": x_embedding_stats,
     "x_nation_region_rollup": x_nation_region_rollup,
