@@ -232,6 +232,35 @@ def domain_blocklist_hit(
     )
 
 
+def badword_hit(
+    norm_text: Column, toks: Column, entries: list[str]
+) -> Column:
+    """True iff any blocklist ENTRY occurs as a whole word (single-word
+    entries) or whole-word phrase (multi-word entries) in the
+    normalized text — the C4 §2.2 bad-words page filter semantics
+    (any listed word/phrase present ⇒ drop the page).
+
+    Single words check via ``arrays_overlap`` against one literal array
+    (set semantics — the OR chain never grows with list size); phrases
+    check space-padded substring containment so 'ban ana' cannot match
+    inside 'urban anagram'.  Config-scale lists (hundreds of entries)
+    ride the plan as literals; for huge lists or SUBSTRING semantics
+    use ``operators/multipattern`` (Aho-Corasick) instead."""
+    words, phrases = [], []
+    for e in entries:
+        ne = " ".join(e.lower().split())
+        if not ne:
+            continue
+        (phrases if " " in ne else words).append(ne)
+    hit = F.lit(False)
+    if words:
+        hit = hit | F.arrays_overlap(toks, F.lit(sorted(set(words))))
+    padded = F.concat(F.lit(" "), norm_text, F.lit(" "))
+    for p in sorted(set(phrases)):
+        hit = hit | padded.contains(f" {p} ")
+    return hit
+
+
 def domain_reputation(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

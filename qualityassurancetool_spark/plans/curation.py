@@ -54,6 +54,7 @@ class CurationConfig:
     max_symbol_ratio: float | None = None
     max_pii_total: int | None = None
     c4_page_rules: bool = False
+    badwords: list[str] = field(default_factory=list)
     min_classifier_prob: float | None = None
     min_dsir_score: float | None = None
     blocked_domains: list[str] = field(default_factory=list)
@@ -66,8 +67,9 @@ class CurationConfig:
         known = {
             "langs", "min_quality", "max_dup_line_fraction",
             "max_word_rep_ratio", "max_symbol_ratio", "max_pii_total",
-            "c4_page_rules", "min_classifier_prob", "min_dsir_score",
-            "blocked_domains", "dedup", "sample_fractions", "sample_salt",
+            "c4_page_rules", "badwords", "min_classifier_prob",
+            "min_dsir_score", "blocked_domains", "dedup",
+            "sample_fractions", "sample_salt",
         }
         unknown = set(d) - known
         if unknown:
@@ -96,6 +98,9 @@ class CurationConfig:
             raise ConfigError(
                 f"c4_page_rules must be a bool, got {d['c4_page_rules']!r}"
             )
+        bw = d.get("badwords", [])
+        if bw is not None and not isinstance(bw, (list, tuple)):
+            raise ConfigError(f"badwords must be a list, got {bw!r}")
         if d.get("dedup", "exact") not in ("exact", "none"):
             raise ConfigError(f"dedup must be exact|none, got {d['dedup']!r}")
         fr = d.get("sample_fractions")
@@ -132,6 +137,7 @@ class CurationConfig:
                 if d.get("min_dsir_score") is not None
                 else None
             ),
+            badwords=list(d.get("badwords") or []),
             blocked_domains=list(d.get("blocked_domains", [])),
             dedup=d.get("dedup", "exact"),
             sample_fractions=dict(fr) if fr else None,
@@ -229,6 +235,12 @@ def curate(
         measures["_blocked"] = domain_blocklist_hit(
             lower, cfg.blocked_domains
         )
+    if cfg.badwords:
+        from qualityassurancetool_spark.operators.quality_filters import (
+            badword_hit,
+        )
+
+        measures["_badword"] = badword_hit(n, F.col("_toks"), cfg.badwords)
     if cfg.min_classifier_prob is not None:
         if classifier_model is None:
             raise ConfigError(
@@ -328,6 +340,8 @@ def curate(
         )
     if cfg.max_symbol_ratio is not None:
         checks.append(("symbols", F.col("_sym") > cfg.max_symbol_ratio))
+    if cfg.badwords:
+        checks.append(("badwords", F.col("_badword")))
     if cfg.c4_page_rules:
         checks.append(("c4_page", F.col("_c4_drop")))
     if cfg.max_pii_total is not None:

@@ -184,3 +184,38 @@ def test_new_rule_config_validation():
         {"c4_page_rules": True, "min_dsir_score": -0.5}
     )
     assert cfg.c4_page_rules and cfg.min_dsir_score == -0.5
+
+
+def test_badwords_rule_word_and_phrase_boundaries(spark):
+    """C4 bad-words semantics: whole words and whole phrases only —
+    'ban ana' must not fire inside 'urban anagram', 'ass' must not
+    fire inside 'associated'."""
+    from qualityassurancetool_spark.plans.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly clean document body"),
+            (2, "contains the word ASS plainly"),        # word hit (cased)
+            (3, "its products are associated with it"),  # substring: no hit
+            (4, "the ban ana split was eaten"),          # phrase hit
+            (5, "an urban anagram puzzle"),              # phrase inside: no
+            (6, None),
+        ],
+        ["doc_id", "text"],
+    )
+    cfg = CurationConfig.from_dict(
+        {"badwords": ["ass", "Ban  Ana"], "dedup": "none"}
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in curate(docs, cfg).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (False, "badwords")
+    assert got[3] == (True, None)
+    assert got[4] == (False, "badwords")
+    assert got[5] == (True, None)
+    assert got[6][0] is True  # null text: no badword hit

@@ -2921,6 +2921,37 @@ GROUP BY d.doc_id
     return sdf, sql
 
 
+def x_badwords(spark, con, sf_dir):
+    """Curation badwords rule (C4 bad-words page filter: whole-word /
+    whole-phrase membership as pure Columns) vs the DuckDB replica."""
+    from qualityassurancetool_spark.plans.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    WORDS, PHRASE = ["scan", "merge"], "fast sort"
+    cfg = CurationConfig.from_dict(
+        {"badwords": WORDS + [PHRASE], "dedup": "none"}
+    )
+    sdf = curate(_docs(spark, sf_dir), cfg).select(
+        "doc_id", "keep", "drop_reason"
+    )
+    wl = ", ".join(f"'{w}'" for w in WORDS)
+    sql = f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS n FROM documents),
+flag AS (
+    SELECT doc_id,
+           (len(list_intersect(string_split(n, ' '), [{wl}])) > 0
+            OR (' ' || n || ' ') LIKE '% {PHRASE} %') AS hit
+    FROM docs
+)
+SELECT doc_id, NOT hit AS keep,
+       CASE WHEN hit THEN 'badwords' END AS drop_reason
+FROM flag
+"""
+    return sdf, sql
+
+
 def _entry_mod():
     import importlib.util
 
@@ -3012,6 +3043,7 @@ EXTRA_CHECKS = {
     "x_bm25": x_bm25,
     "x_cms": x_cms,
     "x_multipattern": x_multipattern,
+    "x_badwords": x_badwords,
     "x_filtered_revenue": x_filtered_revenue,
     "x_embedding_stats": x_embedding_stats,
     "x_nation_region_rollup": x_nation_region_rollup,
