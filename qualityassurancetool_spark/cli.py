@@ -616,16 +616,22 @@ def cmd_profile(args, overrides: list[str]) -> int:
     - ``tokens``: exact heavy-hitter tokens over a documents parquet
       (two-pass Misra–Gries; ``min_fraction`` knob);
     - ``skew``: one-row key-skew report for ``key=<column>``;
-    - ``pagerank``: authority scores over a (src, dst) edges parquet.
+    - ``pagerank``: authority scores over a (src, dst) edges parquet;
+    - ``cms``: Count-Min sketch of the token stream (bounded state;
+      ``width``/``depth`` knobs) written as the (row, col, n) cell
+      table — merge day sketches downstream with ``cms_merge``;
+    - ``badwords``: Aho-Corasick multi-pattern counts per doc
+      (``patterns=[...]`` knob, overlapping-occurrence semantics).
     """
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
     if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
         raise ConfigError("missing required settings: data.input, data.out")
     method = knobs.get("method", "tokens")
-    if method not in ("tokens", "skew", "pagerank"):
+    if method not in ("tokens", "skew", "pagerank", "cms", "badwords"):
         raise ConfigError(
-            f"unknown profile method {method!r} (tokens|skew|pagerank)"
+            f"unknown profile method {method!r} "
+            "(tokens|skew|pagerank|cms|badwords)"
         )
 
     from qualityassurancetool_spark.session import get_spark
@@ -654,6 +660,42 @@ def cmd_profile(args, overrides: list[str]) -> int:
             )
 
             out = key_skew_report(spark.read.parquet(data_c["input"]), key)
+        elif method == "cms":
+            from pyspark.sql import functions as F
+
+            from qualityassurancetool_spark.functions.hashing import tokens
+            from qualityassurancetool_spark.operators.cms import cms_build
+            from qualityassurancetool_spark.schema import load_table
+
+            if data_c.get("table", "parquet") == "documents":
+                docs = load_table(spark, data_c["input"], "documents")
+            else:
+                docs = spark.read.parquet(data_c["input"])
+            stream = docs.select(
+                F.explode(tokens(F.col("text"))).alias("k")
+            ).where(F.length("k") > 0)
+            out = cms_build(
+                stream,
+                "k",
+                width=int(knobs.get("width", 2048)),
+                depth=int(knobs.get("depth", 4)),
+            )
+        elif method == "badwords":
+            from qualityassurancetool_spark.operators.multipattern import (
+                match_counts,
+            )
+            from qualityassurancetool_spark.schema import load_table
+
+            pats = knobs.get("patterns")
+            if not isinstance(pats, list) or not pats:
+                raise ConfigError(
+                    "badwords profiling needs patterns=[...]"
+                )
+            if data_c.get("table", "parquet") == "documents":
+                docs = load_table(spark, data_c["input"], "documents")
+            else:
+                docs = spark.read.parquet(data_c["input"])
+            out = match_counts(docs, [str(x) for x in pats])
         else:  # pagerank
             from qualityassurancetool_spark.operators.graph import pagerank
 

@@ -401,3 +401,33 @@ def test_ann_external_queries_keep_id_collisions(spark, tmp_path, capsys):
     # the colliding id is a legitimate neighbor here — with identical
     # vectors the self row has ADC distance ~0 and must appear
     assert res.where("neighbor_id = query_id").count() > 0
+
+
+def test_profile_cms_and_badwords(spark, tmp_path, capsys):
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "cms")
+    rc = main([
+        "profile", "--keep-session", f"data.input={src}", f"data.out={out}",
+        "data.table=documents", "method=cms", "width=64", "depth=3",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    cells = spark.read.parquet(out)
+    assert 0 < cells.count() <= 64 * 3
+    assert set(cells.columns) == {"row", "col", "n"}
+
+    out2 = str(tmp_path / "bw")
+    rc = main([
+        "profile", "--keep-session", f"data.input={src}",
+        f"data.out={out2}", "data.table=documents", "method=badwords",
+        "patterns=[scan, fast]",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    res = spark.read.parquet(out2)
+    assert res.where("n_matches > 0").count() > 0
+
+    assert main([
+        "profile", "--keep-session", f"data.input={src}", "data.out=/x",
+        "method=badwords",
+    ]) == 2
