@@ -104,6 +104,19 @@ def karney_inverse_m(
     (degrees).  See module docstring for method and provenance."""
     # canonical longitude difference in [0, 180]
     lam = math.radians(abs(((lon2 - lon1) + 180.0) % 360.0 - 180.0))
+    dphi = math.radians(lat2 - lat1)
+    if abs(dphi) < 1e-6 and lam < 1e-6:
+        # sub-~6 m separations: the auxiliary-sphere terms lose all
+        # their precision to cancellation at this scale, while the
+        # local ellipsoidal metric ds² = M²dφ² + (N cosφ)²dλ² is exact
+        # to O((s/R)²·s) ≈ sub-nanometer here (M, N: meridional and
+        # prime-vertical curvature radii at the mean latitude)
+        phi = math.radians(0.5 * (lat1 + lat2))
+        s2 = math.sin(phi) ** 2
+        w = math.sqrt(1.0 - _E2 * s2)
+        m_rad = _A * (1.0 - _E2) / (w * w * w)
+        n_rad = _A / w
+        return math.hypot(m_rad * dphi, n_rad * math.cos(phi) * lam)
     b1, b2 = _beta(lat1), _beta(lat2)
     # canonical points: |β1| ≥ |β2|, β1 ≤ 0
     if abs(b1) < abs(b2):
@@ -115,16 +128,22 @@ def karney_inverse_m(
         # same meridian, or a pole endpoint: meridional by construction
         # (λ at a pole is arbitrary)
         return _meridional(b1, b2)
-    if b1 == 0.0 and b2 == 0.0:
+    if abs(b1) < 1e-10 and abs(b2) < 1e-10:
+        # BOTH endpoints (numerically) on the equator: β no longer
+        # determines σ (the whole equator has β = 0), so the general
+        # bisection degenerates — handle explicitly.  The 1e-10 rad
+        # band is ≈ 0.6 mm of ground latitude; treating it as exactly
+        # equatorial moves the answer by far less than the sub-mm
+        # tolerance pinned in tests.
         if lam <= (1.0 - _F) * math.pi:
-            # equatorial geodesic stays on the equator
+            # equatorial geodesic stays on the equator (arc of radius a)
             return _A * lam
         # equatorial near-antipodal: the geodesic leaves the equator.
         # Perturb one endpoint off the equator by 1e-12 rad (≈ 6 nm on
         # the ground) so the canonical bisection applies; distance error
-        # is of the same order — far below the mm tolerance pinned in
-        # tests.
+        # is of the same order.
         b1 = -1e-12
+        b2 = 0.0
 
     # bisection on α1 ∈ (0, π): λ12(α1) rises monotonically 0 → π
     lo, hi = 1e-15, math.pi - 1e-15
@@ -137,8 +156,18 @@ def karney_inverse_m(
             hi = mid
         if hi - lo < 1e-15:
             break
-    _lam, s12 = _spherical_terms(0.5 * (lo + hi), b1, b2)
-    return s12
+    # α1 can be ill-conditioned (equal-latitude geodesics put the root
+    # a hair above π/2 where dλ/dα1 explodes), but s is SMOOTH in λ
+    # (ds/dλ ≈ a·cosβ).  Interpolating s linearly in λ across the final
+    # bracket removes the conditioning error (second-order in the
+    # bracket width → sub-nm) instead of inheriting the λ residual
+    # amplified by ds/dα1.
+    lam_lo, s_lo = _spherical_terms(lo, b1, b2)
+    lam_hi, s_hi = _spherical_terms(hi, b1, b2)
+    if lam_hi > lam_lo:
+        t = min(max((lam - lam_lo) / (lam_hi - lam_lo), 0.0), 1.0)
+        return s_lo + t * (s_hi - s_lo)
+    return 0.5 * (s_lo + s_hi)
 
 
 def karney_inverse_np(lat1, lon1, lat2, lon2) -> np.ndarray:
