@@ -761,6 +761,59 @@ def cmd_pretrain(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_refresh(args, overrides: list[str]) -> int:
+    """Incremental corpus refresh (``plans/incremental``): apply one
+    full-snapshot update to a state directory — digest diff, curate +
+    near-dup-admit ONLY the changed set, roll the seen digests forward.
+    Curation knobs ride the non-data config subtree exactly like
+    ``curate``.  ``data.finalize_out=…`` additionally chunks+packs+
+    shards the current corpus (``pretrain.*`` knobs)."""
+    run, knobs = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("state"):
+        raise ConfigError("missing required settings: data.input, data.state")
+
+    from qualityassurancetool_spark.plans.curation import CurationConfig
+    from qualityassurancetool_spark.plans.incremental import (
+        finalize_incremental,
+        incremental_update,
+    )
+    from qualityassurancetool_spark.session import get_spark
+
+    pretrain_knobs = knobs.pop("pretrain", {}) or {}
+    cfg = CurationConfig.from_dict(knobs)
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-refresh"))
+    try:
+        if data_c.get("table", "parquet") == "documents":
+            from qualityassurancetool_spark.schema import load_table
+
+            docs = load_table(spark, data_c["input"], "documents")
+        else:
+            docs = spark.read.parquet(data_c["input"])
+        report = incremental_update(spark, docs, cfg, data_c["state"])
+        print(f"update: {report['update']}")
+        for st, n in sorted(report["diff"].items()):
+            print(f"{st}: {n}")
+        print(f"processed: {report['processed']}")
+        print(f"admitted: {report['admitted']}")
+        if data_c.get("finalize_out"):
+            from qualityassurancetool_spark.plans.pretrain import (
+                PretrainConfig,
+            )
+
+            frep = finalize_incremental(
+                spark,
+                data_c["state"],
+                PretrainConfig.from_dict(pretrain_knobs),
+                data_c["finalize_out"],
+            )
+            print(f"chunks: {frep['n_chunks']}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def cmd_export(args, overrides: list[str]) -> int:
     """The reference's second entry point (``src/aums_data_request.py``):
     fetch a window → best record per rounded second per stream → pivot
@@ -890,6 +943,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_pre.add_argument("override", nargs="*", help="key.path=value")
 
+    p_ref = sub.add_parser(
+        "refresh",
+        help="incremental snapshot refresh into a corpus state dir",
+    )
+    p_ref.add_argument("-c", "--config", default=None)
+    p_ref.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_ref.add_argument("override", nargs="*", help="key.path=value")
+
     p_ann = sub.add_parser(
         "ann", help="ANN top-k search (brute|ivf|pq|ivfadc|opq)"
     )
@@ -947,6 +1010,7 @@ def main(argv: list[str] | None = None) -> int:
         "profile": cmd_profile,
         "report": cmd_report,
         "pretrain": cmd_pretrain,
+        "refresh": cmd_refresh,
         "export": cmd_export,
         "validate": cmd_validate,
         "template": cmd_template,

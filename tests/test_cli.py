@@ -431,3 +431,50 @@ def test_profile_cms_and_badwords(spark, tmp_path, capsys):
         "profile", "--keep-session", f"data.input={src}", "data.out=/x",
         "method=badwords",
     ]) == 2
+
+
+def test_refresh_command(spark, tmp_path, capsys):
+    """Two incremental refreshes through the CLI: second snapshot only
+    processes its delta; finalize writes shards of the current view."""
+    snap1 = str(tmp_path / "s1")
+    spark.createDataFrame(
+        [(1, "plenty of clean readable prose words in this body one"),
+         (2, "another perfectly clean document body with words two")],
+        ["doc_id", "text"],
+    ).write.parquet(snap1)
+    state = str(tmp_path / "state")
+    rc = main([
+        "refresh", "--keep-session", f"data.input={snap1}",
+        f"data.state={state}", "max_word_rep_ratio=0.5",
+    ])
+    assert rc == 0
+    out1 = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert out1["added"] == "2" and out1["admitted"] == "2"
+
+    snap2 = str(tmp_path / "s2")
+    spark.createDataFrame(
+        [(1, "plenty of clean readable prose words in this body one"),
+         (2, "another perfectly clean document body with words two"),
+         (3, "a fresh third document with plenty of readable words")],
+        ["doc_id", "text"],
+    ).write.parquet(snap2)
+    fin = str(tmp_path / "final")
+    rc = main([
+        "refresh", "--keep-session", f"data.input={snap2}",
+        f"data.state={state}", f"data.finalize_out={fin}",
+        "max_word_rep_ratio=0.5", "pretrain.chunk_tokens=16",
+        "pretrain.overlap_tokens=4", "pretrain.pack_budget=64",
+        "pretrain.n_shards=2",
+    ])
+    assert rc == 0
+    out2 = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert out2["unchanged"] == "2" and out2["processed"] == "1"
+    assert int(out2["chunks"]) > 0
+    import os
+    assert os.path.isdir(os.path.join(fin, "shards"))
