@@ -17,7 +17,9 @@ Scale shape (the part that matters at 100 TB):
 - **Queries are small by contract** (the ANN-family invariant): their
   distinct terms broadcast, and the corpus explode is SEMI-JOINED down
   to query terms immediately — per-doc work is proportional to matched
-  terms, never vocabulary size.  The corpus is scanned once.
+  terms, never vocabulary size.  Per call the corpus text is read
+  twice (a no-explode stats agg + the scoring pass); pass precomputed
+  ``corpus_stats`` to amortize the first across query batches.
 - Corpus statistics (N, avgdl) are one partial agg → two driver
   scalars; per-term document frequencies are computed only for query
   terms (a ``|Q|``-row broadcast dimension).
@@ -37,19 +39,40 @@ from pyspark.sql import functions as F
 from qualityassurancetool_spark.functions.hashing import tokens
 
 
-def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, dl, term) exploded token stream with per-doc length."""
-    toked = df.select(
+def _doc_toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _toks) tokenized once; explode happens downstream."""
+    return df.select(
         F.col(id_col),
         F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0).alias(
             "_toks"
         ),
     )
-    return toked.select(
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, dl, term) exploded token stream with per-doc length."""
+    return _doc_toks(df, text_col, id_col).select(
         id_col,
         F.size("_toks").alias("dl"),
         F.explode("_toks").alias("term"),
     )
+
+
+def corpus_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[int, float]:
+    """(n_docs, avgdl) over docs with ≥ 1 token — one agg over the
+    UN-exploded token arrays (no explode, no per-term work).  Compute
+    once and pass to :func:`bm25_topk` when issuing many query batches
+    against the same corpus."""
+    row = (
+        _doc_toks(docs, text_col, id_col)
+        .select(F.size("_toks").alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    return int(row["n"]), float(row["avgdl"] or 0.0)
 
 
 def bm25_topk(
@@ -62,12 +85,18 @@ def bm25_topk(
     query_text_col: str = "query_text",
     k1: float = 1.2,
     b: float = 0.75,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25:
     ``(query_id, doc_id, score, n_terms_matched)``, ranked score desc
     with doc-id tie-break (total deterministic order).  Documents
     sharing no term with a query are not returned (BM25 score would be
-    0).  ``queries`` is small by contract — see module docstring."""
+    0).  ``queries`` is small by contract — see module docstring.
+
+    ``stats``: precomputed :func:`corpus_stats` — pass it when running
+    many query batches so the corpus is tokenized once per CALL instead
+    of twice (the stats agg and the scoring pass each read the text;
+    the agg at least skips the explode)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     dterms = _doc_terms(docs, text_col, id_col)
@@ -75,12 +104,9 @@ def bm25_topk(
         queries, query_text_col, query_id_col
     ).select(query_id_col, "term").distinct()
 
-    # corpus scalars: one partial agg, two driver numbers
-    stats = dterms.groupBy(id_col).agg(F.first("dl").alias("dl"))
-    row = stats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    n_docs, avgdl = stats if stats is not None else corpus_stats(
+        docs, text_col, id_col
+    )
 
     # tf for query terms only: the broadcast semi-join BEFORE the agg is
     # what keeps per-doc work O(matched terms)

@@ -109,13 +109,17 @@ def isotonic_apply(
     """Calibrated probability Column for ``score`` under ``model`` —
     bucket index arithmetic + one literal array lookup, whole-stage
     codegen, no UDF.  Out-of-range scores clamp to the edge bins (the
-    isotonic step function is constant beyond the training range)."""
+    isotonic step function is constant beyond the training range);
+    with ``clamp=False`` they yield NULL instead — never a wrapped
+    index (``element_at`` counts negative indices from the array END,
+    which would hand the LOWEST scores near-maximal probabilities)."""
     lo, hi = model["lo"], model["hi"]
     n = model["n_bins"]
     span = (hi - lo) or 1.0
     idx = F.floor((score - F.lit(lo)) / F.lit(span) * n).cast("int")
+    rates = F.array(*[F.lit(float(v)) for v in model["rates"]])
+    clamped = F.greatest(F.lit(0), F.least(idx, F.lit(n - 1)))
+    looked = F.element_at(rates, clamped + 1)
     if clamp:
-        idx = F.greatest(F.lit(0), F.least(idx, F.lit(n - 1)))
-    return F.element_at(
-        F.array(*[F.lit(float(v)) for v in model["rates"]]), idx + 1
-    )
+        return looked
+    return F.when((idx >= 0) & (idx < n), looked)

@@ -221,10 +221,18 @@ def near_dedup_against_corpus(
     threshold: float = 0.5,
     max_df: int = 50,
     hash_mode: str = "portable",
+    exclude_self_id: bool = False,
 ) -> DataFrame:
     """Cross-snapshot NEAR-dup admission control: the winnowing analog
     of ``dedup.dedup_against_corpus`` (a daily crawl must not re-admit
     yesterday's documents under a trivial edit).
+
+    ``exclude_self_id=True`` ignores index entries whose id equals the
+    new document's own id — REVISION semantics (incremental snapshot
+    refresh: a lightly-edited new version of doc X must not be rejected
+    as a near-dup of X's own previous version).  Leave False for
+    append-only streams, where a resubmission under the same id IS a
+    duplicate.
 
     ``seen_fp`` is the persisted corpus fingerprint index —
     (id, fingerprint) rows from :func:`document_fingerprints` over prior
@@ -261,6 +269,8 @@ def near_dedup_against_corpus(
         .groupBy(id_col, "_seen_id")
         .agg(F.count(F.lit(1)).alias("_n_shared"))
     )
+    if exclude_self_id:
+        shared = shared.where(F.col("_seen_id") != F.col(id_col))
     hits = (
         shared.join(sizes, id_col)
         .withColumn("_cont", F.col("_n_shared") / F.col("n_fp"))

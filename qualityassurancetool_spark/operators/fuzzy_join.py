@@ -98,6 +98,7 @@ def fuzzy_string_join(
         raise ValueError(f"q must be >= 2, got {q}")
     lg = _gram_side(left, left_id, left_col, q, "l")
     rg = _gram_side(right, right_id, right_col, q, "r")
+    l_hot = r_hot = None
     if max_df is not None:
         hot = (
             rg.groupBy("gram")
@@ -105,25 +106,41 @@ def fuzzy_string_join(
             .where(F.col("_df") > max_df)
             .select("gram")
         )
+        # Per-id HOT counts (to subtract from the carried set sizes so
+        # the Jaccard stays consistent over the reduced universe): the
+        # semi-join keeps only hot rows, so this aggregation shuffles
+        # an amount proportional to the hot-gram VOLUME, not the whole
+        # exploded stream — and joins back onto the pairs frame (the
+        # candidate-scale output), never onto the explode.
+        l_hot = (
+            lg.join(F.broadcast(hot), "gram", "leftsemi")
+            .groupBy("l_id")
+            .agg(F.count(F.lit(1)).alias("_l_hot"))
+        )
+        r_hot = (
+            rg.join(F.broadcast(hot), "gram", "leftsemi")
+            .groupBy("r_id")
+            .agg(F.count(F.lit(1)).alias("_r_hot"))
+        )
         lg = lg.join(F.broadcast(hot), "gram", "left_anti")
         rg = rg.join(F.broadcast(hot), "gram", "left_anti")
-        # Recompute per-string set sizes over the REDUCED gram universe
-        # so the Jaccard below is consistent (hot grams removed from
-        # numerator and denominator alike).  One count-window per side,
-        # shuffling only (id, gram) rows, and only when max_df trims.
-        from pyspark.sql import Window
-
-        lg = lg.withColumn(
-            "l_n", F.count(F.lit(1)).over(Window.partitionBy("l_id"))
-        )
-        rg = rg.withColumn(
-            "r_n", F.count(F.lit(1)).over(Window.partitionBy("r_id"))
-        )
     pairs = (
         lg.join(rg, "gram")
         .groupBy("l_id", "r_id", "l_n", "r_n")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    if max_df is not None:
+        pairs = (
+            pairs.join(l_hot, "l_id", "left")
+            .join(r_hot, "r_id", "left")
+            .withColumn(
+                "l_n", F.col("l_n") - F.coalesce(F.col("_l_hot"), F.lit(0))
+            )
+            .withColumn(
+                "r_n", F.col("r_n") - F.coalesce(F.col("_r_hot"), F.lit(0))
+            )
+            .drop("_l_hot", "_r_hot")
+        )
     jac = F.col("n_common") / (
         F.col("l_n") + F.col("r_n") - F.col("n_common")
     )

@@ -25,7 +25,7 @@ form: Agarwal et al., "Mergeable Summaries", PODS 2012) bounds state:
    ``n_partitions × capacity`` regardless of corpus cardinality, and the
    final share filter makes the output EXACT.  The threshold convention:
    ``min_fraction`` is interpreted as the nearest rational with
-   denominator ≤ 1e6 (so decimal inputs like 0.07 mean exactly 7/100)
+   denominator ≤ 1e12 (so decimal inputs like 0.07 mean exactly 7/100)
    and the filter is integer ``n*den >= total*num`` — no float-rounding
    exclusions at the boundary.  Fully checkable by a plain SQL GROUP
    BY/HAVING oracle (``tools/extra_oracles.py::x_heavy_hitters``, whose
@@ -152,10 +152,17 @@ def heavy_hitters(
     # floating point can exclude a key sitting EXACTLY at the
     # documented share (total=100, min_fraction=0.07 → 7.0000000000000001).
     # Interpret min_fraction as the nearest rational with denominator
-    # ≤ 1e6 (decimal inputs like 0.07 → exactly 7/100) and compare in
-    # integer arithmetic, widened to decimal so counts up to 1e32 can't
-    # overflow: n * den >= total * num.
-    frac = Fraction(float(min_fraction)).limit_denominator(10**6)
+    # ≤ 1e12 (decimal inputs like 0.07 → exactly 7/100) and compare in
+    # integer arithmetic, widened to decimal so neither side can
+    # overflow (n ≤ ~1e18 × den ≤ 1e12 < the decimal(38) ceiling).
+    frac = Fraction(float(min_fraction)).limit_denominator(10**12)
+    if frac.numerator == 0:
+        # below rational resolution the filter would silently become
+        # n >= 0 (review finding); such fractions are also unusable
+        # upstream (capacity = ceil(1/f) counters per partition)
+        raise ValueError(
+            f"min_fraction={min_fraction!r} is below 1e-12 resolution"
+        )
     return (
         counts.crossJoin(F.broadcast(total))
         .where(

@@ -25,6 +25,8 @@ the overlapping-occurrence counts in DuckDB with a position scan.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     IntegerType,
@@ -32,6 +34,18 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# ASCII whitespace only — the exact class Java regex \s (normalize_text)
+# and DuckDB/RE2 \s match.  Python's \s is unicode-aware by default and
+# would additionally collapse U+2028/U+0085/etc., silently diverging
+# from every other text operator and from the cross-engine oracle.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _normalize(t: str) -> str:
+    """The corpus-standard normalize_text, byte-for-byte: lower,
+    collapse ASCII whitespace runs to one space, trim spaces."""
+    return _ASCII_WS.sub(" ", (t or "").lower()).strip(" ")
 
 
 def build_automaton(patterns: tuple[str, ...]):
@@ -109,14 +123,16 @@ def match_counts(
     overlapping occurrences of any pattern in the NORMALIZED text
     (patterns are normalized the same way).  One Arrow kernel pass,
     no shuffle."""
-    import re
-
     # patterns get the TEXT's case/whitespace-collapse normalization but
     # are NOT trimmed: a leading/trailing space in a pattern is a
     # deliberate word-boundary anchor ("fast " != "fast")
     norm_pats = tuple(
         sorted(
-            {re.sub(r"\s+", " ", p.lower()) for p in patterns if p.strip()}
+            {
+                _ASCII_WS.sub(" ", p.lower())
+                for p in patterns
+                if p.strip()
+            }
         )
     )
     if not norm_pats:
@@ -133,9 +149,7 @@ def match_counts(
     def kernel(batches):
         auto = _cached_automaton(norm_pats)
         for pdf in batches:
-            texts = pdf[text_col].map(
-                lambda t: " ".join((t or "").lower().split())
-            )
+            texts = pdf[text_col].map(_normalize)
             res = texts.map(lambda t: _scan(auto, t))
             out = pdf[[id_col]].copy()
             out["n_matches"] = [r[0] for r in res]

@@ -63,11 +63,15 @@ def _slices(root: str) -> list[str]:
 
 
 def _next_upd(state_dir: str) -> int:
-    nums = [
-        int(os.path.basename(p).split("=", 1)[1])
-        for p in _slices(os.path.join(state_dir, "corpus"))
-    ]
-    return (max(nums) + 1) if nums else 0
+    """Next update id from the COMMIT marker, not the slice listing: a
+    crashed update (slices written, marker not advanced) is re-run
+    under the SAME id, overwriting its own partial slices — the exact
+    replay contract of the streaming capstone's batch ids."""
+    marker = os.path.join(state_dir, "LAST_COMMITTED")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip()) + 1
+    return 0
 
 
 def incremental_update(
@@ -149,7 +153,15 @@ def incremental_update(
             kept = work.join(
                 decisions.where("keep").select(id_col), id_col, "left_semi"
             )
-            prior = _slices(dirs["index"])
+            # exclude THIS update's own slice: a crash replay must not
+            # screen documents against the fingerprints its first
+            # attempt half-wrote (the streaming capstone's
+            # batch={batch_id} exclusion, same reasoning)
+            prior = [
+                pth
+                for pth in _slices(dirs["index"])
+                if os.path.basename(pth) != f"upd={upd}"
+            ]
             if prior:
                 seen_fp = spark.read.parquet(*prior)
             else:
@@ -159,6 +171,11 @@ def incremental_update(
             admissions = near_dedup_against_corpus(
                 kept, seen_fp, text_col, id_col,
                 k=k, w=w, threshold=threshold,
+                # revision semantics: doc X's edit must not be rejected
+                # against X's own prior fingerprints (review finding —
+                # without this, every small edit permanently withdrew
+                # the document via the latest-wins view)
+                exclude_self_id=True,
             )
             admitted = kept.join(
                 admissions.where("kept").select(id_col), id_col, "left_semi"
@@ -174,10 +191,12 @@ def incremental_update(
             ).write.mode("overwrite").parquet(
                 os.path.join(dirs["index"], f"upd={upd}")
             )
-            # seen digests roll forward to THIS snapshot (staging +
-            # rename would make this atomic on a real store; local FS
-            # overwrite is fine for the driver contract)
+            # seen digests roll forward to THIS snapshot, then the
+            # commit marker advances LAST — everything before this
+            # point replays idempotently under the same upd id
             new_digests.write.mode("overwrite").parquet(seen_path)
+            with open(os.path.join(state_dir, "LAST_COMMITTED"), "w") as fh:
+                fh.write(str(upd))
             n_admitted = spark.read.parquet(
                 os.path.join(dirs["corpus"], f"upd={upd}")
             ).count()

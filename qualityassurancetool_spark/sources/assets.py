@@ -146,8 +146,12 @@ def get_natural_earth_land(
                 continue
             target = os.path.join(cache_dir, base)
             if not os.path.exists(target):
-                with zf.open(m) as src, open(target, "wb") as out:
+                # same atomic .part-then-rename contract as the
+                # download itself: a crash mid-extract must never leave
+                # a truncated member that skip-if-exists would reuse
+                with zf.open(m) as src, open(target + ".part", "wb") as out:
                     out.write(src.read())
+                os.replace(target + ".part", target)
             if base.endswith(".shp"):
                 shp = target
     if shp is None:

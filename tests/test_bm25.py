@@ -68,3 +68,21 @@ def test_bm25_topk_ranking_and_cutoff(spark):
     assert {r["doc_id"] for r in rows} == {5, 2}
     with pytest.raises(ValueError):
         bm25_topk(docs, queries, k=0)
+
+
+def test_precomputed_stats_equivalent(spark):
+    from qualityassurancetool_spark.operators.bm25 import corpus_stats
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    queries = spark.createDataFrame(QUERIES, ["query_id", "query_text"])
+    st = corpus_stats(docs)
+    assert st[0] == 5 and st[1] == pytest.approx(27 / 5)
+    a = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    b = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(docs, queries, k=10, stats=st).collect()
+    }
+    assert a == b

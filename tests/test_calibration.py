@@ -99,3 +99,28 @@ def test_validation_and_empty_bins(spark):
             "score",
             "label",
         )
+
+
+def test_unclamped_out_of_range_is_null_not_wrapped(spark):
+    """clamp=False: out-of-range scores are NULL — never a negative
+    element_at index that wraps to the TOP bins (review finding)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (10.0, 1.0)], ["score", "label"]
+    )
+    model = isotonic_fit(df, "score", "label", n_bins=5)
+    rows = (
+        spark.createDataFrame(
+            [(-0.05,), (-5.0,), (5.0,), (99.0,)], ["score"]
+        )
+        .select(
+            "score",
+            isotonic_apply(model, F.col("score"), clamp=False).alias("p"),
+        )
+        .orderBy("score")
+        .collect()
+    )
+    assert rows[0]["p"] is None and rows[1]["p"] is None  # below range
+    assert rows[2]["p"] is not None                        # in range
+    assert rows[3]["p"] is None                            # above range

@@ -113,3 +113,11 @@ def test_threshold_boundary_float_artifact(spark):
     df = _stream(spark, pairs)  # total = 100
     got = {r["k"] for r in heavy_hitters(df, "k", min_fraction=0.07).collect()}
     assert got == {"edge"}
+
+
+def test_tiny_fraction_rejected_not_silently_disabled(spark):
+    # below rational resolution the threshold would degrade to n >= 0
+    # (review finding); reject loudly instead
+    df = _stream(spark, [("a", 5)])
+    with pytest.raises(ValueError, match="resolution"):
+        heavy_hitters(df, "k", min_fraction=1e-13)

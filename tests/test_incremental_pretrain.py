@@ -134,3 +134,67 @@ def test_incremental_equals_batch_rebuild(spark):
             assert si[name] == sb[name], f"shard {name} differs"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_revision_with_small_edit_is_readmitted(spark):
+    """A lightly-edited revision of an admitted doc must NOT be
+    near-dup-rejected against its own prior fingerprints (review
+    finding: without self-id exclusion every small edit permanently
+    withdrew the doc via the latest-wins view)."""
+    root = tempfile.mkdtemp(prefix="incr_rev")
+    state = os.path.join(root, "state")
+    cfg = CurationConfig.from_dict(CUR)
+    try:
+        a = {1: _doc("rev-1"), 2: _doc("rev-2")}
+        incremental_update(spark, _df(spark, a), cfg, state)
+        b = dict(a)
+        b[1] = a[1] + " one small appended clause"
+        r = incremental_update(spark, _df(spark, b), cfg, state)
+        assert r["diff"] == {"unchanged": 1, "changed": 1}
+        assert r["processed"] == 1 and r["admitted"] == 1
+        cur = {
+            row["doc_id"]: row["text"]
+            for row in current_corpus(spark, state).collect()
+        }
+        assert cur[1] == b[1]  # the revision, not a withdrawal
+        # but a DIFFERENT doc that is a near-copy of doc 2 still rejects
+        c = dict(b)
+        c[3] = a[2] + " tiny tail"
+        r2 = incremental_update(spark, _df(spark, c), cfg, state)
+        assert r2["processed"] == 1 and r2["admitted"] == 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_crash_replay_reuses_update_id(spark):
+    """Crash between the slice writes and the seen/marker roll-forward:
+    the re-run replays under the SAME upd id, excludes its own
+    half-written fingerprints, and converges to the no-crash state."""
+    root = tempfile.mkdtemp(prefix="incr_crash")
+    state = os.path.join(root, "state")
+    cfg = CurationConfig.from_dict(CUR)
+    try:
+        a = {1: _doc("cr-1"), 2: _doc("cr-2")}
+        incremental_update(spark, _df(spark, a), cfg, state)
+        seen_bak = os.path.join(root, "seen_bak")
+        shutil.copytree(os.path.join(state, "seen"), seen_bak)
+        marker = os.path.join(state, "LAST_COMMITTED")
+        marker_val = open(marker).read()
+
+        b = dict(a)
+        b[3] = _doc("cr-3")
+        incremental_update(spark, _df(spark, b), cfg, state)
+        # simulate the crash: slices for upd=1 exist, but seen digests
+        # and the commit marker never advanced
+        shutil.rmtree(os.path.join(state, "seen"))
+        shutil.copytree(seen_bak, os.path.join(state, "seen"))
+        open(marker, "w").write(marker_val)
+
+        r = incremental_update(spark, _df(spark, b), cfg, state)
+        assert r["update"] == 1  # SAME id, not a fresh one
+        assert r["processed"] == 1 and r["admitted"] == 1  # not rejected
+        assert {
+            row["doc_id"] for row in current_corpus(spark, state).collect()
+        } == {1, 2, 3}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

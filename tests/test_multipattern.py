@@ -81,3 +81,18 @@ def test_boundary_anchor_patterns_not_trimmed():
         tuple(sorted({re.sub(r"\s+", " ", p.lower()) for p in pats}))
     )
     assert _scan(auto, "fast fastest")[0] == 3  # 'fast'x2 + 'fast 'x1
+
+
+def test_unicode_whitespace_parity_with_jvm_normalizer(spark):
+    """U+2028 (LINE SEPARATOR) is NOT whitespace to Java regex \\s or
+    DuckDB/RE2, so the Python kernel must not collapse it either
+    (review finding) — 'bad\\u2028word' must NOT match 'bad word'."""
+    docs = spark.createDataFrame(
+        [(1, "bad word"), (2, "bad word"), (3, "bad\tword")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in match_counts(docs, ["bad word"]).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1}  # tab IS ASCII whitespace
