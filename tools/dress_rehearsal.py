@@ -175,6 +175,51 @@ def run(spark, n_docs: int) -> None:
         "token heavy hitters", n_docs,
         lambda: token_heavy_hitters(docs, min_fraction=0.001).count(),
     )
+
+    def _cms():
+        from qualityassurancetool_spark.functions.hashing import tokens
+        from qualityassurancetool_spark.operators.cms import cms_build
+
+        stream = docs.select(
+            F.explode(tokens(F.col("text"))).alias("k")
+        ).where(F.length("k") > 0)
+        return cms_build(stream, "k", width=2048, depth=4).count()
+
+    m.stage("count-min sketch", n_docs, _cms)
+
+    def _badwords():
+        from qualityassurancetool_spark.operators.multipattern import (
+            match_counts,
+        )
+
+        return (
+            match_counts(docs, ["the ", "tiny tail", "zzzz"])
+            .where(F.col("n_matches") > 0)
+            .count()
+        )
+
+    m.stage("aho-corasick screen", n_docs, _badwords)
+
+    def _bm25():
+        from qualityassurancetool_spark.functions.hashing import tokens
+        from qualityassurancetool_spark.operators.bm25 import bm25_topk
+
+        queries = docs.where(F.col("doc_id") % (n_docs // 8) == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(
+                    F.filter(
+                        tokens(F.col("text")), lambda t: F.length(t) > 0
+                    ),
+                    1,
+                    5,
+                ),
+                " ",
+            ).alias("query_text"),
+        )
+        return bm25_topk(docs, queries, k=10).count()
+
+    m.stage("bm25 retrieval", n_docs, _bm25)
     cfg = PretrainConfig.from_dict(
         {
             "curation": {"max_word_rep_ratio": 0.9, "dedup": "exact"},
