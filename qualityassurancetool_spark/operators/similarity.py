@@ -655,3 +655,102 @@ def l2_normalize(
         ),
     ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
     return staged.withColumn(out, unit).drop("_vnorm")
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification of an ANN shortlist
+    (Carbonell & Goldstein, SIGIR 1998): greedily select ``k`` results
+    per query maximizing ``lam·sim(q,d) − (1−lam)·max_{s∈S} sim(d,s)``
+    — near-duplicate hits in the shortlist stop crowding out coverage
+    (retrieval for data curation surfaces the SAME boilerplate page N
+    times without this).
+
+    ``candidates``: (query_id, neighbor_id, score_col) — a
+    ``brute_force_topk`` / ``exact_rerank`` / ``*_topk`` shortlist at
+    generous k.  Returns (query_id, neighbor_id, score_col, mmr_rank)
+    with mmr_rank ∈ [1, k] in selection order.
+
+    Scale shape: shortlists are (queries × m) rows by contract — tiny.
+    One broadcast hash join pulls each candidate's vector from the
+    corpus (the corpus never moves), then the greedy loop runs
+    per-query in an Arrow ``applyInPandas`` over ≤ m vectors with
+    numpy pairwise sims — O(k·m) per query on metadata-scale data.
+    Ties (equal MMR score) break on smaller neighbor id, so selection
+    is total-order deterministic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cand = candidates.select(
+        query_id_col, "neighbor_id", F.col(score_col).cast("double")
+    )
+    withv = cand.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        "neighbor_id",
+    )
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField(score_col, DoubleType()),
+            StructField("mmr_rank", IntegerType()),
+        ]
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        X = np.stack(pdf["_v"].map(np.asarray, "ignore").to_numpy())
+        X = X.astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        U = X / norms[:, None]
+        sims = U @ U.T  # candidate-candidate cosine, m x m
+        rel = pdf[score_col].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        chosen: list[int] = []
+        remaining = list(range(len(pdf)))
+        while remaining and len(chosen) < k:
+            if chosen:
+                red = sims[np.ix_(remaining, chosen)].max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            mmr = lam * rel[remaining] - (1 - lam) * red
+            # argmax with smaller-id tie-break
+            best = max(
+                range(len(remaining)),
+                key=lambda i: (mmr[i], -int(ids[remaining[i]])),
+            )
+            chosen.append(remaining.pop(best))
+        return pd.DataFrame(
+            {
+                query_id_col: pdf[query_id_col].iloc[chosen].to_numpy(),
+                "neighbor_id": ids[chosen],
+                score_col: rel[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+            }
+        )
+
+    return withv.groupBy(query_id_col).applyInPandas(pick, out_schema)
