@@ -782,6 +782,11 @@ def cmd_refresh(args, overrides: list[str]) -> int:
 
     pretrain_knobs = knobs.pop("pretrain", {}) or {}
     cfg = CurationConfig.from_dict(knobs)
+    # finalize must re-curate under the SAME rules the admission pass
+    # used unless the user explicitly overrides pretrain.curation —
+    # otherwise the shards silently follow permissive defaults and the
+    # batch-identity guarantee breaks (review finding)
+    pretrain_knobs.setdefault("curation", knobs)
     spark = get_spark(run.get("run", {}).get("app_name", "qat-refresh"))
     try:
         if data_c.get("table", "parquet") == "documents":

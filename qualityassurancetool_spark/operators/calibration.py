@@ -122,4 +122,7 @@ def isotonic_apply(
     looked = F.element_at(rates, clamped + 1)
     if clamp:
         return looked
-    return F.when((idx >= 0) & (idx < n), looked)
+    # in-range test on the SCORE, not the bucket index: score == hi is
+    # training data (isotonic_fit folds it into the top bin) but maps
+    # to idx == n (review finding)
+    return F.when((score >= F.lit(lo)) & (score <= F.lit(hi)), looked)

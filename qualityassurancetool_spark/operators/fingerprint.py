@@ -368,3 +368,33 @@ def fingerprint_overlap_pairs(
             ).alias("containment"),
         )
     )
+
+
+def read_fingerprint_index(
+    spark,
+    index_dir: str,
+    slice_prefix: str,
+    exclude: str | None = None,
+    id_col: str = "doc_id",
+):
+    """Union of the persisted fingerprint-index slices under
+    ``index_dir`` (subdirectories named ``{slice_prefix}N``), excluding
+    the slice named ``exclude`` — the in-flight slice a crash replay
+    half-wrote must never screen its own batch (shared contract of the
+    streaming capstone's ``batch=`` slices and the incremental plan's
+    ``upd=`` slices; one implementation so the exclusion rule and the
+    empty-index schema cannot drift between them)."""
+    import os
+
+    paths = (
+        sorted(
+            os.path.join(index_dir, d)
+            for d in os.listdir(index_dir)
+            if d.startswith(slice_prefix) and d != exclude
+        )
+        if os.path.isdir(index_dir)
+        else []
+    )
+    if paths:
+        return spark.read.parquet(*paths)
+    return spark.createDataFrame([], f"{id_col} long, fingerprint long")

@@ -14,9 +14,11 @@ State layout under ``state_dir`` (every write is an ``upd=N`` slice —
 the same overwrite-idempotent batch-directory contract as the
 streaming capstone):
 
-- ``seen/``          — (doc_id, content_hash) of the LAST full
-                       snapshot (digests only: yesterday's text is
-                       never needed again);
+- ``seen/upd=N/``    — (doc_id, content_hash) digests of snapshot N
+                       (digests only: yesterday's text is never
+                       needed again; the diff always reads the LAST
+                       COMMITTED snapshot's digests, so a crashed
+                       update re-diffs against consistent state);
 - ``corpus/upd=N/``  — documents admitted in update N;
 - ``touched/upd=N/`` — every doc_id processed OR removed in update N;
 - ``index/upd=N/``   — winnowing fingerprints of update N's admissions.
@@ -62,16 +64,25 @@ def _slices(root: str) -> list[str]:
     )
 
 
+def _committed(state_dir: str) -> int | None:
+    """Id of the last COMMITTED update, or None.  The marker is the
+    single commit point: slices and digests for upd > marker are
+    in-flight garbage from a crashed attempt and are ignored by every
+    reader."""
+    marker = os.path.join(state_dir, "LAST_COMMITTED")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    return None
+
+
 def _next_upd(state_dir: str) -> int:
     """Next update id from the COMMIT marker, not the slice listing: a
     crashed update (slices written, marker not advanced) is re-run
     under the SAME id, overwriting its own partial slices — the exact
     replay contract of the streaming capstone's batch ids."""
-    marker = os.path.join(state_dir, "LAST_COMMITTED")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            return int(fh.read().strip()) + 1
-    return 0
+    c = _committed(state_dir)
+    return 0 if c is None else c + 1
 
 
 def incremental_update(
@@ -103,12 +114,23 @@ def incremental_update(
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
 
+    # null text digests to a sentinel, not NULL: a NULL hash would make
+    # the full-outer diff misread the doc as re-added every refresh
+    # (NULL != NULL) or as removed while still present (review finding)
     new_digests = new_snapshot.select(
         F.col(id_col),
-        F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
+        F.coalesce(
+            F.md5(normalize_text(F.col(text_col))),
+            F.lit("__null_text__"),
+        ).alias("content_hash"),
     )
-    seen_path = os.path.join(dirs["seen"], "digests")
-    if os.path.isdir(seen_path):
+    committed = _committed(state_dir)
+    seen_path = (
+        os.path.join(dirs["seen"], f"upd={committed}")
+        if committed is not None
+        else None
+    )
+    if seen_path is not None and os.path.isdir(seen_path):
         old = spark.read.parquet(seen_path).withColumnRenamed(
             "content_hash", "_old"
         )
@@ -153,21 +175,17 @@ def incremental_update(
             kept = work.join(
                 decisions.where("keep").select(id_col), id_col, "left_semi"
             )
-            # exclude THIS update's own slice: a crash replay must not
-            # screen documents against the fingerprints its first
-            # attempt half-wrote (the streaming capstone's
-            # batch={batch_id} exclusion, same reasoning)
-            prior = [
-                pth
-                for pth in _slices(dirs["index"])
-                if os.path.basename(pth) != f"upd={upd}"
-            ]
-            if prior:
-                seen_fp = spark.read.parquet(*prior)
-            else:
-                seen_fp = spark.createDataFrame(
-                    [], f"{id_col} long, fingerprint long"
-                )
+            # shared helper: union of prior slices, EXCLUDING this
+            # update's own (a crash replay must not screen documents
+            # against the fingerprints its first attempt half-wrote)
+            from qualityassurancetool_spark.operators.fingerprint import (
+                read_fingerprint_index,
+            )
+
+            seen_fp = read_fingerprint_index(
+                spark, dirs["index"], "upd=",
+                exclude=f"upd={upd}", id_col=id_col,
+            )
             admissions = near_dedup_against_corpus(
                 kept, seen_fp, text_col, id_col,
                 k=k, w=w, threshold=threshold,
@@ -186,20 +204,33 @@ def incremental_update(
             work_ids.unionByName(removed_ids).write.mode(
                 "overwrite"
             ).parquet(os.path.join(dirs["touched"], f"upd={upd}"))
+            # fingerprint the WRITTEN corpus slice (read-back), not the
+            # lazy `admitted` frame — otherwise the whole curate +
+            # admission DAG executes a second time (review finding; the
+            # streaming twin reads its slices back for the same reason)
+            admitted_back = spark.read.parquet(
+                os.path.join(dirs["corpus"], f"upd={upd}")
+            )
             document_fingerprints(
-                admitted, text_col, id_col, k=k, w=w
+                admitted_back, text_col, id_col, k=k, w=w
             ).write.mode("overwrite").parquet(
                 os.path.join(dirs["index"], f"upd={upd}")
             )
-            # seen digests roll forward to THIS snapshot, then the
-            # commit marker advances LAST — everything before this
-            # point replays idempotently under the same upd id
-            new_digests.write.mode("overwrite").parquet(seen_path)
-            with open(os.path.join(state_dir, "LAST_COMMITTED"), "w") as fh:
+            # digests land in their OWN upd slice, then the marker
+            # advances ATOMICALLY (tmp + rename) as the single commit
+            # point.  A crash anywhere before the rename leaves the
+            # marker at the previous update, so the replay re-diffs
+            # against the COMMITTED digests and rewrites the same
+            # slices — never an all-unchanged empty overwrite (review
+            # finding on the old single-path seen/ layout).
+            new_digests.write.mode("overwrite").parquet(
+                os.path.join(dirs["seen"], f"upd={upd}")
+            )
+            marker = os.path.join(state_dir, "LAST_COMMITTED")
+            with open(marker + ".part", "w") as fh:
                 fh.write(str(upd))
-            n_admitted = spark.read.parquet(
-                os.path.join(dirs["corpus"], f"upd={upd}")
-            ).count()
+            os.replace(marker + ".part", marker)
+            n_admitted = admitted_back.count()
             return {
                 "update": upd,
                 "diff": counts,
@@ -217,8 +248,20 @@ def current_corpus(spark, state_dir: str, id_col: str = "doc_id") -> DataFrame:
     from the last update that touched it; revisions that failed
     curation (touched without a newer admission) and removals drop
     out."""
-    corpus_slices = _slices(os.path.join(state_dir, "corpus"))
-    touched_slices = _slices(os.path.join(state_dir, "touched"))
+    committed = _committed(state_dir)
+    if committed is None:
+        raise ValueError(f"no committed updates under {state_dir}")
+
+    def _upto(paths):
+        # uncommitted (crashed in-flight) slices are invisible
+        return [
+            p
+            for p in paths
+            if int(os.path.basename(p).split("=", 1)[1]) <= committed
+        ]
+
+    corpus_slices = _upto(_slices(os.path.join(state_dir, "corpus")))
+    touched_slices = _upto(_slices(os.path.join(state_dir, "touched")))
     if not corpus_slices:
         raise ValueError(f"no corpus slices under {state_dir}")
 

@@ -103,17 +103,17 @@ def streaming_pretrain_ingest(
                 "left_semi",
             )
             # 3. near-dup screen against everything admitted so far
-            prior = [
-                os.path.join(dirs["index"], d)
-                for d in os.listdir(dirs["index"])
-                if d.startswith("batch=") and d != f"batch={batch_id}"
-            ]
-            if prior:
-                seen_fp = spark.read.parquet(*prior)
-            else:
-                seen_fp = spark.createDataFrame(
-                    [], f"{id_col} long, fingerprint long"
-                )
+            # (shared helper: prior slices minus this batch's own —
+            # one implementation of the exclusion/empty-schema contract
+            # for both the streaming and incremental capstones)
+            from qualityassurancetool_spark.operators.fingerprint import (
+                read_fingerprint_index,
+            )
+
+            seen_fp = read_fingerprint_index(
+                spark, dirs["index"], "batch=",
+                exclude=f"batch={batch_id}", id_col=id_col,
+            )
             admissions = near_dedup_against_corpus(
                 kept, seen_fp, text_col, id_col,
                 k=k, w=w, threshold=threshold,

@@ -124,3 +124,20 @@ def test_unclamped_out_of_range_is_null_not_wrapped(spark):
     assert rows[0]["p"] is None and rows[1]["p"] is None  # below range
     assert rows[2]["p"] is not None                        # in range
     assert rows[3]["p"] is None                            # above range
+
+
+def test_unclamped_max_score_is_in_range(spark):
+    """score == hi is training data; clamp=False must return the top
+    bin's rate for it, not NULL (review finding)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (10.0, 1.0)], ["score", "label"]
+    )
+    model = isotonic_fit(df, "score", "label", n_bins=5)
+    p = (
+        spark.createDataFrame([(10.0,)], ["score"])
+        .select(isotonic_apply(model, F.col("score"), clamp=False).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert p == pytest.approx(model["rates"][-1])

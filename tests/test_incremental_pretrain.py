@@ -167,31 +167,36 @@ def test_revision_with_small_edit_is_readmitted(spark):
 
 
 def test_crash_replay_reuses_update_id(spark):
-    """Crash between the slice writes and the seen/marker roll-forward:
-    the re-run replays under the SAME upd id, excludes its own
-    half-written fingerprints, and converges to the no-crash state."""
+    """The WORST crash window (review finding): every upd=1 artifact is
+    on disk — slices AND the new seen digests — but the commit marker
+    never advanced.  The replay must re-diff against the COMMITTED
+    digests (upd=0), reprocess the same work under the SAME upd id,
+    not reject docs against their own half-written fingerprints, and
+    current_corpus must never have served the uncommitted slice."""
     root = tempfile.mkdtemp(prefix="incr_crash")
     state = os.path.join(root, "state")
     cfg = CurationConfig.from_dict(CUR)
     try:
         a = {1: _doc("cr-1"), 2: _doc("cr-2")}
         incremental_update(spark, _df(spark, a), cfg, state)
-        seen_bak = os.path.join(root, "seen_bak")
-        shutil.copytree(os.path.join(state, "seen"), seen_bak)
         marker = os.path.join(state, "LAST_COMMITTED")
         marker_val = open(marker).read()
 
         b = dict(a)
         b[3] = _doc("cr-3")
         incremental_update(spark, _df(spark, b), cfg, state)
-        # simulate the crash: slices for upd=1 exist, but seen digests
-        # and the commit marker never advanced
-        shutil.rmtree(os.path.join(state, "seen"))
-        shutil.copytree(seen_bak, os.path.join(state, "seen"))
+        # simulate the crash: ONLY the marker write was lost — slices
+        # and seen/upd=1 digests all exist
         open(marker, "w").write(marker_val)
+
+        # an uncommitted update is invisible to readers
+        assert {
+            row["doc_id"] for row in current_corpus(spark, state).collect()
+        } == {1, 2}
 
         r = incremental_update(spark, _df(spark, b), cfg, state)
         assert r["update"] == 1  # SAME id, not a fresh one
+        assert r["diff"] == {"unchanged": 2, "added": 1}  # vs COMMITTED
         assert r["processed"] == 1 and r["admitted"] == 1  # not rejected
         assert {
             row["doc_id"] for row in current_corpus(spark, state).collect()
