@@ -126,3 +126,69 @@ def isotonic_apply(
     # training data (isotonic_fit folds it into the top bin) but maps
     # to idx == n (review finding)
     return F.when((score >= F.lit(lo)) & (score <= F.lit(hi)), looked)
+
+
+def calibrated_classifier(
+    labeled: DataFrame,
+    model: tuple[list[float], float],
+    n_bins: int = 50,
+    score_col: str = "prob",
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Fit the isotonic calibration map for a trained quality
+    classifier (``operators/classifier.train_log_odds``) on a held-out
+    labeled frame — the full fastText-style serving recipe (Zadrozny &
+    Elkan 2002: raw discriminant scores are NOT probabilities; curation
+    thresholds like ``min_classifier_prob=0.8`` only mean "80 % likely
+    good" after this map).
+
+    Returns the :func:`isotonic_fit` model dict over the classifier's
+    sigmoid outputs.  Apply with :func:`apply_calibrated` — one
+    classifier fold + one literal-array lookup per row, no UDF, no
+    extra shuffle."""
+    from qualityassurancetool_spark.operators.classifier import (
+        score_linear,
+    )
+
+    weights, bias = model
+    scored = score_linear(
+        labeled.select(id_col, text_col),
+        weights,
+        bias,
+        text_col=text_col,
+        id_col=id_col,
+    ).join(labeled.select(id_col, label_col), id_col)
+    return isotonic_fit(
+        scored.select(
+            F.col(score_col),
+            F.col(label_col).cast("double").alias(label_col),
+        ),
+        score_col,
+        label_col,
+        n_bins=n_bins,
+    )
+
+
+def apply_calibrated(
+    df: DataFrame,
+    model: tuple[list[float], float],
+    calib: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "calibrated_prob",
+) -> DataFrame:
+    """(input columns…, raw ``prob``, ``out_col``) — classifier scoring
+    + the isotonic map in one pass."""
+    from qualityassurancetool_spark.operators.classifier import (
+        score_linear,
+    )
+
+    weights, bias = model
+    scored = score_linear(
+        df, weights, bias, text_col=text_col, id_col=id_col
+    )
+    return scored.withColumn(
+        out_col, isotonic_apply(calib, F.col("prob"))
+    )

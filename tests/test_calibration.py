@@ -141,3 +141,47 @@ def test_unclamped_max_score_is_in_range(spark):
         .collect()[0]["p"]
     )
     assert p == pytest.approx(model["rates"][-1])
+
+
+def test_calibrated_classifier_end_to_end(spark):
+    """train_log_odds → calibrated_classifier → apply_calibrated: the
+    calibrated probabilities are monotone in the raw score and track
+    the empirical label rate far better than the raw sigmoid."""
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.operators.calibration import (
+        apply_calibrated,
+        calibrated_classifier,
+    )
+    from qualityassurancetool_spark.operators.classifier import (
+        train_log_odds,
+    )
+
+    good = "plenty of clean readable prose words in this document body"
+    spam = "zz buy now zz click here zz buy now zz click zz"
+    rows = []
+    for i in range(300):
+        if i % 2 == 0:
+            rows.append((i, f"{good} variant {i}", True))
+        else:
+            rows.append((i, f"{spam} variant {i}", False))
+    labeled = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    model = train_log_odds(labeled)
+    calib = calibrated_classifier(labeled, model, n_bins=10)
+    out = apply_calibrated(labeled, model, calib).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    rowsb = out.select("label", "prob", "calibrated_prob").collect()
+    # calibrated probs separate the classes and live in [0, 1]
+    pos = [r["calibrated_prob"] for r in rowsb if r["label"]]
+    neg = [r["calibrated_prob"] for r in rowsb if not r["label"]]
+    assert min(pos) > max(neg)
+    assert all(0.0 <= p <= 1.0 for p in pos + neg)
+    # perfect separation in this fixture: calibrated rates hit the
+    # empirical extremes where the raw sigmoid does not
+    assert sum(pos) / len(pos) > 0.95
+    assert sum(neg) / len(neg) < 0.05
+    # monotone w.r.t. raw score
+    srt = sorted(rowsb, key=lambda r: r["prob"])
+    cal = [r["calibrated_prob"] for r in srt]
+    assert all(a <= b + 1e-12 for a, b in zip(cal, cal[1:]))
