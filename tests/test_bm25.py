@@ -86,3 +86,59 @@ def test_precomputed_stats_equivalent(spark):
         for r in bm25_topk(docs, queries, k=10, stats=st).collect()
     }
     assert a == b
+
+
+def test_bm25_random_corpora_match_reference(spark):
+    """Randomized parity: 20 deterministic pseudo-random corpora/query
+    sets vs the pure-python formula (full score maps, no top-k cutoff
+    ambiguity)."""
+    import hashlib
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+    def rword(seed, j):
+        h = hashlib.md5(f"{seed}:{j}".encode()).digest()
+        return words[h[0] % len(words)]
+
+    for trial in range(20):
+        n_docs = 2 + trial % 4
+        docs_py = {
+            i: " ".join(rword(f"d{trial}-{i}", j) for j in range(3 + (i % 5)))
+            for i in range(1, n_docs + 1)
+        }
+        queries_py = {
+            100: " ".join(rword(f"q{trial}", j) for j in range(2)),
+        }
+        docs = spark.createDataFrame(
+            sorted(docs_py.items()), ["doc_id", "text"]
+        )
+        queries = spark.createDataFrame(
+            sorted(queries_py.items()), ["query_id", "query_text"]
+        )
+        got = {
+            (r["query_id"], r["doc_id"]): (r["score"], r["n_terms_matched"])
+            for r in bm25_topk(docs, queries, k=50).collect()
+        }
+        # python reference
+        toks = {i: t.split() for i, t in docs_py.items()}
+        n = len(toks)
+        avgdl = sum(map(len, toks.values())) / n
+        want = {}
+        for qid, q in queries_py.items():
+            for did, dt in toks.items():
+                matched = [t for t in set(q.split()) if t in dt]
+                if not matched:
+                    continue
+                sc = 0.0
+                for t in matched:
+                    tf = dt.count(t)
+                    df_ = sum(1 for v in toks.values() if t in v)
+                    idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+                    sc += idf * tf * (K1 + 1) / (
+                        tf + K1 * (1 - B + B * len(dt) / avgdl)
+                    )
+                want[(qid, did)] = (sc, len(matched))
+        assert set(got) == set(want), f"trial {trial}"
+        for key in want:
+            assert got[key][0] == pytest.approx(want[key][0], rel=1e-12)
+            assert got[key][1] == want[key][1]
