@@ -138,6 +138,38 @@ def main() -> None:
             "stream5k",
             F.concat(F.lit("s"), (F.col("user_id") % 5000).cast("string")),
         )
+        # the remedy for the 5-stream wall: the bucketed twin keys the
+        # same RANGE windows by (stream, time-bucket) with halo rows,
+        # so parallelism = streams x buckets instead of streams
+        from qualityassurancetool_spark.operators.partitioned_windows import (
+            bucketed_time_rolling,
+        )
+
+        m.stage(
+            "zscore stats, 5 streams, BUCKETED twin", n,
+            lambda: bucketed_time_rolling(
+                obs,
+                {"mu": ("result", "mean"), "sd": ("result", "std")},
+                partition_cols=["observation_type"],
+                before="10min",
+            )
+            .where(F.col("mu") >= -1e18)
+            .count(),
+        )
+        m.stage(
+            "zscore stats, 5 streams, plain window", n,
+            lambda: obs.withColumn(
+                "mu",
+                F.avg("result").over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("observation_type")
+                    .orderBy(F.unix_micros("phenomenon_time"))
+                    .rangeBetween(-600_000_000, 0)
+                ),
+            )
+            .where(F.col("mu") >= -1e18)
+            .count(),
+        )
         m.stage(
             "qc chain, 5000 streams", n,
             lambda: run_qc_pipeline(
