@@ -35,6 +35,7 @@ _TOP_LEVEL_KEYS = {
     "QC_dependent",
     "QC_global",
     "zscore_time_window",
+    "zscore_strategy",
     "location",
     "region_polygons",
     "asof_materialize",
@@ -142,6 +143,11 @@ def validate_config_dict(d: dict) -> None:
             raise ConfigError(
                 f"location.time_window: bad timedelta {loc['time_window']!r}"
             ) from None
+    zs = d.get("zscore_strategy", "window")
+    if zs not in ("window", "bucketed"):
+        raise ConfigError(
+            f"zscore_strategy must be window|bucketed, got {zs!r}"
+        )
     rp = d.get("region_polygons")
     if isinstance(rp, str):
         pass  # a file path or URL; format checked at load time
@@ -198,6 +204,9 @@ class QCConfig:
         default_factory=dict
     )
     zscore_time_window: str | float = "60min"
+    # "window" (plain per-stream RANGE frame) | "bucketed" (streams x
+    # time-buckets twin — the low-stream-cardinality scale path)
+    zscore_strategy: str = "window"
     # geo-track / spatial checks (reference conf/config.yaml:84-104)
     velocity_max: float | None = None
     acceleration_max: float | None = None
@@ -309,6 +318,7 @@ class QCConfig:
             dependents=deps,
             global_qc=glob,
             zscore_time_window=d.get("zscore_time_window", "60min"),
+            zscore_strategy=d.get("zscore_strategy", "window"),
             velocity_max=geo.get("max_velocity"),
             acceleration_max=geo.get("max_acceleration"),
             outlier_time_window=geo.get("time_window", "10min"),

@@ -69,14 +69,37 @@ def run_qc_pipeline(
     )
 
     # rolling z-score computed only on rows still ≤ PROBABLY_GOOD
-    # (semantic guard, reference src/main.py:750)
-    df = calc_zscore(
-        df,
-        rolling_time_window=config.zscore_time_window,
-        group_col=stream_key,
-        only_good=True,
-        flag_col=flag_col,
-    )
+    # (semantic guard, reference src/main.py:750).  zscore_strategy
+    # "bucketed" routes the identical stats through the streams×buckets
+    # twin — the measured fix for low stream cardinality, where a plain
+    # per-stream window caps parallelism at n_streams cores (2.9 s vs
+    # 9.8 s at 10M rows / 5 streams, docs/SCALE.md QC rehearsal)
+    if getattr(config, "zscore_strategy", "window") == "bucketed":
+        from qualityassurancetool_spark.flags import flag_rank
+        from qualityassurancetool_spark.operators.partitioned_windows import (
+            calc_zscore_bucketed,
+        )
+
+        df = calc_zscore_bucketed(
+            df,
+            rolling_time_window=config.zscore_time_window,
+            group_col=stream_key,
+        )
+        good = flag_rank(flag_col) <= flag_rank(
+            F.lit(int(QualityFlags.PROBABLY_GOOD)).cast("tinyint")
+        )
+        df = df.withColumn(
+            "zscore",
+            F.when(good | F.col(flag_col).isNull(), F.col("zscore")),
+        )
+    else:
+        df = calc_zscore(
+            df,
+            rolling_time_window=config.zscore_time_window,
+            group_col=stream_key,
+            only_good=True,
+            flag_col=flag_col,
+        )
     z_flag = flag_from_bool(
         out_of_range_bool(
             F.col("zscore"), F.col("qc_zscore_min"), F.col("qc_zscore_max")

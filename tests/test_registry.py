@@ -194,3 +194,39 @@ def test_stabilization_check_runs_first_and_propagates(spark):
     assert [flags[i] for i in range(9)] == [4, 4, 4, 4, 4, 4, 0, 0, 0]
     # dependent inherits each matched partner's flag via the as-of
     assert [flags[100 + i] for i in range(9)] == [4, 4, 4, 4, 4, 4, 0, 0, 0]
+
+
+def test_zscore_strategy_bucketed_parity(spark):
+    """zscore_strategy: bucketed routes the chain's z-score through the
+    streams x buckets twin — identical flags, row for row (the measured
+    low-stream-cardinality scale path, docs/SCALE.md)."""
+    from qualityassurancetool_spark.config import ConfigError
+    from qualityassurancetool_spark.plans.qc_pipeline import run_qc_pipeline
+
+    obs = events_as_observations(spark, SF_DIR)
+    base = {"QC": FULL_CFG["QC"], "zscore_time_window": "10min"}
+    want = {
+        r["iot_id"]: (r["qc_flag"], r["zscore"])
+        for r in run_qc_pipeline(
+            obs, QCConfig.from_dict(base), spark
+        ).select("iot_id", "qc_flag", "zscore").collect()
+    }
+    got = {
+        r["iot_id"]: (r["qc_flag"], r["zscore"])
+        for r in run_qc_pipeline(
+            obs,
+            QCConfig.from_dict({**base, "zscore_strategy": "bucketed"}),
+            spark,
+        ).select("iot_id", "qc_flag", "zscore").collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        if want[k][1] is None:
+            assert got[k][1] is None
+        else:
+            assert abs(got[k][1] - want[k][1]) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError):
+        QCConfig.from_dict({**base, "zscore_strategy": "nope"})
