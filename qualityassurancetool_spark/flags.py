@@ -243,3 +243,15 @@ def update_flag_history(
     merged = dict(history)
     merged[label] = combine_counts(merged.get(label, {}), counts)
     return merged
+
+
+def still_good_mask(flag_col: Column | str) -> Column:
+    """Rows whose flag is at most PROBABLY_GOOD, or unflagged — THE
+    z-score semantic guard (reference src/main.py:750), shared by the
+    plain-window and bucketed z-score strategies so the two can never
+    drift (review finding)."""
+    c = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    good = flag_rank(c) <= flag_rank(
+        F.lit(int(QualityFlags.PROBABLY_GOOD)).cast("tinyint")
+    )
+    return good | c.isNull()

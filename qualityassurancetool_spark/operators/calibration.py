@@ -178,9 +178,14 @@ def apply_calibrated(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "calibrated_prob",
+    score_col: str = "prob",
 ) -> DataFrame:
-    """(input columns…, raw ``prob``, ``out_col``) — classifier scoring
-    + the isotonic map in one pass."""
+    """(input columns…, raw scores, ``out_col``) — classifier scoring
+    + the isotonic map in one pass.  ``score_col`` MUST match the
+    column the calibration was fitted on (``calibrated_classifier``'s
+    own ``score_col``): feeding sigmoid probs through a map fitted on
+    raw log-odds silently clamps everything into one bin (review
+    finding — the two functions now share the knob)."""
     from qualityassurancetool_spark.operators.classifier import (
         score_linear,
     )
@@ -190,5 +195,5 @@ def apply_calibrated(
         df, weights, bias, text_col=text_col, id_col=id_col
     )
     return scored.withColumn(
-        out_col, isotonic_apply(calib, F.col("prob"))
+        out_col, isotonic_apply(calib, F.col(score_col))
     )

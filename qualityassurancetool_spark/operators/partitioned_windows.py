@@ -112,6 +112,20 @@ def bucketed_time_rolling(
     in_cols = [f.name for f in df.schema.fields]
 
     t = epoch_micros(ts_col)
+    # NULL-timestamp rows would vanish in the bucket explode (NULL
+    # sequence → zero rows) — the plain-Window twin KEEPS them with
+    # null stats, so parity requires routing them around the explode
+    # and unioning back at the end (review finding)
+    null_ts = df.where(F.col(ts_col).isNull()).select(
+        "*",
+        *[
+            F.lit(None)
+            .cast("long" if spec[1] == "count" else "double")
+            .alias(out)
+            for out, spec in specs.items()
+        ],
+    )
+    df = df.where(F.col(ts_col).isNotNull())
     # input row at time t is context for native rows in [t-after, t+before]
     b_lo = F.floor((t - F.lit(after_us)) / F.lit(bucket_us))
     b_hi = F.floor((t + F.lit(before_us)) / F.lit(bucket_us))
@@ -152,6 +166,7 @@ def bucketed_time_rolling(
             exploded.withColumns(stat_cols)
             .where("_native")
             .select(*in_cols, *specs.keys())
+            .unionByName(null_ts)
         )
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -205,8 +220,10 @@ def bucketed_time_rolling(
             out[out_col] = res
         return out
 
-    return exploded.groupBy(*parts, "_bucket").applyInPandas(
-        compute, schema=out_schema
+    return (
+        exploded.groupBy(*parts, "_bucket")
+        .applyInPandas(compute, schema=out_schema)
+        .unionByName(null_ts)
     )
 
 

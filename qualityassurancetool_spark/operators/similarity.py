@@ -680,12 +680,15 @@ def mmr_rerank(
     with mmr_rank ∈ [1, k] in selection order.
 
     Scale shape: shortlists are (queries × m) rows by contract — tiny.
-    One broadcast hash join pulls each candidate's vector from the
-    corpus (the corpus never moves), then the greedy loop runs
-    per-query in an Arrow ``applyInPandas`` over ≤ m vectors with
-    numpy pairwise sims — O(k·m) per query on metadata-scale data.
-    Ties (equal MMR score) break on smaller neighbor id, so selection
-    is total-order deterministic."""
+    One hash join pulls each candidate's vector from the corpus (the
+    corpus never moves), then the greedy loop runs per-query in an
+    Arrow ``applyInPandas`` over ≤ m vectors with numpy pairwise sims —
+    O(k·m) per query on metadata-scale data.  Ties (equal MMR score)
+    break on smaller neighbor id, so selection is total-order
+    deterministic.  CONTRACT: every candidate's ``neighbor_id`` must
+    exist in ``corpus`` — the vector join is inner, so a shortlist
+    computed against a newer index than the corpus frame silently loses
+    the missing rows; validate upstream when the two can drift."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -709,10 +712,14 @@ def mmr_rerank(
         ),
         "neighbor_id",
     )
+    # id column TYPES follow the inputs (string corpus ids are as legal
+    # here as longs — review finding; hardcoded LongType rejected them)
+    qid_type = candidates.schema[query_id_col].dataType
+    nid_type = corpus.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField(query_id_col, LongType()),
-            StructField("neighbor_id", LongType()),
+            StructField(query_id_col, qid_type),
+            StructField("neighbor_id", nid_type),
             StructField(score_col, DoubleType()),
             StructField("mmr_rank", IntegerType()),
         ]
@@ -738,10 +745,11 @@ def mmr_rerank(
             else:
                 red = np.zeros(len(remaining))
             mmr = lam * rel[remaining] - (1 - lam) * red
-            # argmax with smaller-id tie-break
-            best = max(
+            # argmax with smaller-id tie-break (type-generic: negating
+            # the score, not the id, so string ids work too)
+            best = min(
                 range(len(remaining)),
-                key=lambda i: (mmr[i], -int(ids[remaining[i]])),
+                key=lambda i: (-mmr[i], ids[remaining[i]]),
             )
             chosen.append(remaining.pop(best))
         return pd.DataFrame(

@@ -48,10 +48,9 @@ def calc_zscore(
     z = F.when(sigma > 0, (v - mu) / sigma)
 
     if only_good:
-        good = flag_rank(flag_col) <= flag_rank(
-            F.lit(int(QualityFlags.PROBABLY_GOOD)).cast("tinyint")
-        )
-        z = F.when(good | F.col(flag_col).isNull(), z)
+        from qualityassurancetool_spark.flags import still_good_mask
+
+        z = F.when(still_good_mask(flag_col), z)
     return df.withColumn(out_col, z)
 
 

@@ -230,6 +230,16 @@ def incremental_update(
             with open(marker + ".part", "w") as fh:
                 fh.write(str(upd))
             os.replace(marker + ".part", marker)
+            # only the committed snapshot's digests are ever read again;
+            # older seen slices are dead weight (one full digest set per
+            # refresh otherwise — review finding).  The IMMEDIATELY
+            # previous slice is kept as a one-step operator rollback
+            # (regress the marker by one and the state replays).
+            import shutil as _shutil
+
+            for pth in _slices(dirs["seen"]):
+                if int(os.path.basename(pth).split("=", 1)[1]) < upd - 1:
+                    _shutil.rmtree(pth, ignore_errors=True)
             n_admitted = admitted_back.count()
             return {
                 "update": upd,

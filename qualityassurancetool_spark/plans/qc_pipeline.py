@@ -75,7 +75,7 @@ def run_qc_pipeline(
     # per-stream window caps parallelism at n_streams cores (2.9 s vs
     # 9.8 s at 10M rows / 5 streams, docs/SCALE.md QC rehearsal)
     if getattr(config, "zscore_strategy", "window") == "bucketed":
-        from qualityassurancetool_spark.flags import flag_rank
+        from qualityassurancetool_spark.flags import still_good_mask
         from qualityassurancetool_spark.operators.partitioned_windows import (
             calc_zscore_bucketed,
         )
@@ -85,12 +85,9 @@ def run_qc_pipeline(
             rolling_time_window=config.zscore_time_window,
             group_col=stream_key,
         )
-        good = flag_rank(flag_col) <= flag_rank(
-            F.lit(int(QualityFlags.PROBABLY_GOOD)).cast("tinyint")
-        )
         df = df.withColumn(
             "zscore",
-            F.when(good | F.col(flag_col).isNull(), F.col("zscore")),
+            F.when(still_good_mask(flag_col), F.col("zscore")),
         )
     else:
         df = calc_zscore(

@@ -88,3 +88,21 @@ def test_mmr_lam1_is_plain_ranking(spark):
         mmr_rerank(short, corpus, k=0)
     with pytest.raises(ValueError):
         mmr_rerank(short, corpus, lam=1.5)
+
+
+def test_mmr_string_ids(spark):
+    """String-keyed corpora work end to end (review finding: the output
+    schema previously hardcoded LongType and the tie-break int()-cast
+    the ids)."""
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}", v) for i, v in VECS.items()], ["vec_id", "embedding"]
+    )
+    cands = spark.createDataFrame(
+        [("q-1", f"doc-{i}", float(np.dot(QUERY, v) /
+          (np.linalg.norm(QUERY) * np.linalg.norm(v))))
+         for i, v in VECS.items()],
+        ["query_id", "neighbor_id", "cosine"],
+    )
+    got = mmr_rerank(cands, corpus, k=3, lam=LAM).orderBy("mmr_rank").collect()
+    assert [r["neighbor_id"] for r in got][0] == "doc-1"
+    assert len(got) == 3 and got[0]["query_id"] == "q-1"

@@ -92,3 +92,35 @@ def test_bucketed_rejects_bad_stat(spark):
     obs = events_as_observations(spark, SF_DIR)
     with pytest.raises(ValueError):
         bucketed_time_rolling(obs, specs={"x": ("result", "sum")})
+
+
+def test_null_timestamp_rows_are_kept_with_null_stats(spark):
+    """NULL-timestamp rows must not vanish in the bucket explode (review
+    finding): both strategies return them with null stats — 'no
+    timestamp, no window', and row counts match the input."""
+    import datetime as dt
+
+    from qualityassurancetool_spark.operators.partitioned_windows import (
+        bucketed_time_rolling,
+    )
+
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        (2, "a", dt.datetime(2024, 1, 1, 0, 1, 0), 20.0),
+        (3, "a", None, 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "iot_id long, datastream_id string, "
+              "phenomenon_time timestamp, result double"
+    )
+    for strategy in ("window", "pandas"):
+        out = bucketed_time_rolling(
+            df,
+            {"mu": ("result", "mean"), "n": ("result", "count")},
+            before="5min",
+            strategy=strategy,
+        )
+        got = {r["iot_id"]: (r["mu"], r["n"]) for r in out.collect()}
+        assert set(got) == {1, 2, 3}, strategy
+        assert got[3] == (None, None), strategy
+        assert got[2][0] == 15.0 and got[2][1] == 2

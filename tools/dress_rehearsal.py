@@ -204,7 +204,8 @@ def run(spark, n_docs: int) -> None:
         from qualityassurancetool_spark.functions.hashing import tokens
         from qualityassurancetool_spark.operators.bm25 import bm25_topk
 
-        queries = docs.where(F.col("doc_id") % (n_docs // 8) == 0).select(
+        stride = max(n_docs // 8, 1)
+        queries = docs.where(F.col("doc_id") % stride == 0).select(
             F.col("doc_id").alias("query_id"),
             F.array_join(
                 F.slice(
