@@ -102,3 +102,54 @@ SELECT t.{id_col}, t.{group_col},
 FROM {table} t JOIN med m USING ({group_col})
 JOIN mad d USING ({group_col})
 """
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Input columns + ``out_col`` (default ``{value_col}_wins``):
+    values clipped to the group's exact [lo_q, hi_q] quantiles —
+    winsorization, the standard robust pre-step before thresholding or
+    averaging heavy-tailed signals (one wild sensor reading or one
+    10 MB crawl page otherwise owns the mean the threshold was tuned
+    on).  ``group_col=None`` clips against global quantiles.
+
+    Scale shape: one exact-percentile aggregation (groups-many rows)
+    broadcast-joined back — the same two-phase pattern as the MAD
+    scorer above; no window over the fact table, no second shuffle.
+    Null values pass through null; rows with a null group pass through
+    UNCLIPPED (no peer distribution — the MAD scorer's convention is
+    to drop them, but clipping is a transformation, not a filter, so
+    losing rows here would corrupt downstream counts)."""
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}/{hi_q}")
+    out = out_col or f"{value_col}_wins"
+    v = F.col(value_col)
+    if group_col is None:
+        q = df.agg(
+            F.percentile(v, F.lit(lo_q)).alias("_q_lo"),
+            F.percentile(v, F.lit(hi_q)).alias("_q_hi"),
+        )
+        joined = df.crossJoin(F.broadcast(q))
+    else:
+        q = df.where(F.col(group_col).isNotNull()).groupBy(group_col).agg(
+            F.percentile(v, F.lit(lo_q)).alias("_q_lo"),
+            F.percentile(v, F.lit(hi_q)).alias("_q_hi"),
+        )
+        joined = df.join(F.broadcast(q), group_col, "left")
+    # explicit null-value guard: greatest/least SKIP nulls, so a null
+    # value would otherwise silently clip to the lower quantile
+    clipped = (
+        F.when(v.isNull(), v)
+        .when(
+            F.col("_q_lo").isNotNull(),
+            F.least(F.greatest(v, F.col("_q_lo")), F.col("_q_hi")),
+        )
+        .otherwise(v)
+    )
+    return joined.withColumn(out, clipped).drop("_q_lo", "_q_hi")

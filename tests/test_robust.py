@@ -67,3 +67,33 @@ def test_groups_are_independent(spark):
     out = robust_outlier_flags(df, "v", "g").collect()
     # group b's huge values are NOT outliers within their own group
     assert not any(r["is_outlier"] for r in out)
+
+
+def test_winsorize_clips_and_preserves_rows(spark):
+    from qualityassurancetool_spark.operators.robust import winsorize
+
+    rows = [(i, "g", float(i)) for i in range(1, 100)] + [
+        (100, "g", 10_000.0),     # wild outlier clipped to p99
+        (101, None, 10_000.0),    # null group: passes through UNCLIPPED
+        (102, "g", None),         # null value stays null
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {
+        r["id"]: r["v_wins"]
+        for r in winsorize(df, "v", "grp").collect()
+    }
+    assert len(out) == 102  # transformation, not a filter
+    assert out[100] < 10_000.0          # clipped down to the group p99
+    assert out[101] == 10_000.0         # null group untouched
+    assert out[102] is None
+    assert out[50] == 50.0              # interior values unchanged
+    # global mode
+    outg = {
+        r["id"]: r["v_wins"]
+        for r in winsorize(df, "v", None, 0.0, 0.5).collect()
+    }
+    assert outg[100] <= 51.0            # clipped to the global median
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize(df, "v", "grp", 0.9, 0.1)

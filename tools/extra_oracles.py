@@ -2952,6 +2952,35 @@ FROM flag
     return sdf, sql
 
 
+def x_winsorize(spark, con, sf_dir):
+    """winsorize (per-group exact-quantile clipping, broadcast
+    join-back) vs the DuckDB quantile_cont replica over events.value
+    per event_type."""
+    from qualityassurancetool_spark.operators.robust import winsorize
+    from qualityassurancetool_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    sdf = winsorize(ev, "value", "event_type", lo_q=0.05, hi_q=0.95).select(
+        "event_id",
+        "event_type",
+        (F.round("value_wins", 6) + F.lit(0.0)).alias("wins_r"),
+    )
+    sql = """
+WITH q AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS qlo,
+           quantile_cont(value, 0.95) AS qhi
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, q.qlo), q.qhi), 6) + 0.0 AS wins_r
+FROM events e JOIN q USING (event_type)
+"""
+    return sdf, sql
+
+
 def _entry_mod():
     import importlib.util
 
@@ -3044,6 +3073,7 @@ EXTRA_CHECKS = {
     "x_cms": x_cms,
     "x_multipattern": x_multipattern,
     "x_badwords": x_badwords,
+    "x_winsorize": x_winsorize,
     "x_filtered_revenue": x_filtered_revenue,
     "x_embedding_stats": x_embedding_stats,
     "x_nation_region_rollup": x_nation_region_rollup,
