@@ -591,15 +591,15 @@ def cmd_extract(args, overrides: list[str]) -> int:
             )
             if k in knobs
         }
-        if engine != "core" and "max_link_density" in knobs:
-            engine_kw["max_link_density"] = float(knobs["max_link_density"])
-        out = extract_documents(
-            pages,
-            max_link_density=float(knobs.get("max_link_density", 0.5)),
-            min_block_chars=int(knobs.get("min_block_chars", 25)),
-            engine=engine,
-            **engine_kw,
-        )
+        # the library now refuses silently-dropped knobs, so only forward
+        # what the user actually set; extract_documents routes
+        # max_link_density to justext itself and errors on unusable knobs
+        named = {}
+        if "max_link_density" in knobs:
+            named["max_link_density"] = float(knobs["max_link_density"])
+        if "min_block_chars" in knobs:
+            named["min_block_chars"] = int(knobs["min_block_chars"])
+        out = extract_documents(pages, engine=engine, **named, **engine_kw)
         out.write.mode("overwrite").parquet(data_c["out"])
         back = spark.read.parquet(data_c["out"])
         print(f"docs: {back.count()}")

@@ -376,6 +376,7 @@ def read_fingerprint_index(
     slice_prefix: str,
     exclude: str | None = None,
     id_col: str = "doc_id",
+    id_type: str = "long",
 ):
     """Union of the persisted fingerprint-index slices under
     ``index_dir`` (subdirectories named ``{slice_prefix}N``), excluding
@@ -397,4 +398,8 @@ def read_fingerprint_index(
     )
     if paths:
         return spark.read.parquet(*paths)
-    return spark.createDataFrame([], f"{id_col} long, fingerprint long")
+    # the empty-index fallback must carry the CALLER's id type — a
+    # string-keyed corpus screened against a long-typed empty frame only
+    # worked through implicit casts (advisor finding); callers pass the
+    # simpleString of their batch's id column
+    return spark.createDataFrame([], f"{id_col} {id_type}, fingerprint long")

@@ -349,8 +349,8 @@ def extract_documents(
     df: DataFrame,
     html_col: str = "html",
     out_col: str = "text",
-    max_link_density: float = 0.5,
-    min_block_chars: int = 25,
+    max_link_density: float | None = None,
+    min_block_chars: int | None = None,
     engine: str = "core",
     **engine_kw,
 ) -> DataFrame:
@@ -371,10 +371,32 @@ def extract_documents(
         )
     kw = dict(engine_kw)
     if engine == "core":
-        # the two positional knobs belong to the core filter; justext /
-        # trafilatura carry their own published defaults via engine_kw
-        kw.setdefault("max_link_density", max_link_density)
-        kw.setdefault("min_block_chars", min_block_chars)
+        # the two named knobs belong to the core filter (defaults 0.5/25);
+        # justext / trafilatura carry their own published defaults
+        kw.setdefault(
+            "max_link_density",
+            0.5 if max_link_density is None else max_link_density,
+        )
+        kw.setdefault(
+            "min_block_chars",
+            25 if min_block_chars is None else min_block_chars,
+        )
+    else:
+        # an explicitly-passed named knob must not be silently dropped
+        # (advisor finding): justext shares max_link_density, so seed it;
+        # anything the engine cannot honor is an error, not a no-op
+        if max_link_density is not None:
+            if engine == "justext":
+                kw.setdefault("max_link_density", max_link_density)
+            else:
+                raise ValueError(
+                    f"engine={engine!r} does not take max_link_density"
+                )
+        if min_block_chars is not None:
+            raise ValueError(
+                f"engine={engine!r} does not take min_block_chars "
+                "(justext uses length_low/length_high instead)"
+            )
     kernel_fn = _ENGINES[engine]
     keep_fields = [f for f in df.schema.fields if f.name != html_col]
     out_schema = StructType(

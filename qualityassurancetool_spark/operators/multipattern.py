@@ -149,7 +149,11 @@ def match_counts(
     def kernel(batches):
         auto = _cached_automaton(norm_pats)
         for pdf in batches:
-            texts = pdf[text_col].map(_normalize)
+            # one leading/trailing space so boundary-anchor patterns
+            # ("fast ", " fast") also match a word at document start/end
+            # — same padding badword_hit uses (advisor finding; the
+            # DuckDB oracle x_multipattern pads identically)
+            texts = pdf[text_col].map(lambda t: " " + _normalize(t) + " ")
             res = texts.map(lambda t: _scan(auto, t))
             out = pdf[[id_col]].copy()
             out["n_matches"] = [r[0] for r in res]

@@ -52,8 +52,12 @@ def with_median_track(
     else:
         med_lat = F.percentile_approx(F.col(lat_col), F.lit(0.5)).over(w)
         med_lon = F.percentile_approx(F.col(lon_col), F.lit(0.5)).over(w)
-    return df.withColumn("median_lat", med_lat).withColumn(
-        "median_long", med_lon
+    # "no timestamp, no window": NULL order keys would land in Spark's
+    # all-NULLs peer frame; mask so both strategies (plain window and
+    # median_track_bucketed) agree that null-ts rows get NULL medians
+    has_ts = F.col(ts_col).isNotNull()
+    return df.withColumn("median_lat", F.when(has_ts, med_lat)).withColumn(
+        "median_long", F.when(has_ts, med_lon)
     )
 
 

@@ -45,7 +45,11 @@ def calc_zscore(
     v = F.col(value_col)
     mu = F.avg(v).over(w)
     sigma = F.stddev_samp(v).over(w)
-    z = F.when(sigma > 0, (v - mu) / sigma)
+    # "no timestamp, no window": a NULL order key would otherwise put the
+    # row in Spark's all-NULLs peer frame (mu/sd over the *other* null-ts
+    # rows — meaningless), and the bucketed scale twin emits NULL for such
+    # rows; masking here pins one semantic for both strategies
+    z = F.when(F.col(ts_col).isNotNull() & (sigma > 0), (v - mu) / sigma)
 
     if only_good:
         from qualityassurancetool_spark.flags import still_good_mask
@@ -64,7 +68,8 @@ def zscore_sql(
         f"RANGE BETWEEN {delta_us} PRECEDING AND CURRENT ROW)"
     )
     return (
-        f"CASE WHEN stddev_samp({value}) {frame} > 0 THEN "
+        f"CASE WHEN ({epoch_us_expr}) IS NOT NULL "
+        f"AND stddev_samp({value}) {frame} > 0 THEN "
         f"(({value}) - avg({value}) {frame}) / (stddev_samp({value}) {frame}) "
         f"END"
     )

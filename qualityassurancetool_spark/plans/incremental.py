@@ -185,6 +185,7 @@ def incremental_update(
             seen_fp = read_fingerprint_index(
                 spark, dirs["index"], "upd=",
                 exclude=f"upd={upd}", id_col=id_col,
+                id_type=work.schema[id_col].dataType.simpleString(),
             )
             admissions = near_dedup_against_corpus(
                 kept, seen_fp, text_col, id_col,

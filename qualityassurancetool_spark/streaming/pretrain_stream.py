@@ -113,6 +113,7 @@ def streaming_pretrain_ingest(
             seen_fp = read_fingerprint_index(
                 spark, dirs["index"], "batch=",
                 exclude=f"batch={batch_id}", id_col=id_col,
+                id_type=kept.schema[id_col].dataType.simpleString(),
             )
             admissions = near_dedup_against_corpus(
                 kept, seen_fp, text_col, id_col,

@@ -96,3 +96,21 @@ def test_unicode_whitespace_parity_with_jvm_normalizer(spark):
         for r in match_counts(docs, ["bad word"]).collect()
     }
     assert got == {1: 0, 2: 1, 3: 1}  # tab IS ASCII whitespace
+
+
+def test_boundary_anchors_match_at_document_edges(spark):
+    """Advisor (r4): boundary-anchor patterns ('fast ', ' fast') must
+    match a word at document start/end too — the normalized text is
+    padded with one space each side, like badword_hit."""
+    docs = spark.createDataFrame(
+        [(1, "fast"), (2, "too fast"), (3, "fast cars"), (4, "breakfasts")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["n_patterns_matched"])
+        for r in match_counts(docs, ["fast ", " fast"]).collect()
+    }
+    assert got[1] == (2, 2)   # both anchors hit the lone word
+    assert got[2] == (2, 2)   # doc-final word: right pad supplies 'fast '
+    assert got[3] == (2, 2)   # doc-initial word: left pad supplies ' fast'
+    assert got[4] == (0, 0)   # interior substring: neither anchor

@@ -124,3 +124,46 @@ def test_null_timestamp_rows_are_kept_with_null_stats(spark):
         assert set(got) == {1, 2, 3}, strategy
         assert got[3] == (None, None), strategy
         assert got[2][0] == 15.0 and got[2][1] == 2
+
+
+def test_null_ts_parity_between_plain_and_bucketed(spark):
+    """Advisor (r4, medium): with >=2 NULL-timestamp rows in a stream,
+    Spark's RANGE window puts them all in one all-NULLs peer frame, so
+    the plain path used to emit non-null mu/sd there while the bucketed
+    twin emitted NULL — the knob changed QC flags.  The pinned semantic
+    is 'no timestamp, no window' in BOTH paths."""
+    import datetime as dt
+
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, 0, 0, 0), 10.0, 51.0, 3.0),
+        (2, "a", dt.datetime(2024, 1, 1, 0, 1, 0), 20.0, 51.1, 3.1),
+        (3, "a", None, 30.0, 51.2, 3.2),
+        (4, "a", None, 40.0, 51.3, 3.3),  # 2nd null-ts row => non-trivial null frame
+        (5, "b", None, 50.0, 51.4, 3.4),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "iot_id long, datastream_id string, phenomenon_time timestamp, "
+        "result double, lat double, long double",
+    )
+    ref = calc_zscore(df, rolling_time_window="5min")
+    got = calc_zscore_bucketed(df, rolling_time_window="5min")
+    _assert_equal_maps(
+        _collect_map(ref, "iot_id", "zscore"),
+        _collect_map(got, "iot_id", "zscore"),
+    )
+    # null-ts rows specifically must be NULL in the plain path too
+    assert all(
+        r["zscore"] is None
+        for r in ref.where(F.col("phenomenon_time").isNull()).collect()
+    )
+    m_ref = with_median_track(
+        df, time_window="4min", partition_cols=["datastream_id"]
+    )
+    m_got = median_track_bucketed(
+        df, time_window="4min", partition_cols=["datastream_id"]
+    )
+    for c in ["median_lat", "median_long"]:
+        _assert_equal_maps(
+            _collect_map(m_ref, "iot_id", c), _collect_map(m_got, "iot_id", c)
+        )

@@ -2900,8 +2900,10 @@ def x_multipattern(spark, con, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     sdf = match_counts(docs, PATS)
     vals = ", ".join(f"('{p}')" for p in PATS)
+    # the operator pads the normalized text with one space each side so
+    # boundary-anchor patterns match at document edges — mirror it here
     sql = f"""
-WITH docs AS (SELECT doc_id, {_NORM} AS t FROM documents),
+WITH docs AS (SELECT doc_id, ' ' || {_NORM} || ' ' AS t FROM documents),
 pats(p) AS (VALUES {vals}),
 hits AS (
     SELECT d.doc_id, p.p, COUNT(*) AS c
