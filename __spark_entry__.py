@@ -3025,6 +3025,180 @@ FROM keyed ORDER BY key DESC, doc_id LIMIT {K}
 """
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/bm25): query terms
+    broadcast, corpus explode SEMI-joined to matched terms before any
+    aggregation (per-doc work O(matched terms), not O(doc length)) —
+    the sparse half of hybrid retrieval.  Queries are the first 5
+    tokens of every 200th doc; top-10 per query, (score desc, doc_id)
+    tie-break."""
+    from qualityassurancetool_spark.functions.hashing import tokens
+    from qualityassurancetool_spark.operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = docs.where(F.col("doc_id") % 200 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(
+                F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0),
+                1,
+                5,
+            ),
+            " ",
+        ).alias("query_text"),
+    )
+    return bm25_topk(docs, qs, k=10).select(
+        "query_id",
+        "doc_id",
+        (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+        "n_terms_matched",
+    )
+
+
+SQL_BM25 = f"""
+WITH docs AS (
+    SELECT doc_id,
+           list_filter(string_split({_NORM_SQL}, ' '), t -> length(t) > 0)
+               AS toks
+    FROM documents
+),
+d AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+q AS (
+    SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS term
+    FROM docs WHERE doc_id % 200 = 0
+),
+stats AS (
+    SELECT COUNT(*) AS n, AVG(dl) AS avgdl
+    FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM d GROUP BY doc_id)
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+    FROM d WHERE term IN (SELECT term FROM q)
+    GROUP BY doc_id, term
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+sc AS (
+    SELECT q.query_id, tf.doc_id,
+           SUM(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)))
+               AS score,
+           COUNT(*) AS n_terms_matched
+    FROM tf JOIN dfq USING (term) JOIN q USING (term), stats s
+    GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, round(score, 6) + 0.0 AS score_r,
+       n_terms_matched
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+    ) AS rn FROM sc
+)
+WHERE rn <= 10
+"""
+
+
+_CMS_W, _CMS_D = 512, 3
+
+
+def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build + point queries (operators/cms): the
+    corpus token stream partial-aggregates into EXACTLY depth×width
+    integer cells regardless of key cardinality (shuffle ≤ partitions ×
+    cells, state constant forever); point queries join the broadcast
+    sketch.  Queried for the exact top-30 tokens plus two known-absent
+    keys — cell-exact vs the DuckDB replica (same md5 hash family)."""
+    from qualityassurancetool_spark.functions.hashing import tokens
+    from qualityassurancetool_spark.operators.cms import cms_build, cms_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(F.explode(tokens(F.col("text"))).alias("k")).where(
+        F.length("k") > 0
+    )
+    sketch = cms_build(stream, "k", width=_CMS_W, depth=_CMS_D)
+    top = (
+        stream.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "k")
+        .limit(30)
+        .select("k")
+    )
+    keys = top.unionByName(
+        spark.createDataFrame([("qqq-absent-1",), ("qqq-absent-2",)], ["k"])
+    )
+    return cms_query(sketch, keys, "k", width=_CMS_W, depth=_CMS_D)
+
+
+_CMS_CELL = (
+    "CAST(concat('0x', substring(md5(concat('cms:', r, ':', k)),"
+    f" 1, 15)) AS BIGINT) % {_CMS_W}"
+)
+SQL_CMS = f"""
+WITH tok AS (
+    SELECT unnest(string_split({_NORM_SQL}, ' ')) AS k FROM documents
+),
+nz AS (SELECT k FROM tok WHERE length(k) > 0),
+cells AS (
+    SELECT r.range AS row, {_CMS_CELL} AS col, COUNT(*) AS n
+    FROM nz, range(0, {_CMS_D}) r
+    GROUP BY 1, 2
+),
+keys AS (
+    SELECT k FROM (
+        SELECT k, COUNT(*) AS n FROM nz GROUP BY k
+        ORDER BY n DESC, k LIMIT 30
+    )
+    UNION ALL SELECT 'qqq-absent-1' UNION ALL SELECT 'qqq-absent-2'
+),
+kcells AS (
+    SELECT keys.k, r.range AS row, {_CMS_CELL} AS col
+    FROM keys, range(0, {_CMS_D}) r
+)
+SELECT kc.k, MIN(COALESCE(c.n, 0)) AS est
+FROM kcells kc LEFT JOIN cells c USING (row, col)
+GROUP BY kc.k
+"""
+
+_MP_PATS = ["scan", "fast ", "que", "table table", "a a"]
+
+
+def q_multipattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick multi-pattern matching (operators/multipattern):
+    overlapping-occurrence counts of a pattern list over normalized,
+    edge-padded text in ONE automaton pass per doc — O(text + matches)
+    for any pattern count, per-worker automaton cache, Arrow kernel,
+    zero shuffle."""
+    from qualityassurancetool_spark.operators.multipattern import (
+        match_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return match_counts(docs, _MP_PATS)
+
+
+_MP_VALS = ", ".join(f"('{p}')" for p in _MP_PATS)
+SQL_MULTIPATTERN = f"""
+WITH docs AS (
+    SELECT doc_id, ' ' || {_NORM_SQL} || ' ' AS t FROM documents
+),
+pats(p) AS (VALUES {_MP_VALS}),
+hits AS (
+    SELECT d.doc_id, p.p, COUNT(*) AS c
+    FROM docs d
+    JOIN pats p ON TRUE
+    JOIN generate_series(1, 100000) g(i)
+      ON i + length(p.p) - 1 <= length(d.t)
+     AND substr(d.t, i, length(p.p)) = p.p
+    GROUP BY d.doc_id, p.p
+)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS n_matches,
+       CAST(COUNT(h.p) AS INT) AS n_patterns_matched
+FROM docs d LEFT JOIN hits h USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3054,9 +3228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_flag_rollup": q_windowed_flag_rollup,
         "sessionize_events": q_sessionize_events,
         "downsample_transfer": q_downsample_transfer,
-        "window_union_overlap": q_window_union_overlap,
-        "distinct_streams": q_distinct_streams,
-        "time_window_scan": q_time_window_scan,
+        "bm25": q_bm25,
+        "cms": q_cms,
+        "multipattern": q_multipattern,
         "paged_scan": q_paged_scan,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_segment_revenue": q_join_segment_revenue,
@@ -3109,9 +3283,9 @@ def oracle_sql() -> dict[str, str]:
         "windowed_flag_rollup": SQL_WINDOWED_FLAG_ROLLUP,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "downsample_transfer": SQL_DOWNSAMPLE_TRANSFER,
-        "window_union_overlap": SQL_WINDOW_UNION_OVERLAP,
-        "distinct_streams": SQL_DISTINCT_STREAMS,
-        "time_window_scan": SQL_TIME_WINDOW_SCAN,
+        "bm25": SQL_BM25,
+        "cms": SQL_CMS,
+        "multipattern": SQL_MULTIPATTERN,
         "paged_scan": SQL_PAGED_SCAN,
         "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,

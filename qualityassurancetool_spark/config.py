@@ -36,6 +36,7 @@ _TOP_LEVEL_KEYS = {
     "QC_global",
     "zscore_time_window",
     "zscore_strategy",
+    "window_strategy",
     "location",
     "region_polygons",
     "asof_materialize",
@@ -143,11 +144,12 @@ def validate_config_dict(d: dict) -> None:
             raise ConfigError(
                 f"location.time_window: bad timedelta {loc['time_window']!r}"
             ) from None
-    zs = d.get("zscore_strategy", "window")
-    if zs not in ("window", "bucketed"):
-        raise ConfigError(
-            f"zscore_strategy must be window|bucketed, got {zs!r}"
-        )
+    for knob in ("zscore_strategy", "window_strategy"):
+        zs = d.get(knob, "window")
+        if zs not in ("window", "bucketed"):
+            raise ConfigError(
+                f"{knob} must be window|bucketed, got {zs!r}"
+            )
     rp = d.get("region_polygons")
     if isinstance(rp, str):
         pass  # a file path or URL; format checked at load time
@@ -205,8 +207,13 @@ class QCConfig:
     )
     zscore_time_window: str | float = "60min"
     # "window" (plain per-stream RANGE frame) | "bucketed" (streams x
-    # time-buckets twin — the low-stream-cardinality scale path)
+    # time-buckets twin — the low-stream-cardinality scale path).
+    # window_strategy routes EVERY window stage of the QC chain
+    # (gradient, z-score, stabilization, spatial-outlier median);
+    # zscore_strategy is the narrower round-4 knob kept for
+    # back-compat — bucketed on either routes the z-score.
     zscore_strategy: str = "window"
+    window_strategy: str = "window"
     # geo-track / spatial checks (reference conf/config.yaml:84-104)
     velocity_max: float | None = None
     acceleration_max: float | None = None
@@ -319,6 +326,7 @@ class QCConfig:
             global_qc=glob,
             zscore_time_window=d.get("zscore_time_window", "60min"),
             zscore_strategy=d.get("zscore_strategy", "window"),
+            window_strategy=d.get("window_strategy", "window"),
             velocity_max=geo.get("max_velocity"),
             acceleration_max=geo.get("max_acceleration"),
             outlier_time_window=geo.get("time_window", "10min"),

@@ -24,20 +24,11 @@ from pyspark.sql import functions as F
 from qualityassurancetool_spark.functions.timeutils import epoch_micros
 
 
-def gradient_column(
-    value_col: str,
-    ts_col: str,
-    partition_cols: list[str],
-    order_extra: list[str] | None = None,
-) -> Column:
-    """Column expression for the np.gradient-parity time derivative."""
-    order_cols = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
-    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
-
-    # Steps from exact integer-µs differences: subtracting epoch *doubles*
-    # (~1.7e9 s) loses ~0.25 µs to cancellation, which a second-order
-    # difference amplifies to ~1e-6 relative error. Long-µs diffs are exact.
-    t_us = epoch_micros(ts_col)
+def gradient_expr(w, value_col: str, t_us: Column) -> Column:
+    """The np.gradient-parity expression over an explicit window spec and
+    integer-microsecond order column — shared by the per-stream window
+    (below) and the bucketed streams×buckets twin
+    (``partitioned_windows.calc_gradient_bucketed``)."""
     f_ = F.col(value_col)
     t_prev_null = F.lag(t_us).over(w).isNull()
     t_next_null = F.lead(t_us).over(w).isNull()
@@ -58,6 +49,22 @@ def gradient_column(
         .when(t_next_null, last)
         .otherwise(interior)
     )
+
+
+def gradient_column(
+    value_col: str,
+    ts_col: str,
+    partition_cols: list[str],
+    order_extra: list[str] | None = None,
+) -> Column:
+    """Column expression for the np.gradient-parity time derivative."""
+    order_cols = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+
+    # Steps from exact integer-µs differences: subtracting epoch *doubles*
+    # (~1.7e9 s) loses ~0.25 µs to cancellation, which a second-order
+    # difference amplifies to ~1e-6 relative error. Long-µs diffs are exact.
+    return gradient_expr(w, value_col, epoch_micros(ts_col))
 
 
 def calc_gradient(

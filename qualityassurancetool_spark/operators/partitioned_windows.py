@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from qualityassurancetool_spark.flags import QualityFlags, flag_from_bool
 from qualityassurancetool_spark.functions.timeutils import (
     epoch_micros,
     parse_timedelta_seconds,
@@ -254,6 +255,342 @@ def calc_zscore_bucketed(
         F.col("_sigma") > 0, (F.col(value_col) - F.col("_mu")) / F.col("_sigma")
     )
     return with_stats.withColumn(out_col, z).drop("_mu", "_sigma")
+
+
+def _bucket_boundary_halos(
+    rows: DataFrame,
+    groups: list[str],
+    order_extra: list[str],
+    carry_cols: list[str],
+):
+    """Per (stream, bucket): the previous non-empty bucket's LAST row and
+    the next non-empty bucket's FIRST row (ordered by ``_t_us`` +
+    ``order_extra``), as structs carrying ``_t_us`` + ``carry_cols``.
+
+    This is the exact-neighbor primitive for lag/lead-shaped operators
+    (gradient, diff/dt, gaps-and-islands): unlike the time-halo explode
+    in :func:`bucketed_time_rolling`, a row's ordinal neighbor can be
+    arbitrarily far in time, so the halo is found by aggregating each
+    bucket to its first/last row (streams × buckets rows — tiny) and
+    running ONE lag/lead window over that summary frame per stream.
+    That window is per-stream again, but over n_buckets rows, so it is
+    never the wall the row-level per-stream window is.
+    """
+    ord_cols = [F.col("_t_us")] + [F.col(c) for c in order_extra]
+    ord_struct = F.struct(*ord_cols)
+    pay_names = list(dict.fromkeys(["_t_us", *carry_cols, *order_extra]))
+    pay = F.struct(*[F.col(c) for c in pay_names])
+    summaries = rows.groupBy(*groups, "_bucket").agg(
+        F.min_by(pay, ord_struct).alias("_first"),
+        F.max_by(pay, ord_struct).alias("_last"),
+    )
+    from pyspark.sql import Window
+
+    w_b = Window.partitionBy(*groups).orderBy("_bucket")
+    return summaries.select(
+        *groups,
+        "_bucket",
+        F.lag("_last").over(w_b).alias("_prev"),
+        F.lead("_first").over(w_b).alias("_next"),
+    )
+
+
+def calc_gradient_bucketed(
+    df: DataFrame,
+    value_col: str = "result",
+    ts_col: str = "phenomenon_time",
+    group_col: str | list[str] = "datastream_id",
+    out_col: str = "gradient",
+    order_extra: list[str] | None = None,
+    bucket: str | float = "1d",
+) -> DataFrame:
+    """Scale-path twin of :func:`gradient.calc_gradient` (np.gradient
+    parity) — identical output, streams × buckets parallelism.
+
+    The gradient needs each row's ordinal prev/next neighbor, which can
+    be any time-gap away, so the halo is the neighbor-bucket boundary
+    row (see :func:`_bucket_boundary_halos`) rather than a time-width
+    replication.  Each (stream, bucket) group then runs the ordinary
+    JVM lag/lead window with at most two non-native rows appended; only
+    native rows are emitted.  NULL-timestamp rows get a NULL gradient
+    in BOTH twins ("no timestamp, no window"): in the plain path they
+    sort into the nulls-first head where every µs difference is NULL,
+    and real rows treat them as absent — replicated here by routing
+    them around the bucketing.
+    """
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    order_extra = list(order_extra or [])
+    bucket_us = int(parse_timedelta_seconds(bucket) * 1_000_000)
+    in_cols = [f.name for f in df.schema.fields]
+
+    null_ts = df.where(F.col(ts_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    rows = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("_t_us", epoch_micros(ts_col))
+        .withColumn("_bucket", F.floor(F.col("_t_us") / F.lit(bucket_us)))
+    )
+    halos = _bucket_boundary_halos(
+        rows, groups, order_extra, carry_cols=[value_col]
+    )
+
+    def halo_rows(side: str) -> DataFrame:
+        h = halos.where(F.col(side).isNotNull())
+        sel = []
+        for f in rows.schema.fields:
+            name = f.name
+            if name in ("_t_us",) or name == value_col or name in order_extra:
+                sel.append(F.col(side)[name].alias(name))
+            elif name in groups or name == "_bucket":
+                sel.append(F.col(name))
+            else:
+                sel.append(F.lit(None).cast(f.dataType).alias(name))
+        return h.select(*sel, F.lit(False).alias("_native"))
+
+    native = rows.withColumn("_native", F.lit(True))
+    exploded = native.unionByName(halo_rows("_prev")).unionByName(
+        halo_rows("_next")
+    )
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    exploded = exploded.repartition(n_parts, *groups, F.col("_bucket"))
+
+    from pyspark.sql import Window
+
+    from qualityassurancetool_spark.operators.gradient import gradient_expr
+
+    w = Window.partitionBy(*groups, "_bucket").orderBy("_t_us", *order_extra)
+    return (
+        exploded.withColumn(out_col, gradient_expr(w, value_col, F.col("_t_us")))
+        .where("_native")
+        .select(*in_cols, out_col)
+        .unionByName(null_ts)
+    )
+
+
+def apply_stabilization_bucketed(
+    df: DataFrame,
+    value_col: str = "result",
+    ts_col: str = "phenomenon_time",
+    group_cols: list[str] | None = None,
+    min_col: str = "qc_range_min",
+    max_col: str = "qc_range_max",
+    max_allowed_downtime_col: str = "max_allowed_downtime",
+    dt_stabilization_col: str = "dt_stabilization",
+    flag_col: str = "stabilization_flag",
+    keep_intermediate: bool = True,
+    bucket: str | float = "1d",
+) -> DataFrame:
+    """Scale-path twin of :func:`stabilization.apply_stabilization`
+    (W1–W4: diff / cumsum / conditional ffill / gaps-and-islands) with
+    streams × buckets parallelism.
+
+    The chain is a *prefix scan*, not a bounded window, so the
+    decomposition is the classic two-phase scan: each (stream, bucket)
+    computes LOCAL running values; per-bucket summaries (a streams ×
+    buckets frame — tiny) get exclusive-prefix carries with one window
+    over the summary frame; carries join back and seed the local pass.
+    The two conditional forward-fills (``time_down``'s last-within
+    anchor and ``time_up_since``'s last-exceedance anchor) carry as
+    "last non-null anchor value per bucket" + an ffill over the summary
+    frame; ``time_up_since``'s anchor depends on ``time_down``, so it
+    needs a second (equally tiny) summary round.
+
+    Exactness caveat: ``cumsum`` adds the same per-row ``dt`` doubles
+    in a different association order than the sequential window, so
+    values can differ from the plain path by a few ulps of the running
+    total (flags are threshold comparisons far from knife edges; the
+    parity test pins agreement to 1e-6 s absolute).
+    """
+    from pyspark.sql import Window
+
+    groups = group_cols or ["datastream_id"]
+    bucket_us = int(parse_timedelta_seconds(bucket) * 1_000_000)
+    in_cols = [f.name for f in df.schema.fields]
+
+    within_expr = (F.col(value_col) > F.col(min_col)) & (
+        F.col(value_col) < F.col(max_col)
+    )
+    null_ts = df.where(F.col(ts_col).isNull()).withColumns(
+        {
+            "within_limits": within_expr,
+            "dt": F.lit(None).cast("double"),
+            "cumsum": F.lit(None).cast("double"),
+            "time_down": F.lit(None).cast("double"),
+            "time_up_since": F.lit(None).cast("double"),
+            "block_id": F.lit(None).cast("long"),
+            "max_downtime": F.lit(None).cast("double"),
+            flag_col: F.lit(None).cast("tinyint"),
+        }
+    )
+    rows = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("_t_us", epoch_micros(ts_col))
+        .withColumn("_bucket", F.floor(F.col("_t_us") / F.lit(bucket_us)))
+        .withColumn("within_limits", within_expr)
+    )
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    rows = rows.repartition(n_parts, *groups, F.col("_bucket"))
+
+    # ---- boundary carries: prev bucket's last (t, within) per bucket ----
+    halos = _bucket_boundary_halos(
+        rows, groups, [], carry_cols=["within_limits"]
+    ).select(
+        *groups,
+        "_bucket",
+        F.col("_prev")["_t_us"].alias("_prev_t_us"),
+        F.col("_prev")["within_limits"].alias("_prev_within"),
+    )
+    rows = rows.join(halos, [*groups, "_bucket"], "left")
+
+    # ---- local pass 1: dt, local cumsum, local block counter ----
+    w_loc = Window.partitionBy(*groups, "_bucket").orderBy("_t_us")
+    w_run = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eff_prev_t = F.coalesce(F.lag("_t_us").over(w_loc), F.col("_prev_t_us"))
+    eff_prev_within = F.coalesce(
+        F.lag("within_limits").over(w_loc), F.col("_prev_within")
+    )
+    rows = rows.withColumns(
+        {
+            "dt": F.coalesce(
+                (F.col("_t_us") - eff_prev_t) / F.lit(1_000_000.0),
+                F.lit(0.0),
+            ),
+            # global first row of the stream: no prev bucket, no local lag
+            "_is_first": F.col("_prev_t_us").isNull()
+            & (F.row_number().over(w_loc) == 1),
+            "_changed": F.when(
+                eff_prev_within.isNull()
+                | (F.col("within_limits") != eff_prev_within),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        }
+    )
+    rows = rows.withColumns(
+        {
+            "_local_cum": F.sum("dt").over(w_run),
+            "_local_blk": F.sum("_changed").over(w_run),
+        }
+    )
+
+    # ---- summary round 1: exclusive carries over the bucket frame ----
+    # tmp_down anchor rows are within-rows plus the global first row; at
+    # the global first row cumsum is exactly 0, so the reference's
+    # seeded 0 equals its cumsum and one marker covers both cases
+    m_down = F.col("within_limits") | F.col("_is_first")
+    sum1 = rows.groupBy(*groups, "_bucket").agg(
+        F.sum("dt").alias("_tot_dt"),
+        F.sum("_changed").alias("_tot_chg"),
+        F.max(
+            F.when(m_down, F.struct(F.col("_t_us"), F.col("_local_cum")))
+        )["_local_cum"].alias("_last_down_localcum"),
+    )
+    w_b = Window.partitionBy(*groups).orderBy("_bucket")
+    w_b_excl = w_b.rowsBetween(Window.unboundedPreceding, -1)
+    sum1 = sum1.withColumns(
+        {
+            "_carry_cum": F.coalesce(F.sum("_tot_dt").over(w_b_excl), F.lit(0.0)),
+            "_carry_blk": F.coalesce(
+                F.sum("_tot_chg").over(w_b_excl), F.lit(0)
+            ).cast("long"),
+        }
+    )
+    # last tmp_down VALUE in each bucket is carry + local (global cumsum);
+    # ffill it across buckets to seed later buckets' time_down
+    sum1 = sum1.withColumn(
+        "_ld", F.col("_carry_cum") + F.col("_last_down_localcum")
+    ).withColumn(
+        "_carry_down", F.last("_ld", ignorenulls=True).over(w_b_excl)
+    )
+    rows = rows.join(
+        sum1.select(
+            *groups, "_bucket", "_carry_cum", "_carry_blk", "_carry_down"
+        ),
+        [*groups, "_bucket"],
+        "left",
+    )
+
+    # ---- local pass 2: global cumsum, time_down, block_id ----
+    rows = rows.withColumns(
+        {
+            "cumsum": F.col("_carry_cum") + F.col("_local_cum"),
+            "block_id": (F.col("_carry_blk") + F.col("_local_blk")).cast(
+                "long"
+            ),
+        }
+    )
+    tmp_down = F.when(m_down, F.col("cumsum"))
+    rows = rows.withColumn(
+        "time_down",
+        F.col("cumsum")
+        - F.coalesce(
+            F.last(tmp_down, ignorenulls=True).over(w_run),
+            F.col("_carry_down"),
+        ),
+    )
+
+    # ---- summary round 2: time_up anchor carry (depends on time_down) ----
+    m_up = F.col("_is_first") | (
+        F.col("time_down") > F.col(max_allowed_downtime_col)
+    )
+    tmp_up = F.when(m_up, F.col("cumsum"))
+    rows = rows.withColumn("_tmp_up", tmp_up)
+    sum2 = (
+        rows.groupBy(*groups, "_bucket")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_tmp_up").isNotNull(),
+                    F.struct(F.col("_t_us"), F.col("_tmp_up")),
+                )
+            )["_tmp_up"].alias("_lu")
+        )
+        .withColumn(
+            "_carry_up", F.last("_lu", ignorenulls=True).over(w_b_excl)
+        )
+    )
+    rows = rows.join(
+        sum2.select(*groups, "_bucket", "_carry_up"),
+        [*groups, "_bucket"],
+        "left",
+    )
+    rows = rows.withColumn(
+        "time_up_since",
+        F.col("cumsum")
+        - F.coalesce(
+            F.last("_tmp_up", ignorenulls=True).over(w_run),
+            F.col("_carry_up"),
+        ),
+    )
+
+    # ---- per-block max downtime + flag (block_id is global now) ----
+    w_block = Window.partitionBy(*groups, "block_id")
+    rows = rows.withColumns(
+        {
+            "max_downtime": F.when(
+                F.col("within_limits"), F.lit(0.0)
+            ).otherwise(F.max("time_down").over(w_block)),
+            flag_col: flag_from_bool(
+                F.col("time_up_since") < F.col(dt_stabilization_col),
+                flag_on_true=QualityFlags.BAD,
+                flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
+            ),
+        }
+    )
+    derived = [
+        "within_limits",
+        "dt",
+        "cumsum",
+        "time_down",
+        "time_up_since",
+        "block_id",
+        "max_downtime",
+        flag_col,
+    ]
+    out = rows.select(*in_cols, *derived).unionByName(null_ts)
+    if not keep_intermediate:
+        out = out.drop(*derived[:-1])
+    return out
 
 
 def median_track_bucketed(

@@ -71,14 +71,33 @@ def apply_spatial_outlier_check(
     partition_cols: list[str] | None = None,
     flag_col: str = "qc_flag",
     exact: bool = True,
+    strategy: str = "window",
 ) -> DataFrame:
     """Flag fixes farther than ``max_dx_dt × time_window`` meters from the
-    windowed median position (the reference's allowed-travel threshold)."""
+    windowed median position (the reference's allowed-travel threshold).
+
+    ``strategy="bucketed"`` computes the identical centered-median via
+    the streams×buckets halo twin
+    (:func:`partitioned_windows.median_track_bucketed`) — the scale path
+    when ``partition_cols`` has low cardinality (a handful of tracked
+    platforms), where the plain window caps parallelism at n_partitions.
+    """
     window_s = parse_timedelta_seconds(time_window)
     max_dist_m = max_dx_dt * window_s
-    df = with_median_track(
-        df, time_window, lat_col, lon_col, ts_col, partition_cols, exact
-    )
+    if strategy == "bucketed":
+        from qualityassurancetool_spark.operators.partitioned_windows import (
+            median_track_bucketed,
+        )
+
+        df = median_track_bucketed(
+            df, time_window, lat_col, lon_col, ts_col, partition_cols
+        )
+    elif strategy == "window":
+        df = with_median_track(
+            df, time_window, lat_col, lon_col, ts_col, partition_cols, exact
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r} (window|bucketed)")
     dist = haversine_m(
         F.col("median_lat"),
         F.col("median_long"),

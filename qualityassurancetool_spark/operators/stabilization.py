@@ -39,8 +39,47 @@ def apply_stabilization(
     dt_stabilization_col: str = "dt_stabilization",
     flag_col: str = "stabilization_flag",
     keep_intermediate: bool = True,
+    strategy: str = "window",
 ) -> DataFrame:
     groups = group_cols or ["datastream_id"]
+    if strategy == "bucketed":
+        from qualityassurancetool_spark.operators.partitioned_windows import (
+            apply_stabilization_bucketed,
+        )
+
+        return apply_stabilization_bucketed(
+            df,
+            value_col=value_col,
+            ts_col=ts_col,
+            group_cols=groups,
+            min_col=min_col,
+            max_col=max_col,
+            max_allowed_downtime_col=max_allowed_downtime_col,
+            dt_stabilization_col=dt_stabilization_col,
+            flag_col=flag_col,
+            keep_intermediate=keep_intermediate,
+        )
+    if strategy != "window":
+        raise ValueError(f"unknown strategy {strategy!r} (window|bucketed)")
+    # "no timestamp, no stats": NULL-ts rows get NULL time-derived columns
+    # and a NULL flag in both strategies (within_limits stays row-local);
+    # they must not participate in dt/cumsum or shift block numbering
+    within_expr = (F.col(value_col) > F.col(min_col)) & (
+        F.col(value_col) < F.col(max_col)
+    )
+    null_ts = df.where(F.col(ts_col).isNull()).withColumns(
+        {
+            "within_limits": within_expr,
+            "dt": F.lit(None).cast("double"),
+            "cumsum": F.lit(None).cast("double"),
+            "time_down": F.lit(None).cast("double"),
+            "time_up_since": F.lit(None).cast("double"),
+            "block_id": F.lit(None).cast("long"),
+            "max_downtime": F.lit(None).cast("double"),
+            flag_col: F.lit(None).cast("tinyint"),
+        }
+    )
+    df = df.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(*groups).orderBy(ts_col)
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -106,6 +145,7 @@ def apply_stabilization(
             ),
         }
     )
+    df = df.unionByName(null_ts)
     if not keep_intermediate:
         df = df.drop(
             "within_limits",

@@ -41,11 +41,28 @@ def run_qc_pipeline(
         "left",
     ).drop("stream_id")
 
+    # window_strategy: bucketed routes EVERY window stage of the chain
+    # through the streams×buckets twins — the measured fix for low
+    # stream cardinality, where a plain per-stream window caps
+    # parallelism at n_streams cores (docs/SCALE.md QC rehearsal)
+    bucketed = getattr(config, "window_strategy", "window") == "bucketed"
+
     # gradient (np.gradient parity, per stream)
-    df = df.withColumn(
-        "gradient",
-        gradient_column("result", "phenomenon_time", [stream_key], ["iot_id"]),
-    )
+    if bucketed:
+        from qualityassurancetool_spark.operators.partitioned_windows import (
+            calc_gradient_bucketed,
+        )
+
+        df = calc_gradient_bucketed(
+            df, group_col=stream_key, order_extra=["iot_id"]
+        )
+    else:
+        df = df.withColumn(
+            "gradient",
+            gradient_column(
+                "result", "phenomenon_time", [stream_key], ["iot_id"]
+            ),
+        )
 
     # strict range on the raw value + gradient range, folded in ONE merge:
     # neither flag reads the pre-merge flag state and severity-max is
@@ -74,7 +91,7 @@ def run_qc_pipeline(
     # twin — the measured fix for low stream cardinality, where a plain
     # per-stream window caps parallelism at n_streams cores (2.9 s vs
     # 9.8 s at 10M rows / 5 streams, docs/SCALE.md QC rehearsal)
-    if getattr(config, "zscore_strategy", "window") == "bucketed":
+    if bucketed or getattr(config, "zscore_strategy", "window") == "bucketed":
         from qualityassurancetool_spark.flags import still_good_mask
         from qualityassurancetool_spark.operators.partitioned_windows import (
             calc_zscore_bucketed,

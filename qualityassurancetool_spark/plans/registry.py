@@ -79,6 +79,11 @@ def _check_stabilization(
             dt_stabilization_col="_stab_dst",
             flag_col="_stab_flag",
             keep_intermediate=False,
+            strategy=(
+                "bucketed"
+                if getattr(cfg, "window_strategy", "window") == "bucketed"
+                else "window"
+            ),
         )
         df = df.withColumn(
             "qc_flag", flag_merge(F.col("qc_flag"), F.col("_stab_flag"))
@@ -142,6 +147,11 @@ def _check_spatial_outlier(
         max_dx_dt=cfg.outlier_max_dx_dt,
         time_window=cfg.outlier_time_window,
         partition_cols=[stream_col],
+        strategy=(
+            "bucketed"
+            if getattr(cfg, "window_strategy", "window") == "bucketed"
+            else "window"
+        ),
     )
 
 

@@ -167,3 +167,133 @@ def test_null_ts_parity_between_plain_and_bucketed(spark):
         _assert_equal_maps(
             _collect_map(m_ref, "iot_id", c), _collect_map(m_got, "iot_id", c)
         )
+
+
+def test_gradient_bucketed_matches_plain(spark):
+    """np.gradient-parity twin: boundary-halo bucketing must reproduce
+    the per-stream lag/lead window exactly, including bucket-edge rows
+    and null-timestamp rows (NULL in both)."""
+    import datetime as dt
+
+    from qualityassurancetool_spark.operators.gradient import calc_gradient
+    from qualityassurancetool_spark.operators.partitioned_windows import (
+        calc_gradient_bucketed,
+    )
+
+    obs = events_as_observations(spark, SF_DIR)
+    ref = calc_gradient(
+        obs, group_col="observation_type", order_extra=["iot_id"]
+    )
+    # tiny bucket (5 min) so nearly every neighbor pair crosses a boundary
+    got = calc_gradient_bucketed(
+        obs, group_col="observation_type", order_extra=["iot_id"],
+        bucket="5min",
+    )
+    _assert_equal_maps(
+        _collect_map(ref, "iot_id", "gradient"),
+        _collect_map(got, "iot_id", "gradient"),
+    )
+    # null-ts rows and single-row streams
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        (2, "a", dt.datetime(2024, 1, 1, 0, 1, 0), 20.0),
+        (3, "a", dt.datetime(2024, 1, 1, 2, 0, 0), 50.0),  # far gap
+        (4, "a", None, 30.0),
+        (5, "b", dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),   # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "iot_id long, datastream_id string, "
+              "phenomenon_time timestamp, result double"
+    )
+    ref2 = calc_gradient(df, order_extra=["iot_id"])
+    got2 = calc_gradient_bucketed(df, order_extra=["iot_id"], bucket="30min")
+    _assert_equal_maps(
+        _collect_map(ref2, "iot_id", "gradient"),
+        _collect_map(got2, "iot_id", "gradient"),
+    )
+
+
+def test_stabilization_bucketed_matches_plain(spark):
+    """W1–W4 prefix-scan twin: the two-phase scan (bucket carries +
+    local windows) must reproduce the sequential per-stream windows —
+    cumsum/time_down/time_up_since to 1e-6 s (FP association order
+    differs), block_id/max_downtime/flag exactly."""
+    from qualityassurancetool_spark.operators.stabilization import (
+        apply_stabilization,
+    )
+
+    obs = events_as_observations(spark, SF_DIR).select(
+        "iot_id", "observation_type", "phenomenon_time", "result",
+        F.lit(1.0).alias("qc_range_min"),
+        F.lit(250.0).alias("qc_range_max"),
+        F.lit(600.0).alias("max_allowed_downtime"),
+        F.lit(120.0).alias("dt_stabilization"),
+    )
+    ref = apply_stabilization(obs, group_cols=["observation_type"])
+    got = apply_stabilization(
+        obs, group_cols=["observation_type"], strategy="bucketed"
+    )
+    # tiny bucket to exercise carries heavily
+    from qualityassurancetool_spark.operators.partitioned_windows import (
+        apply_stabilization_bucketed,
+    )
+
+    got_small = apply_stabilization_bucketed(
+        obs, group_cols=["observation_type"], bucket="30min"
+    )
+    r = {x["iot_id"]: x for x in ref.collect()}
+    for name, out in [("default", got), ("30min", got_small)]:
+        g = {x["iot_id"]: x for x in out.collect()}
+        assert set(g) == set(r), name
+        for k, rv in r.items():
+            gv = g[k]
+            assert gv["within_limits"] == rv["within_limits"], (name, k)
+            assert gv["block_id"] == rv["block_id"], (name, k)
+            assert gv[
+                "stabilization_flag"
+            ] == rv["stabilization_flag"], (name, k)
+            for c in ("dt", "cumsum", "time_down", "time_up_since",
+                      "max_downtime"):
+                assert gv[c] == pytest.approx(rv[c], abs=1e-6), (name, k, c)
+
+
+def test_stabilization_null_ts_rows_get_null_stats(spark):
+    """'No timestamp, no stats' in BOTH strategies: null-ts rows keep
+    within_limits (row-local) but all time-derived columns and the flag
+    are NULL, and they do not shift block numbering of real rows."""
+    import datetime as dt
+
+    from qualityassurancetool_spark.operators.stabilization import (
+        apply_stabilization,
+    )
+
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        (2, "a", None, 400.0),            # out of range, no timestamp
+        (3, "a", dt.datetime(2024, 1, 1, 0, 1, 0), 300.0),
+        (4, "a", dt.datetime(2024, 1, 1, 0, 2, 0), 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "iot_id long, datastream_id string, "
+              "phenomenon_time timestamp, result double"
+    ).withColumns(
+        {
+            "qc_range_min": F.lit(1.0),
+            "qc_range_max": F.lit(250.0),
+            "max_allowed_downtime": F.lit(30.0),
+            "dt_stabilization": F.lit(45.0),
+        }
+    )
+    for strategy in ("window", "bucketed"):
+        out = {
+            r["iot_id"]: r
+            for r in apply_stabilization(df, strategy=strategy).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}, strategy
+        nul = out[2]
+        assert nul["within_limits"] is False
+        for c in ("dt", "cumsum", "time_down", "time_up_since",
+                  "block_id", "max_downtime", "stabilization_flag"):
+            assert nul[c] is None, (strategy, c)
+        # real rows: blocks 1 (up), 2 (down), 3 (up) — null row invisible
+        assert [out[k]["block_id"] for k in (1, 3, 4)] == [1, 2, 3], strategy

@@ -230,3 +230,54 @@ def test_zscore_strategy_bucketed_parity(spark):
 
     with _pytest.raises(ConfigError):
         QCConfig.from_dict({**base, "zscore_strategy": "nope"})
+
+
+def test_window_strategy_bucketed_full_chain_parity(spark):
+    """window_strategy: bucketed routes EVERY window stage of the chain
+    (gradient AND z-score) through the streams x buckets twins —
+    identical flags/gradient/zscore row for row, including null-ts rows
+    (NULL stats in both paths, advisor r4)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.plans.qc_pipeline import run_qc_pipeline
+
+    obs = events_as_observations(spark, SF_DIR)
+    # plant two null-ts rows per stream to exercise the pinned semantic
+    nulls = (
+        obs.groupBy("observation_type")
+        .agg(F.max("iot_id").alias("m"))
+        .select(
+            (F.col("m") + 1_000_000).alias("iot_id"),
+            F.col("observation_type"),
+            F.lit(None).cast("timestamp").alias("phenomenon_time"),
+            F.lit(42.0).alias("result"),
+        )
+    )
+    obs = obs.select(
+        "iot_id", "observation_type", "phenomenon_time", "result"
+    ).unionByName(nulls).withColumn(
+        "qc_flag", F.lit(0).cast("tinyint")
+    )
+    base = {"QC": FULL_CFG["QC"], "zscore_time_window": "10min"}
+    cols = ["iot_id", "qc_flag", "gradient", "zscore"]
+
+    def run(cfg_d):
+        return {
+            r["iot_id"]: tuple(r[c] for c in cols[1:])
+            for r in run_qc_pipeline(
+                obs, QCConfig.from_dict(cfg_d), spark
+            ).select(*cols).collect()
+        }
+
+    want = run(base)
+    got = run({**base, "window_strategy": "bucketed"})
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0], k  # qc_flag exact
+        for i in (1, 2):  # gradient, zscore
+            if want[k][i] is None:
+                assert got[k][i] is None, (k, i)
+            else:
+                assert abs(got[k][i] - want[k][i]) < 1e-9, (k, i)

@@ -129,6 +129,30 @@ def main() -> None:
             .where(F.col("qc_flag") >= 0)
             .count(),
         )
+        # round-5 fix: window_strategy=bucketed routes BOTH window
+        # stages (gradient + z-score) through the streams×buckets
+        # twins — the whole-chain answer to the 5-stream wall
+        cfg_bkt = QCConfig.from_dict(
+            {
+                "QC": [
+                    {
+                        "id": t,
+                        "range": {"min": 1.0, "max": 250.0},
+                        "gradient": {"min": -50.0, "max": 50.0},
+                        "zscore": {"min": -3.0, "max": 3.0},
+                    }
+                    for t in TYPES
+                ],
+                "zscore_time_window": "10min",
+                "window_strategy": "bucketed",
+            }
+        )
+        m.stage(
+            "qc chain, 5 streams, BUCKETED (window_strategy)", n,
+            lambda: run_qc_pipeline(obs, cfg_bkt, spark)
+            .where(F.col("qc_flag") >= 0)
+            .count(),
+        )
         # realistic deployment shape: thousands of datastreams — window
         # parallelism scales with stream cardinality (the reference's
         # fleet has many datastreams; 5 streams is the bench's
@@ -207,6 +231,20 @@ def main() -> None:
             "stabilization windows", n,
             lambda: apply_stabilization(
                 stab_in, group_cols=["observation_type"]
+            )
+            .where(
+                F.coalesce(
+                    F.col("stabilization_flag").cast("int"), F.lit(0)
+                )
+                >= 0
+            )
+            .count(),
+        )
+        m.stage(
+            "stabilization, BUCKETED twin", n,
+            lambda: apply_stabilization(
+                stab_in, group_cols=["observation_type"],
+                strategy="bucketed",
             )
             .where(
                 F.coalesce(

@@ -2757,172 +2757,6 @@ FROM keyed ORDER BY key DESC, doc_id LIMIT {K}
     return sdf, sql
 
 
-def x_bm25(spark, con, sf_dir):
-    """bm25_topk (Okapi BM25 ranked retrieval, broadcast query terms)
-    vs a full DuckDB replica — same tokenize, df, idf and saturation
-    formula; queries are the first 5 tokens of every 200th doc."""
-    from qualityassurancetool_spark.functions.hashing import tokens
-    from qualityassurancetool_spark.operators.bm25 import bm25_topk
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    queries = docs.where(F.col("doc_id") % 200 == 0).select(
-        F.col("doc_id").alias("query_id"),
-        F.array_join(
-            F.slice(
-                F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0),
-                1,
-                5,
-            ),
-            " ",
-        ).alias("query_text"),
-    )
-    sdf = bm25_topk(docs, queries, k=10).select(
-        "query_id",
-        "doc_id",
-        (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
-        "n_terms_matched",
-    )
-    sql = f"""
-WITH docs AS (
-    SELECT doc_id,
-           list_filter(string_split({_NORM}, ' '), t -> length(t) > 0)
-               AS toks
-    FROM documents
-),
-d AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
-q AS (
-    SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS term
-    FROM docs WHERE doc_id % 200 = 0
-),
-stats AS (
-    SELECT COUNT(*) AS n, AVG(dl) AS avgdl
-    FROM (SELECT doc_id, ANY_VALUE(dl) AS dl FROM d GROUP BY doc_id)
-),
-tf AS (
-    SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
-    FROM d WHERE term IN (SELECT term FROM q)
-    GROUP BY doc_id, term
-),
-dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-sc AS (
-    SELECT q.query_id, tf.doc_id,
-           SUM(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
-               * tf.tf * (1.2 + 1)
-               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)))
-               AS score,
-           COUNT(*) AS n_terms_matched
-    FROM tf JOIN dfq USING (term) JOIN q USING (term), stats s
-    GROUP BY q.query_id, tf.doc_id
-)
-SELECT query_id, doc_id, round(score, 6) + 0.0 AS score_r,
-       n_terms_matched
-FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY score DESC, doc_id
-    ) AS rn FROM sc
-)
-WHERE rn <= 10
-"""
-    return sdf, sql
-
-
-def x_cms(spark, con, sf_dir):
-    """Count-Min sketch build + point queries vs a cell-exact DuckDB
-    replica (same md5 hash family): corpus token stream sketched at
-    width=512 x depth=3, queried for the exact top-30 tokens plus
-    known-absent keys."""
-    from qualityassurancetool_spark.functions.hashing import tokens
-    from qualityassurancetool_spark.operators.cms import (
-        cms_build,
-        cms_query,
-    )
-
-    W, D = 512, 3
-    docs = _docs(spark, sf_dir)
-    stream = docs.select(
-        F.explode(tokens(F.col("text"))).alias("k")
-    ).where(F.length("k") > 0)
-    sketch = cms_build(stream, "k", width=W, depth=D)
-    top = (
-        stream.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "k")
-        .limit(30)
-        .select("k")
-    )
-    keys = top.unionByName(
-        spark.createDataFrame(
-            [("qqq-absent-1",), ("qqq-absent-2",)], ["k"]
-        )
-    )
-    sdf = cms_query(sketch, keys, "k", width=W, depth=D)
-    cell = (
-        "CAST(concat('0x', substring(md5(concat('cms:', r, ':', k)),"
-        f" 1, 15)) AS BIGINT) % {W}"
-    )
-    sql = f"""
-WITH tok AS (
-    SELECT unnest(string_split({_NORM}, ' ')) AS k FROM documents
-),
-nz AS (SELECT k FROM tok WHERE length(k) > 0),
-cells AS (
-    SELECT r.range AS row, {cell} AS col, COUNT(*) AS n
-    FROM nz, range(0, {D}) r
-    GROUP BY 1, 2
-),
-keys AS (
-    SELECT k FROM (
-        SELECT k, COUNT(*) AS n FROM nz GROUP BY k
-        ORDER BY n DESC, k LIMIT 30
-    )
-    UNION ALL SELECT 'qqq-absent-1' UNION ALL SELECT 'qqq-absent-2'
-),
-kcells AS (
-    SELECT keys.k, r.range AS row, {cell} AS col
-    FROM keys, range(0, {D}) r
-)
-SELECT kc.k, MIN(COALESCE(c.n, 0)) AS est
-FROM kcells kc LEFT JOIN cells c USING (row, col)
-GROUP BY kc.k
-"""
-    return sdf, sql
-
-
-def x_multipattern(spark, con, sf_dir):
-    """Aho-Corasick multi-pattern counts (overlapping occurrences over
-    normalized text) vs a DuckDB position-scan replica — the O(n+m)
-    automaton must agree with the O(n*m) brute force exactly."""
-    from qualityassurancetool_spark.operators.multipattern import (
-        match_counts,
-    )
-
-    PATS = ["scan", "fast ", "que", "table table", "a a"]
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    sdf = match_counts(docs, PATS)
-    vals = ", ".join(f"('{p}')" for p in PATS)
-    # the operator pads the normalized text with one space each side so
-    # boundary-anchor patterns match at document edges — mirror it here
-    sql = f"""
-WITH docs AS (SELECT doc_id, ' ' || {_NORM} || ' ' AS t FROM documents),
-pats(p) AS (VALUES {vals}),
-hits AS (
-    SELECT d.doc_id, p.p, COUNT(*) AS c
-    FROM docs d
-    JOIN pats p ON TRUE
-    JOIN generate_series(1, 100000) g(i)
-      ON i + length(p.p) - 1 <= length(d.t)
-     AND substr(d.t, i, length(p.p)) = p.p
-    GROUP BY d.doc_id, p.p
-)
-SELECT d.doc_id,
-       CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS n_matches,
-       CAST(COUNT(h.p) AS INT) AS n_patterns_matched
-FROM docs d LEFT JOIN hits h USING (doc_id)
-GROUP BY d.doc_id
-"""
-    return sdf, sql
-
-
 def x_badwords(spark, con, sf_dir):
     """Curation badwords rule (C4 bad-words page filter: whole-word /
     whole-phrase membership as pure Columns) vs the DuckDB replica."""
@@ -3011,6 +2845,17 @@ def _retired(name):
 
 
 x_filtered_revenue = _retired("filtered_revenue")
+# round-5 swap (VERDICT r4 item 2): three more trivial rows retired in
+# favor of the round-4 flagships bm25/cms/multipattern
+x_window_union_overlap = _retired("window_union_overlap")
+# inverse of retirement: bm25/cms/multipattern were PROMOTED into the
+# driver gate this round; their x_* names stay as the same delegation
+# so historical harness invocations keep working without code drift
+x_bm25 = _retired("bm25")
+x_cms = _retired("cms")
+x_multipattern = _retired("multipattern")
+x_distinct_streams = _retired("distinct_streams")
+x_time_window_scan = _retired("time_window_scan")
 x_embedding_stats = _retired("embedding_stats")
 x_nation_region_rollup = _retired("nation_region_rollup")
 x_customers_without_orders = _retired("customers_without_orders")
@@ -3077,6 +2922,9 @@ EXTRA_CHECKS = {
     "x_badwords": x_badwords,
     "x_winsorize": x_winsorize,
     "x_filtered_revenue": x_filtered_revenue,
+    "x_window_union_overlap": x_window_union_overlap,
+    "x_distinct_streams": x_distinct_streams,
+    "x_time_window_scan": x_time_window_scan,
     "x_embedding_stats": x_embedding_stats,
     "x_nation_region_rollup": x_nation_region_rollup,
     "x_customers_without_orders": x_customers_without_orders,
