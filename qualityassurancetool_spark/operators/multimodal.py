@@ -32,8 +32,12 @@ from pyspark.sql import types as T
 
 
 def _resolve_decoder(decoder: str | None, purpose: str) -> str:
-    """→ "fake" | "pil".  Resolution happens executor-side per batch so a
-    heterogeneous cluster image fails loudly, not silently."""
+    """→ "fake" | "pil" | "png".  Resolution happens executor-side per
+    batch so a heterogeneous cluster image fails loudly, not silently.
+    ``auto`` prefers Pillow (all codecs) and falls back to the vendored
+    pure-stdlib PNG codec (``functions/png``) — real decode with a
+    per-item fake fallback for non-PNG payloads, so hermetic containers
+    still exercise real pixels."""
     if decoder is None:
         decoder = (
             "fake" if os.environ.get("QAT_FAKE_DECODE", "1") == "1" else "auto"
@@ -44,7 +48,9 @@ def _resolve_decoder(decoder: str | None, purpose: str) -> str:
 
             return "pil"
         except ImportError:
-            return "fake"
+            return "png"
+    if decoder == "png":
+        return "png"
     if decoder == "pil":
         try:
             import PIL  # noqa: F401
@@ -58,7 +64,7 @@ def _resolve_decoder(decoder: str | None, purpose: str) -> str:
             ) from None
     if decoder == "fake":
         return "fake"
-    raise ValueError(f"unknown decoder {decoder!r} (fake|pil|auto)")
+    raise ValueError(f"unknown decoder {decoder!r} (fake|pil|png|auto)")
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -117,8 +123,8 @@ def extract_features(
     selected by ``decoder`` (module docstring) — default honors
     ``QAT_FAKE_DECODE`` (fake, hermetic)."""
 
-    if decoder not in (None, "fake", "pil", "auto"):
-        raise ValueError(f"unknown decoder {decoder!r} (fake|pil|auto)")
+    if decoder not in (None, "fake", "pil", "png", "auto"):
+        raise ValueError(f"unknown decoder {decoder!r} (fake|pil|png|auto)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mode = _resolve_decoder(decoder, "media feature extraction")
@@ -126,6 +132,11 @@ def extract_features(
             if mode == "pil":
                 feats = [
                     _pil_feature(c, k, dim)
+                    for c, k in zip(pdf["content"], pdf["kind"])
+                ]
+            elif mode == "png":
+                feats = [
+                    _png_feature(c, k, dim)
                     for c, k in zip(pdf["content"], pdf["kind"])
                 ]
             else:
@@ -167,6 +178,44 @@ def _fit_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
     return max(int(w * scale), 1), max(int(h * scale), 1)
 
 
+def _png_feature(content: bytes, kind: str, dim: int) -> list[float]:
+    """Real image feature via the vendored PNG codec: luma box-thumbnail
+    of ``dim`` pixels (one row), normalized to [0,1).  Non-image kinds
+    and non-PNG / exotic payloads fall back to the byte-derived fake —
+    the same per-item contract as the Pillow kernel."""
+    if kind != "image" or not content:
+        return _fake_feature(content or b"", dim)
+    try:
+        from qualityassurancetool_spark.functions.png import (
+            box_resize,
+            decode_png,
+            to_gray,
+        )
+
+        w, h, ch, px = decode_png(content)
+        gray = to_gray(w, h, ch, px)
+        row = box_resize(gray, w, h, 1, dim, 1)
+        return [p / 255.0 for p in row]
+    except Exception:
+        return _fake_feature(content, dim)
+
+
+def _png_resize(content: bytes, nw: int, nh: int) -> bytes | None:
+    """Real resize via the vendored PNG codec (box filter, re-encoded
+    PNG); undecodable → None content (recorded, not fatal)."""
+    try:
+        from qualityassurancetool_spark.functions.png import (
+            box_resize,
+            decode_png,
+            encode_png,
+        )
+
+        w, h, ch, px = decode_png(content)
+        return encode_png(nw, nh, ch, box_resize(px, w, h, ch, nw, nh))
+    except Exception:
+        return None
+
+
 def _pil_resize(content: bytes, nw: int, nh: int) -> bytes | None:
     """Real resize via Pillow, re-encoded as PNG; undecodable → None
     content (recorded, not fatal)."""
@@ -197,8 +246,8 @@ def resize_images(
     decodes, resizes and re-encodes PNG.
     """
 
-    if decoder not in (None, "fake", "pil", "auto"):
-        raise ValueError(f"unknown decoder {decoder!r} (fake|pil|auto)")
+    if decoder not in (None, "fake", "pil", "png", "auto"):
+        raise ValueError(f"unknown decoder {decoder!r} (fake|pil|png|auto)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mode = _resolve_decoder(decoder, "image resize")
@@ -212,6 +261,8 @@ def resize_images(
                 if w > 0 and h > 0 and (nw, nh) != (w, h):
                     if mode == "pil":
                         c = _pil_resize(c, nw, nh)
+                    elif mode == "png":
+                        c = _png_resize(c, nw, nh)
                     else:
                         # deterministic stand-in: stride-subsample the
                         # bytes by the area ratio (output size shrinks
