@@ -2817,6 +2817,93 @@ FROM events e JOIN q USING (event_type)
     return sdf, sql
 
 
+
+def x_rrf(spark, con, sf_dir):
+    """Hybrid retrieval fusion (operators/fusion.rrf_fuse): REAL sparse
+    (bm25_topk) + dense (brute_force_topk cosine) shortlists over the
+    aligned documents/embeddings tables, fused with RRF c=60 — vs a
+    DuckDB replica of the rank derivation + reciprocal-rank sum over
+    the SAME shortlists (both ends are independently oracled by x_bm25
+    and sim_topk; this pins the fusion arithmetic cross-engine)."""
+    from qualityassurancetool_spark.functions.hashing import tokens
+    from qualityassurancetool_spark.operators.bm25 import bm25_topk
+    from qualityassurancetool_spark.operators.fusion import rrf_fuse
+    from qualityassurancetool_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q_ids = F.col("doc_id") % 100 == 0
+    sparse = bm25_topk(
+        docs,
+        docs.where(q_ids).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(
+                    F.filter(
+                        tokens(F.col("text")), lambda t: F.length(t) > 0
+                    ),
+                    1,
+                    5,
+                ),
+                " ",
+            ).alias("query_text"),
+        ),
+        k=10,
+    ).select("query_id", "doc_id", "score")
+    dense = brute_force_topk(
+        emb,
+        emb.where(F.col("vec_id") % 100 == 0),
+        k=10,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cosine").alias("score"),
+    )
+    sdf = rrf_fuse(
+        {"bm25": sparse, "ann": dense}, c=60.0, weights={"ann": 2.0}, k=10
+    ).select(
+        "query_id",
+        "doc_id",
+        (F.round("rrf_score", 9) + F.lit(0.0)).alias("rrf_r"),
+        "n_sources",
+    )
+    con.register("rrf_sparse", sparse.toPandas())
+    con.register("rrf_dense", dense.toPandas())
+    sql = """
+WITH tagged AS (
+    SELECT query_id, doc_id,
+           1.0 / (60 + row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           )) AS contrib
+    FROM rrf_sparse
+    UNION ALL
+    SELECT query_id, doc_id,
+           2.0 / (60 + row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           )) AS contrib
+    FROM rrf_dense
+),
+fused AS (
+    SELECT query_id, doc_id, SUM(contrib) AS rrf,
+           CAST(COUNT(*) AS INT) AS n_sources
+    FROM tagged GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, round(rrf, 9) + 0.0 AS rrf_r, n_sources
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id
+    ) AS rn FROM fused
+)
+WHERE rn <= 10
+"""
+    return sdf, sql
+
+
 def _entry_mod():
     import importlib.util
 
@@ -2917,6 +3004,7 @@ EXTRA_CHECKS = {
     "x_l2_normalize": x_l2_normalize,
     "x_time_split": x_time_split,
     "x_bm25": x_bm25,
+    "x_rrf": x_rrf,
     "x_cms": x_cms,
     "x_multipattern": x_multipattern,
     "x_badwords": x_badwords,
