@@ -44,6 +44,7 @@ def asof_nearest_join(
     dep_ts: str = "phenomenon_time",
     ind_ts: str = "phenomenon_time",
     ind_prefix: str = "ind_",
+    salt: int | None = None,
 ) -> DataFrame:
     """Generic nearest-within-tolerance as-of join.
 
@@ -51,7 +52,15 @@ def asof_nearest_join(
     prefixed with ``ind_prefix`` (null where no partner within tolerance).
     Ties on |Δt| break on the smaller independent timestamp, then any
     ``iot_id`` column if present (fully deterministic).
-    """
+
+    ``salt=R`` splits each (bucket) join key into R sub-keys: the
+    independent side gets a content-hash salt, the dependent side
+    replicates each exploded row across all R salts.  Identical output
+    (the nearest-pick aggregation groups on the dependent row id, so it
+    folds across salt copies) — use when one tolerance bucket holds a
+    pathological share of the independent side (burst / stuck sensor)
+    and the metered straggler factor matters more than the ×R dependent
+    replication (measured head-to-head in docs/SCALE.md)."""
     tol_us = int(parse_timedelta_seconds(tolerance) * 1_000_000)
     if tol_us <= 0:
         raise ValueError("tolerance must be positive")
@@ -81,12 +90,29 @@ def asof_nearest_join(
         "_ind_bucket", F.floor(F.col("_ind_us") / tol_us).cast("long")
     )
 
-    joined = dep_b.join(
-        ind_b,
-        (F.col("_bucket") == F.col("_ind_bucket"))
-        & (F.abs(F.col("_dep_us") - F.col("_ind_us")) <= tol_us),
-        how="left",
+    cond = (F.col("_bucket") == F.col("_ind_bucket")) & (
+        F.abs(F.col("_dep_us") - F.col("_ind_us")) <= tol_us
     )
+    if salt is not None:
+        if salt < 2:
+            raise ValueError("salt must be >= 2 (or None)")
+        # content-hash salt on the independent side (µs + id when
+        # present) spreads a hot bucket across R reduce partitions
+        salt_src = [F.col("_ind_us")]
+        if f"{ind_prefix}iot_id" in ind_b.columns:
+            salt_src.append(F.col(f"{ind_prefix}iot_id"))
+        ind_b = ind_b.withColumn(
+            "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt)).cast("int")
+        )
+        dep_b = dep_b.withColumn(
+            "_dep_salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int"))
+            ),
+        )
+        cond = cond & (F.col("_dep_salt") == F.col("_salt"))
+
+    joined = dep_b.join(ind_b, cond, how="left")
 
     # nearest pick as ONE min(struct) hash aggregation instead of a
     # row_number window: partial aggregation ships a single candidate per

@@ -255,13 +255,25 @@ def near_dedup_against_corpus(
         new_df, text_col, id_col, k, w, hash_mode
     ).persist()
     sizes = fp_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    # Change-volume proportionality (metered, round 5): semi-join the
+    # corpus-sized index down to fingerprints that occur in the NEW
+    # batch BEFORE the df count — the semi-join keeps ALL index rows of
+    # a surviving fingerprint, so df over the reduced set equals df
+    # over the full index for exactly the fingerprints that can join
+    # (identical output; fingerprints absent from the batch can't
+    # affect it).  With a daily-refresh-sized batch AQE plans this as a
+    # broadcast semi-join: the index is SCANNED (compact longs) but
+    # never shuffled, and everything downstream is hit-sized.
+    seen_hit = seen_fp.join(
+        fp_new.select("fingerprint").distinct(), "fingerprint", "left_semi"
+    ).persist()
     rare_seen = (
-        seen_fp.groupBy("fingerprint")
+        seen_hit.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select("fingerprint")
     )
-    seen_r = seen_fp.join(rare_seen, "fingerprint").select(
+    seen_r = seen_hit.join(rare_seen, "fingerprint").select(
         F.col(id_col).alias("_seen_id"), "fingerprint"
     )
     shared = (

@@ -247,3 +247,41 @@ def test_window_strategy_halo_across_bucket_edges(spark):
     assert got[10]["qc_flag"] == 4
     assert got[11]["qc_flag"] == 3
     assert got[12] is None
+
+
+def test_salted_asof_identical_output(spark):
+    """salt=R replicates dependent rows across R sub-keys and salts the
+    independent side — the nearest-pick fold over _dep_row makes the
+    output identical, matched and unmatched rows alike."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.operators.asof import asof_nearest_join
+
+    base = dt.datetime(2024, 1, 1)
+    dep = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=7 * i)) for i in range(200)]
+        # far future: provably unmatched rows (the left-join null path)
+        + [(900 + i, base + dt.timedelta(days=30 + i)) for i in range(5)],
+        "iot_id long, phenomenon_time timestamp",
+    )
+    # burst: half the independent rows inside one 30-s bucket
+    ind = spark.createDataFrame(
+        [
+            (1000 + i,
+             base + dt.timedelta(seconds=(i % 30) if i % 2 == 0 else 11 * i),
+             float(i))
+            for i in range(300)
+        ],
+        "iot_id long, phenomenon_time timestamp, result double",
+    )
+    plain = asof_nearest_join(dep, ind, "30s").collect()
+    salted = asof_nearest_join(dep, ind, "30s", salt=8).collect()
+    key = lambda r: r["iot_id"]  # noqa: E731
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+    # sanity: some matched, some unmatched
+    matched = [r for r in plain if r["ind_iot_id"] is not None]
+    assert 0 < len(matched) < len(plain)
+    with __import__("pytest").raises(ValueError, match="salt"):
+        asof_nearest_join(dep, ind, "30s", salt=1)
