@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "sim_topk",
     "text_quality_filters",
     "sample_stratified",
+    # round-5 promoted flagships (driver-gate rows since r5)
+    "bm25",
+    "cms",
+    "multipattern",
 ]
 
 

