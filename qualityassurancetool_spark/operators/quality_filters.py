@@ -109,6 +109,163 @@ def quality_signals(
     )
 
 
+# ------------------------------------------------------------ Gopher rules
+
+# Rae et al. 2021 (Gopher), §A.1.1 — the published page-filter
+# thresholds.  Public literature; the same rule set Dolma/RedPajama
+# reuse.  The required-stopword list is the paper's.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,   # '#' and '…'/'...' per word
+    "max_bullet_line_frac": 0.9,    # lines starting with a bullet
+    "max_ellipsis_line_frac": 0.3,  # lines ending with an ellipsis
+    "min_alpha_word_frac": 0.8,     # words containing >= 1 letter
+    "min_stopword_hits": 2,         # distinct required stopwords
+}
+
+
+def gopher_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher §A.1.1 signal frame — pure Columns, row-local,
+    no shuffle.  Word signals run over the corpus-standard normalized
+    token array; line signals over raw ``\\n`` lines with leading/
+    trailing spaces trimmed (bullets are detected post-trim).  Exact
+    DuckDB rendering in ``tools/extra_oracles.py::x_gopher``."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.filter(
+            F.split(normalize_text(t), " "), lambda w: F.length(w) > 0
+        ).alias("_w"),
+        F.transform(
+            F.split(t, "\n"), lambda ln: F.trim(ln)
+        ).alias("_ln"),
+    )
+    sig = gopher_signal_columns(F.col("_t"), F.col("_w"), F.col("_ln"))
+    return staged.select(
+        F.col(id_col), *[c.alias(k) for k, c in sig.items()]
+    )
+
+
+def gopher_signal_columns(t: Column, w: Column, ln: Column) -> dict:
+    """The seven Gopher signal Columns from pre-staged attributes —
+    ``t`` raw text, ``w`` NON-EMPTY normalized tokens, ``ln`` trimmed
+    lines (attribute-only contract: callers materialize the arrays once
+    behind a barrier and pass the attributes).  Shared by
+    :func:`gopher_signals` and the curation plan's ``gopher_rules``
+    measures."""
+    n_words = F.size(w)
+    nonempty = F.filter(ln, lambda x: F.length(x) > 0)
+    n_lines = F.size(nonempty)
+    # '#' count + ellipsis count ('…' or '...'; the 3-char form counted
+    # by length delta / 3 so '......' counts twice, like a regex scan)
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    dots = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    uni = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    bullet = F.size(
+        F.filter(
+            nonempty,
+            lambda x: x.startswith("•")
+            | x.startswith("-")
+            | x.startswith("*"),
+        )
+    )
+    ellipsis_end = F.size(
+        F.filter(nonempty, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(w),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.when(
+            n_words > 0,
+            F.aggregate(
+                w, F.lit(0), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / n_words,
+        ).otherwise(F.lit(0.0)),
+        "symbol_word_ratio": F.when(
+            n_words > 0, (hashes + dots + uni) / n_words
+        ).otherwise(F.lit(0.0)),
+        "bullet_line_frac": F.when(n_lines > 0, bullet / n_lines).otherwise(
+            F.lit(0.0)
+        ),
+        "ellipsis_line_frac": F.when(
+            n_lines > 0, ellipsis_end / n_lines
+        ).otherwise(F.lit(0.0)),
+        "alpha_word_frac": F.when(
+            n_words > 0, alpha_words / n_words
+        ).otherwise(F.lit(0.0)),
+        "stopword_hits": stop_hits.cast("int"),
+    }
+
+
+def gopher_fail_expr(thresholds: dict | None = None) -> Column:
+    """First-failed-rule name Column (null = kept), published rule
+    order, reading the seven signal columns by name — usable over a
+    :func:`gopher_signals` frame OR any frame that carries the same
+    columns (the curation plan stages them as measures)."""
+    th = {**GOPHER_DEFAULTS, **(thresholds or {})}
+    rules = [
+        ("n_words_low", F.col("n_words") < th["min_words"]),
+        ("n_words_high", F.col("n_words") > th["max_words"]),
+        (
+            "mean_word_len",
+            (F.col("mean_word_len") < th["min_mean_word_len"])
+            | (F.col("mean_word_len") > th["max_mean_word_len"]),
+        ),
+        (
+            "symbol_ratio",
+            F.col("symbol_word_ratio") > th["max_symbol_word_ratio"],
+        ),
+        (
+            "bullet_lines",
+            F.col("bullet_line_frac") > th["max_bullet_line_frac"],
+        ),
+        (
+            "ellipsis_lines",
+            F.col("ellipsis_line_frac") > th["max_ellipsis_line_frac"],
+        ),
+        (
+            "alpha_words",
+            F.col("alpha_word_frac") < th["min_alpha_word_frac"],
+        ),
+        (
+            "stopwords",
+            F.col("stopword_hits") < th["min_stopword_hits"],
+        ),
+    ]
+    fail = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        fail = F.when(cond, F.lit(name)).otherwise(fail)
+    return fail
+
+
+def gopher_keep(
+    signals: DataFrame, thresholds: dict | None = None
+) -> DataFrame:
+    """``(id, signals..., gopher_fail, keep)`` verdicts over a
+    :func:`gopher_signals` frame; ``gopher_fail`` names the FIRST failed
+    rule in the published order (null when kept)."""
+    return signals.select(
+        *signals.columns,
+        gopher_fail_expr(thresholds).alias("gopher_fail"),
+    ).withColumn("keep", F.col("gopher_fail").isNull())
+
+
 # ---------------------------------------------------------------- redaction
 
 REDACT_ORDER = [

@@ -54,6 +54,7 @@ class CurationConfig:
     max_symbol_ratio: float | None = None
     max_pii_total: int | None = None
     c4_page_rules: bool = False
+    gopher_rules: bool = False  # Rae et al. 2021 A.1.1 page filters
     badwords: list[str] = field(default_factory=list)
     min_classifier_prob: float | None = None
     min_dsir_score: float | None = None
@@ -67,7 +68,8 @@ class CurationConfig:
         known = {
             "langs", "min_quality", "max_dup_line_fraction",
             "max_word_rep_ratio", "max_symbol_ratio", "max_pii_total",
-            "c4_page_rules", "badwords", "min_classifier_prob",
+            "c4_page_rules", "gopher_rules", "badwords",
+            "min_classifier_prob",
             "min_dsir_score", "blocked_domains", "dedup",
             "sample_fractions", "sample_salt",
         }
@@ -94,6 +96,10 @@ class CurationConfig:
             v = d.get(k)
             if v is not None and not (0.0 <= float(v) <= 1.0):
                 raise ConfigError(f"{k} must be in [0, 1], got {v}")
+        if not isinstance(d.get("gopher_rules", False), bool):
+            raise ConfigError(
+                f"gopher_rules must be a bool, got {d['gopher_rules']!r}"
+            )
         if not isinstance(d.get("c4_page_rules", False), bool):
             raise ConfigError(
                 f"c4_page_rules must be a bool, got {d['c4_page_rules']!r}"
@@ -127,6 +133,7 @@ class CurationConfig:
                 else None
             ),
             c4_page_rules=bool(d.get("c4_page_rules", False)),
+            gopher_rules=bool(d.get("gopher_rules", False)),
             min_classifier_prob=(
                 float(d["min_classifier_prob"])
                 if d.get("min_classifier_prob") is not None
@@ -286,6 +293,34 @@ def curate(
         for phrase in C4_PAGE_BLOCKLIST:
             block = block | lower.contains(phrase)
         measures["_c4_drop"] = block | (F.size(kept) < 1)
+    if cfg.gopher_rules:
+        from qualityassurancetool_spark.operators.quality_filters import (
+            gopher_signal_columns,
+        )
+
+        # stage the two arrays once (attribute-only contract), then the
+        # seven signals as measures; the rule CASE reads them by name
+        scored = compute_behind_barrier(
+            scored,
+            {
+                "_gw": F.filter(
+                    F.col("_toks"), lambda x: F.length(x) > 0
+                ),
+                "_gln": F.transform(
+                    F.split(
+                        F.coalesce(F.col(text_col), F.lit("")), "\n"
+                    ),
+                    lambda x: F.trim(x),
+                ),
+            },
+        )
+        measures.update(
+            gopher_signal_columns(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.col("_gw"),
+                F.col("_gln"),
+            )
+        )
     if cfg.min_dsir_score is not None:
         if dsir_log_ratio is None:
             raise ConfigError("min_dsir_score requires a dsir_log_ratio")
@@ -344,6 +379,12 @@ def curate(
         checks.append(("badwords", F.col("_badword")))
     if cfg.c4_page_rules:
         checks.append(("c4_page", F.col("_c4_drop")))
+    if cfg.gopher_rules:
+        from qualityassurancetool_spark.operators.quality_filters import (
+            gopher_fail_expr,
+        )
+
+        checks.append(("gopher", gopher_fail_expr().isNotNull()))
     if cfg.max_pii_total is not None:
         checks.append(("pii", F.col("_pii") > cfg.max_pii_total))
     if cfg.blocked_domains:
@@ -392,7 +433,11 @@ def curate(
     return out.drop(
         *[c for c in ("_norm", "_toks", "_ls", "_dlf", "_wrr", "_sym",
                       "_pii", "_blocked", "_clf_b", "_clf_prob",
-                      "_c4_drop", "_dsir_b", "_dsir", "_near_dup")
+                      "_c4_drop", "_dsir_b", "_dsir", "_near_dup",
+                      "_gw", "_gln", "n_words", "mean_word_len",
+                      "symbol_word_ratio", "bullet_line_frac",
+                      "ellipsis_line_frac", "alpha_word_frac",
+                      "stopword_hits")
           if c in out.columns]
     )
 

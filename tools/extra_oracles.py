@@ -2904,6 +2904,102 @@ WHERE rn <= 10
     return sdf, sql
 
 
+
+def x_gopher(spark, con, sf_dir):
+    """Gopher A.1.1 page-filter signals + first-failed-rule verdicts
+    (operators/quality_filters.gopher_signals/gopher_keep) vs a full
+    DuckDB list-function replica."""
+    from qualityassurancetool_spark.operators.quality_filters import (
+        gopher_keep,
+        gopher_signals,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    th = {"min_words": 20}  # sf docs are short; exercise the other rules
+    sdf = gopher_keep(gopher_signals(docs), th).select(
+        "doc_id",
+        "n_words",
+        (F.round("mean_word_len", 6) + F.lit(0.0)).alias("mwl_r"),
+        (F.round("symbol_word_ratio", 6) + F.lit(0.0)).alias("swr_r"),
+        (F.round("alpha_word_frac", 6) + F.lit(0.0)).alias("awf_r"),
+        "stopword_hits",
+        "gopher_fail",
+        "keep",
+    )
+    stop = ", ".join(f"'{w}'" for w in
+                     ["the", "be", "to", "of", "and", "that", "have",
+                      "with"])
+    sql = f"""
+WITH d AS (
+    SELECT doc_id, COALESCE(text, '') AS t,
+           list_filter(string_split({_NORM}, ' '),
+                       x -> length(x) > 0) AS w
+    FROM documents
+),
+sig AS (
+    SELECT doc_id,
+        len(w) AS n_words,
+        CASE WHEN len(w) > 0 THEN
+            CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                / len(w)
+        ELSE 0.0 END AS mwl,
+        CASE WHEN len(w) > 0 THEN
+            ((length(t) - length(replace(t, '#', '')))
+             + (length(t) - length(replace(t, '...', ''))) / 3.0
+             + (length(t) - length(replace(t, chr(8230), ''))))
+            / len(w)
+        ELSE 0.0 END AS swr,
+        CASE WHEN len(w) > 0 THEN
+            CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                 AS DOUBLE) / len(w)
+        ELSE 0.0 END AS awf,
+        (SELECT nl FROM (SELECT list_filter(
+            list_transform(string_split(t, chr(10)), l -> trim(l)),
+            l -> length(l) > 0) AS nl)) AS lines,
+        CAST(len(list_intersect(list_distinct(w), [{stop}])) AS INT)
+            AS stop_hits
+    FROM d
+),
+sig2 AS (
+    SELECT doc_id, n_words, mwl, swr, awf, stop_hits,
+        CASE WHEN len(lines) > 0 THEN
+            CAST(len(list_filter(lines,
+                l -> substr(l, 1, 1) IN (chr(8226), '-', '*')))
+                AS DOUBLE) / len(lines)
+        ELSE 0.0 END AS blf,
+        CASE WHEN len(lines) > 0 THEN
+            CAST(len(list_filter(lines,
+                l -> l LIKE '%...' OR l LIKE '%' || chr(8230)))
+                AS DOUBLE) / len(lines)
+        ELSE 0.0 END AS elf
+    FROM sig
+),
+verdict AS (
+    SELECT *,
+        CASE
+            WHEN n_words < 20 THEN 'n_words_low'
+            WHEN n_words > 100000 THEN 'n_words_high'
+            WHEN mwl < 3.0 OR mwl > 10.0 THEN 'mean_word_len'
+            WHEN swr > 0.1 THEN 'symbol_ratio'
+            WHEN blf > 0.9 THEN 'bullet_lines'
+            WHEN elf > 0.3 THEN 'ellipsis_lines'
+            WHEN awf < 0.8 THEN 'alpha_words'
+            WHEN stop_hits < 2 THEN 'stopwords'
+        END AS gopher_fail
+    FROM sig2
+)
+SELECT doc_id, n_words,
+       round(mwl, 6) + 0.0 AS mwl_r,
+       round(swr, 6) + 0.0 AS swr_r,
+       round(awf, 6) + 0.0 AS awf_r,
+       stop_hits AS stopword_hits,
+       gopher_fail,
+       gopher_fail IS NULL AS keep
+FROM verdict
+"""
+    return sdf, sql
+
+
 def _entry_mod():
     import importlib.util
 
@@ -3005,6 +3101,7 @@ EXTRA_CHECKS = {
     "x_time_split": x_time_split,
     "x_bm25": x_bm25,
     "x_rrf": x_rrf,
+    "x_gopher": x_gopher,
     "x_cms": x_cms,
     "x_multipattern": x_multipattern,
     "x_badwords": x_badwords,
