@@ -34,18 +34,20 @@ def run_qc_pipeline(
 ) -> DataFrame:
     """Apply range/gradient/zscore checks per the config; returns the
     observations with the merged ``qc_flag``."""
-    thresholds = config.thresholds_df(spark)
-    df = observations.join(
-        F.broadcast(thresholds),
-        observations[stream_key].cast("string") == thresholds["stream_id"],
-        "left",
-    ).drop("stream_id")
-
     # window_strategy: bucketed routes EVERY window stage of the chain
     # through the streams×buckets twins — the measured fix for low
     # stream cardinality, where a plain per-stream window caps
     # parallelism at n_streams cores (docs/SCALE.md QC rehearsal)
     bucketed = getattr(config, "window_strategy", "window") == "bucketed"
+
+    # BOTH window stages run on the un-joined observations: neither
+    # gradient nor z-score reads a threshold column, and the broadcast
+    # threshold join only widens every shuffled/halo-replicated row by
+    # ~8 columns, so joining AFTER the windows shuffles the slim frame
+    # (output-identical: the z-score's only-good guard masks the OUTPUT
+    # by flag state, never the window membership — reference
+    # src/main.py:750 computes the stats over all rows too)
+    df = observations
 
     # gradient (np.gradient parity, per stream)
     if bucketed:
@@ -63,6 +65,31 @@ def run_qc_pipeline(
                 "result", "phenomenon_time", [stream_key], ["iot_id"]
             ),
         )
+
+    # raw (unguarded) rolling z-score, still on the slim frame
+    if bucketed or getattr(config, "zscore_strategy", "window") == "bucketed":
+        from qualityassurancetool_spark.operators.partitioned_windows import (
+            calc_zscore_bucketed,
+        )
+
+        df = calc_zscore_bucketed(
+            df,
+            rolling_time_window=config.zscore_time_window,
+            group_col=stream_key,
+        )
+    else:
+        df = calc_zscore(
+            df,
+            rolling_time_window=config.zscore_time_window,
+            group_col=stream_key,
+        )
+
+    thresholds = config.thresholds_df(spark)
+    df = df.join(
+        F.broadcast(thresholds),
+        df[stream_key].cast("string") == thresholds["stream_id"],
+        "left",
+    ).drop("stream_id")
 
     # strict range on the raw value + gradient range, folded in ONE merge:
     # neither flag reads the pre-merge flag state and severity-max is
@@ -85,35 +112,16 @@ def run_qc_pipeline(
         flag_col, flag_merge(F.col(flag_col), range_flag, grad_flag)
     )
 
-    # rolling z-score computed only on rows still ≤ PROBABLY_GOOD
-    # (semantic guard, reference src/main.py:750).  zscore_strategy
-    # "bucketed" routes the identical stats through the streams×buckets
-    # twin — the measured fix for low stream cardinality, where a plain
-    # per-stream window caps parallelism at n_streams cores (2.9 s vs
-    # 9.8 s at 10M rows / 5 streams, docs/SCALE.md QC rehearsal)
-    if bucketed or getattr(config, "zscore_strategy", "window") == "bucketed":
-        from qualityassurancetool_spark.flags import still_good_mask
-        from qualityassurancetool_spark.operators.partitioned_windows import (
-            calc_zscore_bucketed,
-        )
+    # the z-score check applies only to rows still ≤ PROBABLY_GOOD
+    # (semantic guard, reference src/main.py:750) — the guard masks the
+    # SCORE by the post-range/gradient flag state; the stats themselves
+    # were computed above, pre-join, over all rows (as the reference's
+    # pandas rolling does)
+    from qualityassurancetool_spark.flags import still_good_mask
 
-        df = calc_zscore_bucketed(
-            df,
-            rolling_time_window=config.zscore_time_window,
-            group_col=stream_key,
-        )
-        df = df.withColumn(
-            "zscore",
-            F.when(still_good_mask(flag_col), F.col("zscore")),
-        )
-    else:
-        df = calc_zscore(
-            df,
-            rolling_time_window=config.zscore_time_window,
-            group_col=stream_key,
-            only_good=True,
-            flag_col=flag_col,
-        )
+    df = df.withColumn(
+        "zscore", F.when(still_good_mask(flag_col), F.col("zscore"))
+    )
     z_flag = flag_from_bool(
         out_of_range_bool(
             F.col("zscore"), F.col("qc_zscore_min"), F.col("qc_zscore_max")
