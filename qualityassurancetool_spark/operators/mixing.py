@@ -94,3 +94,75 @@ def mixture_report(mixture: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("source", "epoch")
     )
+
+
+def temperature_weights(
+    sizes: dict[str, float],
+    alpha: float = 0.3,
+    target_total: float | None = None,
+    max_epochs: float | None = None,
+) -> dict[str, float]:
+    """Epoch weights for :func:`mix_corpora` from TEMPERATURE sampling —
+    the multilingual/multi-domain recipe (XLM Lample-Conneau 2019 §3.1,
+    mT5 Xue et al. 2021): domain sampling probability
+    ``p_d ∝ n_d^alpha``, so low-resource domains are upsampled as
+    ``alpha`` drops (``alpha=1`` → natural proportions, ``alpha=0`` →
+    uniform across domains).
+
+    ``sizes[name]`` is the domain's size in whatever unit the budget is
+    denominated (docs or tokens); ``target_total`` is the mixture's
+    budget in the same unit (default: the natural total, i.e. resizing
+    only the PROPORTIONS).  Returned ``weights[name]`` = epochs =
+    ``p_d * target_total / n_d`` — exactly what ``mix_corpora`` takes,
+    so the full recipe is::
+
+        w = temperature_weights({n: df.count() for n, df in srcs.items()})
+        mixture = mix_corpora(srcs, w)
+
+    ``max_epochs`` caps upsampling of tiny domains (the standard guard
+    against hundreds of repeats memorizing a small source); the clipped
+    mass is NOT redistributed — the mixture simply lands under budget,
+    which is the transparent behavior (a re-normalizing variant would
+    silently shift every other domain's share).
+
+    Driver-side arithmetic on a per-domain dict (domains are metadata-
+    scale); the heavy lifting stays in ``mix_corpora``'s row-local
+    hash sampling.
+    """
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if any(n <= 0 for n in sizes.values()):
+        bad = {k: v for k, v in sizes.items() if v <= 0}
+        raise ValueError(f"sizes must be positive: {bad}")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    total = float(sum(sizes.values()))
+    budget = float(target_total) if target_total is not None else total
+    if budget <= 0:
+        raise ValueError("target_total must be positive")
+    powered = {k: float(v) ** alpha for k, v in sizes.items()}
+    z = sum(powered.values())
+    weights = {
+        k: (powered[k] / z) * budget / float(sizes[k]) for k in sizes
+    }
+    if max_epochs is not None:
+        if max_epochs <= 0:
+            raise ValueError("max_epochs must be positive")
+        weights = {k: min(w, float(max_epochs)) for k, w in weights.items()}
+    return weights
+
+
+def temperature_mixture(
+    sources: dict[str, DataFrame],
+    alpha: float = 0.3,
+    target_total: float | None = None,
+    max_epochs: float | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mix:",
+) -> DataFrame:
+    """One-stop temperature mixing: count each source (one cheap agg
+    apiece), derive :func:`temperature_weights`, build the
+    deterministic mixture via :func:`mix_corpora`."""
+    sizes = {name: df.count() for name, df in sources.items()}
+    w = temperature_weights(sizes, alpha, target_total, max_epochs)
+    return mix_corpora(sources, w, id_col=id_col, salt=salt)

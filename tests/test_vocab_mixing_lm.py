@@ -221,3 +221,73 @@ def test_lm_perplexity_buckets(spark):
     assert glob.where(F.col("lm_bucket") == "head").count() > 0
     with pytest.raises(ValueError):
         lm_perplexity_buckets(scores, cuts=(0.9, 0.1))
+
+
+def test_temperature_weights_properties():
+    """XLM/mT5 temperature sampling: alpha=1 reproduces natural
+    proportions (every domain exactly 1 epoch at the natural budget);
+    alpha=0 gives every domain an equal share of the budget; lower
+    alpha upsamples the small domain monotonically; max_epochs caps."""
+    import pytest
+
+    from qualityassurancetool_spark.operators.mixing import (
+        temperature_weights,
+    )
+
+    sizes = {"big": 90_000, "mid": 9_000, "small": 1_000}
+    natural = temperature_weights(sizes, alpha=1.0)
+    assert all(w == pytest.approx(1.0) for w in natural.values())
+    uniform = temperature_weights(sizes, alpha=0.0)
+    # equal share of the 100k budget: each domain contributes ~33.3k
+    for k, n in sizes.items():
+        assert uniform[k] * n == pytest.approx(100_000 / 3)
+    w07 = temperature_weights(sizes, alpha=0.7)
+    w03 = temperature_weights(sizes, alpha=0.3)
+    assert w03["small"] > w07["small"] > natural["small"]
+    assert w03["big"] < w07["big"] < natural["big"] + 1e-9
+    # the budget is conserved (no cap): sum of epochs*size == target
+    for w in (natural, uniform, w07, w03):
+        assert sum(w[k] * sizes[k] for k in sizes) == pytest.approx(
+            100_000
+        )
+    capped = temperature_weights(sizes, alpha=0.0, max_epochs=5.0)
+    assert capped["small"] == 5.0
+    # clipped mass NOT redistributed — under budget, transparently
+    assert sum(capped[k] * sizes[k] for k in sizes) < 100_000
+    with pytest.raises(ValueError, match="positive"):
+        temperature_weights({"a": 0})
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(sizes, alpha=-1)
+
+
+def test_temperature_mixture_end_to_end(spark):
+    """temperature_mixture drives mix_corpora: per-source row counts of
+    the materialized mixture track p_d * budget within hash-sampling
+    tolerance, and the mixture is deterministic."""
+    import pytest
+
+    from qualityassurancetool_spark.operators.mixing import (
+        temperature_mixture,
+        temperature_weights,
+    )
+
+    big = spark.range(5000).select(F.col("id").alias("doc_id"))
+    small = spark.range(200).select((F.col("id") + 10_000).alias("doc_id"))
+    sources = {"big": big, "small": small}
+    mix = temperature_mixture(sources, alpha=0.3)
+    counts = {
+        r["source"]: r["n"]
+        for r in mix.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    w = temperature_weights({"big": 5000, "small": 200}, alpha=0.3)
+    assert counts["small"] == pytest.approx(w["small"] * 200, rel=0.12)
+    assert counts["big"] == pytest.approx(w["big"] * 5000, rel=0.05)
+    # small domain upsampled past one epoch
+    assert counts["small"] > 200
+    # determinism: same inputs -> identical mixture
+    again = temperature_mixture(sources, alpha=0.3)
+    assert sorted(map(tuple, mix.collect())) == sorted(
+        map(tuple, again.collect())
+    )

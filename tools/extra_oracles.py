@@ -395,6 +395,62 @@ def x_mixing(spark, con, sf_dir):
     return sdf, sql
 
 
+
+def x_temperature_mix(spark, con, sf_dir):
+    """temperature_mixture (XLM/mT5 alpha-sampling weights driving the
+    deterministic mix) vs a DuckDB replica: weights derived from the
+    SAME published formula in plain python, epochs + fractional hash
+    sampling replicated with the shared md5 arithmetic."""
+    from qualityassurancetool_spark.operators.mixing import (
+        temperature_mixture,
+        temperature_weights,
+    )
+    from qualityassurancetool_spark.operators.sampling import (
+        uniform_hash_sql,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    sources = {
+        "en": docs.where(F.col("lang") == "en"),
+        "other": docs.where(F.col("lang") != "en"),
+    }
+    sdf = temperature_mixture(sources, alpha=0.3).select(
+        "doc_id", "source", "epoch", (F.round("mix_key", 9) + F.lit(0.0)).alias("key_r")
+    )
+    sizes = {n: df.count() for n, df in sources.items()}
+    w = temperature_weights(sizes, alpha=0.3)
+
+    def parts(name, where):
+        import math
+
+        weight = w[name]
+        full, frac = int(math.floor(weight)), weight - int(math.floor(weight))
+        out = []
+        for epoch in range(full):
+            out.append((name, where, epoch, 1.0))
+        if frac > 0:
+            out.append((name, where, full, frac))
+        return out
+
+    def sql_part(name, where, epoch, frac):
+        esalt = f"mix:{name}:{epoch}:"
+        u = uniform_hash_sql("doc_id", esalt)
+        k = uniform_hash_sql("doc_id", esalt + "k:")
+        cond = f"AND {u} < {frac!r}" if frac < 1.0 else ""
+        return (
+            f"SELECT doc_id, '{name}' AS source, {epoch} AS epoch, "
+            f"round({k}, 9) + 0.0 AS key_r FROM documents "
+            f"WHERE {where} {cond}"
+        )
+
+    sql = " UNION ALL ".join(
+        sql_part(*p)
+        for name, where in (("en", "lang = 'en'"), ("other", "lang <> 'en'"))
+        for p in parts(name, where)
+    )
+    return sdf, sql
+
+
 def x_lm_score(spark, con, sf_dir):
     """Char-trigram LM: train on the en slice, score every doc — full
     train+score chain re-implemented in DuckDB (same add-k smoothing,
@@ -3056,6 +3112,7 @@ EXTRA_CHECKS = {
     "x_streaming_dedup": x_streaming_dedup,
     "x_vocab": x_vocab,
     "x_mixing": x_mixing,
+    "x_temperature_mix": x_temperature_mix,
     "x_lm_score": x_lm_score,
     "x_incremental_dedup": x_incremental_dedup,
     "x_tfidf": x_tfidf,
