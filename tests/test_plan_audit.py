@@ -165,3 +165,43 @@ def test_round3b_operator_plan_shapes(spark, sf_dir):
     # global weighted top-k: TakeOrdered, not a full sort
     p = _plan(weighted_sample_topk(docs, 10, "n_chars"))
     assert "TakeOrdered" in p
+
+
+def test_round5_promoted_query_plan_shapes(spark, entrymod, sf_dir):
+    """The three round-5 promoted gate queries keep their designed
+    physical shapes: multipattern is one Arrow pass with no Exchange at
+    all; cms reduces to depth x width cells via partial aggregation
+    (the exchange carries cell counts, never the token stream); bm25's
+    corpus explode is semi-joined to matched query terms before any
+    aggregation."""
+    qs = entrymod.queries()
+    mp = _plan(qs["multipattern"](spark, sf_dir))
+    assert "Exchange" not in mp, mp
+    assert "ArrowEvalPython" in mp or "MapInPandas" in mp
+
+    cms = _plan(qs["cms"](spark, sf_dir))
+    # partial_ rows before the exchange = map-side combine of the cells
+    assert "partial_count" in cms or "partial_sum" in cms, cms
+
+    bm = _plan(qs["bm25"](spark, sf_dir))
+    assert "LeftSemi" in bm, bm
+    # no Python anywhere in the scoring path
+    assert "EvalPython" not in bm and "InPandas" not in bm, bm
+
+
+def test_qc_chain_windows_run_on_slim_frame(spark, entrymod, sf_dir):
+    """Round-5 reorder regression gate: the window stages must execute
+    BEFORE the broadcast thresholds join, so the per-stream window sort
+    never buffers the ~8 threshold columns (measured 135 -> 32 s at 10M
+    rows / 5 streams).  In the executed plan, that means no Window
+    operator appears downstream of the BroadcastHashJoin — i.e. every
+    Window's subtree is join-free."""
+    plan = _plan(entrymod.queries()["qc_full_pipeline"](spark, sf_dir))
+    # plan trees print consumers first: the join must appear ABOVE every
+    # Window (windows are the join's input), and both windows must share
+    # ONE exchange on the stream key (the slim frame shuffles once)
+    join_at = plan.index("BroadcastHashJoin")
+    first_window = plan.index("Window [")
+    assert join_at < first_window, plan
+    assert plan.count("Window [") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
