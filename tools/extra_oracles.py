@@ -3056,6 +3056,68 @@ FROM verdict
     return sdf, sql
 
 
+def x_hll(spark, con, sf_dir):
+    """hll_distinct_by (HyperLogLog per-group distinct sketch) vs a
+    full DuckDB re-implementation: same md5 hash, same integer bit-op
+    bucket/rank split, same register max-agg, same exact-integer
+    Σ 2^(49−r) core and small-range correction.  Registers and the
+    integer core are EXACT; the final estimate (one double division,
+    or m·ln(m/V) linear counting) is compared at 4 dp to absorb libm
+    ``ln`` last-ulp differences."""
+    from qualityassurancetool_spark.operators.hll import (
+        _alpha,
+        hll_distinct_by,
+    )
+
+    p = 10
+    m = 1 << p
+    sdf = hll_distinct_by(
+        _docs(spark, sf_dir), ["lang"], "doc_id", p=p
+    ).select(
+        "lang",
+        "n_registers",
+        "max_r",
+        "sum_pow",
+        F.round("est_distinct", 4).alias("est_4dp"),
+    )
+    numer = repr(_alpha(m) * m * m * float(1 << 49))
+    sql = f"""
+WITH h AS (
+    SELECT lang,
+           CAST(concat('0x', substring(
+               md5(concat('hll:', CAST(doc_id AS VARCHAR))), 1, 15))
+             AS BIGINT) AS h
+    FROM documents WHERE doc_id IS NOT NULL
+), br AS (
+    SELECT lang, h & {m - 1} AS bucket,
+           CASE WHEN ((h >> {p}) & 281474976710655) = 0 THEN 49
+                ELSE 49 - length(bin((h >> {p}) & 281474976710655))
+           END AS r
+    FROM h
+), regs AS (
+    SELECT lang, bucket, MAX(r) AS r FROM br GROUP BY lang, bucket
+), agg AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_registers,
+           CAST(MAX(r) AS INT) AS max_r,
+           SUM(CAST(pow(2.0, 49 - r) AS BIGINT)) AS sum_pow
+    FROM regs GROUP BY lang
+), est AS (
+    SELECT *,
+           {m} - n_registers AS zeros,
+           {numer} / CAST(sum_pow
+               + ({m} - n_registers) * 562949953421312 AS DOUBLE) AS raw
+    FROM agg
+)
+SELECT lang, n_registers, max_r, sum_pow,
+       round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 4) AS est_4dp
+FROM est
+"""
+    return sdf, sql
+
+
 def _entry_mod():
     import importlib.util
 
@@ -3170,4 +3232,5 @@ EXTRA_CHECKS = {
     "x_embedding_stats": x_embedding_stats,
     "x_nation_region_rollup": x_nation_region_rollup,
     "x_customers_without_orders": x_customers_without_orders,
+    "x_hll": x_hll,
 }
