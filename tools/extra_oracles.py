@@ -3118,6 +3118,101 @@ FROM est
     return sdf, sql
 
 
+_KMV_K = 64
+_KMV_H = (
+    "CAST(concat('0x', substring(md5(concat('kmv:', "
+    "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+_KMV_NUMER = repr(float(_KMV_K - 1) * float(1 << 60))
+
+
+def x_kmv(spark, con, sf_dir):
+    """kmv_sketch_by + kmv_estimate_by (bottom-k distinct sketch per
+    lang) vs a DuckDB row_number re-implementation — hash-set exact;
+    the estimate is one double division of exact integers."""
+    from qualityassurancetool_spark.operators.kmv import (
+        kmv_estimate_by,
+        kmv_sketch_by,
+    )
+
+    sdf = kmv_estimate_by(
+        kmv_sketch_by(_docs(spark, sf_dir), ["lang"], "doc_id", k=_KMV_K),
+        ["lang"],
+        k=_KMV_K,
+    )
+    sql = f"""
+WITH h AS (
+    SELECT DISTINCT lang, {_KMV_H} AS h
+    FROM documents WHERE doc_id IS NOT NULL
+), rk AS (
+    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+    FROM h
+), sk AS (
+    SELECT lang, h FROM rk WHERE pos <= {_KMV_K}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       MAX(h) AS kth_hash,
+       CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE {_KMV_NUMER} / CAST(MAX(h) AS DOUBLE) END AS est_distinct
+FROM sk GROUP BY lang
+"""
+    return sdf, sql
+
+
+def x_kmv_compare(spark, con, sf_dir):
+    """kmv_set_compare (pairwise Jaccard / union estimate between lang
+    doc-id sets, from sketches alone) vs a DuckDB re-implementation of
+    the union-sample algebra."""
+    from qualityassurancetool_spark.operators.kmv import (
+        kmv_set_compare,
+        kmv_sketch_by,
+    )
+
+    sk = kmv_sketch_by(_docs(spark, sf_dir), ["lang"], "doc_id", k=_KMV_K)
+    sdf = kmv_set_compare(sk, "lang", k=_KMV_K)
+    sql = f"""
+WITH h AS (
+    SELECT DISTINCT lang, {_KMV_H} AS h
+    FROM documents WHERE doc_id IS NOT NULL
+), rk AS (
+    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+    FROM h
+), sk AS (
+    SELECT lang, h FROM rk WHERE pos <= {_KMV_K}
+), gp AS (
+    SELECT x.lang AS ga, y.lang AS gb
+    FROM (SELECT DISTINCT lang FROM sk) x, (SELECT DISTINCT lang FROM sk) y
+    WHERE x.lang < y.lang
+), u AS (
+    SELECT ga, gb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+    FROM (
+        SELECT gp.ga, gp.gb, sk.h, 1 AS in_a, 0 AS in_b
+        FROM gp JOIN sk ON sk.lang = gp.ga
+        UNION ALL
+        SELECT gp.ga, gp.gb, sk.h, 0 AS in_a, 1 AS in_b
+        FROM gp JOIN sk ON sk.lang = gp.gb
+    ) GROUP BY ga, gb, h
+), x AS (
+    SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS pos
+    FROM u
+), agg AS (
+    SELECT ga, gb,
+           CAST(COUNT(*) AS BIGINT) AS n_union_sample,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+           MAX(h) AS kth_hash
+    FROM x WHERE pos <= {_KMV_K} GROUP BY ga, gb
+)
+SELECT ga, gb, n_union_sample, n_both,
+       CAST(n_both AS DOUBLE) / n_union_sample AS jaccard,
+       CASE WHEN n_union_sample < {_KMV_K}
+            THEN CAST(n_union_sample AS DOUBLE)
+            ELSE {_KMV_NUMER} / CAST(kth_hash AS DOUBLE) END AS est_union
+FROM agg
+"""
+    return sdf, sql
+
+
 def _entry_mod():
     import importlib.util
 
@@ -3233,4 +3328,6 @@ EXTRA_CHECKS = {
     "x_nation_region_rollup": x_nation_region_rollup,
     "x_customers_without_orders": x_customers_without_orders,
     "x_hll": x_hll,
+    "x_kmv": x_kmv,
+    "x_kmv_compare": x_kmv_compare,
 }
