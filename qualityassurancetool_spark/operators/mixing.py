@@ -152,6 +152,69 @@ def temperature_weights(
     return weights
 
 
+def unimax_weights(
+    sizes: dict[str, float],
+    target_total: float | None = None,
+    max_epochs: float = 4.0,
+) -> dict[str, float]:
+    """Epoch weights from UNIMAX budget allocation (Chung et al.,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining", ICLR 2023 §3): instead of
+    a temperature knob, give every domain an EQUAL share of the
+    budget unless that share would exceed its epoch cap — capped
+    domains take ``max_epochs`` passes over their data, and their
+    unused share is redistributed uniformly over the rest.
+
+    Algorithm (deterministic, closed-form): visit domains in
+    ascending capacity ``c_d · N``; at each step the uniform share is
+    ``u = remaining_budget / remaining_domains`` and the domain takes
+    ``min(u, c_d · N)``.  Once a domain is uncapped every later one
+    is too (capacities ascend), so ``u`` freezes — the classic
+    water-filling shape.
+
+    Returned ``weights[name]`` = epochs = allocation / size, ready
+    for :func:`mix_corpora`.  Driver-side arithmetic over the
+    metadata-scale domain dict, same as
+    :func:`temperature_weights`."""
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if any(n <= 0 for n in sizes.values()):
+        bad = {k: v for k, v in sizes.items() if v <= 0}
+        raise ValueError(f"sizes must be positive: {bad}")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    total = float(sum(sizes.values()))
+    budget = float(target_total) if target_total is not None else total
+    if budget <= 0:
+        raise ValueError("target_total must be positive")
+    # ascending capacity; name tie-break keeps the order deterministic
+    order = sorted(sizes, key=lambda k: (float(sizes[k]), k))
+    remaining, left = budget, len(order)
+    alloc: dict[str, float] = {}
+    for name in order:
+        cap = float(sizes[name]) * float(max_epochs)
+        share = remaining / left
+        alloc[name] = min(share, cap)
+        remaining -= alloc[name]
+        left -= 1
+    return {name: alloc[name] / float(sizes[name]) for name in sizes}
+
+
+def unimax_mixture(
+    sources: dict[str, DataFrame],
+    target_total: float | None = None,
+    max_epochs: float = 4.0,
+    id_col: str = "doc_id",
+    salt: str = "mix:",
+) -> DataFrame:
+    """One-stop UniMax mixing: count each source, derive
+    :func:`unimax_weights`, build the deterministic mixture via
+    :func:`mix_corpora`."""
+    sizes = {name: df.count() for name, df in sources.items()}
+    w = unimax_weights(sizes, target_total, max_epochs)
+    return mix_corpora(sources, w, id_col=id_col, salt=salt)
+
+
 def temperature_mixture(
     sources: dict[str, DataFrame],
     alpha: float = 0.3,

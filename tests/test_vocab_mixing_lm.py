@@ -291,3 +291,78 @@ def test_temperature_mixture_end_to_end(spark):
     assert sorted(map(tuple, mix.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_unimax_weights_properties():
+    """UniMax (Chung et al. 2023): equal budget shares unless capped;
+    capped domains take exactly max_epochs; unused share redistributed
+    (budget conserved whenever B <= N * total); N=1 at the natural
+    budget gives exactly one epoch everywhere; monotone in N."""
+    import pytest
+
+    from qualityassurancetool_spark.operators.mixing import unimax_weights
+
+    sizes = {"big": 90_000, "mid": 9_000, "small": 1_000}
+
+    # nobody capped (cap far above the uniform share): equal budgets
+    w = unimax_weights(sizes, max_epochs=1000.0)
+    for k, n in sizes.items():
+        assert w[k] * n == pytest.approx(100_000 / 3)
+
+    # tight cap: small+mid take N epochs, big absorbs the remainder
+    w2 = unimax_weights(sizes, max_epochs=2.0)
+    assert w2["small"] == pytest.approx(2.0)
+    assert w2["mid"] == pytest.approx(2.0)
+    assert w2["big"] * 90_000 == pytest.approx(100_000 - 2 * 10_000)
+    # budget conserved exactly when achievable
+    assert sum(w2[k] * sizes[k] for k in sizes) == pytest.approx(100_000)
+
+    # infeasible budget (B > N * total): everyone hits the cap
+    w3 = unimax_weights(sizes, target_total=500_000, max_epochs=2.0)
+    assert all(v == pytest.approx(2.0) for v in w3.values())
+
+    # N=1 at the natural budget: exactly one epoch each
+    w4 = unimax_weights(sizes, max_epochs=1.0)
+    assert all(v == pytest.approx(1.0) for v in w4.values())
+
+    # raising N never lowers a small domain's epochs
+    e2 = unimax_weights(sizes, max_epochs=2.0)["small"]
+    e4 = unimax_weights(sizes, max_epochs=4.0)["small"]
+    assert e4 >= e2
+
+    with pytest.raises(ValueError, match="positive"):
+        unimax_weights({"a": -1})
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_weights(sizes, max_epochs=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        unimax_weights({})
+
+
+def test_unimax_mixture_end_to_end(spark):
+    """unimax_mixture: the small source is upsampled to its epoch cap,
+    the big source absorbs the rest, and the build is deterministic."""
+    import pytest
+
+    from qualityassurancetool_spark.operators.mixing import (
+        unimax_mixture,
+        unimax_weights,
+    )
+
+    big = spark.range(5000).select(F.col("id").alias("doc_id"))
+    small = spark.range(200).select((F.col("id") + 10_000).alias("doc_id"))
+    sources = {"big": big, "small": small}
+    mix = unimax_mixture(sources, max_epochs=3.0)
+    counts = {
+        r["source"]: r["n"]
+        for r in mix.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    w = unimax_weights({"big": 5000, "small": 200}, max_epochs=3.0)
+    assert w["small"] == pytest.approx(3.0)  # capped
+    assert counts["small"] == 600  # 3 integral epochs, no sampling noise
+    assert counts["big"] == pytest.approx(w["big"] * 5000, rel=0.05)
+    again = unimax_mixture(sources, max_epochs=3.0)
+    assert sorted(map(tuple, mix.collect())) == sorted(
+        map(tuple, again.collect())
+    )

@@ -3118,6 +3118,66 @@ FROM est
     return sdf, sql
 
 
+def x_unimax(spark, con, sf_dir):
+    """unimax_mixture (Chung et al. 2023 water-filling budget
+    allocation driving the deterministic mix) vs a DuckDB replica:
+    weights re-derived with the published algorithm in plain python,
+    epochs + fractional hash sampling replicated with the shared md5
+    arithmetic (same scheme as x_temperature_mix)."""
+    import math
+
+    from qualityassurancetool_spark.operators.mixing import (
+        unimax_mixture,
+        unimax_weights,
+    )
+    from qualityassurancetool_spark.operators.sampling import (
+        uniform_hash_sql,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    sources = {
+        "en": docs.where(F.col("lang") == "en"),
+        "other": docs.where(F.col("lang") != "en"),
+    }
+    n_epochs = 2.0
+    sdf = unimax_mixture(sources, max_epochs=n_epochs).select(
+        "doc_id",
+        "source",
+        "epoch",
+        (F.round("mix_key", 9) + F.lit(0.0)).alias("key_r"),
+    )
+    sizes = {n: df.count() for n, df in sources.items()}
+    w = unimax_weights(sizes, max_epochs=n_epochs)
+
+    def parts(name, where):
+        weight = w[name]
+        full, frac = int(math.floor(weight)), weight - int(math.floor(weight))
+        out = []
+        for epoch in range(full):
+            out.append((name, where, epoch, 1.0))
+        if frac > 0:
+            out.append((name, where, full, frac))
+        return out
+
+    def sql_part(name, where, epoch, frac):
+        esalt = f"mix:{name}:{epoch}:"
+        u = uniform_hash_sql("doc_id", esalt)
+        k = uniform_hash_sql("doc_id", esalt + "k:")
+        cond = f"AND {u} < {frac!r}" if frac < 1.0 else ""
+        return (
+            f"SELECT doc_id, '{name}' AS source, {epoch} AS epoch, "
+            f"round({k}, 9) + 0.0 AS key_r FROM documents "
+            f"WHERE {where} {cond}"
+        )
+
+    sql = " UNION ALL ".join(
+        sql_part(*p)
+        for name, where in (("en", "lang = 'en'"), ("other", "lang <> 'en'"))
+        for p in parts(name, where)
+    )
+    return sdf, sql
+
+
 _KMV_K = 64
 _KMV_H = (
     "CAST(concat('0x', substring(md5(concat('kmv:', "
@@ -3329,5 +3389,6 @@ EXTRA_CHECKS = {
     "x_customers_without_orders": x_customers_without_orders,
     "x_hll": x_hll,
     "x_kmv": x_kmv,
+    "x_unimax": x_unimax,
     "x_kmv_compare": x_kmv_compare,
 }
