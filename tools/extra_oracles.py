@@ -3118,6 +3118,71 @@ FROM est
     return sdf, sql
 
 
+def x_maxsim(spark, con, sf_dir):
+    """maxsim_rerank (ColBERT-style late interaction over a
+    shortlist) vs a DuckDB set-based replica: 64-dim embeddings
+    sliced into 4×16 token matrices in both engines, dot products
+    double-widened, per-query-token max then sum, same rank
+    tie-break.  Scores compared at 6 dp."""
+    from qualityassurancetool_spark.operators.late_interaction import (
+        maxsim_rerank,
+        split_tokens,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    n_tok, dim, k = 4, 64, 10
+    w = dim // n_tok
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        "vec_id",
+        split_tokens(F.col("embedding"), n_tok, dim).alias("token_vecs"),
+    )
+    queries = toks.where(F.col("vec_id") % 61 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    corpus = toks.withColumnRenamed("vec_id", "doc_id")
+    shortlist = (
+        queries.select("query_id")
+        .crossJoin(corpus.select("doc_id").where(F.col("doc_id") % 7 == 0))
+    )
+    sdf = maxsim_rerank(shortlist, queries, corpus, k=k).select(
+        "query_id",
+        "doc_id",
+        (F.round("maxsim", 6) + F.lit(0.0)).alias("maxsim_r"),
+        "rank",
+    )
+    sql = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    WHERE vec_id % 61 = 0
+), d AS (
+    SELECT vec_id AS doc_id, embedding AS de FROM embeddings
+    WHERE vec_id % 7 = 0
+), dots AS (
+    SELECT q.query_id, d.doc_id, qi.i AS qi, di.i AS di,
+           list_sum(list_transform(generate_series(1, {w}), j ->
+               CAST(qe[(qi.i - 1) * {w} + j] AS DOUBLE)
+             * CAST(de[(di.i - 1) * {w} + j] AS DOUBLE))) AS dot
+    FROM q, d,
+         (SELECT unnest(generate_series(1, {n_tok})) AS i) qi,
+         (SELECT unnest(generate_series(1, {n_tok})) AS i) di
+), best AS (
+    SELECT query_id, doc_id, qi, MAX(dot) AS b
+    FROM dots GROUP BY query_id, doc_id, qi
+), score AS (
+    SELECT query_id, doc_id, SUM(b) AS maxsim FROM best
+    GROUP BY query_id, doc_id
+), ranked AS (
+    SELECT query_id, doc_id, round(maxsim, 6) + 0.0 AS maxsim_r,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY maxsim DESC, doc_id ASC) AS INT) AS rank
+    FROM score
+)
+SELECT * FROM ranked WHERE rank <= {k}
+"""
+    return sdf, sql
+
+
 def x_unimax(spark, con, sf_dir):
     """unimax_mixture (Chung et al. 2023 water-filling budget
     allocation driving the deterministic mix) vs a DuckDB replica:
@@ -3390,5 +3455,6 @@ EXTRA_CHECKS = {
     "x_hll": x_hll,
     "x_kmv": x_kmv,
     "x_unimax": x_unimax,
+    "x_maxsim": x_maxsim,
     "x_kmv_compare": x_kmv_compare,
 }
