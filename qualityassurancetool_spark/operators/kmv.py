@@ -71,11 +71,18 @@ def kmv_sketch(
     _check_k(k)
     hashes = _hashes(df, key_col)
     if prune:
+        # dense_rank, NOT row_number: with duplicate hashes in a
+        # partition, row_number's slots fill with copies and can evict
+        # distinct values that belong in the global bottom-k.
+        # dense_rank <= k keeps every copy of the k smallest DISTINCT
+        # values — a superset of what the global answer needs.  Spark
+        # plans this as a map-side WindowGroupLimit (Partial) BEFORE
+        # the exchange, so each partition ships <= k distinct values.
         w = Window.partitionBy(F.spark_partition_id()).orderBy("h")
         hashes = (
-            hashes.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= k)
-            .drop("_rn")
+            hashes.withColumn("_dr", F.dense_rank().over(w))
+            .where(F.col("_dr") <= k)
+            .drop("_dr")
         )
     return hashes.distinct().orderBy("h").limit(k)
 
@@ -84,19 +91,32 @@ def kmv_sketch_by(
     df: DataFrame, group_cols: list[str], key_col: str, k: int = 256
 ) -> DataFrame:
     """Per-group bottom-k sketch: group cols + ``pos`` (1-based rank)
-    + ``h``.  One distinct shuffle of (group, 8-byte hash) rows."""
+    + ``h``.
+
+    Scale path: a partition-local dense_rank prune (map-side
+    WindowGroupLimit, see :func:`kmv_sketch`) cuts each partition to
+    its ≤ k smallest distinct hashes PER GROUP before anything
+    shuffles, so the shuffle carries ≤ partitions × groups × k hash
+    rows — metered flat vs the distinct-every-key route, which grows
+    linearly with corpus cardinality
+    (``tools/dress_rehearsal_sketches.py``)."""
     _check_k(k)
-    hashes = (
-        df.where(F.col(key_col).isNotNull())
-        .select(
-            *group_cols,
-            md5_long(F.col(key_col).cast("string"), salt=_SALT).alias("h"),
-        )
+    hashes = df.where(F.col(key_col).isNotNull()).select(
+        *group_cols,
+        md5_long(F.col(key_col).cast("string"), salt=_SALT).alias("h"),
+    )
+    w_local = Window.partitionBy(
+        F.spark_partition_id(), *group_cols
+    ).orderBy("h")
+    pruned = (
+        hashes.withColumn("_dr", F.dense_rank().over(w_local))
+        .where(F.col("_dr") <= k)
+        .drop("_dr")
         .distinct()
     )
     w = Window.partitionBy(*group_cols).orderBy("h")
     return (
-        hashes.withColumn("pos", F.row_number().over(w))
+        pruned.withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= k)
         .select(*group_cols, "pos", "h")
     )

@@ -50,6 +50,33 @@ def test_prune_path_identical(spark):
     assert a == b and len(a) == K
 
 
+def test_prune_survives_heavy_duplication(spark):
+    # one partition holding K copies of a single key plus K unique
+    # keys: a row_number prune would fill its slots with copies and
+    # evict distinct values; the dense_rank prune must not.
+    dup = spark.range(K).select(F.lit("dup").alias("k"))
+    uniq = _keys(spark, 0, K)
+    df = dup.unionByName(uniq).coalesce(1)
+    a = sorted(r.h for r in kmv_sketch(df, "k", k=K, prune=True).collect())
+    b = sorted(r.h for r in kmv_sketch(df, "k", k=K, prune=False).collect())
+    assert a == b and len(a) == K
+
+
+def test_grouped_prune_survives_heavy_duplication(spark):
+    dup = spark.range(64).select(
+        F.lit("g1").alias("g"), F.lit("dup").alias("k")
+    )
+    uniq = _keys(spark, 0, 200).select(F.lit("g1").alias("g"), "k")
+    df = dup.unionByName(uniq).coalesce(1)
+    got = sorted(
+        r.h for r in kmv_sketch_by(df, ["g"], "k", k=64).collect()
+    )
+    want = sorted(
+        r.h for r in kmv_sketch(df, "k", k=64, prune=False).collect()
+    )
+    assert got == want
+
+
 def test_duplicates_ignored(spark):
     base = _keys(spark, 0, 800)
     trip = base.unionByName(base).unionByName(base)
