@@ -3118,6 +3118,73 @@ FROM est
     return sdf, sql
 
 
+def x_ddsketch(spark, con, sf_dir):
+    """ddsketch_build + ddsketch_quantiles (mergeable relative-error
+    quantile sketch) vs a full DuckDB replica: same 9-dp-stabilized
+    log-gamma bucket mapping, same three-store cell table, same
+    cumulative walk and midpoint arithmetic.  Estimates at 6 dp."""
+    import math
+
+    from qualityassurancetool_spark.operators.ddsketch import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    alpha = 0.02
+    gamma = (1 + alpha) / (1 - alpha)
+    probs = [0.25, 0.5, 0.75, 0.95]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    sk = ddsketch_build(li, "v", group_cols=["g"], alpha=alpha)
+    sdf = ddsketch_quantiles(
+        sk, probs, group_cols=["g"], alpha=alpha
+    ).select(
+        "g", "prob", (F.round("est", 6) + F.lit(0.0)).alias("est_r")
+    )
+    lng, half = repr(math.log(gamma)), repr(2.0 / (gamma + 1.0))
+    plist = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in probs)
+    sql = f"""
+WITH v AS (
+    SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+), cells AS (
+    SELECT g,
+           CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+           CASE WHEN v > 0 THEN CAST(ceil(round(ln(v) / {lng}, 9)) AS INT)
+                WHEN v < 0 THEN CAST(ceil(round(ln(-v) / {lng}, 9)) AS INT)
+                ELSE 0 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v GROUP BY 1, 2, 3
+), ord AS (
+    SELECT *,
+           CASE sign WHEN -1 THEN 0 WHEN 0 THEN 1 ELSE 2 END AS band,
+           CASE WHEN sign = -1 THEN -bucket ELSE bucket END AS within
+    FROM cells
+), cum AS (
+    SELECT *, SUM(n) OVER (PARTITION BY g ORDER BY band, within) AS cum,
+           SUM(n) OVER (PARTITION BY g) AS total
+    FROM ord
+), j AS (
+    SELECT c.*, p.prob
+    FROM cum c, (VALUES {plist}) p(prob)
+    WHERE cum > prob * (total - 1)
+), pick AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY g, prob ORDER BY band, within) AS rn
+    FROM j
+)
+SELECT g, prob,
+       round(CASE WHEN sign = 0 THEN 0.0
+                  ELSE sign * {half} * pow({repr(gamma)}, bucket)
+             END, 6) + 0.0 AS est_r
+FROM pick WHERE rn = 1
+"""
+    return sdf, sql
+
+
 def x_maxsim(spark, con, sf_dir):
     """maxsim_rerank (ColBERT-style late interaction over a
     shortlist) vs a DuckDB set-based replica: 64-dim embeddings
@@ -3456,5 +3523,6 @@ EXTRA_CHECKS = {
     "x_kmv": x_kmv,
     "x_unimax": x_unimax,
     "x_maxsim": x_maxsim,
+    "x_ddsketch": x_ddsketch,
     "x_kmv_compare": x_kmv_compare,
 }
