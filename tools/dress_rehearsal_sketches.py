@@ -79,6 +79,35 @@ def run(spark, n_rows: int) -> None:
             ).collect()
         ),
     )
+    from qualityassurancetool_spark.operators.ddsketch import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+
+    vals = df.withColumn(
+        "v", (F.crc32(F.col("k")) % 1_000_000) / F.lit(97.0)
+    )
+    meter.stage(
+        "exact percentiles", n_rows,
+        lambda: len(
+            vals.groupBy("g").agg(
+                F.expr(
+                    "percentile(v, array(0.25, 0.5, 0.75, 0.95))"
+                ).alias("p")
+            ).collect()
+        ),
+    )
+    meter.stage(
+        "ddsketch a=1% grouped", n_rows,
+        lambda: len(
+            ddsketch_quantiles(
+                ddsketch_build(vals, "v", ["g"], alpha=0.01),
+                [0.25, 0.5, 0.75, 0.95],
+                ["g"],
+                alpha=0.01,
+            ).collect()
+        ),
+    )
 
 
 def main() -> None:
