@@ -621,17 +621,27 @@ def cmd_profile(args, overrides: list[str]) -> int:
       ``width``/``depth`` knobs) written as the (row, col, n) cell
       table — merge day sketches downstream with ``cms_merge``;
     - ``badwords``: Aho-Corasick multi-pattern counts per doc
-      (``patterns=[...]`` knob, overlapping-occurrence semantics).
+      (``patterns=[...]`` knob, overlapping-occurrence semantics);
+    - ``distinct``: per-group HyperLogLog distinct count of
+      ``key=<column>`` (``group=<column>``, ``p`` knobs) — flat
+      register-table shuffle whatever the key cardinality;
+    - ``quantiles``: per-group DDSketch quantiles of
+      ``value=<column>`` (``group=<column>``, ``alpha``,
+      ``probs=[...]`` knobs) — ±alpha relative-error guarantee,
+      bounded cell-table state.
     """
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
     if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
         raise ConfigError("missing required settings: data.input, data.out")
     method = knobs.get("method", "tokens")
-    if method not in ("tokens", "skew", "pagerank", "cms", "badwords"):
+    if method not in (
+        "tokens", "skew", "pagerank", "cms", "badwords",
+        "distinct", "quantiles",
+    ):
         raise ConfigError(
             f"unknown profile method {method!r} "
-            "(tokens|skew|pagerank|cms|badwords)"
+            "(tokens|skew|pagerank|cms|badwords|distinct|quantiles)"
         )
 
     from qualityassurancetool_spark.session import get_spark
@@ -696,6 +706,47 @@ def cmd_profile(args, overrides: list[str]) -> int:
             else:
                 docs = spark.read.parquet(data_c["input"])
             out = match_counts(docs, [str(x) for x in pats])
+        elif method == "distinct":
+            from qualityassurancetool_spark.operators.hll import (
+                hll_distinct_by,
+            )
+
+            key = knobs.get("key")
+            if not key:
+                raise ConfigError("distinct profiling needs key=<column>")
+            df = spark.read.parquet(data_c["input"])
+            group = knobs.get("group")
+            out = hll_distinct_by(
+                df,
+                [group] if group else [],
+                key,
+                p=int(knobs.get("p", 12)),
+            )
+        elif method == "quantiles":
+            from qualityassurancetool_spark.operators.ddsketch import (
+                ddsketch_build,
+                ddsketch_quantiles,
+            )
+
+            value = knobs.get("value")
+            if not value:
+                raise ConfigError(
+                    "quantiles profiling needs value=<column>"
+                )
+            df = spark.read.parquet(data_c["input"])
+            group = knobs.get("group")
+            gcols = [group] if group else []
+            alpha = float(knobs.get("alpha", 0.01))
+            probs = [
+                float(p)
+                for p in knobs.get("probs", [0.25, 0.5, 0.75, 0.95])
+            ]
+            out = ddsketch_quantiles(
+                ddsketch_build(df, value, gcols, alpha=alpha),
+                probs,
+                gcols,
+                alpha=alpha,
+            )
         else:  # pagerank
             from qualityassurancetool_spark.operators.graph import pagerank
 
@@ -977,7 +1028,7 @@ def main(argv: list[str] | None = None) -> int:
     p_ext.add_argument("override", nargs="*", help="key.path=value")
 
     p_prof = sub.add_parser(
-        "profile", help="corpus/shuffle profiling (tokens|skew|pagerank)"
+        "profile", help="corpus/shuffle profiling (tokens|skew|pagerank|cms|badwords|distinct|quantiles)"
     )
     p_prof.add_argument("-c", "--config", default=None)
     p_prof.add_argument(

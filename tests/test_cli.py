@@ -478,3 +478,47 @@ def test_refresh_command(spark, tmp_path, capsys):
     assert int(out2["chunks"]) > 0
     import os
     assert os.path.isdir(os.path.join(fin, "shards"))
+
+
+def test_profile_distinct_and_quantiles(spark, tmp_path, capsys):
+    src = str(tmp_path / "rows")
+    spark.range(3000).selectExpr(
+        "cast(id % 3 as string) AS g",
+        "concat('u', id % 500) AS k",
+        "cast(1 + id % 100 as double) AS v",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "hll")
+    rc = main([
+        "profile", "--keep-session", f"data.input={src}",
+        f"data.out={out}", "method=distinct", "key=k", "group=g", "p=10",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    res = {r["g"]: r["est_distinct"] for r in
+           spark.read.parquet(out).collect()}
+    assert set(res) == {"0", "1", "2"}
+    for est in res.values():  # ~500 distinct per group, p=10 -> ~3.3% sigma
+        assert abs(est - 500) / 500 < 0.15
+
+    out2 = str(tmp_path / "dd")
+    rc = main([
+        "profile", "--keep-session", f"data.input={src}",
+        f"data.out={out2}", "method=quantiles", "value=v", "group=g",
+        "alpha=0.01", "probs=[0.5]",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    med = {r["g"]: r["est"] for r in spark.read.parquet(out2).collect()}
+    for v in med.values():
+        assert abs(v - 50.0) / 50.0 < 0.05
+
+    # missing knobs -> config error
+    assert main([
+        "profile", "--keep-session", f"data.input={src}", "data.out=/x",
+        "method=distinct",
+    ]) == 2
+    assert main([
+        "profile", "--keep-session", f"data.input={src}", "data.out=/x",
+        "method=quantiles",
+    ]) == 2
