@@ -3199,6 +3199,144 @@ GROUP BY d.doc_id
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-group distinct sketch (operators/hll): portable
+    md5 hash, integer bit-op bucket/rank split, partial-agged register
+    max, exact-integer Σ 2^(49−r) estimate core — flat register-table
+    shuffle whatever the key cardinality (vs exact countDistinct's
+    full-key shuffle; metered in docs/SCALE.md).  Registers and the
+    integer core are cross-engine EXACT; the final estimate is one
+    double division (or m·ln(m/V) linear counting), compared at 4 dp."""
+    from qualityassurancetool_spark.operators.hll import hll_distinct_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hll_distinct_by(docs, ["lang"], "doc_id", p=10).select(
+        "lang",
+        "n_registers",
+        "max_r",
+        "sum_pow",
+        F.round("est_distinct", 4).alias("est_4dp"),
+    )
+
+
+def _sql_hll_distinct() -> str:
+    from qualityassurancetool_spark.operators.hll import _alpha
+
+    p = 10
+    m = 1 << p
+    numer = repr(_alpha(m) * m * m * float(1 << 49))
+    return f"""
+WITH h AS (
+    SELECT lang,
+           CAST(concat('0x', substring(
+               md5(concat('hll:', CAST(doc_id AS VARCHAR))), 1, 15))
+             AS BIGINT) AS h
+    FROM documents WHERE doc_id IS NOT NULL
+), br AS (
+    SELECT lang, h & {m - 1} AS bucket,
+           CASE WHEN ((h >> {p}) & 281474976710655) = 0 THEN 49
+                ELSE 49 - length(bin((h >> {p}) & 281474976710655))
+           END AS r
+    FROM h
+), regs AS (
+    SELECT lang, bucket, MAX(r) AS r FROM br GROUP BY lang, bucket
+), agg AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_registers,
+           CAST(MAX(r) AS INT) AS max_r,
+           CAST(SUM(CAST(pow(2.0, 49 - r) AS BIGINT)) AS BIGINT) AS sum_pow
+    FROM regs GROUP BY lang
+), est AS (
+    SELECT *,
+           {m} - n_registers AS zeros,
+           {numer} / CAST(sum_pow
+               + ({m} - n_registers) * 562949953421312 AS DOUBLE) AS raw
+    FROM agg
+)
+SELECT lang, n_registers, max_r, sum_pow,
+       round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 4) AS est_4dp
+FROM est
+"""
+
+
+SQL_HLL_DISTINCT = _sql_hll_distinct()
+
+
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch mergeable quantiles (operators/ddsketch): stabilized
+    log-gamma bucket cells (±2 % relative-error guarantee), one
+    partial-agged groupBy build, declarative cumulative-walk quantile
+    pick — bounded cell-table shuffle vs exact percentile's per-value
+    shuffle (metered in docs/SCALE.md).  Cells are cross-engine exact;
+    midpoint estimates compared at 6 dp."""
+    from qualityassurancetool_spark.operators.ddsketch import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    sk = ddsketch_build(li, "v", group_cols=["g"], alpha=0.02)
+    return ddsketch_quantiles(
+        sk, [0.25, 0.5, 0.75, 0.95], group_cols=["g"], alpha=0.02
+    ).select(
+        "g", "prob", (F.round("est", 6) + F.lit(0.0)).alias("est_r")
+    )
+
+
+def _sql_ddsketch_quantiles() -> str:
+    import math
+
+    alpha = 0.02
+    gamma = (1 + alpha) / (1 - alpha)
+    probs = [0.25, 0.5, 0.75, 0.95]
+    lng, half = repr(math.log(gamma)), repr(2.0 / (gamma + 1.0))
+    plist = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in probs)
+    return f"""
+WITH v AS (
+    SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+), cells AS (
+    SELECT g,
+           CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+           CASE WHEN v > 0 THEN CAST(ceil(round(ln(v) / {lng}, 9)) AS INT)
+                WHEN v < 0 THEN CAST(ceil(round(ln(-v) / {lng}, 9)) AS INT)
+                ELSE 0 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v GROUP BY 1, 2, 3
+), ord AS (
+    SELECT *,
+           CASE sign WHEN -1 THEN 0 WHEN 0 THEN 1 ELSE 2 END AS band,
+           CASE WHEN sign = -1 THEN -bucket ELSE bucket END AS within
+    FROM cells
+), cum AS (
+    SELECT *, SUM(n) OVER (PARTITION BY g ORDER BY band, within) AS cum,
+           SUM(n) OVER (PARTITION BY g) AS total
+    FROM ord
+), j AS (
+    SELECT c.*, p.prob
+    FROM cum c, (VALUES {plist}) p(prob)
+    WHERE cum > prob * (total - 1)
+), pick AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY g, prob ORDER BY band, within) AS rn
+    FROM j
+)
+SELECT g, prob,
+       round(CASE WHEN sign = 0 THEN 0.0
+                  ELSE sign * {half} * pow({repr(gamma)}, bucket)
+             END, 6) + 0.0 AS est_r
+FROM pick WHERE rn = 1
+"""
+
+
+SQL_DDSKETCH_QUANTILES = _sql_ddsketch_quantiles()
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3235,10 +3373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_segment_revenue": q_join_segment_revenue,
         "topk_orders_per_segment": q_topk_orders_per_segment,
-        "events_profile": q_events_profile,
         "rollup_revenue": q_rollup_revenue,
-        "price_percentiles": q_price_percentiles,
         "shipping_priority": q_shipping_priority,
+        "hll_distinct": q_hll_distinct,
+        "ddsketch_quantiles": q_ddsketch_quantiles,
         "dedup_signatures": q_dedup_signatures,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3290,10 +3428,10 @@ def oracle_sql() -> dict[str, str]:
         "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
-        "events_profile": SQL_EVENTS_PROFILE,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
-        "price_percentiles": SQL_PRICE_PERCENTILES,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "hll_distinct": SQL_HLL_DISTINCT,
+        "ddsketch_quantiles": SQL_DDSKETCH_QUANTILES,
         "dedup_signatures": _sql_dedup_signatures(),
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),

@@ -43,8 +43,6 @@ BENCH_QUERIES = [
     "sessionize_events",
     "downsample_transfer",
     "rollup_revenue",
-    "price_percentiles",
-    "events_profile",
     "lang_quality_rollup",
     "curation_pipeline",
     "dedup_signatures",
@@ -60,6 +58,10 @@ BENCH_QUERIES = [
     "bm25",
     "cms",
     "multipattern",
+    # round-5 second swap: hll/ddsketch replace the retired
+    # price_percentiles/events_profile rows (covered as x_* extras)
+    "hll_distinct",
+    "ddsketch_quantiles",
 ]
 
 

@@ -3056,135 +3056,6 @@ FROM verdict
     return sdf, sql
 
 
-def x_hll(spark, con, sf_dir):
-    """hll_distinct_by (HyperLogLog per-group distinct sketch) vs a
-    full DuckDB re-implementation: same md5 hash, same integer bit-op
-    bucket/rank split, same register max-agg, same exact-integer
-    Σ 2^(49−r) core and small-range correction.  Registers and the
-    integer core are EXACT; the final estimate (one double division,
-    or m·ln(m/V) linear counting) is compared at 4 dp to absorb libm
-    ``ln`` last-ulp differences."""
-    from qualityassurancetool_spark.operators.hll import (
-        _alpha,
-        hll_distinct_by,
-    )
-
-    p = 10
-    m = 1 << p
-    sdf = hll_distinct_by(
-        _docs(spark, sf_dir), ["lang"], "doc_id", p=p
-    ).select(
-        "lang",
-        "n_registers",
-        "max_r",
-        "sum_pow",
-        F.round("est_distinct", 4).alias("est_4dp"),
-    )
-    numer = repr(_alpha(m) * m * m * float(1 << 49))
-    sql = f"""
-WITH h AS (
-    SELECT lang,
-           CAST(concat('0x', substring(
-               md5(concat('hll:', CAST(doc_id AS VARCHAR))), 1, 15))
-             AS BIGINT) AS h
-    FROM documents WHERE doc_id IS NOT NULL
-), br AS (
-    SELECT lang, h & {m - 1} AS bucket,
-           CASE WHEN ((h >> {p}) & 281474976710655) = 0 THEN 49
-                ELSE 49 - length(bin((h >> {p}) & 281474976710655))
-           END AS r
-    FROM h
-), regs AS (
-    SELECT lang, bucket, MAX(r) AS r FROM br GROUP BY lang, bucket
-), agg AS (
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_registers,
-           CAST(MAX(r) AS INT) AS max_r,
-           SUM(CAST(pow(2.0, 49 - r) AS BIGINT)) AS sum_pow
-    FROM regs GROUP BY lang
-), est AS (
-    SELECT *,
-           {m} - n_registers AS zeros,
-           {numer} / CAST(sum_pow
-               + ({m} - n_registers) * 562949953421312 AS DOUBLE) AS raw
-    FROM agg
-)
-SELECT lang, n_registers, max_r, sum_pow,
-       round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
-                  THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
-                  ELSE raw END, 4) AS est_4dp
-FROM est
-"""
-    return sdf, sql
-
-
-def x_ddsketch(spark, con, sf_dir):
-    """ddsketch_build + ddsketch_quantiles (mergeable relative-error
-    quantile sketch) vs a full DuckDB replica: same 9-dp-stabilized
-    log-gamma bucket mapping, same three-store cell table, same
-    cumulative walk and midpoint arithmetic.  Estimates at 6 dp."""
-    import math
-
-    from qualityassurancetool_spark.operators.ddsketch import (
-        ddsketch_build,
-        ddsketch_quantiles,
-    )
-    from qualityassurancetool_spark.schema import load_table
-
-    alpha = 0.02
-    gamma = (1 + alpha) / (1 - alpha)
-    probs = [0.25, 0.5, 0.75, 0.95]
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_extendedprice").alias("v"),
-    )
-    sk = ddsketch_build(li, "v", group_cols=["g"], alpha=alpha)
-    sdf = ddsketch_quantiles(
-        sk, probs, group_cols=["g"], alpha=alpha
-    ).select(
-        "g", "prob", (F.round("est", 6) + F.lit(0.0)).alias("est_r")
-    )
-    lng, half = repr(math.log(gamma)), repr(2.0 / (gamma + 1.0))
-    plist = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in probs)
-    sql = f"""
-WITH v AS (
-    SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
-    FROM lineitem WHERE l_extendedprice IS NOT NULL
-), cells AS (
-    SELECT g,
-           CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
-           CASE WHEN v > 0 THEN CAST(ceil(round(ln(v) / {lng}, 9)) AS INT)
-                WHEN v < 0 THEN CAST(ceil(round(ln(-v) / {lng}, 9)) AS INT)
-                ELSE 0 END AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM v GROUP BY 1, 2, 3
-), ord AS (
-    SELECT *,
-           CASE sign WHEN -1 THEN 0 WHEN 0 THEN 1 ELSE 2 END AS band,
-           CASE WHEN sign = -1 THEN -bucket ELSE bucket END AS within
-    FROM cells
-), cum AS (
-    SELECT *, SUM(n) OVER (PARTITION BY g ORDER BY band, within) AS cum,
-           SUM(n) OVER (PARTITION BY g) AS total
-    FROM ord
-), j AS (
-    SELECT c.*, p.prob
-    FROM cum c, (VALUES {plist}) p(prob)
-    WHERE cum > prob * (total - 1)
-), pick AS (
-    SELECT *, row_number() OVER (
-        PARTITION BY g, prob ORDER BY band, within) AS rn
-    FROM j
-)
-SELECT g, prob,
-       round(CASE WHEN sign = 0 THEN 0.0
-                  ELSE sign * {half} * pow({repr(gamma)}, bucket)
-             END, 6) + 0.0 AS est_r
-FROM pick WHERE rn = 1
-"""
-    return sdf, sql
-
-
 def x_maxsim(spark, con, sf_dir):
     """maxsim_rerank (ColBERT-style late interaction over a
     shortlist) vs a DuckDB set-based replica: 64-dim embeddings
@@ -3433,6 +3304,12 @@ def _retired(name):
 
 
 x_filtered_revenue = _retired("filtered_revenue")
+# round-5 second swap: hll_distinct/ddsketch_quantiles promoted into the
+# driver gate; the two retired trivial rows stay covered here
+x_hll = _retired("hll_distinct")
+x_ddsketch = _retired("ddsketch_quantiles")
+x_events_profile = _retired("events_profile")
+x_price_percentiles = _retired("price_percentiles")
 # round-5 swap (VERDICT r4 item 2): three more trivial rows retired in
 # favor of the round-4 flagships bm25/cms/multipattern
 x_window_union_overlap = _retired("window_union_overlap")
@@ -3519,6 +3396,8 @@ EXTRA_CHECKS = {
     "x_embedding_stats": x_embedding_stats,
     "x_nation_region_rollup": x_nation_region_rollup,
     "x_customers_without_orders": x_customers_without_orders,
+    "x_events_profile": x_events_profile,
+    "x_price_percentiles": x_price_percentiles,
     "x_hll": x_hll,
     "x_kmv": x_kmv,
     "x_unimax": x_unimax,
