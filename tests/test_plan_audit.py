@@ -19,6 +19,9 @@ BNLJ_ALLOWED = {
     # SCD2 lookup itself is a BroadcastHashJoin on the natural key with
     # the BETWEEN as residual (asserted in tools/plan_audit.py)
     "scd2_lookup",
+    # the quantile walk crosses the ~1k-cell sketch against a 4-row
+    # broadcast probs literal — metadata-scale by construction
+    "ddsketch_quantiles",
 }
 
 
