@@ -173,6 +173,114 @@ def heavy_hitters(
     )
 
 
+def _non_null_keys_by(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """Grouped twin of :func:`_non_null_keys` (same NaN discipline).
+    Null-GROUP rows are excluded too: the exact pass equi-joins on the
+    group columns, where SQL null never matches — keeping them in the
+    totals but never in the candidates would silently break the
+    exactness guarantee for the null stratum."""
+    keyed = df.select(*group_cols, F.col(key_col)).where(
+        F.col(key_col).isNotNull()
+    )
+    for c in group_cols:
+        keyed = keyed.where(F.col(c).isNotNull())
+    if isinstance(
+        keyed.schema[key_col].dataType, (DoubleType, FloatType)
+    ):
+        keyed = keyed.where(~F.isnan(F.col(key_col)))
+    return keyed
+
+
+def heavy_hitters_by(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    min_fraction: float,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exact heavy hitters: group cols + ``(key_col, n)``
+    for every key whose count is ≥ ``min_fraction`` of its group's
+    non-null rows — top tokens per lang, hot URLs per domain, the
+    per-stratum audit shape.
+
+    Same two-pass Misra–Gries scheme as :func:`heavy_hitters`, with
+    the summary kept PER (partition, group): a key with share ≥ f of
+    its group has share ≥ f of that group's rows in at least one
+    partition, so capacity ⌈1/f⌉ per (partition, group) keeps the
+    candidate union a guaranteed superset — state is
+    ``groups × capacity`` counters per task, candidates ≤
+    ``partitions × groups × capacity`` rows, and the exact pass is
+    bounded the same way regardless of key cardinality.  The share
+    threshold uses the same integer-rational comparison (no
+    float-boundary exclusions), per group."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use heavy_hitters")
+    if not (0.0 < min_fraction <= 1.0):
+        raise ValueError(
+            f"min_fraction must be in (0, 1], got {min_fraction}"
+        )
+    floor_cap = math.ceil(1.0 / min_fraction)
+    if capacity is None:
+        capacity = floor_cap
+    elif capacity < floor_cap:
+        raise ValueError(
+            f"capacity {capacity} < ceil(1/min_fraction) = {floor_cap}: "
+            "the candidate pass would not be a superset"
+        )
+    keyed = _non_null_keys_by(df, group_cols, key_col)
+    schema = StructType(
+        [StructField(c, keyed.schema[c].dataType) for c in group_cols]
+        + [StructField(key_col, keyed.schema[key_col].dataType)]
+    )
+    gcols, cap = list(group_cols), capacity
+
+    def kernel(batches):
+        summaries: dict = {}  # group tuple -> MG counter dict
+        for pdf in batches:
+            for gval, sub in pdf.groupby(gcols, dropna=False, sort=False):
+                gkey = gval if isinstance(gval, tuple) else (gval,)
+                summaries[gkey] = mg_merge(
+                    summaries.get(gkey, {}),
+                    sub[key_col].value_counts(),
+                    cap,
+                )
+        if summaries:
+            import pandas as pd
+
+            rows = [
+                g + (k,)
+                for g, counts in summaries.items()
+                for k in counts
+            ]
+            yield pd.DataFrame(rows, columns=gcols + [key_col])
+
+    cand = keyed.mapInPandas(kernel, schema).distinct()
+    counts = (
+        keyed.join(F.broadcast(cand), gcols + [key_col], "leftsemi")
+        .groupBy(*gcols, key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = keyed.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_total")
+    )
+    frac = Fraction(float(min_fraction)).limit_denominator(10**12)
+    if frac.numerator == 0:
+        raise ValueError(
+            f"min_fraction={min_fraction!r} is below 1e-12 resolution"
+        )
+    return (
+        counts.join(F.broadcast(totals), gcols)
+        .where(
+            F.col("n").cast("decimal(38,0)") * F.lit(frac.denominator)
+            >= F.col("_total").cast("decimal(38,0)")
+            * F.lit(frac.numerator)
+        )
+        .select(*gcols, key_col, "n")
+    )
+
+
 def token_heavy_hitters(
     df: DataFrame,
     min_fraction: float = 0.002,

@@ -121,3 +121,86 @@ def test_tiny_fraction_rejected_not_silently_disabled(spark):
     df = _stream(spark, [("a", 5)])
     with pytest.raises(ValueError, match="resolution"):
         heavy_hitters(df, "k", min_fraction=1e-13)
+
+
+def _gstream(spark, triples):
+    """triples = [(group, key, count)] → one row per occurrence,
+    spread over partitions."""
+    rows = [(g, k) for g, k, c in triples for _ in range(c)]
+    return (
+        spark.createDataFrame(rows, ["g", "k"])
+        .withColumn("_h", F.xxhash64("k", F.monotonically_increasing_id()))
+        .repartition(8, "_h")
+        .drop("_h")
+    )
+
+
+def test_grouped_exact_vs_groupby(spark):
+    from qualityassurancetool_spark.operators.heavy_hitters import (
+        heavy_hitters_by,
+    )
+
+    data = [
+        ("en", "the", 400), ("en", "of", 150), ("en", "rare", 3),
+        ("de", "der", 80), ("de", "und", 15), ("de", "x", 5),
+    ]
+    df = _gstream(spark, data)
+    got = {
+        (r.g, r.k): r.n
+        for r in heavy_hitters_by(df, ["g"], "k", 0.1).collect()
+    }
+    # exact per-group truth
+    want = {}
+    totals = {}
+    for g, k, c in data:
+        totals[g] = totals.get(g, 0) + c
+    for g, k, c in data:
+        if c * 10 >= totals[g]:  # share >= 0.1, integer-exact
+            want[(g, k)] = c
+    assert got == want
+    # 'und' is 15% of de (heavy there) but would be far under 10% of
+    # the en-dominated global stream: per-group semantics confirmed
+    assert ("de", "und") in got
+
+
+def test_grouped_threshold_boundary_inclusive(spark):
+    from qualityassurancetool_spark.operators.heavy_hitters import (
+        heavy_hitters_by,
+    )
+
+    # exactly at the share: 7 of 100 with min_fraction=0.07
+    data = [("a", "hot", 7), ("a", "cold", 93)]
+    got = heavy_hitters_by(
+        _gstream(spark, data), ["g"], "k", 0.07
+    ).collect()
+    assert ("a", "hot", 7) in [(r.g, r.k, r.n) for r in got]
+
+
+def test_grouped_null_group_and_key_excluded(spark):
+    from qualityassurancetool_spark.operators.heavy_hitters import (
+        heavy_hitters_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", None), (None, "x"), ("b", "y")],
+        ["g", "k"],
+    )
+    got = {(r.g, r.k): r.n for r in
+           heavy_hitters_by(df, ["g"], "k", 0.5).collect()}
+    # null key doesn't count toward a's total (x is 2 of 2); null
+    # group stratum is excluded entirely
+    assert got == {("a", "x"): 2, ("b", "y"): 1}
+
+
+def test_grouped_validation(spark):
+    from qualityassurancetool_spark.operators.heavy_hitters import (
+        heavy_hitters_by,
+    )
+
+    df = _gstream(spark, [("a", "x", 2)])
+    with pytest.raises(ValueError, match="group_cols"):
+        heavy_hitters_by(df, [], "k", 0.1)
+    with pytest.raises(ValueError, match="min_fraction"):
+        heavy_hitters_by(df, ["g"], "k", 0.0)
+    with pytest.raises(ValueError, match="superset"):
+        heavy_hitters_by(df, ["g"], "k", 0.1, capacity=2)

@@ -2068,6 +2068,38 @@ HAVING COUNT(*) >= total * {FRAC}
     return sdf, sql
 
 
+def x_heavy_hitters_by(spark, con, sf_dir):
+    """heavy_hitters_by (per-group two-pass Misra–Gries) vs a plain
+    DuckDB per-group GROUP BY / HAVING over the same token stream —
+    per-LANG heavy tokens, exact by construction, integer-rational
+    threshold (0.01 ≡ 1/100) in both engines."""
+    from pyspark.sql import functions as FF
+
+    from qualityassurancetool_spark.functions.hashing import tokens
+    from qualityassurancetool_spark.operators.heavy_hitters import (
+        heavy_hitters_by,
+    )
+
+    docs = _docs(spark, sf_dir)
+    stream = docs.select(
+        "lang", FF.explode(tokens(FF.col("text"))).alias("token")
+    ).where(FF.length("token") > 0)
+    sdf = heavy_hitters_by(stream, ["lang"], "token", 0.01)
+    sql = f"""
+WITH tok AS (
+    SELECT lang, unnest(string_split({_NORM}, ' ')) AS token
+    FROM documents WHERE lang IS NOT NULL
+),
+nz AS (SELECT lang, token FROM tok WHERE length(token) > 0),
+tot AS (SELECT lang, COUNT(*) AS total FROM nz GROUP BY lang)
+SELECT nz.lang, token, COUNT(*) AS n
+FROM nz JOIN tot ON nz.lang = tot.lang
+GROUP BY nz.lang, token, total
+HAVING COUNT(*) * 100 >= total
+"""
+    return sdf, sql
+
+
 def x_interval_join(spark, con, sf_dir):
     """interval_lookup (bucketed point-in-interval equi-join) vs a plain
     DuckDB BETWEEN join: orders priced into 100 overlapping price bands
@@ -3371,6 +3403,7 @@ EXTRA_CHECKS = {
     "x_pq": x_pq,
     "x_ivfadc": x_ivfadc,
     "x_heavy_hitters": x_heavy_hitters,
+    "x_heavy_hitters_by": x_heavy_hitters_by,
     "x_interval_join": x_interval_join,
     "x_zorder": x_zorder,
     "x_pagerank": x_pagerank,
