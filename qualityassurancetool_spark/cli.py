@@ -941,11 +941,31 @@ def cmd_template(args, overrides: list[str]) -> int:
     spark = get_spark("qat-template")
     try:
         obs = events_as_observations(spark, args.input)
-        write_qc_yaml_template(obs, args.out, id_col="observation_type")
+        if args.calibrate:
+            import yaml
+
+            from qualityassurancetool_spark.config import (
+                suggest_qc_ranges,
+            )
+
+            doc = suggest_qc_ranges(
+                obs,
+                lo=args.lo,
+                hi=args.hi,
+                margin=args.margin,
+                id_col="observation_type",
+            )
+            with open(args.out, "w") as f:
+                yaml.safe_dump(doc, f, sort_keys=False)
+        else:
+            write_qc_yaml_template(
+                obs, args.out, id_col="observation_type"
+            )
         print(f"wrote {args.out}")
         return 0
     finally:
-        spark.stop()
+        if not getattr(args, "keep_session", False):
+            spark.stop()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -1054,6 +1074,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_tpl.add_argument("--input", required=True)
     p_tpl.add_argument("--out", required=True)
+    p_tpl.add_argument(
+        "--calibrate", action="store_true",
+        help="fill range min/max from observed [lo, hi] DDSketch "
+             "quantiles instead of emitting an empty skeleton",
+    )
+    p_tpl.add_argument("--lo", type=float, default=0.001)
+    p_tpl.add_argument("--hi", type=float, default=0.999)
+    p_tpl.add_argument("--margin", type=float, default=0.0)
+    p_tpl.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
     p_tpl.add_argument("override", nargs="*")
 
     args = parser.parse_args(argv)

@@ -427,3 +427,61 @@ def write_qc_yaml_template(
     }
     with open(path, "w") as f:
         yaml.safe_dump(doc, f, sort_keys=False)
+
+
+def suggest_qc_ranges(
+    obs: DataFrame,
+    lo: float = 0.001,
+    hi: float = 0.999,
+    alpha: float = 0.02,
+    margin: float = 0.0,
+    id_col: str = "observation_type",
+    value_col: str = "result",
+) -> dict:
+    """Auto-calibrated per-stream range thresholds from observed data:
+    a QCConfig-ready ``{"QC": [{"id": ..., "range": {...}}]}`` dict
+    whose min/max are the [lo, hi] DDSketch quantiles of each
+    stream's values, widened by ``margin`` (relative).
+
+    The reference leaves range bounds to hand-maintained YAML
+    (``conf/config.yaml``); this derives the starting point from the
+    data itself.  DDSketch (±alpha relative-error guarantee, bounded
+    cell-table shuffle — see ``operators/ddsketch``) makes this a
+    single cells-only pass even when one stream has billions of rows,
+    where an exact per-group percentile would shuffle every value.
+    Streams are metadata-cardinality, so the final collect is tiny."""
+    from qualityassurancetool_spark.operators.ddsketch import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+
+    if not 0 <= lo < hi <= 1:
+        raise ConfigError(f"need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    if margin < 0:
+        raise ConfigError(f"margin must be >= 0, got {margin}")
+    sk = ddsketch_build(obs, value_col, [id_col], alpha=alpha)
+    rows = ddsketch_quantiles(
+        sk, [lo, hi], [id_col], alpha=alpha
+    ).collect()
+    bounds: dict = {}
+    for r in rows:
+        b = bounds.setdefault(r[id_col], {})
+        b["min" if r["prob"] == lo else "max"] = float(r["est"])
+
+    def widen(v: float, up: bool) -> float:
+        # widen AWAY from the interval regardless of sign
+        d = abs(v) * margin
+        return v + d if up else v - d
+
+    return {
+        "QC": [
+            {
+                "id": sid,
+                "range": {
+                    "min": widen(b["min"], up=False),
+                    "max": widen(b["max"], up=True),
+                },
+            }
+            for sid, b in sorted(bounds.items(), key=lambda kv: str(kv[0]))
+        ]
+    }

@@ -522,3 +522,56 @@ def test_profile_distinct_and_quantiles(spark, tmp_path, capsys):
         "profile", "--keep-session", f"data.input={src}", "data.out=/x",
         "method=quantiles",
     ]) == 2
+
+
+def test_template_calibrate(spark, tmp_path):
+    """template --calibrate: QC ranges derived from DDSketch quantiles
+    of the observed data, loadable by QCConfig, and the derived bounds
+    flag only genuine tail values."""
+    import yaml
+
+    from qualityassurancetool_spark.config import QCConfig
+
+    out = str(tmp_path / "qc.yaml")
+    rc = main([
+        "template", "--keep-session",
+        "--input", "/root/testdata/sf0.001",
+        "--out", out, "--calibrate", "--lo", "0.01", "--hi", "0.99",
+        "--margin", "0.05",
+    ])
+    assert rc == 0
+    doc = yaml.safe_load(open(out))
+    ids = {e["id"] for e in doc["QC"]}
+    assert {"click", "view"} <= ids
+    for e in doc["QC"]:
+        assert e["range"]["min"] < e["range"]["max"]
+    QCConfig.from_dict(doc)  # loadable as a real config
+
+
+def test_suggest_qc_ranges_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.config import (
+        ConfigError,
+        suggest_qc_ranges,
+    )
+
+    obs = spark.range(1000).select(
+        F.lit("s1").alias("observation_type"),
+        (F.col("id") + 1.0).alias("result"),
+    )
+    doc = suggest_qc_ranges(obs, lo=0.1, hi=0.9, alpha=0.01)
+    (entry,) = doc["QC"]
+    assert entry["id"] == "s1"
+    # ~10th/90th percentile of 1..1000 within sketch tolerance
+    assert entry["range"]["min"] == pytest.approx(100, rel=0.05)
+    assert entry["range"]["max"] == pytest.approx(900, rel=0.05)
+    # margin widens away from the interval
+    doc2 = suggest_qc_ranges(obs, lo=0.1, hi=0.9, margin=0.1)
+    (e2,) = doc2["QC"]
+    assert e2["range"]["min"] < entry["range"]["min"]
+    assert e2["range"]["max"] > entry["range"]["max"]
+    with pytest.raises(ConfigError):
+        suggest_qc_ranges(obs, lo=0.9, hi=0.1)
+    with pytest.raises(ConfigError):
+        suggest_qc_ranges(obs, margin=-1)
