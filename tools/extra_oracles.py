@@ -3153,6 +3153,88 @@ SELECT * FROM ranked WHERE rank <= {k}
     return sdf, sql
 
 
+def x_resample(spark, con, sf_dir):
+    """resample_interpolate (per-stream fixed-frequency grid + linear
+    gap interpolation, single window pass) vs a DuckDB replica of the
+    union + ignore-nulls-window + interpolation arithmetic.  Streams =
+    order priorities, ticks = weekly epochs over each priority's date
+    span, heavy duplicate-timestamp traffic (many orders share a
+    date) exercising the largest-value-wins discipline.  Values at
+    6 dp."""
+    from qualityassurancetool_spark.operators.resample import (
+        resample_interpolate,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    wk = 604800
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("sid"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_totalprice").alias("v"),
+    )
+    sdf = resample_interpolate(
+        orders,
+        id_col="sid",
+        ts_col="ts",
+        value_col="v",
+        freq_seconds=wk,
+        method="linear",
+    ).select(
+        "sid",
+        F.unix_timestamp("grid_ts").alias("grid_epoch"),
+        (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
+        "n_src",
+    )
+    sql = f"""
+WITH obs AS (
+    SELECT o_orderpriority AS sid,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS e,
+           CAST(o_totalprice AS DOUBLE) AS v
+    FROM orders WHERE o_orderdate IS NOT NULL
+), span AS (
+    SELECT sid, MIN(e) AS lo, MAX(e) AS hi FROM obs GROUP BY sid
+), grid AS (
+    SELECT sid,
+           unnest(generate_series(
+               CAST(ceil(lo / {wk}.0) * {wk} AS BIGINT), hi, {wk})) AS e
+    FROM span
+), u AS (
+    SELECT sid, e, CAST(NULL AS DOUBLE) AS v, 0 AS is_obs FROM grid
+    UNION ALL
+    SELECT sid, e, v, 1 FROM obs
+), ann AS (
+    SELECT sid, e, is_obs,
+           LAST_VALUE(CASE WHEN is_obs = 1 THEN e END IGNORE NULLS)
+               OVER wp AS pt,
+           LAST_VALUE(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+               OVER wp AS pv,
+           FIRST_VALUE(CASE WHEN is_obs = 1 THEN e END IGNORE NULLS)
+               OVER wn AS nt,
+           FIRST_VALUE(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+               OVER wn AS nv
+    FROM u
+    WINDOW wp AS (PARTITION BY sid ORDER BY e, is_obs DESC, v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY sid ORDER BY e, is_obs DESC, v
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), ticks AS (
+    SELECT * FROM ann WHERE is_obs = 0
+), dup AS (
+    SELECT sid, e, CAST(COUNT(*) AS INT) AS n_src FROM obs GROUP BY sid, e
+)
+SELECT t.sid, t.e AS grid_epoch,
+       round(CASE WHEN t.pt = t.e THEN t.pv
+                  WHEN t.pt IS NOT NULL AND t.nt IS NOT NULL THEN
+                       t.pv + (t.nv - t.pv)
+                           * CAST(t.e - t.pt AS DOUBLE)
+                           / CAST(t.nt - t.pt AS DOUBLE)
+             END, 6) + 0.0 AS value_r,
+       COALESCE(d.n_src, 0) AS n_src
+FROM ticks t LEFT JOIN dup d ON t.sid = d.sid AND t.e = d.e
+"""
+    return sdf, sql
+
+
 def x_unimax(spark, con, sf_dir):
     """unimax_mixture (Chung et al. 2023 water-filling budget
     allocation driving the deterministic mix) vs a DuckDB replica:
@@ -3434,6 +3516,7 @@ EXTRA_CHECKS = {
     "x_hll": x_hll,
     "x_kmv": x_kmv,
     "x_unimax": x_unimax,
+    "x_resample": x_resample,
     "x_maxsim": x_maxsim,
     "x_ddsketch": x_ddsketch,
     "x_kmv_compare": x_kmv_compare,
