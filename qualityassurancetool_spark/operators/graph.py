@@ -169,3 +169,81 @@ def pagerank_sql(
         + f"\nSELECT node, round(rank, {round_dp}) + 0.0 AS rank_r"
         f" FROM r{iters}"
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph (self-loops
+    dropped, direction/duplicates collapsed): ``(node, n_triangles)``
+    for every node in at least one triangle.
+
+    The node-iterator shape with the classic degree-ordering bound
+    (Suri & Vassilvitskii 2011, "Counting triangles and the curse of
+    the last reducer"): orient each canonical edge from its
+    lower-(degree, id) endpoint to the higher one, so wedges are only
+    generated at a triangle's SMALLEST-degree vertex — a high-degree
+    hub never fans out its full neighbor square, which is exactly the
+    last-reducer pathology on power-law web graphs.  Three shuffles
+    total (degrees, wedge build, closing-edge semi-join), each on
+    8-byte node keys; Catalyst plans the closing check as an equi-join
+    on the (v, w) pair.
+
+    Cross-engine: ``tools/extra_oracles.py::x_triangles`` — DuckDB
+    canonical u<v<w triple-join replica."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient: lower (degree, id) endpoint -> higher
+    ed = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+    )
+    e1 = ed.select(F.col("s").alias("w0"), F.col("t").alias("w1"))
+    e2 = ed.select(F.col("s").alias("w0"), F.col("t").alias("w2"))
+    wedges = e1.join(e2, "w0").where(F.col("w1") < F.col("w2"))
+    # the closing edge may be oriented either way between w1 and w2
+    closing = ed.select(
+        F.least("s", "t").alias("c1"), F.greatest("s", "t").alias("c2")
+    )
+    tris = wedges.join(
+        closing,
+        (F.least("w1", "w2") == F.col("c1"))
+        & (F.greatest("w1", "w2") == F.col("c2")),
+        "leftsemi",
+    )
+    per_node = (
+        tris.select(F.col("w0").alias("node"))
+        .unionAll(tris.select(F.col("w1").alias("node")))
+        .unionAll(tris.select(F.col("w2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

@@ -3153,6 +3153,58 @@ SELECT * FROM ranked WHERE rank <= {k}
     return sdf, sql
 
 
+def x_triangles(spark, con, sf_dir):
+    """triangle_count (degree-ordered node-iterator) vs the DuckDB
+    canonical u<v<w triple-join replica, per node, over the same
+    deterministic doc link graph as pagerank (i → (7i+3)%N,
+    (13i+5)%N, plus the +1/+2 ring families that close ~500
+    triangles at sf0.01, undirected)."""
+    from qualityassurancetool_spark.operators.graph import (
+        triangle_count,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    fams = [
+        F.col("doc_id") * 7 + 3,
+        F.col("doc_id") * 13 + 5,
+        F.col("doc_id") + 1,
+        F.col("doc_id") + 2,
+    ]
+    edges = None
+    for f in fams:
+        part = docs.select(
+            F.col("doc_id").alias("src"), (f % n).alias("dst")
+        )
+        edges = part if edges is None else edges.union(part)
+    sdf = triangle_count(edges)
+    sql = f"""
+WITH raw AS (
+    SELECT doc_id AS a, (doc_id * 7 + 3) % {n} AS b FROM documents
+    UNION ALL
+    SELECT doc_id AS a, (doc_id * 13 + 5) % {n} AS b FROM documents
+    UNION ALL
+    SELECT doc_id AS a, (doc_id + 1) % {n} AS b FROM documents
+    UNION ALL
+    SELECT doc_id AS a, (doc_id + 2) % {n} AS b FROM documents
+), e AS (
+    SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+    FROM raw WHERE a <> b
+), tri AS (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), nodes AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
+"""
+    return sdf, sql
+
+
 def x_resample(spark, con, sf_dir):
     """resample_interpolate (per-stream fixed-frequency grid + linear
     gap interpolation, single window pass) vs a DuckDB replica of the
@@ -3517,6 +3569,7 @@ EXTRA_CHECKS = {
     "x_kmv": x_kmv,
     "x_unimax": x_unimax,
     "x_resample": x_resample,
+    "x_triangles": x_triangles,
     "x_maxsim": x_maxsim,
     "x_ddsketch": x_ddsketch,
     "x_kmv_compare": x_kmv_compare,
