@@ -3153,6 +3153,120 @@ SELECT * FROM ranked WHERE rank <= {k}
     return sdf, sql
 
 
+def x_table_profile(spark, con, sf_dir):
+    """table_profile (one-scan exact stats + HLL ndv + DDSketch
+    quantiles, long format) vs a DuckDB replica assembled from plain
+    aggregates and the proven hll/ddsketch SQL fragments — over
+    lineitem's l_quantity / l_extendedprice / l_returnflag.  Values
+    at 4 dp (mean/avg and the sketch estimates cross libm)."""
+    import math
+
+    from qualityassurancetool_spark.operators.hll import _alpha
+    from qualityassurancetool_spark.operators.table_stats import (
+        table_profile,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    sdf = table_profile(li, cols).select(
+        "column", "stat", (F.round("value", 4) + F.lit(0.0)).alias("value_r")
+    )
+
+    p, m = 12, 1 << 12
+    numer = repr(_alpha(m) * m * m * float(1 << 49))
+    a = 0.02
+    gamma = (1 + a) / (1 - a)
+    lng, half = repr(math.log(gamma)), repr(2.0 / (gamma + 1.0))
+
+    def exact(c, numeric):
+        rows = [
+            f"SELECT '{c}' AS \"column\", 'count' AS stat, "
+            f"CAST(COUNT({c}) AS DOUBLE) AS v FROM lineitem",
+            f"SELECT '{c}', 'null_count', "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) "
+            f"AS DOUBLE) FROM lineitem",
+        ]
+        if numeric:
+            rows += [
+                f"SELECT '{c}', 'min', CAST(MIN({c}) AS DOUBLE) FROM lineitem",
+                f"SELECT '{c}', 'max', CAST(MAX({c}) AS DOUBLE) FROM lineitem",
+                f"SELECT '{c}', 'mean', AVG(CAST({c} AS DOUBLE)) FROM lineitem",
+            ]
+        return rows
+
+    def ndv(c):
+        return f"""
+SELECT '{c}' AS "column", 'ndv_est' AS stat,
+       CASE WHEN raw <= {2.5 * m} AND zeros > 0
+            THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+            ELSE raw END AS v
+FROM (
+  SELECT {m} - COUNT(*) AS zeros,
+         {numer} / CAST(SUM(CAST(pow(2.0, 49 - r) AS BIGINT))
+             + ({m} - COUNT(*)) * 562949953421312 AS DOUBLE) AS raw
+  FROM (
+    SELECT h & {m - 1} AS bucket,
+           MAX(CASE WHEN ((h >> {p}) & 281474976710655) = 0 THEN 49
+                ELSE 49 - length(bin((h >> {p}) & 281474976710655))
+           END) AS r
+    FROM (
+      SELECT CAST(concat('0x', substring(
+          md5(concat('hll:', CAST({c} AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      FROM lineitem WHERE {c} IS NOT NULL
+    ) GROUP BY bucket
+  )
+)"""
+
+    def qtiles(c):
+        plist = ", ".join(
+            f"(CAST({pb!r} AS DOUBLE))" for pb in (0.25, 0.5, 0.75)
+        )
+        return f"""
+SELECT "column", concat('q', CAST(prob AS VARCHAR)) AS stat,
+       CASE WHEN sign = 0 THEN 0.0
+            ELSE sign * {half} * pow({repr(gamma)}, bucket) END AS v
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY prob ORDER BY band, within) AS rn
+  FROM (
+    SELECT c.*, pp.prob,
+           SUM(n) OVER (ORDER BY band, within) AS cum,
+           SUM(n) OVER () AS total
+    FROM (
+      SELECT '{c}' AS "column",
+             CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+             CASE WHEN v > 0 THEN CAST(ceil(round(ln(v) / {lng}, 9)) AS INT)
+                  WHEN v < 0 THEN CAST(ceil(round(ln(-v) / {lng}, 9)) AS INT)
+                  ELSE 0 END AS bucket,
+             CASE WHEN v > 0 THEN 2 WHEN v = 0 THEN 1 ELSE 0 END AS band,
+             CASE WHEN v < 0
+                  THEN -CAST(ceil(round(ln(-v) / {lng}, 9)) AS INT)
+                  WHEN v > 0 THEN CAST(ceil(round(ln(v) / {lng}, 9)) AS INT)
+                  ELSE 0 END AS within,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+            WHERE {c} IS NOT NULL)
+      GROUP BY 1, 2, 3, 4, 5
+    ) c, (VALUES {plist}) pp(prob)
+  ) WHERE cum > prob * (total - 1)
+) WHERE rn = 1"""
+
+    pieces = (
+        exact("l_quantity", True)
+        + exact("l_extendedprice", True)
+        + exact("l_returnflag", False)
+        + [ndv(c) for c in cols]
+        + [qtiles("l_quantity"), qtiles("l_extendedprice")]
+    )
+    sql = (
+        'SELECT "column", stat, round(v, 4) + 0.0 AS value_r FROM ('
+        + " UNION ALL ".join(f"({q})" for q in pieces)
+        + ")"
+    )
+    return sdf, sql
+
+
 def x_triangles(spark, con, sf_dir):
     """triangle_count (degree-ordered node-iterator) vs the DuckDB
     canonical u<v<w triple-join replica, per node, over the same
@@ -3570,6 +3684,7 @@ EXTRA_CHECKS = {
     "x_unimax": x_unimax,
     "x_resample": x_resample,
     "x_triangles": x_triangles,
+    "x_table_profile": x_table_profile,
     "x_maxsim": x_maxsim,
     "x_ddsketch": x_ddsketch,
     "x_kmv_compare": x_kmv_compare,
