@@ -247,3 +247,88 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 200,
+) -> DataFrame:
+    """The k-core of an UNDIRECTED graph (self-loops dropped,
+    direction/duplicates collapsed): the maximal subgraph in which
+    every node has degree >= k.  Returns ``(node, degree)`` with the
+    WITHIN-CORE degree — the spam/boilerplate-site peel filter of
+    web-graph curation (low-core pages are link-farm leaves; the
+    deep core is the densely-cross-linked hub mass).
+
+    Matula–Beck peeling as dataflow: each round computes degrees
+    (one partial-agg shuffle of 8-byte node keys), keeps nodes with
+    degree >= k, and semi-joins the edge table down to surviving
+    endpoints.  The EDGE table only ever shrinks and text/payloads
+    never enter the loop; rounds are bounded by the peel depth of
+    the degeneracy ordering (small for power-law graphs — hubs
+    survive, fringes cascade off in a handful of waves), and each
+    round's fixpoint test rides the same count Spark already needs
+    for the semi-join side.  ``localCheckpoint`` truncates lineage
+    per round (the ``components.py``/``pagerank`` discipline; use
+    ``checkpoint()`` on a real cluster for executor-loss tolerance).
+
+    Cross-engine: ``tools/extra_oracles.py::x_kcore`` — DuckDB
+    fixed-depth unrolled-peel replica over a cascade graph built to
+    converge within the unroll budget (the Spark side iterates to
+    the true fixpoint; the test asserts the budget was enough).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k)
+        e2 = (
+            e.join(
+                keep.select(F.col("node").alias("u")), "u", "leftsemi"
+            )
+            .join(
+                keep.select(F.col("node").alias("v")), "v", "leftsemi"
+            )
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            # no edge lost => no node under-degree => fixpoint
+            return keep.select(
+                "node", F.col("degree").cast("long").alias("degree")
+            )
+        e, n_edges = e2, n2
+    # empty core (or max_iters hit with an empty/monotone tail):
+    # recompute degrees of whatever edge set remains
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.where(F.col("degree") >= k)

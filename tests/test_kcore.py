@@ -1,0 +1,73 @@
+"""k_core — Matula–Beck peeling as dataflow."""
+
+import pytest
+
+from qualityassurancetool_spark.operators.graph import k_core
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], schema="src long, dst long"
+    )
+
+
+def _core(spark, pairs, k):
+    return {
+        r["node"]: r["degree"]
+        for r in k_core(_edges(spark, pairs), k).collect()
+    }
+
+
+def test_clique_with_pendant_path(spark):
+    # K4 on 0-3 plus a pendant path 3-4-5-6: the 3-core is exactly K4
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(3, 4), (4, 5), (5, 6)]
+    got = _core(spark, k4 + path, 3)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_pure_path_two_core_empty_cascade(spark):
+    # peeling a path for k=2 cascades from both ends to nothing —
+    # exercises multi-round convergence, not single-shot filtering
+    path = [(i, i + 1) for i in range(12)]
+    assert _core(spark, path, 2) == {}
+
+
+def test_cycle_is_its_own_two_core(spark):
+    cyc = [(i, (i + 1) % 8) for i in range(8)]
+    assert _core(spark, cyc, 2) == {i: 2 for i in range(8)}
+
+
+def test_within_core_degree_not_original_degree(spark):
+    # 0-1-2 triangle, node 0 also touches pendant 9: after the peel
+    # node 0's reported degree must be 2 (core-internal), not 3
+    tri = [(0, 1), (1, 2), (0, 2), (0, 9)]
+    got = _core(spark, tri, 2)
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_k_above_max_degree_empty_and_duplicates_collapse(spark):
+    e = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0), (2, 2)]
+    assert _core(spark, e, 5) == {}
+    # duplicates/direction/self-loop collapse: triangle survives k=2
+    assert _core(spark, e, 2) == {0: 2, 1: 2, 2: 2}
+
+
+def test_nested_cores(spark):
+    # K5 (ids 100..104) bridged to a C4 (ids 0..3): 2-core = both,
+    # 3-core and 4-core = K5 only
+    k5 = [
+        (100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)
+    ]
+    c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    bridge = [(0, 100)]
+    all_e = k5 + c4 + bridge
+    two = _core(spark, all_e, 2)
+    assert set(two) == {0, 1, 2, 3, 100, 101, 102, 103, 104}
+    four = _core(spark, all_e, 4)
+    assert four == {100 + i: 4 for i in range(5)}
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError):
+        k_core(_edges(spark, [(0, 1)]), 0)

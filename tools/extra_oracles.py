@@ -3673,6 +3673,89 @@ FROM cells JOIN sizes USING (cohort)
     return sdf, sql
 
 
+def x_kcore(spark, con, sf_dir):
+    """k_core (iterated Matula–Beck peel to fixpoint) vs a DuckDB
+    FIXED-DEPTH unrolled-peel replica.  Graph = the 4-family doc link
+    core (degree ~8, survives k=3) plus 4 cascade levels of ladder
+    nodes: level L-1 has degree 2 and peels first, exposing level
+    L-2, and so on — one level per round, so the peel genuinely
+    iterates (4 removal waves + 1 confirming) and the 8-round SQL
+    unroll provably reaches the same fixpoint Spark iterates to."""
+    from qualityassurancetool_spark.operators.graph import k_core
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    levels = 4
+    # (expr_a, expr_b) pairs, mirrored exactly in SQL below
+    fams = [
+        (F.col("doc_id"), (F.col("doc_id") * 7 + 3) % n),
+        (F.col("doc_id"), (F.col("doc_id") * 13 + 5) % n),
+        (F.col("doc_id"), (F.col("doc_id") + 1) % n),
+        (F.col("doc_id"), (F.col("doc_id") + 2) % n),
+        # base of the ladder: core i — v(0,i) and core i — v(0,i+1)
+        (F.col("doc_id"), F.col("doc_id") + n),
+        (F.col("doc_id"), (F.col("doc_id") + 1) % n + n),
+    ]
+    sql_fams = [
+        ("doc_id", f"(doc_id * 7 + 3) % {n}"),
+        ("doc_id", f"(doc_id * 13 + 5) % {n}"),
+        ("doc_id", f"(doc_id + 1) % {n}"),
+        ("doc_id", f"(doc_id + 2) % {n}"),
+        ("doc_id", f"doc_id + {n}"),
+        ("doc_id", f"(doc_id + 1) % {n} + {n}"),
+    ]
+    for lv in range(levels - 1):
+        lo, hi = n * (lv + 1), n * (lv + 2)
+        fams.append((F.col("doc_id") + lo, F.col("doc_id") + hi))
+        fams.append(
+            (F.col("doc_id") + lo, (F.col("doc_id") + 1) % n + hi)
+        )
+        sql_fams.append((f"doc_id + {lo}", f"doc_id + {hi}"))
+        sql_fams.append((f"doc_id + {lo}", f"(doc_id + 1) % {n} + {hi}"))
+    edges = None
+    for fa, fb in fams:
+        part = docs.select(fa.alias("src"), fb.alias("dst"))
+        edges = part if edges is None else edges.union(part)
+    sdf = k_core(edges, 3)
+
+    raw = "\nUNION ALL\n".join(
+        f"    SELECT {a} AS a, {b} AS b FROM documents"
+        for a, b in sql_fams
+    )
+    rounds = 8
+    # AS MATERIALIZED: each CTE references its predecessor twice, so
+    # un-materialized inlining would expand the chain exponentially
+    # (DuckDB runs out of file handles re-opening the parquet scan)
+    ctes = [
+        f"raw AS MATERIALIZED (\n{raw}\n)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u,"
+        " greatest(a, b) AS v FROM raw WHERE a <> b)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"n{r} AS MATERIALIZED (SELECT node FROM"
+            f" (SELECT u AS node FROM e{r}"
+            f" UNION ALL SELECT v FROM e{r}) GROUP BY node"
+            f" HAVING COUNT(*) >= 3)"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{r} e"
+            f" JOIN n{r} x ON e.u = x.node"
+            f" JOIN n{r} y ON e.v = y.node)"
+        )
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (SELECT u AS node FROM e{rounds}
+      UNION ALL SELECT v FROM e{rounds})
+GROUP BY node HAVING COUNT(*) >= 3
+"""
+    )
+    return sdf, sql
+
+
 # inverse of retirement: bm25/cms/multipattern were PROMOTED into the
 # driver gate this round; their x_* names stay as the same delegation
 # so historical harness invocations keep working without code drift
@@ -3770,4 +3853,5 @@ EXTRA_CHECKS = {
     "x_kmv_compare": x_kmv_compare,
     "x_funnel": x_funnel,
     "x_cohort": x_cohort,
+    "x_kcore": x_kcore,
 }
