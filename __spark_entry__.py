@@ -2094,6 +2094,92 @@ FROM ranked WHERE rn <= 10
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel over the events stream
+    (operators/funnel): view -> click -> purchase within 6 h of each
+    user's EARLIEST view.  Events are filtered to the step types at
+    the scan, then ONE shuffle on user_id builds the time-sorted
+    (ts, step) list and a JVM higher-order fold walks the chain —
+    no per-step join pass, no Python UDF."""
+    from qualityassurancetool_spark.operators.funnel import funnel_depth
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_depth(
+        ev, ["view", "click", "purchase"], within="6h"
+    )
+
+
+_FUNNEL_WIN_US = 6 * 3600 * 1_000_000
+
+SQL_FUNNEL = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS us, event_type
+    FROM events WHERE ts IS NOT NULL
+), s1 AS (
+    SELECT user_id, MIN(us) AS t1 FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, MIN(us) AS t2 FROM ev e JOIN s1 USING (user_id)
+    WHERE event_type = 'click' AND us > t1
+      AND us - t1 <= {_FUNNEL_WIN_US}
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, MIN(us) AS t3 FROM ev e JOIN s2 USING (user_id)
+    JOIN s1 USING (user_id)
+    WHERE event_type = 'purchase' AND us > t2
+      AND us - t1 <= {_FUNNEL_WIN_US}
+    GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS depth,
+       t1 AS anchor_us,
+       COALESCE(t3, t2, t1) AS last_us
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly acquisition-cohort retention grid (operators/cohort):
+    per-user first week via a no-sort window over the single user-key
+    shuffle, then the (cohort, offset) cells reduce to
+    cohorts x offsets rows regardless of input size."""
+    from qualityassurancetool_spark.operators.cohort import (
+        cohort_retention,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
+SQL_COHORT = """
+WITH ev AS (
+    SELECT user_id,
+           CAST(date_trunc('week', ts) AS DATE) AS p
+    FROM events WHERE ts IS NOT NULL
+), firsts AS (
+    SELECT user_id, MIN(p) AS c FROM ev GROUP BY user_id
+), grid AS (
+    SELECT DISTINCT e.user_id, e.p, f.c
+    FROM ev e JOIN firsts f USING (user_id)
+), cells AS (
+    SELECT c AS cohort,
+           CAST(date_diff('day', c, p) / 7 AS BIGINT) AS period_offset,
+           COUNT(*) AS active_users
+    FROM grid GROUP BY 1, 2
+), sizes AS (
+    SELECT cohort, active_users AS cohort_size FROM cells
+    WHERE period_offset = 0
+)
+SELECT cohort, period_offset,
+       CAST(active_users AS BIGINT) AS active_users,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       ROUND(active_users * 100.0 / cohort_size, 6) AS retention_pct
+FROM cells JOIN sizes USING (cohort)
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column aggregates: per-label counts + norm statistics
     (sequential-fold norms, deterministic)."""
@@ -3356,7 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_zscore": q_qc_zscore,
         "qc_full_pipeline": q_qc_full_pipeline,
         "qc_reference_chain": q_qc_reference_chain,
-        "qc_flag_histogram": q_qc_flag_histogram,
+        "funnel": q_funnel,
         "qc_asof_dependent": q_qc_asof_dependent,
         "qc_velocity": q_qc_velocity,
         "qc_spatial_outlier": q_qc_spatial_outlier,
@@ -3389,7 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_region_flags": q_qc_region_flags,
         "qc_region_lookup": q_qc_region_lookup,
         "qc_depth_flags": q_qc_depth_flags,
-        "unique_value_assert": q_unique_value_assert,
+        "cohort": q_cohort,
         "nearest_lookup": q_nearest_lookup,
         "nested_flatten": q_nested_flatten,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -3411,7 +3497,7 @@ def oracle_sql() -> dict[str, str]:
         "qc_zscore": SQL_QC_ZSCORE,
         "qc_full_pipeline": SQL_QC_FULL_PIPELINE,
         "qc_reference_chain": _sql_qc_reference_chain(),
-        "qc_flag_histogram": SQL_QC_FLAG_HISTOGRAM,
+        "funnel": SQL_FUNNEL,
         "qc_asof_dependent": SQL_QC_ASOF_DEPENDENT,
         "qc_velocity": SQL_QC_VELOCITY,
         "qc_spatial_outlier": SQL_QC_SPATIAL_OUTLIER,
@@ -3444,7 +3530,7 @@ def oracle_sql() -> dict[str, str]:
         "qc_region_flags": SQL_QC_REGION_FLAGS,
         "qc_region_lookup": SQL_QC_REGION_LOOKUP,
         "qc_depth_flags": SQL_QC_DEPTH_FLAGS,
-        "unique_value_assert": SQL_UNIQUE_VALUE_ASSERT,
+        "cohort": SQL_COHORT,
         "nearest_lookup": SQL_NEAREST_LOOKUP,
         "nested_flatten": SQL_NESTED_FLATTEN,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,

@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     # price_percentiles/events_profile rows (covered as x_* extras)
     "hll_distinct",
     "ddsketch_quantiles",
+    # round-5 third swap: funnel/cohort replace the retired
+    # qc_flag_histogram/unique_value_assert rows (covered as x_*)
+    "funnel",
+    "cohort",
 ]
 
 

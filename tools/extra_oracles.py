@@ -3593,86 +3593,6 @@ x_price_percentiles = _retired("price_percentiles")
 # round-5 swap (VERDICT r4 item 2): three more trivial rows retired in
 # favor of the round-4 flagships bm25/cms/multipattern
 x_window_union_overlap = _retired("window_union_overlap")
-def x_funnel(spark, con, sf_dir):
-    """funnel_depth (first-touch ordered funnel, one-shuffle HOF fold)
-    vs the DuckDB dependent-min-aggregation chain: t1 = earliest
-    'view', t2 = earliest 'click' strictly after t1, t3 = earliest
-    'purchase' strictly after t2, all within 6h of the anchor."""
-    from qualityassurancetool_spark.operators.funnel import funnel_depth
-    from qualityassurancetool_spark.schema import load_table
-
-    win_us = 6 * 3600 * 1_000_000
-    ev = load_table(spark, sf_dir, "events")
-    sdf = funnel_depth(
-        ev, ["view", "click", "purchase"], within="6h"
-    )
-    sql = f"""
-WITH ev AS (
-    SELECT user_id, epoch_us(ts) AS us, event_type
-    FROM events WHERE ts IS NOT NULL
-), s1 AS (
-    SELECT user_id, MIN(us) AS t1 FROM ev
-    WHERE event_type = 'view' GROUP BY user_id
-), s2 AS (
-    SELECT e.user_id, MIN(us) AS t2 FROM ev e JOIN s1 USING (user_id)
-    WHERE event_type = 'click' AND us > t1 AND us - t1 <= {win_us}
-    GROUP BY e.user_id
-), s3 AS (
-    SELECT e.user_id, MIN(us) AS t3 FROM ev e JOIN s2 USING (user_id)
-    JOIN s1 USING (user_id)
-    WHERE event_type = 'purchase' AND us > t2 AND us - t1 <= {win_us}
-    GROUP BY e.user_id
-)
-SELECT s1.user_id,
-       CAST(CASE WHEN t3 IS NOT NULL THEN 3
-                 WHEN t2 IS NOT NULL THEN 2
-                 ELSE 1 END AS INTEGER) AS depth,
-       t1 AS anchor_us,
-       COALESCE(t3, t2, t1) AS last_us
-FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-"""
-    return sdf, sql
-
-
-def x_cohort(spark, con, sf_dir):
-    """cohort_retention (weekly acquisition grid, single user-key
-    shuffle) vs the DuckDB first-week/activity-week replica with the
-    same ISO-Monday truncation and day-difference offset arithmetic."""
-    from qualityassurancetool_spark.operators.cohort import (
-        cohort_retention,
-    )
-    from qualityassurancetool_spark.schema import load_table
-
-    ev = load_table(spark, sf_dir, "events")
-    sdf = cohort_retention(ev, period="week")
-    sql = """
-WITH ev AS (
-    SELECT user_id,
-           CAST(date_trunc('week', ts) AS DATE) AS p
-    FROM events WHERE ts IS NOT NULL
-), firsts AS (
-    SELECT user_id, MIN(p) AS c FROM ev GROUP BY user_id
-), grid AS (
-    SELECT DISTINCT e.user_id, e.p, f.c
-    FROM ev e JOIN firsts f USING (user_id)
-), cells AS (
-    SELECT c AS cohort,
-           CAST(date_diff('day', c, p) / 7 AS BIGINT) AS period_offset,
-           COUNT(*) AS active_users
-    FROM grid GROUP BY 1, 2
-), sizes AS (
-    SELECT cohort, active_users AS cohort_size FROM cells
-    WHERE period_offset = 0
-)
-SELECT cohort, period_offset,
-       CAST(active_users AS BIGINT) AS active_users,
-       CAST(cohort_size AS BIGINT) AS cohort_size,
-       ROUND(active_users * 100.0 / cohort_size, 6) AS retention_pct
-FROM cells JOIN sizes USING (cohort)
-"""
-    return sdf, sql
-
-
 def x_kcore(spark, con, sf_dir):
     """k_core (iterated Matula–Beck peel to fixpoint) vs a DuckDB
     FIXED-DEPTH unrolled-peel replica.  Graph = the 4-family doc link
@@ -3755,6 +3675,14 @@ GROUP BY node HAVING COUNT(*) >= 3
     )
     return sdf, sql
 
+
+# round-5 third swap: funnel/cohort promoted into the driver gate,
+# retiring the 2-row flag histogram and the unique-value assertion
+# (both stay covered here and inside the qc chains / pytest)
+x_qc_flag_histogram = _retired("qc_flag_histogram")
+x_unique_value_assert = _retired("unique_value_assert")
+x_funnel = _retired("funnel")
+x_cohort = _retired("cohort")
 
 # inverse of retirement: bm25/cms/multipattern were PROMOTED into the
 # driver gate this round; their x_* names stay as the same delegation
@@ -3854,4 +3782,6 @@ EXTRA_CHECKS = {
     "x_funnel": x_funnel,
     "x_cohort": x_cohort,
     "x_kcore": x_kcore,
+    "x_qc_flag_histogram": x_qc_flag_histogram,
+    "x_unique_value_assert": x_unique_value_assert,
 }
