@@ -3593,6 +3593,86 @@ x_price_percentiles = _retired("price_percentiles")
 # round-5 swap (VERDICT r4 item 2): three more trivial rows retired in
 # favor of the round-4 flagships bm25/cms/multipattern
 x_window_union_overlap = _retired("window_union_overlap")
+def x_cooccurrence(spark, con, sf_dir):
+    """cooccurrence (bipartite user->item projection, HOF pair
+    comprehension, deterministic smallest-items cap) vs the DuckDB
+    row_number-capped self-join replica.  Interactions = (user_id,
+    event_type value-bucket) pairs from events — several items per
+    user, heavy duplication, cap 4 exercised."""
+    from qualityassurancetool_spark.operators.cooccurrence import (
+        cooccurrence,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        (
+            F.xxhash64(F.col("event_type"), F.col("value").cast("int"))
+            % 50
+        ).alias("item_id"),
+    )
+    sdf = cooccurrence(
+        ui, max_per_user=4, min_count=2
+    )
+    sql = """
+WITH ui AS (
+    SELECT DISTINCT user_id, item_id FROM ui_items
+    WHERE user_id IS NOT NULL AND item_id IS NOT NULL
+), capped AS (
+    SELECT user_id, item_id FROM (
+        SELECT user_id, item_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY item_id
+               ) AS rn
+        FROM ui
+    ) WHERE rn <= 4
+)
+SELECT a.item_id AS item_a, b.item_id AS item_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM capped a JOIN capped b
+  ON a.user_id = b.user_id AND a.item_id < b.item_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+    # the bucketed item derivation uses Spark's xxhash64 (no DuckDB
+    # twin) — materialize the interaction table for the oracle side
+    con.register("ui_pd", ui.toPandas())
+    con.execute(
+        "CREATE OR REPLACE TABLE ui_items AS SELECT * FROM ui_pd"
+    )
+    return sdf, sql
+
+
+def x_transitions(spark, con, sf_dir):
+    """event_transitions (per-user lag window + tiny row-normalize)
+    vs the DuckDB lag replica with the same (ts, event_id)
+    tie-break."""
+    from qualityassurancetool_spark.operators.transitions import (
+        event_transitions,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sdf = event_transitions(ev, order_extra=["event_id"])
+    sql = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS from_type
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), pairs AS (
+    SELECT from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM pairs
+"""
+    return sdf, sql
+
+
 def x_kcore(spark, con, sf_dir):
     """k_core (iterated Matula–Beck peel to fixpoint) vs a DuckDB
     FIXED-DEPTH unrolled-peel replica.  Graph = the 4-family doc link
@@ -3782,6 +3862,8 @@ EXTRA_CHECKS = {
     "x_funnel": x_funnel,
     "x_cohort": x_cohort,
     "x_kcore": x_kcore,
+    "x_cooccurrence": x_cooccurrence,
+    "x_transitions": x_transitions,
     "x_qc_flag_histogram": x_qc_flag_histogram,
     "x_unique_value_assert": x_unique_value_assert,
 }
