@@ -59,6 +59,19 @@ def test_single_item_users_contribute_nothing(spark):
     assert _pairs(cooccurrence(ui)) == {}
 
 
+def test_capped_and_uncapped_paths_agree(spark):
+    # the two physical regimes (HOF comprehension vs streaming
+    # self-join) must be row-identical when the cap exceeds every
+    # basket size
+    ui = _ui(
+        spark,
+        [(u, (u * 7 + j * 13) % 40) for u in range(30) for j in range(6)],
+    )
+    capped = _pairs(cooccurrence(ui, max_per_user=100, min_count=2))
+    uncapped = _pairs(cooccurrence(ui, min_count=2))
+    assert capped == uncapped and len(capped) > 0
+
+
 def test_cap_validation(spark):
     ui = _ui(spark, [(1, 10)])
     with pytest.raises(ValueError):

@@ -3593,6 +3593,96 @@ x_price_percentiles = _retired("price_percentiles")
 # round-5 swap (VERDICT r4 item 2): three more trivial rows retired in
 # favor of the round-4 flagships bm25/cms/multipattern
 x_window_union_overlap = _retired("window_union_overlap")
+def x_growth(spark, con, sf_dir):
+    """growth_accounting (weekly new/retained/resurrected/churned
+    via one user-key shuffle + lag/lead over each user's distinct
+    active weeks) vs the DuckDB window replica."""
+    from qualityassurancetool_spark.operators.growth import (
+        growth_accounting,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sdf = growth_accounting(ev, period="week")
+    sql = """
+WITH up AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS DATE) AS p
+    FROM events WHERE ts IS NOT NULL
+), seq AS (
+    SELECT user_id, p,
+           lag(p)  OVER (PARTITION BY user_id ORDER BY p) AS prev,
+           lead(p) OVER (PARTITION BY user_id ORDER BY p) AS nxt
+    FROM up
+), active AS (
+    SELECT p AS period_start,
+           SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS new_users,
+           SUM(CASE WHEN prev IS NOT NULL
+                     AND date_diff('day', prev, p) = 7
+                    THEN 1 ELSE 0 END) AS retained,
+           SUM(CASE WHEN prev IS NOT NULL
+                     AND date_diff('day', prev, p) > 7
+                    THEN 1 ELSE 0 END) AS resurrected
+    FROM seq GROUP BY p
+), churn AS (
+    SELECT p + 7 AS period_start, COUNT(*) AS churned
+    FROM seq
+    WHERE nxt IS NULL OR date_diff('day', p, nxt) > 7
+    GROUP BY p + 7
+)
+SELECT COALESCE(a.period_start, c.period_start) AS period_start,
+       CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+       CAST(COALESCE(retained, 0) AS BIGINT) AS retained,
+       CAST(COALESCE(resurrected, 0) AS BIGINT) AS resurrected,
+       CAST(COALESCE(churned, 0) AS BIGINT) AS churned
+FROM active a FULL JOIN churn c USING (period_start)
+"""
+    return sdf, sql
+
+
+def x_rfm(spark, con, sf_dir):
+    """rfm_segments (customer-level aggregate + deterministic ntile
+    windows with (metric, customer) tie-break) vs the DuckDB ntile
+    replica over orders."""
+    from qualityassurancetool_spark.operators.rfm import rfm_segments
+    from qualityassurancetool_spark.schema import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    sdf = rfm_segments(orders, n_bins=5)
+    sql = """
+WITH per_cust AS (
+    SELECT o_custkey AS customer,
+           MAX(o_orderdate) AS last_d,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           ROUND(SUM(o_totalprice), 2) AS monetary
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    GROUP BY o_custkey
+), ref AS (SELECT MAX(o_orderdate) AS ref_d FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+base AS (
+    SELECT customer,
+           CAST(date_diff('day', last_d, ref_d) AS BIGINT)
+               AS recency_days,
+           frequency, monetary
+    FROM per_cust, ref
+), scored AS (
+    SELECT *,
+           ntile(5) OVER (ORDER BY recency_days DESC, customer) AS r,
+           ntile(5) OVER (ORDER BY frequency ASC,  customer) AS f,
+           ntile(5) OVER (ORDER BY monetary ASC,   customer) AS m
+    FROM base
+)
+SELECT customer, recency_days, frequency, monetary,
+       CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+       CAST(m AS INTEGER) AS m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+           AS rfm_cell
+FROM scored
+"""
+    return sdf, sql
+
+
 def x_cooccurrence(spark, con, sf_dir):
     """cooccurrence (bipartite user->item projection, HOF pair
     comprehension, deterministic smallest-items cap) vs the DuckDB
@@ -3864,6 +3954,8 @@ EXTRA_CHECKS = {
     "x_kcore": x_kcore,
     "x_cooccurrence": x_cooccurrence,
     "x_transitions": x_transitions,
+    "x_growth": x_growth,
+    "x_rfm": x_rfm,
     "x_qc_flag_histogram": x_qc_flag_histogram,
     "x_unique_value_assert": x_unique_value_assert,
 }
