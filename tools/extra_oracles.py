@@ -3593,6 +3593,80 @@ x_price_percentiles = _retired("price_percentiles")
 # round-5 swap (VERDICT r4 item 2): three more trivial rows retired in
 # favor of the round-4 flagships bm25/cms/multipattern
 x_window_union_overlap = _retired("window_union_overlap")
+def x_ols(spark, con, sf_dir):
+    """grouped_ols + correlation_pairs (one-pass moment aggregation)
+    vs DuckDB's native regr_slope/regr_intercept/regr_r2/corr over
+    lineitem: fit discount -> extendedprice per returnflag, plus the
+    quantity/extendedprice/discount correlation matrix.  6-dp
+    rounding absorbs the moment-identity-vs-streaming-kahan ulp
+    differences between engines."""
+    from qualityassurancetool_spark.operators.regression import (
+        correlation_pairs,
+        grouped_ols,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_discount").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        F.col("l_quantity").cast("double").alias("q"),
+    )
+    ols = grouped_ols(li, "x", "y", ["l_returnflag"]).select(
+        F.lit("ols").alias("part"),
+        F.col("l_returnflag").alias("key"),
+        F.lit("x~y").alias("pair"),
+        "n",
+        (F.round("slope", 4) + F.lit(0.0)).alias("v1"),
+        (F.round(F.col("intercept") / 1000.0, 4) + F.lit(0.0)).alias(
+            "v2"
+        ),
+        (F.round("r2", 6) + F.lit(0.0)).alias("v3"),
+    )
+    corr = correlation_pairs(li, ["q", "x", "y"]).select(
+        F.lit("corr").alias("part"),
+        F.lit("").alias("key"),
+        F.concat_ws("~", "col_a", "col_b").alias("pair"),
+        "n",
+        (F.round("corr", 6) + F.lit(0.0)).alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    sdf = ols.unionByName(corr)
+    sql = """
+WITH li AS (
+    SELECT l_returnflag,
+           CAST(l_discount AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y,
+           CAST(l_quantity AS DOUBLE) AS q
+    FROM lineitem
+), ols AS (
+    SELECT 'ols' AS part, l_returnflag AS key, 'x~y' AS pair,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(y, x), 4) + 0.0 AS v1,
+           ROUND(regr_intercept(y, x) / 1000.0, 4) + 0.0 AS v2,
+           ROUND(regr_r2(y, x), 6) + 0.0 AS v3
+    FROM li GROUP BY l_returnflag
+), pairs AS (
+    SELECT 'corr' AS part, '' AS key, 'q~x' AS pair,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(q, x), 6) + 0.0 AS v1 FROM li
+    UNION ALL
+    SELECT 'corr', '', 'q~y', CAST(COUNT(*) AS BIGINT),
+           ROUND(corr(q, y), 6) + 0.0 FROM li
+    UNION ALL
+    SELECT 'corr', '', 'x~y', CAST(COUNT(*) AS BIGINT),
+           ROUND(corr(x, y), 6) + 0.0 FROM li
+)
+SELECT part, key, pair, n, v1, v2, v3 FROM ols
+UNION ALL
+SELECT part, key, pair, n, v1,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM pairs
+"""
+    return sdf, sql
+
+
 def x_growth(spark, con, sf_dir):
     """growth_accounting (weekly new/retained/resurrected/churned
     via one user-key shuffle + lag/lead over each user's distinct
@@ -3954,6 +4028,7 @@ EXTRA_CHECKS = {
     "x_kcore": x_kcore,
     "x_cooccurrence": x_cooccurrence,
     "x_transitions": x_transitions,
+    "x_ols": x_ols,
     "x_growth": x_growth,
     "x_rfm": x_rfm,
     "x_qc_flag_histogram": x_qc_flag_histogram,
