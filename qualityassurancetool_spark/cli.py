@@ -764,6 +764,151 @@ def cmd_profile(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_analytics(args, overrides: list[str]) -> int:
+    """Event-stream / warehouse analytics.  ``method``:
+
+    - ``funnel``: first-touch ordered funnel over an events parquet
+      (``steps=[...]`` required; ``within=``, ``user=``, ``ts=``,
+      ``type=``, ``report=true`` for the step table);
+    - ``cohort``: acquisition-cohort retention grid
+      (``period=week|day|month``);
+    - ``growth``: new/retained/resurrected/churned per period
+      (``period=week|day``);
+    - ``transitions``: first-order event-type transition matrix
+      (``order_extra=[...]`` tie-break columns);
+    - ``rfm``: recency/frequency/monetary segmentation over an
+      orders-shaped parquet (``customer=``, ``date=``, ``amount=``,
+      ``n_bins=``, ``approx=true``);
+    - ``cooccurrence``: item-item projection of (user, item)
+      interactions (``user=``, ``item=``, ``max_per_user=``,
+      ``min_count=``);
+    - ``ols``: per-group least-squares fit ``y ~ x``
+      (``x=``, ``y=``, ``group=[...]``).
+    """
+    run, knobs = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if (
+        not isinstance(data_c, dict)
+        or not data_c.get("input")
+        or not data_c.get("out")
+    ):
+        raise ConfigError("missing required settings: data.input, data.out")
+    method = knobs.get("method")
+    methods = (
+        "funnel", "cohort", "growth", "transitions", "rfm",
+        "cooccurrence", "ols",
+    )
+    if method not in methods:
+        raise ConfigError(
+            f"unknown analytics method {method!r} ({'|'.join(methods)})"
+        )
+
+    from qualityassurancetool_spark.session import get_spark
+
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-analytics"))
+    try:
+        df = spark.read.parquet(data_c["input"])
+        user = knobs.get("user", "user_id")
+        ts = knobs.get("ts", "ts")
+        if method == "funnel":
+            from qualityassurancetool_spark.operators.funnel import (
+                funnel_depth,
+                funnel_report,
+            )
+
+            steps = knobs.get("steps")
+            if not isinstance(steps, list) or not steps:
+                raise ConfigError("funnel needs steps=[...]")
+            steps = [str(s) for s in steps]
+            out = funnel_depth(
+                df,
+                steps,
+                user_col=user,
+                type_col=knobs.get("type", "event_type"),
+                ts_col=ts,
+                within=knobs.get("within"),
+            )
+            if str(knobs.get("report", "")).lower() in ("1", "true"):
+                out = funnel_report(out, steps, user_col=user)
+        elif method == "cohort":
+            from qualityassurancetool_spark.operators.cohort import (
+                cohort_retention,
+            )
+
+            out = cohort_retention(
+                df, user_col=user, ts_col=ts,
+                period=str(knobs.get("period", "week")),
+            )
+        elif method == "growth":
+            from qualityassurancetool_spark.operators.growth import (
+                growth_accounting,
+            )
+
+            out = growth_accounting(
+                df, user_col=user, ts_col=ts,
+                period=str(knobs.get("period", "week")),
+            )
+        elif method == "transitions":
+            from qualityassurancetool_spark.operators.transitions import (
+                event_transitions,
+            )
+
+            extra = knobs.get("order_extra") or []
+            out = event_transitions(
+                df,
+                user_col=user,
+                ts_col=ts,
+                type_col=knobs.get("type", "event_type"),
+                order_extra=[str(c) for c in extra],
+            )
+        elif method == "rfm":
+            from qualityassurancetool_spark.operators.rfm import (
+                rfm_segments,
+            )
+
+            out = rfm_segments(
+                df,
+                customer_col=knobs.get("customer", "o_custkey"),
+                date_col=knobs.get("date", "o_orderdate"),
+                amount_col=knobs.get("amount", "o_totalprice"),
+                n_bins=int(knobs.get("n_bins", 5)),
+                as_of=knobs.get("as_of"),
+                approx=str(knobs.get("approx", "")).lower()
+                in ("1", "true"),
+            )
+        elif method == "cooccurrence":
+            from qualityassurancetool_spark.operators.cooccurrence import (
+                cooccurrence,
+            )
+
+            cap = knobs.get("max_per_user")
+            out = cooccurrence(
+                df,
+                user_col=user,
+                item_col=knobs.get("item", "item_id"),
+                max_per_user=int(cap) if cap is not None else None,
+                min_count=int(knobs.get("min_count", 1)),
+            )
+        else:  # ols
+            from qualityassurancetool_spark.operators.regression import (
+                grouped_ols,
+            )
+
+            x, y = knobs.get("x"), knobs.get("y")
+            if not x or not y:
+                raise ConfigError("ols needs x=<col> y=<col>")
+            group = knobs.get("group") or []
+            out = grouped_ols(
+                df, str(x), str(y), [str(g) for g in group]
+            )
+        out.write.mode("overwrite").parquet(data_c["out"])
+        print(f"rows: {spark.read.parquet(data_c['out']).count()}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def cmd_pretrain(args, overrides: list[str]) -> int:
     """End-to-end corpus build: documents parquet/JSONL → curate →
     near-dedup → chunk+pack → WebDataset shards + audit report
@@ -1056,6 +1201,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_prof.add_argument("override", nargs="*", help="key.path=value")
 
+    p_ana = sub.add_parser(
+        "analytics",
+        help=(
+            "event/warehouse analytics (funnel|cohort|growth|"
+            "transitions|rfm|cooccurrence|ols)"
+        ),
+    )
+    p_ana.add_argument("-c", "--config", default=None)
+    p_ana.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_ana.add_argument("override", nargs="*", help="key.path=value")
+
     p_rep = sub.add_parser(
         "report", help="corpus report (dataset-card numbers)"
     )
@@ -1095,6 +1253,7 @@ def main(argv: list[str] | None = None) -> int:
         "ann": cmd_ann,
         "extract": cmd_extract,
         "profile": cmd_profile,
+        "analytics": cmd_analytics,
         "report": cmd_report,
         "pretrain": cmd_pretrain,
         "refresh": cmd_refresh,
