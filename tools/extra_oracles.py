@@ -3593,6 +3593,80 @@ x_price_percentiles = _retired("price_percentiles")
 # round-5 swap (VERDICT r4 item 2): three more trivial rows retired in
 # favor of the round-4 flagships bm25/cms/multipattern
 x_window_union_overlap = _retired("window_union_overlap")
+def x_logreg(spark, con, sf_dir):
+    """train_logistic_regression (full-batch GD, one aggregate pass
+    per iteration, weights as driver literals) vs a DuckDB replica
+    that unrolls the SAME 4 iterations as chained scalar CTEs over
+    lineitem features (discount, quantity/50) with label
+    returnflag='R'.  Deterministic because full-batch GD has no
+    sampling; coefficients match to 6 dp."""
+    from qualityassurancetool_spark.operators.logreg import (
+        train_logistic_regression,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    iters, lr = 4, 0.8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").cast("double").alias("x1"),
+        (F.col("l_quantity") / 50.0).cast("double").alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    m = train_logistic_regression(
+        li, ["x1", "x2"], "y", iters=iters, lr=lr, standardize=False
+    )
+    sdf = spark.createDataFrame(
+        [
+            (
+                "w1",
+                round(m["weights"][0], 6) + 0.0,
+            ),
+            ("w2", round(m["weights"][1], 6) + 0.0),
+            ("b", round(m["bias"], 6) + 0.0),
+            ("n", float(m["n"])),
+        ],
+        schema="coef string, value double",
+    )
+    # unrolled GD: iteration CTEs g{i} hold (b, w1, w2) scalars
+    ctes = [
+        """d AS MATERIALIZED (
+    SELECT CAST(l_discount AS DOUBLE) AS x1,
+           CAST(l_quantity AS DOUBLE) / 50.0 AS x2,
+           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+    FROM lineitem
+    WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+      AND l_returnflag IS NOT NULL
+)""",
+        "g0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""g{i + 1} AS (
+    SELECT g.b - {lr} * AVG(p - y) AS b,
+           g.w1 - {lr} * AVG((p - y) * x1) AS w1,
+           g.w2 - {lr} * AVG((p - y) * x2) AS w2
+    FROM (
+        SELECT x1, x2, y,
+               1.0 / (1.0 + exp(-(g.b + g.w1 * x1 + g.w2 * x2))) AS p
+        FROM d, g{i} g
+    ) q, g{i} g
+    GROUP BY g.b, g.w1, g.w2
+)"""
+        )
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT 'w1' AS coef, ROUND(w1, 6) + 0.0 AS value FROM g{iters}
+UNION ALL SELECT 'w2', ROUND(w2, 6) + 0.0 FROM g{iters}
+UNION ALL SELECT 'b', ROUND(b, 6) + 0.0 FROM g{iters}
+UNION ALL SELECT 'n', CAST(COUNT(*) AS DOUBLE) FROM d
+"""
+    )
+    return sdf, sql
+
+
 def x_ols(spark, con, sf_dir):
     """grouped_ols + correlation_pairs (one-pass moment aggregation)
     vs DuckDB's native regr_slope/regr_intercept/regr_r2/corr over
@@ -4028,6 +4102,7 @@ EXTRA_CHECKS = {
     "x_kcore": x_kcore,
     "x_cooccurrence": x_cooccurrence,
     "x_transitions": x_transitions,
+    "x_logreg": x_logreg,
     "x_ols": x_ols,
     "x_growth": x_growth,
     "x_rfm": x_rfm,
