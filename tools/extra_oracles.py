@@ -3593,6 +3593,105 @@ x_price_percentiles = _retired("price_percentiles")
 # round-5 swap (VERDICT r4 item 2): three more trivial rows retired in
 # favor of the round-4 flagships bm25/cms/multipattern
 x_window_union_overlap = _retired("window_union_overlap")
+def x_feature_prep(spark, con, sf_dir):
+    """target_encode (smoothed + leave-one-out, category-key windows)
+    and chi_squared (one-pass exploded contingency with absent-cell
+    mass folded in) vs DuckDB window/contingency replicas over
+    lineitem."""
+    from qualityassurancetool_spark.operators.feature_prep import (
+        chi_squared,
+        target_encode,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate").cast("string")
+    )
+    te = target_encode(
+        target_encode(
+            li, "l_returnflag", "l_quantity", smoothing=10.0
+        ),
+        "l_returnflag",
+        "l_quantity",
+        smoothing=10.0,
+        loo=True,
+        out_col="te_loo",
+    ).select(
+        F.lit("te").alias("part"),
+        F.col("l_orderkey").cast("long").alias("k1"),
+        F.col("l_linenumber").cast("long").alias("k2"),
+        F.lit("").alias("feature"),
+        (F.round("l_returnflag_te", 6) + F.lit(0.0)).alias("v1"),
+        (F.round("te_loo", 6) + F.lit(0.0)).alias("v2"),
+    )
+    chi = chi_squared(
+        li, ["l_linestatus", "ship_month"], "l_returnflag"
+    ).select(
+        F.lit("chi").alias("part"),
+        F.lit(0).cast("long").alias("k1"),
+        (F.col("dof") * 1000 + F.col("n") % 1000)
+        .cast("long")
+        .alias("k2"),
+        "feature",
+        (F.round("chi2", 6) + F.lit(0.0)).alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    sdf = te.unionByName(chi)
+    sql = """
+WITH te AS (
+    SELECT 'te' AS part,
+           CAST(l_orderkey AS BIGINT) AS k1,
+           CAST(l_linenumber AS BIGINT) AS k2,
+           '' AS feature,
+           ROUND((SUM(l_quantity) OVER (PARTITION BY l_returnflag)
+                  + 10.0 * (SUM(l_quantity) OVER ()
+                            / COUNT(l_quantity) OVER ()))
+                 / (COUNT(l_quantity) OVER (PARTITION BY l_returnflag)
+                    + 10.0), 6) + 0.0 AS v1,
+           ROUND((SUM(l_quantity) OVER (PARTITION BY l_returnflag)
+                  - l_quantity
+                  + 10.0 * (SUM(l_quantity) OVER ()
+                            / COUNT(l_quantity) OVER ()))
+                 / (COUNT(l_quantity) OVER (PARTITION BY l_returnflag)
+                    - 1 + 10.0), 6) + 0.0 AS v2
+    FROM lineitem
+), cells AS (
+    SELECT f.feature, f.v, l_returnflag AS y, COUNT(*) AS obs
+    FROM lineitem, LATERAL (VALUES
+        ('l_linestatus', COALESCE(CAST(l_linestatus AS VARCHAR),
+                                  '__null__')),
+        ('ship_month', COALESCE(CAST(month(l_shipdate) AS VARCHAR),
+                                '__null__'))
+    ) AS f(feature, v)
+    WHERE l_returnflag IS NOT NULL
+    GROUP BY 1, 2, 3
+), scored AS (
+    SELECT feature,
+           SUM(obs) OVER (PARTITION BY feature) AS n,
+           SUM(obs) OVER (PARTITION BY feature, v)
+             * SUM(obs) OVER (PARTITION BY feature, y)
+             / SUM(obs) OVER (PARTITION BY feature) AS exp,
+           obs, v, y
+    FROM cells
+), agg AS (
+    SELECT feature, ANY_VALUE(n) AS n,
+           SUM((obs - exp) * (obs - exp) / exp) AS t,
+           SUM(exp) AS e,
+           COUNT(DISTINCT v) AS nv, COUNT(DISTINCT y) AS ny
+    FROM scored GROUP BY feature
+)
+SELECT part, k1, k2, feature, v1, v2 FROM te
+UNION ALL
+SELECT 'chi', CAST(0 AS BIGINT),
+       CAST((nv - 1) * (ny - 1) * 1000 + n % 1000 AS BIGINT),
+       feature,
+       ROUND(ROUND(t + (n - e), 10), 6) + 0.0,
+       CAST(NULL AS DOUBLE)
+FROM agg
+"""
+    return sdf, sql
+
+
 def x_logreg(spark, con, sf_dir):
     """train_logistic_regression (full-batch GD, one aggregate pass
     per iteration, weights as driver literals) vs a DuckDB replica
@@ -4102,6 +4201,7 @@ EXTRA_CHECKS = {
     "x_kcore": x_kcore,
     "x_cooccurrence": x_cooccurrence,
     "x_transitions": x_transitions,
+    "x_feature_prep": x_feature_prep,
     "x_logreg": x_logreg,
     "x_ols": x_ols,
     "x_growth": x_growth,
