@@ -909,6 +909,163 @@ def cmd_analytics(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_ml(args, overrides: list[str]) -> int:
+    """In-engine model prep / fit / evaluation.  ``method``:
+
+    - ``train``: fit a model over a parquet input and write it as a
+      JSON file to ``data.out`` (driver-scale metadata — the model
+      IS literals).  ``kind=logreg`` (full-batch GD; ``iters=``,
+      ``lr=``, ``l2=``, ``standardize=false``) or ``kind=linear``
+      (one-pass normal equations; ``l2=``).  ``features=[...]``,
+      ``label=`` required.
+    - ``score``: apply a trained model JSON (``model=``) to a
+      parquet input; writes the scored parquet to ``data.out``.
+    - ``eval``: binary-classifier metrics over a scored parquet
+      (``score=``, ``label=``, ``group=[...]``, ``score_bins=``);
+      ``thresholds=[...]`` emits the confusion table instead,
+      ``pr=true`` the PR curve.
+    - ``bin``: equal-frequency discretization (``col=``,
+      ``n_bins=``, ``group=[...]``, ``approx=true``).
+    """
+    import json as _json
+
+    run, knobs = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if (
+        not isinstance(data_c, dict)
+        or not data_c.get("input")
+        or not data_c.get("out")
+    ):
+        raise ConfigError("missing required settings: data.input, data.out")
+    method = knobs.get("method")
+    methods = ("train", "score", "eval", "bin")
+    if method not in methods:
+        raise ConfigError(
+            f"unknown ml method {method!r} ({'|'.join(methods)})"
+        )
+
+    from qualityassurancetool_spark.session import get_spark
+
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-ml"))
+    try:
+        df = spark.read.parquet(data_c["input"])
+        if method == "train":
+            feats = knobs.get("features")
+            label = knobs.get("label")
+            if not isinstance(feats, list) or not feats or not label:
+                raise ConfigError(
+                    "train needs features=[...] label=<col>"
+                )
+            feats = [str(c) for c in feats]
+            kind = str(knobs.get("kind", "logreg"))
+            if kind == "logreg":
+                from qualityassurancetool_spark.operators.logreg import (
+                    train_logistic_regression,
+                )
+
+                model = train_logistic_regression(
+                    df,
+                    feats,
+                    str(label),
+                    iters=int(knobs.get("iters", 50)),
+                    lr=float(knobs.get("lr", 1.0)),
+                    l2=float(knobs.get("l2", 0.0)),
+                    standardize=str(
+                        knobs.get("standardize", "true")
+                    ).lower()
+                    not in ("0", "false"),
+                )
+            elif kind == "linear":
+                from qualityassurancetool_spark.operators.regression import (
+                    fit_linear_model,
+                )
+
+                model = fit_linear_model(
+                    df, feats, str(label),
+                    l2=float(knobs.get("l2", 0.0)),
+                )
+            else:
+                raise ConfigError(
+                    f"unknown train kind {kind!r} (logreg|linear)"
+                )
+            model["kind"] = kind
+            with open(data_c["out"], "w") as fh:
+                _json.dump(model, fh)
+            print(f"trained {kind} on n={model['n']}")
+            return 0
+        if method == "score":
+            mpath = knobs.get("model")
+            if not mpath:
+                raise ConfigError("score needs model=<json path>")
+            with open(str(mpath)) as fh:
+                model = _json.load(fh)
+            if model.get("kind") == "linear":
+                from qualityassurancetool_spark.operators.regression import (
+                    apply_linear_model,
+                )
+
+                out = apply_linear_model(df, model)
+            else:
+                from qualityassurancetool_spark.operators.logreg import (
+                    apply_logistic_regression,
+                )
+
+                out = apply_logistic_regression(df, model)
+        elif method == "eval":
+            from qualityassurancetool_spark.operators.ml_eval import (
+                binary_metrics,
+                confusion_at_thresholds,
+                pr_curve,
+            )
+
+            score = str(knobs.get("score", "score"))
+            label = str(knobs.get("label", "label"))
+            group = [str(g) for g in (knobs.get("group") or [])]
+            thresholds = knobs.get("thresholds")
+            bins = knobs.get("score_bins")
+            if thresholds is not None:
+                out = confusion_at_thresholds(
+                    df,
+                    [float(t) for t in thresholds],
+                    score,
+                    label,
+                    group_cols=group,
+                )
+            elif str(knobs.get("pr", "")).lower() in ("1", "true"):
+                out = pr_curve(
+                    df, score, label, group_cols=group,
+                    score_bins=int(bins) if bins is not None else None,
+                )
+            else:
+                out = binary_metrics(
+                    df, score, label, group_cols=group,
+                    score_bins=int(bins) if bins is not None else None,
+                )
+        else:  # bin
+            from qualityassurancetool_spark.operators.feature_prep import (
+                quantile_bin,
+            )
+
+            col = knobs.get("col")
+            if not col:
+                raise ConfigError("bin needs col=<col>")
+            out = quantile_bin(
+                df,
+                str(col),
+                int(knobs.get("n_bins", 10)),
+                group_cols=[str(g) for g in (knobs.get("group") or [])]
+                or None,
+                approx=str(knobs.get("approx", "")).lower()
+                in ("1", "true"),
+            )
+        out.write.mode("overwrite").parquet(data_c["out"])
+        print(f"rows: {spark.read.parquet(data_c['out']).count()}")
+        return 0
+    finally:
+        if not args.keep_session:
+            spark.stop()
+
+
 def cmd_pretrain(args, overrides: list[str]) -> int:
     """End-to-end corpus build: documents parquet/JSONL → curate →
     near-dedup → chunk+pack → WebDataset shards + audit report
@@ -1214,6 +1371,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_ana.add_argument("override", nargs="*", help="key.path=value")
 
+    p_ml = sub.add_parser(
+        "ml",
+        help="in-engine model prep/fit/eval (train|score|eval|bin)",
+    )
+    p_ml.add_argument("-c", "--config", default=None)
+    p_ml.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_ml.add_argument("override", nargs="*", help="key.path=value")
+
     p_rep = sub.add_parser(
         "report", help="corpus report (dataset-card numbers)"
     )
@@ -1254,6 +1421,7 @@ def main(argv: list[str] | None = None) -> int:
         "extract": cmd_extract,
         "profile": cmd_profile,
         "analytics": cmd_analytics,
+        "ml": cmd_ml,
         "report": cmd_report,
         "pretrain": cmd_pretrain,
         "refresh": cmd_refresh,

@@ -144,3 +144,69 @@ def chi_squared(
         .alias("dof"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def quantile_bin(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+    approx: bool = False,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Equal-frequency discretization: add ``out_col`` (default
+    ``{col}_bin``) with the 0-based quantile bin of ``col`` —
+    per group when ``group_cols`` is given.
+
+    The interior cut-points ``q_{1/k} … q_{(k-1)/k}`` are computed
+    exactly (``percentile``, type-7 linear interpolation — the
+    ``quantile_cont`` definition) or, with ``approx=True``, via
+    ``percentile_approx`` (a partial-aggregatable sketch — the
+    100 TB path, where the exact aggregate would buffer each
+    group's values).  Cut-points are rounded to ``round_digits``
+    BEFORE binning so bin assignment is reproducible across engines
+    and runs (a raw interpolated cut-point is an FP artifact; rows
+    sitting exactly on one would otherwise flip bins between
+    engines).  Bin = count of cut-points strictly below the value
+    (a JVM higher-order fold over the broadcast cut-point array, no
+    UDF); duplicate cut-points from skewed data collapse naturally
+    (some bins stay empty).  NULL values get a NULL bin.
+
+    Spark shape: one aggregate produces a GROUPS-sized cut-point
+    frame (driver-scale metadata), broadcast-joined back onto the
+    rows — the data itself is never shuffled.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    g = group_cols or []
+    out = out_col or f"{col}_bin"
+    x = F.col(col).cast("double")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    parr = F.array(*[F.lit(p) for p in probs])
+    cuts = (
+        F.percentile_approx(x, parr, 10_000)
+        if approx
+        else F.percentile(x, parr)
+    )
+    cut_frame = df.groupBy(*g).agg(
+        F.transform(
+            cuts, lambda c: F.round(c, round_digits)
+        ).alias("_cuts")
+    )
+    from pyspark.sql.functions import broadcast
+
+    joined = (
+        df.join(broadcast(cut_frame), on=g, how="left")
+        if g
+        else df.crossJoin(broadcast(cut_frame))
+    )
+    bin_ = F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(x > c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return joined.withColumn(
+        out, F.when(x.isNotNull(), bin_).cast("int")
+    ).drop("_cuts")

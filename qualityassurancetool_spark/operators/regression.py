@@ -1,5 +1,6 @@
-"""Grouped ordinary-least-squares and correlation — closed-form
-moment aggregation, one shuffle, no iteration.
+"""Grouped ordinary-least-squares, multi-feature ridge regression,
+and correlation — closed-form moment aggregation, one shuffle, no
+iteration.
 
 ``grouped_ols`` fits y = a·x + b per group from the five sufficient
 moments (n, Σx, Σy, Σxy, Σx²) in a SINGLE partial-aggregated pass —
@@ -9,6 +10,16 @@ most of the work), the shuffle carries five doubles per group, and
 no row is visited twice.  Trend-per-entity at corpus scale (drift of
 a quality score over time per domain, throughput slope per stream)
 is this shape.
+
+``fit_linear_model`` generalizes the same closed form to d features
+(+ optional L2): ONE map-side-combined pass accumulates the
+augmented normal-equation moments — n, Σx_i, Σy, Σx_i·y, Σx_i·x_j
+for i ≤ j, Σy² — i.e. (d+2)(d+3)/2 doubles of shuffle total — and
+the (d+1)×(d+1) solve happens on the DRIVER (model metadata, the
+same convention as the logreg trainer's weights).  Unlike the
+iterated-GD logreg this is exact in one pass; it is the right tool
+whenever the loss is squared error.  R² falls out of the same
+moments (SSE = Σy² − 2βᵀXᵀy + βᵀXᵀXβ), so no second scan.
 
 ``correlation_pairs`` computes the Pearson matrix over any set of
 numeric columns in the same one-pass style: per pair, the co-moment
@@ -20,7 +31,9 @@ are non-null (pairwise deletion, matching SQL's ``regr_*``/``corr``
 aggregates, which the cross-engine oracle uses directly).
 
 Cross-engine: ``tools/extra_oracles.py::x_ols`` — DuckDB
-``regr_slope/regr_intercept/regr_r2/corr`` replica.
+``regr_slope/regr_intercept/regr_r2/corr`` replica — and
+``::x_linreg`` — the d=2 normal equations solved by Cramer's rule in
+SQL, coefficients matching to 6 dp.
 """
 
 from __future__ import annotations
@@ -93,6 +106,92 @@ def grouped_ols(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def fit_linear_model(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    l2: float = 0.0,
+) -> dict:
+    """Exact multi-feature linear regression (ridge when ``l2>0``)
+    via one-pass normal-equation moments; returns ``{"weights":
+    [...], "bias": float, "n": int, "r2": float | None,
+    "feature_cols": [...]}``.
+
+    Minimizes ``‖Xβ − y‖² + l2·‖w‖²`` (bias unpenalized, the
+    standard convention; ``l2`` is absolute, not per-row).  Rows
+    with any NULL feature or label are dropped.  Exactly collinear
+    features with ``l2=0`` raise — add a ridge term or drop the
+    redundant column.  ``r2`` is in-sample, NULL for constant y.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if len(set(feature_cols)) != len(feature_cols):
+        raise ValueError(f"duplicate features: {feature_cols}")
+    if l2 < 0:
+        raise ValueError(f"l2 must be >= 0, got {l2}")
+    import numpy as np
+
+    d = len(feature_cols)
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    cond = y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    aggs = [F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_sy"),
+            F.sum(y * y).alias("_syy")]
+    for i, x in enumerate(xs):
+        aggs.append(F.sum(x).alias(f"_s{i}"))
+        aggs.append(F.sum(x * y).alias(f"_s{i}y"))
+        for j in range(i, d):
+            aggs.append(F.sum(x * xs[j]).alias(f"_s{i}_{j}"))
+    row = df.where(cond).agg(*aggs).collect()[0]
+    n = int(row["_n"])
+    if n == 0:
+        raise ValueError("no complete rows to fit on")
+    # augmented system over [1, x_0..x_{d-1}]
+    A = np.zeros((d + 1, d + 1))
+    r = np.zeros(d + 1)
+    A[0, 0] = n
+    r[0] = row["_sy"]
+    for i in range(d):
+        A[0, i + 1] = A[i + 1, 0] = row[f"_s{i}"]
+        r[i + 1] = row[f"_s{i}y"]
+        for j in range(i, d):
+            A[i + 1, j + 1] = A[j + 1, i + 1] = row[f"_s{i}_{j}"]
+        A[i + 1, i + 1] += l2
+    try:
+        beta = np.linalg.solve(A, r)
+    except np.linalg.LinAlgError as e:
+        raise ValueError(
+            "singular normal equations (collinear features?); "
+            "set l2 > 0 or drop a redundant column"
+        ) from e
+    syy, sy = float(row["_syy"]), float(row["_sy"])
+    sse = syy - 2.0 * float(beta @ r) + float(beta @ A @ beta)
+    if l2 > 0:  # A carries the penalty; SSE should not
+        sse -= l2 * float(beta[1:] @ beta[1:])
+    sst = syy - sy * sy / n
+    r2 = 1.0 - sse / sst if sst > 0 else None
+    return {
+        "weights": [float(b) for b in beta[1:]],
+        "bias": float(beta[0]),
+        "n": n,
+        "r2": r2,
+        "feature_cols": list(feature_cols),
+    }
+
+
+def apply_linear_model(
+    df: DataFrame, model: dict, prediction_col: str = "prediction"
+) -> DataFrame:
+    """Add ``w·x + b`` as ``prediction_col`` — pure Column
+    arithmetic against the literal coefficients, no join, no UDF."""
+    z = F.lit(float(model["bias"]))
+    for c, wj in zip(model["feature_cols"], model["weights"]):
+        z = z + F.col(c).cast("double") * F.lit(float(wj))
+    return df.withColumn(prediction_col, z)
 
 
 def correlation_pairs(
