@@ -2180,6 +2180,227 @@ FROM cells JOIN sizes USING (cohort)
 """
 
 
+def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation over a deterministic scored lineitem set
+    (operators/ml_eval): tie-corrected ROC-AUC + log-loss + Brier per
+    linestatus, confusion table at three thresholds, PR curve — all
+    derived from ONE distinct-score-granularity shuffle (the scores
+    sit on a 100-point grid, so ties are heavy and the average-rank
+    correction is genuinely exercised)."""
+    from qualityassurancetool_spark.operators.ml_eval import (
+        binary_metrics,
+        confusion_at_thresholds,
+        pr_curve,
+    )
+
+    h = (
+        F.col("l_orderkey") * F.lit(2654435761)
+        + F.col("l_linenumber") * F.lit(40503)
+    ) % 97 % 80
+    y = (F.col("l_returnflag") == "R").cast("int")
+    scored = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        ((h + y * 15) / F.lit(100.0)).alias("score"),
+        y.alias("label"),
+    )
+    m = binary_metrics(
+        scored, "score", "label", group_cols=["l_linestatus"]
+    ).select(
+        F.lit("m").alias("part"),
+        F.col("l_linestatus").alias("key"),
+        F.col("n").alias("a"),
+        F.col("n_pos").alias("b"),
+        (F.round("auc", 6) + F.lit(0.0)).alias("v1"),
+        (F.round("log_loss", 6) + F.lit(0.0)).alias("v2"),
+        (F.round("brier", 6) + F.lit(0.0)).alias("v3"),
+    )
+    c = confusion_at_thresholds(
+        scored, [0.25, 0.5, 0.75], "score", "label"
+    ).select(
+        F.lit("c").alias("part"),
+        F.round(F.col("threshold") * 100)
+        .cast("int")
+        .cast("string")
+        .alias("key"),
+        F.col("tp").alias("a"),
+        F.col("fp").alias("b"),
+        (F.round("precision", 6) + F.lit(0.0)).alias("v1"),
+        (F.round("recall", 6) + F.lit(0.0)).alias("v2"),
+        (F.round("f1", 6) + F.lit(0.0)).alias("v3"),
+    )
+    p = pr_curve(scored, "score", "label").select(
+        F.lit("p").alias("part"),
+        F.round(F.col("score") * 100)
+        .cast("int")
+        .cast("string")
+        .alias("key"),
+        F.col("tp").alias("a"),
+        F.col("fp").alias("b"),
+        (F.round("precision", 6) + F.lit(0.0)).alias("v1"),
+        (F.round("recall", 6) + F.lit(0.0)).alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    return m.unionByName(c).unionByName(p)
+
+
+SQL_ML_EVAL = """
+WITH scored AS (
+    SELECT l_linestatus,
+           (((l_orderkey * 2654435761 + l_linenumber * 40503) % 97) % 80
+            + CASE WHEN l_returnflag = 'R' THEN 15 ELSE 0 END) / 100.0
+               AS score,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+    FROM lineitem
+), sc AS (  -- distinct-score granularity, per group
+    SELECT l_linestatus, score,
+           SUM(label)::DOUBLE AS pos,
+           SUM(1 - label)::DOUBLE AS neg
+    FROM scored GROUP BY l_linestatus, score
+), cum AS (
+    SELECT *,
+           COALESCE(SUM(neg) OVER (PARTITION BY l_linestatus
+               ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS cneg,
+           GREATEST(LEAST(score, 1 - 1e-15), 1e-15) AS pc
+    FROM sc
+), m AS (
+    SELECT 'm' AS part, l_linestatus AS key,
+           CAST(SUM(pos + neg) AS BIGINT) AS a,
+           CAST(SUM(pos) AS BIGINT) AS b,
+           ROUND(SUM(pos * (cneg + neg / 2))
+                 / NULLIF(SUM(pos) * SUM(neg), 0), 6) + 0.0 AS v1,
+           ROUND(SUM(-pos * LN(pc) - neg * LN(1 - pc))
+                 / SUM(pos + neg), 6) + 0.0 AS v2,
+           ROUND(SUM(pos * (1 - score) ^ 2 + neg * score ^ 2)
+                 / SUM(pos + neg), 6) + 0.0 AS v3
+    FROM cum GROUP BY l_linestatus
+), thr AS (
+    SELECT t FROM (VALUES (0.25), (0.5), (0.75)) v(t)
+), conf AS (
+    SELECT 'c' AS part,
+           CAST(CAST(ROUND(t * 100) AS INT) AS VARCHAR) AS key,
+           CAST(SUM(CASE WHEN score >= t AND label = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score >= t AND label = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score < t AND label = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM scored CROSS JOIN thr GROUP BY t
+), c AS (
+    SELECT part, key, tp AS a, fp AS b,
+           ROUND(tp / NULLIF(tp + fp, 0)::DOUBLE, 6) + 0.0 AS v1,
+           ROUND(tp / NULLIF(tp + fn, 0)::DOUBLE, 6) + 0.0 AS v2,
+           ROUND(2.0 * (tp / NULLIF(tp + fp, 0)::DOUBLE)
+                     * (tp / NULLIF(tp + fn, 0)::DOUBLE)
+                 / NULLIF(tp / NULLIF(tp + fp, 0)::DOUBLE
+                        + tp / NULLIF(tp + fn, 0)::DOUBLE, 0), 6)
+               + 0.0 AS v3
+    FROM conf
+), prsc AS (  -- ungrouped distinct-score frame for the PR curve
+    SELECT score, SUM(label)::DOUBLE AS pos,
+           SUM(1 - label)::DOUBLE AS neg
+    FROM scored GROUP BY score
+), pr AS (
+    SELECT 'p' AS part,
+           CAST(CAST(ROUND(score * 100) AS INT) AS VARCHAR) AS key,
+           CAST(SUM(pos) OVER w AS BIGINT) AS a,
+           CAST(SUM(neg) OVER w AS BIGINT) AS b,
+           ROUND(SUM(pos) OVER w
+                 / NULLIF(SUM(pos) OVER w + SUM(neg) OVER w, 0),
+                 6) + 0.0 AS v1,
+           ROUND(SUM(pos) OVER w
+                 / NULLIF(SUM(pos) OVER (), 0), 6) + 0.0 AS v2,
+           CAST(NULL AS DOUBLE) AS v3
+    FROM prsc
+    WINDOW w AS (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM m UNION ALL SELECT * FROM c UNION ALL SELECT * FROM pr
+"""
+
+
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature linear regression fit (operators/regression
+    .fit_linear_model): extendedprice ~ quantity + discount over
+    lineitem via ONE normal-equation moment pass + driver solve —
+    the oracle re-solves the same d=2 augmented system by Cramer's
+    rule in SQL.  Coefficients scaled + rounded to 6 dp; a fixed
+    probe-point prediction ties the whole chain together."""
+    from qualityassurancetool_spark.operators.regression import (
+        fit_linear_model,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    m = fit_linear_model(li, ["x1", "x2"], "y")
+    pred = (
+        m["bias"] + 10.0 * m["weights"][0] + 0.05 * m["weights"][1]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                "fit",
+                int(m["n"]),
+                round(m["weights"][0] / 100.0, 6) + 0.0,
+                round(m["weights"][1] / 1000.0, 6) + 0.0,
+                round(m["bias"] / 1000.0, 6) + 0.0,
+                round(m["r2"], 6) + 0.0,
+                round(pred / 1000.0, 6) + 0.0,
+            )
+        ],
+        "part string, n long, w1 double, w2 double, b double,"
+        " r2 double, pred double",
+    )
+
+
+SQL_LINREG = """
+WITH li AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS x1,
+           CAST(l_discount AS DOUBLE) AS x2,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+), s AS (
+    SELECT COUNT(*)::DOUBLE AS n,
+           SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+           SUM(x1*x1) AS s11, SUM(x1*x2) AS s12,
+           SUM(x2*x2) AS s22,
+           SUM(x1*y) AS s1y, SUM(x2*y) AS s2y,
+           SUM(y*y) AS syy
+    FROM li
+), solved AS (
+    SELECT *,
+        -- det of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+        n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+            + s2*(s1*s12 - s11*s2) AS det,
+        -- col 0 -> rhs [sy, s1y, s2y]
+        sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+            + s2*(s1y*s12 - s11*s2y) AS det_b,
+        n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2)
+            + s2*(s1*s2y - s1y*s2) AS det_w1,
+        n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2)
+            + sy*(s1*s12 - s11*s2) AS det_w2
+    FROM s
+), beta AS (
+    SELECT n, syy, sy, s1y, s2y, s1, s2, s11, s12, s22,
+           det_b / det AS b, det_w1 / det AS w1, det_w2 / det AS w2
+    FROM solved
+)
+SELECT 'fit' AS part, CAST(n AS BIGINT) AS n,
+       ROUND(w1 / 100.0, 6) + 0.0 AS w1,
+       ROUND(w2 / 1000.0, 6) + 0.0 AS w2,
+       ROUND(b / 1000.0, 6) + 0.0 AS b,
+       ROUND(1.0 - (syy - 2*(b*sy + w1*s1y + w2*s2y)
+                    + (b*b*n + w1*w1*s11 + w2*w2*s22
+                       + 2*b*w1*s1 + 2*b*w2*s2 + 2*w1*w2*s12))
+                 / (syy - sy*sy/n), 6) + 0.0 AS r2,
+       ROUND((b + 10.0*w1 + 0.05*w2) / 1000.0, 6) + 0.0 AS pred
+FROM beta
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column aggregates: per-label counts + norm statistics
     (sequential-fold norms, deterministic)."""
@@ -3455,7 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "cms": q_cms,
         "multipattern": q_multipattern,
-        "paged_scan": q_paged_scan,
+        "ml_eval": q_ml_eval,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_segment_revenue": q_join_segment_revenue,
         "topk_orders_per_segment": q_topk_orders_per_segment,
@@ -3476,7 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_region_lookup": q_qc_region_lookup,
         "qc_depth_flags": q_qc_depth_flags,
         "cohort": q_cohort,
-        "nearest_lookup": q_nearest_lookup,
+        "linreg": q_linreg,
         "nested_flatten": q_nested_flatten,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_features": q_media_features,
@@ -3510,7 +3731,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": SQL_BM25,
         "cms": SQL_CMS,
         "multipattern": SQL_MULTIPATTERN,
-        "paged_scan": SQL_PAGED_SCAN,
+        "ml_eval": SQL_ML_EVAL,
         "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
@@ -3531,7 +3752,7 @@ def oracle_sql() -> dict[str, str]:
         "qc_region_lookup": SQL_QC_REGION_LOOKUP,
         "qc_depth_flags": SQL_QC_DEPTH_FLAGS,
         "cohort": SQL_COHORT,
-        "nearest_lookup": SQL_NEAREST_LOOKUP,
+        "linreg": SQL_LINREG,
         "nested_flatten": SQL_NESTED_FLATTEN,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
         "media_features": SQL_MEDIA_FEATURES,

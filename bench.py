@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     # qc_flag_histogram/unique_value_assert rows (covered as x_*)
     "funnel",
     "cohort",
+    # round-5 fourth swap: ml_eval/linreg replace the retired
+    # paged_scan/nearest_lookup rows (covered as x_*)
+    "ml_eval",
+    "linreg",
 ]
 
 

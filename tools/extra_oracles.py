@@ -4176,228 +4176,6 @@ SELECT * FROM hist UNION ALL SELECT * FROM cutrows
     return sdf, sql
 
 
-def x_linreg(spark, con, sf_dir):
-    """fit_linear_model (one-pass normal-equation moments + driver
-    solve) vs DuckDB solving the SAME d=2 augmented system by
-    Cramer's rule over explicit moment sums: extendedprice ~
-    quantity + discount on lineitem.  Coefficients to 6 dp (the
-    intercept scaled down, x_ols convention); r2 to 6 dp; predicted
-    value at a fixed probe point ties the whole chain together."""
-    from qualityassurancetool_spark.operators.regression import (
-        fit_linear_model,
-    )
-    from qualityassurancetool_spark.schema import load_table
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("double").alias("x1"),
-        F.col("l_discount").cast("double").alias("x2"),
-        F.col("l_extendedprice").cast("double").alias("y"),
-    )
-    m = fit_linear_model(li, ["x1", "x2"], "y")
-    pred = (
-        m["bias"] + 10.0 * m["weights"][0] + 0.05 * m["weights"][1]
-    )
-    spark_rows = [
-        (
-            "fit",
-            int(m["n"]),
-            round(m["weights"][0] / 100.0, 6) + 0.0,
-            round(m["weights"][1] / 1000.0, 6) + 0.0,
-            round(m["bias"] / 1000.0, 6) + 0.0,
-            round(m["r2"], 6) + 0.0,
-            round(pred / 1000.0, 6) + 0.0,
-        )
-    ]
-    sdf = spark.createDataFrame(
-        spark_rows,
-        "part string, n long, w1 double, w2 double, b double,"
-        " r2 double, pred double",
-    )
-    sql = """
-WITH li AS (
-    SELECT CAST(l_quantity AS DOUBLE) AS x1,
-           CAST(l_discount AS DOUBLE) AS x2,
-           CAST(l_extendedprice AS DOUBLE) AS y
-    FROM lineitem
-), s AS (
-    SELECT COUNT(*)::DOUBLE AS n,
-           SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
-           SUM(x1*x1) AS s11, SUM(x1*x2) AS s12,
-           SUM(x2*x2) AS s22,
-           SUM(x1*y) AS s1y, SUM(x2*y) AS s2y,
-           SUM(y*y) AS syy
-    FROM li
-), solved AS (
-    SELECT *,
-        -- det of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
-        n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
-            + s2*(s1*s12 - s11*s2) AS det,
-        -- col 0 -> rhs [sy, s1y, s2y]
-        sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
-            + s2*(s1y*s12 - s11*s2y) AS det_b,
-        n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2)
-            + s2*(s1*s2y - s1y*s2) AS det_w1,
-        n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2)
-            + sy*(s1*s12 - s11*s2) AS det_w2
-    FROM s
-), beta AS (
-    SELECT n, syy, sy, s1y, s2y, s1, s2, s11, s12, s22,
-           det_b / det AS b, det_w1 / det AS w1, det_w2 / det AS w2
-    FROM solved
-)
-SELECT 'fit' AS part, CAST(n AS BIGINT) AS n,
-       ROUND(w1 / 100.0, 6) + 0.0 AS w1,
-       ROUND(w2 / 1000.0, 6) + 0.0 AS w2,
-       ROUND(b / 1000.0, 6) + 0.0 AS b,
-       ROUND(1.0 - (syy - 2*(b*sy + w1*s1y + w2*s2y)
-                    + (b*b*n + w1*w1*s11 + w2*w2*s22
-                       + 2*b*w1*s1 + 2*b*w2*s2 + 2*w1*w2*s12))
-                 / (syy - sy*sy/n), 6) + 0.0 AS r2,
-       ROUND((b + 10.0*w1 + 0.05*w2) / 1000.0, 6) + 0.0 AS pred
-FROM beta
-"""
-    return sdf, sql
-
-
-def x_ml_eval(spark, con, sf_dir):
-    """binary_metrics / confusion_at_thresholds / pr_curve vs a
-    DuckDB distinct-score-cumulative replica over a deterministic
-    scored lineitem set (integer-arithmetic scores on a 100-point
-    grid -> heavy ties exercise the average-rank correction; label
-    distributions overlap so AUC is strictly between 0.5 and 1)."""
-    from qualityassurancetool_spark.operators.ml_eval import (
-        binary_metrics,
-        confusion_at_thresholds,
-        pr_curve,
-    )
-    from qualityassurancetool_spark.schema import load_table
-
-    h = (
-        F.col("l_orderkey") * F.lit(2654435761)
-        + F.col("l_linenumber") * F.lit(40503)
-    ) % 97 % 80
-    y = (F.col("l_returnflag") == "R").cast("int")
-    scored = load_table(spark, sf_dir, "lineitem").select(
-        "l_linestatus",
-        ((h + y * 15) / F.lit(100.0)).alias("score"),
-        y.alias("label"),
-    )
-    thresholds = [0.25, 0.5, 0.75]
-    m = binary_metrics(
-        scored, "score", "label", group_cols=["l_linestatus"]
-    ).select(
-        F.lit("m").alias("part"),
-        F.col("l_linestatus").alias("key"),
-        F.col("n").alias("a"),
-        F.col("n_pos").alias("b"),
-        (F.round("auc", 6) + F.lit(0.0)).alias("v1"),
-        (F.round("log_loss", 6) + F.lit(0.0)).alias("v2"),
-        (F.round("brier", 6) + F.lit(0.0)).alias("v3"),
-    )
-    c = confusion_at_thresholds(
-        scored, thresholds, "score", "label"
-    ).select(
-        F.lit("c").alias("part"),
-        F.round(F.col("threshold") * 100)
-        .cast("int")
-        .cast("string")
-        .alias("key"),
-        F.col("tp").alias("a"),
-        F.col("fp").alias("b"),
-        (F.round("precision", 6) + F.lit(0.0)).alias("v1"),
-        (F.round("recall", 6) + F.lit(0.0)).alias("v2"),
-        (F.round("f1", 6) + F.lit(0.0)).alias("v3"),
-    )
-    p = pr_curve(scored, "score", "label").select(
-        F.lit("p").alias("part"),
-        F.round(F.col("score") * 100)
-        .cast("int")
-        .cast("string")
-        .alias("key"),
-        F.col("tp").alias("a"),
-        F.col("fp").alias("b"),
-        (F.round("precision", 6) + F.lit(0.0)).alias("v1"),
-        (F.round("recall", 6) + F.lit(0.0)).alias("v2"),
-        F.lit(None).cast("double").alias("v3"),
-    )
-    sdf = m.unionByName(c).unionByName(p)
-    sql = """
-WITH scored AS (
-    SELECT l_linestatus,
-           (((l_orderkey * 2654435761 + l_linenumber * 40503) % 97) % 80
-            + CASE WHEN l_returnflag = 'R' THEN 15 ELSE 0 END) / 100.0
-               AS score,
-           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
-    FROM lineitem
-), sc AS (  -- distinct-score granularity, per group
-    SELECT l_linestatus, score,
-           SUM(label)::DOUBLE AS pos,
-           SUM(1 - label)::DOUBLE AS neg
-    FROM scored GROUP BY l_linestatus, score
-), cum AS (
-    SELECT *,
-           COALESCE(SUM(neg) OVER (PARTITION BY l_linestatus
-               ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), 0) AS cneg,
-           GREATEST(LEAST(score, 1 - 1e-15), 1e-15) AS pc
-    FROM sc
-), m AS (
-    SELECT 'm' AS part, l_linestatus AS key,
-           CAST(SUM(pos + neg) AS BIGINT) AS a,
-           CAST(SUM(pos) AS BIGINT) AS b,
-           ROUND(SUM(pos * (cneg + neg / 2))
-                 / NULLIF(SUM(pos) * SUM(neg), 0), 6) + 0.0 AS v1,
-           ROUND(SUM(-pos * LN(pc) - neg * LN(1 - pc))
-                 / SUM(pos + neg), 6) + 0.0 AS v2,
-           ROUND(SUM(pos * (1 - score) ^ 2 + neg * score ^ 2)
-                 / SUM(pos + neg), 6) + 0.0 AS v3
-    FROM cum GROUP BY l_linestatus
-), thr AS (
-    SELECT t FROM (VALUES (0.25), (0.5), (0.75)) v(t)
-), conf AS (
-    SELECT 'c' AS part,
-           CAST(CAST(ROUND(t * 100) AS INT) AS VARCHAR) AS key,
-           CAST(SUM(CASE WHEN score >= t AND label = 1
-                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-           CAST(SUM(CASE WHEN score >= t AND label = 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-           CAST(SUM(CASE WHEN score < t AND label = 1
-                         THEN 1 ELSE 0 END) AS BIGINT) AS fn
-    FROM scored CROSS JOIN thr GROUP BY t
-), c AS (
-    SELECT part, key, tp AS a, fp AS b,
-           ROUND(tp / NULLIF(tp + fp, 0)::DOUBLE, 6) + 0.0 AS v1,
-           ROUND(tp / NULLIF(tp + fn, 0)::DOUBLE, 6) + 0.0 AS v2,
-           ROUND(2.0 * (tp / NULLIF(tp + fp, 0)::DOUBLE)
-                     * (tp / NULLIF(tp + fn, 0)::DOUBLE)
-                 / NULLIF(tp / NULLIF(tp + fp, 0)::DOUBLE
-                        + tp / NULLIF(tp + fn, 0)::DOUBLE, 0), 6)
-               + 0.0 AS v3
-    FROM conf
-), prsc AS (  -- ungrouped distinct-score frame for the PR curve
-    SELECT score, SUM(label)::DOUBLE AS pos,
-           SUM(1 - label)::DOUBLE AS neg
-    FROM scored GROUP BY score
-), pr AS (
-    SELECT 'p' AS part,
-           CAST(CAST(ROUND(score * 100) AS INT) AS VARCHAR) AS key,
-           CAST(SUM(pos) OVER w AS BIGINT) AS a,
-           CAST(SUM(neg) OVER w AS BIGINT) AS b,
-           ROUND(SUM(pos) OVER w
-                 / NULLIF(SUM(pos) OVER w + SUM(neg) OVER w, 0),
-                 6) + 0.0 AS v1,
-           ROUND(SUM(pos) OVER w
-                 / NULLIF(SUM(pos) OVER (), 0), 6) + 0.0 AS v2,
-           CAST(NULL AS DOUBLE) AS v3
-    FROM prsc
-    WINDOW w AS (ORDER BY score DESC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT * FROM m UNION ALL SELECT * FROM c UNION ALL SELECT * FROM pr
-"""
-    return sdf, sql
-
-
 # round-5 third swap: funnel/cohort promoted into the driver gate,
 # retiring the 2-row flag histogram and the unique-value assertion
 # (both stay covered here and inside the qc chains / pytest)
@@ -4405,6 +4183,13 @@ x_qc_flag_histogram = _retired("qc_flag_histogram")
 x_unique_value_assert = _retired("unique_value_assert")
 x_funnel = _retired("funnel")
 x_cohort = _retired("cohort")
+# round-5 fourth swap: ml_eval/linreg promoted into the driver gate,
+# retiring the paged scan and the nearest-value lookup (pushdown and
+# argmin semantics stay covered inside other declared chains and here)
+x_paged_scan = _retired("paged_scan")
+x_nearest_lookup = _retired("nearest_lookup")
+x_ml_eval = _retired("ml_eval")
+x_linreg = _retired("linreg")
 
 # inverse of retirement: bm25/cms/multipattern were PROMOTED into the
 # driver gate this round; their x_* names stay as the same delegation
@@ -4515,5 +4300,7 @@ EXTRA_CHECKS = {
     "x_unique_value_assert": x_unique_value_assert,
     "x_ml_eval": x_ml_eval,
     "x_linreg": x_linreg,
+    "x_paged_scan": x_paged_scan,
+    "x_nearest_lookup": x_nearest_lookup,
     "x_quantile_bin": x_quantile_bin,
 }
