@@ -783,7 +783,11 @@ def cmd_analytics(args, overrides: list[str]) -> int:
       interactions (``user=``, ``item=``, ``max_per_user=``,
       ``min_count=``);
     - ``ols``: per-group least-squares fit ``y ~ x``
-      (``x=``, ``y=``, ``group=[...]``).
+      (``x=``, ``y=``, ``group=[...]``);
+    - ``abtest``: variant-vs-control readout (``variant=``,
+      ``control=``, ``metric=``, ``kind=mean|proportion``,
+      ``by=[...]``, ``alpha=``, optional ``cuped=<covariate>`` to
+      CUPED-adjust the metric first — mean kind only).
     """
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
@@ -796,7 +800,7 @@ def cmd_analytics(args, overrides: list[str]) -> int:
     method = knobs.get("method")
     methods = (
         "funnel", "cohort", "growth", "transitions", "rfm",
-        "cooccurrence", "ols",
+        "cooccurrence", "ols", "abtest",
     )
     if method not in methods:
         raise ConfigError(
@@ -889,7 +893,7 @@ def cmd_analytics(args, overrides: list[str]) -> int:
                 max_per_user=int(cap) if cap is not None else None,
                 min_count=int(knobs.get("min_count", 1)),
             )
-        else:  # ols
+        elif method == "ols":
             from qualityassurancetool_spark.operators.regression import (
                 grouped_ols,
             )
@@ -901,6 +905,48 @@ def cmd_analytics(args, overrides: list[str]) -> int:
             out = grouped_ols(
                 df, str(x), str(y), [str(g) for g in group]
             )
+        else:  # abtest
+            from qualityassurancetool_spark.operators.experiment import (
+                cuped_adjust,
+                two_proportion_z,
+                welch_t_test,
+            )
+
+            metric = knobs.get("metric")
+            control = knobs.get("control")
+            if not metric or control is None:
+                raise ConfigError(
+                    "abtest needs metric=<col> control=<variant>"
+                )
+            variant = str(knobs.get("variant", "variant"))
+            by = [str(g) for g in (knobs.get("by") or [])]
+            alpha = float(knobs.get("alpha", 0.05))
+            kind = str(knobs.get("kind", "mean"))
+            metric = str(metric)
+            if kind == "proportion":
+                if knobs.get("cuped"):
+                    raise ConfigError(
+                        "cuped applies to kind=mean only"
+                    )
+                out = two_proportion_z(
+                    df, variant, metric, str(control),
+                    by=by or None, alpha=alpha,
+                )
+            elif kind == "mean":
+                cov = knobs.get("cuped")
+                if cov:
+                    df = cuped_adjust(
+                        df, metric, str(cov), by=by or None
+                    )
+                    metric = f"{metric}_cuped"
+                out = welch_t_test(
+                    df, variant, metric, str(control),
+                    by=by or None, alpha=alpha,
+                )
+            else:
+                raise ConfigError(
+                    f"unknown abtest kind {kind!r} (mean|proportion)"
+                )
         out.write.mode("overwrite").parquet(data_c["out"])
         print(f"rows: {spark.read.parquet(data_c['out']).count()}")
         return 0

@@ -1,0 +1,153 @@
+"""EWMA smoothing and control-chart anomaly flags — bounded-lag
+exponential weighting as pure window Columns.
+
+The reference's QC checks are memoryless (range) or
+fixed-window (z-score, rolling median); an EWMA control chart is
+the classic next step for drifting sensor streams (Roberts 1959,
+NIST/SEMATECH e-handbook §6.3.2.4): smooth with exponentially
+decaying weights, flag points that sit further than L·σ from the
+smoothed history.
+
+Exact infinite-horizon EWMA is a sequential recurrence
+(``s_t = α·x_t + (1−α)·s_{t−1}``) — the one shape that does NOT
+distribute.  This module uses the standard bounded-memory form
+instead: the weights ``α(1−α)^k`` decay geometrically, so
+truncating at ``window`` lags bounds the error by ``(1−α)^window``
+(< 0.5 % of the mass at α=0.3, window=16) and turns the operator
+into a FIXED unrolled sum of ``lag(x, k)`` terms over one ordered
+window — whole-stage-codegen Column arithmetic, no UDF, no
+recursion, and exactly replicable in any SQL engine (the oracle
+unrolls the same lags).  Weights are renormalized over the lags
+actually present, so early rows and NULL-holes get a proper
+weighted mean of what exists rather than a biased partial sum.
+
+Spark shape: ONE shuffle on the group key; everything else is
+per-partition window evaluation.  The anomaly variant compares the
+current value against the smoothed PRECEDING history (lags 1..K)
+with a preceding-window σ — self-exclusion, so a spike cannot mask
+itself.  At low stream cardinality the same streams×buckets
+strategy as the other QC windows applies (`operators/
+partitioned_windows`); EWMA's state is a K-lag halo.
+
+Cross-engine: ``tools/extra_oracles.py::x_ewma`` — DuckDB replica
+with the same unrolled lags over the events stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _weighted_lags(
+    x: Column, w, alpha: float, start: int, window: int
+) -> tuple[Column, Column]:
+    """(Σ w_k·lag_k(x), Σ w_k·[lag_k(x) non-null]) for
+    k = start..start+window-1 with w_k = α(1−α)^k (k counted from
+    the current row, so ``start=1`` skips the row itself)."""
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(start, start + window):
+        wk = alpha * (1.0 - alpha) ** (k - start)
+        lx = F.lag(x, k).over(w)
+        num = num + F.when(lx.isNotNull(), F.lit(wk) * lx).otherwise(
+            F.lit(0.0)
+        )
+        den = den + F.when(lx.isNotNull(), F.lit(wk)).otherwise(
+            F.lit(0.0)
+        )
+    return num, den
+
+
+def ewma_smooth(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    group_cols: list[str] | None = None,
+    alpha: float = 0.3,
+    window: int = 16,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Add ``out_col``: the exponentially weighted mean of the last
+    ``window`` observations (current row included, weight α at lag
+    0), per group in ``order_cols`` order.  NULL values are skipped
+    (weights renormalized over present lags); a row whose whole
+    window is NULL gets NULL.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    w = Window.partitionBy(*(group_cols or [])).orderBy(*order_cols)
+    x = F.col(value_col).cast("double")
+    # lag 0 is the row itself
+    num0 = F.when(x.isNotNull(), F.lit(alpha) * x).otherwise(
+        F.lit(0.0)
+    )
+    den0 = F.when(x.isNotNull(), F.lit(alpha)).otherwise(F.lit(0.0))
+    if window > 1:
+        # _weighted_lags counts decay from ``start``, so its lag-k
+        # weight is α(1−α)^(k−1); one extra (1−α) factor restores
+        # the absolute α(1−α)^k
+        nl, dl = _weighted_lags(x, w, alpha, 1, window - 1)
+        num = num0 + nl * F.lit(1.0 - alpha)
+        den = den0 + dl * F.lit(1.0 - alpha)
+    else:
+        num, den = num0, den0
+    return df.withColumn(
+        out_col, F.when(den > 0, num / den)
+    )
+
+
+def ewma_anomaly(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    group_cols: list[str] | None = None,
+    alpha: float = 0.3,
+    window: int = 16,
+    nsigma: float = 3.0,
+    min_history: int = 4,
+) -> DataFrame:
+    """Control-chart flags: adds ``ewma_prev`` (EWMA of the
+    PRECEDING ``window`` observations — the row itself excluded),
+    ``ewma_sigma`` (sample σ of the same preceding window),
+    ``ewma_dev`` (value − ewma_prev) and boolean ``ewma_flag``
+    (``|dev| > nsigma·σ`` with at least ``min_history`` preceding
+    points).  Self-excluding, so a spike cannot suppress its own
+    flag; rows with NULL value or insufficient history get a NULL
+    flag (unknown, not clean — the reference's strict-null
+    discipline).
+    """
+    if nsigma <= 0:
+        raise ValueError(f"nsigma must be > 0, got {nsigma}")
+    if min_history < 2:
+        raise ValueError(
+            f"min_history must be >= 2, got {min_history}"
+        )
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    w = Window.partitionBy(*(group_cols or [])).orderBy(*order_cols)
+    x = F.col(value_col).cast("double")
+    num, den = _weighted_lags(x, w, alpha, 1, window)
+    prev = F.when(den > 0, num / den)
+    wp = w.rowsBetween(-window, -1)
+    sigma = F.stddev_samp(x).over(wp)
+    nhist = F.count(x).over(wp)
+    dev = x - prev
+    flag = F.when(
+        x.isNotNull()
+        & prev.isNotNull()
+        & sigma.isNotNull()
+        & (nhist >= min_history),
+        F.abs(dev) > F.lit(float(nsigma)) * sigma,
+    )
+    return (
+        df.withColumn("ewma_prev", prev)
+        .withColumn("ewma_sigma", sigma)
+        .withColumn("ewma_dev", dev)
+        .withColumn("ewma_flag", flag)
+    )

@@ -181,3 +181,47 @@ def test_analytics_validation(tmp_path):
         "method=nope",
     ])
     assert rc != 0
+
+def test_abtest_mean_and_proportion(spark, tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for v, mu, rate in (("c", 10.0, 0.2), ("t", 11.0, 0.35)):
+        for _ in range(300):
+            rows.append(
+                (v, float(rng.normal(mu, 2.0)),
+                 int(rng.random() < rate),
+                 float(rng.normal(mu, 2.0)))
+            )
+    src = str(tmp_path / "ab")
+    spark.createDataFrame(
+        rows, "variant string, y double, ok int, pre double"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "mean")
+    _run([
+        "analytics", "--keep-session", f"data.input={src}",
+        f"data.out={out}", "method=abtest", "metric=y",
+        "control=c",
+    ])
+    r = spark.read.parquet(out).collect()[0]
+    assert r["variant"] == "t" and r["significant"] is True
+
+    out2 = str(tmp_path / "prop")
+    _run([
+        "analytics", "--keep-session", f"data.input={src}",
+        f"data.out={out2}", "method=abtest", "metric=ok",
+        "control=c", "kind=proportion",
+    ])
+    r2 = spark.read.parquet(out2).collect()[0]
+    assert r2["rate_t"] > r2["rate_c"]
+
+    out3 = str(tmp_path / "cuped")
+    _run([
+        "analytics", "--keep-session", f"data.input={src}",
+        f"data.out={out3}", "method=abtest", "metric=y",
+        "control=c", "cuped=pre",
+    ])
+    assert spark.read.parquet(out3).count() == 1
+    capsys.readouterr()

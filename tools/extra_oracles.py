@@ -4093,6 +4093,233 @@ GROUP BY node HAVING COUNT(*) >= 3
     return sdf, sql
 
 
+def x_experiment(spark, con, sf_dir):
+    """welch_t_test / two_proportion_z / cuped_adjust vs a DuckDB
+    replica (same A-S erf polynomial, same pooled-variance algebra)
+    over a deterministic 3-variant assignment on lineitem; CUPED
+    compared through per-variant moments of the adjusted metric."""
+    from qualityassurancetool_spark.operators.experiment import (
+        cuped_adjust,
+        two_proportion_z,
+        welch_t_test,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("s"),
+        F.element_at(
+            F.array(F.lit("c"), F.lit("t1"), F.lit("t2")),
+            (
+                (
+                    F.col("l_orderkey") * F.lit(2654435761)
+                    + F.col("l_linenumber")
+                )
+                % 3
+                + 1
+            ).cast("int"),
+        ).alias("v"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_discount") > 0.05).cast("double").alias("ok"),
+    )
+    w = welch_t_test(li, "v", "y", control="c", by=["s"]).select(
+        F.lit("w").alias("part"),
+        F.col("s").alias("key"),
+        "variant",
+        F.col("n_t").alias("a"),
+        F.col("n_c").alias("b"),
+        (F.round(F.col("diff") / 1000.0, 6) + F.lit(0.0)).alias("v1"),
+        (F.round("t_stat", 6) + F.lit(0.0)).alias("v2"),
+        (F.round("p_value", 6) + F.lit(0.0)).alias("v3"),
+    )
+    z = two_proportion_z(li, "v", "ok", control="c", by=["s"]).select(
+        F.lit("z").alias("part"),
+        F.col("s").alias("key"),
+        "variant",
+        F.col("n_t").alias("a"),
+        F.col("n_c").alias("b"),
+        (F.round("diff", 6) + F.lit(0.0)).alias("v1"),
+        (F.round("z_stat", 6) + F.lit(0.0)).alias("v2"),
+        (F.round("p_value", 6) + F.lit(0.0)).alias("v3"),
+    )
+    cu = (
+        cuped_adjust(li, "y", "x")
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("y_cuped").alias("m"),
+            F.var_samp("y_cuped").alias("va"),
+        )
+        .select(
+            F.lit("cuped").alias("part"),
+            F.lit("").alias("key"),
+            F.col("v").alias("variant"),
+            F.col("n").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+            (F.round(F.col("m") / 1000.0, 6) + F.lit(0.0)).alias("v1"),
+            (F.round(F.col("va") / 1e6, 6) + F.lit(0.0)).alias("v2"),
+            F.lit(None).cast("double").alias("v3"),
+        )
+    )
+    sdf = w.unionByName(z).unionByName(cu)
+    ERF = (
+        "(1.0 - (0.254829592*T - 0.284496736*T*T"
+        " + 1.421413741*T*T*T - 1.453152027*T*T*T*T"
+        " + 1.061405429*T*T*T*T*T) * EXP(-Z*Z))"
+    )
+
+    def p_expr(zcol):
+        z_ = f"(ABS({zcol}) / SQRT(2.0))"
+        t_ = f"(1.0 / (1.0 + 0.3275911 * {z_}))"
+        return (
+            "1.0 - "
+            + ERF.replace("T", t_).replace("Z", z_)
+        )
+
+    sql = f"""
+WITH li AS (
+    SELECT l_linestatus AS s,
+           ['c', 't1', 't2'][
+               CAST((l_orderkey * 2654435761 + l_linenumber) % 3
+                    AS INT) + 1] AS v,
+           CAST(l_extendedprice AS DOUBLE) AS y,
+           CAST(l_quantity AS DOUBLE) AS x,
+           CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS ok
+    FROM lineitem
+), st AS (
+    SELECT s, v, COUNT(*)::DOUBLE AS n, AVG(y) AS m,
+           VAR_SAMP(y) AS va, SUM(ok) AS sk
+    FROM li GROUP BY s, v
+), w AS (
+    SELECT 'w' AS part, t.s AS key, t.v AS variant,
+           CAST(t.n AS BIGINT) AS a, CAST(c.n AS BIGINT) AS b,
+           ROUND((t.m - c.m) / 1000.0, 6) + 0.0 AS v1,
+           ROUND((t.m - c.m)
+                 / SQRT(t.va / t.n + c.va / c.n), 6) + 0.0 AS v2,
+           ROUND({p_expr("(t.m - c.m) / SQRT(t.va / t.n + c.va / c.n)")},
+                 6) + 0.0 AS v3
+    FROM st t JOIN st c ON t.s = c.s AND c.v = 'c' AND t.v <> 'c'
+), z AS (
+    SELECT 'z' AS part, t.s AS key, t.v AS variant,
+           CAST(t.n AS BIGINT) AS a, CAST(c.n AS BIGINT) AS b,
+           ROUND(t.sk / t.n - c.sk / c.n, 6) + 0.0 AS v1,
+           ROUND((t.sk / t.n - c.sk / c.n)
+                 / SQRT(((t.sk + c.sk) / (t.n + c.n))
+                        * (1 - (t.sk + c.sk) / (t.n + c.n))
+                        * (1 / t.n + 1 / c.n)), 6) + 0.0 AS v2,
+           ROUND({p_expr(
+               "(t.sk / t.n - c.sk / c.n)"
+               " / SQRT(((t.sk + c.sk) / (t.n + c.n))"
+               " * (1 - (t.sk + c.sk) / (t.n + c.n))"
+               " * (1 / t.n + 1 / c.n))"
+           )}, 6) + 0.0 AS v3
+    FROM st t JOIN st c ON t.s = c.s AND c.v = 'c' AND t.v <> 'c'
+), th AS (
+    SELECT COVAR_SAMP(x, y) / VAR_SAMP(x) AS theta, AVG(x) AS mx
+    FROM li
+), cu AS (
+    SELECT 'cuped' AS part, '' AS key, v AS variant,
+           CAST(COUNT(*) AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+           ROUND(AVG(y - theta * (x - mx)) / 1000.0, 6) + 0.0 AS v1,
+           ROUND(VAR_SAMP(y - theta * (x - mx)) / 1e6, 6) + 0.0
+               AS v2,
+           CAST(NULL AS DOUBLE) AS v3
+    FROM li, th GROUP BY v
+)
+SELECT * FROM w UNION ALL SELECT * FROM z UNION ALL SELECT * FROM cu
+"""
+    return sdf, sql
+
+
+def x_ewma(spark, con, sf_dir):
+    """ewma_smooth + ewma_anomaly (bounded-lag exponential weights,
+    self-excluding control chart) vs a DuckDB replica with the SAME
+    unrolled lags: per-event-type value streams ordered by event_id
+    over the events table."""
+    from qualityassurancetool_spark.operators.ewma import (
+        ewma_anomaly,
+        ewma_smooth,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    alpha, window, nsigma, min_h = 0.3, 8, 2.5, 4
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double")
+    )
+    sm = ewma_smooth(
+        ev, "value", ["event_id"], ["event_type"],
+        alpha=alpha, window=window,
+    )
+    an = ewma_anomaly(
+        sm, "value", ["event_id"], ["event_type"],
+        alpha=alpha, window=window, nsigma=nsigma,
+        min_history=min_h,
+    )
+    sdf = an.select(
+        "event_id",
+        "event_type",
+        (F.round("ewma", 6) + F.lit(0.0)).alias("ewma_r"),
+        (F.round("ewma_prev", 6) + F.lit(0.0)).alias("prev_r"),
+        (F.round("ewma_dev", 6) + F.lit(0.0)).alias("dev_r"),
+        F.col("ewma_flag").alias("flag"),
+    )
+    w = "PARTITION BY event_type ORDER BY event_id"
+
+    def lag_sum(start, count, extra_decay):
+        num, den = [], []
+        for k in range(start, start + count):
+            wk = alpha * (1.0 - alpha) ** (k - start) * extra_decay
+            num.append(
+                f"CASE WHEN lag(value, {k}) OVER ({w}) IS NOT NULL"
+                f" THEN {wk!r} * lag(value, {k}) OVER ({w})"
+                f" ELSE 0 END"
+            )
+            den.append(
+                f"CASE WHEN lag(value, {k}) OVER ({w}) IS NOT NULL"
+                f" THEN {wk!r} ELSE 0 END"
+            )
+        return " + ".join(num), " + ".join(den)
+
+    n0 = (
+        f"CASE WHEN value IS NOT NULL THEN {alpha!r} * value"
+        f" ELSE 0 END"
+    )
+    d0 = f"CASE WHEN value IS NOT NULL THEN {alpha!r} ELSE 0 END"
+    nl, dl = lag_sum(1, window - 1, 1.0 - alpha)
+    np_, dp = lag_sum(1, window, 1.0)
+    sql = f"""
+WITH ev AS (
+    SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events
+), calc AS (
+    SELECT event_id, event_type, value,
+           ({n0} + {nl}) AS s_num, ({d0} + {dl}) AS s_den,
+           ({np_}) AS p_num, ({dp}) AS p_den,
+           stddev_samp(value) OVER ({w}
+               ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+               AS sigma,
+           COUNT(value) OVER ({w}
+               ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+               AS nhist
+    FROM ev
+)
+SELECT event_id, event_type,
+       ROUND(CASE WHEN s_den > 0 THEN s_num / s_den END, 6) + 0.0
+           AS ewma_r,
+       ROUND(CASE WHEN p_den > 0 THEN p_num / p_den END, 6) + 0.0
+           AS prev_r,
+       ROUND(value - CASE WHEN p_den > 0 THEN p_num / p_den END, 6)
+           + 0.0 AS dev_r,
+       CASE WHEN value IS NOT NULL
+             AND p_den > 0 AND sigma IS NOT NULL
+             AND nhist >= {min_h}
+            THEN ABS(value - p_num / p_den) > {nsigma!r} * sigma
+       END AS flag
+FROM calc
+"""
+    return sdf, sql
+
+
 def x_quantile_bin(spark, con, sf_dir):
     """quantile_bin (exact type-7 cut-points rounded to 6 dp, HOF
     strictly-below bin fold) vs DuckDB quantile_cont with the same
@@ -4303,4 +4530,6 @@ EXTRA_CHECKS = {
     "x_paged_scan": x_paged_scan,
     "x_nearest_lookup": x_nearest_lookup,
     "x_quantile_bin": x_quantile_bin,
+    "x_ewma": x_ewma,
+    "x_experiment": x_experiment,
 }
