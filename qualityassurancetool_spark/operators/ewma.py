@@ -109,16 +109,27 @@ def ewma_anomaly(
     window: int = 16,
     nsigma: float = 3.0,
     min_history: int = 4,
+    rel_eps: float = 1e-9,
 ) -> DataFrame:
     """Control-chart flags: adds ``ewma_prev`` (EWMA of the
     PRECEDING ``window`` observations — the row itself excluded),
     ``ewma_sigma`` (sample σ of the same preceding window),
     ``ewma_dev`` (value − ewma_prev) and boolean ``ewma_flag``
-    (``|dev| > nsigma·σ`` with at least ``min_history`` preceding
-    points).  Self-excluding, so a spike cannot suppress its own
-    flag; rows with NULL value or insufficient history get a NULL
-    flag (unknown, not clean — the reference's strict-null
-    discipline).
+    (``|dev| > nsigma·σ + rel_eps·max(|x|, |prev|)`` with at least
+    ``min_history`` preceding points).  Self-excluding, so a spike
+    cannot suppress its own flag; rows with NULL value or
+    insufficient history get a NULL flag (unknown, not clean — the
+    reference's strict-null discipline).
+
+    ``rel_eps`` is a scale-relative guard: the NULL-renormalized
+    weighted mean of a constant history carries ~1 ULP of FP
+    residue (e.g. 9.999999999999998 for an all-10.0 window), and
+    with σ=0 a bare ``|dev| > nsigma·σ`` would flag every row of a
+    stuck-but-healthy sensor after a dropout.  The epsilon term is
+    ~1e-9 of the signal magnitude — 6 orders above double rounding
+    noise, 6+ below any physical deviation — so real spikes on a
+    σ=0 history still flag (dev is O(signal), eps is O(1e-9·
+    signal)).
     """
     if nsigma <= 0:
         raise ValueError(f"nsigma must be > 0, got {nsigma}")
@@ -138,12 +149,13 @@ def ewma_anomaly(
     sigma = F.stddev_samp(x).over(wp)
     nhist = F.count(x).over(wp)
     dev = x - prev
+    eps = F.lit(float(rel_eps)) * F.greatest(F.abs(x), F.abs(prev))
     flag = F.when(
         x.isNotNull()
         & prev.isNotNull()
         & sigma.isNotNull()
         & (nhist >= min_history),
-        F.abs(dev) > F.lit(float(nsigma)) * sigma,
+        F.abs(dev) > F.lit(float(nsigma)) * sigma + eps,
     )
     return (
         df.withColumn("ewma_prev", prev)

@@ -54,9 +54,16 @@ def target_encode(
     out = out_col or f"{cat_col}_te"
     y = F.col(label_col).cast("double")
     m = F.lit(float(smoothing))
-    w_all = Window.partitionBy()
+    # global prior as a scalar aggregate broadcast back — an
+    # empty-frame Window.partitionBy() would funnel the WHOLE
+    # dataset through one 'Exchange SinglePartition' task (the
+    # cuped_adjust/rfm pattern instead: 2-double frame, zero-cost
+    # BroadcastNestedLoopJoin)
+    pstats = df.agg(
+        F.sum(y).alias("__te_psum"), F.count(y).alias("__te_pcnt")
+    )
+    prior = F.col("__te_psum") / F.col("__te_pcnt")
     w_cat = Window.partitionBy(cat_col)
-    prior = F.sum(y).over(w_all) / F.count(y).over(w_all)
     s = F.sum(y).over(w_cat)
     n = F.count(y).over(w_cat)
     if loo:
@@ -67,7 +74,11 @@ def target_encode(
     enc = F.when(
         n_i + m > 0, (s_i + m * prior) / (n_i + m)
     )
-    return df.withColumn(out, enc)
+    return (
+        df.crossJoin(F.broadcast(pstats))
+        .withColumn(out, enc)
+        .drop("__te_psum", "__te_pcnt")
+    )
 
 
 def chi_squared(
@@ -196,11 +207,22 @@ def quantile_bin(
     )
     from pyspark.sql.functions import broadcast
 
-    joined = (
-        df.join(broadcast(cut_frame), on=g, how="left")
-        if g
-        else df.crossJoin(broadcast(cut_frame))
-    )
+    if g:
+        # null-safe join keys: a NULL group is its own stratum (the
+        # same discipline as target_encode / heavy_hitters) — a
+        # plain equi-join would leave every null-group row with a
+        # NULL bin even for non-null values
+        cf = cut_frame.select(
+            *[F.col(c).alias(f"__qb_{c}") for c in g], "_cuts"
+        )
+        cond = F.lit(True)
+        for c in g:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__qb_{c}"))
+        joined = df.join(broadcast(cf), on=cond, how="left").drop(
+            *[f"__qb_{c}" for c in g]
+        )
+    else:
+        joined = df.crossJoin(broadcast(cut_frame))
     bin_ = F.aggregate(
         F.col("_cuts"),
         F.lit(0),

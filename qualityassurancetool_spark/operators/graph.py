@@ -323,8 +323,19 @@ def k_core(
                 "node", F.col("degree").cast("long").alias("degree")
             )
         e, n_edges = e2, n2
-    # empty core (or max_iters hit with an empty/monotone tail):
-    # recompute degrees of whatever edge set remains
+    if n_edges > 0:
+        # the loop exhausted max_iters while edges were still being
+        # peeled — the remaining edge set is NOT a fixpoint, and
+        # returning its degree>=k filter would present an unconverged
+        # intermediate as "the core" (a ~500-node path at k=2 peels
+        # only 2 endpoints per round, needing ~250 rounds)
+        raise RuntimeError(
+            f"k_core did not converge within max_iters={max_iters} "
+            f"({n_edges} edges still peeling); raise max_iters — "
+            "peel depth is the graph's degeneracy ordering length "
+            "(long chain/lattice graphs peel O(diameter) rounds)"
+        )
+    # empty core: every edge peeled away
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

@@ -73,14 +73,19 @@ def resample_interpolate(
         F.min(F.unix_timestamp("_ts")).alias("_lo"),
         F.max(F.unix_timestamp("_ts")).alias("_hi"),
     )
+    # first grid tick at/after lo; a span containing NO tick (single
+    # off-grid observation, or all observations inside one inter-tick
+    # gap) would make sequence(start > stop) throw — guard it with an
+    # empty array (explode drops the stream: zero grid rows, the
+    # no-extrapolation contract)
+    start = (F.ceil(F.col("_lo") / step) * step).cast("long")
     grid = span.select(
         "_id",
         F.explode(
-            F.sequence(
-                (F.ceil(F.col("_lo") / step) * step).cast("long"),
-                F.col("_hi"),
-                step.cast("long"),
-            )
+            F.when(
+                start <= F.col("_hi"),
+                F.sequence(start, F.col("_hi"), step.cast("long")),
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("_epoch"),
     ).select(
         "_id",

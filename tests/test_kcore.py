@@ -71,3 +71,20 @@ def test_nested_cores(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         k_core(_edges(spark, [(0, 1)]), 0)
+
+
+def test_nonconvergence_raises_not_wrong_answer(spark):
+    """A long path at k=2 peels 2 endpoints per round; exhausting
+    max_iters mid-peel must raise, not return the unconverged edge
+    set's degree filter as if it were the core."""
+    import pytest
+
+    from qualityassurancetool_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(edges, k=2, max_iters=3).collect()
+    # with budget, the path's 2-core is (correctly) empty
+    assert k_core(edges, k=2, max_iters=40).count() == 0

@@ -83,3 +83,23 @@ def test_validation(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError):
         quantile_bin(df, "x", 1)
+
+
+def test_null_group_stratum_gets_bins(spark):
+    """NULL group keys form their own stratum (null-safe join) —
+    non-null values in the NULL group must receive real bins, the
+    same discipline as target_encode/heavy_hitters."""
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.operators.feature_prep import (
+        quantile_bin,
+    )
+
+    rows = [("a", float(i)) for i in range(8)] + [
+        (None, float(i)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = quantile_bin(df, "x", 2, group_cols=["g"], out_col="b")
+    null_grp = out.where(F.col("g").isNull()).collect()
+    assert all(r["b"] is not None for r in null_grp)
+    assert {r["b"] for r in null_grp} == {0, 1}

@@ -109,3 +109,25 @@ def test_validation(spark):
         resample_interpolate(df, method="cubic")
     with pytest.raises(ValueError):
         resample_interpolate(df, freq_seconds=0)
+
+
+def test_no_tick_in_span_yields_empty_not_error(spark):
+    """A stream whose observed span contains no grid tick (single
+    off-grid point, or all points inside one inter-tick gap) must
+    produce ZERO grid rows — not an IllegalArgumentException from
+    sequence(start > stop)."""
+    # single off-grid observation
+    df = _obs(spark, [("a", 13, 5)])
+    assert resample_interpolate(df, freq_seconds=60).count() == 0
+    # two observations inside one inter-tick gap
+    df = _obs(spark, [("a", 13, 5), ("a", 47, 7)])
+    assert resample_interpolate(df, freq_seconds=60).count() == 0
+
+
+def test_no_tick_stream_does_not_abort_others(spark):
+    df = _obs(
+        spark, [("gapless", 13, 5), ("ok", 0, 1), ("ok", 60, 2)]
+    )
+    got = _collect(resample_interpolate(df, freq_seconds=60))
+    assert {k[0] for k in got} == {"ok"}
+    assert got[("ok", T0)] == (1.0, 1)

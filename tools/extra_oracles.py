@@ -4314,6 +4314,8 @@ SELECT event_id, event_type,
              AND p_den > 0 AND sigma IS NOT NULL
              AND nhist >= {min_h}
             THEN ABS(value - p_num / p_den) > {nsigma!r} * sigma
+                 + 1e-9 * GREATEST(ABS(value),
+                                   ABS(p_num / p_den))
        END AS flag
 FROM calc
 """
