@@ -15,11 +15,14 @@ this scores DOC×QUERY relevance and returns top-k per query:
 Scale shape (the part that matters at 100 TB):
 
 - **Queries are small by contract** (the ANN-family invariant): their
-  distinct terms broadcast, and the corpus explode is SEMI-JOINED down
-  to query terms immediately — per-doc work is proportional to matched
-  terms, never vocabulary size.  Per call the corpus text is read
-  twice (a no-explode stats agg + the scoring pass); pass precomputed
-  ``corpus_stats`` to amortize the first across query batches.
+  distinct terms collect to a driver literal, and each corpus doc's
+  token array is filtered to query terms INSIDE the tokenizing
+  projection — per-doc explode work is proportional to matched terms,
+  never document length.  The corpus text is read ONCE per call: the
+  slim ``(id, dl, matched_tokens)`` frame is persisted and both the
+  stats agg (when ``stats`` isn't supplied) and the scoring pass read
+  the cache, not the text.  Pass precomputed ``corpus_stats`` to skip
+  even the cached stats agg across query batches.
 - Corpus statistics (N, avgdl) are one partial agg → two driver
   scalars; per-term document frequencies are computed only for query
   terms (a ``|Q|``-row broadcast dimension).
@@ -94,24 +97,47 @@ def bm25_topk(
     0).  ``queries`` is small by contract — see module docstring.
 
     ``stats``: precomputed :func:`corpus_stats` — pass it when running
-    many query batches so the corpus is tokenized once per CALL instead
-    of twice (the stats agg and the scoring pass each read the text;
-    the agg at least skips the explode)."""
+    many query batches to skip the per-call stats agg entirely (the
+    corpus text is read once per call either way: stats come from the
+    persisted slim frame, never a second text scan)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    dterms = _doc_terms(docs, text_col, id_col)
     qterms = _doc_terms(
         queries, query_text_col, query_id_col
     ).select(query_id_col, "term").distinct()
-
-    n_docs, avgdl = stats if stats is not None else corpus_stats(
-        docs, text_col, id_col
+    # queries are small by contract — their vocabulary becomes a
+    # driver literal so the corpus token filter is a pure projection
+    # (no join) applied BEFORE the explode
+    vocab = sorted(
+        r["term"] for r in qterms.select("term").distinct().collect()
     )
+    varr = F.array(*[F.lit(t) for t in vocab]) if vocab else F.array()
 
-    # tf for query terms only: the broadcast semi-join BEFORE the agg is
-    # what keeps per-doc work O(matched terms)
-    qvocab = qterms.select("term").distinct()
-    matched = dterms.join(F.broadcast(qvocab), "term", "left_semi")
+    # ONE corpus text scan: tokenize, keep (dl, query-matched tokens
+    # only) and persist the slim frame — the stats agg and the scoring
+    # explode both read this cache, never the text again.  Size is
+    # O(docs × (8 B + matched tokens)); evictable, recompute-safe.
+    slim = _doc_toks(docs, text_col, id_col).select(
+        id_col,
+        F.size("_toks").alias("dl"),
+        F.filter(
+            "_toks", lambda t: F.array_contains(varr, t)
+        ).alias("_qt"),
+    )
+    if stats is None:
+        slim = slim.persist()
+        row = (
+            slim.where(F.col("dl") > 0)
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a"))
+            .collect()[0]
+        )
+        n_docs, avgdl = int(row["n"]), float(row["a"] or 0.0)
+    else:
+        n_docs, avgdl = stats
+
+    matched = slim.select(
+        id_col, "dl", F.explode("_qt").alias("term")
+    )
     tf = matched.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )

@@ -120,7 +120,11 @@ def _kernel_fingerprints(
     )
 
     P = np.uint64(1099511628211)
-    out_schema = f"{id_col} long, fingerprint long"
+    # the id column keeps the INPUT's type (string keys work — the
+    # Column path and read_fingerprint_index already do); numpy never
+    # touches ids, only the hash arrays
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, fingerprint long"
     normed = compute_behind_barrier(
         df.select(F.col(id_col), F.col(text_col)),
         {"_norm": normalize_text(F.col(text_col))},
@@ -146,14 +150,12 @@ def _kernel_fingerprints(
                 for j in range(1, min(w, len(acc))):
                     np.minimum(mins, acc[j : j + n_w], out=mins)
                 fps = np.unique(mins).astype(np.int64)
-                ids_out.append(
-                    np.full(len(fps), did, dtype=np.int64)
-                )
+                ids_out.extend([did] * len(fps))
                 fps_out.append(fps)
             if ids_out:
                 yield pd.DataFrame(
                     {
-                        id_col: np.concatenate(ids_out),
+                        id_col: pd.Series(ids_out),
                         "fingerprint": np.concatenate(fps_out),
                     }
                 )

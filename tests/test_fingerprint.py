@@ -178,3 +178,24 @@ def test_kernel_strategy_same_structure(spark):
     assert pairs[0]["containment"] == 1.0
     with pytest.raises(ValueError):
         document_fingerprints(df, strategy="nope").count()
+
+
+def test_kernel_strategy_string_ids(spark):
+    """The kernel path must carry the INPUT id type through (a
+    string-keyed corpus used to raise inside numpy; the Column path
+    always handled it)."""
+    rng = random.Random(47)
+    t = _rand_text(rng, 100)
+    df = spark.createDataFrame(
+        [("doc-a", t), ("doc-b", t), ("doc-c", _rand_text(rng, 100))],
+        "doc_id string, text string",
+    )
+    fp = document_fingerprints(df, k=K, w=W, strategy="kernel")
+    assert dict(fp.dtypes)["doc_id"] == "string"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint_overlap_pairs(
+            df, k=K, w=W, strategy="kernel"
+        ).collect()
+    }
+    assert got == {("doc-a", "doc-b")}

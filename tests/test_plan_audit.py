@@ -187,7 +187,13 @@ def test_round5_promoted_query_plan_shapes(spark, entrymod, sf_dir):
     assert "partial_count" in cms or "partial_sum" in cms, cms
 
     bm = _plan(qs["bm25"](spark, sf_dir))
-    assert "LeftSemi" in bm, bm
+    # round-6: ONE corpus text scan — tokenize + query-vocab filter is
+    # a single projection persisted as the slim (id, dl, matched)
+    # frame; both the tf and df branches read the cache, so every
+    # consumer of the corpus is an InMemoryTableScan and the only
+    # live FileScan of the text column is the (pushed-down) query set
+    assert bm.count("InMemoryTableScan") >= 2, bm
+    assert "LeftSemi" not in bm, bm  # the vocab filter replaced it
     # no Python anywhere in the scoring path
     assert "EvalPython" not in bm and "InPandas" not in bm, bm
 
