@@ -2027,20 +2027,21 @@ ORDER BY predicted_lang
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k, all three physical strategies in one variant-tagged
-    query (first 8 vectors as queries):
+    """ANN top-k, the two BOUNDED-candidate strategies in one
+    variant-tagged query (first 8 vectors as queries):
 
-    - 'brute': exact cosine top-10, queries broadcast vs full corpus —
-      the correctness baseline;
     - 'lsh': random-hyperplane bucketing, candidates only from the
       query's bucket, top-5 — 2^planes× less pairwise work;
     - 'ivf': stride-sampled centroids, inverted lists, nprobe=2, top-5 —
-      work ratio ~nprobe/n_centroids, the 100 TB shape.
+      work ratio ~nprobe/n_centroids.
 
-    Each variant has its own oracle branch (the approximate variants are
-    deterministic, so their exact result sets are reproducible in SQL)."""
+    The exact brute-force baseline (linear in the corpus — the arm a
+    100 TB user never runs) was split out in round 6: it stays the
+    parity anchor as ``x_sim_brute`` (tools/extra_oracles.py) and the
+    full IVFADC + exact-rerank pipeline is graded as ``ann_ivfadc``.
+    Each variant is deterministic, so its exact result set is
+    reproducible in SQL."""
     from qualityassurancetool_spark.operators.similarity import (
-        brute_force_topk,
         ivf_topk,
         lsh_topk,
     )
@@ -2056,23 +2057,45 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine_r"),
         )
 
-    brute = _tag(brute_force_topk(emb, queries_df, k=10), "brute")
     lsh = _tag(
         lsh_topk(emb, queries_df, dim=_LSH_DIM, k=5, n_planes=_LSH_PLANES),
         "lsh",
     )
-    centroids = emb.where(F.col("vec_id") % _IVF_STRIDE == 0).select(
+    # centroid COUNT is an index parameter fixed at build time, not a
+    # function of corpus size: cap the deterministic sample at 25 so
+    # the per-row assignment fold stays O(1) in the corpus (stride
+    # alone made centroids - and per-row work - grow linearly)
+    centroids = emb.where(
+        (F.col("vec_id") % _IVF_STRIDE == 0) & (F.col("vec_id") < 500)
+    ).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     ivf = _tag(ivf_topk(emb, queries_df, centroids, k=5, nprobe=2), "ivf")
-    return (
-        brute.unionByName(lsh)
-        .unionByName(ivf)
-        .orderBy("variant", "query_id", F.col("cosine_r").desc(), "neighbor_id")
+    return lsh.unionByName(ivf).orderBy(
+        "variant", "query_id", F.col("cosine_r").desc(), "neighbor_id"
     )
 
 
-_SQL_SIM_BRUTE = """
+def q_sim_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10, queries broadcast vs the full corpus — the
+    ANN families' correctness baseline, deliberately linear in the
+    corpus.  Retired from the driver gate in round 6 (it is the plan a
+    100 TB user never runs); graded as ``x_sim_brute``."""
+    from qualityassurancetool_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries_df, k=10).select(
+        F.lit("brute").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine_r"),
+    )
+
+
+SQL_SIM_BRUTE = """
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
 ), scored AS (
@@ -2825,7 +2848,7 @@ _L2_SQL = (
 _SQL_SIM_IVF = f"""
 WITH cents AS (
     SELECT vec_id AS cent_id, embedding AS cvec
-    FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+    FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0 AND vec_id < 500
 ), c_assign AS (
     SELECT vec_id, embedding, cent_id AS cluster_id
     FROM (
@@ -2868,16 +2891,212 @@ FROM ranked WHERE rn <= 5
 
 
 def _sql_sim_topk() -> str:
-    """Union of the three ANN variants' oracles, matching q_sim_topk's
-    variant-tagged output (subquery-wrapped: each branch carries its own
-    WITH clause)."""
+    """Union of the two bounded ANN variants' oracles, matching
+    q_sim_topk's variant-tagged output (subquery-wrapped: each branch
+    carries its own WITH clause).  The brute arm's oracle is
+    ``SQL_SIM_BRUTE``, graded via ``x_sim_brute``."""
     return f"""
-SELECT * FROM ({_SQL_SIM_BRUTE})
-UNION ALL
 SELECT * FROM ({_SQL_SIM_LSH})
 UNION ALL
 SELECT * FROM ({_SQL_SIM_IVF})
 ORDER BY variant, query_id, cosine_r DESC, neighbor_id
+"""
+
+
+# ann_ivfadc knobs — deterministic (stride-sampled) coarse centroids
+# and PQ codebooks so the WHOLE pipeline (assign -> residual encode ->
+# ADC probe -> exact rerank) is closed-form and SQL-replicable; kmeans
+# QUALITY fitting stays pinned by x_pq/x_ivfadc's numpy replicas.
+_IVFADC_NL = 8       # coarse lists
+_IVFADC_M = 4        # PQ subspaces (64-dim -> 16-wide subvectors)
+_IVFADC_K = 8        # codebook entries per subspace
+_IVFADC_NPROBE = 3
+_IVFADC_SHORTLIST = 30
+_IVFADC_TOPK = 10
+_IVFADC_CMOD = 61    # centroid sample: vec_id % 61 == 0, first 8
+_IVFADC_SMOD, _IVFADC_SOFF = 31, 5  # codebook sample: % 31 == 5
+
+
+def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ANN shape, graded end-to-end (operators/pq, Jégou et
+    al. 2011): IVF coarse-assign -> residual PQ encode -> ADC search of
+    the ``nprobe`` probed lists only -> exact cosine rerank of the
+    30-candidate shortlist.  The corpus never scores outside the probed
+    lists (~nprobe/n_lists of it does ADC table lookups; only the
+    shortlist touches raw vectors again).
+
+    Centroids and codebooks are deterministic stride samples (centroid
+    = sampled vector, codebook entry = sampled vector's residual
+    subvector) so every stage is exact arithmetic the DuckDB oracle
+    replays; codebook QUALITY (kmeans) is pinned separately by
+    x_pq/x_ivfadc."""
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_index,
+        ivfadc_topk,
+    )
+    from qualityassurancetool_spark.operators.similarity import (
+        exact_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    crows = (
+        emb.where(F.col("vec_id") % _IVFADC_CMOD == 0)
+        .orderBy("vec_id")
+        .limit(_IVFADC_NL)
+        .select("embedding")
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(crows)
+    ]
+    srows = (
+        emb.where(F.col("vec_id") % _IVFADC_SMOD == _IVFADC_SOFF)
+        .orderBy("vec_id")
+        .limit(_IVFADC_K)
+        .select("embedding")
+        .collect()
+    )
+    dim = len(cents[0][1])
+    w = dim // _IVFADC_M
+    books: list[list[list[float]]] = [
+        [None] * _IVFADC_K for _ in range(_IVFADC_M)  # type: ignore
+    ]
+    for c, r in enumerate(srows):
+        v = [float(x) for x in r["embedding"]]
+        _, cid = min(
+            (sum((a - b) ** 2 for a, b in zip(v, cv)), i)
+            for i, cv in cents
+        )
+        resid = [a - b for a, b in zip(v, cents[cid][1])]
+        for m in range(_IVFADC_M):
+            books[m][c] = resid[m * w : (m + 1) * w]
+    index = ivfadc_index(emb, cents, books)
+    queries = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    short = ivfadc_topk(
+        index, queries, cents, books,
+        k=_IVFADC_SHORTLIST, nprobe=_IVFADC_NPROBE, round_digits=6,
+    )
+    out = exact_rerank(
+        short, emb, queries, k=_IVFADC_TOPK, metric="cosine"
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.round("cosine", 6) + F.lit(0.0)).alias("cosine_r"),
+    ).orderBy("query_id", F.col("cosine_r").desc(), "neighbor_id")
+
+
+def _sql_ann_ivfadc() -> str:
+    l2 = _L2_SQL  # double-casting squared-L2 over zipped lists
+    nl, m_, k_, w_ = _IVFADC_NL, _IVFADC_M, _IVFADC_K, 16
+    return f"""
+WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS cvec
+    FROM (SELECT vec_id, v FROM emb
+          WHERE vec_id % {_IVFADC_CMOD} = 0 ORDER BY vec_id LIMIT {nl})
+), samp AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+    FROM (SELECT vec_id, v FROM emb
+          WHERE vec_id % {_IVFADC_SMOD} = {_IVFADC_SOFF}
+          ORDER BY vec_id LIMIT {k_})
+), samp_resid AS (
+    SELECT code,
+           list_transform(list_zip(v, cvec), z -> z[1] - z[2]) AS resid
+    FROM (
+        SELECT s.code, s.v, c.cvec,
+               row_number() OVER (PARTITION BY s.code
+                   ORDER BY {l2.format(a='s.v', b='c.cvec')} ASC,
+                            c.cent_id ASC) AS rn
+        FROM samp s CROSS JOIN cents c
+    ) WHERE rn = 1
+), books AS (  -- (m, code, bsub): codebook entry = residual subvector
+    SELECT m.m, code, resid[m.m * {w_} + 1 : (m.m + 1) * {w_}] AS bsub
+    FROM samp_resid CROSS JOIN (
+        SELECT unnest(range({m_})) AS m) m
+), c_assign AS (  -- coarse assignment + residual per corpus vector
+    SELECT vec_id,
+           cent_id AS cluster_id,
+           list_transform(list_zip(v, cvec), z -> z[1] - z[2]) AS resid
+    FROM (
+        SELECT e.vec_id, e.v, c.cent_id, c.cvec,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {l2.format(a='e.v', b='c.cvec')} ASC,
+                            c.cent_id ASC) AS rn
+        FROM emb e CROSS JOIN cents c
+    ) WHERE rn = 1
+), codes AS (  -- per (vector, subspace): argmin codebook entry
+    SELECT vec_id, cluster_id, m, code
+    FROM (
+        SELECT a.vec_id, a.cluster_id, b.m, b.code,
+               row_number() OVER (PARTITION BY a.vec_id, b.m
+                   ORDER BY {l2.format(
+                       a="a.resid[b.m * %d + 1 : (b.m + 1) * %d]"
+                         % (w_, w_),
+                       b='b.bsub')} ASC,
+                            b.code ASC) AS rn
+        FROM c_assign a CROSS JOIN books b
+    ) WHERE rn = 1
+), q AS (
+    SELECT vec_id AS query_id, v AS qv
+    FROM emb WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 8
+), probe AS (  -- nprobe nearest lists per query, + query residual
+    SELECT query_id, qv, cent_id AS cluster_id,
+           list_transform(list_zip(qv, cvec), z -> z[1] - z[2])
+               AS qresid
+    FROM (
+        SELECT q.query_id, q.qv, c.cent_id, c.cvec,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {l2.format(a='q.qv', b='c.cvec')} ASC,
+                            c.cent_id ASC) AS rn
+        FROM q CROSS JOIN cents c
+    ) WHERE rn <= {_IVFADC_NPROBE}
+), adc AS (  -- ADC distance: sum over subspaces of table lookups
+    SELECT p.query_id, k.vec_id AS neighbor_id,
+           SUM({l2.format(
+               a="p.qresid[k.m * %d + 1 : (k.m + 1) * %d]" % (w_, w_),
+               b='b.bsub')}) AS adc_dist
+    FROM probe p
+    JOIN codes k ON k.cluster_id = p.cluster_id
+    JOIN books b ON b.m = k.m AND b.code = k.code
+    GROUP BY p.query_id, k.vec_id
+), short AS (  -- cut on ROUNDED dist: exact ADC ties split by ULP
+               -- noise otherwise (see ivfadc_topk round_digits)
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(adc_dist, 6) ASC, neighbor_id ASC)
+                   AS rn
+        FROM adc
+    ) WHERE rn <= {_IVFADC_SHORTLIST}
+), rerank AS (  -- exact cosine on raw vectors, shortlist only
+    SELECT s.query_id, s.neighbor_id,
+           list_sum(list_transform(list_zip(q.qv, e.v),
+               z -> z[1] * z[2]))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.v, x -> x * x))))
+               AS cosine
+    FROM short s
+    JOIN q ON q.query_id = s.query_id
+    JOIN emb e ON e.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) + 0.0 AS cosine_r
+FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM rerank
+) WHERE rn <= {_IVFADC_TOPK}
+ORDER BY query_id, cosine_r DESC, neighbor_id
 """
 
 
@@ -3344,7 +3563,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from qualityassurancetool_spark.operators.bm25 import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    qs = docs.where(F.col("doc_id") % 200 == 0).select(
+    # FIXED-size query set at every scale (<= 25 queries): bm25's
+    # contract is small query batches vs a huge corpus — letting the
+    # query count grow with the corpus (the old % 200 alone) turned
+    # the bench arm quadratic on the tiny-vocab synthetic data
+    qs = docs.where(
+        (F.col("doc_id") % 200 == 0) & (F.col("doc_id") < 5000)
+    ).select(
         F.col("doc_id").alias("query_id"),
         F.array_join(
             F.slice(
@@ -3373,7 +3598,7 @@ WITH docs AS (
 d AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
 q AS (
     SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS term
-    FROM docs WHERE doc_id % 200 = 0
+    FROM docs WHERE doc_id % 200 = 0 AND doc_id < 5000
 ),
 stats AS (
     SELECT COUNT(*) AS n, AVG(dl) AS avgdl
@@ -3645,6 +3870,251 @@ FROM pick WHERE rn = 1
 SQL_DDSKETCH_QUANTILES = _sql_ddsketch_quantiles()
 
 
+_EWMA_ALPHA, _EWMA_WINDOW, _EWMA_NSIGMA, _EWMA_MINH = 0.3, 8, 2.5, 4
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing + control-chart anomaly flags (operators/ewma):
+    bounded-lag exponential weights as one ordered window per
+    event-type stream — a FIXED unrolled sum of lag(x, k) Columns
+    (whole-stage codegen, no recurrence, no UDF), NULL-renormalized,
+    self-excluding preceding-window σ with a scale-relative epsilon
+    guard so σ=0 constant histories with NULL holes never
+    false-positive.  ONE shuffle on the group key."""
+    from qualityassurancetool_spark.operators.ewma import (
+        ewma_anomaly,
+        ewma_smooth,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double")
+    )
+    sm = ewma_smooth(
+        ev, "value", ["event_id"], ["event_type"],
+        alpha=_EWMA_ALPHA, window=_EWMA_WINDOW,
+    )
+    an = ewma_anomaly(
+        sm, "value", ["event_id"], ["event_type"],
+        alpha=_EWMA_ALPHA, window=_EWMA_WINDOW,
+        nsigma=_EWMA_NSIGMA, min_history=_EWMA_MINH,
+    )
+    return an.select(
+        "event_id",
+        "event_type",
+        (F.round("ewma", 6) + F.lit(0.0)).alias("ewma_r"),
+        (F.round("ewma_prev", 6) + F.lit(0.0)).alias("prev_r"),
+        (F.round("ewma_dev", 6) + F.lit(0.0)).alias("dev_r"),
+        F.col("ewma_flag").alias("flag"),
+    )
+
+
+def _sql_ewma() -> str:
+    alpha, window = _EWMA_ALPHA, _EWMA_WINDOW
+    nsigma, min_h = _EWMA_NSIGMA, _EWMA_MINH
+    w = "PARTITION BY event_type ORDER BY event_id"
+
+    def lag_sum(start, count, extra_decay):
+        num, den = [], []
+        for k in range(start, start + count):
+            wk = alpha * (1.0 - alpha) ** (k - start) * extra_decay
+            num.append(
+                f"CASE WHEN lag(value, {k}) OVER ({w}) IS NOT NULL"
+                f" THEN {wk!r} * lag(value, {k}) OVER ({w})"
+                f" ELSE 0 END"
+            )
+            den.append(
+                f"CASE WHEN lag(value, {k}) OVER ({w}) IS NOT NULL"
+                f" THEN {wk!r} ELSE 0 END"
+            )
+        return " + ".join(num), " + ".join(den)
+
+    n0 = (
+        f"CASE WHEN value IS NOT NULL THEN {alpha!r} * value"
+        f" ELSE 0 END"
+    )
+    d0 = f"CASE WHEN value IS NOT NULL THEN {alpha!r} ELSE 0 END"
+    nl, dl = lag_sum(1, window - 1, 1.0 - alpha)
+    np_, dp = lag_sum(1, window, 1.0)
+    return f"""
+WITH ev AS (
+    SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events
+), calc AS (
+    SELECT event_id, event_type, value,
+           ({n0} + {nl}) AS s_num, ({d0} + {dl}) AS s_den,
+           ({np_}) AS p_num, ({dp}) AS p_den,
+           stddev_samp(value) OVER ({w}
+               ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+               AS sigma,
+           COUNT(value) OVER ({w}
+               ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
+               AS nhist
+    FROM ev
+)
+SELECT event_id, event_type,
+       ROUND(CASE WHEN s_den > 0 THEN s_num / s_den END, 6) + 0.0
+           AS ewma_r,
+       ROUND(CASE WHEN p_den > 0 THEN p_num / p_den END, 6) + 0.0
+           AS prev_r,
+       ROUND(value - CASE WHEN p_den > 0 THEN p_num / p_den END, 6)
+           + 0.0 AS dev_r,
+       CASE WHEN value IS NOT NULL
+             AND p_den > 0 AND sigma IS NOT NULL
+             AND nhist >= {min_h}
+            THEN ABS(value - p_num / p_den) > {nsigma!r} * sigma
+                 + 1e-9 * GREATEST(ABS(value),
+                                   ABS(p_num / p_den))
+       END AS flag
+FROM calc
+"""
+
+
+SQL_EWMA = _sql_ewma()
+
+
+def q_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-analysis family (operators/experiment) in one
+    variant-tagged frame over a deterministic 3-variant assignment on
+    lineitem: Welch t-test (unequal-variance means), two-proportion
+    z-test, and CUPED variance reduction (θ from one covariance pass,
+    broadcast back).  All three are sufficient-statistics one-pass
+    aggregates — nothing moves rows, the exchange carries per-(stratum,
+    variant) moment tuples only."""
+    from qualityassurancetool_spark.operators.experiment import (
+        cuped_adjust,
+        two_proportion_z,
+        welch_t_test,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("s"),
+        F.element_at(
+            F.array(F.lit("c"), F.lit("t1"), F.lit("t2")),
+            (
+                (
+                    F.col("l_orderkey") * F.lit(2654435761)
+                    + F.col("l_linenumber")
+                )
+                % 3
+                + 1
+            ).cast("int"),
+        ).alias("v"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_discount") > 0.05).cast("double").alias("ok"),
+    )
+    w = welch_t_test(li, "v", "y", control="c", by=["s"]).select(
+        F.lit("w").alias("part"),
+        F.col("s").alias("key"),
+        "variant",
+        F.col("n_t").alias("a"),
+        F.col("n_c").alias("b"),
+        (F.round(F.col("diff") / 1000.0, 6) + F.lit(0.0)).alias("v1"),
+        (F.round("t_stat", 6) + F.lit(0.0)).alias("v2"),
+        (F.round("p_value", 6) + F.lit(0.0)).alias("v3"),
+    )
+    z = two_proportion_z(li, "v", "ok", control="c", by=["s"]).select(
+        F.lit("z").alias("part"),
+        F.col("s").alias("key"),
+        "variant",
+        F.col("n_t").alias("a"),
+        F.col("n_c").alias("b"),
+        (F.round("diff", 6) + F.lit(0.0)).alias("v1"),
+        (F.round("z_stat", 6) + F.lit(0.0)).alias("v2"),
+        (F.round("p_value", 6) + F.lit(0.0)).alias("v3"),
+    )
+    cu = (
+        cuped_adjust(li, "y", "x")
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("y_cuped").alias("m"),
+            F.var_samp("y_cuped").alias("va"),
+        )
+        .select(
+            F.lit("cuped").alias("part"),
+            F.lit("").alias("key"),
+            F.col("v").alias("variant"),
+            F.col("n").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+            (F.round(F.col("m") / 1000.0, 6) + F.lit(0.0)).alias("v1"),
+            (F.round(F.col("va") / 1e6, 6) + F.lit(0.0)).alias("v2"),
+            F.lit(None).cast("double").alias("v3"),
+        )
+    )
+    return w.unionByName(z).unionByName(cu)
+
+
+def _sql_experiment() -> str:
+    ERF = (
+        "(1.0 - (0.254829592*T - 0.284496736*T*T"
+        " + 1.421413741*T*T*T - 1.453152027*T*T*T*T"
+        " + 1.061405429*T*T*T*T*T) * EXP(-Z*Z))"
+    )
+
+    def p_expr(zcol):
+        z_ = f"(ABS({zcol}) / SQRT(2.0))"
+        t_ = f"(1.0 / (1.0 + 0.3275911 * {z_}))"
+        return "1.0 - " + ERF.replace("T", t_).replace("Z", z_)
+
+    return f"""
+WITH li AS (
+    SELECT l_linestatus AS s,
+           ['c', 't1', 't2'][
+               CAST((l_orderkey * 2654435761 + l_linenumber) % 3
+                    AS INT) + 1] AS v,
+           CAST(l_extendedprice AS DOUBLE) AS y,
+           CAST(l_quantity AS DOUBLE) AS x,
+           CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS ok
+    FROM lineitem
+), st AS (
+    SELECT s, v, COUNT(*)::DOUBLE AS n, AVG(y) AS m,
+           VAR_SAMP(y) AS va, SUM(ok) AS sk
+    FROM li GROUP BY s, v
+), w AS (
+    SELECT 'w' AS part, t.s AS key, t.v AS variant,
+           CAST(t.n AS BIGINT) AS a, CAST(c.n AS BIGINT) AS b,
+           ROUND((t.m - c.m) / 1000.0, 6) + 0.0 AS v1,
+           ROUND((t.m - c.m)
+                 / SQRT(t.va / t.n + c.va / c.n), 6) + 0.0 AS v2,
+           ROUND({p_expr("(t.m - c.m) / SQRT(t.va / t.n + c.va / c.n)")},
+                 6) + 0.0 AS v3
+    FROM st t JOIN st c ON t.s = c.s AND c.v = 'c' AND t.v <> 'c'
+), z AS (
+    SELECT 'z' AS part, t.s AS key, t.v AS variant,
+           CAST(t.n AS BIGINT) AS a, CAST(c.n AS BIGINT) AS b,
+           ROUND(t.sk / t.n - c.sk / c.n, 6) + 0.0 AS v1,
+           ROUND((t.sk / t.n - c.sk / c.n)
+                 / SQRT(((t.sk + c.sk) / (t.n + c.n))
+                        * (1 - (t.sk + c.sk) / (t.n + c.n))
+                        * (1 / t.n + 1 / c.n)), 6) + 0.0 AS v2,
+           ROUND({p_expr(
+               "(t.sk / t.n - c.sk / c.n)"
+               " / SQRT(((t.sk + c.sk) / (t.n + c.n))"
+               " * (1 - (t.sk + c.sk) / (t.n + c.n))"
+               " * (1 / t.n + 1 / c.n))"
+           )}, 6) + 0.0 AS v3
+    FROM st t JOIN st c ON t.s = c.s AND c.v = 'c' AND t.v <> 'c'
+), th AS (
+    SELECT COVAR_SAMP(x, y) / VAR_SAMP(x) AS theta, AVG(x) AS mx
+    FROM li
+), cu AS (
+    SELECT 'cuped' AS part, '' AS key, v AS variant,
+           CAST(COUNT(*) AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+           ROUND(AVG(y - theta * (x - mx)) / 1000.0, 6) + 0.0 AS v1,
+           ROUND(VAR_SAMP(y - theta * (x - mx)) / 1e6, 6) + 0.0
+               AS v2,
+           CAST(NULL AS DOUBLE) AS v3
+    FROM li, th GROUP BY v
+)
+SELECT * FROM w UNION ALL SELECT * FROM z UNION ALL SELECT * FROM cu
+"""
+
+
+SQL_EXPERIMENT = _sql_experiment()
+SQL_ANN_IVFADC = _sql_ann_ivfadc()
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3678,6 +4148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms": q_cms,
         "multipattern": q_multipattern,
         "ml_eval": q_ml_eval,
+        "ewma": q_ewma,
+        "experiment": q_experiment,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_segment_revenue": q_join_segment_revenue,
         "topk_orders_per_segment": q_topk_orders_per_segment,
@@ -3690,19 +4162,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate_overlap": q_decontaminate_overlap,
-        "text_stats": q_text_stats,
         "lang_quality_rollup": q_lang_quality_rollup,
         "curation_pipeline": q_curation_pipeline,
         "sim_topk": q_sim_topk,
+        "ann_ivfadc": q_ann_ivfadc,
         "qc_region_flags": q_qc_region_flags,
         "qc_region_lookup": q_qc_region_lookup,
         "qc_depth_flags": q_qc_depth_flags,
         "cohort": q_cohort,
         "linreg": q_linreg,
-        "nested_flatten": q_nested_flatten,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_features": q_media_features,
-        "frame_sample_plan": q_frame_sample_plan,
         "text_quality_filters": q_text_quality_filters,
         "sample_stratified": q_sample_stratified,
         "pagerank": q_pagerank,
@@ -3733,6 +4203,8 @@ def oracle_sql() -> dict[str, str]:
         "cms": SQL_CMS,
         "multipattern": SQL_MULTIPATTERN,
         "ml_eval": SQL_ML_EVAL,
+        "ewma": SQL_EWMA,
+        "experiment": SQL_EXPERIMENT,
         "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
         "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
@@ -3745,19 +4217,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_clusters": _sql_dedup_clusters(),
         "decontaminate_overlap": _sql_decontaminate_overlap(),
-        "text_stats": SQL_TEXT_STATS,
         "lang_quality_rollup": _sql_lang_quality_rollup(),
         "curation_pipeline": _sql_curation_pipeline(),
         "sim_topk": _sql_sim_topk(),
+        "ann_ivfadc": SQL_ANN_IVFADC,
         "qc_region_flags": SQL_QC_REGION_FLAGS,
         "qc_region_lookup": SQL_QC_REGION_LOOKUP,
         "qc_depth_flags": SQL_QC_DEPTH_FLAGS,
         "cohort": SQL_COHORT,
         "linreg": SQL_LINREG,
-        "nested_flatten": SQL_NESTED_FLATTEN,
         "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
         "media_features": SQL_MEDIA_FEATURES,
-        "frame_sample_plan": SQL_FRAME_SAMPLE_PLAN,
         "text_quality_filters": SQL_TEXT_QUALITY_FILTERS,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "pagerank": _sql_pagerank(),

@@ -50,7 +50,6 @@ BENCH_QUERIES = [
     "decontaminate_overlap",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "text_stats",
     "sim_topk",
     "text_quality_filters",
     "sample_stratified",
@@ -70,6 +69,12 @@ BENCH_QUERIES = [
     # paged_scan/nearest_lookup rows (covered as x_*)
     "ml_eval",
     "linreg",
+    # round-6 swap: ewma/experiment/ann_ivfadc replace the retired
+    # text_stats/nested_flatten/frame_sample_plan rows and the brute
+    # ANN arm (all covered as x_*); ann_ivfadc is the 100 TB ANN shape
+    "ewma",
+    "experiment",
+    "ann_ivfadc",
 ]
 
 
@@ -109,39 +114,93 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    def timed_pass(directory: str, iters: int) -> tuple[float, dict]:
+        tm: dict[str, float] = {}
+        tot = 0.0
+        for name in BENCH_QUERIES:
+            fn = qs[name]
+            samples = []
+            n = 0
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                df = fn(spark, directory)
+                n = df.count()
+                samples.append(time.perf_counter() - t0)
+            dt = statistics.median(samples)
+            tm[name] = round(dt, 3)
+            tot += dt
+            print(
+                f"# {name}: median {dt:.3f}s over {iters} "
+                f"(min {min(samples):.3f} max {max(samples):.3f}) "
+                f"rows={n}",
+                file=sys.stderr,
+            )
+        return tot, tm
+
     iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")), 1)
-    total = 0.0
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        samples = []
-        n = 0
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            samples.append(time.perf_counter() - t0)
-        dt = statistics.median(samples)
-        timings[name] = round(dt, 3)
-        total += dt
-        print(
-            f"# {name}: median {dt:.3f}s over {iters} "
-            f"(min {min(samples):.3f} max {max(samples):.3f}) rows={n}",
-            file=sys.stderr,
-        )
+    total, timings = timed_pass(sf_dir, iters)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline-queries total wall clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "iters": iters,
+    payload = {
+        "metric": "headline-queries total wall clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "iters": iters,
+    }
+
+    # sf1 calibration pass (VERDICT r5 #9): the plans only
+    # differentiate under 10x data, so the gate artifact records both
+    # scales.  /tmp/sf1 is synthesized from sf0.1 by tools/make_sf1.py
+    # (disjoint key spaces, distinct content); regenerated if missing.
+    # Disable with SPARK_GRAFT_BENCH_SF1=0.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        try:
+            if not os.path.exists(
+                os.path.join(sf1_dir, "lineitem.parquet")
+            ):
+                import subprocess
+
+                print("# synthesizing sf1 ...", file=sys.stderr)
+                subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "tools",
+                            "make_sf1.py",
+                        ),
+                        sf_dir,
+                        sf1_dir,
+                    ],
+                    check=True,
+                    timeout=900,
+                )
+            t_w1 = time.perf_counter()
+            for name in BENCH_QUERIES:
+                qs[name](spark, sf1_dir).count()
+            print(
+                f"# sf1 warm-up pass: "
+                f"{time.perf_counter() - t_w1:.1f}s (untimed)",
+                file=sys.stderr,
+            )
+            iters1 = max(
+                int(os.environ.get("SPARK_GRAFT_BENCH_SF1_ITERS", "2")),
+                1,
+            )
+            total1, timings1 = timed_pass(sf1_dir, iters1)
+            payload["sf1"] = {
+                "value": round(total1, 3),
+                "queries": timings1,
+                "iters": iters1,
+                "dir": sf1_dir,
             }
-        )
-    )
+        except Exception as e:  # sf1 is calibration, never a gate abort
+            print(f"# sf1 pass skipped: {e!r}", file=sys.stderr)
+
+    print(json.dumps(payload))
     spark.stop()
 
 

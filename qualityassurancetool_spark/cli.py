@@ -787,7 +787,11 @@ def cmd_analytics(args, overrides: list[str]) -> int:
     - ``abtest``: variant-vs-control readout (``variant=``,
       ``control=``, ``metric=``, ``kind=mean|proportion``,
       ``by=[...]``, ``alpha=``, optional ``cuped=<covariate>`` to
-      CUPED-adjust the metric first — mean kind only).
+      CUPED-adjust the metric first — mean kind only);
+    - ``control``: control chart over ordered streams
+      (``chart=ewma|cusum``, ``value=``, ``order=[...]``,
+      ``group=[...]``; ewma: ``alpha= window= nsigma=
+      min_history=``; cusum: ``slack= threshold= target= sigma=``).
     """
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
@@ -800,7 +804,7 @@ def cmd_analytics(args, overrides: list[str]) -> int:
     method = knobs.get("method")
     methods = (
         "funnel", "cohort", "growth", "transitions", "rfm",
-        "cooccurrence", "ols", "abtest",
+        "cooccurrence", "ols", "abtest", "control",
     )
     if method not in methods:
         raise ConfigError(
@@ -905,6 +909,44 @@ def cmd_analytics(args, overrides: list[str]) -> int:
             out = grouped_ols(
                 df, str(x), str(y), [str(g) for g in group]
             )
+        elif method == "control":
+            value = knobs.get("value")
+            order = [str(c) for c in (knobs.get("order") or [])]
+            if not value or not order:
+                raise ConfigError(
+                    "control needs value=<col> order=[...]"
+                )
+            group = [str(g) for g in (knobs.get("group") or [])]
+            chart = str(knobs.get("chart", "ewma"))
+            if chart == "ewma":
+                from qualityassurancetool_spark.operators.ewma import (
+                    ewma_anomaly,
+                )
+
+                out = ewma_anomaly(
+                    df, str(value), order, group or None,
+                    alpha=float(knobs.get("alpha", 0.3)),
+                    window=int(knobs.get("window", 16)),
+                    nsigma=float(knobs.get("nsigma", 3.0)),
+                    min_history=int(knobs.get("min_history", 4)),
+                )
+            elif chart == "cusum":
+                from qualityassurancetool_spark.operators.cusum import (
+                    cusum_anomaly,
+                )
+
+                tgt, sg = knobs.get("target"), knobs.get("sigma")
+                out = cusum_anomaly(
+                    df, str(value), order, group or None,
+                    target=float(tgt) if tgt is not None else None,
+                    sigma=float(sg) if sg is not None else None,
+                    slack=float(knobs.get("slack", 0.5)),
+                    threshold=float(knobs.get("threshold", 5.0)),
+                )
+            else:
+                raise ConfigError(
+                    f"unknown control chart {chart!r} (ewma|cusum)"
+                )
         else:  # abtest
             from qualityassurancetool_spark.operators.experiment import (
                 cuped_adjust,

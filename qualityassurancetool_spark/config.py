@@ -42,8 +42,11 @@ _TOP_LEVEL_KEYS = {
     "asof_materialize",
     "feature_flags",
     "overwrite_feature_flags",
+    "drift",  # control-chart family (ewma / cusum knobs)
     "time",  # run window (orchestration-level; tolerated, unused here)
 }
+_DRIFT_EWMA_KEYS = {"alpha", "window", "nsigma", "min_history"}
+_DRIFT_CUSUM_KEYS = {"slack", "threshold", "target", "sigma"}
 # name/description are annotations (the engine's own YAML template and
 # the reference's configs carry them); they are tolerated, not consumed
 _STREAM_KEYS = {"id", "name", "description"} | set(QC_TYPES)
@@ -150,6 +153,29 @@ def validate_config_dict(d: dict) -> None:
             raise ConfigError(
                 f"{knob} must be window|bucketed, got {zs!r}"
             )
+    drift = d.get("drift")
+    if drift is not None:
+        if not isinstance(drift, dict):
+            raise ConfigError("drift: expected a mapping")
+        extra = set(drift) - {"ewma", "cusum"}
+        if extra:
+            raise ConfigError(f"drift: unknown keys {sorted(extra)}")
+        for chart, keys in (
+            ("ewma", _DRIFT_EWMA_KEYS),
+            ("cusum", _DRIFT_CUSUM_KEYS),
+        ):
+            c = drift.get(chart)
+            if c is None or c is True:
+                continue
+            if not isinstance(c, dict):
+                raise ConfigError(
+                    f"drift.{chart}: expected a mapping or true"
+                )
+            extra = set(c) - keys
+            if extra:
+                raise ConfigError(
+                    f"drift.{chart}: unknown keys {sorted(extra)}"
+                )
     rp = d.get("region_polygons")
     if isinstance(rp, str):
         pass  # a file path or URL; format checked at load time
@@ -233,6 +259,10 @@ class QCConfig:
     # overwrite_feature_flags): region check also writes feature_qc_flag
     feature_flags: bool = False
     overwrite_feature_flags: bool = True
+    # control-chart family (`drift:` — ewma / cusum knob dicts; True
+    # selects the chart's defaults): persistent-shift companions to
+    # the per-point checks, run per stream by the registry
+    drift: dict | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "QCConfig":
@@ -338,6 +368,7 @@ class QCConfig:
             ),
             region_polygons=polys,
             region_polygons_jdbc=polys_jdbc,
+            drift=d.get("drift"),
         )
 
     @classmethod

@@ -105,29 +105,20 @@ def bm25_topk(
     qterms = _doc_terms(
         queries, query_text_col, query_id_col
     ).select(query_id_col, "term").distinct()
-    # queries are small by contract — their vocabulary becomes a
-    # driver literal so the corpus token filter is a pure projection
-    # (no join) applied BEFORE the explode
-    vocab = sorted(
-        r["term"] for r in qterms.select("term").distinct().collect()
-    )
-    varr = F.array(*[F.lit(t) for t in vocab]) if vocab else F.array()
 
-    # ONE corpus text scan: tokenize, keep (dl, query-matched tokens
-    # only) and persist the slim frame — the stats agg and the scoring
-    # explode both read this cache, never the text again.  Size is
-    # O(docs × (8 B + matched tokens)); evictable, recompute-safe.
-    slim = _doc_toks(docs, text_col, id_col).select(
-        id_col,
-        F.size("_toks").alias("dl"),
-        F.filter(
-            "_toks", lambda t: F.array_contains(varr, t)
-        ).alias("_qt"),
-    )
+    # ONE corpus text scan: tokenize into a QUERY-INDEPENDENT slim
+    # (id, token-array) frame and persist it — the stats agg, the
+    # scoring explode, and any later query batch against the same
+    # corpus all read this cache, never the text again.  The vocab
+    # match stays a broadcast hash SEMI-JOIN after the explode (a
+    # driver-literal array_contains filter was measured ~40% slower
+    # at 1.2k query terms — giant literals poison plan compile and
+    # the per-token scan is linear in |vocab|).
+    slim = _doc_toks(docs, text_col, id_col).persist()
     if stats is None:
-        slim = slim.persist()
         row = (
-            slim.where(F.col("dl") > 0)
+            slim.select(F.size("_toks").alias("dl"))
+            .where(F.col("dl") > 0)
             .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a"))
             .collect()[0]
         )
@@ -135,9 +126,15 @@ def bm25_topk(
     else:
         n_docs, avgdl = stats
 
-    matched = slim.select(
-        id_col, "dl", F.explode("_qt").alias("term")
+    dterms = slim.select(
+        id_col,
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
     )
+    # tf for query terms only: the broadcast semi-join BEFORE the agg
+    # is what keeps per-doc agg work O(matched terms)
+    qvocab = qterms.select("term").distinct()
+    matched = dterms.join(F.broadcast(qvocab), "term", "left_semi")
     tf = matched.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
@@ -149,22 +146,27 @@ def bm25_topk(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
+    # the per-(doc, term) contribution idf·saturation is
+    # QUERY-INDEPENDENT (query terms are distinct) — compute it once
+    # here, BEFORE the qterms join fans each doc-term row out to every
+    # query containing the term; the fanned-out rows then carry one
+    # precomputed double into the (query, doc) sum instead of
+    # re-evaluating the saturation arithmetic per (query, doc, term)
+    term_score = tf.join(F.broadcast(dfreq), "term").select(
+        "term",
+        F.col(id_col),
+        (
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (1.0 - b + b * F.col("dl") / F.lit(avgdl or 1.0))
+            )
+        ).alias("_term_score"),
+    )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qterms), "term")
-        .select(
-            query_id_col,
-            id_col,
-            (
-                idf
-                * (F.col("tf") * (k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + k1
-                    * (1.0 - b + b * F.col("dl") / F.lit(avgdl or 1.0))
-                )
-            ).alias("_term_score"),
-        )
+        term_score.join(F.broadcast(qterms), "term")
         .groupBy(query_id_col, id_col)
         .agg(
             F.sum("_term_score").alias("score"),

@@ -358,6 +358,7 @@ def ivfadc_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """IVFADC search: probe the ``nprobe`` nearest lists per query and
     ADC-score only their members against per-(query, list) residual
@@ -366,7 +367,15 @@ def ivfadc_topk(
     The scale property the flat ``pq_topk`` lacks: candidates enter via
     an equi-JOIN on ``cluster_id`` against the broadcast (query, list,
     table) frame — the corpus outside the probed lists is never
-    touched (~nprobe/n_lists of it scores)."""
+    touched (~nprobe/n_lists of it scores).
+
+    ``round_digits``: rank/cut on the ADC distance ROUNDED to this
+    many digits (id tie-break) instead of the raw double.  Exact ADC
+    ties — common, since many candidates share codes — otherwise
+    split by ULP-level float-associativity noise that differs across
+    engines; rounding before the cut makes the shortlist reproducible
+    (the ``quantile_bin`` rounded-cut-point discipline).  The emitted
+    ``adc_dist`` stays raw."""
     qrows = queries.select(query_id_col, vec_col).collect()
     qt_rows = []
     for r in qrows:
@@ -401,8 +410,13 @@ def ivfadc_topk(
         F.col(id_col).alias("neighbor_id"),
         dist.alias("adc_dist"),
     )
+    rank_key = (
+        F.round("adc_dist", round_digits)
+        if round_digits is not None
+        else F.col("adc_dist")
+    )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+        rank_key.asc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("_rn", F.row_number().over(w))

@@ -188,6 +188,86 @@ def _check_threshold_family(
     return run_qc_pipeline(df, cfg, spark, stream_key=stream_col)
 
 
+@register_check("drift")
+def _check_drift(
+    df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str
+) -> DataFrame:
+    """Control-chart family (config ``drift:``): EWMA and/or CUSUM per
+    stream — the persistent-shift companions to the per-point checks
+    (a 1σ drift never trips a 3σ range/z-score test; the charts
+    accumulate it).  Each chart is one window family over the SAME
+    (stream, time) partitioning as the other QC windows and merges a
+    PROBABLY_BAD flag by severity.  Runs after the threshold family
+    (reference ordering: cheap per-point flags first) and before the
+    dependent as-of propagation, so drifting independents propagate.
+    """
+    dc = getattr(cfg, "drift", None)
+    if not dc:
+        return df
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.flags import (
+        QualityFlags,
+        flag_from_bool,
+        flag_merge,
+    )
+
+    order = ["phenomenon_time"] + (
+        ["iot_id"] if "iot_id" in df.columns else []
+    )
+    ew = dc.get("ewma")
+    if ew is not None:
+        from qualityassurancetool_spark.operators.ewma import (
+            ewma_anomaly,
+        )
+
+        k = ew if isinstance(ew, dict) else {}
+        df = ewma_anomaly(
+            df,
+            "result",
+            order,
+            [stream_col],
+            alpha=float(k.get("alpha", 0.3)),
+            window=int(k.get("window", 16)),
+            nsigma=float(k.get("nsigma", 3.0)),
+            min_history=int(k.get("min_history", 4)),
+        )
+        new = flag_from_bool(
+            F.coalesce(F.col("ewma_flag"), F.lit(False)),
+            flag_on_true=QualityFlags.PROBABLY_BAD,
+            flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
+        )
+        df = df.withColumn(
+            "qc_flag", flag_merge(F.col("qc_flag"), new)
+        ).drop("ewma_prev", "ewma_sigma", "ewma_dev", "ewma_flag")
+    cu = dc.get("cusum")
+    if cu is not None:
+        from qualityassurancetool_spark.operators.cusum import (
+            cusum_anomaly,
+        )
+
+        k = cu if isinstance(cu, dict) else {}
+        df = cusum_anomaly(
+            df,
+            "result",
+            order,
+            [stream_col],
+            target=k.get("target"),
+            sigma=k.get("sigma"),
+            slack=float(k.get("slack", 0.5)),
+            threshold=float(k.get("threshold", 5.0)),
+        )
+        new = flag_from_bool(
+            F.coalesce(F.col("cusum_flag"), F.lit(False)),
+            flag_on_true=QualityFlags.PROBABLY_BAD,
+            flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
+        )
+        df = df.withColumn(
+            "qc_flag", flag_merge(F.col("qc_flag"), new)
+        ).drop("cusum_pos", "cusum_neg", "cusum_flag")
+    return df
+
+
 @register_check("dependent")
 def _check_dependent(
     df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str

@@ -225,3 +225,41 @@ def test_abtest_mean_and_proportion(spark, tmp_path, capsys):
     ])
     assert spark.read.parquet(out3).count() == 1
     capsys.readouterr()
+
+
+def test_control_charts(spark, tmp_path, capsys):
+    src = str(tmp_path / "stream")
+    vals = [10.0] * 30 + [11.5] * 30  # persistent 1.5-sigma-ish shift
+    spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)],
+        "g string, t long, x double",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "cusum")
+    _run([
+        "analytics", "--keep-session", f"data.input={src}",
+        f"data.out={out}", "method=control", "chart=cusum",
+        "value=x", "order=[t]", "group=[g]",
+        "target=10.0", "sigma=1.0",
+    ])
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.where("cusum_flag").count() > 0
+
+    out2 = str(tmp_path / "ewma")
+    _run([
+        "analytics", "--keep-session", f"data.input={src}",
+        f"data.out={out2}", "method=control", "chart=ewma",
+        "value=x", "order=[t]", "group=[g]",
+    ])
+    assert "ewma_flag" in spark.read.parquet(out2).columns
+
+    assert main([
+        "analytics", f"data.input={src}", f"data.out={out}",
+        "method=control", "chart=nope", "value=x", "order=[t]",
+    ]) != 0
+    assert main([
+        "analytics", f"data.input={src}", f"data.out={out}",
+        "method=control", "chart=cusum",
+    ]) != 0
+    capsys.readouterr()

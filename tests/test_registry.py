@@ -281,3 +281,84 @@ def test_window_strategy_bucketed_full_chain_parity(spark):
                 assert got[k][i] is None, (k, i)
             else:
                 assert abs(got[k][i] - want[k][i]) < 1e-9, (k, i)
+
+
+def test_drift_check_ewma_cusum(spark):
+    """`drift:` runs EWMA/CUSUM per stream inside the chain, merges
+    PROBABLY_BAD by severity, equals manual composition, and is a
+    no-op when unconfigured."""
+    from qualityassurancetool_spark.flags import (
+        QualityFlags,
+        flag_from_bool,
+        flag_merge,
+    )
+    from qualityassurancetool_spark.operators.cusum import cusum_anomaly
+    from qualityassurancetool_spark.operators.ewma import ewma_anomaly
+
+    obs = events_as_observations(spark, SF_DIR)
+    cfg = QCConfig.from_dict(
+        {
+            "drift": {
+                "ewma": {"alpha": 0.3, "window": 8, "nsigma": 2.0},
+                "cusum": {"slack": 0.25, "threshold": 3.0},
+            }
+        }
+    )
+    got = run_registered_checks(obs, cfg, spark, checks=["drift"])
+    assert "ewma_flag" not in got.columns  # internals dropped
+    assert "cusum_pos" not in got.columns
+    flagged = got.where(F.col("qc_flag") == 3).count()
+    assert flagged > 0  # real event values drift enough to chart
+
+    # manual composition parity
+    order = ["phenomenon_time", "iot_id"]
+    want = ewma_anomaly(
+        obs, "result", order, ["observation_type"],
+        alpha=0.3, window=8, nsigma=2.0, min_history=4,
+    )
+    want = want.withColumn(
+        "qc_flag",
+        flag_merge(
+            F.col("qc_flag"),
+            flag_from_bool(
+                F.coalesce(F.col("ewma_flag"), F.lit(False)),
+                flag_on_true=QualityFlags.PROBABLY_BAD,
+                flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
+            ),
+        ),
+    ).drop("ewma_prev", "ewma_sigma", "ewma_dev", "ewma_flag")
+    want = cusum_anomaly(
+        want, "result", order, ["observation_type"],
+        slack=0.25, threshold=3.0,
+    )
+    want = want.withColumn(
+        "qc_flag",
+        flag_merge(
+            F.col("qc_flag"),
+            flag_from_bool(
+                F.coalesce(F.col("cusum_flag"), F.lit(False)),
+                flag_on_true=QualityFlags.PROBABLY_BAD,
+                flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
+            ),
+        ),
+    )
+    g = {r["iot_id"]: r["qc_flag"] for r in got.select("iot_id", "qc_flag").collect()}
+    w = {r["iot_id"]: r["qc_flag"] for r in want.select("iot_id", "qc_flag").collect()}
+    assert g == w
+
+    # unconfigured -> untouched plan, zero flags
+    quiet = run_registered_checks(
+        obs, QCConfig.from_dict({}), spark, checks=["drift"]
+    )
+    assert quiet.where(F.col("qc_flag") != 0).count() == 0
+
+
+def test_drift_config_validation(spark):
+    from qualityassurancetool_spark.config import ConfigError
+
+    with pytest.raises(ConfigError):
+        QCConfig.from_dict({"drift": {"nope": {}}})
+    with pytest.raises(ConfigError):
+        QCConfig.from_dict({"drift": {"ewma": {"bad_knob": 1}}})
+    with pytest.raises(ConfigError):
+        QCConfig.from_dict({"drift": [1, 2]})

@@ -1,0 +1,159 @@
+"""Streaming sketch state-store metering (VERDICT r5 #8).
+
+The bounded-state claims of the streaming sketch family (CMS =
+depth×width cells, HLL ≤ 2^p registers, KMV ≤ shards×k rows, DDSketch
+one counter per occupied bucket, Misra–Gries ≤ shards×capacity) are
+proven by restart-parity tests; this probe turns them into MEASURED
+numbers from Spark's own streaming-progress metrics: each query runs
+3 micro-batches (maxFilesPerTrigger=1 over 3 appended input files) at
+two input sizes, and we record per-batch ``stateOperators``
+``numRowsTotal`` / ``stateMemory`` bytes.  The table belongs in
+docs/SCALE.md: state rows/bytes must stay FLAT while input doubles —
+the whole point of a sketch; the unbounded baseline
+(``dropDuplicates``) is included as the control arm whose state grows
+with every distinct key forever.
+
+Usage: python tools/dress_rehearsal_streaming.py [n1 n2]
+(defaults 200_000 400_000)
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from qualityassurancetool_spark.session import get_spark  # noqa: E402
+
+
+def _feed(spark, land: str, n: int, batches: int = 3) -> None:
+    """``batches`` parquet files of ``n // batches`` distinct keys each
+    (disjoint across batches so distinct-state controls actually
+    grow), plus a skewed value column for ddsketch."""
+    per = n // batches
+    for b in range(batches):
+        (
+            spark.range(b * per, (b + 1) * per)
+            .select(
+                F.concat(F.lit("k"), F.col("id")).alias("k"),
+                (
+                    F.exp((F.col("id") % 1000) / 100.0)
+                ).alias("v"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+
+def _run(spark, stream_df, ckpt: str):
+    """Run 3 micro-batches (1 file each), return per-batch
+    (rows_in, state_rows, state_bytes)."""
+    q = (
+        stream_df.writeStream.foreachBatch(lambda df, _id: df.count())
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = []
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or []
+        if not ops:
+            continue
+        st = ops[0]
+        mem = st.get("stateMemory")
+        if mem is None:
+            mem = (st.get("customMetrics") or {}).get(
+                "stateOnCurrentVersionSizeBytes", 0
+            )
+        out.append(
+            (
+                p.get("numInputRows", 0),
+                st.get("numRowsTotal", 0),
+                int(mem or 0),
+            )
+        )
+    return out
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [200_000, 400_000]
+    spark = get_spark("streaming-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from qualityassurancetool_spark.streaming.cms import streaming_cms
+    from qualityassurancetool_spark.streaming.ddsketch import (
+        streaming_ddsketch,
+    )
+    from qualityassurancetool_spark.streaming.heavy_hitters import (
+        streaming_heavy_hitter_summaries,
+    )
+    from qualityassurancetool_spark.streaming.hll import streaming_hll
+    from qualityassurancetool_spark.streaming.kmv import streaming_kmv
+
+    OPS = [
+        (
+            "cms (w=2048,d=4)",
+            lambda s: streaming_cms(s, "k", width=2048, depth=4),
+        ),
+        ("hll (p=12)", lambda s: streaming_hll(s, "k", p=12)),
+        (
+            "kmv (k=256,shards=8)",
+            lambda s: streaming_kmv(s, "k", k=256, shards=8),
+        ),
+        (
+            "ddsketch (alpha=0.01)",
+            lambda s: streaming_ddsketch(s, "v", alpha=0.01),
+        ),
+        (
+            "heavy_hitters (cap=256,shards=32)",
+            lambda s: streaming_heavy_hitter_summaries(
+                s, "k", capacity=256, n_shards=32
+            ),
+        ),
+        (
+            "dropDuplicates (UNBOUNDED control)",
+            lambda s: s.dropDuplicates(["k"]),
+        ),
+    ]
+
+    print(
+        "| op | input rows | batch | rows in | state rows |"
+        " state KB | wall s |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for n in sizes:
+        for label, build in OPS:
+            work = tempfile.mkdtemp(prefix="stream_probe_")
+            land, ckpt = f"{work}/land", f"{work}/ckpt"
+            _feed(spark, land, n)
+            stream = (
+                spark.readStream.schema("k string, v double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(land)
+            )
+            t0 = time.perf_counter()
+            rows = _run(spark, build(stream), ckpt)
+            dt = time.perf_counter() - t0
+            for i, (rin, srows, sbytes) in enumerate(rows):
+                print(
+                    f"| {label} | {n:,} | {i + 1} | {rin:,} |"
+                    f" {srows:,} | {sbytes / 1024:.0f} |"
+                    f" {dt:.1f} |" if i == len(rows) - 1 else
+                    f"| {label} | {n:,} | {i + 1} | {rin:,} |"
+                    f" {srows:,} | {sbytes / 1024:.0f} | |",
+                    flush=True,
+                )
+            shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

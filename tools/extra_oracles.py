@@ -4093,231 +4093,64 @@ GROUP BY node HAVING COUNT(*) >= 3
     return sdf, sql
 
 
-def x_experiment(spark, con, sf_dir):
-    """welch_t_test / two_proportion_z / cuped_adjust vs a DuckDB
-    replica (same A-S erf polynomial, same pooled-variance algebra)
-    over a deterministic 3-variant assignment on lineitem; CUPED
-    compared through per-variant moments of the adjusted metric."""
-    from qualityassurancetool_spark.operators.experiment import (
-        cuped_adjust,
-        two_proportion_z,
-        welch_t_test,
+def x_cusum(spark, con, sf_dir):
+    """cusum_anomaly (Page's chart as the prefix-sum/running-min
+    closed form — two stacked windows, one shuffle) vs a DuckDB
+    replica of the same closed form: per-event-type value streams
+    ordered by event_id, per-group estimated baseline, k=0.5σ,
+    h=5σ."""
+    from qualityassurancetool_spark.operators.cusum import (
+        cusum_anomaly,
     )
     from qualityassurancetool_spark.schema import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_linestatus").alias("s"),
-        F.element_at(
-            F.array(F.lit("c"), F.lit("t1"), F.lit("t2")),
-            (
-                (
-                    F.col("l_orderkey") * F.lit(2654435761)
-                    + F.col("l_linenumber")
-                )
-                % 3
-                + 1
-            ).cast("int"),
-        ).alias("v"),
-        F.col("l_extendedprice").cast("double").alias("y"),
-        F.col("l_quantity").cast("double").alias("x"),
-        (F.col("l_discount") > 0.05).cast("double").alias("ok"),
-    )
-    w = welch_t_test(li, "v", "y", control="c", by=["s"]).select(
-        F.lit("w").alias("part"),
-        F.col("s").alias("key"),
-        "variant",
-        F.col("n_t").alias("a"),
-        F.col("n_c").alias("b"),
-        (F.round(F.col("diff") / 1000.0, 6) + F.lit(0.0)).alias("v1"),
-        (F.round("t_stat", 6) + F.lit(0.0)).alias("v2"),
-        (F.round("p_value", 6) + F.lit(0.0)).alias("v3"),
-    )
-    z = two_proportion_z(li, "v", "ok", control="c", by=["s"]).select(
-        F.lit("z").alias("part"),
-        F.col("s").alias("key"),
-        "variant",
-        F.col("n_t").alias("a"),
-        F.col("n_c").alias("b"),
-        (F.round("diff", 6) + F.lit(0.0)).alias("v1"),
-        (F.round("z_stat", 6) + F.lit(0.0)).alias("v2"),
-        (F.round("p_value", 6) + F.lit(0.0)).alias("v3"),
-    )
-    cu = (
-        cuped_adjust(li, "y", "x")
-        .groupBy("v")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("y_cuped").alias("m"),
-            F.var_samp("y_cuped").alias("va"),
-        )
-        .select(
-            F.lit("cuped").alias("part"),
-            F.lit("").alias("key"),
-            F.col("v").alias("variant"),
-            F.col("n").alias("a"),
-            F.lit(0).cast("long").alias("b"),
-            (F.round(F.col("m") / 1000.0, 6) + F.lit(0.0)).alias("v1"),
-            (F.round(F.col("va") / 1e6, 6) + F.lit(0.0)).alias("v2"),
-            F.lit(None).cast("double").alias("v3"),
-        )
-    )
-    sdf = w.unionByName(z).unionByName(cu)
-    ERF = (
-        "(1.0 - (0.254829592*T - 0.284496736*T*T"
-        " + 1.421413741*T*T*T - 1.453152027*T*T*T*T"
-        " + 1.061405429*T*T*T*T*T) * EXP(-Z*Z))"
-    )
-
-    def p_expr(zcol):
-        z_ = f"(ABS({zcol}) / SQRT(2.0))"
-        t_ = f"(1.0 / (1.0 + 0.3275911 * {z_}))"
-        return (
-            "1.0 - "
-            + ERF.replace("T", t_).replace("Z", z_)
-        )
-
-    sql = f"""
-WITH li AS (
-    SELECT l_linestatus AS s,
-           ['c', 't1', 't2'][
-               CAST((l_orderkey * 2654435761 + l_linenumber) % 3
-                    AS INT) + 1] AS v,
-           CAST(l_extendedprice AS DOUBLE) AS y,
-           CAST(l_quantity AS DOUBLE) AS x,
-           CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS ok
-    FROM lineitem
-), st AS (
-    SELECT s, v, COUNT(*)::DOUBLE AS n, AVG(y) AS m,
-           VAR_SAMP(y) AS va, SUM(ok) AS sk
-    FROM li GROUP BY s, v
-), w AS (
-    SELECT 'w' AS part, t.s AS key, t.v AS variant,
-           CAST(t.n AS BIGINT) AS a, CAST(c.n AS BIGINT) AS b,
-           ROUND((t.m - c.m) / 1000.0, 6) + 0.0 AS v1,
-           ROUND((t.m - c.m)
-                 / SQRT(t.va / t.n + c.va / c.n), 6) + 0.0 AS v2,
-           ROUND({p_expr("(t.m - c.m) / SQRT(t.va / t.n + c.va / c.n)")},
-                 6) + 0.0 AS v3
-    FROM st t JOIN st c ON t.s = c.s AND c.v = 'c' AND t.v <> 'c'
-), z AS (
-    SELECT 'z' AS part, t.s AS key, t.v AS variant,
-           CAST(t.n AS BIGINT) AS a, CAST(c.n AS BIGINT) AS b,
-           ROUND(t.sk / t.n - c.sk / c.n, 6) + 0.0 AS v1,
-           ROUND((t.sk / t.n - c.sk / c.n)
-                 / SQRT(((t.sk + c.sk) / (t.n + c.n))
-                        * (1 - (t.sk + c.sk) / (t.n + c.n))
-                        * (1 / t.n + 1 / c.n)), 6) + 0.0 AS v2,
-           ROUND({p_expr(
-               "(t.sk / t.n - c.sk / c.n)"
-               " / SQRT(((t.sk + c.sk) / (t.n + c.n))"
-               " * (1 - (t.sk + c.sk) / (t.n + c.n))"
-               " * (1 / t.n + 1 / c.n))"
-           )}, 6) + 0.0 AS v3
-    FROM st t JOIN st c ON t.s = c.s AND c.v = 'c' AND t.v <> 'c'
-), th AS (
-    SELECT COVAR_SAMP(x, y) / VAR_SAMP(x) AS theta, AVG(x) AS mx
-    FROM li
-), cu AS (
-    SELECT 'cuped' AS part, '' AS key, v AS variant,
-           CAST(COUNT(*) AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
-           ROUND(AVG(y - theta * (x - mx)) / 1000.0, 6) + 0.0 AS v1,
-           ROUND(VAR_SAMP(y - theta * (x - mx)) / 1e6, 6) + 0.0
-               AS v2,
-           CAST(NULL AS DOUBLE) AS v3
-    FROM li, th GROUP BY v
-)
-SELECT * FROM w UNION ALL SELECT * FROM z UNION ALL SELECT * FROM cu
-"""
-    return sdf, sql
-
-
-def x_ewma(spark, con, sf_dir):
-    """ewma_smooth + ewma_anomaly (bounded-lag exponential weights,
-    self-excluding control chart) vs a DuckDB replica with the SAME
-    unrolled lags: per-event-type value streams ordered by event_id
-    over the events table."""
-    from qualityassurancetool_spark.operators.ewma import (
-        ewma_anomaly,
-        ewma_smooth,
-    )
-    from qualityassurancetool_spark.schema import load_table
-
-    alpha, window, nsigma, min_h = 0.3, 8, 2.5, 4
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("value").cast("double")
     )
-    sm = ewma_smooth(
+    got = cusum_anomaly(
         ev, "value", ["event_id"], ["event_type"],
-        alpha=alpha, window=window,
+        slack=0.5, threshold=5.0,
     )
-    an = ewma_anomaly(
-        sm, "value", ["event_id"], ["event_type"],
-        alpha=alpha, window=window, nsigma=nsigma,
-        min_history=min_h,
-    )
-    sdf = an.select(
+    sdf = got.select(
         "event_id",
         "event_type",
-        (F.round("ewma", 6) + F.lit(0.0)).alias("ewma_r"),
-        (F.round("ewma_prev", 6) + F.lit(0.0)).alias("prev_r"),
-        (F.round("ewma_dev", 6) + F.lit(0.0)).alias("dev_r"),
-        F.col("ewma_flag").alias("flag"),
+        (F.round("cusum_pos", 6) + F.lit(0.0)).alias("sp_r"),
+        (F.round("cusum_neg", 6) + F.lit(0.0)).alias("sn_r"),
+        F.col("cusum_flag").alias("flag"),
     )
     w = "PARTITION BY event_type ORDER BY event_id"
-
-    def lag_sum(start, count, extra_decay):
-        num, den = [], []
-        for k in range(start, start + count):
-            wk = alpha * (1.0 - alpha) ** (k - start) * extra_decay
-            num.append(
-                f"CASE WHEN lag(value, {k}) OVER ({w}) IS NOT NULL"
-                f" THEN {wk!r} * lag(value, {k}) OVER ({w})"
-                f" ELSE 0 END"
-            )
-            den.append(
-                f"CASE WHEN lag(value, {k}) OVER ({w}) IS NOT NULL"
-                f" THEN {wk!r} ELSE 0 END"
-            )
-        return " + ".join(num), " + ".join(den)
-
-    n0 = (
-        f"CASE WHEN value IS NOT NULL THEN {alpha!r} * value"
-        f" ELSE 0 END"
-    )
-    d0 = f"CASE WHEN value IS NOT NULL THEN {alpha!r} ELSE 0 END"
-    nl, dl = lag_sum(1, window - 1, 1.0 - alpha)
-    np_, dp = lag_sum(1, window, 1.0)
     sql = f"""
 WITH ev AS (
     SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
     FROM events
-), calc AS (
+), st AS (
+    SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+    FROM ev GROUP BY event_type
+), staged AS (
+    SELECT e.event_id, e.event_type, e.value,
+           SUM(CASE WHEN s.sd > 0
+                    THEN (e.value - s.mu) / s.sd - 0.5 END)
+               OVER ({w} ROWS UNBOUNDED PRECEDING) AS sp,
+           SUM(CASE WHEN s.sd > 0
+                    THEN -(e.value - s.mu) / s.sd - 0.5 END)
+               OVER ({w} ROWS UNBOUNDED PRECEDING) AS sn
+    FROM ev e JOIN st s USING (event_type)
+), stat AS (
     SELECT event_id, event_type, value,
-           ({n0} + {nl}) AS s_num, ({d0} + {dl}) AS s_den,
-           ({np_}) AS p_num, ({dp}) AS p_den,
-           stddev_samp(value) OVER ({w}
-               ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
-               AS sigma,
-           COUNT(value) OVER ({w}
-               ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)
-               AS nhist
-    FROM ev
+           sp - LEAST(0.0, MIN(sp)
+               OVER ({w} ROWS UNBOUNDED PRECEDING)) AS s_pos,
+           sn - LEAST(0.0, MIN(sn)
+               OVER ({w} ROWS UNBOUNDED PRECEDING)) AS s_neg
+    FROM staged
 )
 SELECT event_id, event_type,
-       ROUND(CASE WHEN s_den > 0 THEN s_num / s_den END, 6) + 0.0
-           AS ewma_r,
-       ROUND(CASE WHEN p_den > 0 THEN p_num / p_den END, 6) + 0.0
-           AS prev_r,
-       ROUND(value - CASE WHEN p_den > 0 THEN p_num / p_den END, 6)
-           + 0.0 AS dev_r,
-       CASE WHEN value IS NOT NULL
-             AND p_den > 0 AND sigma IS NOT NULL
-             AND nhist >= {min_h}
-            THEN ABS(value - p_num / p_den) > {nsigma!r} * sigma
-                 + 1e-9 * GREATEST(ABS(value),
-                                   ABS(p_num / p_den))
+       ROUND(s_pos, 6) + 0.0 AS sp_r,
+       ROUND(s_neg, 6) + 0.0 AS sn_r,
+       CASE WHEN value IS NOT NULL AND s_pos IS NOT NULL
+                 AND s_neg IS NOT NULL
+            THEN s_pos > 5.0 OR s_neg > 5.0
        END AS flag
-FROM calc
+FROM stat
 """
     return sdf, sql
 
@@ -4419,6 +4252,17 @@ x_paged_scan = _retired("paged_scan")
 x_nearest_lookup = _retired("nearest_lookup")
 x_ml_eval = _retired("ml_eval")
 x_linreg = _retired("linreg")
+# round-6 swap: ewma/experiment/ann_ivfadc promoted into the driver
+# gate (ewma + experiment moved here->entry verbatim; ann_ivfadc is the
+# 100 TB ANN pipeline the brute baseline anchored), retiring three
+# trivial rows and the deliberately-linear brute arm
+x_ewma = _retired("ewma")
+x_experiment = _retired("experiment")
+x_ann_ivfadc_gate = _retired("ann_ivfadc")
+x_text_stats = _retired("text_stats")
+x_nested_flatten = _retired("nested_flatten")
+x_frame_sample_plan = _retired("frame_sample_plan")
+x_sim_brute = _retired("sim_brute")
 
 # inverse of retirement: bm25/cms/multipattern were PROMOTED into the
 # driver gate this round; their x_* names stay as the same delegation
@@ -4533,5 +4377,11 @@ EXTRA_CHECKS = {
     "x_nearest_lookup": x_nearest_lookup,
     "x_quantile_bin": x_quantile_bin,
     "x_ewma": x_ewma,
+    "x_cusum": x_cusum,
     "x_experiment": x_experiment,
+    "x_ann_ivfadc_gate": x_ann_ivfadc_gate,
+    "x_text_stats": x_text_stats,
+    "x_nested_flatten": x_nested_flatten,
+    "x_frame_sample_plan": x_frame_sample_plan,
+    "x_sim_brute": x_sim_brute,
 }
