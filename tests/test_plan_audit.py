@@ -22,6 +22,10 @@ BNLJ_ALLOWED = {
     # the quantile walk crosses the ~1k-cell sketch against a 4-row
     # broadcast probs literal — metadata-scale by construction
     "ddsketch_quantiles",
+    # cuped_adjust broadcasts a 2-double (theta, mean-x) scalar frame
+    # back onto the rows — the sanctioned scalar-broadcast pattern
+    # (same shape as target_encode's prior)
+    "experiment",
 }
 
 
@@ -187,13 +191,15 @@ def test_round5_promoted_query_plan_shapes(spark, entrymod, sf_dir):
     assert "partial_count" in cms or "partial_sum" in cms, cms
 
     bm = _plan(qs["bm25"](spark, sf_dir))
-    # round-6: ONE corpus text scan — tokenize + query-vocab filter is
-    # a single projection persisted as the slim (id, dl, matched)
-    # frame; both the tf and df branches read the cache, so every
-    # consumer of the corpus is an InMemoryTableScan and the only
-    # live FileScan of the text column is the (pushed-down) query set
+    # round-6: ONE corpus text scan — the corpus tokenizes into a
+    # query-independent persisted slim frame; the stats agg and the
+    # scoring explode both read the cache, so every consumer of the
+    # corpus is an InMemoryTableScan and the only live FileScan of the
+    # text column is the (pushed-down) query set.  The vocab match
+    # stays a broadcast hash semi-join (O(1) per token; a vocab-array
+    # literal filter measured ~40% slower at 1.2k terms).
     assert bm.count("InMemoryTableScan") >= 2, bm
-    assert "LeftSemi" not in bm, bm  # the vocab filter replaced it
+    assert "LeftSemi" in bm, bm
     # no Python anywhere in the scoring path
     assert "EvalPython" not in bm and "InPandas" not in bm, bm
 
