@@ -1,0 +1,166 @@
+"""Streaming control charts (streaming/control): row-for-row parity
+with the batch operators on ordered arrivals, bounded state,
+checkpoint-restart continuation."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.cusum import cusum_anomaly
+from qualityassurancetool_spark.operators.ewma import ewma_anomaly, ewma_smooth
+from qualityassurancetool_spark.streaming.control import (
+    streaming_cusum,
+    streaming_ewma,
+)
+
+MU, SD = 20.0, 4.0
+
+
+def _rows(rng, n, stream, t0=0, shift=0.0):
+    return [
+        (
+            stream,
+            t0 + i,
+            None
+            if rng.random() < 0.08
+            else round(rng.gauss(MU + shift, SD), 3),
+        )
+        for i in range(n)
+    ]
+
+
+def _write(spark, path, rows, mode="overwrite"):
+    spark.createDataFrame(
+        rows, "g string, t long, x double"
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+
+def _drain(spark, land, ckpt, build, sink_rows):
+    stream = spark.readStream.schema("g string, t long, x double").parquet(
+        land
+    )
+
+    def sink(df, _id):
+        sink_rows.extend(df.collect())
+
+    q = (
+        build(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_cusum_parity_and_restart(spark, tmp_path):
+    rng = random.Random(5)
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    batch1 = _rows(rng, 40, "a") + _rows(rng, 40, "b", shift=2.0)
+    _write(spark, land, batch1)
+    got: list = []
+    build = lambda s: streaming_cusum(
+        s, "x", "t", "g", target=MU, sigma=SD, slack=0.5, threshold=4.0
+    )
+    _drain(spark, land, ckpt, build, got)
+
+    # restart over appended files: state continues from the checkpoint
+    batch2 = _rows(rng, 30, "a", t0=40, shift=3.0) + _rows(
+        rng, 30, "b", t0=40, shift=2.0
+    )
+    _write(spark, land, batch2, mode="append")
+    _drain(spark, land, ckpt, build, got)
+    assert len(got) == 140
+
+    want = {
+        (r["g"], r["t"]): r
+        for r in cusum_anomaly(
+            spark.createDataFrame(
+                batch1 + batch2, "g string, t long, x double"
+            ),
+            "x",
+            ["t"],
+            ["g"],
+            target=MU,
+            sigma=SD,
+            slack=0.5,
+            threshold=4.0,
+        ).collect()
+    }
+    for r in got:
+        w = want[(r["stream"], r["t"])]
+        if r["value"] is None:
+            assert r["cusum_flag"] is None and w["cusum_flag"] is None
+            continue
+        assert r["cusum_pos"] == pytest.approx(
+            w["cusum_pos"], abs=1e-9
+        ), (r["stream"], r["t"])
+        assert r["cusum_neg"] == pytest.approx(
+            w["cusum_neg"], abs=1e-9
+        )
+        assert r["cusum_flag"] == w["cusum_flag"]
+    # the planted drift actually signals
+    assert any(
+        r["cusum_flag"] for r in got if r["stream"] == "b"
+    )
+
+
+def test_ewma_parity_and_restart(spark, tmp_path):
+    rng = random.Random(17)
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    batch1 = _rows(rng, 35, "a") + _rows(rng, 35, "b")
+    _write(spark, land, batch1)
+    got: list = []
+    build = lambda s: streaming_ewma(
+        s, "x", "t", "g", alpha=0.3, window=8, nsigma=2.5,
+        min_history=4,
+    )
+    _drain(spark, land, ckpt, build, got)
+    batch2 = _rows(rng, 25, "a", t0=35) + _rows(rng, 25, "b", t0=35)
+    _write(spark, land, batch2, mode="append")
+    _drain(spark, land, ckpt, build, got)
+    assert len(got) == 120
+
+    df = spark.createDataFrame(
+        batch1 + batch2, "g string, t long, x double"
+    )
+    sm = ewma_smooth(df, "x", ["t"], ["g"], alpha=0.3, window=8)
+    an = ewma_anomaly(
+        sm, "x", ["t"], ["g"], alpha=0.3, window=8, nsigma=2.5,
+        min_history=4,
+    )
+    want = {(r["g"], r["t"]): r for r in an.collect()}
+    for r in got:
+        w = want[(r["stream"], r["t"])]
+        for sc, bc in (
+            ("ewma", "ewma"),
+            ("ewma_prev", "ewma_prev"),
+            ("ewma_sigma", "ewma_sigma"),
+            ("ewma_dev", "ewma_dev"),
+        ):
+            if w[bc] is None:
+                assert r[sc] is None or math.isnan(r[sc]), (
+                    r["stream"], r["t"], sc,
+                )
+            else:
+                assert r[sc] == pytest.approx(w[bc], abs=1e-9), (
+                    r["stream"], r["t"], sc,
+                )
+        assert r["ewma_flag"] == w["ewma_flag"], (r["stream"], r["t"])
+
+
+def test_streaming_validation(spark):
+    df = spark.createDataFrame([], "g string, t long, x double")
+    with pytest.raises(ValueError):
+        streaming_cusum(df, "x", "t", "g", target=0.0, sigma=0.0)
+    with pytest.raises(ValueError):
+        streaming_cusum(
+            df, "x", "t", "g", target=0.0, sigma=1.0, threshold=0
+        )
+    with pytest.raises(ValueError):
+        streaming_ewma(df, "x", "t", "g", alpha=0.0)
+    with pytest.raises(ValueError):
+        streaming_ewma(df, "x", "t", "g", min_history=1)
