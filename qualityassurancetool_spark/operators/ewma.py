@@ -79,6 +79,13 @@ def ewma_smooth(
         raise ValueError(f"window must be >= 1, got {window}")
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
+    # "no order key, no chart" (unified null-ts discipline): rows
+    # whose first order column is NULL get a NULL smooth and do not
+    # occupy lag slots
+    ok_rows = df.where(F.col(order_cols[0]).isNotNull())
+    null_rows = df.where(F.col(order_cols[0]).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
     w = Window.partitionBy(*(group_cols or [])).orderBy(*order_cols)
     x = F.col(value_col).cast("double")
     # lag 0 is the row itself
@@ -95,9 +102,9 @@ def ewma_smooth(
         den = den0 + dl * F.lit(1.0 - alpha)
     else:
         num, den = num0, den0
-    return df.withColumn(
+    return ok_rows.withColumn(
         out_col, F.when(den > 0, num / den)
-    )
+    ).unionByName(null_rows)
 
 
 def ewma_anomaly(
@@ -141,6 +148,19 @@ def ewma_anomaly(
         raise ValueError("order_cols must be non-empty")
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    # unified null-ts discipline (see ewma_smooth)
+    ok_rows = df.where(F.col(order_cols[0]).isNotNull())
+    null_rows = df.where(
+        F.col(order_cols[0]).isNull()
+    ).withColumns(
+        {
+            "ewma_prev": F.lit(None).cast("double"),
+            "ewma_sigma": F.lit(None).cast("double"),
+            "ewma_dev": F.lit(None).cast("double"),
+            "ewma_flag": F.lit(None).cast("boolean"),
+        }
+    )
+    df = ok_rows
     w = Window.partitionBy(*(group_cols or [])).orderBy(*order_cols)
     x = F.col(value_col).cast("double")
     num, den = _weighted_lags(x, w, alpha, 1, window)
@@ -162,4 +182,150 @@ def ewma_anomaly(
         .withColumn("ewma_sigma", sigma)
         .withColumn("ewma_dev", dev)
         .withColumn("ewma_flag", flag)
+        .unionByName(null_rows)
     )
+
+
+def ewma_anomaly_bucketed(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.3,
+    window: int = 16,
+    nsigma: float = 3.0,
+    min_history: int = 4,
+    rel_eps: float = 1e-9,
+    bucket: str | float = "1d",
+    order_extra: list[str] | None = None,
+) -> DataFrame:
+    """Scale-path twin of :func:`ewma_anomaly` with streams × buckets
+    parallelism (`operators/partitioned_windows` discipline).
+
+    EWMA's state is a bounded K-row lag window, so the halo is the
+    last ``window`` ROWS before each bucket (by row position, not
+    time — NULL values occupy lag slots exactly like the plain path):
+    each (stream, bucket) aggregates its ordered value tail (≤ K
+    doubles), one window over the streams × buckets summary
+    concatenates previous tails and keeps the global last K, and the
+    halo values re-enter the bucket as synthetic rows sorted BEFORE
+    the real ones — the plain window expressions then run unchanged
+    per (stream, bucket) and halo rows drop out.  ONE row-level
+    shuffle on (stream, bucket); the halo frame is streams × buckets
+    × K doubles.
+
+    Exact (not ulp-approximate): the weighted sums see the identical
+    lag values in the identical order as the plain path.  Null-ts
+    rows get NULL chart columns and occupy no lag slot (the unified
+    null-ts discipline — same as the plain path).
+    """
+    from pyspark.sql import Window as W
+
+    from qualityassurancetool_spark.functions.timeutils import (
+        epoch_micros,
+        parse_timedelta_seconds,
+    )
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_history < 2:
+        raise ValueError(f"min_history must be >= 2, got {min_history}")
+    if nsigma <= 0:
+        raise ValueError(f"nsigma must be > 0, got {nsigma}")
+    g = group_cols or []
+    extra = order_extra or []
+    bucket_us = int(parse_timedelta_seconds(bucket) * 1_000_000)
+    out_cols = ("ewma_prev", "ewma_sigma", "ewma_dev", "ewma_flag")
+
+    null_rows = df.where(F.col(ts_col).isNull()).withColumns(
+        {
+            "ewma_prev": F.lit(None).cast("double"),
+            "ewma_sigma": F.lit(None).cast("double"),
+            "ewma_dev": F.lit(None).cast("double"),
+            "ewma_flag": F.lit(None).cast("boolean"),
+        }
+    )
+    rows = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("_t_us", epoch_micros(ts_col))
+        .withColumn(
+            "_bucket", F.floor(F.col("_t_us") / F.lit(bucket_us))
+        )
+        .withColumn("_x", F.col(value_col).cast("double"))
+        .withColumn("_is_real", F.lit(1))
+        .withColumn("_hord", F.lit(0))
+    )
+
+    # per-bucket ordered tail: the bucket's last K values (struct sort
+    # on (_t_us, extra) — NULL values ride along as struct fields)
+    pay = F.struct(
+        F.col("_t_us"),
+        *[F.col(c) for c in extra],
+        F.col("_x").alias("_xv"),
+    )
+    tails = rows.groupBy(*g, "_bucket").agg(
+        F.transform(
+            F.sort_array(F.collect_list(pay)), lambda s: s["_xv"]
+        ).alias("_tail")
+    )
+    tail = F.when(
+        F.size("_tail") > window, F.slice("_tail", -window, window)
+    ).otherwise(F.col("_tail"))
+    tails = tails.select(*g, "_bucket", tail.alias("_tail"))
+    # one summary window per stream: previous buckets' tails
+    # concatenated in bucket order, global last K kept
+    w_prev = (
+        W.partitionBy(*g)
+        .orderBy("_bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    halos = tails.select(
+        *g,
+        "_bucket",
+        F.flatten(F.collect_list("_tail").over(w_prev)).alias("_h"),
+    )
+    halo = F.when(
+        F.size("_h") > window, F.slice("_h", -window, window)
+    ).otherwise(F.col("_h"))
+    halo_rows = (
+        halos.select(*g, "_bucket", halo.alias("_h"))
+        .select(
+            *g,
+            "_bucket",
+            F.posexplode("_h").alias("_hord", "_x"),
+        )
+        .withColumn("_is_real", F.lit(0))
+    )
+    u = rows.unionByName(halo_rows, allowMissingColumns=True)
+
+    # the plain operator's expressions, per (stream, bucket), with
+    # halo rows sorted first so early real rows see their true lags
+    w = W.partitionBy(*g, "_bucket").orderBy(
+        "_is_real", "_hord", "_t_us", *extra
+    )
+    x = F.col("_x")
+    num, den = _weighted_lags(x, w, alpha, 1, window)
+    prev = F.when(den > 0, num / den)
+    wp = w.rowsBetween(-window, -1)
+    sigma = F.stddev_samp(x).over(wp)
+    nhist = F.count(x).over(wp)
+    dev = x - prev
+    eps = F.lit(float(rel_eps)) * F.greatest(F.abs(x), F.abs(prev))
+    flag = F.when(
+        x.isNotNull()
+        & prev.isNotNull()
+        & sigma.isNotNull()
+        & (nhist >= min_history),
+        F.abs(dev) > F.lit(float(nsigma)) * sigma + eps,
+    )
+    out = (
+        u.withColumn("ewma_prev", prev)
+        .withColumn("ewma_sigma", sigma)
+        .withColumn("ewma_dev", dev)
+        .withColumn("ewma_flag", flag)
+        .where(F.col("_is_real") == 1)
+        .drop("_t_us", "_bucket", "_x", "_is_real", "_hord")
+    )
+    return out.unionByName(null_rows.select(*out.columns))

@@ -212,26 +212,34 @@ def _check_drift(
         flag_merge,
     )
 
-    order = ["phenomenon_time"] + (
-        ["iot_id"] if "iot_id" in df.columns else []
+    bucketed = (
+        getattr(cfg, "window_strategy", "window") == "bucketed"
     )
+    extra = ["iot_id"] if "iot_id" in df.columns else []
+    order = ["phenomenon_time"] + extra
     ew = dc.get("ewma")
     if ew is not None:
         from qualityassurancetool_spark.operators.ewma import (
             ewma_anomaly,
+            ewma_anomaly_bucketed,
         )
 
         k = ew if isinstance(ew, dict) else {}
-        df = ewma_anomaly(
-            df,
-            "result",
-            order,
-            [stream_col],
+        knobs = dict(
             alpha=float(k.get("alpha", 0.3)),
             window=int(k.get("window", 16)),
             nsigma=float(k.get("nsigma", 3.0)),
             min_history=int(k.get("min_history", 4)),
         )
+        if bucketed:
+            df = ewma_anomaly_bucketed(
+                df, "result", "phenomenon_time", [stream_col],
+                order_extra=extra, **knobs,
+            )
+        else:
+            df = ewma_anomaly(
+                df, "result", order, [stream_col], **knobs
+            )
         new = flag_from_bool(
             F.coalesce(F.col("ewma_flag"), F.lit(False)),
             flag_on_true=QualityFlags.PROBABLY_BAD,
@@ -244,19 +252,25 @@ def _check_drift(
     if cu is not None:
         from qualityassurancetool_spark.operators.cusum import (
             cusum_anomaly,
+            cusum_anomaly_bucketed,
         )
 
         k = cu if isinstance(cu, dict) else {}
-        df = cusum_anomaly(
-            df,
-            "result",
-            order,
-            [stream_col],
+        knobs = dict(
             target=k.get("target"),
             sigma=k.get("sigma"),
             slack=float(k.get("slack", 0.5)),
             threshold=float(k.get("threshold", 5.0)),
         )
+        if bucketed:
+            df = cusum_anomaly_bucketed(
+                df, "result", "phenomenon_time", [stream_col],
+                order_extra=extra, **knobs,
+            )
+        else:
+            df = cusum_anomaly(
+                df, "result", order, [stream_col], **knobs
+            )
         new = flag_from_bool(
             F.coalesce(F.col("cusum_flag"), F.lit(False)),
             flag_on_true=QualityFlags.PROBABLY_BAD,

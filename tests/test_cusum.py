@@ -149,3 +149,85 @@ def test_validation(spark):
         cusum_anomaly(df, "x", ["t"], slack=-1)
     with pytest.raises(ValueError):
         cusum_anomaly(df, "x", ["t"], threshold=0)
+
+
+def _ts_df(spark, values, group="s", null_ts_at=()):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            group,
+            None
+            if i in null_ts_at
+            else t0 + dt.timedelta(hours=3 * i),
+            i,
+            None if v is None else float(v),
+        )
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "g string, ts timestamp, t long, x double"
+    )
+
+
+def test_bucketed_parity(spark):
+    """Streams×buckets twin matches the plain path row-for-row (1e-9;
+    the two-phase scans re-associate the running sums), including NULL
+    values, estimated baselines, multiple streams, and buckets that
+    split the stream mid-chart."""
+    from qualityassurancetool_spark.operators.cusum import (
+        cusum_anomaly_bucketed,
+    )
+
+    rng = random.Random(41)
+    frames = []
+    for grp, shift in (("a", 0.0), ("b", 1.2)):
+        vals = [
+            None if rng.random() < 0.1 else rng.gauss(50 + shift, 5)
+            for _ in range(90)
+        ]
+        frames.append(_ts_df(spark, vals, group=grp))
+    df = frames[0].unionByName(frames[1])
+    plain = cusum_anomaly(df, "x", ["ts", "t"], ["g"], slack=0.4)
+    # 1d bucket over 3h cadence -> ~8 rows per bucket, many carries
+    buck = cusum_anomaly_bucketed(
+        df, "x", "ts", ["g"], slack=0.4, bucket="1d",
+        order_extra=["t"],
+    )
+    p = {(r["g"], r["t"]): r for r in plain.collect()}
+    b = {(r["g"], r["t"]): r for r in buck.collect()}
+    assert set(p) == set(b)
+    for k, rp in p.items():
+        rb = b[k]
+        for c in ("cusum_pos", "cusum_neg"):
+            if rp[c] is None:
+                assert rb[c] is None, (k, c)
+            else:
+                assert rb[c] == pytest.approx(rp[c], abs=1e-9), (k, c)
+        assert rb["cusum_flag"] == rp["cusum_flag"], k
+
+
+def test_bucketed_null_ts_rows(spark):
+    """NULL-timestamp rows: NULL chart columns, zero state
+    contribution — in BOTH paths (the unified null-ts discipline)."""
+    from qualityassurancetool_spark.operators.cusum import (
+        cusum_anomaly_bucketed,
+    )
+
+    df = _ts_df(
+        spark, [10.0, 99.0, 10.2, 9.9, 10.1], null_ts_at=(1,)
+    )
+    for out in (
+        cusum_anomaly(df, "x", ["ts", "t"], ["g"], target=10.0, sigma=1.0),
+        cusum_anomaly_bucketed(
+            df, "x", "ts", ["g"], target=10.0, sigma=1.0,
+            order_extra=["t"],
+        ),
+    ):
+        rows = {r["t"]: r for r in out.collect()}
+        assert rows[1]["cusum_flag"] is None
+        assert rows[1]["cusum_pos"] is None
+        # the 99.0 at the null-ts row never fed the chart: later rows
+        # of the constant-ish stream stay unflagged
+        assert rows[4]["cusum_flag"] is False

@@ -181,3 +181,94 @@ def test_truncation_error_bounded(spark):
     assert math.isclose(
         out[-1]["ewma"], s, rel_tol=5e-3
     )
+
+
+def _ts_df(spark, values, group="s", null_ts_at=()):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            group,
+            None
+            if i in null_ts_at
+            else t0 + dt.timedelta(hours=3 * i),
+            i,
+            None if v is None else float(v),
+        )
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "g string, ts timestamp, t long, x double"
+    )
+
+
+def test_bucketed_parity_exact(spark):
+    """The streams×buckets twin is EXACT (same lag values, same order,
+    same arithmetic): row-for-row equality with the plain path across
+    bucket boundaries, NULL holes, multiple streams, and buckets
+    shorter than the lag window (halo spans several buckets)."""
+    import random
+
+    from qualityassurancetool_spark.operators.ewma import (
+        ewma_anomaly_bucketed,
+    )
+
+    rng = random.Random(61)
+    frames = []
+    for grp in ("a", "b"):
+        vals = [
+            None if rng.random() < 0.12 else round(rng.gauss(30, 6), 3)
+            for _ in range(70)
+        ]
+        frames.append(_ts_df(spark, vals, group=grp))
+    df = frames[0].unionByName(frames[1])
+    kw = dict(alpha=0.3, window=12, nsigma=2.5, min_history=4)
+    plain = ewma_anomaly(df, "x", ["ts", "t"], ["g"], **kw)
+    # 3h cadence, 12h buckets -> 4 rows/bucket << window=12: the halo
+    # must reach back through MULTIPLE buckets
+    buck = ewma_anomaly_bucketed(
+        df, "x", "ts", ["g"], bucket="12h", order_extra=["t"], **kw
+    )
+    p = {(r["g"], r["t"]): r for r in plain.collect()}
+    b = {(r["g"], r["t"]): r for r in buck.collect()}
+    assert set(p) == set(b)
+    for k, rp in p.items():
+        rb = b[k]
+        for c in ("ewma_prev", "ewma_sigma", "ewma_dev"):
+            if rp[c] is None:
+                assert rb[c] is None, (k, c)
+            else:
+                assert rb[c] == pytest.approx(rp[c], abs=1e-12), (k, c)
+        assert rb["ewma_flag"] == rp["ewma_flag"], k
+
+
+def test_bucketed_null_ts_rows(spark):
+    """NULL-ts rows: NULL chart, no lag slot — both paths agree."""
+    from qualityassurancetool_spark.operators.ewma import (
+        ewma_anomaly_bucketed,
+    )
+
+    df = _ts_df(
+        spark, [10.0, 10.0, 99.0, 10.0, 10.0, 10.0], null_ts_at=(2,)
+    )
+    kw = dict(alpha=0.4, window=4, nsigma=2.0, min_history=2)
+    plain = {
+        r["t"]: r
+        for r in ewma_anomaly(df, "x", ["ts", "t"], ["g"], **kw).collect()
+    }
+    buck = {
+        r["t"]: r
+        for r in ewma_anomaly_bucketed(
+            df, "x", "ts", ["g"], bucket="6h", order_extra=["t"], **kw
+        ).collect()
+    }
+    for t in range(6):
+        assert (plain[t]["ewma_flag"] is None) == (
+            buck[t]["ewma_flag"] is None
+        )
+        assert plain[t]["ewma_flag"] == buck[t]["ewma_flag"], t
+    # the 99.0 at the null-ts row never entered anyone's lags
+    assert plain[2]["ewma_prev"] is None
+    assert buck[2]["ewma_prev"] is None
+    assert plain[3]["ewma_flag"] is False

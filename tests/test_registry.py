@@ -362,3 +362,29 @@ def test_drift_config_validation(spark):
         QCConfig.from_dict({"drift": {"ewma": {"bad_knob": 1}}})
     with pytest.raises(ConfigError):
         QCConfig.from_dict({"drift": [1, 2]})
+
+
+def test_drift_window_strategy_bucketed_parity(spark):
+    """`window_strategy: bucketed` routes the drift charts through the
+    streams×buckets twins with identical flags (EWMA exact, CUSUM to
+    fp-association tolerance on the underlying stats — flags equal)."""
+    obs = events_as_observations(spark, SF_DIR)
+    base = {
+        "drift": {
+            "ewma": {"alpha": 0.3, "window": 8, "nsigma": 2.0},
+            "cusum": {"slack": 0.25, "threshold": 3.0},
+        }
+    }
+    plain = run_registered_checks(
+        obs, QCConfig.from_dict(base), spark, checks=["drift"]
+    )
+    buck = run_registered_checks(
+        obs,
+        QCConfig.from_dict({**base, "window_strategy": "bucketed"}),
+        spark,
+        checks=["drift"],
+    )
+    p = {r["iot_id"]: r["qc_flag"] for r in plain.select("iot_id", "qc_flag").collect()}
+    b = {r["iot_id"]: r["qc_flag"] for r in buck.select("iot_id", "qc_flag").collect()}
+    assert p == b
+    assert any(v == 3 for v in p.values())

@@ -29,9 +29,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from qualityassurancetool_spark.operators.cusum import (  # noqa: E402
     cusum_anomaly,
+    cusum_anomaly_bucketed,
 )
 from qualityassurancetool_spark.operators.ewma import (  # noqa: E402
     ewma_anomaly,
+    ewma_anomaly_bucketed,
 )
 from qualityassurancetool_spark.session import get_spark  # noqa: E402
 
@@ -42,6 +44,7 @@ def build(spark, n):
     return spark.range(n).select(
         (F.col("id") % 5).cast("string").alias("stream"),
         F.col("id").alias("t"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
         F.when(
             (F.col("id") * 2654435761 % 97) != 0,
             F.sin(F.col("id") * 0.7) * 2.0
@@ -67,17 +70,32 @@ def main() -> None:
         path = f"/tmp/probe_control_{n}"
         build(spark, n).write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
+        # 5 streams x 1-second cadence: "4h" buckets ~ 14.4k rows each
         for label, fn in (
             (
                 "ewma (window=16)",
                 lambda df=df: ewma_anomaly(
-                    df, "v", ["t"], ["stream"], window=16
+                    df, "v", ["ts", "t"], ["stream"], window=16
+                ).where(F.col("ewma_flag")),
+            ),
+            (
+                "ewma BUCKETED",
+                lambda df=df: ewma_anomaly_bucketed(
+                    df, "v", "ts", ["stream"], window=16,
+                    bucket="4h", order_extra=["t"],
                 ).where(F.col("ewma_flag")),
             ),
             (
                 "cusum (k=0.5, h=5)",
                 lambda df=df: cusum_anomaly(
-                    df, "v", ["t"], ["stream"]
+                    df, "v", ["ts", "t"], ["stream"]
+                ).where(F.col("cusum_flag")),
+            ),
+            (
+                "cusum BUCKETED",
+                lambda df=df: cusum_anomaly_bucketed(
+                    df, "v", "ts", ["stream"],
+                    bucket="4h", order_extra=["t"],
                 ).where(F.col("cusum_flag")),
             ),
         ):
