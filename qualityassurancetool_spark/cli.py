@@ -789,9 +789,10 @@ def cmd_analytics(args, overrides: list[str]) -> int:
       ``by=[...]``, ``alpha=``, optional ``cuped=<covariate>`` to
       CUPED-adjust the metric first — mean kind only);
     - ``control``: control chart over ordered streams
-      (``chart=ewma|cusum``, ``value=``, ``order=[...]``,
+      (``chart=ewma|cusum|seasonal``, ``value=``, ``order=[...]``,
       ``group=[...]``; ewma: ``alpha= window= nsigma=
-      min_history=``; cusum: ``slack= threshold= target= sigma=``).
+      min_history=``; cusum: ``slack= threshold= target= sigma=``;
+      seasonal: ``ts= period= nsigma= min_samples= loo=true``).
     """
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
@@ -912,9 +913,11 @@ def cmd_analytics(args, overrides: list[str]) -> int:
         elif method == "control":
             value = knobs.get("value")
             order = [str(c) for c in (knobs.get("order") or [])]
-            if not value or not order:
+            chart0 = str(knobs.get("chart", "ewma"))
+            if not value or (not order and chart0 != "seasonal"):
                 raise ConfigError(
-                    "control needs value=<col> order=[...]"
+                    "control needs value=<col> order=[...] "
+                    "(seasonal: value= ts=)"
                 )
             group = [str(g) for g in (knobs.get("group") or [])]
             chart = str(knobs.get("chart", "ewma"))
@@ -929,6 +932,24 @@ def cmd_analytics(args, overrides: list[str]) -> int:
                     window=int(knobs.get("window", 16)),
                     nsigma=float(knobs.get("nsigma", 3.0)),
                     min_history=int(knobs.get("min_history", 4)),
+                )
+            elif chart == "seasonal":
+                from qualityassurancetool_spark.operators.seasonal import (
+                    seasonal_zscore,
+                )
+
+                ts = knobs.get("ts")
+                if not ts:
+                    raise ConfigError(
+                        "chart=seasonal needs ts=<timestamp col>"
+                    )
+                out = seasonal_zscore(
+                    df, str(value), str(ts), group or None,
+                    period=str(knobs.get("period", "hour_of_day")),
+                    nsigma=float(knobs.get("nsigma", 3.0)),
+                    min_samples=int(knobs.get("min_samples", 5)),
+                    loo=str(knobs.get("loo", "")).lower()
+                    in ("1", "true"),
                 )
             elif chart == "cusum":
                 from qualityassurancetool_spark.operators.cusum import (
@@ -945,7 +966,7 @@ def cmd_analytics(args, overrides: list[str]) -> int:
                 )
             else:
                 raise ConfigError(
-                    f"unknown control chart {chart!r} (ewma|cusum)"
+                    f"unknown control chart {chart!r} (ewma|cusum|seasonal)"
                 )
         else:  # abtest
             from qualityassurancetool_spark.operators.experiment import (

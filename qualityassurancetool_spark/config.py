@@ -47,6 +47,7 @@ _TOP_LEVEL_KEYS = {
 }
 _DRIFT_EWMA_KEYS = {"alpha", "window", "nsigma", "min_history"}
 _DRIFT_CUSUM_KEYS = {"slack", "threshold", "target", "sigma"}
+_DRIFT_SEASONAL_KEYS = {"period", "nsigma", "min_samples", "loo"}
 # name/description are annotations (the engine's own YAML template and
 # the reference's configs carry them); they are tolerated, not consumed
 _STREAM_KEYS = {"id", "name", "description"} | set(QC_TYPES)
@@ -157,12 +158,13 @@ def validate_config_dict(d: dict) -> None:
     if drift is not None:
         if not isinstance(drift, dict):
             raise ConfigError("drift: expected a mapping")
-        extra = set(drift) - {"ewma", "cusum"}
+        extra = set(drift) - {"ewma", "cusum", "seasonal"}
         if extra:
             raise ConfigError(f"drift: unknown keys {sorted(extra)}")
         for chart, keys in (
             ("ewma", _DRIFT_EWMA_KEYS),
             ("cusum", _DRIFT_CUSUM_KEYS),
+            ("seasonal", _DRIFT_SEASONAL_KEYS),
         ):
             c = drift.get(chart)
             if c is None or c is True:
@@ -259,9 +261,10 @@ class QCConfig:
     # overwrite_feature_flags): region check also writes feature_qc_flag
     feature_flags: bool = False
     overwrite_feature_flags: bool = True
-    # control-chart family (`drift:` — ewma / cusum knob dicts; True
-    # selects the chart's defaults): persistent-shift companions to
-    # the per-point checks, run per stream by the registry
+    # control-chart family (`drift:` — ewma / cusum / seasonal knob
+    # dicts; True selects the chart's defaults): persistent-shift and
+    # learned-baseline companions to the per-point checks, run per
+    # stream by the registry
     drift: dict | None = None
 
     @classmethod

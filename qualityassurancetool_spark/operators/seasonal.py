@@ -1,0 +1,158 @@
+"""Seasonal-profile z-score — anomaly vs the stream's own diurnal /
+weekly cycle.
+
+A global z-score flags every rush-hour peak of a cyclic signal; the
+standard fix is to score each point against the baseline of its OWN
+phase cell (hour-of-day, day-of-week, …): flag when
+``|x − μ_cell| > nσ_cell``.  This is the learned-baseline per-point
+companion to the drift charts (``operators/ewma``/``cusum``): those
+catch shifts over time, this catches points abnormal FOR THE TIME.
+
+Spark shape: the profile is one partial aggregate to a
+(groups × period-cells)-sized frame — 24/7/168 rows per stream,
+driver-scale metadata — broadcast back onto the rows (null-safe group
+keys, the ``quantile_bin`` discipline).  The data is never shuffled;
+everything row-side is Column arithmetic.
+
+``loo=True`` excludes the row's own value from its cell baseline via
+sufficient statistics (n, Σx, Σx²): the standard leakage guard when
+the profile is fit on the same batch being scored (a lone extreme
+point would otherwise drag its own cell mean toward itself).  For
+production, fit the profile on history (:func:`seasonal_profile`) and
+pass it as ``baseline``.
+
+Null discipline: NULL value or NULL timestamp → NULL flag; cells with
+fewer than ``min_samples`` values → NULL flag (no baseline).  The
+flag test carries the same scale-relative epsilon as the EWMA chart
+(FP residue of an averaged constant cell must not flag).
+
+Cross-engine: ``tools/extra_oracles.py::x_seasonal`` — DuckDB replica
+of profile + scoring over the events stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_PERIODS = {
+    # key expression over a timestamp column
+    "hour_of_day": lambda ts: F.hour(ts),
+    "day_of_week": lambda ts: F.dayofweek(ts),
+    "hour_of_week": lambda ts: (F.dayofweek(ts) - 1) * 24 + F.hour(ts),
+    "month": lambda ts: F.month(ts),
+}
+
+
+def _cell(ts_col: str, period: str) -> Column:
+    if period not in _PERIODS:
+        raise ValueError(
+            f"period must be one of {sorted(_PERIODS)}, got {period!r}"
+        )
+    return _PERIODS[period](F.col(ts_col)).cast("int")
+
+
+def seasonal_profile(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_cols: list[str] | None = None,
+    period: str = "hour_of_day",
+) -> DataFrame:
+    """(group_cols…, cell, n, sum_x, sum_x2) — the sufficient
+    statistics of each phase cell.  Fit it on history and feed
+    :func:`seasonal_zscore` as ``baseline`` for out-of-sample
+    scoring."""
+    g = group_cols or []
+    x = F.col(value_col).cast("double")
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*g, _cell(ts_col, period).alias("cell"))
+        .agg(
+            F.count(x).alias("n"),
+            F.sum(x).alias("sum_x"),
+            F.sum(x * x).alias("sum_x2"),
+        )
+    )
+
+
+def seasonal_zscore(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_cols: list[str] | None = None,
+    period: str = "hour_of_day",
+    nsigma: float = 3.0,
+    min_samples: int = 5,
+    loo: bool = False,
+    baseline: DataFrame | None = None,
+    rel_eps: float = 1e-9,
+) -> DataFrame:
+    """Add ``seasonal_mu``, ``seasonal_sigma``, ``seasonal_dev`` and
+    boolean ``seasonal_flag`` (``|x − μ_cell| > nsigma·σ_cell + eps``)
+    per (group, period-cell).
+
+    ``baseline``: a :func:`seasonal_profile` frame (typically fit on
+    history); default fits on ``df`` itself.  ``loo`` removes the
+    row's own value from its cell statistics (only meaningful when
+    the baseline covers the scored rows).
+    """
+    if nsigma <= 0:
+        raise ValueError(f"nsigma must be > 0, got {nsigma}")
+    if min_samples < 2:
+        raise ValueError(
+            f"min_samples must be >= 2, got {min_samples}"
+        )
+    g = group_cols or []
+    x = F.col(value_col).cast("double")
+    prof = (
+        baseline
+        if baseline is not None
+        else seasonal_profile(df, value_col, ts_col, g, period)
+    )
+    pref = prof.select(
+        *[F.col(c).alias(f"__se_{c}") for c in g],
+        F.col("cell").alias("__se_cell"),
+        F.col("n").alias("__se_n"),
+        F.col("sum_x").alias("__se_s1"),
+        F.col("sum_x2").alias("__se_s2"),
+    )
+    cell = _cell(ts_col, period)
+    cond = cell.eqNullSafe(F.col("__se_cell"))
+    for c in g:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__se_{c}"))
+    joined = df.join(F.broadcast(pref), on=cond, how="left")
+
+    n = F.col("__se_n")
+    s1, s2 = F.col("__se_s1"), F.col("__se_s2")
+    if loo:
+        # exclude the row's own value where it is part of the cell
+        in_cell = x.isNotNull()
+        n = F.when(in_cell, n - 1).otherwise(n)
+        s1 = F.when(in_cell, s1 - x).otherwise(s1)
+        s2 = F.when(in_cell, s2 - x * x).otherwise(s2)
+    mu = F.when(n > 0, s1 / n)
+    # sample variance from sufficient stats, floored at 0 (FP)
+    var = F.when(
+        n >= 2, F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
+    )
+    sigma = F.sqrt(var)
+    dev = x - mu
+    eps = F.lit(float(rel_eps)) * F.greatest(F.abs(x), F.abs(mu))
+    flag = F.when(
+        x.isNotNull()
+        & F.col(ts_col).isNotNull()
+        & mu.isNotNull()
+        & sigma.isNotNull()
+        & (n >= min_samples),
+        F.abs(dev) > F.lit(float(nsigma)) * sigma + eps,
+    )
+    drop = ["__se_cell", "__se_n", "__se_s1", "__se_s2"] + [
+        f"__se_{c}" for c in g
+    ]
+    return (
+        joined.withColumn("seasonal_mu", mu)
+        .withColumn("seasonal_sigma", sigma)
+        .withColumn("seasonal_dev", dev)
+        .withColumn("seasonal_flag", flag)
+        .drop(*drop)
+    )

@@ -248,6 +248,34 @@ def _check_drift(
         df = df.withColumn(
             "qc_flag", flag_merge(F.col("qc_flag"), new)
         ).drop("ewma_prev", "ewma_sigma", "ewma_dev", "ewma_flag")
+    se = dc.get("seasonal")
+    if se is not None:
+        from qualityassurancetool_spark.operators.seasonal import (
+            seasonal_zscore,
+        )
+
+        k = se if isinstance(se, dict) else {}
+        df = seasonal_zscore(
+            df,
+            "result",
+            "phenomenon_time",
+            [stream_col],
+            period=str(k.get("period", "hour_of_day")),
+            nsigma=float(k.get("nsigma", 3.0)),
+            min_samples=int(k.get("min_samples", 5)),
+            loo=bool(k.get("loo", False)),
+        )
+        new = flag_from_bool(
+            F.coalesce(F.col("seasonal_flag"), F.lit(False)),
+            flag_on_true=QualityFlags.PROBABLY_BAD,
+            flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
+        )
+        df = df.withColumn(
+            "qc_flag", flag_merge(F.col("qc_flag"), new)
+        ).drop(
+            "seasonal_mu", "seasonal_sigma", "seasonal_dev",
+            "seasonal_flag",
+        )
     cu = dc.get("cusum")
     if cu is not None:
         from qualityassurancetool_spark.operators.cusum import (

@@ -388,3 +388,17 @@ def test_drift_window_strategy_bucketed_parity(spark):
     b = {r["iot_id"]: r["qc_flag"] for r in buck.select("iot_id", "qc_flag").collect()}
     assert p == b
     assert any(v == 3 for v in p.values())
+
+
+def test_drift_seasonal_in_chain(spark):
+    from qualityassurancetool_spark.config import ConfigError
+
+    obs = events_as_observations(spark, SF_DIR)
+    cfg = QCConfig.from_dict(
+        {"drift": {"seasonal": {"nsigma": 2.0, "loo": True}}}
+    )
+    out = run_registered_checks(obs, cfg, spark, checks=["drift"])
+    assert "seasonal_flag" not in out.columns
+    assert out.count() == obs.count()
+    with pytest.raises(ConfigError):
+        QCConfig.from_dict({"drift": {"seasonal": {"bad": 1}}})

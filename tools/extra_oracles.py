@@ -4155,6 +4155,77 @@ FROM stat
     return sdf, sql
 
 
+def x_seasonal(spark, con, sf_dir):
+    """seasonal_zscore (per-(stream, hour-of-day) sufficient-stats
+    baseline broadcast back, LOO variant) vs a DuckDB replica with the
+    same cell statistics and epsilon guard, over the events stream."""
+    from qualityassurancetool_spark.operators.seasonal import (
+        seasonal_zscore,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    nsig, min_s = 2.5, 5
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    got = seasonal_zscore(
+        ev, "value", "ts", ["event_type"],
+        period="hour_of_day", nsigma=nsig, min_samples=min_s,
+        loo=True,
+    )
+    sdf = got.select(
+        "event_id",
+        "event_type",
+        (F.round("seasonal_mu", 6) + F.lit(0.0)).alias("mu_r"),
+        (F.round("seasonal_sigma", 6) + F.lit(0.0)).alias("sd_r"),
+        F.col("seasonal_flag").alias("flag"),
+    )
+    sql = f"""
+WITH ev AS (
+    SELECT event_id, event_type, ts, CAST(value AS DOUBLE) AS value
+    FROM events
+), prof AS (
+    SELECT event_type, EXTRACT(hour FROM ts) AS cell,
+           COUNT(value) AS n, SUM(value) AS s1,
+           SUM(value * value) AS s2
+    FROM ev WHERE ts IS NOT NULL GROUP BY 1, 2
+), scored AS (
+    SELECT e.event_id, e.event_type, e.value, e.ts,
+           CASE WHEN e.value IS NOT NULL THEN p.n - 1 ELSE p.n END
+               AS n,
+           CASE WHEN e.value IS NOT NULL THEN p.s1 - e.value
+                ELSE p.s1 END AS s1,
+           CASE WHEN e.value IS NOT NULL
+                THEN p.s2 - e.value * e.value ELSE p.s2 END AS s2
+    FROM ev e
+    LEFT JOIN prof p
+      ON p.event_type = e.event_type
+     AND p.cell = EXTRACT(hour FROM e.ts)
+), calc AS (
+    SELECT event_id, event_type, value, ts, n,
+           CASE WHEN n > 0 THEN s1 / n END AS mu,
+           CASE WHEN n >= 2 THEN
+               sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0))
+           END AS sd
+    FROM scored
+)
+SELECT event_id, event_type,
+       ROUND(mu, 6) + 0.0 AS mu_r,
+       ROUND(sd, 6) + 0.0 AS sd_r,
+       CASE WHEN value IS NOT NULL AND ts IS NOT NULL
+                 AND mu IS NOT NULL AND sd IS NOT NULL
+                 AND n >= {min_s}
+            THEN ABS(value - mu) > {nsig!r} * sd
+                 + 1e-9 * GREATEST(ABS(value), ABS(mu))
+       END AS flag
+FROM calc
+"""
+    return sdf, sql
+
+
 def x_quantile_bin(spark, con, sf_dir):
     """quantile_bin (exact type-7 cut-points rounded to 6 dp, HOF
     strictly-below bin fold) vs DuckDB quantile_cont with the same
@@ -4378,6 +4449,7 @@ EXTRA_CHECKS = {
     "x_quantile_bin": x_quantile_bin,
     "x_ewma": x_ewma,
     "x_cusum": x_cusum,
+    "x_seasonal": x_seasonal,
     "x_experiment": x_experiment,
     "x_ann_ivfadc_gate": x_ann_ivfadc_gate,
     "x_text_stats": x_text_stats,
