@@ -792,7 +792,10 @@ def cmd_analytics(args, overrides: list[str]) -> int:
       (``chart=ewma|cusum|seasonal``, ``value=``, ``order=[...]``,
       ``group=[...]``; ewma: ``alpha= window= nsigma=
       min_history=``; cusum: ``slack= threshold= target= sigma=``;
-      seasonal: ``ts= period= nsigma= min_samples= loo=true``).
+      seasonal: ``ts= period= nsigma= min_samples= loo=true``);
+    - ``episodes``: collapse per-row flags into alert incidents
+      (``flag=<bool col>``, ``ts=``, ``group=[...]``, ``max_gap=``,
+      ``value=<peak col>``, ``min_rows=``).
     """
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
@@ -805,7 +808,7 @@ def cmd_analytics(args, overrides: list[str]) -> int:
     method = knobs.get("method")
     methods = (
         "funnel", "cohort", "growth", "transitions", "rfm",
-        "cooccurrence", "ols", "abtest", "control",
+        "cooccurrence", "ols", "abtest", "control", "episodes",
     )
     if method not in methods:
         raise ConfigError(
@@ -909,6 +912,26 @@ def cmd_analytics(args, overrides: list[str]) -> int:
             group = knobs.get("group") or []
             out = grouped_ols(
                 df, str(x), str(y), [str(g) for g in group]
+            )
+        elif method == "episodes":
+            from qualityassurancetool_spark.operators.episodes import (
+                flag_episodes,
+            )
+
+            flagc, ts = knobs.get("flag"), knobs.get("ts")
+            if not flagc or not ts:
+                raise ConfigError(
+                    "episodes needs flag=<bool col> ts=<timestamp col>"
+                )
+            group = [str(c) for c in (knobs.get("group") or [])]
+            out = flag_episodes(
+                df,
+                str(flagc),
+                str(ts),
+                group or None,
+                max_gap=knobs.get("max_gap", "1h"),
+                value_col=knobs.get("value"),
+                min_rows=int(knobs.get("min_rows", 1)),
             )
         elif method == "control":
             value = knobs.get("value")

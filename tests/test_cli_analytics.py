@@ -263,3 +263,30 @@ def test_control_charts(spark, tmp_path, capsys):
         "method=control", "chart=cusum",
     ]) != 0
     capsys.readouterr()
+
+
+def test_episodes_cli(spark, tmp_path, capsys):
+    import datetime as dt
+
+    src = str(tmp_path / "flags")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + dt.timedelta(minutes=m), m in (0, 10, 200), 1.0 * m)
+        for m in range(0, 300, 10)
+    ]
+    spark.createDataFrame(
+        rows, "g string, ts timestamp, fl boolean, x double"
+    ).write.parquet(src)
+    out = str(tmp_path / "eps")
+    _run([
+        "analytics", "--keep-session", f"data.input={src}",
+        f"data.out={out}", "method=episodes", "flag=fl", "ts=ts",
+        "group=[g]", "max_gap=30min", "value=x",
+    ])
+    got = spark.read.parquet(out).orderBy("episode").collect()
+    assert [r["n_rows"] for r in got] == [2, 1]
+    assert main([
+        "analytics", f"data.input={src}", f"data.out={out}",
+        "method=episodes", "flag=fl",
+    ]) != 0
+    capsys.readouterr()
