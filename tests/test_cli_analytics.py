@@ -254,13 +254,16 @@ def test_control_charts(spark, tmp_path, capsys):
     ])
     assert "ewma_flag" in spark.read.parquet(out2).columns
 
+    # error paths AFTER session creation need --keep-session too: the
+    # CLI's finally would stop the module-shared SparkSession otherwise
     assert main([
-        "analytics", f"data.input={src}", f"data.out={out}",
-        "method=control", "chart=nope", "value=x", "order=[t]",
+        "analytics", "--keep-session", f"data.input={src}",
+        f"data.out={out}", "method=control", "chart=nope",
+        "value=x", "order=[t]",
     ]) != 0
     assert main([
-        "analytics", f"data.input={src}", f"data.out={out}",
-        "method=control", "chart=cusum",
+        "analytics", "--keep-session", f"data.input={src}",
+        f"data.out={out}", "method=control", "chart=cusum",
     ]) != 0
     capsys.readouterr()
 
@@ -286,7 +289,7 @@ def test_episodes_cli(spark, tmp_path, capsys):
     got = spark.read.parquet(out).orderBy("episode").collect()
     assert [r["n_rows"] for r in got] == [2, 1]
     assert main([
-        "analytics", f"data.input={src}", f"data.out={out}",
-        "method=episodes", "flag=fl",
+        "analytics", "--keep-session", f"data.input={src}",
+        f"data.out={out}", "method=episodes", "flag=fl",
     ]) != 0
     capsys.readouterr()
