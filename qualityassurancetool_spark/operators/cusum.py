@@ -284,15 +284,18 @@ def cusum_anomaly_bucketed(
         .orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carries = summary.select(
+    # carries and carry-adjusted bucket minima are BOTH window
+    # expressions over the same summary rows — stacked selects, no
+    # join (an equi-join back onto summary would also drop NULL-group
+    # strata)
+    adj = summary.select(
         *g,
         "_bucket",
+        "_bmin_p",
+        "_bmin_n",
         F.sum("_tot_p").over(w_prev).alias("_carry_p"),
         F.sum("_tot_n").over(w_prev).alias("_carry_n"),
-    )
-    # global bucket minimum = carry + local bucket minimum; exclusive
-    # prefix min of that over buckets (second summary window round)
-    adj = carries.join(summary, [*g, "_bucket"]).select(
+    ).select(
         *g,
         "_bucket",
         "_carry_p",
@@ -312,7 +315,22 @@ def cusum_anomaly_bucketed(
         F.min("_gmin_p").over(w_prev).alias("_pmin_p"),
         F.min("_gmin_n").over(w_prev).alias("_pmin_n"),
     )
-    joined = staged.join(F.broadcast(carry_frame), [*g, "_bucket"])
+    # null-safe carry join: a NULL group key is its own stratum and
+    # must keep its carries (plain equi-join would drop those rows)
+    cf = carry_frame.select(
+        *[F.col(c).alias(f"__cb_{c}") for c in g],
+        F.col("_bucket").alias("__cb_bucket"),
+        "_carry_p",
+        "_carry_n",
+        "_pmin_p",
+        "_pmin_n",
+    )
+    jcond = F.col("_bucket") == F.col("__cb_bucket")
+    for c in g:
+        jcond = jcond & F.col(c).eqNullSafe(F.col(f"__cb_{c}"))
+    joined = staged.join(F.broadcast(cf), on=jcond).drop(
+        "__cb_bucket", *[f"__cb_{c}" for c in g]
+    )
 
     def chart(loc_sum, loc_min, carry, pmin):
         # a row BEFORE any non-null deviation within its bucket has a

@@ -231,3 +231,38 @@ def test_bucketed_null_ts_rows(spark):
         # the 99.0 at the null-ts row never fed the chart: later rows
         # of the constant-ish stream stay unflagged
         assert rows[4]["cusum_flag"] is False
+
+
+def test_bucketed_null_group_stratum(spark):
+    """NULL group keys are their own stratum in the bucketed twin too
+    (the carry join is null-safe; an equi-join would drop the rows)."""
+    from qualityassurancetool_spark.operators.cusum import (
+        cusum_anomaly_bucketed,
+    )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (None, t0 + dt.timedelta(hours=3 * i), i, 10.0 + (i % 2))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts timestamp, t long, x double"
+    )
+    out = cusum_anomaly_bucketed(
+        df, "x", "ts", ["g"], target=10.5, sigma=0.5,
+        bucket="1d", order_extra=["t"],
+    )
+    got = out.collect()
+    assert len(got) == 30
+    assert all(r["cusum_flag"] is False for r in got)
+    # and parity with the plain path on the same stratum
+    plain = {
+        r["t"]: r["cusum_pos"]
+        for r in cusum_anomaly(
+            df, "x", ["ts", "t"], ["g"], target=10.5, sigma=0.5
+        ).collect()
+    }
+    for r in got:
+        assert r["cusum_pos"] == pytest.approx(plain[r["t"]], abs=1e-9)
