@@ -31,9 +31,15 @@ from qualityassurancetool_spark.operators.cusum import (  # noqa: E402
     cusum_anomaly,
     cusum_anomaly_bucketed,
 )
+from qualityassurancetool_spark.operators.episodes import (  # noqa: E402
+    flag_episodes,
+)
 from qualityassurancetool_spark.operators.ewma import (  # noqa: E402
     ewma_anomaly,
     ewma_anomaly_bucketed,
+)
+from qualityassurancetool_spark.operators.seasonal import (  # noqa: E402
+    seasonal_zscore,
 )
 from qualityassurancetool_spark.session import get_spark  # noqa: E402
 
@@ -97,6 +103,20 @@ def main() -> None:
                     df, "v", "ts", ["stream"],
                     bucket="4h", order_extra=["t"],
                 ).where(F.col("cusum_flag")),
+            ),
+            (
+                "seasonal (hour_of_day, loo)",
+                lambda df=df: seasonal_zscore(
+                    df, "v", "ts", ["stream"], nsigma=4.0, loo=True
+                ).where(F.col("seasonal_flag")),
+            ),
+            (
+                "episodes (of cusum flags)",
+                lambda df=df: flag_episodes(
+                    cusum_anomaly(df, "v", ["ts", "t"], ["stream"]),
+                    "cusum_flag", "ts", ["stream"],
+                    max_gap="1h", value_col="v",
+                ),
             ),
         ):
             before = ui_totals(spark)
