@@ -3552,11 +3552,13 @@ FROM keyed ORDER BY key DESC, doc_id LIMIT {K}
 
 
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 ranked retrieval (operators/bm25): query vocabulary
-    collected to a driver literal, corpus tokens filtered to matched
-    terms inside ONE tokenizing projection (persisted slim frame — a
-    single corpus text scan; explode is O(matched terms), not O(doc
-    length)) — the sparse half of hybrid retrieval.  Queries are the first 5
+    """Okapi BM25 ranked retrieval (operators/bm25): the corpus
+    tokenizes ONCE into a query-independent persisted frame (stats agg
+    + scoring explode both read the cache — a single corpus text
+    scan); the exploded tokens broadcast-hash-SEMI-join the query
+    vocabulary, and the per-(doc, term) idf·saturation is computed
+    BEFORE the query fan-out join — the sparse half of hybrid
+    retrieval.  Queries are the first 5
     tokens of every 200th doc; top-10 per query, (score desc, doc_id)
     tie-break."""
     from qualityassurancetool_spark.functions.hashing import tokens

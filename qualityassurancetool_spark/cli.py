@@ -936,14 +936,13 @@ def cmd_analytics(args, overrides: list[str]) -> int:
         elif method == "control":
             value = knobs.get("value")
             order = [str(c) for c in (knobs.get("order") or [])]
-            chart0 = str(knobs.get("chart", "ewma"))
-            if not value or (not order and chart0 != "seasonal"):
+            chart = str(knobs.get("chart", "ewma"))
+            if not value or (not order and chart != "seasonal"):
                 raise ConfigError(
                     "control needs value=<col> order=[...] "
                     "(seasonal: value= ts=)"
                 )
             group = [str(g) for g in (knobs.get("group") or [])]
-            chart = str(knobs.get("chart", "ewma"))
             if chart == "ewma":
                 from qualityassurancetool_spark.operators.ewma import (
                     ewma_anomaly,

@@ -50,3 +50,41 @@ def compute_behind_barrier(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     return tmp.select(
         "*", *[F.col("_barrier")[k].alias(k) for k in cols]
     ).drop("_barrier")
+
+
+def broadcast_join_nullsafe(
+    df: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+    prefix: str = "__bjn_",
+    extra_keys: list[tuple[Column, str]] | None = None,
+) -> DataFrame:
+    """LEFT-broadcast-join a small dimension frame onto ``df`` with
+    NULL-SAFE key equality — the shared "NULL key is its own stratum"
+    discipline (target_encode's prior, quantile_bin's cut frame, the
+    control charts' baselines/carries): a plain equi-join silently
+    drops or un-enriches every NULL-keyed row.
+
+    ``dim``'s key columns are renamed ``{prefix}{key}`` for the join
+    and dropped afterwards; its non-key columns land on ``df``
+    unchanged (callers pick collision-free names).  ``extra_keys``
+    adds (df-side Column expression, dim column name) pairs for keys
+    that are computed on the fact side (e.g. a derived bucket/cell).
+    """
+    from pyspark.sql import functions as F
+
+    renamed = dim
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"{prefix}{k}")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"{prefix}{k}"))
+    drop = [f"{prefix}{k}" for k in keys]
+    for expr, dim_col in extra_keys or []:
+        renamed = renamed.withColumnRenamed(
+            dim_col, f"{prefix}{dim_col}"
+        )
+        cond = cond & expr.eqNullSafe(F.col(f"{prefix}{dim_col}"))
+        drop.append(f"{prefix}{dim_col}")
+    return df.join(F.broadcast(renamed), on=cond, how=how).drop(*drop)

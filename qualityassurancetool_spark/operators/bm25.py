@@ -15,14 +15,19 @@ this scores DOC×QUERY relevance and returns top-k per query:
 Scale shape (the part that matters at 100 TB):
 
 - **Queries are small by contract** (the ANN-family invariant): their
-  distinct terms collect to a driver literal, and each corpus doc's
-  token array is filtered to query terms INSIDE the tokenizing
-  projection — per-doc explode work is proportional to matched terms,
-  never document length.  The corpus text is read ONCE per call: the
-  slim ``(id, dl, matched_tokens)`` frame is persisted and both the
-  stats agg (when ``stats`` isn't supplied) and the scoring pass read
-  the cache, not the text.  Pass precomputed ``corpus_stats`` to skip
-  even the cached stats agg across query batches.
+  distinct terms broadcast and hash-SEMI-join the exploded corpus
+  tokens (O(1) per token — a query-vocab literal filter was measured
+  ~40 % slower at ~1k terms because giant literals poison plan
+  compile).  The corpus text is read and tokenized ONCE per call: the
+  QUERY-INDEPENDENT ``(id, token-array)`` frame is persisted and both
+  the stats agg (when ``stats`` isn't supplied) and the scoring
+  explode read the cache, not the text.  The cache is the tokenized
+  corpus (≈ normalized text size, MEMORY_AND_DISK); Spark's
+  CacheManager dedupes identical plans, so repeated calls over the
+  same corpus share ONE entry rather than stacking copies — it lives
+  until session end or LRU eviction (per-call unpersist is impossible
+  for a lazily-returned plan).  Pass precomputed ``corpus_stats`` to
+  skip even the cached stats agg across query batches.
 - Corpus statistics (N, avgdl) are one partial agg → two driver
   scalars; per-term document frequencies are computed only for query
   terms (a ``|Q|``-row broadcast dimension).

@@ -81,17 +81,11 @@ def cusum_anomaly(
             )
         )
         if g:
-            cond = F.lit(True)
-            st = stats.select(
-                *[F.col(c).alias(f"__cu_{c}") for c in g],
-                "__cu_mu",
-                "__cu_sd",
+            from qualityassurancetool_spark.functions.partitioning import (
+                broadcast_join_nullsafe,
             )
-            for c in g:
-                cond = cond & F.col(c).eqNullSafe(F.col(f"__cu_{c}"))
-            base = df.join(F.broadcast(st), on=cond, how="left").drop(
-                *[f"__cu_{c}" for c in g]
-            )
+
+            base = broadcast_join_nullsafe(df, stats, g)
         else:
             base = df.crossJoin(F.broadcast(stats))
         mu = (
@@ -226,17 +220,11 @@ def cusum_anomaly_bucketed(
             F.stddev_samp(x).alias("__cu_sd"),
         )
         if g:
-            cond = F.lit(True)
-            st = stats.select(
-                *[F.col(c).alias(f"__cu_{c}") for c in g],
-                "__cu_mu",
-                "__cu_sd",
+            from qualityassurancetool_spark.functions.partitioning import (
+                broadcast_join_nullsafe,
             )
-            for c in g:
-                cond = cond & F.col(c).eqNullSafe(F.col(f"__cu_{c}"))
-            rows = rows.join(
-                F.broadcast(st), on=cond, how="left"
-            ).drop(*[f"__cu_{c}" for c in g])
+
+            rows = broadcast_join_nullsafe(rows, stats, g)
         else:
             rows = rows.crossJoin(F.broadcast(stats))
         mu = (
@@ -317,19 +305,12 @@ def cusum_anomaly_bucketed(
     )
     # null-safe carry join: a NULL group key is its own stratum and
     # must keep its carries (plain equi-join would drop those rows)
-    cf = carry_frame.select(
-        *[F.col(c).alias(f"__cb_{c}") for c in g],
-        F.col("_bucket").alias("__cb_bucket"),
-        "_carry_p",
-        "_carry_n",
-        "_pmin_p",
-        "_pmin_n",
+    from qualityassurancetool_spark.functions.partitioning import (
+        broadcast_join_nullsafe,
     )
-    jcond = F.col("_bucket") == F.col("__cb_bucket")
-    for c in g:
-        jcond = jcond & F.col(c).eqNullSafe(F.col(f"__cb_{c}"))
-    joined = staged.join(F.broadcast(cf), on=jcond).drop(
-        "__cb_bucket", *[f"__cb_{c}" for c in g]
+
+    joined = broadcast_join_nullsafe(
+        staged, carry_frame, [*g, "_bucket"], how="inner"
     )
 
     def chart(loc_sum, loc_min, carry, pmin):

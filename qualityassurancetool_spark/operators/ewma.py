@@ -275,11 +275,15 @@ def ewma_anomaly_bucketed(
     ).otherwise(F.col("_tail"))
     tails = tails.select(*g, "_bucket", tail.alias("_tail"))
     # one summary window per stream: previous buckets' tails
-    # concatenated in bucket order, global last K kept
+    # concatenated in bucket order, global last K kept.  The frame is
+    # BOUNDED to the last `window` summary rows: every non-empty
+    # bucket's tail carries >= 1 value, so the last K buckets always
+    # contain >= K values — an unbounded frame would materialize a
+    # running O(buckets x K) concatenation per stream for nothing
     w_prev = (
         W.partitionBy(*g)
         .orderBy("_bucket")
-        .rowsBetween(W.unboundedPreceding, -1)
+        .rowsBetween(-window, -1)
     )
     halos = tails.select(
         *g,

@@ -212,15 +212,11 @@ def quantile_bin(
         # same discipline as target_encode / heavy_hitters) — a
         # plain equi-join would leave every null-group row with a
         # NULL bin even for non-null values
-        cf = cut_frame.select(
-            *[F.col(c).alias(f"__qb_{c}") for c in g], "_cuts"
+        from qualityassurancetool_spark.functions.partitioning import (
+            broadcast_join_nullsafe,
         )
-        cond = F.lit(True)
-        for c in g:
-            cond = cond & F.col(c).eqNullSafe(F.col(f"__qb_{c}"))
-        joined = df.join(broadcast(cf), on=cond, how="left").drop(
-            *[f"__qb_{c}" for c in g]
-        )
+
+        joined = broadcast_join_nullsafe(df, cut_frame, g)
     else:
         joined = df.crossJoin(broadcast(cut_frame))
     bin_ = F.aggregate(

@@ -324,11 +324,25 @@ def k_core(
             )
         e, n_edges = e2, n2
     if n_edges > 0:
-        # the loop exhausted max_iters while edges were still being
-        # peeled — the remaining edge set is NOT a fixpoint, and
-        # returning its degree>=k filter would present an unconverged
-        # intermediate as "the core" (a ~500-node path at k=2 peels
-        # only 2 endpoints per round, needing ~250 rounds)
+        # the loop exhausted max_iters mid-peel.  The LAST allowed
+        # iteration may still have landed exactly on the fixpoint
+        # (the in-loop check only confirms convergence one iteration
+        # later), so verify once before raising: if every remaining
+        # node already has degree >= k, this IS the core.
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        if deg.where(F.col("degree") < k).count() == 0:
+            return deg.select(
+                "node", F.col("degree").cast("long").alias("degree")
+            )
+        # genuinely unconverged — returning the degree>=k filter here
+        # would present an intermediate peel state as "the core" (a
+        # ~500-node path at k=2 peels only 2 endpoints per round,
+        # needing ~250 rounds)
         raise RuntimeError(
             f"k_core did not converge within max_iters={max_iters} "
             f"({n_edges} edges still peeling); raise max_iters — "

@@ -109,18 +109,20 @@ def seasonal_zscore(
         if baseline is not None
         else seasonal_profile(df, value_col, ts_col, g, period)
     )
+    from qualityassurancetool_spark.functions.partitioning import (
+        broadcast_join_nullsafe,
+    )
+
     pref = prof.select(
-        *[F.col(c).alias(f"__se_{c}") for c in g],
-        F.col("cell").alias("__se_cell"),
+        *g,
+        "cell",
         F.col("n").alias("__se_n"),
         F.col("sum_x").alias("__se_s1"),
         F.col("sum_x2").alias("__se_s2"),
     )
-    cell = _cell(ts_col, period)
-    cond = cell.eqNullSafe(F.col("__se_cell"))
-    for c in g:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"__se_{c}"))
-    joined = df.join(F.broadcast(pref), on=cond, how="left")
+    joined = broadcast_join_nullsafe(
+        df, pref, g, extra_keys=[(_cell(ts_col, period), "cell")]
+    )
 
     n = F.col("__se_n")
     s1, s2 = F.col("__se_s1"), F.col("__se_s2")
@@ -146,9 +148,7 @@ def seasonal_zscore(
         & (n >= min_samples),
         F.abs(dev) > F.lit(float(nsigma)) * sigma + eps,
     )
-    drop = ["__se_cell", "__se_n", "__se_s1", "__se_s2"] + [
-        f"__se_{c}" for c in g
-    ]
+    drop = ["__se_n", "__se_s1", "__se_s2"]
     return (
         joined.withColumn("seasonal_mu", mu)
         .withColumn("seasonal_sigma", sigma)

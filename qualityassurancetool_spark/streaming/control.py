@@ -13,10 +13,12 @@ the chart's sufficient state across micro-batches instead:
   state is K doubles per stream (NaN marks NULL holes so lag
   positions match the batch operator's row-counting semantics).
 
-Parity contract: on rows that arrive in chart order per stream (the
-source's append order; within a batch rows are sorted by
-``order_col``), every emitted row equals the batch operator's row for
-the same prefix — pinned by ``tests/test_streaming_control.py``
+Parity contract: on rows that arrive in chart order per stream
+ACROSS micro-batches (the source's append order; WITHIN a batch the
+whole per-key batch is sorted by ``order_col`` once — Arrow chunk
+boundaries carry no order guarantee, so the chunks are concatenated
+before the sort), every emitted row equals the batch operator's row
+for the same prefix — pinned by ``tests/test_streaming_control.py``
 including across a checkpoint restart.  Out-of-order arrivals are the
 caller's problem (sort upstream or accept chart-order = arrival
 order); the charts are sequential by definition.
@@ -57,6 +59,10 @@ CUSUM_STATE_SCHEMA = T.StructType(
     [
         T.StructField("sp", T.DoubleType(), True),
         T.StructField("sn", T.DoubleType(), True),
+        # batch parity: the chart is NULL until the first non-null
+        # value has ever been seen (the batch window sum over an
+        # all-NULL prefix is NULL, not 0)
+        T.StructField("started", T.BooleanType(), True),
     ]
 )
 
@@ -90,38 +96,43 @@ def streaming_cusum(
     def update(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        sp, sn = state.get if state.exists else (0.0, 0.0)
-        for pdf in pdfs:
+        sp, sn, started = (
+            state.get if state.exists else (0.0, 0.0, False)
+        )
+        # ONE sort over the whole per-key micro-batch: the pdfs
+        # iterator yields Arrow CHUNKS (~10k rows each) whose relative
+        # order is not the chart order — sorting chunks independently
+        # would feed the recurrence out of order for large groups
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values("t")
             out_sp, out_sn, out_fl = [], [], []
             for v in pdf["value"]:
                 if v is None or (
                     isinstance(v, float) and math.isnan(v)
                 ):
-                    out_sp.append(sp)
-                    out_sn.append(sn)
+                    out_sp.append(sp if started else None)
+                    out_sn.append(sn if started else None)
                     out_fl.append(None)
                     continue
+                started = True
                 z = (float(v) - mu) / sd
                 sp = max(0.0, sp + z - k)
                 sn = max(0.0, sn - z - k)
                 out_sp.append(sp)
                 out_sn.append(sn)
                 out_fl.append(bool(sp > h or sn > h))
-            if len(pdf):
-                yield pd.DataFrame(
-                    {
-                        "stream": key[0],
-                        "t": pdf["t"].values,
-                        "value": pdf["value"].values,
-                        "cusum_pos": out_sp,
-                        "cusum_neg": out_sn,
-                        "cusum_flag": pd.array(
-                            out_fl, dtype="boolean"
-                        ),
-                    }
-                )
-        state.update((sp, sn))
+            yield pd.DataFrame(
+                {
+                    "stream": key[0],
+                    "t": pdf["t"].values,
+                    "value": pdf["value"].values,
+                    "cusum_pos": out_sp,
+                    "cusum_neg": out_sn,
+                    "cusum_flag": pd.array(out_fl, dtype="boolean"),
+                }
+            )
+        state.update((sp, sn, started))
 
     keyed = stream.select(
         F.col(group_col).cast("string").alias("stream"),
@@ -199,7 +210,10 @@ def streaming_ewma(
         lags: list[float] = (
             list(state.get[0]) if state.exists else []
         )  # most recent FIRST, NaN = null
-        for pdf in pdfs:
+        # whole-batch sort (see streaming_cusum: Arrow chunks are not
+        # in chart order)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values("t")
             cols: dict[str, list] = {
                 c: []
@@ -254,21 +268,20 @@ def streaming_ewma(
                 lags = [x if x is not None else math.nan] + lags[
                     : window - 1
                 ]
-            if len(pdf):
-                yield pd.DataFrame(
-                    {
-                        "stream": key[0],
-                        "t": pdf["t"].values,
-                        "value": pdf["value"].values,
-                        "ewma": cols["ewma"],
-                        "ewma_prev": cols["prev"],
-                        "ewma_sigma": cols["sigma"],
-                        "ewma_dev": cols["dev"],
-                        "ewma_flag": pd.array(
-                            cols["flag"], dtype="boolean"
-                        ),
-                    }
-                )
+            yield pd.DataFrame(
+                {
+                    "stream": key[0],
+                    "t": pdf["t"].values,
+                    "value": pdf["value"].values,
+                    "ewma": cols["ewma"],
+                    "ewma_prev": cols["prev"],
+                    "ewma_sigma": cols["sigma"],
+                    "ewma_dev": cols["dev"],
+                    "ewma_flag": pd.array(
+                        cols["flag"], dtype="boolean"
+                    ),
+                }
+            )
         state.update((lags,))
 
     keyed = stream.select(

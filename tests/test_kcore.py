@@ -88,3 +88,20 @@ def test_nonconvergence_raises_not_wrong_answer(spark):
         k_core(edges, k=2, max_iters=3).collect()
     # with budget, the path's 2-core is (correctly) empty
     assert k_core(edges, k=2, max_iters=40).count() == 0
+
+
+def test_convergence_on_final_iteration_returns_core(spark):
+    """Landing exactly on the fixpoint at max_iters must RETURN the
+    core (the in-loop check confirms convergence one iteration late;
+    a post-loop degree verification covers the boundary)."""
+    from qualityassurancetool_spark.operators.graph import k_core
+
+    # triangle + one pendant edge: ONE peel round reaches the 2-core
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(edges, k=2, max_iters=1).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}

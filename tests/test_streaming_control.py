@@ -1,5 +1,6 @@
 """Streaming control charts (streaming/control): row-for-row parity
-with the batch operators on ordered arrivals, bounded state,
+with the batch operators on ordered arrivals (including NULL-value
+carried statistics and the all-NULL prefix), bounded state,
 checkpoint-restart continuation."""
 
 import math
@@ -59,7 +60,11 @@ def _drain(spark, land, ckpt, build, sink_rows):
 def test_cusum_parity_and_restart(spark, tmp_path):
     rng = random.Random(5)
     land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
-    batch1 = _rows(rng, 40, "a") + _rows(rng, 40, "b", shift=2.0)
+    batch1 = (
+        [("a", -2, None), ("a", -1, None)]  # all-NULL prefix: chart
+        + _rows(rng, 40, "a")               # stays NULL, not 0.0
+        + _rows(rng, 40, "b", shift=2.0)
+    )
     _write(spark, land, batch1)
     got: list = []
     build = lambda s: streaming_cusum(
@@ -73,7 +78,7 @@ def test_cusum_parity_and_restart(spark, tmp_path):
     )
     _write(spark, land, batch2, mode="append")
     _drain(spark, land, ckpt, build, got)
-    assert len(got) == 140
+    assert len(got) == 142
 
     want = {
         (r["g"], r["t"]): r
@@ -92,15 +97,17 @@ def test_cusum_parity_and_restart(spark, tmp_path):
     }
     for r in got:
         w = want[(r["stream"], r["t"])]
-        if r["value"] is None:
-            assert r["cusum_flag"] is None and w["cusum_flag"] is None
-            continue
-        assert r["cusum_pos"] == pytest.approx(
-            w["cusum_pos"], abs=1e-9
-        ), (r["stream"], r["t"])
-        assert r["cusum_neg"] == pytest.approx(
-            w["cusum_neg"], abs=1e-9
-        )
+        # NULL-value rows carry the statistic in BOTH paths (and show
+        # NULL before any value has been seen) — compared too
+        for c in ("cusum_pos", "cusum_neg"):
+            if w[c] is None:
+                assert r[c] is None or math.isnan(r[c]), (
+                    r["stream"], r["t"], c,
+                )
+            else:
+                assert r[c] == pytest.approx(w[c], abs=1e-9), (
+                    r["stream"], r["t"], c,
+                )
         assert r["cusum_flag"] == w["cusum_flag"]
     # the planted drift actually signals
     assert any(

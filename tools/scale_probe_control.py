@@ -56,8 +56,7 @@ def build(spark, n):
             F.sin(F.col("id") * 0.7) * 2.0
             + (F.col("id") * 40503 % 1000) / 250.0
             + F.when(
-                (F.col("stream") if False else F.col("id") % 5 == 0)
-                & (F.col("id") > n * 0.6),
+                (F.col("id") % 5 == 0) & (F.col("id") > n * 0.6),
                 F.lit(1.5),
             ).otherwise(F.lit(0.0)),
         ).alias("v"),
