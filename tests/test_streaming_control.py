@@ -171,3 +171,48 @@ def test_streaming_validation(spark):
         streaming_ewma(df, "x", "t", "g", alpha=0.0)
     with pytest.raises(ValueError):
         streaming_ewma(df, "x", "t", "g", min_history=1)
+
+
+def test_multichunk_batch_order(spark, tmp_path):
+    """Groups larger than one Arrow chunk: the whole per-key batch is
+    concatenated and sorted ONCE (per-chunk sorting would feed the
+    recurrence out of order).  Forced with a tiny maxRecordsPerBatch
+    and a deliberately scrambled input file order."""
+    import random as _r
+
+    rng = _r.Random(3)
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    rows = _rows(rng, 400, "a")
+    shuffled = rows[:]
+    rng.shuffle(shuffled)  # file order != chart order
+    _write(spark, land, shuffled)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got: list = []
+        _drain(
+            spark, land, ckpt,
+            lambda s: streaming_cusum(
+                s, "x", "t", "g", target=MU, sigma=SD
+            ),
+            got,
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert len(got) == 400
+    want = {
+        r["t"]: r
+        for r in cusum_anomaly(
+            spark.createDataFrame(rows, "g string, t long, x double"),
+            "x", ["t"], ["g"], target=MU, sigma=SD,
+        ).collect()
+    }
+    for r in got:
+        w = want[r["t"]]
+        if w["cusum_pos"] is None:
+            continue
+        assert r["cusum_pos"] == pytest.approx(
+            w["cusum_pos"], abs=1e-9
+        ), r["t"]
