@@ -2939,24 +2939,43 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    crows = (
-        emb.where(F.col("vec_id") % _IVFADC_CMOD == 0)
-        .orderBy("vec_id")
-        .limit(_IVFADC_NL)
-        .select("embedding")
+    # ONE driver job collects all three bounded samples (centroids,
+    # codebook seeds, queries) — three separate orderBy/limit collects
+    # cost ~3 driver round trips that dominated this query's wall
+    def _arm(pred, n, tag):
+        return (
+            emb.where(pred)
+            .orderBy("vec_id")
+            .limit(n)
+            .select(F.lit(tag).alias("_arm"), "vec_id", "embedding")
+        )
+
+    sampled = (
+        _arm(F.col("vec_id") % _IVFADC_CMOD == 0, _IVFADC_NL, "c")
+        .unionByName(
+            _arm(
+                F.col("vec_id") % _IVFADC_SMOD == _IVFADC_SOFF,
+                _IVFADC_K,
+                "b",
+            )
+        )
+        .unionByName(_arm(F.col("vec_id") % 100 == 0, 8, "q"))
         .collect()
     )
+    by_arm: dict[str, list] = {"c": [], "b": [], "q": []}
+    for r in sampled:
+        by_arm[r["_arm"]].append(r)
+    for arm in by_arm:
+        by_arm[arm].sort(key=lambda r: r["vec_id"])
+    crows, srows = by_arm["c"], by_arm["b"]
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in by_arm["q"]
+    ]
     cents = [
         (i, [float(x) for x in r["embedding"]])
         for i, r in enumerate(crows)
     ]
-    srows = (
-        emb.where(F.col("vec_id") % _IVFADC_SMOD == _IVFADC_SOFF)
-        .orderBy("vec_id")
-        .limit(_IVFADC_K)
-        .select("embedding")
-        .collect()
-    )
     dim = len(cents[0][1])
     w = dim // _IVFADC_M
     books: list[list[list[float]]] = [
@@ -2981,6 +3000,7 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = ivfadc_topk(
         index, queries, cents, books,
         k=_IVFADC_SHORTLIST, nprobe=_IVFADC_NPROBE, round_digits=6,
+        collected_queries=qrows,
     )
     out = exact_rerank(
         short, emb, queries, k=_IVFADC_TOPK, metric="cosine"

@@ -359,6 +359,7 @@ def ivfadc_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     round_digits: int | None = None,
+    collected_queries: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVFADC search: probe the ``nprobe`` nearest lists per query and
     ADC-score only their members against per-(query, list) residual
@@ -376,7 +377,16 @@ def ivfadc_topk(
     engines; rounding before the cut makes the shortlist reproducible
     (the ``quantile_bin`` rounded-cut-point discipline).  The emitted
     ``adc_dist`` stays raw."""
-    qrows = queries.select(query_id_col, vec_col).collect()
+    # queries are collected to the driver (small by contract); pass
+    # ``collected_queries`` when the caller already holds them to
+    # save a driver round trip (the q_ann_ivfadc batched-collect)
+    if collected_queries is not None:
+        qrows = collected_queries
+    else:
+        qrows = [
+            (r[0], r[1])
+            for r in queries.select(query_id_col, vec_col).collect()
+        ]
     qt_rows = []
     for r in qrows:
         qid, qv = int(r[0]), [float(x) for x in r[1]]
