@@ -628,7 +628,11 @@ def cmd_profile(args, overrides: list[str]) -> int:
     - ``quantiles``: per-group DDSketch quantiles of
       ``value=<column>`` (``group=<column>``, ``alpha``,
       ``probs=[...]`` knobs) — ±alpha relative-error guarantee,
-      bounded cell-table state.
+      bounded cell-table state;
+    - ``psi``: dataset-shift report of ``data.input`` vs a reference
+      parquet (``ref=<path>`` required; ``cols=[...]`` numeric
+      columns, ``category=<col>`` for the categorical variant,
+      ``n_bins=``) — PSI/KL over reference-quantile bins.
     """
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
@@ -637,11 +641,11 @@ def cmd_profile(args, overrides: list[str]) -> int:
     method = knobs.get("method", "tokens")
     if method not in (
         "tokens", "skew", "pagerank", "cms", "badwords",
-        "distinct", "quantiles",
+        "distinct", "quantiles", "psi",
     ):
         raise ConfigError(
             f"unknown profile method {method!r} "
-            "(tokens|skew|pagerank|cms|badwords|distinct|quantiles)"
+            "(tokens|skew|pagerank|cms|badwords|distinct|quantiles|psi)"
         )
 
     from qualityassurancetool_spark.session import get_spark
@@ -661,6 +665,38 @@ def cmd_profile(args, overrides: list[str]) -> int:
             out = token_heavy_hitters(
                 docs, min_fraction=float(knobs.get("min_fraction", 0.002))
             )
+        elif method == "psi":
+            ref_path = knobs.get("ref")
+            if not ref_path:
+                raise ConfigError("psi needs ref=<reference parquet>")
+            ref = spark.read.parquet(str(ref_path))
+            newdf = spark.read.parquet(data_c["input"])
+            cat = knobs.get("category")
+            if cat:
+                from qualityassurancetool_spark.operators.drift_stats import (
+                    categorical_stability,
+                )
+
+                out = categorical_stability(
+                    ref, newdf, str(cat),
+                    max_categories=int(
+                        knobs.get("max_categories", 100)
+                    ),
+                )
+            else:
+                cols = knobs.get("cols")
+                if not isinstance(cols, list) or not cols:
+                    raise ConfigError(
+                        "psi needs cols=[...] or category=<col>"
+                    )
+                from qualityassurancetool_spark.operators.drift_stats import (
+                    population_stability,
+                )
+
+                out = population_stability(
+                    ref, newdf, [str(c) for c in cols],
+                    n_bins=int(knobs.get("n_bins", 10)),
+                )
         elif method == "skew":
             key = knobs.get("key")
             if not key:

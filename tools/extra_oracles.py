@@ -4290,6 +4290,99 @@ FROM agg WHERE n_rows >= 2
     return sdf, sql
 
 
+def x_psi(spark, con, sf_dir):
+    """population_stability (PSI/KL over reference-quantile bins,
+    epsilon-smoothed) vs a DuckDB replica: early-shipdate lineitem
+    rows as reference, the rest as the new sample, two columns in one
+    call."""
+    from qualityassurancetool_spark.operators.drift_stats import (
+        population_stability,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    B, EPS = 5, 1e-4
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    cut = "1995-06-17"
+    ref = li.where(F.col("l_shipdate") < cut)
+    new = li.where(F.col("l_shipdate") >= cut)
+    got = population_stability(
+        ref, new, ["price", "qty"], n_bins=B, eps=EPS
+    )
+    sdf = got.select(
+        "col",
+        (F.round("psi", 9) + F.lit(0.0)).alias("psi_r"),
+        (F.round("kl", 9) + F.lit(0.0)).alias("kl_r"),
+        "n_ref",
+        "n_new",
+    )
+    probs = ", ".join(str(i / B) for i in range(1, B))
+    col_sql = []
+    for c in ("price", "qty"):
+        col_sql.append(f"""
+SELECT '{c}' AS col, side, bin, COUNT(*) AS n FROM (
+    SELECT side,
+           (SELECT COUNT(*) FROM (
+               SELECT UNNEST(cuts) AS cv FROM cu WHERE cu.col = '{c}'
+            ) WHERE {c} > cv) AS bin
+    FROM both_sides WHERE {c} IS NOT NULL
+) GROUP BY 1, 2, 3""")
+    sql = f"""
+WITH li AS (
+    SELECT l_shipdate,
+           CAST(l_extendedprice AS DOUBLE) AS price,
+           CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem
+), both_sides AS (
+    SELECT CASE WHEN l_shipdate < DATE '{cut}' THEN 'ref'
+                ELSE 'new' END AS side, price, qty
+    FROM li
+), cu AS (
+    SELECT 'price' AS col,
+           [round(x, 6) FOR x IN quantile_cont(price, [{probs}])]
+               AS cuts
+    FROM both_sides WHERE side = 'ref'
+    UNION ALL
+    SELECT 'qty',
+           [round(x, 6) FOR x IN quantile_cont(qty, [{probs}])]
+    FROM both_sides WHERE side = 'ref'
+), counts AS ({" UNION ALL ".join(col_sql)}),
+grid AS (
+    SELECT c.col, s.side, b.bin
+    FROM (SELECT DISTINCT col FROM counts) c
+    CROSS JOIN (VALUES ('ref'), ('new')) s(side)
+    CROSS JOIN (SELECT UNNEST(range({B})) AS bin) b
+), filled AS (
+    SELECT g.col, g.side, g.bin, COALESCE(c.n, 0) AS n
+    FROM grid g LEFT JOIN counts c
+      ON c.col = g.col AND c.side = g.side AND c.bin = g.bin
+), tot AS (
+    SELECT col, side, SUM(n) AS t FROM filled GROUP BY 1, 2
+), p AS (
+    SELECT f.col, f.bin,
+           GREATEST(MAX(CASE WHEN f.side = 'ref'
+                             THEN f.n / t.t END), {EPS!r}) AS p_ref,
+           GREATEST(MAX(CASE WHEN f.side = 'new'
+                             THEN f.n / t.t END), {EPS!r}) AS p_new,
+           MAX(CASE WHEN f.side = 'ref' THEN f.n END) AS n_ref,
+           MAX(CASE WHEN f.side = 'new' THEN f.n END) AS n_new
+    FROM filled f JOIN tot t ON t.col = f.col AND t.side = f.side
+    GROUP BY 1, 2
+)
+SELECT col,
+       ROUND(SUM((p_new - p_ref) * LN(p_new / p_ref)), 9) + 0.0
+           AS psi_r,
+       ROUND(SUM(p_new * LN(p_new / p_ref)), 9) + 0.0 AS kl_r,
+       CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(n_new) AS BIGINT) AS n_new
+FROM p GROUP BY col
+"""
+    return sdf, sql
+
+
 def x_quantile_bin(spark, con, sf_dir):
     """quantile_bin (exact type-7 cut-points rounded to 6 dp, HOF
     strictly-below bin fold) vs DuckDB quantile_cont with the same
@@ -4515,6 +4608,7 @@ EXTRA_CHECKS = {
     "x_cusum": x_cusum,
     "x_seasonal": x_seasonal,
     "x_episodes": x_episodes,
+    "x_psi": x_psi,
     "x_experiment": x_experiment,
     "x_ann_ivfadc_gate": x_ann_ivfadc_gate,
     "x_text_stats": x_text_stats,
