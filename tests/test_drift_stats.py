@@ -146,3 +146,17 @@ def test_psi_cli(spark, tmp_path, capsys):
         f"data.out={out}", "method=psi",
     ]) != 0
     capsys.readouterr()
+
+
+def test_approx_mode_agrees(spark):
+    rng = random.Random(31)
+    ref = _df(spark, [rng.gauss(50, 10) for _ in range(4000)])
+    new = _df(spark, [rng.gauss(55, 10) for _ in range(4000)])
+    exact = population_stability(ref, new, ["x"]).collect()[0]
+    ap = population_stability(
+        ref, new, ["x"], approx=True
+    ).collect()[0]
+    # sketch cut-points shift bin edges slightly; the statistic's
+    # magnitude and verdict agree
+    assert ap["psi"] == pytest.approx(exact["psi"], rel=0.15)
+    assert (ap["psi"] > 0.1) == (exact["psi"] > 0.1)
