@@ -632,7 +632,8 @@ def cmd_profile(args, overrides: list[str]) -> int:
     - ``psi``: dataset-shift report of ``data.input`` vs a reference
       parquet (``ref=<path>`` required; ``cols=[...]`` numeric
       columns, ``category=<col>`` for the categorical variant,
-      ``n_bins=``) — PSI/KL over reference-quantile bins.
+      ``n_bins=``, ``approx=true`` for sketch cut-points — the
+      100 TB path) — PSI/KL over reference-quantile bins.
     """
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
@@ -696,6 +697,8 @@ def cmd_profile(args, overrides: list[str]) -> int:
                 out = population_stability(
                     ref, newdf, [str(c) for c in cols],
                     n_bins=int(knobs.get("n_bins", 10)),
+                    approx=str(knobs.get("approx", "")).lower()
+                    in ("1", "true"),
                 )
         elif method == "skew":
             key = knobs.get("key")
