@@ -2216,8 +2216,10 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr_curve,
     )
 
+    # orderkey pre-reduced mod 97 so the Knuth multiply stays far from
+    # int64 wrap at any scale factor (identical result: (a%m)*k ≡ a*k mod m)
     h = (
-        F.col("l_orderkey") * F.lit(2654435761)
+        F.col("l_orderkey") % 97 * F.lit(2654435761)
         + F.col("l_linenumber") * F.lit(40503)
     ) % 97 % 80
     y = (F.col("l_returnflag") == "R").cast("int")
@@ -2269,7 +2271,7 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ML_EVAL = """
 WITH scored AS (
     SELECT l_linestatus,
-           (((l_orderkey * 2654435761 + l_linenumber * 40503) % 97) % 80
+           ((((l_orderkey % 97) * 2654435761 + l_linenumber * 40503) % 97) % 80
             + CASE WHEN l_returnflag = 'R' THEN 15 ELSE 0 END) / 100.0
                AS score,
            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
@@ -2362,20 +2364,15 @@ def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = (
         m["bias"] + 10.0 * m["weights"][0] + 0.05 * m["weights"][1]
     )
-    return spark.createDataFrame(
-        [
-            (
-                "fit",
-                int(m["n"]),
-                round(m["weights"][0] / 100.0, 6) + 0.0,
-                round(m["weights"][1] / 1000.0, 6) + 0.0,
-                round(m["bias"] / 1000.0, 6) + 0.0,
-                round(m["r2"], 6) + 0.0,
-                round(pred / 1000.0, 6) + 0.0,
-            )
-        ],
-        "part string, n long, w1 double, w2 double, b double,"
-        " r2 double, pred double",
+    # one-row literal result via range(1) projection — no ExistingRDD scan
+    return spark.range(1).select(
+        F.lit("fit").alias("part"),
+        F.lit(int(m["n"])).cast("long").alias("n"),
+        F.lit(round(m["weights"][0] / 100.0, 6) + 0.0).alias("w1"),
+        F.lit(round(m["weights"][1] / 1000.0, 6) + 0.0).alias("w2"),
+        F.lit(round(m["bias"] / 1000.0, 6) + 0.0).alias("b"),
+        F.lit(round(m["r2"], 6) + 0.0).alias("r2"),
+        F.lit(round(pred / 1000.0, 6) + 0.0).alias("pred"),
     )
 
 
@@ -3678,9 +3675,12 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select("k")
     )
-    keys = top.unionByName(
-        spark.createDataFrame([("qqq-absent-1",), ("qqq-absent-2",)], ["k"])
+    absent = spark.range(1).select(
+        F.explode(
+            F.array(F.lit("qqq-absent-1"), F.lit("qqq-absent-2"))
+        ).alias("k")
     )
+    keys = top.unionByName(absent)
     return cms_query(sketch, keys, "k", width=_CMS_W, depth=_CMS_D)
 
 
@@ -4013,11 +4013,15 @@ def q_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(
             F.array(F.lit("c"), F.lit("t1"), F.lit("t2")),
             (
-                (
-                    F.col("l_orderkey") * F.lit(2654435761)
-                    + F.col("l_linenumber")
+                # (k % 3) first so the Knuth-constant multiply can never
+                # wrap int64 at any orderkey (2654435761 ≡ 1 mod 3, so
+                # the variant assignment is bit-identical to the
+                # unreduced form — and DuckDB's checked BIGINT agrees)
+                F.pmod(
+                    F.col("l_orderkey") % 3 * F.lit(2654435761)
+                    + F.col("l_linenumber"),
+                    F.lit(3),
                 )
-                % 3
                 + 1
             ).cast("int"),
         ).alias("v"),
@@ -4083,7 +4087,7 @@ def _sql_experiment() -> str:
 WITH li AS (
     SELECT l_linestatus AS s,
            ['c', 't1', 't2'][
-               CAST((l_orderkey * 2654435761 + l_linenumber) % 3
+               CAST(((l_orderkey % 3) * 2654435761 + l_linenumber) % 3
                     AS INT) + 1] AS v,
            CAST(l_extendedprice AS DOUBLE) AS y,
            CAST(l_quantity AS DOUBLE) AS x,
@@ -4138,6 +4142,237 @@ SQL_ANN_IVFADC = _sql_ann_ivfadc()
 
 
 # ---------------------------------------------------------------------------
+# round-7 gate swap: the monitoring family (cusum + seasonal + psi) is
+# driver-graded (VERDICT r6 items 2-3); unpivot_roundtrip /
+# agg_pricing_summary / join_segment_revenue retire to x_* delegations
+# ---------------------------------------------------------------------------
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM chart as a closed-form prefix scan (reference drift
+    story generalized, ``README.adoc:208-268``): per-event-type value
+    streams ordered by event_id, per-group estimated baseline, k=0.5σ,
+    h=5σ.  Physical shape: one shuffle on the group key, two stacked
+    windows (prefix sum + running min) — no iteration, no UDF; the same
+    closed form DuckDB replays below."""
+    from qualityassurancetool_spark.operators.cusum import cusum_anomaly
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double")
+    )
+    got = cusum_anomaly(
+        ev, "value", ["event_id"], ["event_type"], slack=0.5, threshold=5.0
+    )
+    return got.select(
+        "event_id",
+        "event_type",
+        (F.round("cusum_pos", 6) + F.lit(0.0)).alias("sp_r"),
+        (F.round("cusum_neg", 6) + F.lit(0.0)).alias("sn_r"),
+        F.col("cusum_flag").alias("flag"),
+    )
+
+
+_CUSUM_W = "PARTITION BY event_type ORDER BY event_id"
+SQL_CUSUM = f"""
+WITH ev AS (
+    SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events
+), st AS (
+    SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+    FROM ev GROUP BY event_type
+), staged AS (
+    SELECT e.event_id, e.event_type, e.value,
+           SUM(CASE WHEN s.sd > 0
+                    THEN (e.value - s.mu) / s.sd - 0.5 END)
+               OVER ({_CUSUM_W} ROWS UNBOUNDED PRECEDING) AS sp,
+           SUM(CASE WHEN s.sd > 0
+                    THEN -(e.value - s.mu) / s.sd - 0.5 END)
+               OVER ({_CUSUM_W} ROWS UNBOUNDED PRECEDING) AS sn
+    FROM ev e JOIN st s USING (event_type)
+), stat AS (
+    SELECT event_id, event_type, value,
+           sp - LEAST(0.0, MIN(sp)
+               OVER ({_CUSUM_W} ROWS UNBOUNDED PRECEDING)) AS s_pos,
+           sn - LEAST(0.0, MIN(sn)
+               OVER ({_CUSUM_W} ROWS UNBOUNDED PRECEDING)) AS s_neg
+    FROM staged
+)
+SELECT event_id, event_type,
+       ROUND(s_pos, 6) + 0.0 AS sp_r,
+       ROUND(s_neg, 6) + 0.0 AS sn_r,
+       CASE WHEN value IS NOT NULL AND s_pos IS NOT NULL
+                 AND s_neg IS NOT NULL
+            THEN s_pos > 5.0 OR s_neg > 5.0
+       END AS flag
+FROM stat
+"""
+
+
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline z-score: per-(stream, hour-of-day) sufficient
+    statistics broadcast back to the rows, leave-one-out variant.  The
+    profile is a cells-sized aggregate (streams × 24) — the only shuffle
+    is the profile groupBy; scoring is a broadcast join + pure Columns."""
+    from qualityassurancetool_spark.operators.seasonal import seasonal_zscore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    got = seasonal_zscore(
+        ev, "value", "ts", ["event_type"],
+        period="hour_of_day", nsigma=2.5, min_samples=5, loo=True,
+    )
+    return got.select(
+        "event_id",
+        "event_type",
+        (F.round("seasonal_mu", 6) + F.lit(0.0)).alias("mu_r"),
+        (F.round("seasonal_sigma", 6) + F.lit(0.0)).alias("sd_r"),
+        F.col("seasonal_flag").alias("flag"),
+    )
+
+
+SQL_SEASONAL = """
+WITH ev AS (
+    SELECT event_id, event_type, ts, CAST(value AS DOUBLE) AS value
+    FROM events
+), prof AS (
+    SELECT event_type, EXTRACT(hour FROM ts) AS cell,
+           COUNT(value) AS n, SUM(value) AS s1,
+           SUM(value * value) AS s2
+    FROM ev WHERE ts IS NOT NULL GROUP BY 1, 2
+), scored AS (
+    SELECT e.event_id, e.event_type, e.value, e.ts,
+           CASE WHEN e.value IS NOT NULL THEN p.n - 1 ELSE p.n END
+               AS n,
+           CASE WHEN e.value IS NOT NULL THEN p.s1 - e.value
+                ELSE p.s1 END AS s1,
+           CASE WHEN e.value IS NOT NULL
+                THEN p.s2 - e.value * e.value ELSE p.s2 END AS s2
+    FROM ev e
+    LEFT JOIN prof p
+      ON p.event_type = e.event_type
+     AND p.cell = EXTRACT(hour FROM e.ts)
+), calc AS (
+    SELECT event_id, event_type, value, ts, n,
+           CASE WHEN n > 0 THEN s1 / n END AS mu,
+           CASE WHEN n >= 2 THEN
+               sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0))
+           END AS sd
+    FROM scored
+)
+SELECT event_id, event_type,
+       ROUND(mu, 6) + 0.0 AS mu_r,
+       ROUND(sd, 6) + 0.0 AS sd_r,
+       CASE WHEN value IS NOT NULL AND ts IS NOT NULL
+                 AND mu IS NOT NULL AND sd IS NOT NULL
+                 AND n >= 5
+            THEN ABS(value - mu) > 2.5 * sd
+                 + 1e-9 * GREATEST(ABS(value), ABS(mu))
+       END AS flag
+FROM calc
+"""
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift gate (PSI + KL over reference-quantile
+    bins, ε-smoothed): early-shipdate lineitem rows as the reference
+    snapshot, the rest as the new sample, two columns in one call.  Scale
+    shape: only (col, bin) counts cross the exchange — the approx knob
+    swaps exact cut-points for a percentile_approx sketch when the
+    reference itself is huge (metered 51 MB → 4.6 MB at 10 M rows)."""
+    from qualityassurancetool_spark.operators.drift_stats import (
+        population_stability,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    cut = "1995-06-17"
+    ref = li.where(F.col("l_shipdate") < cut)
+    new = li.where(F.col("l_shipdate") >= cut)
+    got = population_stability(ref, new, ["price", "qty"], n_bins=5, eps=1e-4)
+    return got.select(
+        "col",
+        (F.round("psi", 9) + F.lit(0.0)).alias("psi_r"),
+        (F.round("kl", 9) + F.lit(0.0)).alias("kl_r"),
+        "n_ref",
+        "n_new",
+    )
+
+
+def _sql_psi(n_bins: int = 5, eps: float = 1e-4, cut: str = "1995-06-17") -> str:
+    probs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    col_sql = []
+    for c in ("price", "qty"):
+        col_sql.append(f"""
+SELECT '{c}' AS col, side, bin, COUNT(*) AS n FROM (
+    SELECT side,
+           (SELECT COUNT(*) FROM (
+               SELECT UNNEST(cuts) AS cv FROM cu WHERE cu.col = '{c}'
+            ) WHERE {c} > cv) AS bin
+    FROM both_sides WHERE {c} IS NOT NULL
+) GROUP BY 1, 2, 3""")
+    return f"""
+WITH li AS (
+    SELECT l_shipdate,
+           CAST(l_extendedprice AS DOUBLE) AS price,
+           CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem
+), both_sides AS (
+    SELECT CASE WHEN l_shipdate < DATE '{cut}' THEN 'ref'
+                ELSE 'new' END AS side, price, qty
+    FROM li
+), cu AS (
+    SELECT 'price' AS col,
+           [round(x, 6) FOR x IN quantile_cont(price, [{probs}])]
+               AS cuts
+    FROM both_sides WHERE side = 'ref'
+    UNION ALL
+    SELECT 'qty',
+           [round(x, 6) FOR x IN quantile_cont(qty, [{probs}])]
+    FROM both_sides WHERE side = 'ref'
+), counts AS ({" UNION ALL ".join(col_sql)}),
+grid AS (
+    SELECT c.col, s.side, b.bin
+    FROM (SELECT DISTINCT col FROM counts) c
+    CROSS JOIN (VALUES ('ref'), ('new')) s(side)
+    CROSS JOIN (SELECT UNNEST(range({n_bins})) AS bin) b
+), filled AS (
+    SELECT g.col, g.side, g.bin, COALESCE(c.n, 0) AS n
+    FROM grid g LEFT JOIN counts c
+      ON c.col = g.col AND c.side = g.side AND c.bin = g.bin
+), tot AS (
+    SELECT col, side, SUM(n) AS t FROM filled GROUP BY 1, 2
+), p AS (
+    SELECT f.col, f.bin,
+           GREATEST(MAX(CASE WHEN f.side = 'ref'
+                             THEN f.n / t.t END), {eps!r}) AS p_ref,
+           GREATEST(MAX(CASE WHEN f.side = 'new'
+                             THEN f.n / t.t END), {eps!r}) AS p_new,
+           MAX(CASE WHEN f.side = 'ref' THEN f.n END) AS n_ref,
+           MAX(CASE WHEN f.side = 'new' THEN f.n END) AS n_new
+    FROM filled f JOIN tot t ON t.col = f.col AND t.side = f.side
+    GROUP BY 1, 2
+)
+SELECT col,
+       ROUND(SUM((p_new - p_ref) * LN(p_new / p_ref)), 9) + 0.0
+           AS psi_r,
+       ROUND(SUM(p_new * LN(p_new / p_ref)), 9) + 0.0 AS kl_r,
+       CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(n_new) AS BIGINT) AS n_new
+FROM p GROUP BY col
+"""
+
+
+SQL_PSI = _sql_psi()
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -4162,7 +4397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_spatial_outlier": q_qc_spatial_outlier,
         "qc_stabilization": q_qc_stabilization,
         "pivot_export": q_pivot_export,
-        "unpivot_roundtrip": q_unpivot_roundtrip,
         "windowed_flag_rollup": q_windowed_flag_rollup,
         "sessionize_events": q_sessionize_events,
         "downsample_transfer": q_downsample_transfer,
@@ -4171,9 +4405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipattern": q_multipattern,
         "ml_eval": q_ml_eval,
         "ewma": q_ewma,
+        "cusum": q_cusum,
+        "seasonal": q_seasonal,
+        "psi": q_psi,
         "experiment": q_experiment,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "join_segment_revenue": q_join_segment_revenue,
         "topk_orders_per_segment": q_topk_orders_per_segment,
         "rollup_revenue": q_rollup_revenue,
         "shipping_priority": q_shipping_priority,
@@ -4217,7 +4452,6 @@ def oracle_sql() -> dict[str, str]:
         "qc_spatial_outlier": SQL_QC_SPATIAL_OUTLIER,
         "qc_stabilization": SQL_QC_STABILIZATION,
         "pivot_export": SQL_PIVOT_EXPORT,
-        "unpivot_roundtrip": SQL_UNPIVOT_ROUNDTRIP,
         "windowed_flag_rollup": SQL_WINDOWED_FLAG_ROLLUP,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "downsample_transfer": SQL_DOWNSAMPLE_TRANSFER,
@@ -4226,9 +4460,10 @@ def oracle_sql() -> dict[str, str]:
         "multipattern": SQL_MULTIPATTERN,
         "ml_eval": SQL_ML_EVAL,
         "ewma": SQL_EWMA,
+        "cusum": SQL_CUSUM,
+        "seasonal": SQL_SEASONAL,
+        "psi": SQL_PSI,
         "experiment": SQL_EXPERIMENT,
-        "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
-        "join_segment_revenue": SQL_JOIN_SEGMENT_REVENUE,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
         "shipping_priority": SQL_SHIPPING_PRIORITY,

@@ -36,8 +36,6 @@ BENCH_QUERIES = [
     "qc_spatial_outlier",
     "qc_stabilization",
     "pivot_export",
-    "agg_pricing_summary",
-    "join_segment_revenue",
     "topk_orders_per_segment",
     "shipping_priority",
     "sessionize_events",
@@ -75,6 +73,12 @@ BENCH_QUERIES = [
     "ewma",
     "experiment",
     "ann_ivfadc",
+    # round-7 swap: cusum/seasonal/psi (the monitoring family) replace
+    # the retired unpivot_roundtrip/agg_pricing_summary/
+    # join_segment_revenue rows (all covered as x_*)
+    "cusum",
+    "seasonal",
+    "psi",
 ]
 
 

@@ -46,3 +46,42 @@ def double_array_literal(vals: tuple[float, ...]) -> Column:
 
 def long_array_literal(vals: tuple[int, ...]) -> Column:
     return _cached_json_array(json.dumps(list(vals)), "array<bigint>")
+
+
+def literal_rows_df(spark, rows: list[tuple], row_ddl: str):
+    """Small driver-built dim as a LITERAL relation: ``range(1)`` +
+    ``from_json`` + ``explode`` instead of ``spark.createDataFrame``.
+
+    ``createDataFrame`` plans as ``Scan ExistingRDD`` — a Python→JVM RDD
+    round-trip that defeats pushdown/broadcast planning and shows up in
+    the plan audit; a JSON literal constant-folds to a LocalRelation-style
+    generate, one py4j call, one expression node.  Use for cells-sized
+    dims only (centroids, probe tables, grids — tens to hundreds of rows).
+
+    ``row_ddl`` is the struct body (e.g. ``"cent_id int, cent_vec
+    array<double>"``); ``rows`` are positional tuples matching it.
+    """
+    names = [f.split()[0] for f in _split_ddl_fields(row_ddl)]
+    payload = json.dumps([dict(zip(names, r)) for r in rows])
+    col = F.from_json(F.lit(payload), f"array<struct<{row_ddl}>>")
+    return (
+        spark.range(1)
+        .select(F.explode(col).alias("_r"))
+        .select(*[F.col(f"_r.{n}").alias(n) for n in names])
+    )
+
+
+def _split_ddl_fields(row_ddl: str) -> list[str]:
+    """Split a struct-body DDL on top-level commas (commas inside
+    ``array<...>``/``struct<...>`` don't split)."""
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(row_ddl):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(row_ddl[start:i].strip())
+            start = i + 1
+    fields.append(row_ddl[start:].strip())
+    return [f for f in fields if f]

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from qualityassurancetool_spark.functions.literals import literal_rows_df
 from qualityassurancetool_spark.operators.similarity import ivf_assign
 
 
@@ -82,6 +83,7 @@ def kmeans_parallel_init(
 
     from qualityassurancetool_spark.functions.literals import (
         double_matrix_literal,
+        literal_rows_df,
     )
     from qualityassurancetool_spark.functions.partitioning import (
         compute_behind_barrier,
@@ -135,7 +137,8 @@ def kmeans_parallel_init(
             f"raise l or rounds (corpus may be tiny)"
         )
     # weight candidates by owned corpus points (one literal assignment)
-    cand_df = df.sparkSession.createDataFrame(
+    cand_df = literal_rows_df(
+        df.sparkSession,
         list(zip(range(len(cand_ids)), cand_vecs)),
         "cent_id int, cent_vec array<double>",
     )
@@ -210,8 +213,9 @@ def kmeans_fit(
 
     spark = df.sparkSession
     for _ in range(max_iter):
-        cent_df = spark.createDataFrame(
-            [(c, v) for c, v in cents], "cent_id int, cent_vec array<double>"
+        cent_df = literal_rows_df(
+            spark, [(c, v) for c, v in cents],
+            "cent_id int, cent_vec array<double>",
         )
         assigned = ivf_assign(
             df.select(id_col, vec_col), cent_df, 1, vec_col, id_col
@@ -255,8 +259,9 @@ def kmeans_assign(
     """Corpus + ``cluster_id`` for a fitted centroid list (one row per
     input row; join-free literal assignment)."""
     spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(c, v) for c, v in cents], "cent_id int, cent_vec array<double>"
+    cent_df = literal_rows_df(
+        spark, [(c, v) for c, v in cents],
+        "cent_id int, cent_vec array<double>",
     )
     return ivf_assign(df, cent_df, 1, vec_col, id_col)
 

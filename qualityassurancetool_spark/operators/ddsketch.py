@@ -158,12 +158,14 @@ def ddsketch_quantiles(
         .over(Window.partitionBy(*group_cols))
         .alias("total"),
     )
-    probs_df = sketch.sparkSession.createDataFrame(
-        [(float(p),) for p in probs], ["prob"]
-    )
-    joined = cum.crossJoin(F.broadcast(probs_df)).where(
-        F.col("cum") > F.col("prob") * (F.col("total") - F.lit(1.0))
-    )
+    # probs attach as a literal-array explode (one Generate, no join, no
+    # Python->JVM RDD dim) — the probe list is a handful of constants
+    joined = cum.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(float(p)) for p in probs])
+        ).alias("prob"),
+    ).where(F.col("cum") > F.col("prob") * (F.col("total") - F.lit(1.0)))
     pick = Window.partitionBy(*group_cols, "prob").orderBy(
         F.when(F.col("sign") == -1, F.lit(0))
         .when(F.col("sign") == 0, F.lit(1))

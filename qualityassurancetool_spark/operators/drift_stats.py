@@ -124,10 +124,23 @@ def population_stability(
     nc = _bin_counts(new, cols, cuts).select(
         "col", "bin", F.col("n").alias("n_new")
     )
-    # full (col × bin) grid so zero-count bins exist on BOTH sides
-    grid = spark.createDataFrame(
-        [(c, b) for c in cols for b in range(n_bins)], "col string, bin int"
-    )
+    # full (col × bin) grid so zero-count bins exist on BOTH sides —
+    # built as a literal-array explode (LocalRelation-style, no
+    # Python->JVM RDD scan; cols × n_bins is a handful of constants)
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.lit(b).cast("int").alias("bin"),
+                    )
+                    for c in cols
+                    for b in range(n_bins)
+                ]
+            )
+        ).alias("_g")
+    ).select("_g.col", "_g.bin")
     j = (
         grid.join(rc, ["col", "bin"], "left")
         .join(nc, ["col", "bin"], "left")

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from qualityassurancetool_spark.functions.literals import (
+    literal_rows_df,
     double_array_literal,
 )
 from qualityassurancetool_spark.functions.partitioning import (
@@ -212,9 +213,10 @@ def pq_topk(
     n_k = len(codebooks[0])
     qrows = queries.select(query_id_col, vec_col).collect()
     spark = corpus_codes.sparkSession
-    qt = spark.createDataFrame(
+    qt = literal_rows_df(
+        spark,
         [
-            (r[0], adc_tables([float(x) for x in r[1]], codebooks))
+            (int(r[0]), adc_tables([float(x) for x in r[1]], codebooks))
             for r in qrows
         ],
         f"{query_id_col} long, _dt array<double>",
@@ -271,12 +273,14 @@ def ivfadc_index(
     residuals (see ``ivfadc_fit``)."""
     from qualityassurancetool_spark.functions.literals import (
         double_matrix_literal,
+        literal_rows_df,
     )
     from qualityassurancetool_spark.operators.similarity import ivf_assign
 
     spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(c, v) for c, v in cents], "cent_id int, cent_vec array<double>"
+    cent_df = literal_rows_df(
+        spark, [(c, v) for c, v in cents],
+        "cent_id int, cent_vec array<double>",
     )
     assigned = ivf_assign(
         df.select(id_col, vec_col), cent_df, 1, vec_col, id_col
@@ -310,6 +314,7 @@ def ivfadc_fit(
     Returns ``(cents, codebooks)``."""
     from qualityassurancetool_spark.functions.literals import (
         double_matrix_literal,
+        literal_rows_df,
     )
     from qualityassurancetool_spark.operators.clustering import kmeans_fit
     from qualityassurancetool_spark.operators.similarity import ivf_assign
@@ -318,8 +323,9 @@ def ivfadc_fit(
         df, k=n_lists, max_iter=max_iter, vec_col=vec_col, id_col=id_col
     )
     spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(c, v) for c, v in cents], "cent_id int, cent_vec array<double>"
+    cent_df = literal_rows_df(
+        spark, [(c, v) for c, v in cents],
+        "cent_id int, cent_vec array<double>",
     )
     assigned = ivf_assign(
         df.select(id_col, vec_col), cent_df, 1, vec_col, id_col
@@ -399,7 +405,8 @@ def ivfadc_topk(
             resid_q = [a - b for a, b in zip(qv, cv)]
             qt_rows.append((qid, cid, adc_tables(resid_q, codebooks)))
     spark = index.sparkSession
-    qt = spark.createDataFrame(
+    qt = literal_rows_df(
+        spark,
         qt_rows,
         f"{query_id_col} long, cluster_id int, _dt array<double>",
     )

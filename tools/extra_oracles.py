@@ -4093,139 +4093,6 @@ GROUP BY node HAVING COUNT(*) >= 3
     return sdf, sql
 
 
-def x_cusum(spark, con, sf_dir):
-    """cusum_anomaly (Page's chart as the prefix-sum/running-min
-    closed form — two stacked windows, one shuffle) vs a DuckDB
-    replica of the same closed form: per-event-type value streams
-    ordered by event_id, per-group estimated baseline, k=0.5σ,
-    h=5σ."""
-    from qualityassurancetool_spark.operators.cusum import (
-        cusum_anomaly,
-    )
-    from qualityassurancetool_spark.schema import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.col("value").cast("double")
-    )
-    got = cusum_anomaly(
-        ev, "value", ["event_id"], ["event_type"],
-        slack=0.5, threshold=5.0,
-    )
-    sdf = got.select(
-        "event_id",
-        "event_type",
-        (F.round("cusum_pos", 6) + F.lit(0.0)).alias("sp_r"),
-        (F.round("cusum_neg", 6) + F.lit(0.0)).alias("sn_r"),
-        F.col("cusum_flag").alias("flag"),
-    )
-    w = "PARTITION BY event_type ORDER BY event_id"
-    sql = f"""
-WITH ev AS (
-    SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
-    FROM events
-), st AS (
-    SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
-    FROM ev GROUP BY event_type
-), staged AS (
-    SELECT e.event_id, e.event_type, e.value,
-           SUM(CASE WHEN s.sd > 0
-                    THEN (e.value - s.mu) / s.sd - 0.5 END)
-               OVER ({w} ROWS UNBOUNDED PRECEDING) AS sp,
-           SUM(CASE WHEN s.sd > 0
-                    THEN -(e.value - s.mu) / s.sd - 0.5 END)
-               OVER ({w} ROWS UNBOUNDED PRECEDING) AS sn
-    FROM ev e JOIN st s USING (event_type)
-), stat AS (
-    SELECT event_id, event_type, value,
-           sp - LEAST(0.0, MIN(sp)
-               OVER ({w} ROWS UNBOUNDED PRECEDING)) AS s_pos,
-           sn - LEAST(0.0, MIN(sn)
-               OVER ({w} ROWS UNBOUNDED PRECEDING)) AS s_neg
-    FROM staged
-)
-SELECT event_id, event_type,
-       ROUND(s_pos, 6) + 0.0 AS sp_r,
-       ROUND(s_neg, 6) + 0.0 AS sn_r,
-       CASE WHEN value IS NOT NULL AND s_pos IS NOT NULL
-                 AND s_neg IS NOT NULL
-            THEN s_pos > 5.0 OR s_neg > 5.0
-       END AS flag
-FROM stat
-"""
-    return sdf, sql
-
-
-def x_seasonal(spark, con, sf_dir):
-    """seasonal_zscore (per-(stream, hour-of-day) sufficient-stats
-    baseline broadcast back, LOO variant) vs a DuckDB replica with the
-    same cell statistics and epsilon guard, over the events stream."""
-    from qualityassurancetool_spark.operators.seasonal import (
-        seasonal_zscore,
-    )
-    from qualityassurancetool_spark.schema import load_table
-
-    nsig, min_s = 2.5, 5
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.col("ts").alias("ts"),
-        F.col("value").cast("double").alias("value"),
-    )
-    got = seasonal_zscore(
-        ev, "value", "ts", ["event_type"],
-        period="hour_of_day", nsigma=nsig, min_samples=min_s,
-        loo=True,
-    )
-    sdf = got.select(
-        "event_id",
-        "event_type",
-        (F.round("seasonal_mu", 6) + F.lit(0.0)).alias("mu_r"),
-        (F.round("seasonal_sigma", 6) + F.lit(0.0)).alias("sd_r"),
-        F.col("seasonal_flag").alias("flag"),
-    )
-    sql = f"""
-WITH ev AS (
-    SELECT event_id, event_type, ts, CAST(value AS DOUBLE) AS value
-    FROM events
-), prof AS (
-    SELECT event_type, EXTRACT(hour FROM ts) AS cell,
-           COUNT(value) AS n, SUM(value) AS s1,
-           SUM(value * value) AS s2
-    FROM ev WHERE ts IS NOT NULL GROUP BY 1, 2
-), scored AS (
-    SELECT e.event_id, e.event_type, e.value, e.ts,
-           CASE WHEN e.value IS NOT NULL THEN p.n - 1 ELSE p.n END
-               AS n,
-           CASE WHEN e.value IS NOT NULL THEN p.s1 - e.value
-                ELSE p.s1 END AS s1,
-           CASE WHEN e.value IS NOT NULL
-                THEN p.s2 - e.value * e.value ELSE p.s2 END AS s2
-    FROM ev e
-    LEFT JOIN prof p
-      ON p.event_type = e.event_type
-     AND p.cell = EXTRACT(hour FROM e.ts)
-), calc AS (
-    SELECT event_id, event_type, value, ts, n,
-           CASE WHEN n > 0 THEN s1 / n END AS mu,
-           CASE WHEN n >= 2 THEN
-               sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0.0))
-           END AS sd
-    FROM scored
-)
-SELECT event_id, event_type,
-       ROUND(mu, 6) + 0.0 AS mu_r,
-       ROUND(sd, 6) + 0.0 AS sd_r,
-       CASE WHEN value IS NOT NULL AND ts IS NOT NULL
-                 AND mu IS NOT NULL AND sd IS NOT NULL
-                 AND n >= {min_s}
-            THEN ABS(value - mu) > {nsig!r} * sd
-                 + 1e-9 * GREATEST(ABS(value), ABS(mu))
-       END AS flag
-FROM calc
-"""
-    return sdf, sql
-
-
 def x_episodes(spark, con, sf_dir):
     """flag_episodes (gaps-and-islands collapse of per-row flags into
     incidents, debounced) vs a DuckDB islands replica: synthetic
@@ -4286,99 +4153,6 @@ SELECT event_type,
        ROUND(CAST(dur AS DOUBLE), 3) + 0.0 AS dur_r,
        ROUND(peak, 6) + 0.0 AS peak_r
 FROM agg WHERE n_rows >= 2
-"""
-    return sdf, sql
-
-
-def x_psi(spark, con, sf_dir):
-    """population_stability (PSI/KL over reference-quantile bins,
-    epsilon-smoothed) vs a DuckDB replica: early-shipdate lineitem
-    rows as reference, the rest as the new sample, two columns in one
-    call."""
-    from qualityassurancetool_spark.operators.drift_stats import (
-        population_stability,
-    )
-    from qualityassurancetool_spark.schema import load_table
-
-    B, EPS = 5, 1e-4
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_shipdate",
-        F.col("l_extendedprice").cast("double").alias("price"),
-        F.col("l_quantity").cast("double").alias("qty"),
-    )
-    cut = "1995-06-17"
-    ref = li.where(F.col("l_shipdate") < cut)
-    new = li.where(F.col("l_shipdate") >= cut)
-    got = population_stability(
-        ref, new, ["price", "qty"], n_bins=B, eps=EPS
-    )
-    sdf = got.select(
-        "col",
-        (F.round("psi", 9) + F.lit(0.0)).alias("psi_r"),
-        (F.round("kl", 9) + F.lit(0.0)).alias("kl_r"),
-        "n_ref",
-        "n_new",
-    )
-    probs = ", ".join(str(i / B) for i in range(1, B))
-    col_sql = []
-    for c in ("price", "qty"):
-        col_sql.append(f"""
-SELECT '{c}' AS col, side, bin, COUNT(*) AS n FROM (
-    SELECT side,
-           (SELECT COUNT(*) FROM (
-               SELECT UNNEST(cuts) AS cv FROM cu WHERE cu.col = '{c}'
-            ) WHERE {c} > cv) AS bin
-    FROM both_sides WHERE {c} IS NOT NULL
-) GROUP BY 1, 2, 3""")
-    sql = f"""
-WITH li AS (
-    SELECT l_shipdate,
-           CAST(l_extendedprice AS DOUBLE) AS price,
-           CAST(l_quantity AS DOUBLE) AS qty
-    FROM lineitem
-), both_sides AS (
-    SELECT CASE WHEN l_shipdate < DATE '{cut}' THEN 'ref'
-                ELSE 'new' END AS side, price, qty
-    FROM li
-), cu AS (
-    SELECT 'price' AS col,
-           [round(x, 6) FOR x IN quantile_cont(price, [{probs}])]
-               AS cuts
-    FROM both_sides WHERE side = 'ref'
-    UNION ALL
-    SELECT 'qty',
-           [round(x, 6) FOR x IN quantile_cont(qty, [{probs}])]
-    FROM both_sides WHERE side = 'ref'
-), counts AS ({" UNION ALL ".join(col_sql)}),
-grid AS (
-    SELECT c.col, s.side, b.bin
-    FROM (SELECT DISTINCT col FROM counts) c
-    CROSS JOIN (VALUES ('ref'), ('new')) s(side)
-    CROSS JOIN (SELECT UNNEST(range({B})) AS bin) b
-), filled AS (
-    SELECT g.col, g.side, g.bin, COALESCE(c.n, 0) AS n
-    FROM grid g LEFT JOIN counts c
-      ON c.col = g.col AND c.side = g.side AND c.bin = g.bin
-), tot AS (
-    SELECT col, side, SUM(n) AS t FROM filled GROUP BY 1, 2
-), p AS (
-    SELECT f.col, f.bin,
-           GREATEST(MAX(CASE WHEN f.side = 'ref'
-                             THEN f.n / t.t END), {EPS!r}) AS p_ref,
-           GREATEST(MAX(CASE WHEN f.side = 'new'
-                             THEN f.n / t.t END), {EPS!r}) AS p_new,
-           MAX(CASE WHEN f.side = 'ref' THEN f.n END) AS n_ref,
-           MAX(CASE WHEN f.side = 'new' THEN f.n END) AS n_new
-    FROM filled f JOIN tot t ON t.col = f.col AND t.side = f.side
-    GROUP BY 1, 2
-)
-SELECT col,
-       ROUND(SUM((p_new - p_ref) * LN(p_new / p_ref)), 9) + 0.0
-           AS psi_r,
-       ROUND(SUM(p_new * LN(p_new / p_ref)), 9) + 0.0 AS kl_r,
-       CAST(SUM(n_ref) AS BIGINT) AS n_ref,
-       CAST(SUM(n_new) AS BIGINT) AS n_new
-FROM p GROUP BY col
 """
     return sdf, sql
 
@@ -4491,6 +4265,15 @@ x_text_stats = _retired("text_stats")
 x_nested_flatten = _retired("nested_flatten")
 x_frame_sample_plan = _retired("frame_sample_plan")
 x_sim_brute = _retired("sim_brute")
+# round-7 swap: the monitoring family (cusum/seasonal/psi) promoted
+# into the driver gate (moved here->entry verbatim), retiring three
+# trivial rows; all six names stay as the same delegation
+x_cusum = _retired("cusum")
+x_seasonal = _retired("seasonal")
+x_psi = _retired("psi")
+x_unpivot_roundtrip = _retired("unpivot_roundtrip")
+x_agg_pricing_summary = _retired("agg_pricing_summary")
+x_join_segment_revenue = _retired("join_segment_revenue")
 
 # inverse of retirement: bm25/cms/multipattern were PROMOTED into the
 # driver gate this round; their x_* names stay as the same delegation
@@ -4606,6 +4389,9 @@ EXTRA_CHECKS = {
     "x_quantile_bin": x_quantile_bin,
     "x_ewma": x_ewma,
     "x_cusum": x_cusum,
+    "x_unpivot_roundtrip": x_unpivot_roundtrip,
+    "x_agg_pricing_summary": x_agg_pricing_summary,
+    "x_join_segment_revenue": x_join_segment_revenue,
     "x_seasonal": x_seasonal,
     "x_episodes": x_episodes,
     "x_psi": x_psi,

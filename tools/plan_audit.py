@@ -41,6 +41,9 @@ NESTED_LOOP_OK = {
     "scd2_lookup",       # dim build: customer x 3-row version literal;
                          # the lookup itself is a BroadcastHashJoin on
                          # the natural key with the BETWEEN as residual
+    "experiment",        # CUPED θ scalar attach: crossJoin of a ONE-ROW
+                         # broadcast aggregate (covariance pass) — the
+                         # sanctioned scalar-attach shape, no pair space
 }
 
 # queries whose plan legitimately scans a LogicalRDD: checkpointed
