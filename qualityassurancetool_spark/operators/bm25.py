@@ -94,6 +94,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     stats: tuple[int, float] | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25:
     ``(query_id, doc_id, score, n_terms_matched)``, ranked score desc
@@ -104,7 +105,14 @@ def bm25_topk(
     ``stats``: precomputed :func:`corpus_stats` — pass it when running
     many query batches to skip the per-call stats agg entirely (the
     corpus text is read once per call either way: stats come from the
-    persisted slim frame, never a second text scan)."""
+    persisted slim frame, never a second text scan).
+
+    ``persist`` (default True) caches the query-independent token frame
+    at MEMORY_AND_DISK for the session — right for repeated batches over
+    the SAME corpus.  A caller sweeping many *different* corpora should
+    pass ``persist=False`` (or call ``spark.catalog.clearCache()``
+    between corpora): cache entries are keyed by plan and otherwise
+    accumulate for the session lifetime."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     qterms = _doc_terms(
@@ -119,7 +127,9 @@ def bm25_topk(
     # driver-literal array_contains filter was measured ~40% slower
     # at 1.2k query terms — giant literals poison plan compile and
     # the per-token scan is linear in |vocab|).
-    slim = _doc_toks(docs, text_col, id_col).persist()
+    slim = _doc_toks(docs, text_col, id_col)
+    if persist:
+        slim = slim.persist()
     if stats is None:
         row = (
             slim.select(F.size("_toks").alias("dl"))

@@ -174,12 +174,17 @@ def categorical_stability(
     max_categories: int = 100,
     eps: float = 1e-4,
 ) -> DataFrame:
-    """(category, p_ref, p_new, psi_term) + the (col-level) totals as
-    one summary row (category = NULL): PSI/KL over category
-    frequencies.  The reference's ``max_categories`` most frequent
-    values keep their identity (count desc, value asc tie-break);
-    everything else — unseen categories, the long tail, NULL —
-    folds into ``__other__``."""
+    """(category, p_ref, p_new, psi_term, kl_term) + the (col-level)
+    totals as one summary row (category = NULL): PSI and KL over
+    category frequencies.  The reference's ``max_categories`` most
+    frequent values keep their identity (count desc, value asc
+    tie-break); everything else — unseen categories, the long tail,
+    NULL — folds into ``__other__``.
+
+    Sentinel collision: a REAL category literally named ``__other__``
+    or ``__null__`` would silently merge with the fold/NULL buckets —
+    the guard below raises instead of conflating them (rename such
+    values upstream, or pre-bucket the column yourself)."""
     if max_categories < 1:
         raise ValueError(
             f"max_categories must be >= 1, got {max_categories}"
@@ -187,6 +192,22 @@ def categorical_stability(
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
     c = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    n_sentinel = (
+        ref.where(F.col(col).cast("string").isin("__other__", "__null__"))
+        .limit(1)
+        .count()
+        + new.where(
+            F.col(col).cast("string").isin("__other__", "__null__")
+        )
+        .limit(1)
+        .count()
+    )
+    if n_sentinel:
+        raise ValueError(
+            f"column {col!r} contains a literal '__other__'/'__null__' "
+            "category, which would merge with the fold/NULL sentinel "
+            "buckets — rename those values upstream"
+        )
     top = [
         r["v"]
         for r in (
@@ -205,7 +226,12 @@ def categorical_stability(
         )
 
     spark = ref.sparkSession
-    cats = spark.createDataFrame(
+    from qualityassurancetool_spark.functions.literals import (
+        literal_rows_df,
+    )
+
+    cats = literal_rows_df(
+        spark,
         [(v,) for v in sorted(set(top) | {"__other__"})],
         "category string",
     )
@@ -226,11 +252,13 @@ def categorical_stability(
         p_ref.alias("p_ref"),
         p_new.alias("p_new"),
         ((p_new - p_ref) * F.log(p_new / p_ref)).alias("psi_term"),
+        (p_new * F.log(p_new / p_ref)).alias("kl_term"),
     )
     total = per_cat.agg(
         F.lit(None).cast("string").alias("category"),
         F.lit(None).cast("double").alias("p_ref"),
         F.lit(None).cast("double").alias("p_new"),
         F.sum("psi_term").alias("psi_term"),
+        F.sum("kl_term").alias("kl_term"),
     )
     return per_cat.unionByName(total)

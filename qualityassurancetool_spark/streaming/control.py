@@ -28,9 +28,13 @@ batch default estimates them from the batch, which a stream cannot do
 without peeking at its own future.
 
 Scale: state is per-stream O(1); each micro-batch shuffles by the
-stream key once (the applyInPandasWithState exchange).  Output mode
-is append-per-row (every input row yields its charted row exactly
-once).
+stream key once (the applyInPandasWithState exchange).  Both queries
+run ``applyInPandasWithState`` in **update** output mode (the only
+mode Spark allows for this operator alongside append); semantically
+every input row yields its charted row exactly once — sinks must
+treat rows as upserts keyed by (stream, t), the way the test
+foreachBatch sink does.  NULL inputs re-emit as SQL NULL (nullable
+Float64 Arrow arrays), matching the batch operators' NULL discipline.
 """
 
 from __future__ import annotations
@@ -43,6 +47,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+def _order_micros(stream: DataFrame, order_col: str):
+    """Order column -> exact integer key: timestamps become epoch
+    MICROseconds (a bare cast("long") truncates to whole seconds and
+    sub-second rows would tie, feeding the recurrence in arbitrary
+    order); integral columns pass through."""
+    for f in stream.schema.fields:
+        if f.name == order_col and isinstance(
+            f.dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            return F.unix_micros(F.col(order_col).cast("timestamp"))
+    return F.col(order_col).cast("long")
+
 
 CUSUM_OUTPUT_SCHEMA = T.StructType(
     [
@@ -105,7 +122,7 @@ def streaming_cusum(
         # would feed the recurrence out of order for large groups
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
-            pdf = pdf.sort_values("t")
+            pdf = pdf.sort_values("t", kind="mergesort")
             out_sp, out_sn, out_fl = [], [], []
             for v in pdf["value"]:
                 if v is None or (
@@ -126,9 +143,13 @@ def streaming_cusum(
                 {
                     "stream": key[0],
                     "t": pdf["t"].values,
-                    "value": pdf["value"].values,
-                    "cusum_pos": out_sp,
-                    "cusum_neg": out_sn,
+                    "value": pd.array(
+                        [None if pd.isna(v) else float(v)
+                         for v in pdf["value"]],
+                        dtype="Float64",
+                    ),
+                    "cusum_pos": pd.array(out_sp, dtype="Float64"),
+                    "cusum_neg": pd.array(out_sn, dtype="Float64"),
                     "cusum_flag": pd.array(out_fl, dtype="boolean"),
                 }
             )
@@ -136,7 +157,7 @@ def streaming_cusum(
 
     keyed = stream.select(
         F.col(group_col).cast("string").alias("stream"),
-        F.col(order_col).cast("long").alias("t"),
+        _order_micros(stream, order_col).alias("t"),
         F.col(value_col).cast("double").alias("value"),
     )
     return keyed.groupBy("stream").applyInPandasWithState(
@@ -214,7 +235,7 @@ def streaming_ewma(
         # in chart order)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
-            pdf = pdf.sort_values("t")
+            pdf = pdf.sort_values("t", kind="mergesort")
             cols: dict[str, list] = {
                 c: []
                 for c in ("ewma", "prev", "sigma", "dev", "flag")
@@ -272,11 +293,15 @@ def streaming_ewma(
                 {
                     "stream": key[0],
                     "t": pdf["t"].values,
-                    "value": pdf["value"].values,
-                    "ewma": cols["ewma"],
-                    "ewma_prev": cols["prev"],
-                    "ewma_sigma": cols["sigma"],
-                    "ewma_dev": cols["dev"],
+                    "value": pd.array(
+                        [None if pd.isna(v) else float(v)
+                         for v in pdf["value"]],
+                        dtype="Float64",
+                    ),
+                    "ewma": pd.array(cols["ewma"], dtype="Float64"),
+                    "ewma_prev": pd.array(cols["prev"], dtype="Float64"),
+                    "ewma_sigma": pd.array(cols["sigma"], dtype="Float64"),
+                    "ewma_dev": pd.array(cols["dev"], dtype="Float64"),
                     "ewma_flag": pd.array(
                         cols["flag"], dtype="boolean"
                     ),
@@ -286,7 +311,7 @@ def streaming_ewma(
 
     keyed = stream.select(
         F.col(group_col).cast("string").alias("stream"),
-        F.col(order_col).cast("long").alias("t"),
+        _order_micros(stream, order_col).alias("t"),
         F.col(value_col).cast("double").alias("value"),
     )
     return keyed.groupBy("stream").applyInPandasWithState(

@@ -97,6 +97,26 @@ def test_categorical_unseen_folds_to_other(spark):
         for pn, pr in [(0.4, 0.7), (0.3, 0.3), (0.3, e)]
     )
     assert total["psi_term"] == pytest.approx(want, rel=1e-9)
+    # kl_term: emitted per category AND summed in the total row
+    want_kl = sum(
+        pn * math.log(pn / pr)
+        for pn, pr in [(0.4, 0.7), (0.3, 0.3), (0.3, e)]
+    )
+    assert total["kl_term"] == pytest.approx(want_kl, rel=1e-9)
+    assert per["a"]["kl_term"] == pytest.approx(
+        0.4 * math.log(0.4 / 0.7), rel=1e-9
+    )
+
+
+def test_categorical_sentinel_collision_raises(spark):
+    ref = spark.createDataFrame([("a",), ("__other__",)], "k string")
+    new = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="__other__"):
+        categorical_stability(ref, new, "k")
+    ref2 = spark.createDataFrame([("a",)], "k string")
+    new2 = spark.createDataFrame([("__null__",), ("a",)], "k string")
+    with pytest.raises(ValueError, match="__null__"):
+        categorical_stability(ref2, new2, "k")
 
 
 def test_validation(spark):

@@ -216,3 +216,74 @@ def test_multichunk_batch_order(spark, tmp_path):
         assert r["cusum_pos"] == pytest.approx(
             w["cusum_pos"], abs=1e-9
         ), r["t"]
+
+
+def test_timestamp_order_microseconds_and_null_emission(spark, tmp_path):
+    """A TIMESTAMP order column must order at MICROsecond resolution (a
+    bare long cast truncates to seconds and sub-second rows would tie),
+    and NULL input values must re-emit as SQL NULL, not NaN — batch
+    parity for both."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # five rows inside ONE second, deliberately written out of order,
+    # plus a NULL value row — microsecond order is the chart order
+    rows = [
+        ("a", base + dt.timedelta(microseconds=us), v)
+        for us, v in [
+            (400, 23.0),
+            (100, 17.0),
+            (300, None),
+            (200, 29.0),
+            (500, 11.0),
+        ]
+    ]
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        rows, "g string, ts timestamp, x double"
+    ).coalesce(1).write.mode("overwrite").parquet(land)
+
+    got: list = []
+    stream = spark.readStream.schema(
+        "g string, ts timestamp, x double"
+    ).parquet(land)
+    q = (
+        streaming_cusum(
+            stream, "x", "ts", "g", target=MU, sigma=SD
+        )
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got.sort(key=lambda r: r["t"])
+    # microsecond keys survive (all five distinct, ascending)
+    ts_us = [r["t"] for r in got]
+    assert len(set(ts_us)) == 5 and ts_us == sorted(ts_us)
+
+    # batch twin over the same rows, ordered by the same µs key
+    batch = spark.createDataFrame(rows, "g string, ts timestamp, x double")
+    expect = (
+        cusum_anomaly(
+            batch.select(
+                "g", F.unix_micros("ts").alias("t"), F.col("x")
+            ),
+            "x",
+            ["t"],
+            ["g"],
+            target=MU,
+            sigma=SD,
+        )
+        .orderBy("t")
+        .collect()
+    )
+    for g_row, b_row in zip(got, expect):
+        assert g_row["cusum_pos"] == pytest.approx(
+            b_row["cusum_pos"], rel=1e-12
+        ) or (g_row["cusum_pos"] is None and b_row["cusum_pos"] is None)
+    # the NULL input row re-emits value as SQL NULL (not NaN)
+    null_row = next(r for r in got if r["t"] % 1000 == 300)
+    assert null_row["value"] is None
