@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from qualityassurancetool_spark.functions.timeutils import (
+    epoch_micros,
     parse_timedelta_seconds,
 )
 
@@ -66,14 +67,15 @@ def flag_episodes(
     )
     w = Window.partitionBy(*g).orderBy("_ts")
     prev = F.lag("_ts").over(w)
-    # fractional-second epochs (cast double keeps sub-second parts;
-    # unix_timestamp would truncate and misplace sub-second gaps)
+    # exact integer-microsecond epochs (a double cast keeps sub-second
+    # parts for TIMESTAMP but cannot cast TIMESTAMP_NTZ at all —
+    # tz-less parquet reads as NTZ under Spark 4; epoch_micros handles
+    # both and unix_timestamp would truncate sub-second gaps)
+    ts_us = epoch_micros(F.col("_ts"))
+    prev_us = epoch_micros(prev)
     new_ep = F.when(
         prev.isNull()
-        | (
-            F.col("_ts").cast("double") - prev.cast("double")
-            > F.lit(float(gap_s))
-        ),
+        | ((ts_us - prev_us) / 1e6 > F.lit(float(gap_s))),
         1,
     ).otherwise(0)
     eps = rows.withColumn(
@@ -86,10 +88,7 @@ def flag_episodes(
         F.min("_ts").alias("start"),
         F.max("_ts").alias("end"),
         F.count(F.lit(1)).alias("n_rows"),
-        (
-            F.max(F.col("_ts").cast("double"))
-            - F.min(F.col("_ts").cast("double"))
-        ).alias("duration_s"),
+        ((F.max(ts_us) - F.min(ts_us)) / 1e6).alias("duration_s"),
     ]
     if value_col:
         aggs.append(F.max("_v").alias("peak_value"))

@@ -44,4 +44,16 @@ def test_runbook_commands_execute(spark):
     assert main(refresh_argv + ["--keep-session"]) == 0
     after = open("/tmp/qat_ops_demo/state/LAST_COMMITTED").read()
     assert after != before  # a new (empty) update committed
+    # monitoring chain: chart -> episodes -> incident report.  The doc's
+    # episodes command reads the chart output the doc's control command
+    # wrote; the result is the incident table a pager consumes.
+    chart = spark.read.parquet("/tmp/qat_ops_demo/control")
+    assert "cusum_flag" in chart.columns
+    eps = spark.read.parquet("/tmp/qat_ops_demo/episodes")
+    for col in ("episode", "start", "end", "n_rows", "duration_s"):
+        assert col in eps.columns, eps.columns
+    rows = eps.collect()
+    assert rows, "chart must produce at least one alert episode"
+    assert all(r["n_rows"] >= 2 for r in rows)  # min_rows debounce held
+    assert all(r["end"] >= r["start"] for r in rows)
     shutil.rmtree("/tmp/qat_ops_demo", ignore_errors=True)
