@@ -66,6 +66,10 @@ _LOCATION_KEYS = {
     "time_window",
     "max_dx_dt",
     "connection",  # reference carries DB credentials here; unused
+    # reference-parity knobs (golden-replay semantics)
+    "distance",       # haversine | lambert | exact
+    "marking",        # pair | reference
+    "threshold_mode",  # nominal | span
 }
 
 
@@ -247,6 +251,13 @@ class QCConfig:
     acceleration_max: float | None = None
     outlier_time_window: str | float = "10min"
     outlier_max_dx_dt: float | None = None
+    # reference-parity knobs (golden-fixture replay semantics,
+    # tests/test_reference_goldens.py): distance kernel for the
+    # velocity track (haversine|lambert|exact), marking convention
+    # (pair|reference), outlier threshold mode (nominal|span)
+    geo_distance: str = "haversine"
+    geo_marking: str = "pair"
+    outlier_threshold_mode: str = "nominal"
     # region polygons: [(name, [(lon, lat), ...]), ...]
     region_polygons: list | None = None
     # deferred live-DB polygon source ({url, table|query, ...}) — needs
@@ -364,6 +375,11 @@ class QCConfig:
             acceleration_max=geo.get("max_acceleration"),
             outlier_time_window=geo.get("time_window", "10min"),
             outlier_max_dx_dt=geo.get("max_dx_dt"),
+            geo_distance=geo.get("distance", "haversine"),
+            geo_marking=geo.get("marking", "pair"),
+            outlier_threshold_mode=geo.get(
+                "threshold_mode", "nominal"
+            ),
             asof_materialize=bool(d.get("asof_materialize", False)),
             feature_flags=bool(d.get("feature_flags", False)),
             overwrite_feature_flags=bool(

@@ -137,6 +137,13 @@ def ewma_anomaly(
     noise, 6+ below any physical deviation — so real spikes on a
     σ=0 history still flag (dev is O(signal), eps is O(1e-9·
     signal)).
+
+    Plan-size note: this chart unrolls ~2·``window`` ``lag()``
+    terms per direction (≈64 window expressions at the default 16)
+    — one shuffle, fully codegen'd, fine.  Before raising
+    ``window`` past ~32, reach for :func:`ewma_anomaly_bucketed`
+    (identical output, K-row halo instead of a K-term unroll) — a
+    256-lag plan bloats analysis/codegen, not just execution.
     """
     if nsigma <= 0:
         raise ValueError(f"nsigma must be > 0, got {nsigma}")

@@ -152,6 +152,7 @@ def _check_spatial_outlier(
             if getattr(cfg, "window_strategy", "window") == "bucketed"
             else "window"
         ),
+        threshold_mode=getattr(cfg, "outlier_threshold_mode", "nominal"),
     )
 
 
@@ -171,6 +172,8 @@ def _check_velocity(
         max_acceleration_ms2=cfg.acceleration_max or float("inf"),
         partition_cols=[stream_col],
         order_extra=["iot_id"] if "iot_id" in df.columns else None,
+        distance=getattr(cfg, "geo_distance", "haversine"),
+        marking=getattr(cfg, "geo_marking", "pair"),
     )
 
 

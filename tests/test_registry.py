@@ -402,3 +402,61 @@ def test_drift_seasonal_in_chain(spark):
     assert out.count() == obs.count()
     with pytest.raises(ConfigError):
         QCConfig.from_dict({"drift": {"seasonal": {"bad": 1}}})
+
+
+def test_reference_parity_knobs_route_from_config(spark):
+    """geo.distance / geo.marking / geo.threshold_mode flow from YAML
+    config through the registry into the operators (the golden-replay
+    semantics are reachable without code)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.config import QCConfig
+    from qualityassurancetool_spark.plans.registry import (
+        run_registered_checks,
+    )
+
+    cfg = QCConfig.from_dict(
+        {
+            "QC": [],
+            "location": {
+                "max_velocity": 90.0,
+                "max_dx_dt": 300.0,
+                "time_window": "5min",
+                "distance": "exact",
+                "marking": "reference",
+                "threshold_mode": "span",
+            },
+        }
+    )
+    assert cfg.geo_distance == "exact"
+    assert cfg.geo_marking == "reference"
+    assert cfg.outlier_threshold_mode == "span"
+
+    # the reference outlier grid through the CONFIG path: same rows flag
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    pdf = pd.DataFrame(
+        {
+            "iot_id": range(10),
+            "datastream_id": ["s"] * 10,
+            "phenomenon_time": [
+                base + pd.Timedelta(seconds=s) for s in range(5)
+            ]
+            * 2,
+            "long": [i * 0.001 + 50.0 for i in range(10)],
+            "lat": [i * 0.001 + 20.0 for i in range(10)],
+        }
+    )
+    pdf.loc[[3, 4], "long"] += 0.1
+    df = spark.createDataFrame(pdf).withColumn(
+        "qc_flag", F.lit(0).cast("tinyint")
+    )
+    out = run_registered_checks(
+        df, cfg, spark, checks=["spatial_outlier"],
+        stream_col="datastream_id",
+    )
+    flagged = sorted(
+        r["iot_id"]
+        for r in out.where(F.col("qc_flag") == 4).collect()
+    )
+    assert flagged == [3, 4]
