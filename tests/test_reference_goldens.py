@@ -425,3 +425,169 @@ def test_aums_agg_golden(spark, tmp_path):
         f_got = got[f"{sid}_flag"].astype(float).to_numpy()
         f_ref = ref[f"{sid}_flag"].astype(float).to_numpy()
         np.testing.assert_allclose(f_got, f_ref, rtol=0, equal_nan=True)
+
+
+# ------------------------------------------------ gradient fixture replay
+
+
+def _grad_frame(spark, results, times_s):
+    pdf = pd.DataFrame(
+        {
+            "iot_id": range(len(results)),
+            "datastream_id": [0] * len(results),
+            "phenomenon_time": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=float(s))
+                for s in times_s
+            ],
+            "result": [float(r) for r in results],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.mark.parametrize(
+    "result,ref",
+    [
+        ([0.0] * 10, [0.0] * 10),
+        (list(range(0, 10)), [1.0] * 10),
+        (list(range(10, 0, -1)), [-1.0] * 10),
+    ],
+)
+def test_gradient_golden_basic(spark, result, ref):
+    """Reference ``test_qc_gradient_calc_basic`` (``tests/test_qc.py:
+    437-453``): uniform 1 s grid, constant/linear series — gradient is
+    exactly 0 / +1 / −1 everywhere (np.gradient parity)."""
+    from qualityassurancetool_spark.operators.gradient import calc_gradient
+
+    df = _grad_frame(spark, result, range(10))
+    got = (
+        calc_gradient(df)
+        .orderBy("iot_id")
+        .select("gradient")
+        .toPandas()["gradient"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(got, np.array(ref, dtype=float), atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "result", [list(range(0, 10)), list(range(10, 0, -1))]
+)
+def test_gradient_golden_nonuniform_dt(spark, result):
+    """Reference ``test_qc_gradient_cacl_vardt`` (``tests/test_qc.py:
+    455-473``): time grid t_i = i² seconds — the non-uniform central
+    difference must equal ``np.gradient(result, [i² ...])`` exactly."""
+    from qualityassurancetool_spark.operators.gradient import calc_gradient
+
+    times = [i * i for i in range(10)]
+    df = _grad_frame(spark, result, times)
+    got = (
+        calc_gradient(df)
+        .orderBy("iot_id")
+        .select("gradient")
+        .toPandas()["gradient"]
+        .to_numpy()
+    )
+    want = np.gradient(np.array(result, dtype=float), np.array(times, float))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+# ------------------------------------- dependent-quantity fixture replay
+
+
+def _dep_frame(spark, extra_stream_of=None):
+    """The reference's ``df_testing`` shape for the dependent checks
+    (``tests/test_qc.py:106-140``): streams 0/1 interleaved over 5
+    shared seconds, iot_id 0..9, all flags GOOD; optionally append a
+    copy of one stream as stream 10 (the 3-streams variants)."""
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    pdf = pd.DataFrame(
+        {
+            "iot_id": range(10),
+            "datastream_id": [0, 1] * 5,
+            "phenomenon_time": [
+                base + pd.Timedelta(seconds=s) for s in range(5)
+                for _ in (0, 1)
+            ],
+            "result": [float(i) for i in range(10)],
+        }
+    )
+    if extra_stream_of is not None:
+        extra = pdf[pdf["datastream_id"] == extra_stream_of].copy()
+        extra["datastream_id"] = 10
+        extra["iot_id"] = extra["iot_id"] + 10
+        pdf = pd.concat([pdf, extra], ignore_index=True)
+    pdf["qc_flag"] = 1  # GOOD
+    return pdf
+
+
+def _flag_counts(spark, pdf, **kw):
+    from qualityassurancetool_spark.operators.asof import (
+        qc_dependent_quantity_base,
+    )
+
+    df = spark.createDataFrame(pdf).withColumn(
+        "qc_flag", F.col("qc_flag").cast("tinyint")
+    )
+    out = qc_dependent_quantity_base(df, **kw)
+    rows = out.select("qc_flag").toPandas()["qc_flag"].value_counts()
+    return {int(k): int(v) for k, v in rows.items()}
+
+
+@pytest.mark.parametrize("n", range(5))
+def test_dependent_mismatch_golden(spark, n):
+    """Reference ``test_qc_dependent_quantities_mismatch``
+    (``tests/test_qc.py:682-703``): shift the n-th independent
+    observation a day away — exactly its orphaned dependent flags BAD
+    (the reference's default treats a missing match as BAD; this
+    engine's knob spells it ``flag_when_missing``)."""
+    pdf = _dep_frame(spark)
+    idx = pdf.index[pdf["datastream_id"] == 0][n]
+    pdf.loc[idx, "phenomenon_time"] += pd.Timedelta(days=1)
+    counts = _flag_counts(
+        spark, pdf,
+        independent=0, dependent=1, dt_tolerance="0.5s",
+        flag_when_missing=4,
+    )
+    assert counts == {1: 9, 4: 1}
+
+
+@pytest.mark.parametrize("n", range(5))
+def test_dependent_base_3streams_golden(spark, n):
+    """Reference ``test_qc_dependent_quantities_base_3streams``
+    (``tests/test_qc.py:706-730``): a third uninvolved stream rides
+    along untouched; the BAD independent propagates to exactly its
+    time-matched dependent — 2 BAD of 15."""
+    pdf = _dep_frame(spark, extra_stream_of=1)
+    idx = pdf.index[pdf["datastream_id"] == 0][n]
+    pdf.loc[idx, "qc_flag"] = 4
+    counts = _flag_counts(
+        spark, pdf,
+        independent=0, dependent=1, dt_tolerance="0.5s",
+    )
+    assert counts == {1: 13, 4: 2}
+
+
+@pytest.mark.parametrize("n", range(5))
+@pytest.mark.parametrize("n_rel_del", range(1, 5))
+@pytest.mark.parametrize("independent_id,dependent_id", [(0, 1), (1, 0)])
+def test_dependent_3streams_missing_golden(
+    spark, n, n_rel_del, independent_id, dependent_id
+):
+    """Reference ``test_qc_dependent_quantities_base_3streams_missing``
+    (``tests/test_qc.py:733-781``): one independent observation deleted
+    AND another flagged BAD — the orphaned dependent flags BAD
+    (flag_when_missing), the matched dependent inherits BAD, the set
+    BAD stays: 3 BAD of 14."""
+    pdf = _dep_frame(spark, extra_stream_of=dependent_id)
+    ind_idx = pdf.index[pdf["datastream_id"] == independent_id]
+    idx_bad = ind_idx[n]
+    idx_del = ind_idx[(n + n_rel_del) % len(ind_idx)]
+    pdf.loc[idx_bad, "qc_flag"] = 4
+    pdf = pdf.drop(index=idx_del).reset_index(drop=True)
+    counts = _flag_counts(
+        spark, pdf,
+        independent=independent_id, dependent=dependent_id,
+        dt_tolerance="0.5s", flag_when_missing=4,
+    )
+    assert counts == {1: 11, 4: 3}
