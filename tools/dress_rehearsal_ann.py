@@ -48,7 +48,15 @@ def corpus(spark, n_vecs: int):
     """Deterministic clustered vectors: component d of vector i is
     center(i mod 8)[d] + uniform noise from md5(i, d) — pure Column
     math, shuffle-free generation."""
-    base = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    # repartition the ID-ONLY frame (8 B/row) BEFORE the 64-component
+    # md5 expansion: shuffling after expansion moves 512 B/row arrays
+    # (4.5 GB + spill at 10 M); shuffling ids first moves ~80 MB and the
+    # expensive columns are computed on their final partitions.
+    base = (
+        spark.range(n_vecs)
+        .repartition(32)
+        .select(F.col("id").alias("vec_id"))
+    )
     center = (F.col("vec_id") % N_CENTERS).cast("int")
     comps = []
     for d in range(DIM):
@@ -85,7 +93,6 @@ def run(spark, n_vecs: int) -> None:
     m.stage(
         "vector corpus write", n_vecs,
         lambda: corpus(spark, n_vecs)
-        .repartition(32)
         .write.mode("overwrite")
         .parquet(path)
         or n_vecs,
