@@ -301,6 +301,83 @@ def ivfadc_index(
     return coded.select(id_col, "cluster_id", "pq_code")
 
 
+def ivfadc_write(
+    index: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    files_per_list: int | None = None,
+    n_lists: int | None = None,
+) -> None:
+    """Persist an ``ivfadc_index`` frame as a ``cluster_id``-partitioned
+    parquet layout — the disk form of the IVF inverted lists.
+
+    Why partitioned: ``ivfadc_topk`` restricts its scan with a static
+    ``cluster_id IN (probed)`` literal, and against this layout Spark
+    resolves that to directory-level partition pruning
+    (``PartitionFilters`` in the scan) — a search touches only the
+    probed lists' FILES, so serving I/O scales with ``nprobe/n_lists``
+    of the index, not its total size.  At 10¹⁰ vectors the unprobed
+    lists are never opened, footer reads included.
+
+    ``files_per_list`` (requires ``n_lists``) salts each list into at
+    most that many shuffle partitions — each list lands in ≤
+    ``files_per_list`` files regardless of size, so one giant list
+    can't produce one giant file; None skips the shuffle and keeps the
+    incoming partitioning (up to one file per (task, list) pair).
+    """
+    df = index
+    if files_per_list is not None:
+        if n_lists is None:
+            raise ValueError("files_per_list requires n_lists")
+        id_col = next(c for c in index.columns if c != "cluster_id")
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_list))
+        df = df.repartition(
+            n_lists * files_per_list, F.col("cluster_id"), salt
+        )
+    df.write.partitionBy("cluster_id").mode(mode).parquet(path)
+
+
+def ivfadc_append(
+    new_vecs: DataFrame,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    strategy: str = "column",
+) -> None:
+    """Incremental index maintenance: encode ONLY the new vectors with
+    the EXISTING coarse centroids + codebooks and append their rows to
+    the ``ivfadc_write`` layout — no refit, no touch of existing files
+    (parquet append adds files inside the affected ``cluster_id=``
+    directories only).  Cost ∝ delta size: the `plans/incremental`
+    contract applied to the ANN index.
+
+    The quantizer ages as the distribution drifts — the standard
+    IVF practice (and Jégou et al.'s): append between refits, schedule
+    a full ``ivfadc_fit``+rewrite when recall degrades.  Searching the
+    layout after an append sees old+new vectors in one scan; a vector
+    re-appended under the same id is NOT deduplicated (append-only
+    layout — dedup upstream or rewrite)."""
+    index = ivfadc_index(
+        new_vecs, cents, codebooks, vec_col=vec_col, id_col=id_col,
+        strategy=strategy,
+    )
+    index.write.partitionBy("cluster_id").mode("append").parquet(path)
+
+
+def ivfadc_read(spark, path: str) -> DataFrame:
+    """Read an ``ivfadc_write`` layout back in ``(id, cluster_id,
+    pq_code)`` column order with ``cluster_id`` cast back to int (Spark
+    surfaces partition-directory values via inference)."""
+    df = spark.read.parquet(path)
+    others = [c for c in df.columns if c != "cluster_id"]
+    return df.select(
+        others[0], F.col("cluster_id").cast("int").alias("cluster_id"),
+        *others[1:],
+    )
+
+
 def ivfadc_fit(
     df: DataFrame,
     n_lists: int = 8,
@@ -422,6 +499,17 @@ def ivfadc_topk(
         F.lit(0.0),
         lambda acc, i: acc + F.element_at("_dt", (i + 1).cast("int")),
     )
+    # static probed-list restriction BEFORE the join: the broadcast hash
+    # join alone discards non-probed rows only AFTER scanning them; the
+    # probed set is known at plan time (queries are driver-collected), so
+    # an IN literal reaches the scan as a pushed filter — row-group
+    # min/max skipping on any layout, and FILE-level partition pruning on
+    # an `ivfadc_write` cluster_id-partitioned index (PartitionFilters in
+    # the scan node), which is what makes search I/O track nprobe/n_lists
+    # at 100 TB instead of corpus size.
+    probed = sorted({cid for _, cid, _ in qt_rows})
+    if probed:
+        index = index.where(F.col("cluster_id").isin(probed))
     scored = index.join(F.broadcast(qt), "cluster_id").select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),

@@ -169,3 +169,133 @@ def test_gemm_encode_parity(emb, books):
     assert a == b
     with pytest.raises(ValueError):
         pq_encode(emb, books, strategy="nope")
+
+
+def test_ivfadc_partitioned_layout(emb, tmp_path):
+    """On-disk inverted lists: `ivfadc_write` partitions by cluster_id,
+    `ivfadc_topk`'s static probed-list IN literal resolves to
+    directory-level PartitionFilters against that layout — search I/O
+    tracks nprobe/n_lists, not index size — and the disk search returns
+    exactly the in-memory search's rows."""
+    import os
+
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_fit,
+        ivfadc_index,
+        ivfadc_read,
+        ivfadc_topk,
+        ivfadc_write,
+    )
+
+    cents, books = ivfadc_fit(emb, n_lists=4, m=M, k=K, max_iter=2)
+    index = ivfadc_index(emb, cents, books)
+    path = str(tmp_path / "ivf_index")
+    ivfadc_write(index, path)
+
+    # one directory per non-empty list, named by cluster id
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("cluster_id=")
+    )
+    lists_used = sorted(
+        r["cluster_id"]
+        for r in index.select("cluster_id").distinct().collect()
+    )
+    assert dirs == [f"cluster_id={c}" for c in lists_used]
+
+    disk = ivfadc_read(emb.sparkSession, path)
+    assert disk.columns == ["vec_id", "cluster_id", "pq_code"]
+    assert disk.schema["cluster_id"].dataType.simpleString() == "int"
+    key = lambda rows: sorted(  # noqa: E731
+        (r["vec_id"], r["cluster_id"], tuple(r["pq_code"])) for r in rows
+    )
+    assert key(disk.collect()) == key(index.collect())
+
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem_out = ivfadc_topk(index, queries, cents, books, k=5, nprobe=2)
+    disk_out = ivfadc_topk(disk, queries, cents, books, k=5, nprobe=2)
+    mkey = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["neighbor_id"], round(r["adc_dist"], 9))
+        for r in rows
+    )
+    assert mkey(disk_out.collect()) == mkey(mem_out.collect())
+
+    # the probed-list literal must reach the scan as a partition filter
+    plan = disk_out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert scan_lines, plan
+    assert any(
+        "cluster_id" in ln and "PartitionFilters: []" not in ln
+        for ln in scan_lines
+    ), "\n".join(scan_lines)
+
+
+def test_ivfadc_write_files_per_list(emb, tmp_path):
+    """`files_per_list` bounds per-list file counts (salted shuffle);
+    requires n_lists."""
+    import glob
+    import os
+
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_fit,
+        ivfadc_index,
+        ivfadc_read,
+        ivfadc_write,
+    )
+
+    cents, books = ivfadc_fit(emb, n_lists=4, m=M, k=K, max_iter=2)
+    index = ivfadc_index(emb, cents, books)
+    path = str(tmp_path / "ivf_salted")
+    with pytest.raises(ValueError):
+        ivfadc_write(index, path, files_per_list=2)
+    ivfadc_write(index, path, files_per_list=2, n_lists=4)
+    for d in os.listdir(path):
+        if d.startswith("cluster_id="):
+            files = glob.glob(os.path.join(path, d, "*.parquet"))
+            assert 1 <= len(files) <= 2, (d, files)
+    disk = ivfadc_read(emb.sparkSession, path)
+    assert disk.count() == index.count()
+
+
+def test_ivfadc_append_incremental(emb, tmp_path):
+    """Append-only maintenance: base write + delta append equals the
+    all-at-once index, and search over the appended layout returns the
+    same rows as search over a full in-memory index built with the
+    same (frozen) centroids/codebooks."""
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_append,
+        ivfadc_fit,
+        ivfadc_index,
+        ivfadc_read,
+        ivfadc_topk,
+        ivfadc_write,
+    )
+
+    base = emb.where(F.col("vec_id") % 5 != 2)
+    delta = emb.where(F.col("vec_id") % 5 == 2)
+    cents, books = ivfadc_fit(base, n_lists=4, m=M, k=K, max_iter=2)
+    path = str(tmp_path / "ivf_incr")
+    ivfadc_write(ivfadc_index(base, cents, books), path)
+    ivfadc_append(delta, path, cents, books)
+
+    disk = ivfadc_read(emb.sparkSession, path)
+    assert disk.count() == emb.count()
+    full = ivfadc_index(emb, cents, books)
+    key = lambda rows: sorted(  # noqa: E731
+        (r["vec_id"], r["cluster_id"], tuple(r["pq_code"])) for r in rows
+    )
+    assert key(disk.collect()) == key(full.collect())
+
+    queries = delta.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivfadc_topk(disk, queries, cents, books, k=5, nprobe=2)
+    b = ivfadc_topk(full, queries, cents, books, k=5, nprobe=2)
+    mkey = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["neighbor_id"], round(r["adc_dist"], 9))
+        for r in rows
+    )
+    assert mkey(a.collect()) == mkey(b.collect())

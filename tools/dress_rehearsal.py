@@ -63,7 +63,15 @@ def ui_totals(spark) -> dict:
 
 def corpus(spark, n_docs: int):
     """Deterministic crawl-shaped corpus (see module docstring)."""
-    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # repartition the ID-ONLY frame before the text synthesis: shuffling
+    # after expansion moves ~430 B/doc bodies (3.6 GB + spill at 10 M);
+    # shuffling ids first moves 8 B/doc and the text is built on its
+    # final partitions.
+    base = (
+        spark.range(n_docs)
+        .repartition(32)
+        .select(F.col("id").alias("doc_id"))
+    )
     kind = F.col("doc_id") % 100
     fam = F.col("doc_id") - kind
     seed = F.when(kind < 3, fam).otherwise(F.col("doc_id"))
@@ -150,7 +158,6 @@ def run(spark, n_docs: int) -> None:
     m.stage(
         "corpus write", n_docs,
         lambda: corpus(spark, n_docs)
-        .repartition(32)
         .write.mode("overwrite")
         .parquet(docs_path)
         or n_docs,
