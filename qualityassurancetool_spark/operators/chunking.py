@@ -101,6 +101,12 @@ def pack_documents(
     deterministic under retries.
 
     Output: input columns + ``pack_id`` (dense, per partition key).
+
+    Scale: EMPTY ``partition_cols`` means one global sequence — an
+    ``Exchange SinglePartition`` that funnels every row through one
+    task.  Deliberate for small frames; at corpus scale ALWAYS pass a
+    partition key (shard, language, source…) — the pretrain capstone
+    packs per output shard for exactly this reason.
     """
     eff = int(budget_tokens)
     if max_doc_tokens is not None:

@@ -123,6 +123,19 @@ def run_pretrain_pipeline(
         chunk_tokens=cfg.chunk_tokens,
         overlap_tokens=cfg.overlap_tokens,
     )
+    # shard FIRST, pack WITHIN each shard: global packing is an empty
+    # Window.partitionBy() — an Exchange SinglePartition funnelling every
+    # chunk through one task, and the single partition then trivially
+    # satisfies the writer's groupBy distribution so ALL tar files were
+    # written sequentially by one Python worker (caught red-handed by
+    # the 10 M-doc dress rehearsal: one task, 16 tars, ~1 GB/each).
+    # The shard expression is the same md5 the writer uses, so tar
+    # MEMBERSHIP is unchanged; pack_id becomes shard-local — which is
+    # what a loader consumes anyway (a tar IS the unit a reader opens),
+    # and one hash exchange on _shard now serves both the pack window
+    # and the shard write.
+    from qualityassurancetool_spark.sources.webdataset import shard_of
+
     packed = pack_documents(
         chunks.select(
             F.concat_ws(
@@ -133,11 +146,15 @@ def run_pretrain_pipeline(
             (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("seq_id"),
             F.col("chunk_text"),
             F.col("n_chunk_tokens").alias("n_tokens"),
+        ).withColumn(
+            "_shard",
+            shard_of(F.col("seq_id"), cfg.n_shards, "wds:"),
         ),
         budget_tokens=cfg.pack_budget,
         token_col="n_tokens",
         id_col="seq_id",
         max_doc_tokens=cfg.chunk_tokens,
+        partition_cols=["_shard"],
     )
 
     report: dict = {
@@ -158,6 +175,7 @@ def run_pretrain_pipeline(
             key_col="seq_id",
             text_col="chunk_text",
             meta_cols=("chunk_key", "pack_id", "n_tokens"),
+            shard_col="_shard",
         )
         rows = manifest.collect()
         report["shards"] = {
@@ -165,7 +183,7 @@ def run_pretrain_pipeline(
         }
         report["shard_bytes"] = sum(int(r["n_bytes"]) for r in rows)
     else:
-        packed.write.mode("overwrite").parquet(
+        packed.drop("_shard").write.mode("overwrite").parquet(
             os.path.join(out_dir, "packed")
         )
         report["shards"] = None

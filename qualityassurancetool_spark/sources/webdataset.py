@@ -56,6 +56,7 @@ def write_webdataset_shards(
     meta_cols: tuple[str, ...] = (),
     binary_col: str | None = None,
     salt: str = "wds:",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Write ``df`` as ``shard-NNNNN.tar`` files under ``path`` and
     return the collected manifest as a (small) DataFrame.
@@ -63,7 +64,17 @@ def write_webdataset_shards(
     Each sample becomes ``{key}.txt`` (from ``text_col``), ``{key}.json``
     (the ``meta_cols`` as one JSON object, if any), and ``{key}.bin``
     (from ``binary_col``, if set).  Keys are zero-padded so tar order ==
-    lexicographic == numeric order for integer keys."""
+    lexicographic == numeric order for integer keys.
+
+    ``shard_col``: a PRE-assigned shard id column.  Contract: the frame
+    arrives already hash-clustered on it (e.g. a window or aggregation
+    partitioned by the same column ran upstream) so the grouped write
+    reuses that exchange — one task per hash bucket, whole shards per
+    task.  Without it the writer assigns shards itself and inserts an
+    explicit ``repartition(n_shards, _shard)``: NEVER rely on whatever
+    partitioning the caller left behind — a single-partition upstream
+    (any global window) silently satisfies the groupBy distribution and
+    ONE worker ends up writing every tar sequentially."""
     os.makedirs(path, exist_ok=True)
     cols = [F.col(key_col).cast("string").alias("_key")]
     if text_col:
@@ -76,9 +87,15 @@ def write_webdataset_shards(
                 "_meta"
             )
         )
-    slim = df.select(
-        shard_of(F.col(key_col), n_shards, salt).alias("_shard"), *cols
-    )
+    if shard_col is not None:
+        slim = df.select(
+            F.col(shard_col).cast("int").alias("_shard"), *cols
+        )
+    else:
+        slim = df.select(
+            shard_of(F.col(key_col), n_shards, salt).alias("_shard"),
+            *cols,
+        ).repartition(n_shards, F.col("_shard"))
 
     has_text, has_bin, has_meta = bool(text_col), bool(binary_col), bool(
         meta_cols

@@ -186,3 +186,57 @@ def test_expression_flag_and_no_value_col(spark, tmp_path):
     assert set(final) == {("s", 1)}
     r = final[("s", 1)]
     assert r["n_rows"] == 2 and r["peak_value"] is None and r["open"]
+
+
+def test_randomized_multi_drain_parity(spark, tmp_path):
+    """Seeded random flag stream over three appends: the sink's final
+    upserted view must equal the batch operator over the whole prefix
+    on every field (the strongest parity form short of hypothesis —
+    streaming drains are too slow for many examples)."""
+    import random
+
+    rng = random.Random(11)
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    got: list = []
+    build = lambda s: streaming_episodes(  # noqa: E731
+        s, "flag", "ts", "g", max_gap="7s", value_col="v", min_rows=2
+    )
+    all_rows = []
+    t_next = {"g1": 0.0, "g2": 0.0}
+    for i in range(3):
+        chunk = []
+        for _ in range(60):
+            g = rng.choice(["g1", "g2"])
+            t_next[g] += rng.choice([1.0, 2.5, 6.9, 7.0, 7.1, 30.0])
+            chunk.append(
+                (
+                    g,
+                    _ts(t_next[g]),
+                    rng.random() < 0.55,
+                    None if rng.random() < 0.2 else round(
+                        rng.uniform(0, 100), 3
+                    ),
+                )
+            )
+        all_rows += chunk
+        _write(
+            spark, land, chunk, mode="overwrite" if i == 0 else "append"
+        )
+        _drain(spark, land, ckpt, build, got)
+
+    final = _upserted(got)
+    want = _batch_map(spark, all_rows, max_gap="7s", min_rows=2)
+    # non-last episodes must be closed; the last QUALIFIED episode may
+    # be open, or closed if a trailing pre-debounce blip re-opened
+    assert set(final) == set(want)
+    last_ep = {}
+    for (g, ep) in want:
+        last_ep[g] = max(last_ep.get(g, 0), ep)
+    for k, r in final.items():
+        w = want[k]
+        assert r["start_us"] == w["s_us"]
+        assert r["end_us"] == w["e_us"]
+        assert r["n_rows"] == w["n_rows"]
+        assert r["peak_value"] == w["peak_value"]
+        if k[1] != last_ep[k[0]]:
+            assert not r["open"]
