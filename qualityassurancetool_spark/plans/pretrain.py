@@ -134,8 +134,30 @@ def run_pretrain_pipeline(
     # what a loader consumes anyway (a tar IS the unit a reader opens),
     # and one hash exchange on _shard now serves both the pack window
     # and the shard write.
-    from qualityassurancetool_spark.sources.webdataset import shard_of
+    from qualityassurancetool_spark.sources.webdataset import (
+        WDS_SALT,
+        shard_of,
+    )
 
+    # seq_id packs (doc_id, chunk_idx) into one long for ordering and
+    # tar keys; the multiplier bounds chunks/doc at 1 M (64 M tokens at
+    # 64-token chunks) and the guard raises instead of silently
+    # colliding with the next doc's chunk 0 (which would also corrupt
+    # shard membership); doc_id must stay below ~9.2e12 to avoid the
+    # int64 wrap.
+    seq_id = F.when(
+        F.col("chunk_idx") < 1_000_000,
+        F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chunk_idx >= 1e6 for doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(" — seq_id would collide; re-chunk with a "
+                      "larger chunk_tokens"),
+            )
+        )
+    )
     packed = pack_documents(
         chunks.select(
             F.concat_ws(
@@ -143,12 +165,12 @@ def run_pretrain_pipeline(
                 F.col("doc_id").cast("string"),
                 F.col("chunk_idx").cast("string"),
             ).alias("chunk_key"),
-            (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("seq_id"),
+            seq_id.alias("seq_id"),
             F.col("chunk_text"),
             F.col("n_chunk_tokens").alias("n_tokens"),
         ).withColumn(
             "_shard",
-            shard_of(F.col("seq_id"), cfg.n_shards, "wds:"),
+            shard_of(F.col("seq_id"), cfg.n_shards, WDS_SALT),
         ),
         budget_tokens=cfg.pack_budget,
         token_col="n_tokens",
@@ -183,8 +205,11 @@ def run_pretrain_pipeline(
         }
         report["shard_bytes"] = sum(int(r["n_bytes"]) for r in rows)
     else:
-        packed.drop("_shard").write.mode("overwrite").parquet(
-            os.path.join(out_dir, "packed")
-        )
+        # pack_id is dense PER SHARD now — keep the shard column (as a
+        # real name) so (shard, pack_id) stays the pack key; dropping it
+        # would alias up to n_shards unrelated packs per pack_id
+        packed.withColumnRenamed("_shard", "shard").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "packed"))
         report["shards"] = None
     return report

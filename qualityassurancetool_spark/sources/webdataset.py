@@ -35,8 +35,13 @@ from pyspark.sql import functions as F
 MANIFEST_SCHEMA = "shard int, n_samples long, n_bytes long, path string"
 SAMPLE_SCHEMA = "key string, ext string, data binary"
 
+# the one salt both the writer's self-assign path and callers that
+# pre-compute shards (plans/pretrain) must share — tar membership
+# parity between the two paths depends on it
+WDS_SALT = "wds:"
 
-def shard_of(key_col, n_shards: int, salt: str = "wds:"):
+
+def shard_of(key_col, n_shards: int, salt: str = WDS_SALT):
     """Deterministic shard id from a sample key (md5, like
     layout/sampling)."""
     h = F.substring(
@@ -55,7 +60,7 @@ def write_webdataset_shards(
     text_col: str | None = "text",
     meta_cols: tuple[str, ...] = (),
     binary_col: str | None = None,
-    salt: str = "wds:",
+    salt: str = WDS_SALT,
     shard_col: str | None = None,
 ) -> DataFrame:
     """Write ``df`` as ``shard-NNNNN.tar`` files under ``path`` and
@@ -92,10 +97,15 @@ def write_webdataset_shards(
             F.col(shard_col).cast("int").alias("_shard"), *cols
         )
     else:
+        # repartition count: HashPartitioning is murmur3-mod-n, not
+        # identity — n_shards keys into exactly n_shards buckets leaves
+        # ~37 % of buckets empty and co-locates shards (sequential tar
+        # writes inside one task).  4× buckets keeps co-location rare;
+        # empty partitions are no-op tasks.
         slim = df.select(
             shard_of(F.col(key_col), n_shards, salt).alias("_shard"),
             *cols,
-        ).repartition(n_shards, F.col("_shard"))
+        ).repartition(max(32, 4 * n_shards), F.col("_shard"))
 
     has_text, has_bin, has_meta = bool(text_col), bool(binary_col), bool(
         meta_cols
@@ -108,7 +118,18 @@ def write_webdataset_shards(
             return pd.DataFrame(
                 columns=["shard", "n_samples", "n_bytes", "path"]
             )
-        shard = int(pdf["_shard"].iloc[0])
+        shard_raw = pdf["_shard"].iloc[0]
+        if pd.isna(shard_raw):
+            raise ValueError(
+                "shard_col contains NULL/non-integer shard ids — "
+                "assign every row a shard in [0, n_shards)"
+            )
+        shard = int(shard_raw)
+        if not 0 <= shard < n_shards:
+            raise ValueError(
+                f"shard id {shard} outside [0, {n_shards}) — "
+                "shard_col must agree with n_shards"
+            )
         out = os.path.join(path, f"shard-{shard:05d}.tar")
         tmp = out + ".tmp"
         pdf = pdf.sort_values("_key", key=lambda s: s.str.zfill(24))

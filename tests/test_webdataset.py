@@ -90,3 +90,51 @@ def test_samples_sorted_within_shard(spark):
         assert names == sorted(names)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_shard_col_path_matches_default_path(spark):
+    """Pre-assigned shard column (the pretrain pipeline's path) must
+    produce byte-identical tars to the writer-assigned default path —
+    the membership-parity invariant plans/pretrain relies on."""
+    import pytest
+
+    from qualityassurancetool_spark.sources.webdataset import (
+        WDS_SALT,
+        shard_of,
+    )
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    a, b = tempfile.mkdtemp(prefix="wdsA"), tempfile.mkdtemp(prefix="wdsB")
+    try:
+        write_webdataset_shards(df, a, n_shards=4, meta_cols=("lang",))
+        pre = df.withColumn(
+            "my_shard", shard_of(F.col("doc_id"), 4, WDS_SALT)
+        )
+        write_webdataset_shards(
+            pre, b, n_shards=4, meta_cols=("lang",), shard_col="my_shard"
+        )
+        tars_a = sorted(os.listdir(a))
+        assert tars_a == sorted(os.listdir(b))
+        for name in tars_a:
+            wa = open(os.path.join(a, name), "rb").read()
+            wb = open(os.path.join(b, name), "rb").read()
+            assert wa == wb, name
+
+        # fail fast on invalid pre-assigned shards
+        with pytest.raises(Exception, match="NULL|outside"):
+            write_webdataset_shards(
+                df.withColumn("my_shard", F.lit(None).cast("int")),
+                tempfile.mkdtemp(prefix="wdsN"),
+                n_shards=4,
+                shard_col="my_shard",
+            )
+        with pytest.raises(Exception, match="outside"):
+            write_webdataset_shards(
+                df.withColumn("my_shard", F.lit(99)),
+                tempfile.mkdtemp(prefix="wdsR"),
+                n_shards=4,
+                shard_col="my_shard",
+            )
+    finally:
+        shutil.rmtree(a, ignore_errors=True)
+        shutil.rmtree(b, ignore_errors=True)

@@ -164,6 +164,36 @@ def run(spark, n_vecs: int) -> None:
             index["short"], vecs, qdf, k=10
         ).count(),
     )
+
+    # the disk lifecycle: persist the index as cluster_id-partitioned
+    # inverted lists, then search FROM DISK — input bytes must track the
+    # probed share (nprobe/n_lists of the layout + footers), proving the
+    # static IN literal reaches the scan as a partition filter
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_read,
+        ivfadc_write,
+    )
+
+    layout = os.path.join(ROOT, f"ivf_layout_{n_vecs}")
+    m.stage(
+        "ivf layout write (partitioned)", n_vecs,
+        lambda: ivfadc_write(
+            index["df"], layout, files_per_list=2, n_lists=16
+        )
+        or n_vecs,
+    )
+    disk = ivfadc_read(spark, layout)
+    m.stage(
+        "adc search from disk layout", n_vecs,
+        lambda: ivfadc_topk(
+            disk,
+            qdf,
+            fitted["cents"],
+            fitted["books"],
+            k=100,
+            nprobe=2,
+        ).count(),
+    )
     index["df"].unpersist()
     index["short"].unpersist()
 
