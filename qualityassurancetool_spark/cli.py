@@ -379,6 +379,13 @@ def cmd_ann(args, overrides: list[str]) -> int:
     - ``ivfadc``: residual PQ over IVF lists (Jégou et al. 2011);
     - ``opq``: learned-rotation PQ (Ge et al. 2013).
 
+    ``ivfadc`` supports the build-once-serve-many life cycle:
+    ``index.out=DIR`` persists the fitted index (cluster_id-partitioned
+    ``lists/`` parquet + ``model.json`` centroids/codebooks, optional
+    ``index.files_per_list``); ``index.in=DIR`` serves from a persisted
+    index — no fit, no encode, and the probed-list filter prunes to the
+    probed lists' FILES.
+
     Queries default to every ``query_stride``-th corpus vector
     (deterministic, self-contained); point ``queries.input`` at a
     parquet of (query_id, embedding) to search external queries.
@@ -490,16 +497,65 @@ def cmd_ann(args, overrides: list[str]) -> int:
                 coded = pq_encode(emb, books, strategy="gemm")
                 out = pq_topk(coded, queries, books, k=k_search)
             elif method == "ivfadc":
+                import json as _json
+                import os as _os
+
                 from qualityassurancetool_spark.operators.pq import (
                     ivfadc_fit,
                     ivfadc_index,
+                    ivfadc_read,
                     ivfadc_topk,
+                    ivfadc_write,
                 )
 
-                cents, books = ivfadc_fit(
-                    emb, n_lists=n_lists, m=m, k=kcode, max_iter=3
-                )
-                index = ivfadc_index(emb, cents, books, strategy="gemm")
+                # index.in / index.out: the build-once-serve-many life
+                # cycle — a persisted index is the cluster_id-partitioned
+                # inverted-list layout plus a model.json (centroids +
+                # codebooks); serving from index.in skips fit AND encode
+                # and partition-prunes to the probed lists' files.
+                index_c = knobs.get("index", {})
+                index_c = index_c if isinstance(index_c, dict) else {}
+                if index_c.get("in"):
+                    with open(
+                        _os.path.join(index_c["in"], "model.json")
+                    ) as fh:
+                        model = _json.load(fh)
+                    cents = [
+                        (int(c), [float(x) for x in v])
+                        for c, v in model["cents"]
+                    ]
+                    books = model["books"]
+                    n_lists = len(cents)
+                    index = ivfadc_read(
+                        spark, _os.path.join(index_c["in"], "lists")
+                    )
+                else:
+                    cents, books = ivfadc_fit(
+                        emb, n_lists=n_lists, m=m, k=kcode, max_iter=3
+                    )
+                    index = ivfadc_index(
+                        emb, cents, books, strategy="gemm"
+                    )
+                if index_c.get("out"):
+                    _os.makedirs(index_c["out"], exist_ok=True)
+                    ivfadc_write(
+                        index,
+                        _os.path.join(index_c["out"], "lists"),
+                        files_per_list=int(
+                            index_c.get("files_per_list", 0)
+                        )
+                        or None,
+                        n_lists=n_lists,
+                    )
+                    with open(
+                        _os.path.join(index_c["out"], "model.json"), "w"
+                    ) as fh:
+                        _json.dump(
+                            {"cents": cents, "books": books}, fh
+                        )
+                    index = ivfadc_read(
+                        spark, _os.path.join(index_c["out"], "lists")
+                    )
                 out = ivfadc_topk(
                     index, queries, cents, books, k=k_search, nprobe=nprobe
                 )

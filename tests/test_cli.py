@@ -342,6 +342,43 @@ def test_ann_command(spark, tmp_path, capsys):
     ]) == 2
 
 
+def test_ann_index_persistence_round_trip(spark, tmp_path, capsys):
+    """ivfadc index.out persists lists/+model.json; index.in serves
+    from the persisted index (no refit) and returns EXACTLY the rows
+    the build run returned."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ann_index")
+    out1 = str(tmp_path / "ann_build")
+    rc = main([
+        "ann", "--keep-session", f"data.input={src}",
+        f"data.out={out1}", "method=ivfadc", "k=3",
+        "query_stride=20", "n_lists=4", f"index.out={idx}",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    import os
+
+    assert os.path.exists(os.path.join(idx, "model.json"))
+    assert any(
+        d.startswith("cluster_id=")
+        for d in os.listdir(os.path.join(idx, "lists"))
+    )
+
+    out2 = str(tmp_path / "ann_serve")
+    rc = main([
+        "ann", "--keep-session", f"data.input={src}",
+        f"data.out={out2}", "method=ivfadc", "k=3",
+        "query_stride=20", f"index.in={idx}",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["neighbor_id"])
+        for r in spark.read.parquet(df).collect()
+    )
+    assert key(out2) == key(out1)
+
+
 def test_profile_command(spark, tmp_path, capsys):
     """Profile CLI: token heavy hitters and key-skew report."""
     out = str(tmp_path / "prof_tok")
