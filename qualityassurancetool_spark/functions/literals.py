@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 @lru_cache(maxsize=64)
 def _cached_json_array(payload: str, ddl_type: str) -> Column:
-    return F.from_json(F.lit(payload), ddl_type)
+    # FAILFAST: createDataFrame (which these literals replaced) raised
+    # loudly on type-mismatched rows; PERMISSIVE from_json would null
+    # the field instead and a malformed dim would flow on as silently
+    # empty/NULL-filled
+    return F.from_json(F.lit(payload), ddl_type, {"mode": "FAILFAST"})
 
 
 def double_matrix_literal(rows: tuple[tuple[float, ...], ...]) -> Column:
@@ -62,8 +66,22 @@ def literal_rows_df(spark, rows: list[tuple], row_ddl: str):
     array<double>"``); ``rows`` are positional tuples matching it.
     """
     names = [f.split()[0] for f in _split_ddl_fields(row_ddl)]
+    # cells bound: a literal's cost is paid at plan ANALYSIS — a
+    # 10k-query ADC probe table would be a ~100 MB single expression
+    # that poisons plan compile (the bm25 giant-literal lesson).  Past
+    # the bound, fall back to createDataFrame: a Scan ExistingRDD is
+    # the RIGHT plan for a genuinely data-sized dim.
+    n_cells = sum(
+        len(v) if isinstance(v, (list, tuple)) else 1
+        for r in rows
+        for v in r
+    )
+    if n_cells > 200_000:
+        return spark.createDataFrame(rows, row_ddl)
     payload = json.dumps([dict(zip(names, r)) for r in rows])
-    col = F.from_json(F.lit(payload), f"array<struct<{row_ddl}>>")
+    col = F.from_json(
+        F.lit(payload), f"array<struct<{row_ddl}>>", {"mode": "FAILFAST"}
+    )
     return (
         spark.range(1)
         .select(F.explode(col).alias("_r"))

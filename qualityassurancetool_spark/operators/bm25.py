@@ -103,9 +103,13 @@ def bm25_topk(
     0).  ``queries`` is small by contract — see module docstring.
 
     ``stats``: precomputed :func:`corpus_stats` — pass it when running
-    many query batches to skip the per-call stats agg entirely (the
-    corpus text is read once per call either way: stats come from the
-    persisted slim frame, never a second text scan).
+    many query batches to skip the per-call stats agg entirely.  With
+    ``persist=True`` the corpus text is read once per call either way
+    (stats come from the persisted slim frame, never a second text
+    scan); with ``persist=False`` AND ``stats=None`` the stats agg and
+    the scoring join each tokenize the corpus — one extra text scan —
+    so multi-corpus sweepers should pass ``stats`` alongside
+    ``persist=False``.
 
     ``persist`` (default True) caches the query-independent token frame
     at MEMORY_AND_DISK for the session — right for repeated batches over

@@ -125,22 +125,17 @@ def population_stability(
         "col", "bin", F.col("n").alias("n_new")
     )
     # full (col × bin) grid so zero-count bins exist on BOTH sides —
-    # built as a literal-array explode (LocalRelation-style, no
+    # the shared literal-relation helper (LocalRelation-style, no
     # Python->JVM RDD scan; cols × n_bins is a handful of constants)
-    grid = spark.range(1).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col"),
-                        F.lit(b).cast("int").alias("bin"),
-                    )
-                    for c in cols
-                    for b in range(n_bins)
-                ]
-            )
-        ).alias("_g")
-    ).select("_g.col", "_g.bin")
+    from qualityassurancetool_spark.functions.literals import (
+        literal_rows_df,
+    )
+
+    grid = literal_rows_df(
+        spark,
+        [(c, b) for c in cols for b in range(n_bins)],
+        "col string, bin int",
+    )
     j = (
         grid.join(rc, ["col", "bin"], "left")
         .join(nc, ["col", "bin"], "left")
@@ -192,13 +187,15 @@ def categorical_stability(
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
     c = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    # ONE job for the sentinel-collision guard (two separate
+    # limit(1).count() actions cost two extra full-scan jobs)
+    sentinel_pred = F.col(col).cast("string").isin(
+        "__other__", "__null__"
+    )
     n_sentinel = (
-        ref.where(F.col(col).cast("string").isin("__other__", "__null__"))
-        .limit(1)
-        .count()
-        + new.where(
-            F.col(col).cast("string").isin("__other__", "__null__")
-        )
+        ref.select(F.col(col))
+        .where(sentinel_pred)
+        .unionAll(new.select(F.col(col)).where(sentinel_pred))
         .limit(1)
         .count()
     )

@@ -134,21 +134,42 @@ def apply_velocity_acceleration_check(
         # (i-1, i); the reference's v_ref[i] covers (i, i+1) = lead(v).
         # a_ref[i] = (v_ref[i+1] - v_ref[i]) / dt_ref[i]; dt_ref = lead(dt).
         # staged withColumns: window expressions cannot nest inside lead()
+        # dt == 0 (exact duplicate timestamps): with_velocity_acceleration
+        # emits NULL there, but pandas float division gives ±inf when the
+        # position moved — the reference flags those rows and a 0-fill
+        # would silently pass them.  Movement with zero elapsed time is
+        # reconstructed from the coordinates (dist > 0 ⇔ unequal coords,
+        # for every distance kernel); the 0/0 case follows the
+        # reference's blanket fillna(0) convention the golden tails pin.
+        same_pos_fwd = (
+            F.col(lat_col).eqNullSafe(F.lead(F.col(lat_col)).over(w))
+        ) & (F.col(lon_col).eqNullSafe(F.lead(F.col(lon_col)).over(w)))
         df = df.withColumns(
             {
                 "_v_fwd": F.lead(F.col("velocity_ms")).over(w),
                 "_dt_fwd": F.lead(F.col("dt_s")).over(w),
+                "_same_fwd": same_pos_fwd,
             }
         )
-        a_fwd = (F.lead(F.col("_v_fwd")).over(w) - F.col("_v_fwd")) / F.col(
-            "_dt_fwd"
+        inf = F.lit(float("inf"))
+        v_ext = F.when(F.col("_dt_fwd") > 0, F.col("_v_fwd")).when(
+            (F.col("_dt_fwd") == 0) & ~F.col("_same_fwd"), inf
         )
-        bad_v = F.abs(F.coalesce(F.col("_v_fwd"), F.lit(0.0))) >= F.lit(
-            max_velocity_ms
+        delta = F.lead(v_ext).over(w) - v_ext  # IEEE on inf operands
+        a_ext = F.when(
+            F.col("_dt_fwd") > 0, delta / F.col("_dt_fwd")
+        ).when(
+            (F.col("_dt_fwd") == 0)
+            & ~F.isnan(delta)
+            & (delta != 0),
+            inf,
         )
-        bad_a = F.abs(F.coalesce(a_fwd, F.lit(0.0))) >= F.lit(
-            max_acceleration_ms2
-        )
+        bad_v = F.abs(
+            F.coalesce(F.nanvl(v_ext, F.lit(0.0)), F.lit(0.0))
+        ) >= F.lit(max_velocity_ms)
+        bad_a = F.abs(
+            F.coalesce(F.nanvl(a_ext, F.lit(0.0)), F.lit(0.0))
+        ) >= F.lit(max_acceleration_ms2)
     elif marking == "pair":
         bad_v = exceed_bool_marking_pair(
             F.col("velocity_ms"), max_velocity_ms, w
@@ -164,4 +185,4 @@ def apply_velocity_acceleration_check(
         flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
     )
     out = df.withColumn(flag_col, flag_merge(F.col(flag_col), new_flag))
-    return out.drop("_v_fwd", "_dt_fwd")
+    return out.drop("_v_fwd", "_dt_fwd", "_same_fwd")

@@ -46,7 +46,7 @@ from qualityassurancetool_spark.functions.timeutils import (
     parse_timedelta_seconds,
 )
 
-_STATS = ("mean", "std", "median", "count")
+_STATS = ("mean", "std", "median", "count", "min", "max")
 
 
 def bucketed_time_rolling(
@@ -62,7 +62,7 @@ def bucketed_time_rolling(
     """Rolling time-range stats with streams x buckets parallelism.
 
     ``specs`` maps output column -> (source column, stat) with stat one of
-    ``mean | std | median | count``.  Window per row is
+    ``mean | std | median | count | min | max``.  Window per row is
     ``[t - before, t + after]`` closed on both ends.  ``bucket`` defaults
     to ``4 * (before + after)``.  Returns the input rows (exactly once)
     plus the requested stat columns, matching the equivalent
@@ -160,6 +160,10 @@ def bucketed_time_rolling(
                 c = F.avg(src).over(w)
             elif stat == "median":
                 c = F.percentile(src, F.lit(0.5)).over(w)
+            elif stat == "min":
+                c = F.min(F.col(src).cast("double")).over(w)
+            elif stat == "max":
+                c = F.max(F.col(src).cast("double")).over(w)
             else:
                 c = F.stddev_samp(src).over(w)
             stat_cols[out_col] = c
@@ -201,7 +205,11 @@ def bucketed_time_rolling(
                 series = (
                     r.mean()
                     if stat == "mean"
-                    else r.median() if stat == "median" else r.std(ddof=1)
+                    else r.median()
+                    if stat == "median"
+                    else r.min()
+                    if stat == "min"
+                    else r.max() if stat == "max" else r.std(ddof=1)
                 )
                 out[out_col] = series.to_numpy(dtype=np.float64)[native]
                 continue
@@ -216,6 +224,10 @@ def bucketed_time_rolling(
                     res[i] = w.mean() if len(w) else np.nan
                 elif stat == "median":
                     res[i] = np.median(w) if len(w) else np.nan
+                elif stat == "min":
+                    res[i] = w.min() if len(w) else np.nan
+                elif stat == "max":
+                    res[i] = w.max() if len(w) else np.nan
                 else:  # sample std
                     res[i] = w.std(ddof=1) if len(w) > 1 else np.nan
             out[out_col] = res

@@ -106,13 +106,40 @@ def apply_spatial_outlier_check(
     if threshold_mode == "span":
         half_us = int(window_s * 1_000_000) // 2
         parts = partition_cols or []
-        order = epoch_micros(ts_col)
-        w_span = (
-            (Window.partitionBy(*parts) if parts else Window.partitionBy())
-            .orderBy(order)
-            .rangeBetween(-half_us, half_us)
-        )
-        span_s = (F.max(order).over(w_span) - F.min(order).over(w_span)) / 1e6
+        if strategy == "bucketed":
+            # the span must scale the same way the median does: a plain
+            # centered window here would reintroduce the single-/few-
+            # partition bottleneck bucketed was chosen to avoid
+            from qualityassurancetool_spark.operators.partitioned_windows import (  # noqa: E501
+                bucketed_time_rolling,
+            )
+
+            df = bucketed_time_rolling(
+                df.withColumn("_span_us", epoch_micros(ts_col)),
+                {
+                    "_span_min": ("_span_us", "min"),
+                    "_span_max": ("_span_us", "max"),
+                },
+                partition_cols=parts,
+                ts_col=ts_col,
+                before=half_us / 1e6,
+                after=half_us / 1e6,
+            ).drop("_span_us")
+            span_s = (F.col("_span_max") - F.col("_span_min")) / 1e6
+        else:
+            order = epoch_micros(ts_col)
+            w_span = (
+                (
+                    Window.partitionBy(*parts)
+                    if parts
+                    else Window.partitionBy()
+                )
+                .orderBy(order)
+                .rangeBetween(-half_us, half_us)
+            )
+            span_s = (
+                F.max(order).over(w_span) - F.min(order).over(w_span)
+            ) / 1e6
         max_dist_m = F.lit(max_dx_dt) * span_s
     elif threshold_mode != "nominal":
         raise ValueError(f"unknown threshold_mode {threshold_mode!r} (nominal|span)")
@@ -142,4 +169,6 @@ def apply_spatial_outlier_check(
         flag_on_true=QualityFlags.BAD,
         flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
     )
-    return df.withColumn(flag_col, flag_merge(F.col(flag_col), new_flag))
+    return df.withColumn(
+        flag_col, flag_merge(F.col(flag_col), new_flag)
+    ).drop("_span_min", "_span_max")

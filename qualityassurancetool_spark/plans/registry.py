@@ -166,6 +166,9 @@ def _check_velocity(
         apply_velocity_acceleration_check,
     )
 
+    from qualityassurancetool_spark.flags import QualityFlags
+
+    marking = getattr(cfg, "geo_marking", "pair")
     return apply_velocity_acceleration_check(
         df,
         max_velocity_ms=cfg.velocity_max or float("inf"),
@@ -173,7 +176,15 @@ def _check_velocity(
         partition_cols=[stream_col],
         order_extra=["iot_id"] if "iot_id" in df.columns else None,
         distance=getattr(cfg, "geo_distance", "haversine"),
-        marking=getattr(cfg, "geo_marking", "pair"),
+        marking=marking,
+        # reference parity all the way to the FLAG: the reference
+        # pipeline marks velocity violations BAD (src/main.py:663-705);
+        # this chain's own convention stays PROBABLY_BAD for "pair"
+        flag_on_true=(
+            QualityFlags.BAD
+            if marking == "reference"
+            else QualityFlags.PROBABLY_BAD
+        ),
     )
 
 

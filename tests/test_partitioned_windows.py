@@ -297,3 +297,31 @@ def test_stabilization_null_ts_rows_get_null_stats(spark):
             assert nul[c] is None, (strategy, c)
         # real rows: blocks 1 (up), 2 (down), 3 (up) — null row invisible
         assert [out[k]["block_id"] for k in (1, 3, 4)] == [1, 2, 3], strategy
+
+
+def test_spatial_outlier_span_bucketed_matches_window(spark):
+    """threshold_mode='span' under strategy='bucketed' computes the
+    window span via the bucketed min/max twin — flags must match the
+    plain-window strategy row-for-row (the span used to run a plain,
+    possibly empty-partition window even when bucketed was selected)."""
+    from qualityassurancetool_spark.operators.spatial_outlier import (
+        apply_spatial_outlier_check,
+    )
+
+    obs = events_as_observations(spark, SF_DIR)
+    kw = dict(
+        max_dx_dt=0.5,
+        time_window="10min",
+        partition_cols=["observation_type"],
+        threshold_mode="span",
+    )
+    ref = apply_spatial_outlier_check(obs, strategy="window", **kw)
+    got = apply_spatial_outlier_check(obs, strategy="bucketed", **kw)
+    assert "_span_min" not in got.columns
+    _assert_equal_maps(
+        _collect_map(ref, "iot_id", "qc_flag"),
+        _collect_map(got, "iot_id", "qc_flag"),
+    )
+    # both strategies actually flag something at this budget (the
+    # parity isn't vacuous)
+    assert ref.where("qc_flag = 4").count() > 0

@@ -591,3 +591,59 @@ def test_dependent_3streams_missing_golden(
         dt_tolerance="0.5s", flag_when_missing=4,
     )
     assert counts == {1: 11, 4: 3}
+
+
+def test_velocity_golden_zero_dt_duplicate_timestamp(spark):
+    """EXACT duplicate timestamps (dt == 0, common in real exports): a
+    moved position in zero elapsed time is infinite velocity — pandas
+    division gives +inf and the reference flags it; a 0-fill would pass
+    it silently.  The unmoved duplicate (0 m / 0 s) follows the
+    fillna(0) tail convention and stays clean."""
+    from qualityassurancetool_spark.operators.geotrack import (
+        apply_velocity_acceleration_check,
+    )
+
+    t = _velocity_track()
+    # segment (3,4): same timestamp, different position -> inf velocity
+    t.loc[4, "phenomenon_time"] = t.loc[3, "phenomenon_time"]
+    df = spark.createDataFrame(
+        t[["iot_id", "phenomenon_time", "lat", "long"]]
+    ).withColumn("qc_flag", F.lit(None).cast("tinyint"))
+    out = (
+        apply_velocity_acceleration_check(
+            df,
+            max_velocity_ms=1e12,  # even an absurd bound: inf >= it
+            max_acceleration_ms2=1e30,
+            marking="reference",
+            order_extra=["iot_id"],
+        )
+        .orderBy("iot_id")
+        .select("qc_flag")
+        .toPandas()["qc_flag"]
+        .to_numpy()
+    )
+    flagged = set(np.nonzero(out == 3)[0].tolist())
+    assert 3 in flagged
+
+    # same timestamp AND same position: 0/0 -> fill-0 convention, clean
+    t2 = _velocity_track()
+    t2.loc[4, "phenomenon_time"] = t2.loc[3, "phenomenon_time"]
+    t2.loc[4, "lat"] = t2.loc[3, "lat"]
+    t2.loc[4, "long"] = t2.loc[3, "long"]
+    df2 = spark.createDataFrame(
+        t2[["iot_id", "phenomenon_time", "lat", "long"]]
+    ).withColumn("qc_flag", F.lit(None).cast("tinyint"))
+    out2 = (
+        apply_velocity_acceleration_check(
+            df2,
+            max_velocity_ms=1e12,
+            max_acceleration_ms2=1e30,
+            marking="reference",
+            order_extra=["iot_id"],
+        )
+        .orderBy("iot_id")
+        .select("qc_flag")
+        .toPandas()["qc_flag"]
+        .to_numpy()
+    )
+    assert 3 not in set(np.nonzero(out2 == 3)[0].tolist())

@@ -460,3 +460,54 @@ def test_reference_parity_knobs_route_from_config(spark):
         for r in out.where(F.col("qc_flag") == 4).collect()
     )
     assert flagged == [3, 4]
+
+
+def test_reference_marking_flags_bad_through_config(spark):
+    """marking='reference' via YAML must emit the reference's BAD(4)
+    for velocity violations, not the chain's PROBABLY_BAD(3) — config
+    parity reaches the FLAG, not just the bound test."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.config import QCConfig
+    from qualityassurancetool_spark.plans.registry import (
+        run_registered_checks,
+    )
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    pdf = pd.DataFrame(
+        {
+            "iot_id": range(5),
+            "datastream_id": ["s"] * 5,
+            "phenomenon_time": [
+                base + pd.Timedelta(seconds=s) for s in range(5)
+            ],
+            "long": [50.0, 50.0, 50.0, 50.0, 51.0],  # big jump at (3,4)
+            "lat": [20.0] * 5,
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "qc_flag", F.lit(0).cast("tinyint")
+    )
+
+    def run(marking):
+        cfg = QCConfig.from_dict(
+            {
+                "QC": [],
+                "location": {
+                    "max_velocity": 90.0,
+                    "marking": marking,
+                },
+            }
+        )
+        out = run_registered_checks(
+            df, cfg, spark, checks=["velocity_acceleration"],
+            stream_col="datastream_id",
+        )
+        return {
+            int(r["qc_flag"])
+            for r in out.where(F.col("qc_flag") > 0).collect()
+        }
+
+    assert run("reference") == {4}
+    assert run("pair") == {3}
