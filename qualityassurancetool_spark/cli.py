@@ -515,6 +515,27 @@ def cmd_ann(args, overrides: list[str]) -> int:
                 # and partition-prunes to the probed lists' files.
                 index_c = knobs.get("index", {})
                 index_c = index_c if isinstance(index_c, dict) else {}
+                if index_c.get("in") and index_c.get("out"):
+                    if _os.path.realpath(
+                        index_c["in"]
+                    ) == _os.path.realpath(index_c["out"]):
+                        # the serve index is read lazily from in/lists;
+                        # an overwrite to the same path would abort
+                        # ("cannot overwrite a path that is also being
+                        # read from") — and any in+out combo would
+                        # re-shuffle and rewrite the whole index, which
+                        # is never what a serve run wants
+                        raise SystemExit(
+                            "ann: index.in == index.out — serving reads "
+                            "the layout lazily, so rewriting it in place "
+                            "is unsupported; drop index.out to serve, or "
+                            "point it at a new path to re-layout"
+                        )
+                    print(
+                        "ann: warning: index.in + index.out rewrites the "
+                        "whole index (full shuffle) — intended only for "
+                        "re-layout, not serving"
+                    )
                 if index_c.get("in"):
                     with open(
                         _os.path.join(index_c["in"], "model.json")

@@ -36,7 +36,9 @@ _TOP_LEVEL_KEYS = {
     "QC_global",
     "zscore_time_window",
     "zscore_strategy",
+    "zscore_frame",
     "window_strategy",
+    "parity",  # one-switch preset: "reference" flips all parity knobs
     "location",
     "region_polygons",
     "asof_materialize",
@@ -158,6 +160,38 @@ def validate_config_dict(d: dict) -> None:
             raise ConfigError(
                 f"{knob} must be window|bucketed, got {zs!r}"
             )
+    parity = d.get("parity")
+    if parity not in (None, "reference"):
+        raise ConfigError(
+            f"parity must be 'reference' (or absent), got {parity!r}"
+        )
+    frame = d.get(
+        "zscore_frame", "reference" if parity == "reference" else "trailing"
+    )
+    if frame not in ("trailing", "reference"):
+        raise ConfigError(
+            f"zscore_frame must be trailing|reference, got {frame!r}"
+        )
+    if frame == "reference" and (
+        d.get("zscore_strategy") == "bucketed"
+        or d.get("window_strategy") == "bucketed"
+    ):
+        # the streams×buckets scale twin implements the trailing frame
+        # only; silently falling back would change which rows score
+        raise ConfigError(
+            "zscore_frame='reference' requires the plain window strategy "
+            "(the bucketed twin implements the trailing frame only)"
+        )
+    for knob, allowed in (
+        ("distance", ("haversine", "lambert", "exact")),
+        ("marking", ("pair", "reference")),
+        ("threshold_mode", ("nominal", "span")),
+    ):
+        v = (d.get("location") or {}).get(knob)
+        if v is not None and v not in allowed:
+            raise ConfigError(
+                f"location.{knob} must be one of {allowed}, got {v!r}"
+            )
     drift = d.get("drift")
     if drift is not None:
         if not isinstance(drift, dict):
@@ -246,6 +280,11 @@ class QCConfig:
     # back-compat — bucketed on either routes the z-score.
     zscore_strategy: str = "window"
     window_strategy: str = "window"
+    # z-score window convention (operators/zscore.calc_zscore): "trailing"
+    # (pandas rolling, the SQL-oracle semantics) | "reference" (the
+    # strict-past lagged population-σ convention the reference's shipped
+    # golden count pins — tests/test_reference_goldens.py)
+    zscore_frame: str = "trailing"
     # geo-track / spatial checks (reference conf/config.yaml:84-104)
     velocity_max: float | None = None
     acceleration_max: float | None = None
@@ -280,7 +319,18 @@ class QCConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "QCConfig":
+        """``parity: reference`` is the one-switch golden-replay preset:
+        it flips the DEFAULT of every reference-parity knob at once —
+        ``zscore_frame="reference"``, ``location.distance="exact"``,
+        ``location.marking="reference"``,
+        ``location.threshold_mode="span"`` — so a reference migrant gets
+        golden behavior from one line instead of four.  Explicitly set
+        knobs still win over the preset.  (Export-side ``half_even``
+        rounding, the fifth parity behavior, is already the default of
+        ``operators/pivot_export.pivot_wide_export``.)  End-to-end golden
+        replay through this preset: ``tests/test_parity_preset.py``."""
         validate_config_dict(d)
+        p_ref = d.get("parity") == "reference"
         streams = []
         for entry in d.get("QC", []):
             kw = {"stream_id": entry["id"]}
@@ -371,14 +421,21 @@ class QCConfig:
             zscore_time_window=d.get("zscore_time_window", "60min"),
             zscore_strategy=d.get("zscore_strategy", "window"),
             window_strategy=d.get("window_strategy", "window"),
+            zscore_frame=d.get(
+                "zscore_frame", "reference" if p_ref else "trailing"
+            ),
             velocity_max=geo.get("max_velocity"),
             acceleration_max=geo.get("max_acceleration"),
             outlier_time_window=geo.get("time_window", "10min"),
             outlier_max_dx_dt=geo.get("max_dx_dt"),
-            geo_distance=geo.get("distance", "haversine"),
-            geo_marking=geo.get("marking", "pair"),
+            geo_distance=geo.get(
+                "distance", "exact" if p_ref else "haversine"
+            ),
+            geo_marking=geo.get(
+                "marking", "reference" if p_ref else "pair"
+            ),
             outlier_threshold_mode=geo.get(
-                "threshold_mode", "nominal"
+                "threshold_mode", "span" if p_ref else "nominal"
             ),
             asof_materialize=bool(d.get("asof_materialize", False)),
             feature_flags=bool(d.get("feature_flags", False)),

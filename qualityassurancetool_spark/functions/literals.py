@@ -71,11 +71,18 @@ def literal_rows_df(spark, rows: list[tuple], row_ddl: str):
     # that poisons plan compile (the bm25 giant-literal lesson).  Past
     # the bound, fall back to createDataFrame: a Scan ExistingRDD is
     # the RIGHT plan for a genuinely data-sized dim.
-    n_cells = sum(
-        len(v) if isinstance(v, (list, tuple)) else 1
-        for r in rows
-        for v in r
-    )
+    def _weight(v) -> int:
+        # a "cell" is ~8 bytes of payload: scalars count 1, but strings
+        # count by length so a few-row frame of giant strings (the bm25
+        # giant-literal lesson) can't sneak under the cell count and
+        # still build a plan-analysis-poisoning literal
+        if isinstance(v, (list, tuple)):
+            return sum(_weight(x) for x in v)
+        if isinstance(v, (str, bytes)):
+            return max(1, len(v) // 8)
+        return 1
+
+    n_cells = sum(_weight(v) for r in rows for v in r)
     if n_cells > 200_000:
         return spark.createDataFrame(rows, row_ddl)
     payload = json.dumps([dict(zip(names, r)) for r in rows])

@@ -91,7 +91,14 @@ def flag_episodes(
         ((F.max(ts_us) - F.min(ts_us)) / 1e6).alias("duration_s"),
     ]
     if value_col:
-        aggs.append(F.max("_v").alias("peak_value"))
+        # NaN-ignoring peak: Spark's max orders NaN greater than any
+        # double, so one NaN reading would otherwise poison the episode
+        # peak; the streaming twin (streaming/episodes.py) skips NaN in
+        # its running max, and this pins the same convention — a peak is
+        # the largest REAL value seen (NULL if the episode saw only NaN)
+        aggs.append(
+            F.max(F.when(~F.isnan("_v"), F.col("_v"))).alias("peak_value")
+        )
     out = eps.groupBy(*g, "episode").agg(*aggs)
     if min_rows > 1:
         out = out.where(F.col("n_rows") >= min_rows)

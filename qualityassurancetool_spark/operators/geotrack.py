@@ -13,12 +13,42 @@ expressed as ``bool | lead(bool)``.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qualityassurancetool_spark.flags import QualityFlags, flag_from_bool, flag_merge
 from qualityassurancetool_spark.functions.geo import geodesic_m
 from qualityassurancetool_spark.functions.timeutils import epoch_micros
+
+logger = logging.getLogger(__name__)
+
+# file-count proxy for "non-trivially sized": file-backed frames report
+# their scan set via inputFiles(); above this many files a global
+# (unpartitioned) window is almost certainly a mistake at scale
+_GLOBAL_WINDOW_WARN_FILES = 4
+
+
+def _warn_if_global_window_on_big_input(df: DataFrame) -> None:
+    """``partition_cols=None`` collapses the velocity window to ONE
+    sorted partition — correct for the reference's single-ship track,
+    a silent single-task sort on a large frame.  Warn when the input
+    is visibly file-backed and non-trivial (createDataFrame test
+    fixtures report no files and stay quiet)."""
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:  # non-file-backed / exotic plans: stay quiet
+        return
+    if nfiles > _GLOBAL_WINDOW_WARN_FILES:
+        logger.warning(
+            "with_velocity_acceleration: partition_cols=None on an input "
+            "backed by %d files — the time window will sort ALL rows in "
+            "ONE task (single-partition global sort). Pass a track/vessel "
+            "id in partition_cols for anything beyond a single ship's "
+            "track.",
+            nfiles,
+        )
 
 
 def with_velocity_acceleration(
@@ -48,6 +78,8 @@ def with_velocity_acceleration(
     ``tests/test_qc.py:33-47,395-435``).
     """
     parts = partition_cols or []
+    if not parts:
+        _warn_if_global_window_on_big_input(df)
     order_cols = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
     w = (
         Window.partitionBy(*parts).orderBy(*order_cols)
@@ -117,6 +149,13 @@ def apply_velocity_acceleration_check(
     The reference pipeline flags these BAD (``src/main.py:663-705``); this
     engine's QC chain historically uses PROBABLY_BAD — ``flag_on_true``
     keeps that default while letting reference-parity callers pass BAD.
+
+    Convention note (no golden pins this): at a row whose NEXT segment is
+    a same-time same-position duplicate pair, the pair's extended velocity
+    is NULL (0 m / 0 s), so this row's acceleration nulls out and 0-fills
+    — it is NOT flagged.  Pinned by
+    ``tests/test_geo_operators.py::test_acceleration_convention_before_zero_dt_duplicate_pair``
+    so a refactor can't silently swap to the fill-v=0-then-diff reading.
     """
     parts = partition_cols or []
     order_cols = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]

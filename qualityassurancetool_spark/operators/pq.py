@@ -371,10 +371,24 @@ def ivfadc_read(spark, path: str) -> DataFrame:
     pq_code)`` column order with ``cluster_id`` cast back to int (Spark
     surfaces partition-directory values via inference)."""
     df = spark.read.parquet(path)
-    others = [c for c in df.columns if c != "cluster_id"]
+    others = [c for c in df.columns if c not in ("cluster_id", "pq_code")]
+    if "cluster_id" not in df.columns or "pq_code" not in df.columns:
+        raise ValueError(
+            f"not an ivfadc_write layout at {path!r}: need cluster_id + "
+            f"pq_code columns, found {df.columns}"
+        )
+    if len(others) != 1:
+        # id is identified by elimination, so a reordered / schema-evolved
+        # layout with extra data columns must fail loudly, not silently
+        # mis-select a positional column as the id
+        raise ValueError(
+            f"ambiguous ivfadc layout at {path!r}: expected exactly one id "
+            f"column besides (cluster_id, pq_code), found {others}"
+        )
     return df.select(
-        others[0], F.col("cluster_id").cast("int").alias("cluster_id"),
-        *others[1:],
+        others[0],
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "pq_code",
     )
 
 

@@ -171,8 +171,19 @@ def _check_velocity(
     marking = getattr(cfg, "geo_marking", "pair")
     return apply_velocity_acceleration_check(
         df,
-        max_velocity_ms=cfg.velocity_max or float("inf"),
-        max_acceleration_ms2=cfg.acceleration_max or float("inf"),
+        # `is not None`, NOT truthiness: max_velocity 0 is a real bound
+        # (reference test_exceed_max_velocity_2 flags EVERY row at 0 in
+        # reference marking) — `0 or inf` would silently disable it
+        max_velocity_ms=(
+            cfg.velocity_max
+            if cfg.velocity_max is not None
+            else float("inf")
+        ),
+        max_acceleration_ms2=(
+            cfg.acceleration_max
+            if cfg.acceleration_max is not None
+            else float("inf")
+        ),
         partition_cols=[stream_col],
         order_extra=["iot_id"] if "iot_id" in df.columns else None,
         distance=getattr(cfg, "geo_distance", "haversine"),

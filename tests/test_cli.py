@@ -612,3 +612,24 @@ def test_suggest_qc_ranges_semantics(spark):
         suggest_qc_ranges(obs, lo=0.9, hi=0.1)
     with pytest.raises(ConfigError):
         suggest_qc_ranges(obs, margin=-1)
+
+
+def test_ann_index_in_equals_out_rejected(spark, tmp_path):
+    """index.in == index.out would overwrite the layout the serve plan is
+    lazily reading (Spark aborts mid-job) — rejected up front."""
+    import pytest
+
+    idx = str(tmp_path / "ann_idx_same")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    rc = main([
+        "ann", "--keep-session", f"data.input={src}",
+        f"data.out={tmp_path / 'build'}", "method=ivfadc", "k=3",
+        "query_stride=20", "n_lists=4", f"index.out={idx}",
+    ])
+    assert rc == 0
+    with pytest.raises(SystemExit, match="index.in == index.out"):
+        main([
+            "ann", "--keep-session", f"data.input={src}",
+            f"data.out={tmp_path / 'serve'}", "method=ivfadc", "k=3",
+            "query_stride=20", f"index.in={idx}", f"index.out={idx}",
+        ])

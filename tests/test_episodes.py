@@ -94,3 +94,25 @@ def test_validation(spark):
         flag_episodes(df, "fl", "ts", max_gap=0)
     with pytest.raises(ValueError):
         flag_episodes(df, "fl", "ts", min_rows=0)
+
+
+def test_nan_values_ignored_for_peak(spark):
+    """A NaN reading inside an episode must not poison the peak: Spark's
+    plain max orders NaN above every double, but the episode peak is
+    defined as the largest REAL value (matching the streaming twin's
+    running max, streaming/episodes.py)."""
+    rows = [("s", 0, True, 5), ("s", 10, True, float("nan")),
+            ("s", 20, True, 7)]
+    out = flag_episodes(
+        _df(spark, rows), "fl", "ts", ["g"], max_gap="1h", value_col="x"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["peak_value"] == 7.0
+
+    # an episode that saw ONLY NaN values has no real peak -> NULL
+    only_nan = [("s", 0, True, float("nan"))]
+    out2 = flag_episodes(
+        _df(spark, only_nan), "fl", "ts", ["g"], max_gap="1h",
+        value_col="x",
+    ).collect()
+    assert out2[0]["peak_value"] is None

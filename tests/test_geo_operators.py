@@ -167,3 +167,95 @@ def test_region_checks(spark):
     df = spark.createDataFrame(rows, "iot_id long, region string, qc_flag tinyint")
     out = {r["iot_id"]: r["qc_flag"] for r in apply_region_checks(df).collect()}
     assert out == {0: 1, 1: 4, 2: 4, 3: 3}
+
+
+def test_global_window_warning_on_file_backed_input(spark, tmp_path, caplog):
+    """partition_cols=None on a many-file input is a silent
+    single-partition sort at scale — the operator must warn (small
+    createDataFrame fixtures stay quiet)."""
+    import logging
+
+    from qualityassurancetool_spark.operators.geotrack import (
+        with_velocity_acceleration,
+    )
+
+    path = str(tmp_path / "track")
+    spark.range(2000).select(
+        F.col("id").alias("iot_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias(
+            "phenomenon_time"
+        ),
+        (F.lit(51.0) + F.col("id") * 1e-5).alias("lat"),
+        (F.lit(3.0) + F.col("id") * 1e-5).alias("long"),
+    ).repartition(8).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path)
+
+    with caplog.at_level(
+        logging.WARNING, logger="qualityassurancetool_spark.operators.geotrack"
+    ):
+        with_velocity_acceleration(big)  # plan build alone must warn
+    assert any("single-partition" in r.message for r in caplog.records)
+
+    caplog.clear()
+    small = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), 51.0, 3.0)],
+        "iot_id long, phenomenon_time timestamp, lat double, long double",
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="qualityassurancetool_spark.operators.geotrack"
+    ):
+        with_velocity_acceleration(small)
+    assert not caplog.records
+
+    caplog.clear()
+    with caplog.at_level(
+        logging.WARNING, logger="qualityassurancetool_spark.operators.geotrack"
+    ):
+        with_velocity_acceleration(big, partition_cols=["iot_id"])
+    assert not caplog.records
+
+
+def test_acceleration_convention_before_zero_dt_duplicate_pair(spark):
+    """Pins THIS engine's convention for the acceleration edge the
+    reference's shipped goldens do NOT cover (its velocity source lives
+    in the unvendored ``pandassta`` package): at a row whose NEXT segment
+    is a same-time same-position duplicate pair, the extended velocity of
+    that pair is NULL (0 m / 0 s), so the preceding row's acceleration
+    nulls out and 0-fills — it is NOT flagged.  The plausible alternative
+    (fill v=0 before diffing, giving a = -v/dt there) WOULD flag it; this
+    test exists so a refactor can't silently swap conventions."""
+    import datetime as dtm
+
+    from qualityassurancetool_spark.operators.geotrack import (
+        apply_velocity_acceleration_check,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = []
+    # constant ~11 m/s northward track, 1 s cadence
+    for i in range(5):
+        rows.append((i, t0 + dtm.timedelta(seconds=i), 51.0 + i * 1e-4, 3.0))
+    # row 5: duplicate timestamp AND position of row 4 (the 0/0 pair)
+    rows.append((5, t0 + dtm.timedelta(seconds=4), 51.0 + 4 * 1e-4, 3.0))
+    df = spark.createDataFrame(
+        rows, "iot_id long, phenomenon_time timestamp, lat double, long double"
+    ).withColumn("qc_flag", F.lit(None).cast("tinyint"))
+
+    out = (
+        apply_velocity_acceleration_check(
+            df,
+            max_velocity_ms=1e12,
+            # |a| >= 5 would catch a fill-v=0-then-diff convention
+            # (|-11 m/s / 1 s| = 11 >= 5) at row 3; ours nulls out
+            max_acceleration_ms2=5.0,
+            marking="reference",
+            order_extra=["iot_id"],
+        )
+        .orderBy("iot_id")
+        .select("qc_flag")
+        .toPandas()["qc_flag"]
+        .to_numpy()
+    )
+    import numpy as np
+
+    assert set(np.nonzero(out == 3)[0].tolist()) == set()

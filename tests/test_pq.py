@@ -299,3 +299,33 @@ def test_ivfadc_append_incremental(emb, tmp_path):
         for r in rows
     )
     assert mkey(a.collect()) == mkey(b.collect())
+
+
+def test_ivfadc_read_rejects_unexpected_schema(emb, tmp_path):
+    """ivfadc_read identifies the id column by elimination, so a layout
+    with extra or missing columns must fail loudly instead of silently
+    mis-selecting a positional column as the id."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_fit,
+        ivfadc_index,
+        ivfadc_read,
+        ivfadc_write,
+    )
+
+    cents, books = ivfadc_fit(emb, n_lists=2, m=2, k=4, max_iter=2)
+    index = ivfadc_index(emb, cents, books)
+
+    extra = str(tmp_path / "extra")
+    ivfadc_write(index.withColumn("junk", F.lit(1)), extra)
+    with pytest.raises(ValueError, match="exactly one id column"):
+        ivfadc_read(emb.sparkSession, extra)
+
+    missing = str(tmp_path / "missing")
+    index.drop("pq_code").withColumn("other", F.lit(0.0)).write.partitionBy(
+        "cluster_id"
+    ).mode("overwrite").parquet(missing)
+    with pytest.raises(ValueError, match="not an ivfadc_write layout"):
+        ivfadc_read(emb.sparkSession, missing)
