@@ -2932,13 +2932,25 @@ _IVFADC_CMOD = 61    # centroid sample: vec_id % 61 == 0, first 8
 _IVFADC_SMOD, _IVFADC_SOFF = 31, 5  # codebook sample: % 31 == 5
 
 
+# the declared ann_ivfadc searches the DISK layout (ivfadc_write ->
+# ivfadc_read), not the in-memory index frame — the plan a production
+# deployment actually serves, with the probed IN literal resolving to
+# file-level PartitionFilters pruning.  Written once per (session,
+# sf_dir); the read-back is deterministic, so the DuckDB oracle is
+# unchanged.  One bounded entry, like _MINHASH_PAIRS_CACHE.
+_IVFADC_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+
+
 def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB ANN shape, graded end-to-end (operators/pq, Jégou et
-    al. 2011): IVF coarse-assign -> residual PQ encode -> ADC search of
-    the ``nprobe`` probed lists only -> exact cosine rerank of the
-    30-candidate shortlist.  The corpus never scores outside the probed
-    lists (~nprobe/n_lists of it does ADC table lookups; only the
-    shortlist touches raw vectors again).
+    al. 2011): IVF coarse-assign -> residual PQ encode -> persist the
+    cluster_id-partitioned inverted-list LAYOUT -> ADC search of the
+    ``nprobe`` probed lists only, read back FROM DISK with partition
+    pruning -> exact cosine rerank of the 30-candidate shortlist.  The
+    corpus never scores outside the probed lists (~nprobe/n_lists of it
+    does ADC table lookups; only the shortlist touches raw vectors
+    again), and the search scan opens only the probed lists' files
+    (PartitionFilters — asserted by tools/plan_audit.py).
 
     Centroids and codebooks are deterministic stride samples (centroid
     = sampled vector, codebook entry = sampled vector's residual
@@ -2947,7 +2959,9 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_pq/x_ivfadc."""
     from qualityassurancetool_spark.operators.pq import (
         ivfadc_index,
+        ivfadc_read,
         ivfadc_topk,
+        ivfadc_write,
     )
     from qualityassurancetool_spark.operators.similarity import (
         exact_rerank,
@@ -3005,7 +3019,18 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         resid = [a - b for a, b in zip(v, cents[cid][1])]
         for m in range(_IVFADC_M):
             books[m][c] = resid[m * w : (m + 1) * w]
-    index = ivfadc_index(emb, cents, books)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    layout = _IVFADC_LAYOUT_CACHE.get(key)
+    if layout is None:
+        import tempfile
+
+        _IVFADC_LAYOUT_CACHE.clear()  # one bounded entry per app
+        layout = os.path.join(
+            tempfile.mkdtemp(prefix="qat_ivfadc_layout_"), "lists"
+        )
+        ivfadc_write(ivfadc_index(emb, cents, books), layout)
+        _IVFADC_LAYOUT_CACHE[key] = layout
+    index = ivfadc_read(spark, layout)
     queries = (
         emb.where(F.col("vec_id") % 100 == 0)
         .orderBy("vec_id")
@@ -4391,6 +4416,79 @@ SQL_PSI = _sql_psi()
 
 
 # ---------------------------------------------------------------------------
+# round-8 gate swap: flag_episodes (the monitoring story's operational
+# half — incident collapse) is driver-graded (VERDICT r7 item 4);
+# rollup_revenue retires to the x_* delegation
+# ---------------------------------------------------------------------------
+
+
+def q_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert episodes (operators/episodes.flag_episodes): collapse
+    per-row anomaly flags into operational incidents — the classic
+    gaps-and-islands island collapse, debounced.  Synthetic threshold
+    flag (value > 180) per event-type stream, 2 h gap, min 2 rows,
+    NaN-ignoring peak.  Physical shape: filter-first scan predicate,
+    one window on the stream key, aggregate on the same key prefix —
+    no UDF, no second shuffle.  Streaming twin:
+    streaming/episodes.streaming_episodes (restart-parity tested)."""
+    from qualityassurancetool_spark.operators.episodes import flag_episodes
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("value").cast("double")
+    )
+    got = flag_episodes(
+        ev, F.col("value") > 180.0, "ts", ["event_type"],
+        max_gap="2h", value_col="value", min_rows=2,
+    )
+    return got.select(
+        "event_type",
+        F.col("episode").cast("long").alias("episode"),
+        (F.round(F.col("start").cast("double"), 3) + F.lit(0.0))
+        .alias("start_s"),
+        (F.round(F.col("end").cast("double"), 3) + F.lit(0.0))
+        .alias("end_s"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.round("duration_s", 3) + F.lit(0.0)).alias("dur_r"),
+        (F.round("peak_value", 6) + F.lit(0.0)).alias("peak_r"),
+    )
+
+
+SQL_EPISODES = """
+WITH fl AS (
+    SELECT event_type, ts, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE value > 180.0 AND ts IS NOT NULL
+), marked AS (
+    SELECT event_type, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 7200
+                THEN 1 ELSE 0 END AS new_ep
+    FROM fl WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+), eps AS (
+    SELECT event_type, ts, value,
+           SUM(new_ep) OVER (PARTITION BY event_type ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS ep
+    FROM marked
+), agg AS (
+    SELECT event_type, ep, MIN(ts) AS start, MAX(ts) AS "end",
+           COUNT(*) AS n_rows,
+           epoch(MAX(ts)) - epoch(MIN(ts)) AS dur,
+           MAX(CASE WHEN NOT isnan(value) THEN value END) AS peak
+    FROM eps GROUP BY 1, 2
+)
+SELECT event_type,
+       row_number() OVER (PARTITION BY event_type ORDER BY start)
+           AS episode,
+       ROUND(epoch(start), 3) + 0.0 AS start_s,
+       ROUND(epoch("end"), 3) + 0.0 AS end_s,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(CAST(dur AS DOUBLE), 3) + 0.0 AS dur_r,
+       ROUND(peak, 6) + 0.0 AS peak_r
+FROM agg WHERE n_rows >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -4428,7 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi": q_psi,
         "experiment": q_experiment,
         "topk_orders_per_segment": q_topk_orders_per_segment,
-        "rollup_revenue": q_rollup_revenue,
+        "episodes": q_episodes,
         "shipping_priority": q_shipping_priority,
         "hll_distinct": q_hll_distinct,
         "ddsketch_quantiles": q_ddsketch_quantiles,
@@ -4483,7 +4581,7 @@ def oracle_sql() -> dict[str, str]:
         "psi": SQL_PSI,
         "experiment": SQL_EXPERIMENT,
         "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
-        "rollup_revenue": SQL_ROLLUP_REVENUE,
+        "episodes": SQL_EPISODES,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "hll_distinct": SQL_HLL_DISTINCT,
         "ddsketch_quantiles": SQL_DDSKETCH_QUANTILES,

@@ -4093,70 +4093,6 @@ GROUP BY node HAVING COUNT(*) >= 3
     return sdf, sql
 
 
-def x_episodes(spark, con, sf_dir):
-    """flag_episodes (gaps-and-islands collapse of per-row flags into
-    incidents, debounced) vs a DuckDB islands replica: synthetic
-    threshold flag (value > 180) over per-event-type streams, 2 h gap,
-    min 2 rows, peak value."""
-    from qualityassurancetool_spark.operators.episodes import (
-        flag_episodes,
-    )
-    from qualityassurancetool_spark.schema import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "ts", F.col("value").cast("double")
-    )
-    got = flag_episodes(
-        ev, F.col("value") > 180.0, "ts", ["event_type"],
-        max_gap="2h", value_col="value", min_rows=2,
-    )
-    sdf = got.select(
-        "event_type",
-        F.col("episode").cast("long").alias("episode"),
-        (F.round(F.col("start").cast("double"), 3) + F.lit(0.0))
-        .alias("start_s"),
-        (F.round(F.col("end").cast("double"), 3) + F.lit(0.0))
-        .alias("end_s"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        (F.round("duration_s", 3) + F.lit(0.0)).alias("dur_r"),
-        (F.round("peak_value", 6) + F.lit(0.0)).alias("peak_r"),
-    )
-    sql = """
-WITH fl AS (
-    SELECT event_type, ts, CAST(value AS DOUBLE) AS value
-    FROM events
-    WHERE value > 180.0 AND ts IS NOT NULL
-), marked AS (
-    SELECT event_type, ts, value,
-           CASE WHEN lag(ts) OVER w IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER w) > 7200
-                THEN 1 ELSE 0 END AS new_ep
-    FROM fl WINDOW w AS (PARTITION BY event_type ORDER BY ts)
-), eps AS (
-    SELECT event_type, ts, value,
-           SUM(new_ep) OVER (PARTITION BY event_type ORDER BY ts
-               ROWS UNBOUNDED PRECEDING) AS ep
-    FROM marked
-), agg AS (
-    SELECT event_type, ep, MIN(ts) AS start, MAX(ts) AS "end",
-           COUNT(*) AS n_rows,
-           epoch(MAX(ts)) - epoch(MIN(ts)) AS dur,
-           MAX(value) AS peak
-    FROM eps GROUP BY 1, 2
-)
-SELECT event_type,
-       row_number() OVER (PARTITION BY event_type ORDER BY start)
-           AS episode,
-       ROUND(epoch(start), 3) + 0.0 AS start_s,
-       ROUND(epoch("end"), 3) + 0.0 AS end_s,
-       CAST(n_rows AS BIGINT) AS n_rows,
-       ROUND(CAST(dur AS DOUBLE), 3) + 0.0 AS dur_r,
-       ROUND(peak, 6) + 0.0 AS peak_r
-FROM agg WHERE n_rows >= 2
-"""
-    return sdf, sql
-
-
 def x_quantile_bin(spark, con, sf_dir):
     """quantile_bin (exact type-7 cut-points rounded to 6 dp, HOF
     strictly-below bin fold) vs DuckDB quantile_cont with the same
@@ -4271,6 +4207,10 @@ x_sim_brute = _retired("sim_brute")
 x_cusum = _retired("cusum")
 x_seasonal = _retired("seasonal")
 x_psi = _retired("psi")
+# round-8 swap: episodes (incident collapse) promoted into the
+# driver gate (moved here->entry verbatim), retiring rollup_revenue
+x_episodes = _retired("episodes")
+x_rollup_revenue = _retired("rollup_revenue")
 x_unpivot_roundtrip = _retired("unpivot_roundtrip")
 x_agg_pricing_summary = _retired("agg_pricing_summary")
 x_join_segment_revenue = _retired("join_segment_revenue")
@@ -4394,6 +4334,7 @@ EXTRA_CHECKS = {
     "x_join_segment_revenue": x_join_segment_revenue,
     "x_seasonal": x_seasonal,
     "x_episodes": x_episodes,
+    "x_rollup_revenue": x_rollup_revenue,
     "x_psi": x_psi,
     "x_experiment": x_experiment,
     "x_ann_ivfadc_gate": x_ann_ivfadc_gate,

@@ -88,6 +88,16 @@ def audit(sf_dir: str) -> int:
                     "PushedFilters: []" in scan
                 ):
                     problems.append("unpushed-filters")
+        if name == "ann_ivfadc":
+            # the disk-serve contract: the probed-list IN literal must
+            # resolve to FILE-level pruning on the partitioned layout
+            pruned = any(
+                "PartitionFilters: [" in scan
+                and "cluster_id" in scan.split("PartitionFilters: [", 1)[1]
+                for scan in re.findall(r"FileScan parquet [^\n]*", plan)
+            )
+            if not pruned:
+                problems.append("no-partition-pruning")
         status = "OK " if not problems else "FAIL"
         if problems:
             failures += 1
