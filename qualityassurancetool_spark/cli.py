@@ -253,6 +253,10 @@ def cmd_dedup(args, overrides: list[str]) -> int:
     selects the family (all fast-hash production modes):
 
     - ``exact``: (content_hash, keep_id, n_dups) collapse sheet;
+    - ``minhash``: MinHash+LSH verified near-dup pairs; pass
+      ``band_batches=N`` to run the band-batched bounded-state schedule
+      (``work_dir=`` overrides its scratch location) — the single-JVM /
+      spill-bounded path for 100 M-doc corpora (docs/SCALE.md);
     - ``fingerprint``: winnowing copy-candidate pairs with containment;
     - ``spans``: ExactSubstr duplicated-span removal (cleaned text);
     - ``lines``: cross-document duplicate-line removal (keep-first);
@@ -263,10 +267,12 @@ def cmd_dedup(args, overrides: list[str]) -> int:
     if not isinstance(data_c, dict) or not data_c.get("input") or not data_c.get("out"):
         raise ConfigError("missing required settings: data.input, data.out")
     method = knobs.get("method", "exact")
-    if method not in ("exact", "fingerprint", "spans", "lines", "semantic"):
+    if method not in (
+        "exact", "minhash", "fingerprint", "spans", "lines", "semantic"
+    ):
         raise ConfigError(
             f"unknown dedup method {method!r} "
-            "(exact|fingerprint|spans|lines|semantic)"
+            "(exact|minhash|fingerprint|spans|lines|semantic)"
         )
 
     from pyspark.sql import functions as F
@@ -313,6 +319,31 @@ def cmd_dedup(args, overrides: list[str]) -> int:
             ).collect()[0]["x"]
             print(f"groups: {n_groups}")
             print(f"duplicates: {n_extra or 0}")
+        elif method == "minhash":
+            from qualityassurancetool_spark.operators.dedup import (
+                minhash_dedup,
+                minhash_dedup_batched,
+            )
+
+            kw = dict(
+                num_hashes=int(knobs.get("num_hashes", 16)),
+                bands=int(knobs.get("bands", 4)),
+                shingle_k=int(knobs.get("shingle_k", 3)),
+                threshold=float(knobs.get("threshold", 0.7)),
+                hash_mode=knobs.get("hash_mode", "fast"),
+            )
+            bb = knobs.get("band_batches")
+            if bb is not None:
+                work = knobs.get("work_dir") or (
+                    data_c["out"].rstrip("/") + "_work"
+                )
+                out = minhash_dedup_batched(
+                    docs, work, band_batches=int(bb), **kw
+                )
+            else:
+                out = minhash_dedup(docs, **kw)
+            out.write.mode("overwrite").parquet(data_c["out"])
+            print(f"pairs: {spark.read.parquet(data_c['out']).count()}")
         elif method == "fingerprint":
             from qualityassurancetool_spark.operators.fingerprint import (
                 fingerprint_overlap_pairs,

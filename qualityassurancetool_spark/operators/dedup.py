@@ -374,6 +374,207 @@ def minhash_dedup(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def minhash_dedup_batched(
+    df: DataFrame,
+    work_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    hash_mode: str = "fast",
+    band_batches: int | None = None,
+) -> DataFrame:
+    """:func:`minhash_dedup` with BOUNDED peak state — the sharded
+    discipline for corpora too large for one pass's shuffle footprint
+    (single fat JVM, or a cluster where the full banding shuffle would
+    spill every executor).
+
+    Identical output (same signatures, same candidate bands, same
+    verified Jaccard pairs — parity-tested in ``tests/test_dedup.py``);
+    different execution schedule:
+
+    1. shingle arrays + the 16 signature mins are computed ONCE and
+       written to ``work_dir/sig`` parquet (the expensive scan+tokenize
+       never re-runs);
+    2. the LSH banding self-join runs in ``band_batches`` passes over
+       that parquet, each pass reading ONLY its bands' signature
+       columns (column pruning) and shuffling ``1/band_batches`` of
+       the banding volume; per-batch candidate pairs append to
+       ``work_dir/pairs``;
+    3. verification joins the globally-distinct pair set back against
+       the stored shingle arrays, exactly like the monolithic form.
+
+    Peak candidate-generation state per pass is ``bands/band_batches``
+    of the monolithic variant's (measured in ``docs/SCALE.md``), for
+    one extra corpus-sized parquet write and ``band_batches`` metadata
+    re-reads.  ``band_batches=None`` means one pass per band.
+    """
+    import os as _os
+
+    if hash_mode not in ("fast", "portable"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    if num_hashes % bands:
+        raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
+    nb = band_batches if band_batches is not None else bands
+    if not 1 <= nb <= bands:
+        raise ValueError(f"band_batches must be in [1, {bands}], got {nb}")
+    spark = df.sparkSession
+    if hash_mode == "fast":
+        tok_expr = token_hashes(F.col(text_col))
+        sh_expr = shingle_hashes_from_token_hashes(F.col("_tok"), shingle_k)
+    else:
+        tok_expr = tokens(F.col(text_col))
+        sh_expr = portable_shingle_hashes_from_tokens(F.col("_tok"), shingle_k)
+
+    base = F.col("_shh")
+
+    def mixed(i: int):
+        a, b = _mix_constants(hash_mode, i)
+        return base if i == 0 else base * F.lit(a) + F.lit(b)
+
+    sig_path = _os.path.join(work_dir, "sig")
+    # one corpus pass: shingle arrays AND all signature mins land in a
+    # single parquet — later passes column-prune what they need (a
+    # banding pass reads rows_per_band longs/doc, never the arrays).
+    # NO repartition: signatures here are row-local array_min folds (the
+    # monolithic form's id-repartition exists only to make its
+    # explode+groupBy shuffle-free), so the text never crosses an
+    # exchange at all — the corpus streams scan->compute->write.
+    (
+        df.select(F.col(id_col).alias("_jid"), tok_expr.alias("_tok"))
+        .select("_jid", sh_expr.alias("_sh"))
+        .select(
+            "_jid",
+            "_sh",
+            *[
+                F.array_min(
+                    F.transform("_sh", lambda h: mixed_at(h, i, hash_mode))
+                ).alias(f"sig_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .write.mode("overwrite")
+        .parquet(sig_path)
+    )
+
+    rows_per_band = num_hashes // bands
+    pairs_path = _os.path.join(work_dir, "pairs")
+    batches = [
+        list(range(bands))[i::nb] for i in range(nb)
+    ]  # round-robin split keeps batch sizes even for ragged bands/nb
+    for bi, batch in enumerate(batches):
+        sig_cols = sorted(
+            {
+                f"sig_{b * rows_per_band + r}"
+                for b in batch
+                for r in range(rows_per_band)
+            },
+            key=lambda c: int(c.split("_")[1]),
+        )
+        # NULL-text docs carry all-NULL sigs here AND in the monolithic
+        # form (its shingle array is [NULL], min(NULL)=NULL), so both
+        # variants band them together on md5("") and verify them at
+        # jaccard 1.0 — "no text" pairs with "no text".  Deliberately
+        # NOT filtered: parity with minhash_dedup is the contract
+        # (tests/test_scale_ops.py::test_minhash_batched_null_text_parity);
+        # drop null texts upstream if that pairing is unwanted.
+        sig = spark.read.parquet(sig_path).select("_jid", *sig_cols)
+        band_entries = sig.select(
+            F.col("_jid").alias("_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col(
+                                            f"sig_{b * rows_per_band + r}"
+                                        )
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for b in batch
+                    ]
+                )
+            ).alias("band"),
+        ).select("_id", "band.band_id", "band.band_hash")
+        a = band_entries.alias("a")
+        b_ = band_entries.alias("b")
+        (
+            a.join(
+                b_,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+            )
+            .distinct()
+            .write.mode("overwrite" if bi == 0 else "append")
+            .parquet(pairs_path)
+        )
+
+    cand = spark.read.parquet(pairs_path).distinct()
+    # candidate-id semi-filter BEFORE the verification joins: joining
+    # the full shingle table shuffles corpus-sized arrays (measured
+    # 476 MB at 1 M docs — the run's biggest exchange); a broadcast
+    # semi-join streams the table in place and the verify exchanges
+    # then carry only candidate rows (∝ pairs, not corpus).  Candidate
+    # ids are ≤ 2·|pairs| — crawl-realistic corpora keep that tiny
+    # relative to the corpus (docs/SCALE.md rehearsal rates).
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_vid"))
+        .unionByName(cand.select(F.col("id_b").alias("_vid")))
+        .distinct()
+    )
+    sh_df = (
+        spark.read.parquet(sig_path)
+        .select("_jid", "_sh")
+        .join(
+            F.broadcast(cand_ids),
+            F.col("_jid") == F.col("_vid"),
+            "left_semi",
+        )
+    )
+    out = (
+        cand.join(
+            sh_df.withColumnRenamed("_jid", "id_a").withColumnRenamed(
+                "_sh", "sh_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sh_df.withColumnRenamed("_jid", "id_b").withColumnRenamed(
+                "_sh", "sh_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def mixed_at(h: Column, i: int, hash_mode: str) -> Column:
+    """The i-th universal-hash mix of one shingle hash (shared by the
+    monolithic groupBy-min signatures and the batched array_min form —
+    same constants, same arithmetic, same overflow behavior)."""
+    a, b = _mix_constants(hash_mode, i)
+    return h if i == 0 else h * F.lit(a) + F.lit(b)
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash_token_hashes(text: Column) -> Column:

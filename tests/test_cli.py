@@ -633,3 +633,35 @@ def test_ann_index_in_equals_out_rejected(spark, tmp_path):
             f"data.out={tmp_path / 'serve'}", "method=ivfadc", "k=3",
             "query_stride=20", f"index.in={idx}", f"index.out={idx}",
         ])
+
+
+def test_dedup_minhash_cli(spark, tmp_path, capsys):
+    """dedup method=minhash: monolithic and band-batched schedules emit
+    the same verified pairs parquet."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out1 = str(tmp_path / "mh_pairs")
+    rc = main([
+        "dedup", "--keep-session", f"data.input={src}",
+        f"data.out={out1}", "method=minhash", "bands=8",
+        "num_hashes=16", "threshold=0.5",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(report["pairs"]) > 0
+
+    out2 = str(tmp_path / "mh_pairs_batched")
+    rc = main([
+        "dedup", "--keep-session", f"data.input={src}",
+        f"data.out={out2}", "method=minhash", "bands=8",
+        "num_hashes=16", "threshold=0.5", "band_batches=4",
+        f"work_dir={tmp_path / 'mh_work'}",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    key = lambda p: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(p).collect()
+    )
+    assert key(out2) == key(out1)

@@ -409,3 +409,79 @@ def test_multimodal_resize_plumbing(spark):
     assert {k: v["content"] for k, v in out.items()} == {
         k: v["content"] for k, v in again.items()
     }
+
+
+@pytest.mark.parametrize("hash_mode", ["fast", "portable"])
+@pytest.mark.parametrize("band_batches", [1, 3, 8])
+def test_minhash_batched_parity(spark, tmp_path, hash_mode, band_batches):
+    """minhash_dedup_batched must emit EXACTLY the monolithic pipeline's
+    verified pairs (same signatures, same candidate bands, same Jaccard)
+    for every batching schedule — the sharded 100-M-doc discipline is a
+    pure execution-schedule change."""
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_batched,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(300)
+    kw = dict(
+        num_hashes=16, bands=8, shingle_k=3, threshold=0.5,
+        hash_mode=hash_mode,
+    )
+    mono = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_dedup(docs, **kw).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_dedup_batched(
+            docs,
+            str(tmp_path / f"mh_{hash_mode}_{band_batches}"),
+            band_batches=band_batches,
+            **kw,
+        ).collect()
+    }
+    assert got == mono
+    assert len(mono) > 0
+
+
+def test_minhash_batched_null_text_parity(spark, tmp_path):
+    """NULL-text docs pair with each other at jaccard 1.0 in BOTH
+    variants (the monolithic form's shingle array is [NULL] -> all-NULL
+    sigs -> shared md5('') band hash; the batched form reproduces that
+    verbatim).  This pins the shared convention: 'no text' matches 'no
+    text' — drop null texts upstream if unwanted."""
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_batched,
+    )
+
+    rows = [(0, None), (1, None), (2, "a b"), (3, "totally different words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.1)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_batched(
+            docs, str(tmp_path / "mh_null"), **kw
+        ).collect()
+    }
+    mono = {
+        (r["id_a"], r["id_b"]) for r in minhash_dedup(docs, **kw).collect()
+    }
+    assert got == mono == {(0, 1)}
+
+
+def test_minhash_batched_validation(spark, tmp_path):
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_dedup_batched,
+    )
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="band_batches"):
+        minhash_dedup_batched(docs, str(tmp_path), bands=4, band_batches=5)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_dedup_batched(docs, str(tmp_path), num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="hash_mode"):
+        minhash_dedup_batched(docs, str(tmp_path), hash_mode="md5")

@@ -1,0 +1,114 @@
+"""MinHash third-decade rehearsal (VERDICT r7 item 5): the monolithic
+banding pipeline vs the band-batched schedule
+(``operators/dedup.minhash_dedup_batched``) at 1 M / 10 M docs, metering
+what decides single-JVM survival at 100 M — TOTAL shuffle volume and the
+PEAK single-stage shuffle (the working set one exchange must hold at
+once), plus spill.
+
+The batched schedule's claim: peak banding state per pass shrinks to
+``1/band_batches`` of the monolithic exchange, for one extra corpus
+write and ``band_batches`` column-pruned re-reads — so a corpus whose
+full banding shuffle exceeds executor memory processes in bounded
+passes instead of thrash-spilling.  This tool measures that claim; the
+resulting table and the 100 M-doc regime math live in ``docs/SCALE.md``.
+
+Usage: python tools/dress_rehearsal_minhash_batched.py [n_docs ...]
+       default: 1000000 10000000
+Reuses /tmp/dress corpora when present (same generator as
+tools/dress_rehearsal.py).  Set QAT_DRIVER_MEM=24g (see docs/SCALE.md —
+the 64g heap triggers a THP sys-time storm on the bench box).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+ROOT = "/tmp/dress"
+
+
+def completed_stages(spark) -> list[dict]:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.load(r)
+
+
+def run(spark, n_docs: int) -> None:
+    from dress_rehearsal import corpus
+
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_batched,
+    )
+
+    docs_path = os.path.join(ROOT, f"docs_{n_docs}")
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        corpus(spark, n_docs).write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+
+    def meter(label: str, fn) -> None:
+        before = {s["stageId"] for s in completed_stages(spark)}
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        stages = [
+            s for s in completed_stages(spark) if s["stageId"] not in before
+        ]
+        tot_w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        peak_w = max(
+            (s.get("shuffleWriteBytes", 0) for s in stages), default=0
+        )
+        sp_m = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+        sp_d = sum(s.get("diskBytesSpilled", 0) for s in stages)
+        print(
+            f"| {label} | {n_docs:,} | {dt:.1f} | {out:,} "
+            f"| {tot_w/1e6:.1f} | {peak_w/1e6:.1f} | {sp_m/1e6:.0f} "
+            f"| {sp_d/1e6:.0f} |",
+            flush=True,
+        )
+
+    meter(
+        "minhash monolithic",
+        lambda: minhash_dedup(docs, threshold=0.7, hash_mode="fast").count(),
+    )
+    for nb in (2, 4):
+        meter(
+            f"minhash batched B={nb}",
+            lambda nb=nb: minhash_dedup_batched(
+                docs,
+                os.path.join(ROOT, f"mhb_{n_docs}_{nb}"),
+                threshold=0.7,
+                hash_mode="fast",
+                band_batches=nb,
+            ).count(),
+        )
+
+
+def main() -> None:
+    from qualityassurancetool_spark.session import get_spark
+
+    sizes = [int(a) for a in sys.argv[1:]] or [1_000_000, 10_000_000]
+    os.makedirs(ROOT, exist_ok=True)
+    os.environ["SPARK_GRAFT_UI"] = "1"
+    spark = get_spark("dress-minhash-batched")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(
+        "| variant | docs | wall s | pairs | shufW MB | peak-stage "
+        "shufW MB | spillM MB | spillD MB |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for n in sizes:
+        run(spark, n)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -4209,6 +4209,34 @@ x_seasonal = _retired("seasonal")
 x_psi = _retired("psi")
 # round-8 swap: episodes (incident collapse) promoted into the
 # driver gate (moved here->entry verbatim), retiring rollup_revenue
+def x_minhash_batched(spark, con, sf_dir):
+    """minhash_dedup_batched (the band-batched bounded-state schedule,
+    operators/dedup.py) must reproduce the declared dedup_minhash_lsh
+    pipeline's verified pairs VERBATIM — same portable-mode signatures,
+    same candidate bands, same Jaccard — so it shares that row's DuckDB
+    oracle.  Parity with the monolithic operator is additionally pinned
+    across batch schedules in tests/test_scale_ops.py."""
+    import tempfile
+
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_dedup_batched,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    m = _entry_mod()
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_dedup_batched(
+        docs,
+        tempfile.mkdtemp(prefix="qat_mhb_oracle_"),
+        num_hashes=16, bands=8, shingle_k=3, threshold=0.5,
+        hash_mode="portable", band_batches=4,
+    )
+    sdf = out.select(
+        "id_a", "id_b", (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard_r")
+    ).orderBy("id_a", "id_b")
+    return sdf, m._sql_dedup_minhash_lsh()
+
+
 x_episodes = _retired("episodes")
 x_rollup_revenue = _retired("rollup_revenue")
 x_unpivot_roundtrip = _retired("unpivot_roundtrip")
@@ -4335,6 +4363,7 @@ EXTRA_CHECKS = {
     "x_seasonal": x_seasonal,
     "x_episodes": x_episodes,
     "x_rollup_revenue": x_rollup_revenue,
+    "x_minhash_batched": x_minhash_batched,
     "x_psi": x_psi,
     "x_experiment": x_experiment,
     "x_ann_ivfadc_gate": x_ann_ivfadc_gate,
