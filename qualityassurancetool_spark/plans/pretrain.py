@@ -43,6 +43,10 @@ class PretrainConfig:
     curation: CurationConfig = field(default_factory=CurationConfig)
     near_dedup: bool = True
     minhash_threshold: float = 0.7
+    # >0 routes near-dedup through minhash_dedup_batched (bounded peak
+    # state, bit-identical pairs — docs/SCALE.md round-8 decade); the
+    # scratch parquet lands under <out_dir>/minhash_work
+    minhash_band_batches: int = 0
     chunk_tokens: int = 512
     overlap_tokens: int = 64
     pack_budget: int = 2048
@@ -52,7 +56,8 @@ class PretrainConfig:
     @classmethod
     def from_dict(cls, d: dict) -> "PretrainConfig":
         known = {
-            "curation", "near_dedup", "minhash_threshold", "chunk_tokens",
+            "curation", "near_dedup", "minhash_threshold",
+            "minhash_band_batches", "chunk_tokens",
             "overlap_tokens", "pack_budget", "n_shards", "output_format",
         }
         unknown = set(d) - known
@@ -67,6 +72,7 @@ class PretrainConfig:
             curation=CurationConfig.from_dict(d.get("curation", {}) or {}),
             near_dedup=bool(d.get("near_dedup", True)),
             minhash_threshold=float(d.get("minhash_threshold", 0.7)),
+            minhash_band_batches=int(d.get("minhash_band_batches", 0)),
             chunk_tokens=int(d.get("chunk_tokens", 512)),
             overlap_tokens=int(d.get("overlap_tokens", 64)),
             pack_budget=int(d.get("pack_budget", 2048)),
@@ -95,11 +101,23 @@ def run_pretrain_pipeline(
         from qualityassurancetool_spark.operators.components import (
             connected_components,
         )
-        from qualityassurancetool_spark.operators.dedup import minhash_dedup
-
-        pairs = minhash_dedup(
-            docs, threshold=cfg.minhash_threshold, hash_mode="fast"
+        from qualityassurancetool_spark.operators.dedup import (
+            minhash_dedup,
+            minhash_dedup_batched,
         )
+
+        if cfg.minhash_band_batches > 0:
+            pairs = minhash_dedup_batched(
+                docs,
+                os.path.join(out_dir, "minhash_work"),
+                threshold=cfg.minhash_threshold,
+                hash_mode="fast",
+                band_batches=cfg.minhash_band_batches,
+            )
+        else:
+            pairs = minhash_dedup(
+                docs, threshold=cfg.minhash_threshold, hash_mode="fast"
+            )
         comp = connected_components(pairs)
         # victims = every clustered doc except its component's min id
         near_drops = comp.filter(

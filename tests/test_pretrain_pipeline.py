@@ -66,3 +66,38 @@ def test_config_validation():
         PretrainConfig.from_dict({"nope": 1})
     with pytest.raises(ConfigError):
         PretrainConfig.from_dict({"curation": {"bad_rule": 1}})
+
+
+def test_band_batched_near_dedup_identical_report(spark):
+    """minhash_band_batches routes near-dedup through the bounded-state
+    schedule; the pipeline report (kill counts, chunks, shard manifest)
+    must be identical to the monolithic run — the batching is a pure
+    execution-schedule change."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = {
+        "curation": {"max_word_rep_ratio": 0.9, "dedup": "exact"},
+        "minhash_threshold": 0.6,
+        "chunk_tokens": 64,
+        "overlap_tokens": 8,
+        "pack_budget": 256,
+        "n_shards": 4,
+    }
+    out1 = tempfile.mkdtemp(prefix="pretrain_mono")
+    out2 = tempfile.mkdtemp(prefix="pretrain_batched")
+    try:
+        r1 = run_pretrain_pipeline(
+            docs, PretrainConfig.from_dict(base), out1
+        )
+        r2 = run_pretrain_pipeline(
+            docs,
+            PretrainConfig.from_dict(
+                {**base, "minhash_band_batches": 2}
+            ),
+            out2,
+        )
+        assert r2 == r1
+        assert os.path.isdir(os.path.join(out2, "minhash_work", "sig"))
+        assert not os.path.isdir(os.path.join(out1, "minhash_work"))
+    finally:
+        shutil.rmtree(out1, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
