@@ -3022,9 +3022,12 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     layout = _IVFADC_LAYOUT_CACHE.get(key)
     if layout is None:
+        import shutil
         import tempfile
 
-        _IVFADC_LAYOUT_CACHE.clear()  # one bounded entry per app
+        for old in _IVFADC_LAYOUT_CACHE.values():  # one bounded entry
+            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+        _IVFADC_LAYOUT_CACHE.clear()
         layout = os.path.join(
             tempfile.mkdtemp(prefix="qat_ivfadc_layout_"), "lists"
         )

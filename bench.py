@@ -200,8 +200,11 @@ def main() -> None:
                     timeout=900,
                 )
             t_w1 = time.perf_counter()
+            cold1: dict[str, float] = {}
             for name in BENCH_QUERIES:
+                t0 = time.perf_counter()
                 qs[name](spark, sf1_dir).count()
+                cold1[name] = round(time.perf_counter() - t0, 3)
             print(
                 f"# sf1 warm-up pass: "
                 f"{time.perf_counter() - t_w1:.1f}s (untimed)",
@@ -215,6 +218,7 @@ def main() -> None:
             payload["sf1"] = {
                 "value": round(total1, 3),
                 "queries": timings1,
+                "cold_s": cold1,
                 "iters": iters1,
                 "dir": sf1_dir,
             }

@@ -665,3 +665,36 @@ def test_dedup_minhash_cli(spark, tmp_path, capsys):
         (r["id_a"], r["id_b"]) for r in spark.read.parquet(p).collect()
     )
     assert key(out2) == key(out1)
+
+
+def test_ann_index_in_and_out_warns_relayout(spark, tmp_path, capsys):
+    """index.in + a DIFFERENT index.out is the sanctioned re-layout path:
+    it must warn (full rewrite) but complete, and the new layout must
+    serve the same results."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx1 = str(tmp_path / "idx1")
+    rc = main([
+        "ann", "--keep-session", f"data.input={src}",
+        f"data.out={tmp_path / 'build'}", "method=ivfadc", "k=3",
+        "query_stride=20", "n_lists=4", f"index.out={idx1}",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    idx2 = str(tmp_path / "idx2")
+    rc = main([
+        "ann", "--keep-session", f"data.input={src}",
+        f"data.out={tmp_path / 'serve'}", "method=ivfadc", "k=3",
+        "query_stride=20", f"index.in={idx1}", f"index.out={idx2}",
+        "files_per_list=2",
+    ])
+    assert rc == 0
+    assert "re-layout" in capsys.readouterr().out
+    import os
+
+    assert os.path.exists(os.path.join(idx2, "model.json"))
+    key = lambda p: sorted(  # noqa: E731
+        (r["query_id"], r["neighbor_id"])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert key(str(tmp_path / "serve")) == key(str(tmp_path / "build"))
