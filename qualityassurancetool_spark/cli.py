@@ -321,6 +321,7 @@ def cmd_dedup(args, overrides: list[str]) -> int:
             print(f"duplicates: {n_extra or 0}")
         elif method == "minhash":
             from qualityassurancetool_spark.operators.dedup import (
+                minhash_admit,
                 minhash_dedup,
                 minhash_dedup_batched,
             )
@@ -333,7 +334,21 @@ def cmd_dedup(args, overrides: list[str]) -> int:
                 hash_mode=knobs.get("hash_mode", "fast"),
             )
             bb = knobs.get("band_batches")
-            if bb is not None:
+            state = knobs.get("state")
+            if state:
+                # incremental admission: data.input is the DELTA, state
+                # is a minhash_dedup_batched work dir (same knobs);
+                # update_state=false freezes the state for a dry run
+                out = minhash_admit(
+                    docs,
+                    state,
+                    update_state=str(
+                        knobs.get("update_state", True)
+                    ).lower()
+                    not in ("false", "0", "no"),
+                    **kw,
+                )
+            elif bb is not None:
                 work = knobs.get("work_dir") or (
                     data_c["out"].rstrip("/") + "_work"
                 )

@@ -575,6 +575,186 @@ def mixed_at(h: Column, i: int, hash_mode: str) -> Column:
     return h if i == 0 else h * F.lit(a) + F.lit(b)
 
 
+def minhash_admit(
+    delta: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    hash_mode: str = "fast",
+    update_state: bool = True,
+) -> DataFrame:
+    """Incremental near-dup ADMISSION: verify a (small) delta of new
+    documents against an existing corpus state at cost ∝ delta — the
+    daily-crawl discipline (`plans/incremental` applied to MinHash).
+
+    ``state_dir`` is a :func:`minhash_dedup_batched` work dir (its
+    ``sig`` parquet holds every admitted doc's shingle array + signature
+    mins); bootstrap one with ``minhash_dedup_batched(corpus,
+    state_dir, ...)``.  The same knobs MUST be passed (they are baked
+    into the stored signatures).
+
+    Execution shape — the corpus state never shuffles:
+
+    1. the delta's signatures are computed in one exchange-free pass
+       (same arithmetic as the stored ones);
+    2. the delta's (band_id, band_hash) entries — ∝ delta — are
+       BROADCAST against a scan of the stored signatures, so candidate
+       generation reads the state once and moves only matches;
+    3. verification joins candidate-sized slices of the shingle
+       arrays, exactly like the batched verifier.
+
+    Returns verified pairs where AT LEAST ONE side is a delta doc
+    (delta-vs-corpus and delta-vs-delta; duplicate ids across
+    state/delta are the caller's contract, as in ``ivfadc_append``).
+    With ``update_state`` the delta's signatures are appended to the
+    state afterwards, so the NEXT admission sees these docs.  Output
+    equals the monolithic pipeline's pairs over (corpus ∪ delta)
+    restricted to pairs touching the delta — parity-tested in
+    ``tests/test_scale_ops.py`` and oracle-checked as
+    ``x_minhash_admit``."""
+    import os as _os
+
+    if hash_mode not in ("fast", "portable"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    if num_hashes % bands:
+        raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
+    spark = delta.sparkSession
+    sig_path = _os.path.join(state_dir, "sig")
+    if hash_mode == "fast":
+        tok_expr = token_hashes(F.col(text_col))
+        sh_expr = shingle_hashes_from_token_hashes(F.col("_tok"), shingle_k)
+    else:
+        tok_expr = tokens(F.col(text_col))
+        sh_expr = portable_shingle_hashes_from_tokens(F.col("_tok"), shingle_k)
+    delta_sig_path = _os.path.join(state_dir, "_delta_sig")
+    (
+        delta.select(F.col(id_col).alias("_jid"), tok_expr.alias("_tok"))
+        .select("_jid", sh_expr.alias("_sh"))
+        .select(
+            "_jid",
+            "_sh",
+            *[
+                F.array_min(
+                    F.transform("_sh", lambda h: mixed_at(h, i, hash_mode))
+                ).alias(f"sig_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .write.mode("overwrite")
+        .parquet(delta_sig_path)
+    )
+
+    rows_per_band = num_hashes // bands
+
+    def band_entries(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            F.col("_jid").alias("_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col(
+                                            f"sig_{b * rows_per_band + r}"
+                                        )
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select("_id", "band.band_id", "band.band_hash")
+
+    sig_cols = ["_jid"] + [f"sig_{i}" for i in range(num_hashes)]
+    d_entries = band_entries(
+        spark.read.parquet(delta_sig_path).select(*sig_cols)
+    )
+    all_entries = band_entries(
+        spark.read.parquet(sig_path)
+        .select(*sig_cols)
+        .unionByName(spark.read.parquet(delta_sig_path).select(*sig_cols))
+    )
+    # broadcast the delta side: the state scans ONCE, nothing
+    # corpus-sized crosses an exchange; a < b plus the union on the big
+    # side yields both delta-vs-corpus and delta-vs-delta pairs exactly
+    # once (a corpus-vs-corpus pair has no delta entry to match)
+    d = F.broadcast(d_entries).alias("d")
+    a = all_entries.alias("a")
+    cand = (
+        a.join(
+            d,
+            (F.col("a.band_id") == F.col("d.band_id"))
+            & (F.col("a.band_hash") == F.col("d.band_hash"))
+            & (F.col("a._id") != F.col("d._id")),
+        )
+        .select(
+            F.least(F.col("a._id"), F.col("d._id")).alias("id_a"),
+            F.greatest(F.col("a._id"), F.col("d._id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_vid"))
+        .unionByName(cand.select(F.col("id_b").alias("_vid")))
+        .distinct()
+    )
+    sh_all = (
+        spark.read.parquet(sig_path)
+        .select("_jid", "_sh")
+        .unionByName(
+            spark.read.parquet(delta_sig_path).select("_jid", "_sh")
+        )
+        .join(
+            F.broadcast(cand_ids),
+            F.col("_jid") == F.col("_vid"),
+            "left_semi",
+        )
+    )
+    out = (
+        cand.join(
+            sh_all.withColumnRenamed("_jid", "id_a").withColumnRenamed(
+                "_sh", "sh_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sh_all.withColumnRenamed("_jid", "id_b").withColumnRenamed(
+                "_sh", "sh_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+        .where(F.col("jaccard") >= threshold)
+    )
+    if update_state:
+        # the returned frame reads _delta_sig lazily, so materialize the
+        # pairs BEFORE folding the delta into the state (parquet append
+        # into sig/ is safe — _delta_sig is the fragile input)
+        pairs_path = _os.path.join(state_dir, "_admit_pairs")
+        out.write.mode("overwrite").parquet(pairs_path)
+        spark.read.parquet(delta_sig_path).write.mode("append").parquet(
+            sig_path
+        )
+        return spark.read.parquet(pairs_path)
+    return out
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash_token_hashes(text: Column) -> Column:

@@ -698,3 +698,37 @@ def test_ann_index_in_and_out_warns_relayout(spark, tmp_path, capsys):
         for r in spark.read.parquet(p).collect()
     )
     assert key(str(tmp_path / "serve")) == key(str(tmp_path / "build"))
+
+
+def test_dedup_minhash_admit_cli(spark, tmp_path, capsys):
+    """dedup method=minhash state=<dir>: admission of a delta against a
+    bootstrapped state; update_state=false leaves the state frozen."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    state = str(tmp_path / "mh_state")
+    # bootstrap: batched run over the non-delta corpus writes the state
+    docs = spark.read.parquet(src)
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_dedup_batched,
+    )
+    from pyspark.sql import functions as F
+
+    minhash_dedup_batched(
+        docs.where(F.col("doc_id") % 7 != 0), state,
+        num_hashes=16, bands=8, threshold=0.5,
+    ).count()
+    delta_path = str(tmp_path / "delta")
+    docs.where(F.col("doc_id") % 7 == 0).write.parquet(delta_path)
+
+    out = str(tmp_path / "admit_pairs")
+    rc = main([
+        "dedup", "--keep-session", f"data.input={delta_path}",
+        f"data.out={out}", "method=minhash", f"state={state}",
+        "bands=8", "num_hashes=16", "threshold=0.5",
+        "update_state=false",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(report["pairs"]) > 0

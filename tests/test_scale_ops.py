@@ -485,3 +485,83 @@ def test_minhash_batched_validation(spark, tmp_path):
         minhash_dedup_batched(docs, str(tmp_path), num_hashes=16, bands=5)
     with pytest.raises(ValueError, match="hash_mode"):
         minhash_dedup_batched(docs, str(tmp_path), hash_mode="md5")
+
+
+@pytest.mark.parametrize("hash_mode", ["fast", "portable"])
+def test_minhash_admit_parity(spark, tmp_path, hash_mode):
+    """Admission output == the monolithic pipeline over (corpus UNION
+    delta), restricted to pairs touching a delta doc — the incremental
+    path changes the schedule, never the pairs."""
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_batched,
+        minhash_admit,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(300)
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+    base = docs.where(F.col("doc_id") % 7 != 0)
+    kw = dict(
+        num_hashes=16, bands=8, shingle_k=3, threshold=0.5,
+        hash_mode=hash_mode,
+    )
+    state = str(tmp_path / f"state_{hash_mode}")
+    minhash_dedup_batched(base, state, **kw).count()  # bootstrap state
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_admit(delta, state, **kw).collect()
+    }
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_dedup(docs, **kw).collect()
+        if r["id_a"] in delta_ids or r["id_b"] in delta_ids
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_minhash_admit_updates_state(spark, tmp_path):
+    """With update_state, the next admission sees the previous delta:
+    an exact re-submission of a doc admitted in round 1 must pair with
+    it at jaccard 1.0."""
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_admit,
+        minhash_dedup_batched,
+    )
+
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    minhash_dedup_batched(base, state, **kw).count()
+
+    d1 = spark.createDataFrame(
+        [(10, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    assert minhash_admit(d1, state, **kw).count() == 0
+
+    d2 = spark.createDataFrame(
+        [(20, "one two three four five six seven")],  # re-submission
+        "doc_id long, text string",
+    )
+    out = minhash_admit(d2, state, **kw).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(10, 20)}
+    assert out[0]["jaccard"] == 1.0
+
+    # update_state=False leaves the state frozen
+    d3 = spark.createDataFrame(
+        [(30, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    frozen = minhash_admit(d3, state, update_state=False, **kw)
+    assert {(r["id_a"], r["id_b"]) for r in frozen.collect()} == {
+        (10, 30), (20, 30)
+    }
+    again = minhash_admit(d3, state, update_state=False, **kw)
+    assert again.count() == 2  # 30 was not folded in

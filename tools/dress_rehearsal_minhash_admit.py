@@ -1,0 +1,110 @@
+"""Incremental-admission rehearsal: verify a 1 %% delta against an
+existing N-doc minhash state (`operators/dedup.minhash_admit`) and meter
+the cost — the claim is admission ∝ delta + one SCAN of the state (no
+corpus-sized shuffle; the state's signature columns are the only thing
+read for banding, column-pruned out of the sig parquet).
+
+Requires the state from tools/dress_rehearsal_minhash_batched.py
+(`/tmp/dress/mhb_<N>_4`, knobs threshold=0.7 fast, defaults) — it is
+bootstrapped if missing.  The delta is the SAME crawl-shaped generator's
+next ids (families are disjoint from the state's, so most pairs are
+delta-internal planted dups — realistic for a fresh crawl day).
+
+Usage: python tools/dress_rehearsal_minhash_admit.py [n_docs]
+       default: 10000000   (delta = n_docs // 100)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+ROOT = "/tmp/dress"
+
+
+def completed_stages(spark) -> list[dict]:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.load(r)
+
+
+def main() -> None:
+    from dress_rehearsal import corpus
+
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_admit,
+        minhash_dedup_batched,
+    )
+    from qualityassurancetool_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_delta = n // 100
+    os.makedirs(ROOT, exist_ok=True)
+    os.environ["SPARK_GRAFT_UI"] = "1"
+    spark = get_spark("dress-minhash-admit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    state = os.path.join(ROOT, f"mhb_{n}_4")
+    if not os.path.exists(os.path.join(state, "sig")):
+        docs_path = os.path.join(ROOT, f"docs_{n}")
+        if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+            corpus(spark, n).write.mode("overwrite").parquet(docs_path)
+        minhash_dedup_batched(
+            spark.read.parquet(docs_path), state,
+            threshold=0.7, hash_mode="fast", band_batches=4,
+        ).count()
+
+    from pyspark.sql import functions as F
+
+    delta = corpus(spark, n + n_delta).where(F.col("doc_id") >= n)
+
+    before = {s["stageId"] for s in completed_stages(spark)}
+    t0 = time.perf_counter()
+    pairs = minhash_admit(
+        delta, state, threshold=0.7, hash_mode="fast",
+        update_state=False,
+    ).count()
+    dt = time.perf_counter() - t0
+    stages = [
+        s for s in completed_stages(spark) if s["stageId"] not in before
+    ]
+    tot_w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    peak_w = max((s.get("shuffleWriteBytes", 0) for s in stages), default=0)
+    sp = sum(
+        s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+        for s in stages
+    )
+    # the UI REST inputBytes counts CACHE reads only (file-source scans
+    # report 0 on this Spark build — see docs/SCALE.md round-8 note), so
+    # the state-scan bound is reported from the parquet layout itself:
+    # banding reads the sig columns, verification streams _jid + _sh,
+    # together ~the sig dir size, read ONCE with zero shuffle.
+    state_mb = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(state, "sig"))
+        for f in fs
+    ) / 1e6
+    print(
+        "| stage | state docs | delta docs | wall s | pairs "
+        "| state scanned MB (<=) | shufW MB | peak-stage shufW MB "
+        "| spill MB |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|")
+    print(
+        f"| minhash admit | {n:,} | {n_delta:,} | {dt:.1f} | {pairs:,} "
+        f"| {state_mb:.0f} | {tot_w/1e6:.1f} | {peak_w/1e6:.1f} "
+        f"| {sp/1e6:.0f} |"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -4237,6 +4237,42 @@ def x_minhash_batched(spark, con, sf_dir):
     return sdf, m._sql_dedup_minhash_lsh()
 
 
+def x_minhash_admit(spark, con, sf_dir):
+    """Incremental minhash ADMISSION (operators/dedup.minhash_admit):
+    bootstrap the state from the non-delta corpus (doc_id % 7 != 0) via
+    minhash_dedup_batched, admit the delta (doc_id % 7 == 0), and the
+    verified pairs must equal the full-corpus DuckDB LSH replica
+    restricted to pairs touching a delta doc — incremental cost, batch
+    answers."""
+    import tempfile
+
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_admit,
+        minhash_dedup_batched,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    m = _entry_mod()
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(
+        num_hashes=16, bands=8, shingle_k=3, threshold=0.5,
+        hash_mode="portable",
+    )
+    state = tempfile.mkdtemp(prefix="qat_mh_admit_")
+    minhash_dedup_batched(
+        docs.where(F.col("doc_id") % 7 != 0), state, **kw
+    ).count()
+    out = minhash_admit(docs.where(F.col("doc_id") % 7 == 0), state, **kw)
+    sdf = out.select(
+        "id_a", "id_b", (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard_r")
+    ).orderBy("id_a", "id_b")
+    sql = (
+        "SELECT * FROM (" + m._sql_dedup_minhash_lsh() + ") "
+        "WHERE id_a % 7 = 0 OR id_b % 7 = 0 ORDER BY id_a, id_b"
+    )
+    return sdf, sql
+
+
 x_episodes = _retired("episodes")
 x_rollup_revenue = _retired("rollup_revenue")
 x_unpivot_roundtrip = _retired("unpivot_roundtrip")
@@ -4364,6 +4400,7 @@ EXTRA_CHECKS = {
     "x_episodes": x_episodes,
     "x_rollup_revenue": x_rollup_revenue,
     "x_minhash_batched": x_minhash_batched,
+    "x_minhash_admit": x_minhash_admit,
     "x_psi": x_psi,
     "x_experiment": x_experiment,
     "x_ann_ivfadc_gate": x_ann_ivfadc_gate,
