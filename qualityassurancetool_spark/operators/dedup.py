@@ -586,6 +586,8 @@ def minhash_admit(
     threshold: float = 0.7,
     hash_mode: str = "fast",
     update_state: bool = True,
+    delta_sig_path: str | None = None,
+    extra_state_paths: list[str] | None = None,
 ) -> DataFrame:
     """Incremental near-dup ADMISSION: verify a (small) delta of new
     documents against an existing corpus state at cost ∝ delta — the
@@ -615,7 +617,17 @@ def minhash_admit(
     equals the monolithic pipeline's pairs over (corpus ∪ delta)
     restricted to pairs touching the delta — parity-tested in
     ``tests/test_scale_ops.py`` and oracle-checked as
-    ``x_minhash_admit``."""
+    ``x_minhash_admit``.
+
+    Streaming/slice knobs (used by
+    :func:`streaming.minhash_stream.streaming_minhash_admit`):
+    ``delta_sig_path`` overrides where the delta signatures land (the
+    streaming twin writes one slice per micro-batch, overwritten on
+    retry = idempotent); ``extra_state_paths`` unions additional sig
+    parquet dirs into the state side (previous batch slices).  A
+    missing ``state_dir/sig`` is allowed — admission then sees only the
+    extra slices (or nothing: a cold stream's first batch verifies
+    delta-vs-delta only)."""
     import os as _os
 
     if hash_mode not in ("fast", "portable"):
@@ -630,7 +642,8 @@ def minhash_admit(
     else:
         tok_expr = tokens(F.col(text_col))
         sh_expr = portable_shingle_hashes_from_tokens(F.col("_tok"), shingle_k)
-    delta_sig_path = _os.path.join(state_dir, "_delta_sig")
+    if delta_sig_path is None:
+        delta_sig_path = _os.path.join(state_dir, "_delta_sig")
     (
         delta.select(F.col(id_col).alias("_jid"), tok_expr.alias("_tok"))
         .select("_jid", sh_expr.alias("_sh"))
@@ -677,14 +690,23 @@ def minhash_admit(
         ).select("_id", "band.band_id", "band.band_hash")
 
     sig_cols = ["_jid"] + [f"sig_{i}" for i in range(num_hashes)]
+    state_paths = (
+        [sig_path] if _os.path.exists(sig_path) else []
+    ) + list(extra_state_paths or [])
+
+    def union_sigs(cols: list[str]) -> DataFrame:
+        frames = [
+            spark.read.parquet(p).select(*cols) for p in state_paths
+        ] + [spark.read.parquet(delta_sig_path).select(*cols)]
+        out_f = frames[0]
+        for f in frames[1:]:
+            out_f = out_f.unionByName(f)
+        return out_f
+
     d_entries = band_entries(
         spark.read.parquet(delta_sig_path).select(*sig_cols)
     )
-    all_entries = band_entries(
-        spark.read.parquet(sig_path)
-        .select(*sig_cols)
-        .unionByName(spark.read.parquet(delta_sig_path).select(*sig_cols))
-    )
+    all_entries = band_entries(union_sigs(sig_cols))
     # broadcast the delta side: the state scans ONCE, nothing
     # corpus-sized crosses an exchange; a < b plus the union on the big
     # side yields both delta-vs-corpus and delta-vs-delta pairs exactly
@@ -709,17 +731,10 @@ def minhash_admit(
         .unionByName(cand.select(F.col("id_b").alias("_vid")))
         .distinct()
     )
-    sh_all = (
-        spark.read.parquet(sig_path)
-        .select("_jid", "_sh")
-        .unionByName(
-            spark.read.parquet(delta_sig_path).select("_jid", "_sh")
-        )
-        .join(
-            F.broadcast(cand_ids),
-            F.col("_jid") == F.col("_vid"),
-            "left_semi",
-        )
+    sh_all = union_sigs(["_jid", "_sh"]).join(
+        F.broadcast(cand_ids),
+        F.col("_jid") == F.col("_vid"),
+        "left_semi",
     )
     out = (
         cand.join(

@@ -1,0 +1,164 @@
+"""Streaming MinHash admission (streaming/minhash_stream): micro-batch
+near-dedup against a bootstrap state + all previous batches, checkpoint
+kill/restart, a completed batch force-replayed (the foreachBatch
+recovery contract), and the accumulated pairs compared against the
+monolithic batch pipeline over the same documents."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.dedup import (
+    minhash_dedup,
+    minhash_dedup_batched,
+)
+from qualityassurancetool_spark.streaming.minhash_stream import (
+    read_admitted_pairs,
+    streaming_minhash_admit,
+)
+
+SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+TS = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+_WORDS = (
+    "river stone market lantern harbor meadow copper signal garden "
+    "window thunder velvet anchor bridge forest castle mirror puzzle"
+).split()
+
+
+def _doc(i: int) -> str:
+    h = hashlib.md5(f"mh{i}".encode()).digest()
+    words = [
+        _WORDS[(h[j % 16] + 5 * j + i * 11) % len(_WORDS)]
+        for j in range(30)
+    ]
+    return f"minhash doc {i} starts " + " ".join(words)
+
+
+BASE_IDS = [0, 1, 2, 3]
+DOCS = {i: _doc(i) for i in BASE_IDS}
+DOCS.update({i: _doc(i) for i in (10, 11, 12)})
+DOCS[13] = DOCS[0]                          # batch A: exact dup of BASE 0
+DOCS[14] = DOCS[11] + " tiny tail edit"     # batch A: near dup inside A
+DOCS.update({i: _doc(i) for i in (20, 21)})
+DOCS[22] = DOCS[11]                         # batch B: exact dup of A's 11
+FILE_A = [10, 11, 12, 13, 14]
+FILE_B = [20, 21, 22]
+KW = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+
+
+def _land(spark, land, ids, name):
+    rows = [(i, DOCS[i], TS) for i in ids]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(land, name))
+
+
+def _run(spark, land, state, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land + "/*")
+    )
+    q = streaming_minhash_admit(
+        stream, state, ckpt, hash_mode="portable", **KW
+    )
+    q.awaitTermination(180)
+
+
+def _pairs(spark, state):
+    return {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in read_admitted_pairs(spark, state).collect()
+    }
+
+
+def test_streaming_admission_restart_replay_and_batch_parity(spark):
+    root = tempfile.mkdtemp(prefix="smh")
+    land = os.path.join(root, "land")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        os.makedirs(land)
+        # bootstrap state from the base corpus (same knobs)
+        base = spark.createDataFrame(
+            [(i, DOCS[i]) for i in BASE_IDS], "doc_id long, text string"
+        )
+        minhash_dedup_batched(
+            base, state, hash_mode="portable", **KW
+        ).count()
+
+        # ---- batch A drains ------------------------------------------
+        _land(spark, land, FILE_A, "a")
+        _run(spark, land, state, ckpt)
+        got_a = _pairs(spark, state)
+        assert (0, 13) in {(a, b) for a, b, _ in got_a}   # vs BOOTSTRAP
+        assert (11, 14) in {(a, b) for a, b, _ in got_a}  # inside A
+
+        # ---- kill/restart with a new file ----------------------------
+        _land(spark, land, FILE_B, "b")
+        _run(spark, land, state, ckpt)
+        got = _pairs(spark, state)
+        assert (11, 22) in {(a, b) for a, b, _ in got}    # vs PREVIOUS batch
+
+        # ---- parity: union of batch pairs == monolithic pipeline over
+        # (base ∪ streamed) restricted to pairs touching a streamed doc
+        all_docs = spark.createDataFrame(
+            [(i, DOCS[i]) for i in sorted(DOCS)], "doc_id long, text string"
+        )
+        streamed = set(FILE_A) | set(FILE_B)
+        want = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in minhash_dedup(
+                all_docs, hash_mode="portable", **KW
+            ).collect()
+            if r["id_a"] in streamed or r["id_b"] in streamed
+        }
+        assert got == want and len(want) >= 3
+
+        # ---- forced replay of the last completed batch ----------------
+        commits = os.path.join(ckpt, "commits")
+        last = max(
+            (f for f in os.listdir(commits) if f.isdigit()), key=int
+        )
+        os.remove(os.path.join(commits, last))
+        crc = os.path.join(commits, f".{last}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        _run(spark, land, state, ckpt)
+        assert _pairs(spark, state) == got  # overwrite, no double rows
+
+        # ---- idle restart: nothing new → nothing changes --------------
+        _run(spark, land, state, ckpt)
+        assert _pairs(spark, state) == got
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cold_stream_no_bootstrap(spark):
+    """A stream with NO bootstrap state: the first batch verifies only
+    delta-vs-delta; later batches see earlier ones."""
+    root = tempfile.mkdtemp(prefix="smh_cold")
+    land = os.path.join(root, "land")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        os.makedirs(land)
+        _land(spark, land, FILE_A, "a")
+        _run(spark, land, state, ckpt)
+        got = {(a, b) for a, b, _ in _pairs(spark, state)}
+        assert (11, 14) in got
+        assert not any(x in (0, 1, 2, 3) for p in got for x in p)
+
+        _land(spark, land, FILE_B, "b")
+        _run(spark, land, state, ckpt)
+        got = {(a, b) for a, b, _ in _pairs(spark, state)}
+        assert (11, 22) in got
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
