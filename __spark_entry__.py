@@ -3022,12 +3022,17 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     layout = _IVFADC_LAYOUT_CACHE.get(key)
     if layout is None:
-        import shutil
         import tempfile
 
-        for old in _IVFADC_LAYOUT_CACHE.values():  # one bounded entry
-            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
-        _IVFADC_LAYOUT_CACHE.clear()
+        # one entry PER (app, sf_dir) — never delete an evictee's files:
+        # frames returned by earlier calls reference their layout
+        # lazily, so an rmtree here would FileNotFound a caller that
+        # alternates sf dirs and collects late (review finding).  Dirs
+        # are /tmp-lifetime; stale-app entries are just dropped.
+        for old_key in [
+            k for k in _IVFADC_LAYOUT_CACHE if k[0] != key[0]
+        ]:
+            del _IVFADC_LAYOUT_CACHE[old_key]
         layout = os.path.join(
             tempfile.mkdtemp(prefix="qat_ivfadc_layout_"), "lists"
         )

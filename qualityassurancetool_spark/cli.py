@@ -335,6 +335,12 @@ def cmd_dedup(args, overrides: list[str]) -> int:
             )
             bb = knobs.get("band_batches")
             state = knobs.get("state")
+            if state and (bb is not None or knobs.get("work_dir")):
+                raise ConfigError(
+                    "dedup minhash: state= (incremental admission) and "
+                    "band_batches=/work_dir= (batched full dedup) are "
+                    "different modes — pass one or the other"
+                )
             if state:
                 # incremental admission: data.input is the DELTA, state
                 # is a minhash_dedup_batched work dir (same knobs);

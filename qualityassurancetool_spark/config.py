@@ -183,7 +183,10 @@ def validate_config_dict(d: dict) -> None:
             "(the bucketed twin implements the trailing frame only)"
         )
     for knob, allowed in (
-        ("distance", ("haversine", "lambert", "exact")),
+        # "auto" = geodesic_m's lambert-selecting default — accepted
+        # there, so accepted here (validation must not be narrower
+        # than the implementation it guards)
+        ("distance", ("haversine", "lambert", "exact", "auto")),
         ("marking", ("pair", "reference")),
         ("threshold_mode", ("nominal", "span")),
     ):

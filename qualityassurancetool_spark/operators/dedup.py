@@ -428,12 +428,6 @@ def minhash_dedup_batched(
         tok_expr = tokens(F.col(text_col))
         sh_expr = portable_shingle_hashes_from_tokens(F.col("_tok"), shingle_k)
 
-    base = F.col("_shh")
-
-    def mixed(i: int):
-        a, b = _mix_constants(hash_mode, i)
-        return base if i == 0 else base * F.lit(a) + F.lit(b)
-
     sig_path = _os.path.join(work_dir, "sig")
     # one corpus pass: shingle arrays AND all signature mins land in a
     # single parquet — later passes column-prune what they need (a
@@ -529,7 +523,9 @@ def minhash_dedup_batched(
     # semi-join streams the table in place and the verify exchanges
     # then carry only candidate rows (∝ pairs, not corpus).  Candidate
     # ids are ≤ 2·|pairs| — crawl-realistic corpora keep that tiny
-    # relative to the corpus (docs/SCALE.md rehearsal rates).
+    # relative to the corpus (docs/SCALE.md rehearsal rates); the
+    # footer-only parquet count gates the hint for pathological ones.
+    n_pairs_max = spark.read.parquet(pairs_path).count()
     cand_ids = (
         cand.select(F.col("id_a").alias("_vid"))
         .unionByName(cand.select(F.col("id_b").alias("_vid")))
@@ -539,7 +535,7 @@ def minhash_dedup_batched(
         spark.read.parquet(sig_path)
         .select("_jid", "_sh")
         .join(
-            F.broadcast(cand_ids),
+            _gated_broadcast(cand_ids, 2 * n_pairs_max),
             F.col("_jid") == F.col("_vid"),
             "left_semi",
         )
@@ -573,6 +569,23 @@ def mixed_at(h: Column, i: int, hash_mode: str) -> Column:
     same constants, same arithmetic, same overflow behavior)."""
     a, b = _mix_constants(hash_mode, i)
     return h if i == 0 else h * F.lit(a) + F.lit(b)
+
+
+# ~160 MB of long ids: comfortably broadcastable.  Past it, an explicit
+# broadcast hint would ship the frame through the driver unconditionally
+# (the hint BYPASSES autoBroadcastJoinThreshold) and OOM at exactly the
+# boilerplate-heavy-corpus scale these functions target.
+_BROADCAST_ROW_LIMIT = 20_000_000
+
+
+def _gated_broadcast(df: DataFrame, n_rows_upper_bound: int) -> DataFrame:
+    """Broadcast only when a cheap row-count bound says it's safe;
+    otherwise return the frame un-hinted and let AQE pick the join
+    strategy from runtime sizes — a shuffle that COMPLETES beats a
+    driver OOM (review finding)."""
+    if n_rows_upper_bound <= _BROADCAST_ROW_LIMIT:
+        return F.broadcast(df)
+    return df
 
 
 def minhash_admit(
@@ -689,9 +702,14 @@ def minhash_admit(
             ).alias("band"),
         ).select("_id", "band.band_id", "band.band_hash")
 
+    from qualityassurancetool_spark.functions.fs import path_exists
+
     sig_cols = ["_jid"] + [f"sig_{i}" for i in range(num_hashes)]
+    # Hadoop-FS existence check, NOT os.path: a remote state_dir
+    # (hdfs://, s3a://) would otherwise read as missing and silently
+    # degrade admission to delta-vs-delta pairs (review finding)
     state_paths = (
-        [sig_path] if _os.path.exists(sig_path) else []
+        [sig_path] if path_exists(spark, sig_path) else []
     ) + list(extra_state_paths or [])
 
     def union_sigs(cols: list[str]) -> DataFrame:
@@ -710,8 +728,12 @@ def minhash_admit(
     # broadcast the delta side: the state scans ONCE, nothing
     # corpus-sized crosses an exchange; a < b plus the union on the big
     # side yields both delta-vs-corpus and delta-vs-delta pairs exactly
-    # once (a corpus-vs-corpus pair has no delta entry to match)
-    d = F.broadcast(d_entries).alias("d")
+    # once (a corpus-vs-corpus pair has no delta entry to match).
+    # Size-gated: delta entry rows = delta docs × bands, known from the
+    # delta sig parquet footers; an oversized "delta" degrades to the
+    # AQE-chosen join instead of a driver OOM.
+    n_delta = spark.read.parquet(delta_sig_path).count()
+    d = _gated_broadcast(d_entries, n_delta * bands).alias("d")
     a = all_entries.alias("a")
     cand = (
         a.join(
@@ -726,13 +748,21 @@ def minhash_admit(
         )
         .distinct()
     )
+    # materialize the candidates: (a) the verify step references them
+    # three times — a parquet read beats relying on ReusedExchange;
+    # (b) the footer count gates the cand-id broadcast.  The path is
+    # deterministic per delta slice, so a streaming retry overwrites.
+    cand_path = delta_sig_path.rstrip("/") + "_cand"
+    cand.write.mode("overwrite").parquet(cand_path)
+    cand = spark.read.parquet(cand_path)
+    n_cand = cand.count()  # footer-only
     cand_ids = (
         cand.select(F.col("id_a").alias("_vid"))
         .unionByName(cand.select(F.col("id_b").alias("_vid")))
         .distinct()
     )
     sh_all = union_sigs(["_jid", "_sh"]).join(
-        F.broadcast(cand_ids),
+        _gated_broadcast(cand_ids, 2 * n_cand),
         F.col("_jid") == F.col("_vid"),
         "left_semi",
     )

@@ -31,20 +31,30 @@ exchange (the ``minhash_admit`` shape, measured in ``docs/SCALE.md``:
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame
 
+from qualityassurancetool_spark.functions.fs import list_subdirs
 
-def _batch_slices(root: str, exclude: str | None = None) -> list[str]:
-    if not os.path.isdir(root):
-        return []
+
+def _batch_slices(
+    spark, root: str, exclude: str | None = None
+) -> list[str]:
+    # Hadoop-FS listing, NOT os.listdir: a remote state_dir (hdfs://,
+    # s3a://) would otherwise read as empty and every batch would
+    # silently skip its predecessors (review finding).  STRICT name
+    # match: minhash_admit materializes candidate scratch as a sibling
+    # "batch=N_cand" dir, which a bare prefix filter would misread as
+    # a signature slice.
+    names = [
+        d
+        for d in list_subdirs(spark, root, prefix="batch=")
+        if d.split("=", 1)[1].isdigit()
+    ]
     return [
-        os.path.join(root, d)
-        for d in sorted(
-            (d for d in os.listdir(root) if d.startswith("batch=")),
-            key=lambda d: int(d.split("=", 1)[1]),
-        )
+        posixpath.join(root, d)
+        for d in sorted(names, key=lambda d: int(d.split("=", 1)[1]))
         if d != exclude
     ]
 
@@ -68,20 +78,21 @@ def streaming_minhash_admit(
     been built with identical knobs)."""
     from qualityassurancetool_spark.operators.dedup import minhash_admit
 
-    sig_batches = os.path.join(state_dir, "sig_batches")
-    pairs_root = os.path.join(state_dir, "pairs")
-    os.makedirs(sig_batches, exist_ok=True)
-    os.makedirs(pairs_root, exist_ok=True)
+    sig_batches = posixpath.join(state_dir, "sig_batches")
+    pairs_root = posixpath.join(state_dir, "pairs")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        slice_dir = os.path.join(sig_batches, f"batch={batch_id}")
-        prev = _batch_slices(sig_batches, exclude=f"batch={batch_id}")
+        spark = batch_df.sparkSession
+        slice_dir = posixpath.join(sig_batches, f"batch={batch_id}")
         # a replayed batch must see the same "existing" set it saw the
         # first time: slices are ordered by id, and batches arrive in
         # order under one checkpoint, so batch<N is exactly that set
         prev = [
-            p for p in prev
-            if int(os.path.basename(p).split("=", 1)[1]) < batch_id
+            p
+            for p in _batch_slices(
+                spark, sig_batches, exclude=f"batch={batch_id}"
+            )
+            if int(p.rsplit("=", 1)[1]) < batch_id
         ]
         pairs = minhash_admit(
             batch_df.select(id_col, text_col),
@@ -98,7 +109,7 @@ def streaming_minhash_admit(
             extra_state_paths=prev,
         )
         pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_root, f"batch={batch_id}")
+            posixpath.join(pairs_root, f"batch={batch_id}")
         )
 
     writer = (
@@ -113,7 +124,7 @@ def streaming_minhash_admit(
 
 def read_admitted_pairs(spark, state_dir: str) -> DataFrame:
     """All verified near-dup pairs across completed batches."""
-    slices = _batch_slices(os.path.join(state_dir, "pairs"))
+    slices = _batch_slices(spark, posixpath.join(state_dir, "pairs"))
     if not slices:
         raise FileNotFoundError(
             f"no pairs batches under {state_dir!r} — has the stream run?"

@@ -686,13 +686,21 @@ def test_ann_index_in_and_out_warns_relayout(spark, tmp_path, capsys):
         "ann", "--keep-session", f"data.input={src}",
         f"data.out={tmp_path / 'serve'}", "method=ivfadc", "k=3",
         "query_stride=20", f"index.in={idx1}", f"index.out={idx2}",
-        "files_per_list=2",
+        "index.files_per_list=2",
     ])
     assert rc == 0
     assert "re-layout" in capsys.readouterr().out
+    import glob
     import os
 
     assert os.path.exists(os.path.join(idx2, "model.json"))
+    # the salted re-layout actually applied: <= files_per_list parquet
+    # part files inside every cluster_id directory
+    list_dirs = glob.glob(os.path.join(idx2, "lists", "cluster_id=*"))
+    assert list_dirs
+    for d in list_dirs:
+        parts = glob.glob(os.path.join(d, "*.parquet"))
+        assert 1 <= len(parts) <= 2, d
     key = lambda p: sorted(  # noqa: E731
         (r["query_id"], r["neighbor_id"])
         for r in spark.read.parquet(p).collect()

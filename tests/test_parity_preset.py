@@ -231,3 +231,10 @@ location:
         .to_numpy()
     )
     assert set(np.nonzero(out == 4)[0].tolist()) == set(idx)
+
+
+def test_location_distance_auto_accepted(tmp_path):
+    """geodesic_m accepts 'auto' (its own default) — the config
+    validation must not be narrower than the implementation."""
+    cfg = _cfg_from_yaml(tmp_path, "location:\n  distance: auto\n")
+    assert cfg.geo_distance == "auto"

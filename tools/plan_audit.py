@@ -90,10 +90,20 @@ def audit(sf_dir: str) -> int:
                     problems.append("unpushed-filters")
         if name == "ann_ivfadc":
             # the disk-serve contract: the probed-list IN literal must
-            # resolve to FILE-level pruning on the partitioned layout
+            # resolve to FILE-level pruning on the partitioned layout.
+            # Only the INSIDE of the PartitionFilters bracket counts —
+            # cluster_id also appears in PushedFilters/ReadSchema on the
+            # same line, which would make a substring check pass even
+            # for an unpartitioned layout (review finding).
+            def _partition_filter_body(scan: str) -> str:
+                if "PartitionFilters: [" not in scan:
+                    return ""
+                return scan.split("PartitionFilters: [", 1)[1].split(
+                    "]", 1
+                )[0]
+
             pruned = any(
-                "PartitionFilters: [" in scan
-                and "cluster_id" in scan.split("PartitionFilters: [", 1)[1]
+                "cluster_id" in _partition_filter_body(scan)
                 for scan in re.findall(r"FileScan parquet [^\n]*", plan)
             )
             if not pruned:
