@@ -452,6 +452,9 @@ def minhash_dedup_batched(
         .write.mode("overwrite")
         .parquet(sig_path)
     )
+    _write_state_meta(
+        spark, work_dir, num_hashes, bands, shingle_k, hash_mode
+    )
 
     rows_per_band = num_hashes // bands
     pairs_path = _os.path.join(work_dir, "pairs")
@@ -571,6 +574,70 @@ def mixed_at(h: Column, i: int, hash_mode: str) -> Column:
     return h if i == 0 else h * F.lit(a) + F.lit(b)
 
 
+def _write_state_meta(
+    spark, work_dir: str, num_hashes: int, bands: int, shingle_k: int,
+    hash_mode: str,
+) -> None:
+    """Record the knobs BAKED into a stored signature state (threshold
+    is query-time and deliberately excluded).  Admission validates
+    against this: signatures built with different hashing knobs are
+    silently incomparable — mismatched admission would return plausible
+    but WRONG pairs with no error."""
+    import json as _json
+    import posixpath as _pp
+
+    from qualityassurancetool_spark.functions.fs import write_text
+
+    write_text(
+        spark,
+        _pp.join(work_dir, "minhash_meta.json"),
+        _json.dumps(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_k": shingle_k,
+                "hash_mode": hash_mode,
+            }
+        ),
+    )
+
+
+def _check_state_meta(
+    spark, state_dir: str, num_hashes: int, bands: int, shingle_k: int,
+    hash_mode: str,
+) -> None:
+    import json as _json
+    import posixpath as _pp
+
+    from qualityassurancetool_spark.functions.fs import (
+        path_exists,
+        read_text,
+    )
+
+    meta_path = _pp.join(state_dir, "minhash_meta.json")
+    if not path_exists(spark, meta_path):
+        return  # pre-metadata state: caller keeps the same-knobs contract
+    stored = _json.loads(read_text(spark, meta_path))
+    mine = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "hash_mode": hash_mode,
+    }
+    diff = {
+        k: (stored.get(k), v) for k, v in mine.items() if stored.get(k) != v
+    }
+    if diff:
+        raise ValueError(
+            "minhash state knob mismatch (stored vs passed): "
+            + ", ".join(
+                f"{k}={s!r} vs {v!r}" for k, (s, v) in sorted(diff.items())
+            )
+            + f" — signatures in {state_dir!r} were baked with the stored "
+            "knobs and are not comparable under different ones"
+        )
+
+
 # ~160 MB of long ids: comfortably broadcastable.  Past it, an explicit
 # broadcast hint would ship the frame through the driver unconditionally
 # (the hint BYPASSES autoBroadcastJoinThreshold) and OOM at exactly the
@@ -609,8 +676,14 @@ def minhash_admit(
     ``state_dir`` is a :func:`minhash_dedup_batched` work dir (its
     ``sig`` parquet holds every admitted doc's shingle array + signature
     mins); bootstrap one with ``minhash_dedup_batched(corpus,
-    state_dir, ...)``.  The same knobs MUST be passed (they are baked
-    into the stored signatures).
+    state_dir, ...)``.  The same hashing knobs MUST be passed — they
+    are baked into the stored signatures, and the work dir's
+    ``minhash_meta.json`` enforces it (mismatch raises instead of
+    returning plausible-but-wrong pairs).  ``update_state`` appends —
+    a CALLER retry after a mid-run failure can double-append the delta
+    (duplicate state rows ⇒ duplicate future pairs); retry-safe
+    pipelines use the streaming twin's per-batch overwrite slices
+    (``streaming/minhash_stream``) instead.
 
     Execution shape — the corpus state never shuffles:
 
@@ -648,6 +721,9 @@ def minhash_admit(
     if num_hashes % bands:
         raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
     spark = delta.sparkSession
+    _check_state_meta(
+        spark, state_dir, num_hashes, bands, shingle_k, hash_mode
+    )
     sig_path = _os.path.join(state_dir, "sig")
     if hash_mode == "fast":
         tok_expr = token_hashes(F.col(text_col))

@@ -565,3 +565,40 @@ def test_minhash_admit_updates_state(spark, tmp_path):
     }
     again = minhash_admit(d3, state, update_state=False, **kw)
     assert again.count() == 2  # 30 was not folded in
+
+
+def test_minhash_admit_rejects_knob_mismatch(spark, tmp_path):
+    """The state's baked hashing knobs are enforced: admission with
+    different bands/hash_mode must raise, not return wrong pairs; a
+    pre-metadata state (no minhash_meta.json) keeps the old contract."""
+    import os
+
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_admit,
+        minhash_dedup_batched,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+    minhash_dedup_batched(base, state, **kw).count()
+    delta = spark.createDataFrame(
+        [(10, "one two three four")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="knob mismatch"):
+        minhash_admit(
+            delta, state, num_hashes=16, bands=4, shingle_k=3,
+            threshold=0.5,
+        )
+    with pytest.raises(ValueError, match="hash_mode"):
+        minhash_admit(delta, state, hash_mode="portable", **kw)
+    # matching knobs pass; legacy meta-less state stays permissive
+    assert minhash_admit(delta, state, update_state=False, **kw).count() == 0
+    os.remove(os.path.join(state, "minhash_meta.json"))
+    assert minhash_admit(
+        delta, state, update_state=False, num_hashes=16, bands=4,
+        shingle_k=3, threshold=0.5,
+    ).count() == 0
