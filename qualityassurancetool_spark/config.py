@@ -172,16 +172,10 @@ def validate_config_dict(d: dict) -> None:
         raise ConfigError(
             f"zscore_frame must be trailing|reference, got {frame!r}"
         )
-    if frame == "reference" and (
-        d.get("zscore_strategy") == "bucketed"
-        or d.get("window_strategy") == "bucketed"
-    ):
-        # the streams×buckets scale twin implements the trailing frame
-        # only; silently falling back would change which rows score
-        raise ConfigError(
-            "zscore_frame='reference' requires the plain window strategy "
-            "(the bucketed twin implements the trailing frame only)"
-        )
+    # frame='reference' is supported by BOTH window strategies since
+    # round 8 (the bucketed twin implements the strict-past lagged
+    # convention via boundary halos — parity-tested row-for-row), so no
+    # strategy restriction applies here.
     for knob, allowed in (
         # "auto" = geodesic_m's lambert-selecting default — accepted
         # there, so accepted here (validation must not be narrower

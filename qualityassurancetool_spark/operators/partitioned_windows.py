@@ -46,7 +46,7 @@ from qualityassurancetool_spark.functions.timeutils import (
     parse_timedelta_seconds,
 )
 
-_STATS = ("mean", "std", "median", "count", "min", "max")
+_STATS = ("mean", "std", "std_pop", "median", "count", "min", "max")
 
 
 def bucketed_time_rolling(
@@ -90,8 +90,10 @@ def bucketed_time_rolling(
         if stat not in _STATS:
             raise ValueError(f"{out}: unknown stat {stat!r}")
     parts = list(partition_cols)
-    before_us = int(parse_timedelta_seconds(before) * 1_000_000)
-    after_us = int(parse_timedelta_seconds(after) * 1_000_000)
+    # round, don't truncate: ulp noise in float-seconds specs (e.g. the
+    # reference frame's -1 µs upper bound) must not collapse to 0
+    before_us = int(round(parse_timedelta_seconds(before) * 1_000_000))
+    after_us = int(round(parse_timedelta_seconds(after) * 1_000_000))
     span_us = before_us + after_us
     if span_us <= 0:
         raise ValueError("window must have positive width")
@@ -127,8 +129,12 @@ def bucketed_time_rolling(
         ],
     )
     df = df.where(F.col(ts_col).isNotNull())
-    # input row at time t is context for native rows in [t-after, t+before]
-    b_lo = F.floor((t - F.lit(after_us)) / F.lit(bucket_us))
+    # input row at time t is context for native rows in [t-after, t+before];
+    # a NEGATIVE after (strict-past frames, e.g. the z-score reference
+    # convention's [t-Δ, t-1µs]) can push b_lo past the row's OWN bucket
+    # at bucket-boundary times — least() keeps the native copy emitted
+    own = F.floor(t / F.lit(bucket_us))
+    b_lo = F.least(F.floor((t - F.lit(after_us)) / F.lit(bucket_us)), own)
     b_hi = F.floor((t + F.lit(before_us)) / F.lit(bucket_us))
     exploded = (
         df.withColumn("_t_us", t)
@@ -164,6 +170,8 @@ def bucketed_time_rolling(
                 c = F.min(F.col(src).cast("double")).over(w)
             elif stat == "max":
                 c = F.max(F.col(src).cast("double")).over(w)
+            elif stat == "std_pop":
+                c = F.sqrt(F.var_pop(src).over(w))
             else:
                 c = F.stddev_samp(src).over(w)
             stat_cols[out_col] = c
@@ -209,7 +217,11 @@ def bucketed_time_rolling(
                     if stat == "median"
                     else r.min()
                     if stat == "min"
-                    else r.max() if stat == "max" else r.std(ddof=1)
+                    else r.max()
+                    if stat == "max"
+                    else r.std(ddof=0)
+                    if stat == "std_pop"
+                    else r.std(ddof=1)
                 )
                 out[out_col] = series.to_numpy(dtype=np.float64)[native]
                 continue
@@ -228,6 +240,8 @@ def bucketed_time_rolling(
                     res[i] = w.min() if len(w) else np.nan
                 elif stat == "max":
                     res[i] = w.max() if len(w) else np.nan
+                elif stat == "std_pop":
+                    res[i] = w.std(ddof=0) if len(w) else np.nan
                 else:  # sample std
                     res[i] = w.std(ddof=1) if len(w) > 1 else np.nan
             out[out_col] = res
@@ -249,10 +263,110 @@ def calc_zscore_bucketed(
     out_col: str = "zscore",
     bucket: str | float | None = None,
     strategy: str = "window",
+    frame: str = "trailing",
 ) -> DataFrame:
-    """Scale-path twin of :func:`zscore.calc_zscore` (trailing window,
-    sample std) — identical output, streams x buckets parallelism."""
+    """Scale-path twin of :func:`zscore.calc_zscore` — identical output,
+    streams x buckets parallelism.  ``frame`` picks the same conventions
+    as the plain twin: ``"trailing"`` (pandas rolling, sample std) or
+    ``"reference"`` (strict-past ``[t−Δ, t)`` stats lagged one row,
+    population σ, σ=0 movement → ±∞ — the golden-replay convention).
+
+    Reference-frame decomposition: the strict-past stats are ONE
+    bucketed rolling pass (``after = −1 µs``); the lag-one-row is the
+    :func:`_bucket_boundary_halos` primitive (previous bucket's last
+    row carries its stats in).  Rows with NULL timestamps score NULL
+    and are routed around both passes, and — unlike the plain twin,
+    where a NULL-ts row silently participates in its neighbor's lag
+    chain — they are also excluded from the lag here (the cleaner
+    convention; parity is pinned on NULL-ts-free data, the only kind
+    the golden fixtures contain)."""
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    if frame == "reference":
+        from pyspark.sql import Window
+
+        if strategy != "window":
+            raise ValueError(
+                "frame='reference' supports the window strategy only"
+            )
+        delta_us = int(
+            round(parse_timedelta_seconds(rolling_time_window) * 1_000_000)
+        )
+        if delta_us <= 1:
+            raise ValueError(
+                f"window {rolling_time_window!r} too small for the "
+                "strict-past reference frame"
+            )
+        with_stats = bucketed_time_rolling(
+            df,
+            specs={
+                "_mu_p": (value_col, "mean"),
+                "_sigma_p": (value_col, "std_pop"),
+            },
+            partition_cols=groups,
+            ts_col=ts_col,
+            before=rolling_time_window,
+            after=-1.0 / 1_000_000.0,  # right bound t − 1 µs: strict past
+            bucket=bucket,
+            strategy="window",
+        )
+        bucket_us = (
+            int(round(parse_timedelta_seconds(bucket) * 1_000_000))
+            if bucket is not None
+            else 4 * delta_us
+        )
+        in_cols = [f.name for f in df.schema.fields]
+        null_ts = with_stats.where(F.col(ts_col).isNull()).select(
+            *in_cols, F.lit(None).cast("double").alias(out_col)
+        )
+        rows = (
+            with_stats.where(F.col(ts_col).isNotNull())
+            .withColumn("_t_us", epoch_micros(ts_col))
+            .withColumn(
+                "_bucket", F.floor(F.col("_t_us") / F.lit(bucket_us))
+            )
+        )
+        halos = _bucket_boundary_halos(
+            rows, groups, [], carry_cols=["_mu_p", "_sigma_p"]
+        )
+
+        def prev_halo_rows() -> DataFrame:
+            h = halos.where(F.col("_prev").isNotNull())
+            sel = []
+            for f in rows.schema.fields:
+                name = f.name
+                if name in ("_t_us", "_mu_p", "_sigma_p"):
+                    sel.append(F.col("_prev")[name].alias(name))
+                elif name in groups or name == "_bucket":
+                    sel.append(F.col(name))
+                else:
+                    sel.append(F.lit(None).cast(f.dataType).alias(name))
+            return h.select(*sel, F.lit(False).alias("_native"))
+
+        exploded = rows.withColumn("_native", F.lit(True)).unionByName(
+            prev_halo_rows()
+        )
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        exploded = exploded.repartition(n_parts, *groups, F.col("_bucket"))
+        w = Window.partitionBy(*groups, "_bucket").orderBy("_t_us")
+        v = F.col(value_col)
+        mu = F.lag("_mu_p").over(w)
+        sigma = F.lag("_sigma_p").over(w)
+        # σ=0 epsilon identical to the plain twin (zscore.calc_zscore)
+        differs = F.abs(v - mu) > F.lit(1e-9) * F.greatest(
+            F.abs(v), F.abs(mu), F.lit(1e-30)
+        )
+        z = F.when(sigma > 0, (v - mu) / sigma).when(
+            (sigma == 0) & differs,
+            F.signum(v - mu) * F.lit(float("inf")),
+        )
+        return (
+            exploded.withColumn(out_col, z)
+            .where("_native")
+            .select(*in_cols, out_col)
+            .unionByName(null_ts)
+        )
+    if frame != "trailing":
+        raise ValueError(f"unknown frame {frame!r} (trailing|reference)")
     with_stats = bucketed_time_rolling(
         df,
         specs={"_mu": (value_col, "mean"), "_sigma": (value_col, "std")},

@@ -69,14 +69,6 @@ def run_qc_pipeline(
     # raw (unguarded) rolling z-score, still on the slim frame
     frame = getattr(config, "zscore_frame", "trailing")
     if bucketed or getattr(config, "zscore_strategy", "window") == "bucketed":
-        if frame == "reference":
-            # validate_config_dict blocks this combination for YAML
-            # configs; guard the direct-construction path too — the
-            # bucketed twin implements the trailing frame only
-            raise ValueError(
-                "zscore_frame='reference' is incompatible with the "
-                "bucketed window strategy"
-            )
         from qualityassurancetool_spark.operators.partitioned_windows import (
             calc_zscore_bucketed,
         )
@@ -85,6 +77,7 @@ def run_qc_pipeline(
             df,
             rolling_time_window=config.zscore_time_window,
             group_col=stream_key,
+            frame=frame,
         )
     else:
         df = calc_zscore(

@@ -80,37 +80,15 @@ def test_zscore_frame_validated():
         QCConfig.from_dict({"zscore_frame": "leading"})
 
 
-def test_reference_frame_rejects_bucketed_strategy():
-    with pytest.raises(ConfigError, match="bucketed"):
-        QCConfig.from_dict(
-            {"parity": "reference", "window_strategy": "bucketed"}
-        )
-    with pytest.raises(ConfigError, match="bucketed"):
-        QCConfig.from_dict(
-            {"zscore_frame": "reference", "zscore_strategy": "bucketed"}
-        )
-
-
-def test_pipeline_guards_reference_frame_on_bucketed(spark):
-    """Direct QCConfig construction bypasses YAML validation; the
-    pipeline itself must refuse rather than silently fall back to the
-    trailing-frame bucketed twin."""
-    from qualityassurancetool_spark.plans.qc_pipeline import run_qc_pipeline
-
-    cfg = QCConfig(
-        global_qc={"zscore": (-3.0, 3.0)},
-        zscore_frame="reference",
-        window_strategy="bucketed",
+def test_reference_frame_accepts_bucketed_strategy():
+    """Since round 8 the bucketed scale twin implements the reference
+    frame too (boundary-halo lag), so parity + the scale strategy
+    compose — validated, not rejected."""
+    cfg = QCConfig.from_dict(
+        {"parity": "reference", "window_strategy": "bucketed"}
     )
-    df = spark.range(3).select(
-        F.col("id").alias("iot_id"),
-        F.lit("s").alias("observation_type"),
-        F.col("id").cast("double").alias("result"),
-        F.current_timestamp().alias("phenomenon_time"),
-        F.lit(0).cast("tinyint").alias("qc_flag"),
-    )
-    with pytest.raises(ValueError, match="bucketed"):
-        run_qc_pipeline(df, cfg, spark)
+    assert cfg.zscore_frame == "reference"
+    assert cfg.window_strategy == "bucketed"
 
 
 # ------------------------------------- golden replay THROUGH the config
@@ -146,6 +124,38 @@ QC:
     out = run_registered_checks(df, cfg, spark, stream_col="datastream_id")
     n_bad = out.where(F.col("qc_flag") == 4).count()
     assert n_bad == 9
+
+
+@needs_goldens
+def test_configured_bucketed_chain_replays_zscore_golden(spark, tmp_path):
+    """The SAME 9-outlier golden through the scale strategy: parity +
+    ``window_strategy: bucketed`` routes every window stage through the
+    streams×buckets twins, and the count must not move."""
+    cfg = _cfg_from_yaml(
+        tmp_path,
+        """
+parity: reference
+window_strategy: bucketed
+zscore_time_window: 60min
+QC:
+  - id: 7770
+    zscore: {min: -25, max: 25}
+  - id: 7850
+    zscore: {min: -25, max: 25}
+""",
+    )
+    pdf = pd.read_csv(f"{RES}/df_outliers.csv", index_col=0).rename(
+        columns={
+            "@iot.id": "iot_id",
+            "phenomenonTime": "phenomenon_time",
+        }
+    )[["iot_id", "result", "phenomenon_time", "datastream_id"]]
+    pdf["phenomenon_time"] = pd.to_datetime(pdf["phenomenon_time"])
+    df = spark.createDataFrame(pdf).withColumn(
+        "qc_flag", F.lit(2).cast("tinyint")
+    )
+    out = run_registered_checks(df, cfg, spark, stream_col="datastream_id")
+    assert out.where(F.col("qc_flag") == 4).count() == 9
 
 
 @needs_goldens

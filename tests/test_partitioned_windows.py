@@ -325,3 +325,34 @@ def test_spatial_outlier_span_bucketed_matches_window(spark):
     # both strategies actually flag something at this budget (the
     # parity isn't vacuous)
     assert ref.where("qc_flag = 4").count() > 0
+
+
+def test_zscore_bucketed_reference_frame_matches_window(spark):
+    """The bucketed twin's frame='reference' (strict-past lagged
+    population-σ — the golden-replay convention) must agree row-for-row
+    with the plain twin, including the lag across bucket boundaries
+    and the σ=0 → ±inf movement rule."""
+    obs = events_as_observations(spark, SF_DIR)
+    ref = calc_zscore(
+        obs, group_col="observation_type", rolling_time_window="60min",
+        frame="reference",
+    )
+    got = calc_zscore_bucketed(
+        obs,
+        group_col="observation_type",
+        rolling_time_window="60min",
+        bucket="120min",  # many buckets: heavy halo + boundary-lag use
+        frame="reference",
+    )
+    _assert_equal_maps(
+        _collect_map(ref, "iot_id", "zscore"),
+        _collect_map(got, "iot_id", "zscore"),
+    )
+
+
+def test_zscore_bucketed_reference_validation(spark):
+    obs = events_as_observations(spark, SF_DIR)
+    with pytest.raises(ValueError, match="window strategy"):
+        calc_zscore_bucketed(obs, frame="reference", strategy="pandas")
+    with pytest.raises(ValueError, match="unknown frame"):
+        calc_zscore_bucketed(obs, frame="leading")
