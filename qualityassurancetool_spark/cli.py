@@ -354,12 +354,21 @@ def cmd_dedup(args, overrides: list[str]) -> int:
                     not in ("false", "0", "no"),
                     **kw,
                 )
-            elif bb is not None:
+            elif bb is not None or knobs.get("work_dir"):
+                # work_dir= alone selects the batched schedule too (one
+                # pass per band): a user who configured scratch wants
+                # the bounded-state discipline — silently falling back
+                # to the monolithic operator would ignore the knob and
+                # spill/OOM at exactly the corpus scale work_dir exists
+                # for (review finding, round 8)
                 work = knobs.get("work_dir") or (
                     data_c["out"].rstrip("/") + "_work"
                 )
                 out = minhash_dedup_batched(
-                    docs, work, band_batches=int(bb), **kw
+                    docs,
+                    work,
+                    band_batches=int(bb) if bb is not None else None,
+                    **kw,
                 )
             else:
                 out = minhash_dedup(docs, **kw)

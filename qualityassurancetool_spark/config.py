@@ -96,6 +96,18 @@ def _check_minmax(owner: str, name: str, rng) -> None:
         raise ConfigError(f"{owner}.{name}: min {lo} > max {hi}")
 
 
+def effective_zscore_frame(d: dict) -> str:
+    """The parity-dependent zscore_frame default, derived ONCE: the
+    validator and ``QCConfig.from_dict`` both call this, so the frame
+    that gets validated is exactly the frame that gets constructed
+    (review finding, round 8 — two independent derivations could drift
+    if the preset mapping ever changes)."""
+    return d.get(
+        "zscore_frame",
+        "reference" if d.get("parity") == "reference" else "trailing",
+    )
+
+
 def validate_config_dict(d: dict) -> None:
     """Schema-validate a QC config dict; raises :class:`ConfigError` with
     a pointed message on the first violation.  Covers the same classes of
@@ -165,9 +177,7 @@ def validate_config_dict(d: dict) -> None:
         raise ConfigError(
             f"parity must be 'reference' (or absent), got {parity!r}"
         )
-    frame = d.get(
-        "zscore_frame", "reference" if parity == "reference" else "trailing"
-    )
+    frame = effective_zscore_frame(d)
     if frame not in ("trailing", "reference"):
         raise ConfigError(
             f"zscore_frame must be trailing|reference, got {frame!r}"
@@ -418,9 +428,7 @@ class QCConfig:
             zscore_time_window=d.get("zscore_time_window", "60min"),
             zscore_strategy=d.get("zscore_strategy", "window"),
             window_strategy=d.get("window_strategy", "window"),
-            zscore_frame=d.get(
-                "zscore_frame", "reference" if p_ref else "trailing"
-            ),
+            zscore_frame=effective_zscore_frame(d),
             velocity_max=geo.get("max_velocity"),
             acceleration_max=geo.get("max_acceleration"),
             outlier_time_window=geo.get("time_window", "10min"),

@@ -47,6 +47,14 @@ def mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(p)
 
 
+def delete_path(spark: SparkSession, path: str) -> None:
+    """Recursive delete; no-op when the path does not exist (scratch
+    cleanup — callers must never point this at state they still read)."""
+    fs, p = _fs_and_path(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Small driver-side text file (metadata markers), any scheme."""
     fs, p = _fs_and_path(spark, path)

@@ -102,3 +102,14 @@ def parse_timedelta_seconds(spec: str | float | int) -> float:
                 num = "1"
             return float(num) * units[unit]
     return float(s)  # bare number = seconds
+
+
+def timedelta_micros(spec: str | float | int) -> int:
+    """THE timedelta→integer-µs conversion for window bounds.  ROUNDS,
+    never truncates: float-seconds specs carry ulp noise (2.675 s is
+    2674999.999… µs as a double), and a site that truncates while its
+    scale twin rounds puts two rows exactly on the boundary in one
+    window and out of the other — breaking the twins' row-for-row
+    parity contract (review finding, round 8).  Every operator that has
+    a bucketed/SQL twin derives its bounds here."""
+    return int(round(parse_timedelta_seconds(spec) * 1_000_000))

@@ -153,28 +153,9 @@ def minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, shingle_k
     )
 
-    band_entries = with_sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"sig_{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("_id", "band.band_id", "band.band_hash")
+    band_entries = band_entry_rows(
+        with_sig, rows_per_band, range(bands), id_col="_id"
+    )
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -289,60 +270,28 @@ def minhash_dedup(
     """
     if hash_mode not in ("fast", "portable"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    # two-step projection: materialize the token(-hash) array, THEN build
-    # shingle hashes from the attribute — inlining re-tokenizes per
-    # shingle because Catalyst has no CSE inside HOF lambdas (measured 6×
-    # on this pipeline at sf0.1; see functions/hashing).
-    if hash_mode == "fast":
-        tok_expr = token_hashes(F.col(text_col))
-        sh_expr = shingle_hashes_from_token_hashes(F.col("_tok"), shingle_k)
-    else:
-        tok_expr = tokens(F.col(text_col))
-        sh_expr = portable_shingle_hashes_from_tokens(F.col("_tok"), shingle_k)
-    sh_df = (
+    # the shared (_jid, _sh) projection, behind an id-repartition: the
+    # explode+groupBy below is then pre-distributed and shuffle-free
+    sh_df = _shingle_frame(
         df.repartition(
             df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-        )
-        .select(F.col(id_col).alias("_jid"), tok_expr.alias("_tok"))
-        .select("_jid", sh_expr.alias("_sh"))
-        .persist()
-    )
+        ),
+        text_col, id_col, shingle_k, hash_mode,
+    ).persist()
 
     exploded = sh_df.select(
         F.col("_jid").alias("_id"), F.explode("_sh").alias("_shh")
     )
-    base = F.col("_shh")
-
-    def mixed(i: int):
-        a, b = _mix_constants(hash_mode, i)
-        return base if i == 0 else base * F.lit(a) + F.lit(b)
-
-    aggs = [F.min(mixed(i)).alias(f"sig_{i}") for i in range(num_hashes)]
+    aggs = [
+        F.min(mixed_at(F.col("_shh"), i, hash_mode)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
     with_sig = exploded.groupBy("_id").agg(*aggs)
 
     rows_per_band = num_hashes // bands
-    band_entries = with_sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"sig_{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("_id", "band.band_id", "band.band_hash")
+    band_entries = band_entry_rows(
+        with_sig, rows_per_band, range(bands), id_col="_id"
+    )
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     cand = (
@@ -421,13 +370,6 @@ def minhash_dedup_batched(
     if not 1 <= nb <= bands:
         raise ValueError(f"band_batches must be in [1, {bands}], got {nb}")
     spark = df.sparkSession
-    if hash_mode == "fast":
-        tok_expr = token_hashes(F.col(text_col))
-        sh_expr = shingle_hashes_from_token_hashes(F.col("_tok"), shingle_k)
-    else:
-        tok_expr = tokens(F.col(text_col))
-        sh_expr = portable_shingle_hashes_from_tokens(F.col("_tok"), shingle_k)
-
     sig_path = _os.path.join(work_dir, "sig")
     # one corpus pass: shingle arrays AND all signature mins land in a
     # single parquet — later passes column-prune what they need (a
@@ -436,22 +378,9 @@ def minhash_dedup_batched(
     # monolithic form's id-repartition exists only to make its
     # explode+groupBy shuffle-free), so the text never crosses an
     # exchange at all — the corpus streams scan->compute->write.
-    (
-        df.select(F.col(id_col).alias("_jid"), tok_expr.alias("_tok"))
-        .select("_jid", sh_expr.alias("_sh"))
-        .select(
-            "_jid",
-            "_sh",
-            *[
-                F.array_min(
-                    F.transform("_sh", lambda h: mixed_at(h, i, hash_mode))
-                ).alias(f"sig_{i}")
-                for i in range(num_hashes)
-            ],
-        )
-        .write.mode("overwrite")
-        .parquet(sig_path)
-    )
+    _signature_frame(
+        df, text_col, id_col, num_hashes, shingle_k, hash_mode
+    ).write.mode("overwrite").parquet(sig_path)
     _write_state_meta(
         spark, work_dir, num_hashes, bands, shingle_k, hash_mode
     )
@@ -478,30 +407,7 @@ def minhash_dedup_batched(
         # (tests/test_scale_ops.py::test_minhash_batched_null_text_parity);
         # drop null texts upstream if that pairing is unwanted.
         sig = spark.read.parquet(sig_path).select("_jid", *sig_cols)
-        band_entries = sig.select(
-            F.col("_jid").alias("_id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.md5(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.col(
-                                            f"sig_{b * rows_per_band + r}"
-                                        )
-                                        for r in range(rows_per_band)
-                                    ],
-                                )
-                            ).alias("band_hash"),
-                        )
-                        for b in batch
-                    ]
-                )
-            ).alias("band"),
-        ).select("_id", "band.band_id", "band.band_hash")
+        band_entries = band_entry_rows(sig, rows_per_band, batch)
         a = band_entries.alias("a")
         b_ = band_entries.alias("b")
         (
@@ -574,6 +480,81 @@ def mixed_at(h: Column, i: int, hash_mode: str) -> Column:
     return h if i == 0 else h * F.lit(a) + F.lit(b)
 
 
+def _shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int,
+    hash_mode: str,
+) -> DataFrame:
+    """``(_jid, _sh)``: materialize the token(-hash) array, THEN build
+    shingle hashes from the attribute — inlining re-tokenizes per
+    shingle because Catalyst has no CSE inside HOF lambdas (measured 6×
+    on this pipeline at sf0.1; see functions/hashing).  Shared by every
+    MinHash variant so the shingle arithmetic cannot drift."""
+    if hash_mode == "fast":
+        tok_expr = token_hashes(F.col(text_col))
+        sh_expr = shingle_hashes_from_token_hashes(F.col("_tok"), shingle_k)
+    else:
+        tok_expr = tokens(F.col(text_col))
+        sh_expr = portable_shingle_hashes_from_tokens(F.col("_tok"), shingle_k)
+    return df.select(
+        F.col(id_col).alias("_jid"), tok_expr.alias("_tok")
+    ).select("_jid", sh_expr.alias("_sh"))
+
+
+def _signature_frame(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int,
+    shingle_k: int, hash_mode: str,
+) -> DataFrame:
+    """``(_jid, _sh, sig_0..sig_{n-1})`` via row-local ``array_min``
+    folds — the stored-state signature projection shared by the batched
+    schedule and admission (bit-identical arithmetic across variants is
+    their parity contract)."""
+    return _shingle_frame(df, text_col, id_col, shingle_k, hash_mode).select(
+        "_jid",
+        "_sh",
+        *[
+            # single-parameter lambda only: F.transform dispatches a
+            # two-parameter callable as (element, index).  It builds the
+            # expression eagerly, so the loop variable binds correctly.
+            F.array_min(
+                F.transform("_sh", lambda h: mixed_at(h, i, hash_mode))
+            ).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
+def band_entry_rows(
+    sig: DataFrame, rows_per_band: int, band_ids, id_col: str = "_jid"
+) -> DataFrame:
+    """``(_id, band_id, band_hash)`` — THE banding explode, shared
+    verbatim by the monolithic, batched, and admission variants: the
+    md5-of-concat band key must stay bit-identical across variants or
+    their parity contracts (batched ≡ monolithic, admission ≡ the
+    monolithic pairs restricted to the delta) silently break."""
+    return sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"sig_{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in band_ids
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_id", "band.band_hash")
+
+
 def _write_state_meta(
     spark, work_dir: str, num_hashes: int, bands: int, shingle_k: int,
     hash_mode: str,
@@ -605,7 +586,10 @@ def _write_state_meta(
 def _check_state_meta(
     spark, state_dir: str, num_hashes: int, bands: int, shingle_k: int,
     hash_mode: str,
-) -> None:
+) -> bool:
+    """Validate the passed knobs against the state's baked ones.
+    Returns whether a meta file existed — a bootstrapping caller writes
+    one when this returns False, so no state stays unenforced."""
     import json as _json
     import posixpath as _pp
 
@@ -616,7 +600,8 @@ def _check_state_meta(
 
     meta_path = _pp.join(state_dir, "minhash_meta.json")
     if not path_exists(spark, meta_path):
-        return  # pre-metadata state: caller keeps the same-knobs contract
+        # pre-metadata state: caller keeps the same-knobs contract
+        return False
     stored = _json.loads(read_text(spark, meta_path))
     mine = {
         "num_hashes": num_hashes,
@@ -636,21 +621,28 @@ def _check_state_meta(
             + f" — signatures in {state_dir!r} were baked with the stored "
             "knobs and are not comparable under different ones"
         )
+    return True
 
 
-# ~160 MB of long ids: comfortably broadcastable.  Past it, an explicit
-# broadcast hint would ship the frame through the driver unconditionally
-# (the hint BYPASSES autoBroadcastJoinThreshold) and OOM at exactly the
-# boilerplate-heavy-corpus scale these functions target.
-_BROADCAST_ROW_LIMIT = 20_000_000
+# ~160 MB through the driver: comfortably broadcastable.  Past it, an
+# explicit broadcast hint would ship the frame through the driver
+# unconditionally (the hint BYPASSES autoBroadcastJoinThreshold) and OOM
+# at exactly the boilerplate-heavy-corpus scale these functions target.
+# Sized in BYTES, not rows: an 8-byte long-id frame and a ~60-byte band-
+# entry frame have very different safe row counts, and one shared row
+# limit sized for ids would permit a multi-GB entry broadcast (review
+# finding, round 8).
+_BROADCAST_BYTES_LIMIT = 160 * 1024 * 1024
 
 
-def _gated_broadcast(df: DataFrame, n_rows_upper_bound: int) -> DataFrame:
-    """Broadcast only when a cheap row-count bound says it's safe;
-    otherwise return the frame un-hinted and let AQE pick the join
-    strategy from runtime sizes — a shuffle that COMPLETES beats a
-    driver OOM (review finding)."""
-    if n_rows_upper_bound <= _BROADCAST_ROW_LIMIT:
+def _gated_broadcast(
+    df: DataFrame, n_rows_upper_bound: int, row_bytes: int = 8
+) -> DataFrame:
+    """Broadcast only when a cheap (rows × estimated row width) bound
+    says it's safe; otherwise return the frame un-hinted and let AQE
+    pick the join strategy from runtime sizes — a shuffle that COMPLETES
+    beats a driver OOM (review finding)."""
+    if n_rows_upper_bound * row_bytes <= _BROADCAST_BYTES_LIMIT:
         return F.broadcast(df)
     return df
 
@@ -699,7 +691,12 @@ def minhash_admit(
     (delta-vs-corpus and delta-vs-delta; duplicate ids across
     state/delta are the caller's contract, as in ``ivfadc_append``).
     With ``update_state`` the delta's signatures are appended to the
-    state afterwards, so the NEXT admission sees these docs.  Output
+    state afterwards, so the NEXT admission sees these docs.  The
+    returned frame is backed by a versioned pairs parquet inside
+    ``state_dir`` that the NEXT admission on the same state deletes:
+    consume (or copy) it before admitting again — a later read fails
+    loudly rather than silently returning the newer admission's pairs.
+    Output
     equals the monolithic pipeline's pairs over (corpus ∪ delta)
     restricted to pairs touching the delta — parity-tested in
     ``tests/test_scale_ops.py`` and oracle-checked as
@@ -721,64 +718,24 @@ def minhash_admit(
     if num_hashes % bands:
         raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
     spark = delta.sparkSession
-    _check_state_meta(
+    from qualityassurancetool_spark.functions.fs import (
+        delete_path,
+        list_subdirs,
+        path_exists,
+    )
+
+    had_meta = _check_state_meta(
         spark, state_dir, num_hashes, bands, shingle_k, hash_mode
     )
     sig_path = _os.path.join(state_dir, "sig")
-    if hash_mode == "fast":
-        tok_expr = token_hashes(F.col(text_col))
-        sh_expr = shingle_hashes_from_token_hashes(F.col("_tok"), shingle_k)
-    else:
-        tok_expr = tokens(F.col(text_col))
-        sh_expr = portable_shingle_hashes_from_tokens(F.col("_tok"), shingle_k)
+    internal_scratch = delta_sig_path is None
     if delta_sig_path is None:
         delta_sig_path = _os.path.join(state_dir, "_delta_sig")
-    (
-        delta.select(F.col(id_col).alias("_jid"), tok_expr.alias("_tok"))
-        .select("_jid", sh_expr.alias("_sh"))
-        .select(
-            "_jid",
-            "_sh",
-            *[
-                F.array_min(
-                    F.transform("_sh", lambda h: mixed_at(h, i, hash_mode))
-                ).alias(f"sig_{i}")
-                for i in range(num_hashes)
-            ],
-        )
-        .write.mode("overwrite")
-        .parquet(delta_sig_path)
-    )
+    _signature_frame(
+        delta, text_col, id_col, num_hashes, shingle_k, hash_mode
+    ).write.mode("overwrite").parquet(delta_sig_path)
 
     rows_per_band = num_hashes // bands
-
-    def band_entries(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            F.col("_jid").alias("_id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.md5(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.col(
-                                            f"sig_{b * rows_per_band + r}"
-                                        )
-                                        for r in range(rows_per_band)
-                                    ],
-                                )
-                            ).alias("band_hash"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band"),
-        ).select("_id", "band.band_id", "band.band_hash")
-
-    from qualityassurancetool_spark.functions.fs import path_exists
 
     sig_cols = ["_jid"] + [f"sig_{i}" for i in range(num_hashes)]
     # Hadoop-FS existence check, NOT os.path: a remote state_dir
@@ -797,19 +754,25 @@ def minhash_admit(
             out_f = out_f.unionByName(f)
         return out_f
 
-    d_entries = band_entries(
-        spark.read.parquet(delta_sig_path).select(*sig_cols)
+    d_entries = band_entry_rows(
+        spark.read.parquet(delta_sig_path).select(*sig_cols),
+        rows_per_band,
+        range(bands),
     )
-    all_entries = band_entries(union_sigs(sig_cols))
+    all_entries = band_entry_rows(union_sigs(sig_cols), rows_per_band,
+                                  range(bands))
     # broadcast the delta side: the state scans ONCE, nothing
     # corpus-sized crosses an exchange; a < b plus the union on the big
     # side yields both delta-vs-corpus and delta-vs-delta pairs exactly
     # once (a corpus-vs-corpus pair has no delta entry to match).
-    # Size-gated: delta entry rows = delta docs × bands, known from the
-    # delta sig parquet footers; an oversized "delta" degrades to the
-    # AQE-chosen join instead of a driver OOM.
+    # Size-gated BY BYTES: delta entry rows = delta docs × bands, known
+    # from the delta sig parquet footers, and an entry row is ~56 B
+    # (long id + int band_id + 32-char md5 + struct overhead) — far
+    # wider than the 8-byte id rows the default gate is sized for; an
+    # oversized "delta" degrades to the AQE-chosen join instead of a
+    # driver OOM.
     n_delta = spark.read.parquet(delta_sig_path).count()
-    d = _gated_broadcast(d_entries, n_delta * bands).alias("d")
+    d = _gated_broadcast(d_entries, n_delta * bands, row_bytes=64).alias("d")
     a = all_entries.alias("a")
     cand = (
         a.join(
@@ -866,12 +829,39 @@ def minhash_admit(
     if update_state:
         # the returned frame reads _delta_sig lazily, so materialize the
         # pairs BEFORE folding the delta into the state (parquet append
-        # into sig/ is safe — _delta_sig is the fragile input)
-        pairs_path = _os.path.join(state_dir, "_admit_pairs")
+        # into sig/ is safe — _delta_sig is the fragile input).  Pairs
+        # land in a fresh VERSIONED dir and the previous version is
+        # deleted only now: an earlier admission's returned frame stays
+        # valid until the next admission on this state, then fails
+        # LOUDLY on the deleted path instead of silently aliasing the
+        # newer pairs (review finding, round 8).
+        pairs_root = _os.path.join(state_dir, "_admit_pairs")
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in list_subdirs(spark, pairs_root, prefix="v=")
+            if d.split("=", 1)[1].isdigit()
+        ]
+        k = max(versions, default=-1) + 1
+        pairs_path = _os.path.join(pairs_root, f"v={k}")
         out.write.mode("overwrite").parquet(pairs_path)
         spark.read.parquet(delta_sig_path).write.mode("append").parquet(
             sig_path
         )
+        if not had_meta:
+            # bootstrap: freeze this admission's knobs into the state so
+            # the NEXT admission can't silently band incomparable
+            # signatures together (review finding, round 8)
+            _write_state_meta(
+                spark, state_dir, num_hashes, bands, shingle_k, hash_mode
+            )
+        # scratch cleanup: the delta sigs are folded into sig/ and the
+        # candidates are baked into the pairs parquet — without it a
+        # long-running admitter accumulates one dead dir per call
+        for v in versions:
+            delete_path(spark, _os.path.join(pairs_root, f"v={v}"))
+        delete_path(spark, cand_path)
+        if internal_scratch:
+            delete_path(spark, delta_sig_path)
         return spark.read.parquet(pairs_path)
     return out
 

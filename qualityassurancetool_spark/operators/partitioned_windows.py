@@ -44,6 +44,7 @@ from qualityassurancetool_spark.flags import QualityFlags, flag_from_bool
 from qualityassurancetool_spark.functions.timeutils import (
     epoch_micros,
     parse_timedelta_seconds,
+    timedelta_micros,
 )
 
 _STATS = ("mean", "std", "std_pop", "median", "count", "min", "max")
@@ -92,8 +93,8 @@ def bucketed_time_rolling(
     parts = list(partition_cols)
     # round, don't truncate: ulp noise in float-seconds specs (e.g. the
     # reference frame's -1 µs upper bound) must not collapse to 0
-    before_us = int(round(parse_timedelta_seconds(before) * 1_000_000))
-    after_us = int(round(parse_timedelta_seconds(after) * 1_000_000))
+    before_us = timedelta_micros(before)
+    after_us = timedelta_micros(after)
     span_us = before_us + after_us
     if span_us <= 0:
         raise ValueError("window must have positive width")
@@ -288,9 +289,7 @@ def calc_zscore_bucketed(
             raise ValueError(
                 "frame='reference' supports the window strategy only"
             )
-        delta_us = int(
-            round(parse_timedelta_seconds(rolling_time_window) * 1_000_000)
-        )
+        delta_us = timedelta_micros(rolling_time_window)
         if delta_us <= 1:
             raise ValueError(
                 f"window {rolling_time_window!r} too small for the "
@@ -731,7 +730,11 @@ def median_track_bucketed(
 ) -> DataFrame:
     """Scale-path twin of :func:`spatial_outlier.with_median_track`
     (centered exact-median window)."""
-    half = parse_timedelta_seconds(time_window) / 2.0
+    # µs-integral half-width so the rolling pass recovers EXACTLY the
+    # plain twin's timedelta_micros(w) // 2 bound (an odd-µs window
+    # halved as float seconds would round up where the plain twin
+    # floors — review finding, round 8)
+    half = (timedelta_micros(time_window) // 2) / 1e6
     return bucketed_time_rolling(
         df,
         specs={

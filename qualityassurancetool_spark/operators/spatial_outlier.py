@@ -25,6 +25,7 @@ from qualityassurancetool_spark.functions.geo import haversine_m
 from qualityassurancetool_spark.functions.timeutils import (
     epoch_micros,
     parse_timedelta_seconds,
+    timedelta_micros,
 )
 
 
@@ -38,7 +39,7 @@ def with_median_track(
     exact: bool = True,
 ) -> DataFrame:
     """Add ``median_lat``/``median_long`` over the centered time window."""
-    half_us = int(parse_timedelta_seconds(time_window) * 1_000_000) // 2
+    half_us = timedelta_micros(time_window) // 2
     parts = partition_cols or []
     order = epoch_micros(ts_col)
     w = (
@@ -104,7 +105,7 @@ def apply_spatial_outlier_check(
     window_s = parse_timedelta_seconds(time_window)
     max_dist_m = F.lit(max_dx_dt * window_s)
     if threshold_mode == "span":
-        half_us = int(window_s * 1_000_000) // 2
+        half_us = int(round(window_s * 1_000_000)) // 2
         parts = partition_cols or []
         if strategy == "bucketed":
             # the span must scale the same way the median does: a plain

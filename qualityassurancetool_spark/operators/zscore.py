@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from qualityassurancetool_spark.flags import QualityFlags, flag_rank
 from qualityassurancetool_spark.functions.timeutils import (
     epoch_micros,
-    parse_timedelta_seconds,
+    timedelta_micros,
 )
 
 
@@ -51,7 +51,7 @@ def calc_zscore(
       in ``tests/test_reference_goldens.py``).
     """
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
-    delta_us = int(parse_timedelta_seconds(rolling_time_window) * 1_000_000)
+    delta_us = timedelta_micros(rolling_time_window)
 
     v = F.col(value_col)
     if frame == "reference":
@@ -112,7 +112,9 @@ def zscore_sql(
     value: str, epoch_us_expr: str, partition_by: str, window_seconds: float
 ) -> str:
     """DuckDB-oracle fragment for the identical trailing-window z-score."""
-    delta_us = int(window_seconds * 1_000_000)
+    # round like timedelta_micros — the Spark side's bound must be the
+    # exact integer the oracle uses or fractional-second windows drift
+    delta_us = int(round(window_seconds * 1_000_000))
     frame = (
         f"OVER (PARTITION BY {partition_by} ORDER BY {epoch_us_expr} "
         f"RANGE BETWEEN {delta_us} PRECEDING AND CURRENT ROW)"

@@ -35,7 +35,10 @@ import posixpath
 
 from pyspark.sql import DataFrame
 
-from qualityassurancetool_spark.functions.fs import list_subdirs
+from qualityassurancetool_spark.functions.fs import (
+    delete_path,
+    list_subdirs,
+)
 
 
 def _batch_slices(
@@ -111,6 +114,12 @@ def streaming_minhash_admit(
         pairs.write.mode("overwrite").parquet(
             posixpath.join(pairs_root, f"batch={batch_id}")
         )
+        # the batch's candidate scratch ("batch=N_cand", a sibling of
+        # the signature slice) is baked into the pairs parquet now;
+        # without this a long-running stream accumulates one dead dir
+        # per micro-batch and every slice listing walks the growing set
+        # (review finding, round 8)
+        delete_path(spark, f"{slice_dir}_cand")
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

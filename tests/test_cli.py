@@ -666,6 +666,22 @@ def test_dedup_minhash_cli(spark, tmp_path, capsys):
     )
     assert key(out2) == key(out1)
 
+    # work_dir= ALONE selects the batched schedule (one pass per band):
+    # a user who configured scratch must not silently get the
+    # monolithic plan that spills at the scale work_dir exists for
+    # (review finding, round 8)
+    out3 = str(tmp_path / "mh_pairs_workdir_only")
+    work3 = tmp_path / "mh_work3"
+    rc = main([
+        "dedup", "--keep-session", f"data.input={src}",
+        f"data.out={out3}", "method=minhash", "bands=8",
+        "num_hashes=16", "threshold=0.5", f"work_dir={work3}",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert (work3 / "sig").exists()  # the scratch was actually used
+    assert key(out3) == key(out1)
+
 
 def test_ann_index_in_and_out_warns_relayout(spark, tmp_path, capsys):
     """index.in + a DIFFERENT index.out is the sanctioned re-layout path:

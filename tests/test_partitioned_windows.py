@@ -356,3 +356,65 @@ def test_zscore_bucketed_reference_validation(spark):
         calc_zscore_bucketed(obs, frame="reference", strategy="pandas")
     with pytest.raises(ValueError, match="unknown frame"):
         calc_zscore_bucketed(obs, frame="leading")
+
+
+def test_fractional_second_window_bound_parity(spark):
+    """Fractional-second windows must resolve to the SAME integer-µs
+    bound in the plain and bucketed twins.  2.675 s is 2674999.999… µs
+    as a double: a plain path that truncates while the bucketed one
+    rounds puts two rows exactly 2675000 µs apart inside one twin's
+    window and outside the other's (review finding, round 8) — both now
+    go through timedelta_micros."""
+    df = spark.createDataFrame(
+        [
+            (1, "1970-01-01T00:00:00.000000", 10.0),
+            (1, "1970-01-01T00:00:02.675000", 14.0),  # exactly Δ later
+        ],
+        "datastream_id int, phenomenon_time string, result double",
+    ).withColumn(
+        "phenomenon_time", F.to_timestamp("phenomenon_time")
+    )
+    kw = dict(rolling_time_window="2675ms")
+    plain = _collect_map(
+        calc_zscore(df, **kw), "phenomenon_time", "zscore"
+    )
+    bucketed = _collect_map(
+        calc_zscore_bucketed(df, **kw), "phenomenon_time", "zscore"
+    )
+    _assert_equal_maps(plain, bucketed)
+    # the boundary row's window must CONTAIN the first row (round, not
+    # truncate): two distinct values → sample σ > 0 → a real z-score
+    late = [v for k, v in plain.items() if k.second == 2]
+    assert late and late[0] is not None
+
+
+def test_odd_micro_window_median_half_parity(spark):
+    """Centered-median twins must halve an odd-µs window identically
+    (plain: timedelta_micros(w) // 2; bucketed recovers the same
+    integer instead of re-rounding float seconds)."""
+    df = spark.createDataFrame(
+        [
+            (1, "1970-01-01T00:00:00.000000", 1.0, 1.0),
+            (1, "1970-01-01T00:00:00.001000", 2.0, 2.0),
+            (1, "1970-01-01T00:00:00.002000", 4.0, 4.0),
+        ],
+        "datastream_id int, phenomenon_time string, lat double, long double",
+    ).withColumn(
+        "phenomenon_time", F.to_timestamp("phenomenon_time")
+    )
+    for w in ("2.000001s", "3ms"):
+        plain = _collect_map(
+            with_median_track(
+                df, time_window=w, partition_cols=["datastream_id"]
+            ),
+            "phenomenon_time",
+            "median_lat",
+        )
+        bucketed = _collect_map(
+            median_track_bucketed(
+                df, time_window=w, partition_cols=["datastream_id"]
+            ),
+            "phenomenon_time",
+            "median_lat",
+        )
+        _assert_equal_maps(plain, bucketed)

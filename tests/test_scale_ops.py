@@ -602,3 +602,93 @@ def test_minhash_admit_rejects_knob_mismatch(spark, tmp_path):
         delta, state, update_state=False, num_hashes=16, bands=4,
         shingle_k=3, threshold=0.5,
     ).count() == 0
+
+
+def test_gated_broadcast_is_byte_aware(spark):
+    """The broadcast gate is sized in BYTES, not rows: 3M rows of
+    8-byte ids fit under the 160 MB driver budget, the same row count
+    at band-entry width (~64 B) does not — the explicit hint bypasses
+    autoBroadcastJoinThreshold, so an un-gated wide frame is a driver
+    OOM (review finding, round 8)."""
+    from qualityassurancetool_spark.operators.dedup import _gated_broadcast
+
+    df = spark.range(1)
+    assert _gated_broadcast(df, 3_000_000) is not df  # 24 MB of ids: hint
+    assert _gated_broadcast(df, 3_000_000, row_bytes=64) is df  # 192 MB: no
+    assert _gated_broadcast(df, 30_000_000) is df  # 240 MB of ids: no
+
+
+def test_minhash_admit_bootstrap_writes_meta(spark, tmp_path):
+    """An admission that CREATES the state freezes its knobs: the
+    bootstrap call writes minhash_meta.json itself, so a later
+    admission with different knobs raises instead of silently banding
+    incomparable signatures together (review finding, round 8)."""
+    import os
+
+    from qualityassurancetool_spark.operators.dedup import minhash_admit
+
+    state = str(tmp_path / "state")
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+    d1 = spark.createDataFrame(
+        [(10, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    minhash_admit(d1, state, **kw).count()
+    assert os.path.exists(os.path.join(state, "minhash_meta.json"))
+    d2 = spark.createDataFrame(
+        [(20, "eight nine ten eleven")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="knob mismatch"):
+        minhash_admit(
+            d2, state, num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+        )
+
+
+def test_minhash_admit_frame_lifetime_and_scratch_cleanup(spark, tmp_path):
+    """Each admission's pairs land in a FRESH versioned dir: the frame
+    returned by admission N stays correct until admission N+1 runs,
+    after which reading it fails LOUDLY (deleted path) instead of
+    silently yielding N+1's pairs; internal scratch (_delta_sig, its
+    _cand sibling, older pairs versions) never accumulates (review
+    findings, round 8)."""
+    import os
+
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_admit,
+        minhash_dedup_batched,
+    )
+
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    minhash_dedup_batched(base, state, **kw).count()
+
+    d1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    r1 = minhash_admit(d1, state, **kw)
+    assert {(r["id_a"], r["id_b"]) for r in r1.collect()} == {(0, 10)}
+
+    d2 = spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    r2 = minhash_admit(d2, state, **kw)
+    assert {(r["id_a"], r["id_b"]) for r in r2.collect()} == {
+        (0, 20), (10, 20)
+    }
+    # r1's backing files were deleted by admission 2 — a late read must
+    # raise, not alias r2's pairs
+    with pytest.raises(Exception):
+        r1.collect()
+
+    # scratch hygiene: one live pairs version, no delta/candidate dirs
+    entries = set(os.listdir(state))
+    assert "_delta_sig" not in entries
+    assert "_delta_sig_cand" not in entries
+    versions = os.listdir(os.path.join(state, "_admit_pairs"))
+    assert versions == ["v=1"]

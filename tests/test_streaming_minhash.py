@@ -137,6 +137,16 @@ def test_streaming_admission_restart_replay_and_batch_parity(spark):
         # ---- idle restart: nothing new → nothing changes --------------
         _run(spark, land, state, ckpt)
         assert _pairs(spark, state) == got
+
+        # ---- candidate scratch is cleaned per batch: only real
+        # "batch=N" signature slices remain under sig_batches (a
+        # long-running stream must not accumulate one dead *_cand dir
+        # per micro-batch — review finding, round 8)
+        sig_batches = os.path.join(state, "sig_batches")
+        leftovers = [
+            d for d in os.listdir(sig_batches) if d.endswith("_cand")
+        ]
+        assert leftovers == []
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

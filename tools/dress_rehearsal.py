@@ -44,13 +44,20 @@ from pyspark.sql import functions as F
 ROOT = "/tmp/dress"
 
 
-def ui_totals(spark) -> dict:
-    """Completed-stage metric totals from the Spark UI REST API."""
+def completed_stages(spark) -> list[dict]:
+    """Completed stages from the Spark UI REST API — THE metering
+    snippet; the per-op rehearsal tools import it from here so a REST
+    fix lands once (review finding, round 8)."""
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=30) as r:
-        stages = json.load(r)
+        return json.load(r)
+
+
+def ui_totals(spark) -> dict:
+    """Completed-stage metric totals from the Spark UI REST API."""
+    stages = completed_stages(spark)
     keys = {
         "shuffle_write": "shuffleWriteBytes",
         "shuffle_read": "shuffleReadBytes",

@@ -21,11 +21,9 @@ the 64g heap triggers a THP sys-time storm on the bench box).
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
@@ -33,16 +31,8 @@ sys.path.insert(0, "/root/repo/tools")
 ROOT = "/tmp/dress"
 
 
-def completed_stages(spark) -> list[dict]:
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
-    with urllib.request.urlopen(url, timeout=30) as r:
-        return json.load(r)
-
-
 def run(spark, n_docs: int) -> None:
-    from dress_rehearsal import corpus
+    from dress_rehearsal import completed_stages, corpus
 
     from qualityassurancetool_spark.operators.dedup import (
         minhash_dedup,
