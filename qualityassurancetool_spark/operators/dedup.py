@@ -692,8 +692,9 @@ def minhash_admit(
     state/delta are the caller's contract, as in ``ivfadc_append``).
     With ``update_state`` the delta's signatures are appended to the
     state afterwards, so the NEXT admission sees these docs.  The
-    returned frame is backed by a versioned pairs parquet inside
-    ``state_dir`` that the NEXT admission on the same state deletes:
+    returned frame is backed by versioned scratch inside ``state_dir``
+    (pairs parquet when ``update_state``, delta sig+candidate parquet
+    when frozen) that the NEXT admission on the same state deletes:
     consume (or copy) it before admitting again — a later read fails
     loudly rather than silently returning the newer admission's pairs.
     Output
@@ -729,8 +730,26 @@ def minhash_admit(
     )
     sig_path = _os.path.join(state_dir, "sig")
     internal_scratch = delta_sig_path is None
+    stale_delta_versions: list[str] = []
     if delta_sig_path is None:
-        delta_sig_path = _os.path.join(state_dir, "_delta_sig")
+        # versioned internal scratch (same discipline as the pairs dir):
+        # a frame returned by a previous update_state=False admission
+        # reads ITS version's sig+cand files — writing over one shared
+        # path would silently feed it the newer delta's data.  The
+        # previous versions are deleted only after this call's scratch
+        # is fully written, so the previous frame stays valid until the
+        # next admission, then fails loudly (review finding, round 8).
+        delta_root = _os.path.join(state_dir, "_delta_sig")
+        dvs = [
+            int(n.split("=", 1)[1])
+            for n in list_subdirs(spark, delta_root, prefix="v=")
+            if n.split("=", 1)[1].isdigit()
+        ]
+        dk = max(dvs, default=-1) + 1
+        delta_sig_path = _os.path.join(delta_root, f"v={dk}")
+        stale_delta_versions = [
+            _os.path.join(delta_root, f"v={v}") for v in dvs
+        ]
     _signature_frame(
         delta, text_col, id_col, num_hashes, shingle_k, hash_mode
     ).write.mode("overwrite").parquet(delta_sig_path)
@@ -794,6 +813,13 @@ def minhash_admit(
     cand_path = delta_sig_path.rstrip("/") + "_cand"
     cand.write.mode("overwrite").parquet(cand_path)
     cand = spark.read.parquet(cand_path)
+    # this call's scratch is fully written: previous admissions' delta
+    # versions (and their cand siblings) are dead now — delete them so
+    # scratch never accumulates (a stale frozen frame dies loudly here
+    # instead of silently reading the new delta)
+    for stale in stale_delta_versions:
+        delete_path(spark, stale)
+        delete_path(spark, stale + "_cand")
     n_cand = cand.count()  # footer-only
     cand_ids = (
         cand.select(F.col("id_a").alias("_vid"))

@@ -686,9 +686,29 @@ def test_minhash_admit_frame_lifetime_and_scratch_cleanup(spark, tmp_path):
     with pytest.raises(Exception):
         r1.collect()
 
-    # scratch hygiene: one live pairs version, no delta/candidate dirs
-    entries = set(os.listdir(state))
-    assert "_delta_sig" not in entries
-    assert "_delta_sig_cand" not in entries
+    # scratch hygiene: one live pairs version, no delta/candidate data
+    droot = os.path.join(state, "_delta_sig")
+    if os.path.exists(droot):
+        assert os.listdir(droot) == []
     versions = os.listdir(os.path.join(state, "_admit_pairs"))
     assert versions == ["v=1"]
+
+    # FROZEN admissions get the same lifetime contract: their returned
+    # frame reads versioned delta scratch that the next admission
+    # deletes — never silently the newer delta's data
+    d3 = spark.createDataFrame(
+        [(30, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    r3 = minhash_admit(d3, state, update_state=False, **kw)
+    assert {(r["id_a"], r["id_b"]) for r in r3.collect()} == {
+        (0, 30), (10, 30), (20, 30)
+    }
+    d4 = spark.createDataFrame(
+        [(40, "unrelated words entirely here")], "doc_id long, text string"
+    )
+    minhash_admit(d4, state, update_state=False, **kw).count()
+    with pytest.raises(Exception):
+        r3.collect()
+    live = sorted(os.listdir(droot))
+    assert live == ["v=1", "v=1_cand"]  # exactly one live version
