@@ -394,13 +394,29 @@ def cmd_dedup(args, overrides: list[str]) -> int:
         elif method == "spans":
             from qualityassurancetool_spark.operators.span_dedup import (
                 duplicated_span_dedup,
+                duplicated_span_dedup_batched,
             )
 
-            out = duplicated_span_dedup(
-                docs,
-                window_tokens=int(knobs.get("window_tokens", 50)),
-                hash_mode="fast",
-            )
+            hb = knobs.get("hash_batches")
+            if hb is not None or knobs.get("work_dir"):
+                # hash_batches=/work_dir= selects the hash-sliced
+                # bounded-state schedule (same rule as method=minhash:
+                # configured scratch means the user wants the bounded
+                # discipline, never a silent fallback)
+                out = duplicated_span_dedup_batched(
+                    docs,
+                    knobs.get("work_dir")
+                    or (data_c["out"].rstrip("/") + "_work"),
+                    window_tokens=int(knobs.get("window_tokens", 50)),
+                    hash_mode="fast",
+                    hash_batches=int(hb) if hb is not None else 4,
+                )
+            else:
+                out = duplicated_span_dedup(
+                    docs,
+                    window_tokens=int(knobs.get("window_tokens", 50)),
+                    hash_mode="fast",
+                )
             out.write.mode("overwrite").parquet(data_c["out"])
             back = spark.read.parquet(data_c["out"])
             removed = back.agg(

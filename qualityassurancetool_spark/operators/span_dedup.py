@@ -115,6 +115,52 @@ def _merge_starts(starts: Column, L: int) -> Column:
     return F.aggregate(F.array_sort(starts), empty, step)
 
 
+def _staged_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, _norm, _t, _n)`` behind Generate barriers: CollapseProject
+    would inline _norm into the tokenizer and _t into every per-position
+    lambda (O(n²) regexp / split re-evaluation; see fingerprint.py
+    note)."""
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+
+    normed = compute_behind_barrier(
+        df.select(F.col(id_col), F.col(text_col)),
+        {"_norm": normalize_text(F.col(text_col))},
+    )
+    return compute_behind_barrier(
+        normed.select(id_col, "_norm"),
+        {
+            "_t": F.split(F.col("_norm"), " "),
+            "_n": _ntok(F.col("_norm")),
+        },
+    )
+
+
+def _dup_positions(wins: DataFrame, id_col: str) -> DataFrame:
+    """``(id, pos)`` of every non-first occurrence among ``wins``
+    (id, pos, h) rows — THE keep-first rule, shared verbatim by the
+    monolithic and hash-sliced schedules (slices partition the hash
+    space, and first-occurrence is decided per hash, so per-slice
+    application is exact)."""
+    firsts = wins.groupBy("h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("f"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return (
+        wins.join(firsts.filter(F.col("c") >= 2), "h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("f.d"))
+                & (F.col("pos") == F.col("f.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+
+
 def duplicated_span_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -125,48 +171,37 @@ def duplicated_span_dedup(
     """(id, deduped, n_tokens_removed, n_spans): the corpus with every
     non-first occurrence of a duplicated ``window_tokens``-token window
     removed (keep-first = smallest (doc_id, position))."""
-    from qualityassurancetool_spark.functions.partitioning import (
-        compute_behind_barrier,
-    )
-
     L = window_tokens
-    # Generate barriers: CollapseProject would inline _norm into the
-    # tokenizer and _t into every per-position lambda (O(n²) regexp /
-    # split re-evaluation; see fingerprint.py note)
-    normed = compute_behind_barrier(
-        df.select(F.col(id_col), F.col(text_col)),
-        {"_norm": normalize_text(F.col(text_col))},
-    )
-    staged = compute_behind_barrier(
-        normed.select(id_col, "_norm"),
-        {
-            "_t": F.split(F.col("_norm"), " "),
-            "_n": _ntok(F.col("_norm")),
-        },
-    )
-    wins = staged.select(
-        id_col,
-        F.explode(_window_hashes(F.col("_t"), L, hash_mode)).alias("w"),
-    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-
-    firsts = wins.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f"),
-        F.count(F.lit(1)).alias("c"),
-    )
-    dups = (
-        wins.join(firsts.filter(F.col("c") >= 2), "h")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col("f.d"))
-                & (F.col("pos") == F.col("f.p"))
-            )
+    staged = _staged_tokens(df, text_col, id_col)
+    wins = (
+        staged.select(
+            id_col,
+            F.explode(_window_hashes(F.col("_t"), L, hash_mode)).alias("w"),
         )
-        .select(id_col, "pos")
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        # persist: _dup_positions consumes wins TWICE (keep-first agg +
+        # non-first join), and Catalyst shares no common subplans across
+        # joins — unpersisted, the dominant per-position HOF extraction
+        # runs twice (measured 457 s vs 178 s for the write-once batched
+        # schedule at 1 M docs; the same lesson as fingerprint.py).  The
+        # batched variant stays the bounded-memory path: it materializes
+        # the window rows to parquet instead of cache.
+        .persist()
     )
+
+    dups = _dup_positions(wins, id_col)
+    return _rebuild_clean_text(staged, dups, id_col, L)
+
+
+def _rebuild_clean_text(
+    staged: DataFrame, dups: DataFrame, id_col: str, L: int
+) -> DataFrame:
+    """Merge removed-window starts into spans per doc and rebuild the
+    cleaned text from the staged token arrays (shared tail of the
+    monolithic and hash-sliced schedules)."""
     spans = dups.groupBy(id_col).agg(
         _merge_starts(F.collect_list("pos"), L).alias("_iv")
     )
-
     joined = staged.join(spans, id_col, "left")
     iv = F.coalesce(
         F.col("_iv"), F.array().cast("array<struct<s:int,e:int>>")
@@ -190,3 +225,72 @@ def duplicated_span_dedup(
         (n - F.size(keep_pos)).cast("long").alias("n_tokens_removed"),
         F.size(iv).cast("long").alias("n_spans"),
     )
+
+
+def duplicated_span_dedup_batched(
+    df: DataFrame,
+    work_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 20,
+    hash_mode: str = "portable",
+    hash_batches: int = 4,
+) -> DataFrame:
+    """:func:`duplicated_span_dedup` with BOUNDED peak exchange — the
+    hash-sliced schedule for corpora whose window-hash volume exceeds
+    one pass's shuffle budget (the exchange carries one ~40 B row per
+    token position: measured 1.6 GB at 1 M 60-token docs, linear —
+    ~16 GB at 10 M, past any single JVM's comfort; docs/SCALE.md).
+
+    Identical output (keep-first is decided PER HASH, and the slices
+    partition the hash space, so per-slice application is exact —
+    parity-tested in ``tests/test_span_dedup.py``); different schedule:
+
+    1. ONE extraction pass (the dominant CPU cost — per-position HOF
+       hashing measured ~80 % of the monolithic wall) writes the
+       exploded ``(id, pos, h)`` window rows to ``work_dir/wins``
+       parquet, partitioned by hash slice;
+    2. the keep-first aggregation + non-first join run once per slice
+       over a partition-pruned read, shuffling ``1/hash_batches`` of
+       the window volume per pass; per-slice (id, pos) removals append
+       to ``work_dir/dups``;
+    3. span merge + clean-text rebuild read the (duplication-sized)
+       removals once, re-staging only the cheap normalize/split pass.
+    """
+    import os as _os
+
+    if hash_batches < 1:
+        raise ValueError(f"hash_batches must be >= 1, got {hash_batches}")
+    spark = df.sparkSession
+    L = window_tokens
+    staged = _staged_tokens(df, text_col, id_col)
+    wins_path = _os.path.join(work_dir, "wins")
+    (
+        staged.select(
+            id_col,
+            F.explode(_window_hashes(F.col("_t"), L, hash_mode)).alias("w"),
+        )
+        .select(
+            id_col,
+            F.col("w.pos").alias("pos"),
+            F.col("w.h").alias("h"),
+            F.pmod(F.col("w.h"), F.lit(hash_batches)).alias("_slice"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("_slice")
+        .parquet(wins_path)
+    )
+    dups_path = _os.path.join(work_dir, "dups")
+    for s in range(hash_batches):
+        w = (
+            spark.read.parquet(wins_path)
+            .where(F.col("_slice") == s)  # partition-pruned read
+            .select(id_col, "pos", "h")
+        )
+        (
+            _dup_positions(w, id_col)
+            .write.mode("overwrite" if s == 0 else "append")
+            .parquet(dups_path)
+        )
+    dups = spark.read.parquet(dups_path)
+    return _rebuild_clean_text(staged, dups, id_col, L)

@@ -756,3 +756,37 @@ def test_dedup_minhash_admit_cli(spark, tmp_path, capsys):
         for line in capsys.readouterr().out.strip().splitlines()
     )
     assert int(report["pairs"]) > 0
+
+
+def test_dedup_spans_cli(spark, tmp_path, capsys):
+    """dedup method=spans: monolithic and hash-sliced schedules emit
+    the same cleaned corpus; hash_batches=/work_dir= selects the
+    bounded-state schedule (and actually uses the scratch)."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out1 = str(tmp_path / "spans")
+    rc = main([
+        "dedup", "--keep-session", f"data.input={src}",
+        f"data.out={out1}", "method=spans", "window_tokens=10",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(report["docs"]) > 0
+
+    out2 = str(tmp_path / "spans_batched")
+    work = tmp_path / "spans_work"
+    rc = main([
+        "dedup", "--keep-session", f"data.input={src}",
+        f"data.out={out2}", "method=spans", "window_tokens=10",
+        "hash_batches=3", f"work_dir={work}",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert (work / "wins").exists() and (work / "dups").exists()
+    key = lambda p: sorted(  # noqa: E731
+        (r["doc_id"], r["deduped"], r["n_tokens_removed"])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert key(out2) == key(out1)

@@ -84,3 +84,48 @@ def test_no_python_stage(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_batched_schedule_matches_monolithic(spark, tmp_path):
+    """The hash-sliced schedule emits the monolithic output EXACTLY
+    (keep-first is per hash; slices partition the hash space), for both
+    hash modes and degenerate hash_batches=1."""
+    from qualityassurancetool_spark.operators.span_dedup import (
+        duplicated_span_dedup_batched,
+    )
+
+    df = spark.createDataFrame(BASE, "doc_id long, text string")
+    for mode in ("portable", "fast"):
+        want = {
+            (r["doc_id"], r["deduped"], r["n_tokens_removed"], r["n_spans"])
+            for r in duplicated_span_dedup(
+                df, window_tokens=L, hash_mode=mode
+            ).collect()
+        }
+        for nb in (1, 3):
+            work = str(tmp_path / f"spans_{mode}_{nb}")
+            got = {
+                (
+                    r["doc_id"], r["deduped"],
+                    r["n_tokens_removed"], r["n_spans"],
+                )
+                for r in duplicated_span_dedup_batched(
+                    df, work, window_tokens=L, hash_mode=mode,
+                    hash_batches=nb,
+                ).collect()
+            }
+            assert got == want, (mode, nb)
+
+
+def test_batched_validation(spark, tmp_path):
+    import pytest
+
+    from qualityassurancetool_spark.operators.span_dedup import (
+        duplicated_span_dedup_batched,
+    )
+
+    df = spark.createDataFrame(BASE, "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_batches"):
+        duplicated_span_dedup_batched(
+            df, str(tmp_path / "w"), hash_batches=0
+        )

@@ -1556,7 +1556,33 @@ def x_span_dedup(spark, con, sf_dir):
     sdf = duplicated_span_dedup(
         _docs(spark, sf_dir), window_tokens=SPAN_L
     )
-    sql = f"""
+    return sdf, _span_dedup_sql()
+
+
+def x_span_batched(spark, con, sf_dir):
+    """duplicated_span_dedup_batched (the hash-sliced bounded-state
+    schedule) must reproduce the monolithic operator's cleaned corpus
+    VERBATIM — slices partition the hash space, keep-first is decided
+    per hash — so it shares x_span_dedup's DuckDB oracle.  Parity with
+    the monolithic operator is additionally pinned across hash_batches
+    in tests/test_span_dedup.py."""
+    import tempfile
+
+    from qualityassurancetool_spark.operators.span_dedup import (
+        duplicated_span_dedup_batched,
+    )
+
+    sdf = duplicated_span_dedup_batched(
+        _docs(spark, sf_dir),
+        tempfile.mkdtemp(prefix="qat_spanb_oracle_"),
+        window_tokens=SPAN_L,
+        hash_batches=3,
+    )
+    return sdf, _span_dedup_sql()
+
+
+def _span_dedup_sql() -> str:
+    return f"""
 WITH d AS (
     SELECT doc_id, {_NORM} AS norm FROM documents
 ), tk AS (
@@ -1609,7 +1635,6 @@ FROM tk
 LEFT JOIN cleaned cl ON cl.doc_id = tk.doc_id
 LEFT JOIN per_doc pd ON pd.doc_id = tk.doc_id
 """
-    return sdf, sql
 
 
 FP_K, FP_W, FP_MAXDF, FP_MINSHARED = 20, 8, 50, 2
@@ -4311,6 +4336,7 @@ EXTRA_CHECKS = {
     "x_fingerprint": x_fingerprint,
     "x_redact_pii": x_redact_pii,
     "x_span_dedup": x_span_dedup,
+    "x_span_batched": x_span_batched,
     "x_url_canonical": x_url_canonical,
     "x_semantic_dedup": x_semantic_dedup,
     "x_classifier": x_classifier,
