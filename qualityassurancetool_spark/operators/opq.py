@@ -154,10 +154,11 @@ def opq_fit(
     so ``opq_iters=0`` degrades exactly to plain PQ."""
     import numpy as np
 
-    probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if not probe:
-        raise ValueError("empty corpus: cannot fit OPQ")
-    dim = probe[0]["d"]
+    from qualityassurancetool_spark.operators.clustering import (
+        _embedding_dim,
+    )
+
+    dim = _embedding_dim(df, vec_col)
     R = np.eye(dim)
 
     base = df.select(F.col(id_col), F.col(vec_col))

@@ -271,6 +271,26 @@ def ivfadc_index(
     assignment and residual are literal folds, the residual encode is
     the ``pq_encode`` barrier.  ``codebooks`` must be fitted on
     residuals (see ``ivfadc_fit``)."""
+    staged = _residual_frame(df, cents, vec_col, id_col)
+    coded = pq_encode(
+        staged, codebooks, vec_col="_resid", id_col=id_col,
+        strategy=strategy,
+    )
+    return coded.select(id_col, "cluster_id", "pq_code")
+
+
+def _residual_frame(
+    df: DataFrame, cents, vec_col: str, id_col: str
+) -> DataFrame:
+    """``(id, cluster_id, _resid)``: coarse-assign each vector and
+    subtract its centroid, looked up BY ID — shared by ``ivfadc_index``
+    and ``ivfadc_fit`` so build and fit cannot diverge.  The previous
+    positional ``element_at(centmat, cluster_id + 1)`` silently
+    subtracted the WRONG centroid for any cents list whose ids are not
+    exactly 0..n−1 in list order (reordered or pruned), while the
+    search side (``ivfadc_topk``) resolves centroids by id — the two
+    halves of the API must share the id-keyed convention (review
+    finding, round 8)."""
     from qualityassurancetool_spark.functions.literals import (
         double_matrix_literal,
         literal_rows_df,
@@ -285,20 +305,27 @@ def ivfadc_index(
     assigned = ivf_assign(
         df.select(id_col, vec_col), cent_df, 1, vec_col, id_col
     )
+    cents_sorted = sorted(cents, key=lambda cv: cv[0])
     centmat = double_matrix_literal(
-        tuple(tuple(float(x) for x in v) for _, v in cents)
+        tuple(tuple(float(x) for x in v) for _, v in cents_sorted)
+    )
+    # id → matrix row position (1-based for element_at)
+    pos_map = F.create_map(
+        *[
+            lit
+            for i, (cid, _) in enumerate(cents_sorted)
+            for lit in (F.lit(int(cid)), F.lit(i + 1))
+        ]
     )
     residual = F.zip_with(
         F.col(vec_col),
-        F.element_at(centmat, (F.col("cluster_id") + 1).cast("int")),
+        F.element_at(
+            centmat,
+            F.element_at(pos_map, F.col("cluster_id")).cast("int"),
+        ),
         lambda a, b: a.cast("double") - b,
     )
-    staged = compute_behind_barrier(assigned, {"_resid": residual})
-    coded = pq_encode(
-        staged, codebooks, vec_col="_resid", id_col=id_col,
-        strategy=strategy,
-    )
-    return coded.select(id_col, "cluster_id", "pq_code")
+    return compute_behind_barrier(assigned, {"_resid": residual})
 
 
 def ivfadc_write(
@@ -403,33 +430,12 @@ def ivfadc_fit(
 ) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
     """Fit the coarse quantizer, then the PQ codebooks on residuals.
     Returns ``(cents, codebooks)``."""
-    from qualityassurancetool_spark.functions.literals import (
-        double_matrix_literal,
-        literal_rows_df,
-    )
     from qualityassurancetool_spark.operators.clustering import kmeans_fit
-    from qualityassurancetool_spark.operators.similarity import ivf_assign
 
     cents = kmeans_fit(
         df, k=n_lists, max_iter=max_iter, vec_col=vec_col, id_col=id_col
     )
-    spark = df.sparkSession
-    cent_df = literal_rows_df(
-        spark, [(c, v) for c, v in cents],
-        "cent_id int, cent_vec array<double>",
-    )
-    assigned = ivf_assign(
-        df.select(id_col, vec_col), cent_df, 1, vec_col, id_col
-    )
-    centmat = double_matrix_literal(
-        tuple(tuple(float(x) for x in v) for _, v in cents)
-    )
-    residual = F.zip_with(
-        F.col(vec_col),
-        F.element_at(centmat, (F.col("cluster_id") + 1).cast("int")),
-        lambda a, b: a.cast("double") - b,
-    )
-    resid_df = compute_behind_barrier(assigned, {"_resid": residual}).select(
+    resid_df = _residual_frame(df, cents, vec_col, id_col).select(
         F.col(id_col), F.col("_resid").alias(vec_col)
     )
     # persist: pq_fit runs m × max_iter assignment jobs, each of which
@@ -485,6 +491,7 @@ def ivfadc_topk(
             for r in queries.select(query_id_col, vec_col).collect()
         ]
     qt_rows = []
+    cmap = dict(cents)  # hoisted: rebuilding per probe is queries×nprobe
     for r in qrows:
         qid, qv = int(r[0]), [float(x) for x in r[1]]
         by_d = sorted(
@@ -492,7 +499,7 @@ def ivfadc_topk(
             for cid, cv in cents
         )[:nprobe]
         for _, cid in by_d:
-            cv = dict(cents)[cid]
+            cv = cmap[cid]
             resid_q = [a - b for a, b in zip(qv, cv)]
             qt_rows.append((qid, cid, adc_tables(resid_q, codebooks)))
     spark = index.sparkSession

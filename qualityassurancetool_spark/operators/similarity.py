@@ -81,7 +81,13 @@ def _topk_by_cosine(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        # a NULL cosine (zero-norm vector: _pair_cosine's denom guard)
+        # is "no defined similarity", not a candidate: desc sorts nulls
+        # last but row_number still ranks them into a top-k with < k
+        # finite rows, which broke fold-vs-gemm row-count parity (the
+        # GEMM kernels drop non-finite scores) — review finding, round 8
+        scored.where(F.col("cosine").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
@@ -155,30 +161,41 @@ def _brute_force_topk_gemm(
     query_id_col: str,
 ) -> DataFrame:
     """GEMM scoring path of :func:`brute_force_topk` (see its docstring).
-    Rows with a zero denominator are dropped (the fold path carries them
-    as null cosine, which never reaches a top-k either)."""
+    Rows with a zero denominator are dropped (the fold path's null
+    cosines are likewise filtered in ``_topk_by_cosine``)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
-    q_norms = np.linalg.norm(q_mat, axis=1)
-
+    # id column TYPES follow the inputs (string ids are as legal as
+    # longs — the mmr_rerank lesson; np.int64 casts rejected them).
+    # object-dtype id arrays keep numpy broadcasting for the self-match
+    # mask while never coercing the values.
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=object)
     schema = T.StructType(
         [
-            T.StructField(query_id_col, T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField(query_id_col, queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    if not q_rows:
+        # the fold path returns an empty frame here; np.linalg.norm on
+        # a (0,) matrix would raise instead (review finding, round 8)
+        return queries.sparkSession.createDataFrame([], schema)
+    q_mat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(q_mat, axis=1)
 
     def kernel(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # pre-sort the batch by id: a STABLE argsort on -cosine then
+            # preserves id-ascending among ties — same order as
+            # np.lexsort((ids, -cos)) but valid for any sortable id type
+            pdf = pdf.sort_values(id_col, kind="stable")
+            ids = pdf[id_col].to_numpy()
             mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1)
             denom = norms[:, None] * q_norms[None, :]
@@ -192,16 +209,22 @@ def _brute_force_topk_gemm(
                 # exact local top-k under the FINAL global order
                 # (cosine desc, id asc) — a plain argpartition could cut a
                 # boundary tie the global id tie-break would have kept
-                order = np.lexsort((ids, -cos[:, j]))[:kk]
+                order = np.argsort(-cos[:, j], kind="stable")[:kk]
                 rows = order[cos[order, j] > -np.inf]
-                out_q.append(np.full(len(rows), q_ids[j], dtype=np.int64))
+                out_q.append(np.full(len(rows), q_ids[j], dtype=object))
                 out_n.append(ids[rows])
                 out_c.append(cos[rows, j])
             yield pd.DataFrame(
                 {
-                    query_id_col: np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "cosine": np.concatenate(out_c),
+                    query_id_col: np.concatenate(out_q)
+                    if out_q
+                    else np.array([], dtype=object),
+                    "neighbor_id": np.concatenate(out_n)
+                    if out_n
+                    else np.array([], dtype=object),
+                    "cosine": np.concatenate(out_c)
+                    if out_c
+                    else np.array([], dtype=np.float64),
                 }
             )
 
@@ -262,7 +285,7 @@ def nearest_centroids(
     )
 
 
-_CENTROID_CACHE: dict[int, tuple[list[int], list[list[float]]]] = {}
+_CENTROID_CACHE: dict[tuple, tuple[list[int], list[list[float]]]] = {}
 
 
 def _collect_centroids(
@@ -270,9 +293,19 @@ def _collect_centroids(
 ) -> tuple[list[int], list[list[float]]]:
     """Collect the (small) centroid dim once per distinct logical plan —
     the two assignment sites inside one IVF query, and repeated query
-    builds in a session, share one collect job."""
+    builds in a session, share one collect job.
+
+    The cache key is (plan semanticHash, input file set): an identical
+    plan over an OVERWRITTEN centroid parquet path produces new part
+    files, so a refit lands under a new key instead of silently serving
+    the stale centroids for the process lifetime (review finding,
+    round 8).  Non-file-backed frames (literals, cached) list no input
+    files and key on the plan alone, as before."""
     sel = centroids.select(cent_id_col, cent_vec_col).orderBy(cent_id_col)
-    key = sel._jdf.queryExecution().analyzed().semanticHash()
+    key = (
+        sel._jdf.queryExecution().analyzed().semanticHash(),
+        tuple(sorted(centroids.inputFiles())),
+    )
     if key not in _CENTROID_CACHE:
         if len(_CENTROID_CACHE) > 16:
             _CENTROID_CACHE.clear()
@@ -484,7 +517,18 @@ def blocked_cosine_pairs(
     sequential fold, so raw cosines can differ from the fold path in the
     last ulps.  All consumers round to 6 dp, where both paths agree.
     """
-    out_schema = f"{id_col}_a long, {id_col}_b long, cosine double"
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # id TYPES follow the input (string ids are as legal as longs —
+    # the mmr_rerank lesson; the hardcoded "long" DDL rejected them)
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(f"{id_col}_a", id_type),
+            StructField(f"{id_col}_b", id_type),
+            StructField("cosine", DoubleType()),
+        ]
+    )
 
     def score(pdf):
         import numpy as np
@@ -493,7 +537,7 @@ def blocked_cosine_pairs(
         if len(pdf) < 2:
             return pd.DataFrame(
                 {f"{id_col}_a": [], f"{id_col}_b": [], "cosine": []}
-            ).astype({f"{id_col}_a": "int64", f"{id_col}_b": "int64"})
+            )
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
@@ -534,12 +578,20 @@ def quantize_int8(
 
     Zero vectors get scale 0 and all-zero components (dequantizes to the
     zero vector exactly)."""
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+
     v = F.col(vec_col)
     amax = F.aggregate(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     )
     s = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
-    df = df.withColumn(out_scale, s)
+    # the scale is referenced TWICE inside the transform lambda: stage
+    # it behind a barrier like l2_normalize does, or CollapseProject
+    # inlines the O(dim) max-abs fold at both references and the fold
+    # re-runs per element (no CSE inside HOF lambdas — review finding)
+    df = compute_behind_barrier(df, {out_scale: s})
     q = F.transform(
         v,
         lambda x: F.when(F.col(out_scale) > 0, F.round(x / F.col(out_scale)))
@@ -593,22 +645,28 @@ def exact_rerank(
     qv = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
+        l2_norm(F.col(vec_col)).alias("_qnorm"),
     )
     # shortlist × query-vectors: both sides are query-sized — broadcast;
     # then ONE broadcast hash join hydrates candidate vectors from the
     # corpus scan (the corpus never scores outside the shortlist)
     pairs = cand.join(F.broadcast(qv), query_id_col)
     cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnorm"),
     )
     hydrated = cvec.join(F.broadcast(pairs), "neighbor_id")
     if metric == "cosine":
+        # norms precomputed per SIDE, cosine via _pair_cosine — the
+        # module rule (one fold per pair, not three; a query in R pairs
+        # must not recompute its norm R times — review finding)
         scored = hydrated.select(
             query_id_col,
             "neighbor_id",
-            (
-                dot_product(F.col("_qvec"), F.col("_cvec"))
-                / (l2_norm(F.col("_qvec")) * l2_norm(F.col("_cvec")))
+            _pair_cosine(
+                F.col("_qvec"), F.col("_cvec"),
+                F.col("_qnorm"), F.col("_cnorm"),
             ).alias("cosine"),
         )
         return _topk_by_cosine(scored, query_id_col, k)

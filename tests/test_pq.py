@@ -329,3 +329,27 @@ def test_ivfadc_read_rejects_unexpected_schema(emb, tmp_path):
     ).mode("overwrite").parquet(missing)
     with pytest.raises(ValueError, match="not an ivfadc_write layout"):
         ivfadc_read(emb.sparkSession, missing)
+
+
+def test_ivfadc_index_centroid_lookup_is_id_keyed(emb):
+    """The build side must resolve centroids BY ID, like the search
+    side: a reordered (or any non-0..n-1-ordered) cents list must
+    produce the exact same index as the sorted one — positionally
+    indexed residuals silently subtract the wrong centroid (review
+    finding, round 8)."""
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_fit,
+        ivfadc_index,
+    )
+
+    cents, books = ivfadc_fit(emb, n_lists=4, m=M, k=K, max_iter=2)
+    want = {
+        (r["vec_id"], r["cluster_id"], tuple(r["pq_code"]))
+        for r in ivfadc_index(emb, cents, books).collect()
+    }
+    shuffled = list(reversed(cents))
+    got = {
+        (r["vec_id"], r["cluster_id"], tuple(r["pq_code"]))
+        for r in ivfadc_index(emb, shuffled, books).collect()
+    }
+    assert got == want
