@@ -134,7 +134,7 @@ def cmd_run(args, overrides: list[str]) -> int:
 
     from qualityassurancetool_spark.plans.qc_pipeline import run_qc_pipeline
     from qualityassurancetool_spark.session import get_spark
-    from qualityassurancetool_spark.sources.sinks import write_flags_table
+    from qualityassurancetool_spark.sources.sinks import upsert_flags_table
     from qualityassurancetool_spark.streaming.micro_batch import (
         windowed_batch_runner,
     )
@@ -157,7 +157,10 @@ def cmd_run(args, overrides: list[str]) -> int:
             )
 
         def sink(df, lo, hi):
-            write_flags_table(df, data_c["flags_out"])
+            # row-level upsert: the default 10-min windows put many
+            # windows in one day — a per-day overwrite here deleted the
+            # day's earlier windows' flags (review finding, round 8)
+            upsert_flags_table(df, data_c["flags_out"])
 
         n = windowed_batch_runner(
             spark,

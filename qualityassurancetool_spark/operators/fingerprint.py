@@ -399,16 +399,17 @@ def read_fingerprint_index(
     streaming capstone's ``batch=`` slices and the incremental plan's
     ``upd=`` slices; one implementation so the exclusion rule and the
     empty-index schema cannot drift between them)."""
-    import os
+    import posixpath
 
-    paths = (
-        sorted(
-            os.path.join(index_dir, d)
-            for d in os.listdir(index_dir)
-            if d.startswith(slice_prefix) and d != exclude
-        )
-        if os.path.isdir(index_dir)
-        else []
+    from qualityassurancetool_spark.functions.fs import list_subdirs
+
+    # Hadoop-FS listing, NOT os.listdir: a remote index dir (hdfs://,
+    # s3a://) would otherwise read as empty and cross-batch near-dedup
+    # would silently disable (review finding, round 8)
+    paths = sorted(
+        posixpath.join(index_dir, d)
+        for d in list_subdirs(spark, index_dir, prefix=slice_prefix)
+        if d != exclude
     )
     if paths:
         return spark.read.parquet(*paths)

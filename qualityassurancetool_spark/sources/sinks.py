@@ -93,9 +93,12 @@ def write_flags_table(
     flag_col: str = "qc_flag",
     ts_col: str | None = "phenomenon_time",
 ) -> None:
-    """The scale-correct write-back: a flags parquet table partitioned by
-    date, overwritten per re-QC'd window (idempotent re-run = deterministic
-    overwrite; dynamic partition overwrite only touches re-processed days)."""
+    """Whole-day flags write: a parquet table partitioned by date whose
+    touched DAY partitions are replaced wholesale (dynamic partition
+    overwrite).  Correct ONLY when ``df`` carries a day's complete flag
+    set — a window/micro-batch covering part of a day would DELETE the
+    day's other rows; those callers use :func:`upsert_flags_table`
+    (review finding, round 8)."""
     out = df.select(
         F.col(id_col),
         F.col(flag_col),
@@ -107,6 +110,63 @@ def write_flags_table(
             "partitionOverwriteMode", "dynamic"
         )
     writer.parquet(path)
+
+
+def upsert_flags_table(
+    df: DataFrame,
+    path: str,
+    id_col: str = "iot_id",
+    flag_col: str = "qc_flag",
+    ts_col: str = "phenomenon_time",
+) -> None:
+    """ROW-level last-writer-wins upsert into the date-partitioned flags
+    table — the reference PATCHes flags per observation
+    (``src/main.py:366-395``), and the windowed runner's default 10-min
+    windows put many windows in one day, so the per-day overwrite of
+    :func:`write_flags_table` would delete a day's earlier windows'
+    rows on every run (review finding, round 8).
+
+    Mechanics: the batch's rows are merged with the surviving rows of
+    the touched day partitions (anti-join on ``id_col``), staged to a
+    ``_upsert_stage`` dir inside the table (underscore-prefixed =
+    invisible to readers) to break the read-from-overwritten-path
+    lineage, then dynamic-overwritten back.  Re-running the same window
+    converges (its rows replace the same ids).  The final partition
+    rewrite is the non-atomic step — parquet has no multi-partition
+    commit; a crash inside it needs the window re-run (the driver
+    loop's natural retry).  A transactional table format is the 100 TB
+    upgrade path for that boundary."""
+    from qualityassurancetool_spark.functions.fs import (
+        delete_path,
+        path_exists,
+    )
+
+    spark = df.sparkSession
+    out = df.select(
+        F.col(id_col),
+        F.col(flag_col),
+        F.to_date(F.col(ts_col)).alias("flag_date"),
+    )
+    stage = None
+    if path_exists(spark, path):
+        days = [r[0] for r in out.select("flag_date").distinct().collect()]
+        if not days:
+            return
+        existing = spark.read.parquet(path).where(
+            F.col("flag_date").isin(days)
+        )
+        keep = existing.join(out.select(id_col), id_col, "left_anti")
+        stage = path.rstrip("/") + "/_upsert_stage"
+        keep.unionByName(out).write.mode("overwrite").parquet(stage)
+        out = spark.read.parquet(stage)
+    (
+        out.write.mode("overwrite")
+        .partitionBy("flag_date")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    if stage is not None:
+        delete_path(spark, stage)
 
 
 def make_http_batch_sender(

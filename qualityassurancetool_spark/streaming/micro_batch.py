@@ -44,6 +44,11 @@ def iter_windows(
     START_II = START_I − OVERLAP arithmetic)."""
     w = dt.timedelta(seconds=parse_timedelta_seconds(width))
     o = dt.timedelta(seconds=parse_timedelta_seconds(overlap))
+    if w <= dt.timedelta(0):
+        # cur would never advance: the driver loop spins forever
+        raise ValueError(f"window width must be positive, got {width!r}")
+    if o < dt.timedelta(0):
+        raise ValueError(f"overlap must be >= 0, got {overlap!r}")
     cur = start
     while cur < end:
         lo = max(start, cur - o)
@@ -112,10 +117,14 @@ def start_flags_upsert(
 
     Returns the started ``StreamingQuery``; caller awaits termination.
     """
-    from qualityassurancetool_spark.sources.sinks import write_flags_table
+    from qualityassurancetool_spark.sources.sinks import upsert_flags_table
 
     def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
-        write_flags_table(batch_df, path, ts_col=ts_col)
+        # ROW-level merge, not per-day overwrite: successive micro-
+        # batches routinely share a day, and a day-partition overwrite
+        # by batch N deleted batch N-1's flags for that day (review
+        # finding, round 8); replay of the SAME batch still converges
+        upsert_flags_table(batch_df, path, ts_col=ts_col)
 
     writer = (
         flagged_stream.writeStream.foreachBatch(_upsert)
@@ -137,13 +146,25 @@ def streaming_session_stats(
     sessions as state, closes one when the watermark passes its end + gap.
     State is bounded by (active entities x open sessions); the batch twin
     is ``operators.sessionize`` (same gap semantics: a gap strictly
-    greater than ``gap`` splits)."""
+    greater than ``gap`` splits).
+
+    Boundary parity: Spark's ``session_window`` SPLITS at a gap exactly
+    equal to ``gap`` (merge condition is diff < gap) while the batch
+    twin splits only on strictly-greater — so the window is widened by
+    one microsecond (merge when diff < gap + 1 µs ⇔ diff <= gap at
+    Spark's µs timestamp resolution), making the twins agree on the
+    boundary row (review finding, round 8)."""
+    from qualityassurancetool_spark.functions.timeutils import (
+        timedelta_micros,
+    )
+
     stream = ensure_timestamp(stream, ts_col)
+    gap_plus = f"{timedelta_micros(gap) + 1} microseconds"
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
             F.col(entity_col),
-            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.session_window(F.col(ts_col), gap_plus).alias("w"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -226,20 +247,27 @@ def streaming_curate(
     Cross-batch exact dedup composes upstream:
     ``streaming_exact_dedup(stream) |> streaming_curate(...)`` gives
     watermark-bounded global dedup plus per-batch rules, the standard
-    split between bounded-state and stateless stages.  Idempotence
-    under retry comes from the checkpoint (foreachBatch re-runs a
-    failed batch with the same batch_id and the same input slice).
+    split between bounded-state and stateless stages.  Decisions land
+    one OVERWRITTEN ``batch=N`` dir per micro-batch — a foreachBatch
+    replay (same batch id, same input slice) replaces its own rows
+    instead of double-appending (review finding, round 8: a bare
+    append doubled batch N's decision rows on replay); a root read of
+    ``out_path`` sees all batches plus a ``batch`` partition column.
 
     Returns the started ``StreamingQuery``.
     """
+    import posixpath
+
     from qualityassurancetool_spark.plans.curation import curate
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         decisions = curate(
             batch_df, cfg, text_col=text_col, id_col=id_col,
             classifier_model=classifier_model,
         )
-        decisions.write.mode("append").parquet(out_path)
+        decisions.write.mode("overwrite").parquet(
+            posixpath.join(out_path, f"batch={batch_id}")
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_apply)
@@ -271,47 +299,48 @@ def streaming_near_dedup_admission(
     edit in a LATER batch is caught, which watermark-keyed exact dedup
     cannot do.
 
-    Retry idempotence: the index grows as one parquet subdirectory per
-    batch id (``batch=N``), written with overwrite — a re-run of batch N
-    replaces its own contribution instead of appending twice.  Within a
-    batch, earlier documents do not screen later ones (batch-atomic
-    semantics); run the batch operator on the output for intra-batch
-    pairs.
+    Retry idempotence: BOTH the index and the decisions grow as one
+    parquet subdirectory per batch id (``batch=N``), written with
+    overwrite — a re-run of batch N replaces its own contribution
+    instead of appending twice, and the screen excludes batch N's OWN
+    index slice (a crash replay after the index write must never screen
+    the batch against its own fingerprints: every resubmitted doc would
+    read as a duplicate of itself and the replay would overwrite the
+    slice EMPTY — review finding, round 8; same contract as
+    ``pretrain_stream``, via the shared ``read_fingerprint_index``).
+    Within a batch, earlier documents do not screen later ones
+    (batch-atomic semantics); run the batch operator on the output for
+    intra-batch pairs.
 
     Returns the started StreamingQuery.
     """
-    import os
+    import posixpath
 
     from qualityassurancetool_spark.operators.fingerprint import (
         document_fingerprints,
         near_dedup_against_corpus,
+        read_fingerprint_index,
     )
-
-    os.makedirs(index_path, exist_ok=True)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
-            existing = [
-                d for d in os.listdir(index_path) if d.startswith("batch=")
-            ]
-            if existing:
-                seen_fp = spark.read.parquet(
-                    *[os.path.join(index_path, d) for d in existing]
-                )
-            else:
-                seen_fp = spark.createDataFrame(
-                    [], f"{id_col} long, fingerprint long"
-                )
+            seen_fp = read_fingerprint_index(
+                spark, index_path, "batch=",
+                exclude=f"batch={batch_id}", id_col=id_col,
+                id_type=batch_df.schema[id_col].dataType.simpleString(),
+            )
             decisions = near_dedup_against_corpus(
                 batch_df, seen_fp, text_col, id_col,
                 k=k, w=w, threshold=threshold,
-            ).withColumn("batch_id", F.lit(batch_id))
-            decisions.write.mode("append").parquet(out_path)
+            )
+            dec_path = posixpath.join(out_path, f"batch={batch_id}")
+            decisions.write.mode("overwrite").parquet(dec_path)
+            # read back THIS batch's dir only — the previous
+            # whole-table read grew O(stream history) per batch
             admitted = batch_df.join(
-                spark.read.parquet(out_path)
-                .where(F.col("batch_id") == batch_id)
+                spark.read.parquet(dec_path)
                 .where("kept")
                 .select(id_col),
                 id_col,
@@ -320,7 +349,7 @@ def streaming_near_dedup_admission(
             document_fingerprints(
                 admitted, text_col, id_col, k=k, w=w
             ).write.mode("overwrite").parquet(
-                os.path.join(index_path, f"batch={batch_id}")
+                posixpath.join(index_path, f"batch={batch_id}")
             )
         finally:
             batch_df.unpersist()

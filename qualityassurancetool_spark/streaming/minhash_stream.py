@@ -78,8 +78,25 @@ def streaming_minhash_admit(
     """Start the checkpointed admission query; returns the
     StreamingQuery.  Same signature knobs as the batch operators (they
     are baked into the stored slices — a bootstrap ``sig/`` must have
-    been built with identical knobs)."""
-    from qualityassurancetool_spark.operators.dedup import minhash_admit
+    been built with identical knobs).  The knobs are validated against
+    ``state_dir``'s ``minhash_meta.json`` up front, and a meta-less
+    state (cold stream) gets one WRITTEN — per-batch admission runs
+    with ``update_state=False``, which never bakes meta itself, so
+    stream-created states would otherwise escape the mismatch
+    enforcement forever (review finding, round 8)."""
+    from qualityassurancetool_spark.operators.dedup import (
+        _check_state_meta,
+        _write_state_meta,
+        minhash_admit,
+    )
+
+    spark0 = stream.sparkSession
+    if not _check_state_meta(
+        spark0, state_dir, num_hashes, bands, shingle_k, hash_mode
+    ):
+        _write_state_meta(
+            spark0, state_dir, num_hashes, bands, shingle_k, hash_mode
+        )
 
     sig_batches = posixpath.join(state_dir, "sig_batches")
     pairs_root = posixpath.join(state_dir, "pairs")

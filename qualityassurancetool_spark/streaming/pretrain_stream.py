@@ -35,11 +35,15 @@ shuffle; each micro-batch does one broadcast screen against the index.
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from qualityassurancetool_spark.functions.fs import (
+    list_subdirs,
+    mkdirs,
+)
 from qualityassurancetool_spark.streaming.micro_batch import (
     streaming_exact_dedup,
 )
@@ -72,11 +76,14 @@ def streaming_pretrain_ingest(
     from qualityassurancetool_spark.plans.curation import curate
 
     dirs = {
-        n: os.path.join(work_dir, n)
+        n: posixpath.join(work_dir, n)
         for n in ("decisions", "admissions", "corpus", "index")
     }
+    # Hadoop-FS mkdirs, NOT os.makedirs: a remote work_dir (hdfs://,
+    # s3a://) would otherwise get a literal local "s3a:/..." dir while
+    # Spark writes elsewhere (review finding, round 8)
     for d in dirs.values():
-        os.makedirs(d, exist_ok=True)
+        mkdirs(stream.sparkSession, d)
 
     if exact_dedup:
         stream = streaming_exact_dedup(
@@ -93,11 +100,11 @@ def streaming_pretrain_ingest(
                 classifier_model=classifier_model,
             )
             decisions.write.mode("overwrite").parquet(
-                os.path.join(dirs["decisions"], f"batch={batch_id}")
+                posixpath.join(dirs["decisions"], f"batch={batch_id}")
             )
             kept = batch_df.join(
                 spark.read.parquet(
-                    os.path.join(dirs["decisions"], f"batch={batch_id}")
+                    posixpath.join(dirs["decisions"], f"batch={batch_id}")
                 ).where("keep").select(id_col),
                 id_col,
                 "left_semi",
@@ -120,23 +127,23 @@ def streaming_pretrain_ingest(
                 k=k, w=w, threshold=threshold,
             )
             admissions.write.mode("overwrite").parquet(
-                os.path.join(dirs["admissions"], f"batch={batch_id}")
+                posixpath.join(dirs["admissions"], f"batch={batch_id}")
             )
             admitted = kept.join(
                 spark.read.parquet(
-                    os.path.join(dirs["admissions"], f"batch={batch_id}")
+                    posixpath.join(dirs["admissions"], f"batch={batch_id}")
                 ).where("kept").select(id_col),
                 id_col,
                 "left_semi",
             )
             # 4. corpus slice + index extension, both batch-overwrite
             admitted.write.mode("overwrite").parquet(
-                os.path.join(dirs["corpus"], f"batch={batch_id}")
+                posixpath.join(dirs["corpus"], f"batch={batch_id}")
             )
             document_fingerprints(
                 admitted, text_col, id_col, k=k, w=w
             ).write.mode("overwrite").parquet(
-                os.path.join(dirs["index"], f"batch={batch_id}")
+                posixpath.join(dirs["index"], f"batch={batch_id}")
             )
         finally:
             batch_df.unpersist()
@@ -153,11 +160,10 @@ def streaming_pretrain_ingest(
 
 def read_admitted_corpus(spark, work_dir: str) -> DataFrame:
     """The admitted document set across all completed batches."""
-    corpus = os.path.join(work_dir, "corpus")
+    corpus = posixpath.join(work_dir, "corpus")
     slices = [
-        os.path.join(corpus, d)
-        for d in sorted(os.listdir(corpus))
-        if d.startswith("batch=")
+        posixpath.join(corpus, d)
+        for d in list_subdirs(spark, corpus, prefix="batch=")
     ]
     return spark.read.parquet(*slices)
 

@@ -60,6 +60,13 @@ def stream_asof_nearest(
     payload = ind_payload or []
 
     tol_us = int(tol_s * 1_000_000)
+    if tol_us <= 0:
+        # floor(x / 0) is NULL under non-ANSI SQL: every bucket would
+        # be NULL and the join would silently emit nothing (review
+        # finding, round 8)
+        raise ValueError(
+            f"tolerance must be >= 1 microsecond, got {tolerance!r}"
+        )
     d = (
         ensure_timestamp(dep_stream, dep_ts)
         .select(

@@ -439,3 +439,161 @@ def test_stream_asof_matches_batch_nearest(spark, tmp_path):
         if r["ind_iot_id"] is not None
     }
     assert batch_matched == {k: v[0] for k, v in got.items()}
+
+
+def test_same_day_micro_batches_merge_not_clobber(spark, tmp_path):
+    """Two micro-batches sharing a day must BOTH survive in the flags
+    table: the sink merges rows (the reference PATCHes per
+    observation), it does not day-overwrite (review finding, round 8 —
+    batch 2 used to delete batch 1's same-day flags)."""
+    import datetime as dt
+
+    from qualityassurancetool_spark.streaming.micro_batch import (
+        start_flags_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    flags = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "iot_id long, result double, phenomenon_time timestamp,"
+        " qc_flag tinyint"
+    )
+    day = dt.datetime(2024, 3, 1, 8, 0)
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        flagged = streaming_qc(stream, _range_qc, watermark="50 minutes")
+        q = start_flags_upsert(flagged, flags, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, 5.0, day, 0), (2, 500.0, day, 0)], schema) \
+        .write.parquet(src)
+    run()
+    # batch 2: MORE rows for the SAME day, plus a re-flag of id 1
+    spark.createDataFrame(
+        [(3, 5.0, day + dt.timedelta(hours=4), 0), (1, 600.0, day, 0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    back = {
+        r["iot_id"]: r["qc_flag"]
+        for r in spark.read.parquet(flags).collect()
+    }
+    # id 2 (batch 1 only) SURVIVES; id 1 took the batch-2 re-flag
+    assert back == {1: 4, 2: 4, 3: 0}
+
+
+def test_windowed_cli_run_sub_day_windows_keep_all_flags(spark, tmp_path):
+    """The batch runner with sub-day windows (the reference's normal
+    10-min cadence): every window's flags must survive — the per-day
+    overwrite deleted all but the last window of each day."""
+    import duckdb
+    import yaml
+
+    from qualityassurancetool_spark.cli import main
+
+    flags_out = str(tmp_path / "flags_subday")
+    cfg = tmp_path / "qc_subday.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "QC": [
+            {"id": t, "range": {"min": 0.0, "max": 400.0}}
+            for t in ["click", "purchase", "view", "signup", "error"]
+        ],
+    }))
+    rc = main([
+        "run", "-c", str(cfg), "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=events",
+        f"data.flags_out={flags_out}",
+        "time.start=2024-01-01T00:00:00", "time.end=2024-01-02T00:00:00",
+        "time.window=720min",   # TWO windows inside one day
+    ])
+    assert rc == 0
+    n_rows = spark.read.parquet(flags_out).count()
+    exp = duckdb.connect().execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet' "
+        "WHERE ts >= '2024-01-01' AND ts < '2024-01-02'"
+    ).fetchone()[0]
+    assert n_rows == exp  # both windows' flags present, no clobber
+
+
+def test_iter_windows_rejects_nonpositive_width(spark):
+    import datetime as dt
+
+    import pytest
+
+    from qualityassurancetool_spark.streaming.micro_batch import (
+        iter_windows,
+    )
+
+    with pytest.raises(ValueError, match="width"):
+        list(iter_windows(
+            dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2), 0.0
+        ))
+    with pytest.raises(ValueError, match="overlap"):
+        list(iter_windows(
+            dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2),
+            "10min", -1.0,
+        ))
+
+
+def test_stream_asof_rejects_zero_tolerance(spark):
+    import pytest
+
+    from qualityassurancetool_spark.streaming.stream_asof import (
+        stream_asof_nearest,
+    )
+
+    dep = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="tolerance"):
+        stream_asof_nearest(dep, dep, tolerance=0.0)
+
+
+def test_session_gap_boundary_matches_batch(spark, tmp_path):
+    """Events exactly `gap` apart: the batch twin splits only on
+    STRICTLY greater, so they share one session — the streaming window
+    is widened by 1 µs to agree (Spark's session_window alone splits
+    at exactly gap; review finding, round 8)."""
+    import datetime as dt
+
+    from qualityassurancetool_spark.operators.sessionize import session_stats
+    from qualityassurancetool_spark.streaming.micro_batch import (
+        streaming_session_stats,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=30)),  # EXACTLY the gap apart
+        (3, 1, t0 + dt.timedelta(minutes=60, seconds=1)),  # > gap: splits
+    ]
+    schema = "event_id long, user_id long, ts timestamp"
+    src = str(tmp_path / "sess_boundary_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = streaming_session_stats(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_boundary")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_boundary").collect()
+    )
+    batch = sorted(
+        r["n_events"]
+        for r in session_stats(
+            spark.createDataFrame(rows, schema),
+            gap="30min",
+            order_extra=["event_id"],
+        ).collect()
+    )
+    assert got == batch == [1, 2]  # boundary pair merged in BOTH twins

@@ -129,3 +129,70 @@ def test_streaming_near_dedup_admission(spark):
         assert got[20]["kept"] is False and got[20]["dup_of_seen"] == 11
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_near_dedup_admission_forced_replay_is_clean(spark):
+    """Crash-replay contract: replaying the last completed batch must
+    NOT screen the batch against its own index slice (it would reject
+    every resubmitted doc as a duplicate of itself and overwrite the
+    slice empty — review finding, round 8), and decisions must not
+    double-append."""
+    import random
+
+    from qualityassurancetool_spark.streaming.micro_batch import (
+        streaming_near_dedup_admission,
+    )
+
+    rng = random.Random(7)
+
+    def doc(n):
+        return " ".join(
+            "".join(rng.choice("abcdefghij") for _ in range(6))
+            for _ in range(n)
+        )
+
+    root = tempfile.mkdtemp(prefix="snda_replay")
+    land = os.path.join(root, "land")
+    idx = os.path.join(root, "index")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        os.makedirs(land)
+        _land(land, spark, [(1, doc(60)), (2, doc(60))], "a")
+        q = streaming_near_dedup_admission(
+            spark.readStream.schema(SCHEMA).parquet(land + "/*"),
+            idx, out, ckpt,
+        )
+        q.awaitTermination(120)
+        want = {
+            (r["doc_id"], r["kept"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert want == {(1, True), (2, True)}
+        n_index = spark.read.parquet(os.path.join(idx, "batch=0")).count()
+        assert n_index > 0
+
+        # force a replay of the completed batch (delete its commit
+        # marker — the recovery path after a crash post-index-write)
+        commits = os.path.join(ckpt, "commits")
+        last = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+        os.remove(os.path.join(commits, last))
+        crc = os.path.join(commits, f".{last}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        q2 = streaming_near_dedup_admission(
+            spark.readStream.schema(SCHEMA).parquet(land + "/*"),
+            idx, out, ckpt,
+        )
+        q2.awaitTermination(120)
+        got = {
+            (r["doc_id"], r["kept"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want  # same decisions, no duplicates, still kept
+        assert (
+            spark.read.parquet(os.path.join(idx, "batch=0")).count()
+            == n_index
+        )  # index slice intact, not overwritten empty
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -172,3 +172,36 @@ def test_cold_stream_no_bootstrap(spark):
         assert (11, 22) in got
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cold_stream_bakes_and_enforces_meta(spark):
+    """A stream-created state must not escape knob enforcement: the
+    cold start writes minhash_meta.json (per-batch admission never
+    does — update_state=False), and a later run with different knobs
+    raises instead of banding incomparable signatures (review finding,
+    round 8)."""
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="smh_meta")
+    land = os.path.join(root, "land")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        os.makedirs(land)
+        _land(spark, land, FILE_A, "a")
+        _run(spark, land, state, ckpt)
+        assert os.path.exists(os.path.join(state, "minhash_meta.json"))
+        with pytest.raises(ValueError, match="knob mismatch"):
+            streaming_minhash_admit(
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(land + "/*"),
+                state,
+                os.path.join(root, "ckpt2"),
+                num_hashes=16,
+                bands=4,  # state was baked with KW's bands=8
+                shingle_k=KW["shingle_k"],
+                threshold=KW["threshold"],
+                hash_mode="portable",
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
