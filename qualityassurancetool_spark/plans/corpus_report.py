@@ -68,7 +68,12 @@ def per_doc_signals(
         symbol_ratio(F.col("_lt")).alias("symbol_ratio"),
         dup_line_fraction(t).alias("dup_line_fraction"),
         has_pii.cast("double").alias("has_pii"),
-        F.md5(F.col("_norm")).alias("digest"),
+        # sentinel, not NULL: countDistinct SKIPS nulls, so null-text
+        # docs would all read as duplicates of nothing (review finding;
+        # same convention as plans/incremental's digest diff)
+        F.coalesce(
+            F.md5(F.col("_norm")), F.lit("__null_text__")
+        ).alias("digest"),
     )
 
 
@@ -176,8 +181,12 @@ def value_histogram(
     keys = ([F.col(group_col)] if group_col else []) + [
         bin_id.alias("bin_id")
     ]
+    v = F.col(value_col).cast("double")
     out = (
-        df.where(F.col(value_col).isNotNull())
+        # NaN passes isNotNull and would clamp into an edge bin,
+        # silently inflating the under/overflow counts the docstring
+        # presents as meaningful (review finding)
+        df.where(v.isNotNull() & ~F.isnan(v))
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -32,7 +32,9 @@ RULES = (
     "dup_lines",
     "word_rep",
     "symbols",
+    "badwords",
     "c4_page",
+    "gopher",
     "pii",
     "blocked_domain",
     "classifier",
@@ -107,6 +109,13 @@ class CurationConfig:
         bw = d.get("badwords", [])
         if bw is not None and not isinstance(bw, (list, tuple)):
             raise ConfigError(f"badwords must be a list, got {bw!r}")
+        bd = d.get("blocked_domains", [])
+        if bd is not None and not isinstance(bd, (list, tuple)):
+            # a YAML scalar would iterate per CHARACTER and the
+            # blocklist would silently match nothing (review finding)
+            raise ConfigError(
+                f"blocked_domains must be a list, got {bd!r}"
+            )
         if d.get("dedup", "exact") not in ("exact", "none"):
             raise ConfigError(f"dedup must be exact|none, got {d['dedup']!r}")
         fr = d.get("sample_fractions")
@@ -185,6 +194,8 @@ def curate(
         compute_behind_barrier,
         ensure_min_parallelism,
     )
+
+    in_cols = set(docs.columns)
     from qualityassurancetool_spark.operators.quality_filters import (
         domain_blocklist_hit,
         dup_line_fraction,
@@ -431,6 +442,9 @@ def curate(
     out = out.withColumn("drop_reason", reason)
     out = out.withColumn("keep", F.col("drop_reason").isNull())
     return out.drop(
+        # only columns CURATE added are dropped: a caller whose input
+        # happens to carry a column named like a gopher signal (e.g.
+        # its own n_words) must get it back untouched (review finding)
         *[c for c in ("_norm", "_toks", "_ls", "_dlf", "_wrr", "_sym",
                       "_pii", "_blocked", "_clf_b", "_clf_prob",
                       "_c4_drop", "_dsir_b", "_dsir", "_near_dup",
@@ -438,6 +452,7 @@ def curate(
                       "symbol_word_ratio", "bullet_line_frac",
                       "ellipsis_line_frac", "alpha_word_frac",
                       "stopword_hits")
+          if c not in in_cols
           if c in out.columns]
     )
 

@@ -46,42 +46,53 @@ as the streaming capstone.
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from qualityassurancetool_spark.functions.fs import (
+    delete_path,
+    list_subdirs,
+    mkdirs,
+    path_exists,
+    read_text,
+    rename_overwrite,
+    write_text,
+)
 from qualityassurancetool_spark.functions.hashing import normalize_text
 
-
-def _slices(root: str) -> list[str]:
-    if not os.path.isdir(root):
-        return []
-    return sorted(
-        os.path.join(root, d)
-        for d in os.listdir(root)
-        if d.startswith("upd=")
-    )
+# Every state-dir touch goes through the Hadoop-FS helpers, NOT
+# os.path/open: a remote state_dir (hdfs://, s3a://) would otherwise
+# read as empty — every refresh re-runs as "first update" against a
+# local "s3a:/..." ghost tree while Spark writes the real slices
+# remotely (review finding, round 8; same class as the streaming fix).
 
 
-def _committed(state_dir: str) -> int | None:
+def _slices(spark, root: str) -> list[str]:
+    return [
+        posixpath.join(root, d)
+        for d in list_subdirs(spark, root, prefix="upd=")
+    ]
+
+
+def _committed(spark, state_dir: str) -> int | None:
     """Id of the last COMMITTED update, or None.  The marker is the
     single commit point: slices and digests for upd > marker are
     in-flight garbage from a crashed attempt and are ignored by every
     reader."""
-    marker = os.path.join(state_dir, "LAST_COMMITTED")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            return int(fh.read().strip())
+    marker = posixpath.join(state_dir, "LAST_COMMITTED")
+    if path_exists(spark, marker):
+        return int(read_text(spark, marker).strip())
     return None
 
 
-def _next_upd(state_dir: str) -> int:
+def _next_upd(spark, state_dir: str) -> int:
     """Next update id from the COMMIT marker, not the slice listing: a
     crashed update (slices written, marker not advanced) is re-run
     under the SAME id, overwriting its own partial slices — the exact
     replay contract of the streaming capstone's batch ids."""
-    c = _committed(state_dir)
+    c = _committed(spark, state_dir)
     return 0 if c is None else c + 1
 
 
@@ -106,13 +117,13 @@ def incremental_update(
     )
     from qualityassurancetool_spark.plans.curation import curate
 
-    upd = _next_upd(state_dir)
+    upd = _next_upd(spark, state_dir)
     dirs = {
-        n: os.path.join(state_dir, n)
+        n: posixpath.join(state_dir, n)
         for n in ("seen", "corpus", "touched", "index")
     }
     for d in dirs.values():
-        os.makedirs(d, exist_ok=True)
+        mkdirs(spark, d)
 
     # null text digests to a sentinel, not NULL: a NULL hash would make
     # the full-outer diff misread the doc as re-added every refresh
@@ -124,13 +135,13 @@ def incremental_update(
             F.lit("__null_text__"),
         ).alias("content_hash"),
     )
-    committed = _committed(state_dir)
+    committed = _committed(spark, state_dir)
     seen_path = (
-        os.path.join(dirs["seen"], f"upd={committed}")
+        posixpath.join(dirs["seen"], f"upd={committed}")
         if committed is not None
         else None
     )
-    if seen_path is not None and os.path.isdir(seen_path):
+    if seen_path is not None and path_exists(spark, seen_path):
         old = spark.read.parquet(seen_path).withColumnRenamed(
             "content_hash", "_old"
         )
@@ -201,21 +212,21 @@ def incremental_update(
             )
             admitted.select(id_col, text_col).write.mode(
                 "overwrite"
-            ).parquet(os.path.join(dirs["corpus"], f"upd={upd}"))
+            ).parquet(posixpath.join(dirs["corpus"], f"upd={upd}"))
             work_ids.unionByName(removed_ids).write.mode(
                 "overwrite"
-            ).parquet(os.path.join(dirs["touched"], f"upd={upd}"))
+            ).parquet(posixpath.join(dirs["touched"], f"upd={upd}"))
             # fingerprint the WRITTEN corpus slice (read-back), not the
             # lazy `admitted` frame — otherwise the whole curate +
             # admission DAG executes a second time (review finding; the
             # streaming twin reads its slices back for the same reason)
             admitted_back = spark.read.parquet(
-                os.path.join(dirs["corpus"], f"upd={upd}")
+                posixpath.join(dirs["corpus"], f"upd={upd}")
             )
             document_fingerprints(
                 admitted_back, text_col, id_col, k=k, w=w
             ).write.mode("overwrite").parquet(
-                os.path.join(dirs["index"], f"upd={upd}")
+                posixpath.join(dirs["index"], f"upd={upd}")
             )
             # digests land in their OWN upd slice, then the marker
             # advances ATOMICALLY (tmp + rename) as the single commit
@@ -225,22 +236,19 @@ def incremental_update(
             # slices — never an all-unchanged empty overwrite (review
             # finding on the old single-path seen/ layout).
             new_digests.write.mode("overwrite").parquet(
-                os.path.join(dirs["seen"], f"upd={upd}")
+                posixpath.join(dirs["seen"], f"upd={upd}")
             )
-            marker = os.path.join(state_dir, "LAST_COMMITTED")
-            with open(marker + ".part", "w") as fh:
-                fh.write(str(upd))
-            os.replace(marker + ".part", marker)
+            marker = posixpath.join(state_dir, "LAST_COMMITTED")
+            write_text(spark, marker + ".part", str(upd))
+            rename_overwrite(spark, marker + ".part", marker)
             # only the committed snapshot's digests are ever read again;
             # older seen slices are dead weight (one full digest set per
             # refresh otherwise — review finding).  The IMMEDIATELY
             # previous slice is kept as a one-step operator rollback
             # (regress the marker by one and the state replays).
-            import shutil as _shutil
-
-            for pth in _slices(dirs["seen"]):
-                if int(os.path.basename(pth).split("=", 1)[1]) < upd - 1:
-                    _shutil.rmtree(pth, ignore_errors=True)
+            for pth in _slices(spark, dirs["seen"]):
+                if int(posixpath.basename(pth).split("=", 1)[1]) < upd - 1:
+                    delete_path(spark, pth)
             n_admitted = admitted_back.count()
             return {
                 "update": upd,
@@ -259,7 +267,7 @@ def current_corpus(spark, state_dir: str, id_col: str = "doc_id") -> DataFrame:
     from the last update that touched it; revisions that failed
     curation (touched without a newer admission) and removals drop
     out."""
-    committed = _committed(state_dir)
+    committed = _committed(spark, state_dir)
     if committed is None:
         raise ValueError(f"no committed updates under {state_dir}")
 
@@ -268,11 +276,13 @@ def current_corpus(spark, state_dir: str, id_col: str = "doc_id") -> DataFrame:
         return [
             p
             for p in paths
-            if int(os.path.basename(p).split("=", 1)[1]) <= committed
+            if int(posixpath.basename(p).split("=", 1)[1]) <= committed
         ]
 
-    corpus_slices = _upto(_slices(os.path.join(state_dir, "corpus")))
-    touched_slices = _upto(_slices(os.path.join(state_dir, "touched")))
+    corpus_slices = _upto(_slices(spark, posixpath.join(state_dir, "corpus")))
+    touched_slices = _upto(
+        _slices(spark, posixpath.join(state_dir, "touched"))
+    )
     if not corpus_slices:
         raise ValueError(f"no corpus slices under {state_dir}")
 
@@ -280,7 +290,7 @@ def current_corpus(spark, state_dir: str, id_col: str = "doc_id") -> DataFrame:
         parts = [
             spark.read.parquet(p).withColumn(
                 "_upd",
-                F.lit(int(os.path.basename(p).split("=", 1)[1])),
+                F.lit(int(posixpath.basename(p).split("=", 1)[1])),
             )
             for p in paths
         ]

@@ -119,9 +119,38 @@ def run_pretrain_pipeline(
                 docs, threshold=cfg.minhash_threshold, hash_mode="fast"
             )
         comp = connected_components(pairs)
-        # victims = every clustered doc except its component's min id
-        near_drops = comp.filter(
-            F.col("id") != F.col("component")
+        # keeper per component = min id among members that PASS the
+        # non-dedup curation rules — a representative that fails
+        # curation must not drag its surviving near-copies down with it
+        # (the content would vanish entirely; curate's exact-dedup
+        # keeper has the same exemption — review finding, round 8).
+        # The pre-pass decision sheet runs over CLUSTERED docs only
+        # (duplication-rate-sized, never the corpus).
+        import dataclasses
+
+        from pyspark.sql import Window
+
+        pre_cfg = dataclasses.replace(
+            cfg.curation, dedup="none", sample_fractions=None
+        )
+        clustered = docs.join(
+            comp.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        pre = curate(
+            clustered, pre_cfg, classifier_model=classifier_model
+        ).select(F.col("doc_id").alias("id"), "keep")
+        w_comp = Window.partitionBy("component")
+        ranked = comp.join(pre, "id").withColumn(
+            "_keeper",
+            F.coalesce(
+                F.min(F.when(F.col("keep"), F.col("id"))).over(w_comp),
+                # no member passes: fall back to min id (the whole
+                # cluster dies by its own rules anyway)
+                F.min("id").over(w_comp),
+            ),
+        )
+        near_drops = ranked.filter(
+            F.col("id") != F.col("_keeper")
         ).select(F.col("id").alias("doc_id"))
 
     decisions = curate(
@@ -197,11 +226,14 @@ def run_pretrain_pipeline(
         partition_cols=["_shard"],
     )
 
+    # n_chunks comes from the WRITE below, never a pre-write count():
+    # counting the lazy frame executes the whole chunk+pack DAG twice
+    # (review finding, round 8 — same class as the decisions read-back
+    # above)
     report: dict = {
         "rules": {
             r["rule"]: r["n"] for r in drop_report(decisions).collect()
         },
-        "n_chunks": packed.count(),
     }
     if cfg.output_format == "webdataset":
         from qualityassurancetool_spark.sources.webdataset import (
@@ -222,6 +254,7 @@ def run_pretrain_pipeline(
             int(r["shard"]): int(r["n_samples"]) for r in rows
         }
         report["shard_bytes"] = sum(int(r["n_bytes"]) for r in rows)
+        report["n_chunks"] = sum(int(r["n_samples"]) for r in rows)
     else:
         # pack_id is dense PER SHARD now — keep the shard column (as a
         # real name) so (shard, pack_id) stays the pack key; dropping it
@@ -230,4 +263,9 @@ def run_pretrain_pipeline(
             "overwrite"
         ).parquet(os.path.join(out_dir, "packed"))
         report["shards"] = None
+        report["n_chunks"] = (
+            docs.sparkSession.read.parquet(
+                os.path.join(out_dir, "packed")
+            ).count()
+        )
     return report

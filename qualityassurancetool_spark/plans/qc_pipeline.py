@@ -56,13 +56,15 @@ def run_qc_pipeline(
         )
 
         df = calc_gradient_bucketed(
-            df, group_col=stream_key, order_extra=["iot_id"]
+            df, group_col=stream_key,
+            order_extra=["iot_id"] if "iot_id" in df.columns else [],
         )
     else:
         df = df.withColumn(
             "gradient",
             gradient_column(
-                "result", "phenomenon_time", [stream_key], ["iot_id"]
+                "result", "phenomenon_time", [stream_key],
+                ["iot_id"] if "iot_id" in df.columns else []
             ),
         )
 

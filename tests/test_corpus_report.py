@@ -89,3 +89,35 @@ def test_report_markdown_null_values(spark):
     )
     md = report_markdown(rep)
     assert "n/a" in md and "len_p50" in md
+
+
+def test_null_text_docs_are_not_counted_as_duplicates(spark):
+    import pytest
+
+    """countDistinct skips NULL digests: without the sentinel, 3
+    null-text docs among 7 distinct ones read as exact_dup_rate 0.3
+    (review finding, round 8; same convention as plans/incremental)."""
+    from qualityassurancetool_spark.plans.corpus_report import (
+        corpus_report,
+    )
+
+    rows = [(i, f"distinct doc number {i} content") for i in range(7)]
+    rows += [(10, None), (11, None), (12, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    metrics = {
+        r["metric"]: r["value"] for r in corpus_report(docs).collect()
+    }
+    # 7 distinct texts + the shared null sentinel = 8 distinct digests
+    assert metrics["exact_dup_rate"] == pytest.approx(1.0 - 8 / 10)
+
+
+def test_value_histogram_excludes_nan(spark):
+    from qualityassurancetool_spark.plans.corpus_report import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.1,), (0.9,), (float("nan"),)], "score double"
+    )
+    out = value_histogram(df, "score", lo=0.0, hi=1.0, n_bins=2).collect()
+    assert sum(r["n"] for r in out) == 2  # NaN row neither binned nor clamped

@@ -139,3 +139,67 @@ def test_from_yaml_roundtrip(tmp_path):
     empty = tmp_path / "empty.yaml"
     empty.write_text("")
     assert CurationConfig.from_yaml(str(empty)).dedup == "exact"
+
+
+def test_blocked_domains_scalar_rejected():
+    """A YAML scalar would iterate per character and the blocklist
+    would silently match nothing (review finding, round 8)."""
+    import pytest
+
+    from qualityassurancetool_spark.config import ConfigError
+    from qualityassurancetool_spark.plans.curation import CurationConfig
+
+    with pytest.raises(ConfigError, match="blocked_domains"):
+        CurationConfig.from_dict({"blocked_domains": "badsite.com"})
+
+
+def test_curate_preserves_caller_signal_named_columns(spark):
+    """A caller column that happens to share a gopher-signal name must
+    come back untouched when no rule produced it (review finding,
+    round 8 — the unconditional drop list stripped it)."""
+    from qualityassurancetool_spark.plans.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "clean prose words here", 42)],
+        "doc_id long, text string, n_words long",
+    )
+    cfg = CurationConfig.from_dict({"max_word_rep_ratio": 0.9})
+    out = curate(docs, cfg).collect()[0]
+    assert out["n_words"] == 42
+
+
+def test_rules_constant_covers_all_emitted_reasons(spark):
+    """Every drop_reason curate can emit must appear in the documented
+    RULES evaluation-order tuple (review finding: badwords/gopher were
+    missing, so reason enumerators silently skipped them)."""
+    from qualityassurancetool_spark.plans.curation import (
+        RULES,
+        CurationConfig,
+        curate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text that is fine and long enough to pass easily"),
+            (2, "badword text that trips the badwords filter right here"),
+            (3, "zz " * 80),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig.from_dict(
+        {
+            "badwords": ["badword"],
+            "gopher_rules": True,
+            "max_word_rep_ratio": 0.5,
+        }
+    )
+    reasons = {
+        r["drop_reason"]
+        for r in curate(docs, cfg).collect()
+        if r["drop_reason"] is not None
+    }
+    assert reasons and reasons <= set(RULES)
+    assert "badwords" in RULES and "gopher" in RULES

@@ -101,3 +101,47 @@ def test_band_batched_near_dedup_identical_report(spark):
     finally:
         shutil.rmtree(out1, ignore_errors=True)
         shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_near_dup_keeper_prefers_surviving_member(spark):
+    """A near-dup cluster whose MIN-id member fails curation must keep
+    a member that passes — min-id-always would drop the survivor as
+    'near_duplicate' while its representative dies by its own rule,
+    and the content vanishes entirely (review finding, round 8; same
+    exemption curate's exact-dedup keeper has)."""
+    base = (
+        "plenty of clean readable prose words flowing through this "
+        "document body with natural variety and calm structure"
+    )
+    rows = [
+        # id 0: near-dup of id 1 but FAILS word_rep (spammy repetition)
+        (0, base + " zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz"),
+        (1, base + " tiny tail edit"),
+        (2, "a completely different unrelated document about engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tempfile.mkdtemp(prefix="pretrain_keeper")
+    try:
+        cfg = PretrainConfig.from_dict(
+            {
+                "curation": {"max_word_rep_ratio": 0.2, "dedup": "none"},
+                "minhash_threshold": 0.4,
+                "chunk_tokens": 64,
+                "overlap_tokens": 8,
+                "pack_budget": 256,
+                "n_shards": 2,
+                "output_format": "parquet",
+            }
+        )
+        run_pretrain_pipeline(docs, cfg, out)
+        dec = {
+            r["doc_id"]: (r["keep"], r["drop_reason"])
+            for r in spark.read.parquet(
+                os.path.join(out, "decisions")
+            ).collect()
+        }
+        assert dec[0] == (False, "word_rep")   # dies by its own rule
+        assert dec[1][0] is True               # the SURVIVOR is kept
+        assert dec[2][0] is True
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -511,3 +511,32 @@ def test_reference_marking_flags_bad_through_config(spark):
 
     assert run("reference") == {4}
     assert run("pair") == {3}
+
+
+def test_qc_pipeline_without_iot_id_column(spark):
+    """run_qc_pipeline is a public entry point: a frame lacking iot_id
+    must degrade (no secondary sort key) instead of crashing with
+    UNRESOLVED_COLUMN (review finding, round 8 — the registry's other
+    checks already guard this column)."""
+    import datetime as dt
+
+    from qualityassurancetool_spark.config import QCConfig
+    from qualityassurancetool_spark.plans.qc_pipeline import (
+        run_qc_pipeline,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    obs = spark.createDataFrame(
+        [
+            ("click", t0, 5.0, 0),
+            ("click", t0 + dt.timedelta(minutes=1), 500.0, 0),
+        ],
+        "observation_type string, phenomenon_time timestamp,"
+        " result double, qc_flag int",
+    )
+    cfg = QCConfig.from_dict(
+        {"QC": [{"id": "click", "range": {"min": 0.0, "max": 100.0}}]}
+    )
+    out = run_qc_pipeline(obs, cfg, spark).collect()
+    flags = {r["result"]: r["qc_flag"] for r in out}
+    assert flags[500.0] == 4 and flags[5.0] in (0, 1)
