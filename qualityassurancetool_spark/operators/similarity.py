@@ -85,10 +85,14 @@ def _topk_by_cosine(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
         # is "no defined similarity", not a candidate: desc sorts nulls
         # last but row_number still ranks them into a top-k with < k
         # finite rows, which broke fold-vs-gemm row-count parity (the
-        # GEMM kernels drop non-finite scores) — review finding, round 8
-        scored.where(F.col("cosine").isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
+        # GEMM kernels drop non-finite scores) — review finding, round 8.
+        # The null test rides ABOVE the window with the rank filter: a
+        # where() below it gets predicate-pushed under the projection
+        # and re-evaluates the O(dim) cosine fold per pair (measured
+        # +40 % on sim_topk); DESC sorts nulls last, so rank ∧ not-null
+        # is the same set at one fold.
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") <= k) & F.col("cosine").isNotNull())
         .drop("_rn")
     )
 
