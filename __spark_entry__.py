@@ -1716,9 +1716,13 @@ WITH toks AS (
            {uniform_hash_sql('doc_id', 'bench:')} < 0.04 AS is_bench
     FROM documents
 ), grams AS (
-    SELECT doc_id, is_bench, list_distinct(list_transform(
-        range(1, greatest(len(tok) - {k - 1}, 1) + 1),
-        i -> {ghash})) AS gs
+    -- a doc with fewer than k tokens has NO k-grams (matches the
+    -- operator's >= k guard; the old greatest(..,1) clamp emitted one
+    -- phantom whole-doc gram for short docs)
+    SELECT doc_id, is_bench,
+           CASE WHEN len(tok) >= {k} THEN list_distinct(list_transform(
+               range(1, len(tok) - {k - 1} + 1), i -> {ghash}))
+           ELSE [] END AS gs
     FROM toks
 ), bset AS (
     SELECT list_distinct(flatten(list(gs))) AS bs FROM grams WHERE is_bench

@@ -42,16 +42,27 @@ def doc_gram_hashes(
     Two-step projection (token array materialized first) — Catalyst has
     no CSE inside higher-order-function lambdas, so inlining the split
     would re-tokenize per gram (see functions/hashing)."""
+    empty = F.array().cast("array<bigint>")
     return (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tok"))
         .select(
             id_col,
-            F.array_distinct(
-                F.transform(
-                    shingles_from_tokens(F.col("_tok"), k),
-                    lambda s: md5_long(s, salt=GRAM_SALT),
-                )
-            ).alias("_gs"),
+            # a doc with fewer than k tokens has NO k-grams:
+            # shingles_from_tokens clamps to one whole-doc gram (the
+            # minhash contract), which here made every pair of short or
+            # empty docs read as 100% contaminated on a phantom sub-k
+            # gram (review finding, round 8)
+            F.when(
+                F.size(F.col("_tok")) >= k,
+                F.array_distinct(
+                    F.transform(
+                        shingles_from_tokens(F.col("_tok"), k),
+                        lambda s: md5_long(s, salt=GRAM_SALT),
+                    )
+                ),
+            )
+            .otherwise(empty)
+            .alias("_gs"),
         )
     )
 
@@ -249,6 +260,21 @@ def _semantic_decontam_gemm(
                 continue
             import pandas as pd
 
+            # null/ragged embeddings must match the column strategy's
+            # null/null/False contract, not abort the whole scan (a
+            # single bad row crashed np.stack — review finding, round 8)
+            bad = pdf[vec_col].isna()
+            if bad.any():
+                rows = pdf[bad].copy()
+                rows["max_sim"] = pd.array([pd.NA] * len(rows), dtype="Float64")
+                rows["matched_bench_id"] = pd.array(
+                    [pd.NA] * len(rows), dtype="Int64"
+                )
+                rows["contaminated"] = False
+                yield rows
+                pdf = pdf[~bad].copy()
+                if len(pdf) == 0:
+                    continue
             X = np.stack(
                 pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
             )

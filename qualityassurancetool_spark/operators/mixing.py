@@ -76,8 +76,16 @@ def _epoch_part(
     df: DataFrame, name: str, epoch: int, frac: float, id_col: str, salt: str
 ) -> DataFrame:
     esalt = f"{salt}{name}:{epoch}:"
-    part = df.withColumn("source", F.lit(name)).withColumn(
-        "epoch", F.lit(epoch)
+    # null ids are excluded from EVERY epoch, full or fractional: the
+    # mixture is a pure function of (salt, id), and a null id has no
+    # hash — full epochs used to keep such rows (with a null mix_key
+    # that sorts unpredictably) while fractional epochs dropped them,
+    # so membership jumped discontinuously with the weight (review
+    # finding, round 8)
+    part = (
+        df.where(F.col(id_col).isNotNull())
+        .withColumn("source", F.lit(name))
+        .withColumn("epoch", F.lit(epoch))
     )
     if frac < 1.0:
         part = part.where(uniform_hash(F.col(id_col), esalt) < frac)

@@ -93,7 +93,13 @@ def quality_signals(
     staged = df.select(
         F.col(id_col),
         t,
-        F.lower(t).alias("_lt"),
+        # null text lowers to '' so the pii regexp counts read 0 like
+        # every other signal — regexp_count(NULL) yielded NULL pii_*
+        # next to 0.0-valued ratios, and drift percentiles then
+        # silently dropped null-text docs from the pii quantiles while
+        # counting them everywhere else (review finding, round 8;
+        # gopher_signals already coalesces)
+        F.coalesce(F.lower(t), F.lit("")).alias("_lt"),
         normalize_text(t).alias("_qnorm"),
     ).withColumn("_qtoks", F.split(F.col("_qnorm"), " "))
     toks = F.col("_qtoks")

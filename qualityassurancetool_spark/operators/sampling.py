@@ -69,7 +69,12 @@ def deterministic_shuffle(
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
         out.repartitionByRange(n, "_shuf")
-        .sortWithinPartitions("_shuf")
+        # id tiebreak: two ids colliding on the 60-bit hash (expected
+        # at ~1.5B-row scale) would otherwise order arbitrarily
+        # between a run and its retry, breaking the documented
+        # idempotence (review finding, round 8; the sibling samplers
+        # already tiebreak by id)
+        .sortWithinPartitions("_shuf", id_col)
         .drop("_shuf")
     )
 
@@ -183,6 +188,12 @@ def split_by_group(
         cuts.append((name, acc))
     for name, hi in reversed(cuts):
         expr = F.when(u < F.lit(hi), F.lit(name)).otherwise(expr)
+    # a NULL group key gets a NULL split — surface it, don't guess:
+    # uniform_hash(NULL) is NULL, every WHEN fell through, and ALL
+    # malformed rows landed in the LAST listed split (typically the
+    # eval set — review finding, round 8; split_by_time already
+    # documents the null→null contract)
+    expr = F.when(F.col(group_col).isNotNull(), expr)
     return df.withColumn(out_col, expr)
 
 

@@ -161,8 +161,11 @@ def quality_score_parts(
     awl_score = F.when((awl >= 3.0) & (awl <= 10.0), F.lit(1.0)).otherwise(
         F.lit(0.5)
     )
+    # null-text docs carry a NULL stopword count; F.least SKIPS nulls,
+    # so without the coalesce they scored sw=1.0 and OUTSCORED empty
+    # docs ~3x (review finding, round 8)
     sw_score = F.least(
-        stopword_count.cast("double")
+        F.coalesce(stopword_count.cast("double"), F.lit(0.0))
         / F.greatest(n_tok, F.lit(1.0))
         * F.lit(5.0),
         F.lit(1.0),
@@ -210,9 +213,12 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     n = F.col("_norm")
     witht = withn.withColumn("_toks", F.split(n, " "))
     withs = witht.withColumn("_ls", lang_score_struct(F.col("_toks")))
-    n_tok = F.when(F.length(n) == 0, F.lit(0)).otherwise(
-        F.size(F.col("_toks"))
-    )
+    # null text counts 0 tokens like empty text — size(NULL) is the
+    # legacy -1 sentinel and leaked into the public n_tokens column
+    # (review finding, round 8)
+    n_tok = F.when(
+        F.length(n).isNull() | (F.length(n) == 0), F.lit(0)
+    ).otherwise(F.size(F.col("_toks")))
     n_chars = F.length(n)
     awl = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).cast("double")
     return withs.select(
