@@ -265,10 +265,16 @@ def test_decontam_matches_python_model(spark, texts, k):
 
     def grams(t):
         # same normalize/tokenize contract as functions/hashing: collapse
-        # whitespace, split on single spaces (empty text -> [''])
+        # whitespace, split on single spaces (empty text -> ['']).
+        # A doc with fewer than k tokens has NO k-grams (round-8 review:
+        # the whole-doc clamp read every short-doc pair as contaminated)
         toks = " ".join(t.lower().split()).split(" ")
-        hi = max(len(toks) - (k - 1), 1)
-        return {" ".join(toks[i : i + k]) for i in range(hi)}
+        if len(toks) < k:
+            return set()
+        return {
+            " ".join(toks[i : i + k])
+            for i in range(len(toks) - (k - 1))
+        }
 
     bench_set = grams(texts[0])
     want = {}
