@@ -171,6 +171,10 @@ def semantic_decontaminate(
     ]
     if any(n == 0.0 for n in norms):
         raise ValueError("zero-norm benchmark vector")
+    dims = {len(v) for _, v in bench_vectors}
+    if len(dims) != 1:
+        raise ValueError(f"benchmark vectors have mixed lengths {sorted(dims)}")
+    (dim,) = dims
     if strategy == "gemm":
         return _semantic_decontam_gemm(
             corpus, bench_vectors, ids, norms, threshold, vec_col
@@ -195,7 +199,10 @@ def semantic_decontaminate(
         lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")),
     )
     best = F.array_max(pairs)
-    ok = F.col("_cn") > 0  # zero-norm corpus vector: null/null/False
+    # zero-norm, null, AND wrong-length corpus vectors: null/null/False
+    # (a ragged row otherwise folds a null dot yet still names a
+    # matched_bench_id — review finding, round 9)
+    ok = (F.col("_cn") > 0) & (F.size(F.col(vec_col)) == F.lit(dim))
     return (
         corpus.withColumn(
             "_cn", F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
@@ -262,8 +269,12 @@ def _semantic_decontam_gemm(
 
             # null/ragged embeddings must match the column strategy's
             # null/null/False contract, not abort the whole scan (a
-            # single bad row crashed np.stack — review finding, round 8)
-            bad = pdf[vec_col].isna()
+            # single bad row crashed np.stack — review finding, round 8;
+            # wrong-length vectors joined the diverted set in round 9)
+            dim = B.shape[1]
+            bad = pdf[vec_col].isna() | pdf[vec_col].map(
+                lambda v: v is not None and len(v) != dim
+            )
             if bad.any():
                 rows = pdf[bad].copy()
                 rows["max_sim"] = pd.array([pd.NA] * len(rows), dtype="Float64")

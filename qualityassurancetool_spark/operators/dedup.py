@@ -262,6 +262,11 @@ def minhash_dedup(
     The shingle-hash arrays are computed ONCE and persisted — both the
     signature explode and the verification join read them; at corpus
     scale, shingling twice would double the dominant scan+tokenize cost.
+    Cache lifetime: that persist is left to executor storage LRU
+    eviction by design — the result is lazy, so an eager unpersist
+    would fire before the caller's action.  A long-lived session
+    looping over corpora should use :func:`minhash_dedup_batched`,
+    which stages to ``work_dir`` parquet instead (review note, round 9).
 
     ``hash_mode="fast"`` (default) uses engine-native xxhash64 shingle
     hashing; ``"portable"`` uses md5-derived 28-bit hashes and

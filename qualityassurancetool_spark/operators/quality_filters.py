@@ -219,39 +219,48 @@ def gopher_signal_columns(t: Column, w: Column, ln: Column) -> dict:
     }
 
 
-def gopher_fail_expr(thresholds: dict | None = None) -> Column:
+def gopher_fail_expr(
+    thresholds: dict | None = None, prefix: str = ""
+) -> Column:
     """First-failed-rule name Column (null = kept), published rule
     order, reading the seven signal columns by name — usable over a
     :func:`gopher_signals` frame OR any frame that carries the same
-    columns (the curation plan stages them as measures)."""
+    columns.  ``prefix`` renames the columns it reads: the curation
+    plan stages its internal signals under ``_g_`` so a caller's own
+    ``n_words`` column is never shadowed or duplicated (review
+    finding, round 9)."""
     th = {**GOPHER_DEFAULTS, **(thresholds or {})}
+
+    def c(name: str) -> Column:
+        return F.col(prefix + name)
+
     rules = [
-        ("n_words_low", F.col("n_words") < th["min_words"]),
-        ("n_words_high", F.col("n_words") > th["max_words"]),
+        ("n_words_low", c("n_words") < th["min_words"]),
+        ("n_words_high", c("n_words") > th["max_words"]),
         (
             "mean_word_len",
-            (F.col("mean_word_len") < th["min_mean_word_len"])
-            | (F.col("mean_word_len") > th["max_mean_word_len"]),
+            (c("mean_word_len") < th["min_mean_word_len"])
+            | (c("mean_word_len") > th["max_mean_word_len"]),
         ),
         (
             "symbol_ratio",
-            F.col("symbol_word_ratio") > th["max_symbol_word_ratio"],
+            c("symbol_word_ratio") > th["max_symbol_word_ratio"],
         ),
         (
             "bullet_lines",
-            F.col("bullet_line_frac") > th["max_bullet_line_frac"],
+            c("bullet_line_frac") > th["max_bullet_line_frac"],
         ),
         (
             "ellipsis_lines",
-            F.col("ellipsis_line_frac") > th["max_ellipsis_line_frac"],
+            c("ellipsis_line_frac") > th["max_ellipsis_line_frac"],
         ),
         (
             "alpha_words",
-            F.col("alpha_word_frac") < th["min_alpha_word_frac"],
+            c("alpha_word_frac") < th["min_alpha_word_frac"],
         ),
         (
             "stopwords",
-            F.col("stopword_hits") < th["min_stopword_hits"],
+            c("stopword_hits") < th["min_stopword_hits"],
         ),
     ]
     fail = F.lit(None).cast("string")

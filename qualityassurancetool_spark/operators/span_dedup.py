@@ -170,7 +170,14 @@ def duplicated_span_dedup(
 ) -> DataFrame:
     """(id, deduped, n_tokens_removed, n_spans): the corpus with every
     non-first occurrence of a duplicated ``window_tokens``-token window
-    removed (keep-first = smallest (doc_id, position))."""
+    removed (keep-first = smallest (doc_id, position)).
+
+    Cache lifetime: the window-rows persist below is left to executor
+    storage LRU eviction by design — the result is lazy, so an eager
+    unpersist here would run before the caller's action and defeat the
+    cache.  A long-lived session looping over many corpora should use
+    :func:`duplicated_span_dedup_batched`, which materializes to
+    ``work_dir`` parquet instead of cache (review note, round 9)."""
     L = window_tokens
     staged = _staged_tokens(df, text_col, id_col)
     wins = (

@@ -325,12 +325,17 @@ def curate(
                 ),
             },
         )
+        # stage under _g_ names: a caller's own n_words/… column must
+        # come back untouched, not duplicated (review finding, round 9)
         measures.update(
-            gopher_signal_columns(
-                F.coalesce(F.col(text_col), F.lit("")),
-                F.col("_gw"),
-                F.col("_gln"),
-            )
+            {
+                "_g_" + name: col
+                for name, col in gopher_signal_columns(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.col("_gw"),
+                    F.col("_gln"),
+                ).items()
+            }
         )
     if cfg.min_dsir_score is not None:
         if dsir_log_ratio is None:
@@ -395,7 +400,9 @@ def curate(
             gopher_fail_expr,
         )
 
-        checks.append(("gopher", gopher_fail_expr().isNotNull()))
+        checks.append(
+            ("gopher", gopher_fail_expr(prefix="_g_").isNotNull())
+        )
     if cfg.max_pii_total is not None:
         checks.append(("pii", F.col("_pii") > cfg.max_pii_total))
     if cfg.blocked_domains:
@@ -442,16 +449,17 @@ def curate(
     out = out.withColumn("drop_reason", reason)
     out = out.withColumn("keep", F.col("drop_reason").isNull())
     return out.drop(
-        # only columns CURATE added are dropped: a caller whose input
-        # happens to carry a column named like a gopher signal (e.g.
-        # its own n_words) must get it back untouched (review finding)
+        # only columns CURATE added are dropped; internal gopher
+        # signals live under _g_ names, so a caller's own n_words/…
+        # column comes back untouched AND unduplicated (review
+        # findings, rounds 8-9)
         *[c for c in ("_norm", "_toks", "_ls", "_dlf", "_wrr", "_sym",
                       "_pii", "_blocked", "_clf_b", "_clf_prob",
                       "_c4_drop", "_dsir_b", "_dsir", "_near_dup",
-                      "_gw", "_gln", "n_words", "mean_word_len",
-                      "symbol_word_ratio", "bullet_line_frac",
-                      "ellipsis_line_frac", "alpha_word_frac",
-                      "stopword_hits")
+                      "_gw", "_gln", "_g_n_words", "_g_mean_word_len",
+                      "_g_symbol_word_ratio", "_g_bullet_line_frac",
+                      "_g_ellipsis_line_frac", "_g_alpha_word_frac",
+                      "_g_stopword_hits")
           if c not in in_cols
           if c in out.columns]
     )

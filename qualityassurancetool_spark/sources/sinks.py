@@ -118,6 +118,7 @@ def upsert_flags_table(
     id_col: str = "iot_id",
     flag_col: str = "qc_flag",
     ts_col: str = "phenomenon_time",
+    sweep_moved_ids: bool = False,
 ) -> None:
     """ROW-level last-writer-wins upsert into the date-partitioned flags
     table — the reference PATCHes flags per observation
@@ -135,7 +136,17 @@ def upsert_flags_table(
     rewrite is the non-atomic step — parquet has no multi-partition
     commit; a crash inside it needs the window re-run (the driver
     loop's natural retry).  A transactional table format is the 100 TB
-    upgrade path for that boundary."""
+    upgrade path for that boundary.
+
+    Date-move contract (review finding, round 8): the default fast
+    path anti-joins only the batch's own day partitions, assuming an
+    observation id maps to exactly one date — true for the reference,
+    whose ``phenomenon_time`` is immutable per observation.  If a
+    source CAN re-date an observation (a corrected timestamp crossing
+    midnight), pass ``sweep_moved_ids=True``: one extra full-table id
+    semi-join widens the rewrite set to any old partition still
+    holding a batch id, so the stale row under the old date is
+    dropped.  The sweep's scan is table-sized, so it is opt-in."""
     from qualityassurancetool_spark.functions.fs import (
         delete_path,
         path_exists,
@@ -152,6 +163,21 @@ def upsert_flags_table(
         days = [r[0] for r in out.select("flag_date").distinct().collect()]
         if not days:
             return
+        if sweep_moved_ids:
+            moved_days = [
+                r[0]
+                for r in spark.read.parquet(path)
+                .join(
+                    F.broadcast(out.select(id_col).distinct()),
+                    id_col,
+                    "left_semi",
+                )
+                .where(~F.col("flag_date").isin(days))
+                .select("flag_date")
+                .distinct()
+                .collect()
+            ]
+            days = days + moved_days
         existing = spark.read.parquet(path).where(
             F.col("flag_date").isin(days)
         )

@@ -171,6 +171,28 @@ def test_curate_preserves_caller_signal_named_columns(spark):
     assert out["n_words"] == 42
 
 
+def test_curate_gopher_rules_dont_shadow_caller_columns(spark):
+    """With gopher_rules ON, the caller's colliding n_words column must
+    come back as ONE untouched column — internal signals are staged
+    under _g_ names, never appended under the caller's name (review
+    finding, round 9)."""
+    from qualityassurancetool_spark.plans.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    text = " ".join(["plain"] * 60) + " the of and to"
+    docs = spark.createDataFrame(
+        [(1, text, 42)], "doc_id long, text string, n_words long"
+    )
+    cfg = CurationConfig.from_dict({"gopher_rules": True})
+    result = curate(docs, cfg)
+    assert result.columns.count("n_words") == 1
+    row = result.collect()[0]
+    assert row["n_words"] == 42
+    assert row["keep"]  # long clean prose passes the gopher rules
+
+
 def test_rules_constant_covers_all_emitted_reasons(spark):
     """Every drop_reason curate can emit must appear in the documented
     RULES evaluation-order tuple (review finding: badwords/gopher were

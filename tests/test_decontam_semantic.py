@@ -97,3 +97,26 @@ def test_zero_norm_corpus_rows_contract_both_strategies(spark):
         assert got[1]["max_sim"] is None, strat
         assert got[1]["matched_bench_id"] is None, strat
         assert got[1]["contaminated"] is False, strat
+
+
+def test_null_and_ragged_rows_divert_both_strategies(spark):
+    """Null AND wrong-length embeddings follow the null/null/False
+    contract instead of crashing the scan — a single ragged row aborted
+    the whole GEMM batch via np.stack (review finding, round 9)."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [1.0, 0.0, 5.0]), (3, [])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = [(7, [1.0, 0.0])]
+    for strat in ("column", "gemm"):
+        got = {
+            r["vec_id"]: r
+            for r in semantic_decontaminate(
+                df, bench, 0.9, strategy=strat
+            ).collect()
+        }
+        assert got[0]["contaminated"] is True
+        for bad_id in (1, 2, 3):
+            assert got[bad_id]["max_sim"] is None, (strat, bad_id)
+            assert got[bad_id]["matched_bench_id"] is None, (strat, bad_id)
+            assert got[bad_id]["contaminated"] is False, (strat, bad_id)

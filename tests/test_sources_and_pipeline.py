@@ -249,6 +249,39 @@ def test_flags_table_rerun_overwrites_only_touched_days(spark, tmp_path):
     assert back == {1: 1, 2: 4, 3: 3}  # day-1 row survived; day-2 replaced
 
 
+def test_upsert_sweep_drops_stale_row_under_moved_date(spark, tmp_path):
+    """A corrected timestamp crossing midnight moves an id to a new day
+    partition; the default fast path leaves the stale row under the old
+    date (documented one-id-one-date contract), while
+    ``sweep_moved_ids=True`` widens the rewrite set and drops it
+    (review finding, round 8)."""
+    from qualityassurancetool_spark.sources.sinks import upsert_flags_table
+
+    day1 = dt.datetime(2023, 1, 1, 23, 59)
+    day2 = dt.datetime(2023, 1, 2, 0, 1)
+    first = spark.createDataFrame(
+        [(1, 1, day1), (9, 1, day1)],
+        "iot_id long, qc_flag tinyint, phenomenon_time timestamp",
+    )
+    path = str(tmp_path / "flags")
+    upsert_flags_table(first, path)
+
+    # id 1's timestamp is corrected across midnight; the batch touches
+    # only day 2, so the fast path cannot see day 1's stale row
+    moved = spark.createDataFrame(
+        [(1, 4, day2)],
+        "iot_id long, qc_flag tinyint, phenomenon_time timestamp",
+    )
+    upsert_flags_table(moved, path, sweep_moved_ids=True)
+
+    rows = spark.read.parquet(path).collect()
+    got = {(r["iot_id"], str(r["flag_date"])): r["qc_flag"] for r in rows}
+    assert got == {(1, "2023-01-02"): 4, (9, "2023-01-01"): 1}
+    # re-running the same sweep converges (idempotent upsert)
+    upsert_flags_table(moved, path, sweep_moved_ids=True)
+    assert spark.read.parquet(path).count() == 2
+
+
 def test_sensorthings_datasource_pages_as_partitions(spark, tmp_path):
     """S1 as a custom DataSource: each landed response page is one input
     partition (pagination ≡ partitioned reads), flattened to the long
