@@ -1013,6 +1013,126 @@ ORDER BY bucket_sec, observation_type
 """
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 promoted (round-9 gate swap): per-stream fixed-frequency grid
+    + linear gap interpolation in ONE window pass — the missing-data
+    upsampling half of the reference's historical re-cover
+    (``qc_historical/qc_historical.sh:73-100``).  Streams = order
+    priorities, ticks = weekly epochs over each priority's date span,
+    heavy duplicate-timestamp traffic exercising the
+    largest-value-wins discipline.  Values at 6 dp."""
+    from qualityassurancetool_spark.operators.resample import (
+        resample_interpolate,
+    )
+
+    wk = 604800
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("sid"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return resample_interpolate(
+        orders,
+        id_col="sid",
+        ts_col="ts",
+        value_col="v",
+        freq_seconds=wk,
+        method="linear",
+    ).select(
+        "sid",
+        F.unix_timestamp("grid_ts").alias("grid_epoch"),
+        (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
+        "n_src",
+    )
+
+
+_RESAMPLE_WK = 604800
+SQL_RESAMPLE = f"""
+WITH obs AS (
+    SELECT o_orderpriority AS sid,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS e,
+           CAST(o_totalprice AS DOUBLE) AS v
+    FROM orders WHERE o_orderdate IS NOT NULL
+), span AS (
+    SELECT sid, MIN(e) AS lo, MAX(e) AS hi FROM obs GROUP BY sid
+), grid AS (
+    SELECT sid,
+           unnest(generate_series(
+               CAST(ceil(lo / {_RESAMPLE_WK}.0) * {_RESAMPLE_WK} AS BIGINT),
+               hi, {_RESAMPLE_WK})) AS e
+    FROM span
+), u AS (
+    SELECT sid, e, CAST(NULL AS DOUBLE) AS v, 0 AS is_obs FROM grid
+    UNION ALL
+    SELECT sid, e, v, 1 FROM obs
+), ann AS (
+    SELECT sid, e, is_obs,
+           LAST_VALUE(CASE WHEN is_obs = 1 THEN e END IGNORE NULLS)
+               OVER wp AS pt,
+           LAST_VALUE(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+               OVER wp AS pv,
+           FIRST_VALUE(CASE WHEN is_obs = 1 THEN e END IGNORE NULLS)
+               OVER wn AS nt,
+           FIRST_VALUE(CASE WHEN is_obs = 1 THEN v END IGNORE NULLS)
+               OVER wn AS nv
+    FROM u
+    WINDOW wp AS (PARTITION BY sid ORDER BY e, is_obs DESC, v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY sid ORDER BY e, is_obs DESC, v
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), ticks AS (
+    SELECT * FROM ann WHERE is_obs = 0
+), dup AS (
+    SELECT sid, e, CAST(COUNT(*) AS INT) AS n_src FROM obs GROUP BY sid, e
+)
+SELECT t.sid, t.e AS grid_epoch,
+       round(CASE WHEN t.pt = t.e THEN t.pv
+                  WHEN t.pt IS NOT NULL AND t.nt IS NOT NULL THEN
+                       t.pv + (t.nv - t.pv)
+                           * CAST(t.e - t.pt AS DOUBLE)
+                           / CAST(t.nt - t.pt AS DOUBLE)
+             END, 6) + 0.0 AS value_r,
+       COALESCE(d.n_src, 0) AS n_src
+FROM ticks t LEFT JOIN dup d ON t.sid = d.sid AND t.e = d.e
+"""
+
+
+def q_heavy_hitters_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-family promoted (round-9 gate swap): per-GROUP exact heavy
+    hitters via the two-pass Misra–Gries scheme — per-lang heavy
+    tokens over the documents table, exact by construction,
+    integer-rational threshold (0.01 ≡ 1/100) so neither engine makes
+    a float-boundary call.  State is groups × ⌈1/f⌉ counters per task
+    regardless of token cardinality (the 100 TB shape)."""
+    from qualityassurancetool_spark.functions.hashing import tokens
+    from qualityassurancetool_spark.operators.heavy_hitters import (
+        heavy_hitters_by,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    ).where(F.length("token") > 0)
+    return heavy_hitters_by(stream, ["lang"], "token", 0.01)
+
+
+SQL_HEAVY_HITTERS_BY = """
+WITH tok AS (
+    SELECT lang,
+           unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               ' ')) AS token
+    FROM documents WHERE lang IS NOT NULL
+),
+nz AS (SELECT lang, token FROM tok WHERE length(token) > 0),
+tot AS (SELECT lang, COUNT(*) AS total FROM nz GROUP BY lang)
+SELECT nz.lang, token, COUNT(*) AS n
+FROM nz JOIN tot ON nz.lang = tot.lang
+GROUP BY nz.lang, token, total
+HAVING COUNT(*) * 100 >= total
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 generalized (gaps-and-islands -> sessions): split each user's
     event stream at >12 h inactivity gaps, aggregate per session.  One
@@ -4537,9 +4657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_spatial_outlier": q_qc_spatial_outlier,
         "qc_stabilization": q_qc_stabilization,
         "pivot_export": q_pivot_export,
-        "windowed_flag_rollup": q_windowed_flag_rollup,
+        "resample": q_resample,
         "sessionize_events": q_sessionize_events,
-        "downsample_transfer": q_downsample_transfer,
+        "heavy_hitters_by": q_heavy_hitters_by,
         "bm25": q_bm25,
         "cms": q_cms,
         "multipattern": q_multipattern,
@@ -4592,9 +4712,9 @@ def oracle_sql() -> dict[str, str]:
         "qc_spatial_outlier": SQL_QC_SPATIAL_OUTLIER,
         "qc_stabilization": SQL_QC_STABILIZATION,
         "pivot_export": SQL_PIVOT_EXPORT,
-        "windowed_flag_rollup": SQL_WINDOWED_FLAG_ROLLUP,
+        "resample": SQL_RESAMPLE,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
-        "downsample_transfer": SQL_DOWNSAMPLE_TRANSFER,
+        "heavy_hitters_by": SQL_HEAVY_HITTERS_BY,
         "bm25": SQL_BM25,
         "cms": SQL_CMS,
         "multipattern": SQL_MULTIPATTERN,

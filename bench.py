@@ -39,7 +39,6 @@ BENCH_QUERIES = [
     "topk_orders_per_segment",
     "shipping_priority",
     "sessionize_events",
-    "downsample_transfer",
     "lang_quality_rollup",
     "curation_pipeline",
     "dedup_signatures",
@@ -81,6 +80,10 @@ BENCH_QUERIES = [
     # round-8 swap: episodes (incident collapse, the monitoring story's
     # operational half) replaces the retired rollup_revenue row
     "episodes",
+    # round-9 swap: resample/heavy_hitters_by replace the retired
+    # windowed_flag_rollup/downsample_transfer rows (covered as x_*)
+    "resample",
+    "heavy_hitters_by",
 ]
 
 
