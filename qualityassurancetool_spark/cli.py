@@ -347,7 +347,10 @@ def cmd_dedup(args, overrides: list[str]) -> int:
             if state:
                 # incremental admission: data.input is the DELTA, state
                 # is a minhash_dedup_batched work dir (same knobs);
-                # update_state=false freezes the state for a dry run
+                # update_state=false freezes the state for a dry run;
+                # admission_id=<crawl-date> makes the run retry-
+                # idempotent (overwrite slices — re-running the same id
+                # converges instead of double-appending state)
                 out = minhash_admit(
                     docs,
                     state,
@@ -355,6 +358,7 @@ def cmd_dedup(args, overrides: list[str]) -> int:
                         knobs.get("update_state", True)
                     ).lower()
                     not in ("false", "0", "no"),
+                    admission_id=knobs.get("admission_id"),
                     **kw,
                 )
             elif bb is not None or knobs.get("work_dir"):

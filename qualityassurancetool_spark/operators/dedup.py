@@ -665,6 +665,7 @@ def minhash_admit(
     update_state: bool = True,
     delta_sig_path: str | None = None,
     extra_state_paths: list[str] | None = None,
+    admission_id: str | None = None,
 ) -> DataFrame:
     """Incremental near-dup ADMISSION: verify a (small) delta of new
     documents against an existing corpus state at cost ∝ delta — the
@@ -676,11 +677,23 @@ def minhash_admit(
     state_dir, ...)``.  The same hashing knobs MUST be passed — they
     are baked into the stored signatures, and the work dir's
     ``minhash_meta.json`` enforces it (mismatch raises instead of
-    returning plausible-but-wrong pairs).  ``update_state`` appends —
-    a CALLER retry after a mid-run failure can double-append the delta
-    (duplicate state rows ⇒ duplicate future pairs); retry-safe
-    pipelines use the streaming twin's per-batch overwrite slices
-    (``streaming/minhash_stream``) instead.
+    returning plausible-but-wrong pairs).
+
+    Retry semantics: plain ``update_state`` APPENDS — a caller retry
+    after a mid-run failure double-appends the delta (duplicate state
+    rows ⇒ duplicate future pairs).  Cron-scripted daily admissions
+    pass ``admission_id=`` (e.g. the crawl date): the delta's
+    signatures then land in an OVERWRITE slice
+    ``sig_admissions/admission=<id>/`` and the pairs in
+    ``pairs_admissions/admission=<id>/`` — re-running the same id
+    replaces its own output byte-for-byte instead of appending (the
+    ``streaming/minhash_stream`` per-batch slice discipline applied to
+    the batch path; reference anchor: the reference's idempotent
+    re-run contract, ``src/main.py:366-395``).  Retry the SAME id
+    before starting the next admission — a later admission legitimately
+    sees this one's slice as state.  Every admission (either mode)
+    automatically unions all existing ``sig_admissions`` slices into
+    its state side.
 
     Execution shape — the corpus state never shuffles:
 
@@ -734,6 +747,44 @@ def minhash_admit(
         spark, state_dir, num_hashes, bands, shingle_k, hash_mode
     )
     sig_path = _os.path.join(state_dir, "sig")
+    adm_root = _os.path.join(state_dir, "sig_admissions")
+    own_slice = None
+    if admission_id is not None:
+        import re as _re
+
+        # YAML-ish callers (the CLI) hand dates as datetime.date —
+        # their ISO str form is exactly the intended slice name
+        admission_id = str(admission_id)
+        if not _re.fullmatch(r"[A-Za-z0-9._-]+", admission_id) or (
+            admission_id.endswith("_cand")
+        ):
+            raise ValueError(
+                f"admission_id {admission_id!r} must be "
+                "[A-Za-z0-9._-]+ and not end with '_cand' "
+                "(it names a state subdirectory)"
+            )
+        if delta_sig_path is not None:
+            raise ValueError(
+                "admission_id and delta_sig_path are mutually exclusive "
+                "(admission_id derives the slice path)"
+            )
+        if not update_state:
+            raise ValueError(
+                "admission_id implies update_state=True (the overwrite "
+                "slice IS the state update); use update_state=False "
+                "without it for a frozen dry run"
+            )
+        own_slice = f"admission={admission_id}"
+        delta_sig_path = _os.path.join(adm_root, own_slice)
+    # every admission sees all previously committed admission slices as
+    # state (its own excluded: the delta side already carries it, and a
+    # RETRY must see the same existing set it saw the first time)
+    adm_slices = [
+        _os.path.join(adm_root, d)
+        for d in sorted(list_subdirs(spark, adm_root, prefix="admission="))
+        if not d.endswith("_cand") and d != own_slice
+    ]
+    extra_state_paths = adm_slices + list(extra_state_paths or [])
     internal_scratch = delta_sig_path is None
     stale_delta_versions: list[str] = []
     if delta_sig_path is None:
@@ -857,6 +908,21 @@ def minhash_admit(
         .drop("sh_a", "sh_b")
         .where(F.col("jaccard") >= threshold)
     )
+    if admission_id is not None:
+        # retry-idempotent commit: pairs overwrite their own slice, the
+        # signature slice (already overwrite-written above) IS the
+        # state update — no append anywhere, so a crashed-and-retried
+        # admission converges to byte-identical state + pairs
+        pairs_path = _os.path.join(
+            state_dir, "pairs_admissions", own_slice
+        )
+        out.write.mode("overwrite").parquet(pairs_path)
+        if not had_meta:
+            _write_state_meta(
+                spark, state_dir, num_hashes, bands, shingle_k, hash_mode
+            )
+        delete_path(spark, cand_path)
+        return spark.read.parquet(pairs_path)
     if update_state:
         # the returned frame reads _delta_sig lazily, so materialize the
         # pairs BEFORE folding the delta into the state (parquet append

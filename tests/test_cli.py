@@ -757,6 +757,28 @@ def test_dedup_minhash_admit_cli(spark, tmp_path, capsys):
     )
     assert int(report["pairs"]) > 0
 
+    # admission_id= makes the scripted path retry-idempotent: the same
+    # CLI invocation replayed converges (overwrite slices, no append)
+    out2 = str(tmp_path / "admit_pairs_v2")
+    argv = [
+        "dedup", "--keep-session", f"data.input={delta_path}",
+        f"data.out={out2}", "method=minhash", f"state={state}",
+        "bands=8", "num_hashes=16", "threshold=0.5",
+        "admission_id=2026-08-15",
+    ]
+    assert main(argv) == 0
+    first = capsys.readouterr().out
+    assert main(argv) == 0  # the cron retry
+    assert capsys.readouterr().out == first
+    import glob
+
+    slices = [
+        p
+        for p in glob.glob(state + "/sig_admissions/admission=*")
+        if not p.endswith("_cand")
+    ]
+    assert len(slices) == 1  # one slice, not two appends
+
 
 def test_dedup_spans_cli(spark, tmp_path, capsys):
     """dedup method=spans: monolithic and hash-sliced schedules emit

@@ -567,6 +567,93 @@ def test_minhash_admit_updates_state(spark, tmp_path):
     assert again.count() == 2  # 30 was not folded in
 
 
+def test_minhash_admit_admission_id_retry_idempotent(spark, tmp_path):
+    """admission_id= makes batch admission retry-idempotent: replaying
+    the same admission overwrites its own slices, so state and pairs
+    converge instead of double-appending (VERDICT r8 item 2 — the
+    cron-scripted daily-crawl discipline; the streaming twin's slice
+    layout applied to the batch path)."""
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_admit,
+        minhash_dedup_batched,
+    )
+
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    minhash_dedup_batched(base, state, **kw).count()
+
+    def state_rows():
+        import glob
+
+        paths = [state + "/sig"] + [
+            p
+            for p in glob.glob(state + "/sig_admissions/admission=*")
+            if not p.endswith("_cand")
+        ]
+        df = spark.read.parquet(*paths)
+        return sorted(
+            (r["_jid"], r["sig_0"], r["sig_1"]) for r in df.collect()
+        )
+
+    d1 = spark.createDataFrame(
+        [(10, "one two three four five six seven"),
+         (11, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    p1 = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_admit(
+            d1, state, admission_id="2026-08-15", **kw
+        ).collect()
+    )
+    assert p1 == [(10, 11, 1.0)]
+    s1 = state_rows()
+
+    # crashed-and-retried: the SAME admission replays — identical
+    # pairs, identical state (no duplicate rows, sig/ untouched)
+    p1_retry = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_admit(
+            d1, state, admission_id="2026-08-15", **kw
+        ).collect()
+    )
+    assert p1_retry == p1
+    assert state_rows() == s1
+    assert spark.read.parquet(state + "/sig").count() == 1  # base only
+
+    # the NEXT admission sees the committed slice as state
+    d2 = spark.createDataFrame(
+        [(20, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_admit(
+            d2, state, admission_id="2026-08-16", **kw
+        ).collect()
+    }
+    assert p2 == {(10, 20), (11, 20)}
+
+    # contract validation
+    with pytest.raises(ValueError, match="admission_id"):
+        minhash_admit(d2, state, admission_id="bad/slash", **kw)
+    with pytest.raises(ValueError, match="_cand"):
+        minhash_admit(d2, state, admission_id="x_cand", **kw)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        minhash_admit(
+            d2, state, admission_id="a",
+            delta_sig_path=str(tmp_path / "x"), **kw,
+        )
+    with pytest.raises(ValueError, match="update_state"):
+        minhash_admit(
+            d2, state, admission_id="a", update_state=False, **kw
+        )
+
+
 def test_minhash_admit_rejects_knob_mismatch(spark, tmp_path):
     """The state's baked hashing knobs are enforced: admission with
     different bands/hash_mode must raise, not return wrong pairs; a
