@@ -364,6 +364,18 @@ def minhash_dedup_batched(
     of the monolithic variant's (measured in ``docs/SCALE.md``), for
     one extra corpus-sized parquet write and ``band_batches`` metadata
     re-reads.  ``band_batches=None`` means one pass per band.
+
+    ``band_batches`` may exceed ``bands`` (a multiple of it): each band
+    then splits into ``band_batches/bands`` HASH SLICES of its
+    band-hash space, filtered map-side BEFORE the self-join exchange —
+    the ``span_dedup`` hash-slicing discipline.  Both sides of a
+    matching pair share the band hash, so the slices partition each
+    band's pair space exactly (identical output, parity-tested); the
+    per-pass peak keeps dividing by ``band_batches`` past the band
+    count, which is what lets a fixed executor budget absorb an
+    arbitrarily large corpus (measured at 30 M docs in
+    ``docs/SCALE.md``).  The slice hash is schedule-internal (never in
+    the output), so it stays engine-native in both hash modes.
     """
     import os as _os
 
@@ -372,8 +384,11 @@ def minhash_dedup_batched(
     if num_hashes % bands:
         raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
     nb = band_batches if band_batches is not None else bands
-    if not 1 <= nb <= bands:
-        raise ValueError(f"band_batches must be in [1, {bands}], got {nb}")
+    if nb < 1 or (nb > bands and nb % bands):
+        raise ValueError(
+            f"band_batches must be in [1, {bands}] or a multiple of "
+            f"bands={bands}, got {nb}"
+        )
     spark = df.sparkSession
     sig_path = _os.path.join(work_dir, "sig")
     # one corpus pass: shingle arrays AND all signature mins land in a
@@ -392,10 +407,18 @@ def minhash_dedup_batched(
 
     rows_per_band = num_hashes // bands
     pairs_path = _os.path.join(work_dir, "pairs")
-    batches = [
-        list(range(bands))[i::nb] for i in range(nb)
-    ]  # round-robin split keeps batch sizes even for ragged bands/nb
-    for bi, batch in enumerate(batches):
+    if nb <= bands:
+        # round-robin band groups (even batch sizes for ragged bands/nb)
+        batches = [(list(range(bands))[i::nb], None) for i in range(nb)]
+        n_slices = 1
+    else:
+        # sub-band hash slicing: one pass per (band, slice of its
+        # band-hash space) — per-pass exchange = rows/n_slices
+        n_slices = nb // bands
+        batches = [
+            ([b], s) for b in range(bands) for s in range(n_slices)
+        ]
+    for bi, (batch, slice_id) in enumerate(batches):
         sig_cols = sorted(
             {
                 f"sig_{b * rows_per_band + r}"
@@ -413,6 +436,16 @@ def minhash_dedup_batched(
         # drop null texts upstream if that pairing is unwanted.
         sig = spark.read.parquet(sig_path).select("_jid", *sig_cols)
         band_entries = band_entry_rows(sig, rows_per_band, batch)
+        if slice_id is not None:
+            # filter map-side, BEFORE the exchange: only this slice's
+            # entries cross it.  band_hash is never null (concat_ws
+            # skips null sigs -> md5("")), so null-text docs all land
+            # in md5("")'s slice together — the null-parity contract
+            # above survives slicing.
+            band_entries = band_entries.where(
+                F.pmod(F.xxhash64(F.col("band_hash")), F.lit(n_slices))
+                == slice_id
+            )
         a = band_entries.alias("a")
         b_ = band_entries.alias("b")
         (

@@ -35,9 +35,10 @@ def _resolve_decoder(decoder: str | None, purpose: str) -> str:
     """→ "fake" | "pil" | "png".  Resolution happens executor-side per
     batch so a heterogeneous cluster image fails loudly, not silently.
     ``auto`` prefers Pillow (all codecs) and falls back to the vendored
-    pure-stdlib PNG codec (``functions/png``) — real decode with a
-    per-item fake fallback for non-PNG payloads, so hermetic containers
-    still exercise real pixels."""
+    pure-stdlib codecs (``functions/png`` + baseline JPEG in
+    ``functions/jpeg``) — real decode with a per-item fake fallback for
+    other payloads, so hermetic containers still exercise real
+    pixels."""
     if decoder is None:
         decoder = (
             "fake" if os.environ.get("QAT_FAKE_DECODE", "1") == "1" else "auto"
@@ -178,21 +179,35 @@ def _fit_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
     return max(int(w * scale), 1), max(int(h * scale), 1)
 
 
+def _vendored_decode(content: bytes) -> tuple[int, int, int, bytearray]:
+    """Sniff + decode via the vendored codecs: PNG (``functions/png``)
+    or baseline JPEG (``functions/jpeg`` — round 9; crawl corpora are
+    JPEG-dominated).  Raises on anything else; callers fall back
+    per-item."""
+    if content.startswith(b"\xff\xd8"):
+        from qualityassurancetool_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
+    from qualityassurancetool_spark.functions.png import decode_png
+
+    return decode_png(content)
+
+
 def _png_feature(content: bytes, kind: str, dim: int) -> list[float]:
-    """Real image feature via the vendored PNG codec: luma box-thumbnail
-    of ``dim`` pixels (one row), normalized to [0,1).  Non-image kinds
-    and non-PNG / exotic payloads fall back to the byte-derived fake —
-    the same per-item contract as the Pillow kernel."""
+    """Real image feature via the vendored codecs (PNG + baseline
+    JPEG): luma box-thumbnail of ``dim`` pixels (one row), normalized
+    to [0,1).  Non-image kinds and exotic payloads fall back to the
+    byte-derived fake — the same per-item contract as the Pillow
+    kernel."""
     if kind != "image" or not content:
         return _fake_feature(content or b"", dim)
     try:
         from qualityassurancetool_spark.functions.png import (
             box_resize,
-            decode_png,
             to_gray,
         )
 
-        w, h, ch, px = decode_png(content)
+        w, h, ch, px = _vendored_decode(content)
         gray = to_gray(w, h, ch, px)
         row = box_resize(gray, w, h, 1, dim, 1)
         return [p / 255.0 for p in row]
@@ -201,16 +216,16 @@ def _png_feature(content: bytes, kind: str, dim: int) -> list[float]:
 
 
 def _png_resize(content: bytes, nw: int, nh: int) -> bytes | None:
-    """Real resize via the vendored PNG codec (box filter, re-encoded
-    PNG); undecodable → None content (recorded, not fatal)."""
+    """Real resize via the vendored codecs (PNG or baseline JPEG in,
+    box filter, re-encoded PNG out — the same output container as the
+    Pillow kernel); undecodable → None content (recorded, not fatal)."""
     try:
         from qualityassurancetool_spark.functions.png import (
             box_resize,
-            decode_png,
             encode_png,
         )
 
-        w, h, ch, px = decode_png(content)
+        w, h, ch, px = _vendored_decode(content)
         return encode_png(nw, nh, ch, box_resize(px, w, h, ch, nw, nh))
     except Exception:
         return None

@@ -123,6 +123,7 @@ def assign_region(
     lat_col: str = "lat",
     lon_col: str = "long",
     out_col: str = "region",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Label each point with the first polygon containing it (else null).
 
@@ -133,9 +134,20 @@ def assign_region(
       Python, no Arrow round-trip of the fact table;
     - larger sets → broadcast numpy ray-cast kernel over Arrow batches
       (per-polygon bbox prefilter bounds the work per batch).
+
+    ``strategy`` pins a path explicitly (``"column"`` / ``"kernel"``;
+    default ``"auto"`` dispatches on total vertex count).  The measured
+    crossover behind the auto threshold is in ``docs/SCALE.md`` —
+    per-row Column cost grows linearly with TOTAL vertex count (no
+    bbox short-circuit survives codegen), while the kernel pays a flat
+    Arrow toll then scales with the bbox-filtered vertex subset.
     """
+    if strategy not in ("auto", "column", "kernel"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     n_vertices = sum(len(verts) for _, verts in polygons)
-    if n_vertices <= REGION_EXPR_MAX_VERTICES:
+    if strategy == "column" or (
+        strategy == "auto" and n_vertices <= REGION_EXPR_MAX_VERTICES
+    ):
         return df.withColumn(
             out_col, region_expr(polygons, lat_col, lon_col)
         )

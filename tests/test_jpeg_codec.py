@@ -1,0 +1,120 @@
+"""Vendored pure-stdlib baseline JPEG codec (functions/jpeg) — the
+JPEG half of the container-provable decode seam (VERDICT r8 missing
+item 3).  JPEG is lossy: round trips compare against the quantization
+envelope, not byte equality."""
+
+from __future__ import annotations
+
+import random
+import statistics
+
+import pytest
+
+from qualityassurancetool_spark.functions.jpeg import (
+    JpegError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+try:
+    import PIL  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def _rgb_image(w=48, h=36, seed=7):
+    rng = random.Random(seed)
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(
+                [
+                    min(255, x * 5 + rng.randint(0, 10)),
+                    min(255, y * 7 + rng.randint(0, 10)),
+                    (x * 3 + y * 2) % 256,
+                ]
+            )
+    return bytes(px)
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("restart_interval", [0, 2])
+def test_rgb_roundtrip_within_quant_envelope(subsampling, restart_interval):
+    """Every (subsampling, restart) combination decodes back to the
+    source within the quantization-error envelope — orientation bugs
+    (transposes) would blow these bounds by an order of magnitude
+    because R varies with x and G with y."""
+    w, h = 48, 36  # not multiples of 16: exercises MCU padding
+    px = _rgb_image(w, h)
+    data = encode_jpeg(
+        w, h, 3, px, quality=90,
+        subsampling=subsampling, restart_interval=restart_interval,
+    )
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dw, dh, ch, out = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 3)
+    err = [abs(a - b) for a, b in zip(px, out)]
+    assert statistics.mean(err) < 5.0
+    assert max(err) < 40
+
+
+def test_grayscale_roundtrip_near_exact():
+    w, h = 40, 24
+    px = bytes((x * 3 + y * 2) % 256 for y in range(h) for x in range(w))
+    data = encode_jpeg(w, h, 1, px, quality=85)
+    dw, dh, ch, out = decode_jpeg(data)
+    assert (dw, dh, ch) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 2
+
+
+def test_420_smaller_than_444():
+    px = _rgb_image()
+    full = encode_jpeg(48, 36, 3, px, subsampling="444")
+    sub = encode_jpeg(48, 36, 3, px, subsampling="420")
+    assert len(sub) < len(full)
+
+
+def test_rejections():
+    px = _rgb_image(16, 16)
+    data = encode_jpeg(16, 16, 3, px)
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(JpegError, match="SOF0 only"):
+        # flip SOF0 -> SOF2 (progressive): must fail loudly, not decode
+        decode_jpeg(data.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(JpegError):
+        decode_jpeg(data[: len(data) // 2])  # truncated scan
+    with pytest.raises(JpegError, match="channel"):
+        encode_jpeg(2, 2, 4, bytes(16))
+    with pytest.raises(JpegError, match="subsampling"):
+        encode_jpeg(2, 2, 1, bytes(4), subsampling="422")
+    with pytest.raises(JpegError, match="mismatch"):
+        encode_jpeg(4, 4, 1, bytes(3))
+
+
+def test_dc_continuity_across_blocks():
+    """A wide solid image spans many MCUs: DC prediction chains across
+    blocks, so any predictor bug shows up as banding (large max err)."""
+    w, h = 128, 8
+    px = bytes([180] * (w * h))
+    dw, dh, ch, out = decode_jpeg(encode_jpeg(w, h, 1, px, quality=95))
+    assert (dw, dh, ch) == (w, h, 1)
+    assert max(abs(a - 180) for a in out) <= 1
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="Pillow not in this container")
+def test_pillow_cross_check():  # pragma: no cover - env-dependent
+    import io
+
+    from PIL import Image
+
+    px = _rgb_image()
+    data = encode_jpeg(48, 36, 3, px, quality=90)
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    assert img.size == (48, 36)
+    ours = decode_jpeg(data)[3]
+    theirs = list(img.tobytes())
+    err = [abs(a - b) for a, b in zip(ours, theirs)]
+    assert statistics.mean(err) < 3.0

@@ -412,12 +412,13 @@ def test_multimodal_resize_plumbing(spark):
 
 
 @pytest.mark.parametrize("hash_mode", ["fast", "portable"])
-@pytest.mark.parametrize("band_batches", [1, 3, 8])
+@pytest.mark.parametrize("band_batches", [1, 3, 8, 16, 24])
 def test_minhash_batched_parity(spark, tmp_path, hash_mode, band_batches):
     """minhash_dedup_batched must emit EXACTLY the monolithic pipeline's
     verified pairs (same signatures, same candidate bands, same Jaccard)
     for every batching schedule — the sharded 100-M-doc discipline is a
-    pure execution-schedule change."""
+    pure execution-schedule change.  band_batches > bands (16, 24 with
+    bands=8) exercises the round-9 sub-band hash-sliced passes."""
     from qualityassurancetool_spark.operators.dedup import (
         minhash_dedup,
         minhash_dedup_batched,
@@ -481,6 +482,8 @@ def test_minhash_batched_validation(spark, tmp_path):
     docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="band_batches"):
         minhash_dedup_batched(docs, str(tmp_path), bands=4, band_batches=5)
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_dedup_batched(docs, str(tmp_path), bands=4, band_batches=6)
     with pytest.raises(ValueError, match="divide"):
         minhash_dedup_batched(docs, str(tmp_path), num_hashes=16, bands=5)
     with pytest.raises(ValueError, match="hash_mode"):

@@ -1,0 +1,170 @@
+"""Region/polygon dress rehearsal: ``assign_region`` UI-metered at
+1M and 10M points against a coastline-realism polygon set — the last
+hot family without a measured decade (VERDICT r8 item 3; reference hot
+path: ``get_bool_natural_earth_land``, ``src/main.py:577-592``).
+
+The real Natural Earth 10m land set (~550k vertices over a continents+
+islands size distribution) is unreachable from this container (no
+network), so the rehearsal synthesizes a structurally matched stand-in:
+8 jagged "continents" of 30k vertices plus 3,000 ~100-vertex "islands"
+≈ 540k vertices, deterministic random-walk star polygons scattered over
+the globe.  What the computation touches — vertex count, ring count,
+bbox distribution, hit rate — is matched; the actual coordinates are
+not, and the table says so.
+
+Three questions, one table each:
+
+1. decade linearity: kernel-path ``assign_region`` at 1M → 10M points
+   against the full 540k-vertex set (expect map-only: zero shuffle,
+   wall ∝ points);
+2. polygon-count sensitivity: 1M points against ~5k / ~54k / ~540k
+   vertex subsets (expect wall ∝ bbox-surviving vertex work, not raw
+   set size);
+3. column-vs-kernel crossover: 1M points, 32 → 4096 total vertices,
+   both strategies (the ``REGION_EXPR_MAX_VERTICES`` rule's evidence).
+
+Every measurement CONSUMES the region column (count of non-null
+labels) so Catalyst cannot prune the lookup to a bare scan.
+
+Usage: python tools/dress_rehearsal_region.py [n_points ...]
+       default: 1000000 10000000
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+ROOT = "/tmp/dress_region"
+
+
+def star_polygon(rng: random.Random, cx: float, cy: float,
+                 n_vertices: int, base_r: float) -> list[tuple[float, float]]:
+    """Jagged closed ring: radius random-walks around base_r — the
+    coastline shape (many concave pockets, tight bbox)."""
+    r = base_r
+    verts = []
+    for i in range(n_vertices):
+        a = 2.0 * math.pi * i / n_vertices
+        r = min(max(r + rng.uniform(-0.15, 0.15) * base_r, 0.3 * base_r),
+                1.7 * base_r)
+        verts.append((cx + r * math.cos(a), cy + 0.5 * r * math.sin(a)))
+    return verts
+
+
+def coastline_set(n_continents: int, cont_vertices: int,
+                  n_islands: int, isl_vertices: int):
+    """Deterministic Natural-Earth-shaped polygon list."""
+    rng = random.Random(20260816)
+    polys = []
+    for c in range(n_continents):
+        cx = rng.uniform(-150.0, 150.0)
+        cy = rng.uniform(-55.0, 65.0)
+        polys.append(
+            (f"continent_{c}",
+             star_polygon(rng, cx, cy, cont_vertices, rng.uniform(12, 25)))
+        )
+    for i in range(n_islands):
+        cx = rng.uniform(-179.0, 179.0)
+        cy = rng.uniform(-60.0, 70.0)
+        polys.append(
+            (f"island_{i}",
+             star_polygon(rng, cx, cy, isl_vertices, rng.uniform(0.2, 1.5)))
+        )
+    return polys
+
+
+def points(spark, n_rows: int):
+    """Global points, hash-deterministic; ~uniform over the lat/lon box
+    the polygons live in (so bbox prefilters and hit rates are real)."""
+    h = F.crc32(F.col("id").cast("string"))
+    h2 = F.crc32(F.concat(F.lit("y"), F.col("id").cast("string")))
+    return spark.range(n_rows).select(
+        F.col("id").alias("point_id"),
+        (-180.0 + (h % 3_600_000) / 10_000.0).alias("long"),
+        (-75.0 + (h2 % 1_500_000) / 10_000.0).alias("lat"),
+    )
+
+
+def main() -> None:
+    os.environ["SPARK_GRAFT_UI"] = "1"
+    from qualityassurancetool_spark.session import get_spark
+    from qualityassurancetool_spark.sources.spatial import assign_region
+    from tools.dress_rehearsal import Meter
+
+    sizes = [int(a) for a in sys.argv[1:]] or [1_000_000, 10_000_000]
+    os.makedirs(ROOT, exist_ok=True)
+    spark = get_spark("dress-region")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    full = coastline_set(8, 30_000, 3_000, 100)       # ~540k vertices
+    mid = coastline_set(8, 3_000, 300, 100)           # ~54k
+    small = coastline_set(8, 300, 30, 100)            # ~5.4k
+    n_full = sum(len(v) for _, v in full)
+    print(f"polygon set: {len(full)} rings, {n_full:,} vertices "
+          "(synthetic coastline-realism stand-in; see module docstring)")
+
+    print("\n## decade linearity (kernel path, full set)\n")
+    print("| stage | rows | wall s | out rows | input MB | shufW MB "
+          "| shufR MB | spillM MB | spillD MB |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    paths = {}
+    for n in sizes:
+        path = os.path.join(ROOT, f"pts_{n}")
+        paths[n] = path
+        m = Meter(spark)
+        m.stage(
+            "points write", n,
+            lambda: points(spark, n).repartition(32)
+            .write.mode("overwrite").parquet(path) or n,
+        )
+        pts = spark.read.parquet(path)
+        m.stage(
+            "assign_region kernel", n,
+            lambda: assign_region(pts, full, strategy="kernel")
+            .where(F.col("region").isNotNull()).count(),
+        )
+
+    print("\n## polygon-count sensitivity (kernel path, 1M points)\n")
+    print("| stage | rows | wall s | out rows | input MB | shufW MB "
+          "| shufR MB | spillM MB | spillD MB |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    pts1m = spark.read.parquet(paths[sizes[0]])
+    for label, pset in (("5.4k verts", small), ("54k verts", mid),
+                        ("540k verts", full)):
+        m = Meter(spark)
+        m.stage(
+            f"kernel {label}", sizes[0],
+            lambda: assign_region(pts1m, pset, strategy="kernel")
+            .where(F.col("region").isNotNull()).count(),
+        )
+
+    print("\n## column-vs-kernel crossover (1M points)\n")
+    print("| total vertices | column wall s | kernel wall s |")
+    print("|---|---|---|")
+    for nv in (32, 128, 256, 512, 1024, 4096):
+        per = max(nv // 8, 4)
+        pset = coastline_set(8, per, 0, 0)
+        walls = {}
+        for strat in ("column", "kernel"):
+            t0 = time.perf_counter()
+            assign_region(pts1m, pset, strategy=strat).where(
+                F.col("region").isNotNull()
+            ).count()
+            walls[strat] = time.perf_counter() - t0
+        print(f"| {sum(len(v) for _, v in pset):,} "
+              f"| {walls['column']:.2f} | {walls['kernel']:.2f} |",
+              flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
