@@ -113,8 +113,18 @@ def region_expr(
 
 
 # polygon sets with at most this many total vertices run as pure Column
-# expressions; larger sets use the broadcast numpy kernel
-REGION_EXPR_MAX_VERTICES = 256
+# expressions; larger sets use the broadcast numpy kernel.  Measured
+# (docs/SCALE.md round-9 region rehearsal, 1 M points): per-row Column
+# cost grows LINEARLY with total vertices (the codegen'd edge fold has
+# no bbox short-circuit — 1.0 s at 32 verts, 14 s at 4,096), while the
+# kernel stays flat (~0.5 s) behind one Arrow toll; the column path
+# only wins on frames small enough that Python worker startup
+# dominates, and its real virtue is staying inside whole-stage codegen
+# (no mapInPandas barrier mid-plan) for config-literal sets like the
+# reference's MAINLAND polygons.  128 keeps those on the codegen path
+# at <2x the kernel's fact-scale cost; anything bigger dispatches to
+# the kernel.
+REGION_EXPR_MAX_VERTICES = 128
 
 
 def assign_region(
