@@ -79,6 +79,80 @@ EPISODE_STATE_SCHEMA = T.StructType(
 )
 
 
+class EpisodeFold:
+    """The per-stream episode state machine, factored out so
+    :func:`streaming_episodes` and the fused chart→episodes operator
+    (``streaming/incident_chain``) run the IDENTICAL fold — Spark
+    forbids chaining two ``applyInPandasWithState`` stages in one
+    query, so composition happens inside one state update instead."""
+
+    __slots__ = (
+        "key", "gap_us", "need", "emitted", "cur_id", "s_us", "e_us",
+        "n", "peak", "has_open", "touched", "out",
+    )
+
+    def __init__(self, key: str, state_tuple, gap_us: int, need: int):
+        (
+            self.emitted, self.cur_id, self.s_us, self.e_us, self.n,
+            self.peak, self.has_open,
+        ) = state_tuple
+        self.key = key
+        self.gap_us = gap_us
+        self.need = need
+        self.touched = False
+        self.out: list[dict] = []
+
+    def _row(self, is_open: bool) -> dict:
+        return {
+            "stream": self.key,
+            "episode": self.cur_id,
+            "start_us": self.s_us,
+            "end_us": self.e_us,
+            "n_rows": self.n,
+            "duration_s": (self.e_us - self.s_us) / 1e6,
+            "peak_value": None if math.isnan(self.peak) else self.peak,
+            "open": is_open,
+        }
+
+    def push(self, t: int, v) -> None:
+        """One FLAGGED row at epoch-µs ``t`` with optional value."""
+        t = int(t)
+        if self.has_open and t - self.e_us > self.gap_us:
+            if self.cur_id:
+                self.out.append(self._row(False))
+            self.has_open = False
+            self.touched = False
+        if not self.has_open:
+            self.has_open = True
+            self.cur_id, self.s_us, self.e_us = 0, t, t
+            self.n, self.peak = 0, math.nan
+        self.e_us = max(self.e_us, t)
+        self.n += 1
+        self.touched = True
+        if v is not None and not (isinstance(v, float) and math.isnan(v)):
+            fv = float(v)
+            self.peak = fv if math.isnan(self.peak) else max(self.peak, fv)
+        if self.cur_id == 0 and self.n >= self.need:
+            self.emitted += 1
+            self.cur_id = self.emitted
+
+    def finish(self) -> list[dict]:
+        """Rows to emit for this micro-batch (closed + live open)."""
+        if self.touched and self.cur_id:
+            self.out.append(self._row(True))
+        return self.out
+
+    @property
+    def state(self):
+        return (
+            self.emitted, self.cur_id, self.s_us, self.e_us, self.n,
+            self.peak, self.has_open,
+        )
+
+
+EPISODE_EMPTY_STATE = (0, 0, 0, 0, 0, math.nan, False)
+
+
 def streaming_episodes(
     stream: DataFrame,
     flag: Column | str,
@@ -107,68 +181,26 @@ def streaming_episodes(
     gap_us = int(round(float(gap_s) * 1_000_000))
     need = int(min_rows)
 
-    def row_of(key, eid, s, e, n, peak, is_open):
-        return {
-            "stream": key,
-            "episode": eid,
-            "start_us": s,
-            "end_us": e,
-            "n_rows": n,
-            "duration_s": (e - s) / 1e6,
-            "peak_value": None if math.isnan(peak) else peak,
-            "open": is_open,
-        }
-
     def update(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        emitted, cur_id, s_us, e_us, n, peak, has_open = (
-            state.get
-            if state.exists
-            else (0, 0, 0, 0, 0, math.nan, False)
+        fold = EpisodeFold(
+            key[0],
+            state.get if state.exists else EPISODE_EMPTY_STATE,
+            gap_us,
+            need,
         )
-        out: list[dict] = []
-        touched = False
         # one sort over the whole per-key batch (Arrow chunks carry no
         # relative order — the streaming_cusum discipline)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
             pdf = pdf.sort_values("t", kind="mergesort")
             for t, v in zip(pdf["t"], pdf["value"]):
-                t = int(t)
-                if has_open and t - e_us > gap_us:
-                    if cur_id:
-                        out.append(
-                            row_of(
-                                key[0], cur_id, s_us, e_us, n, peak,
-                                False,
-                            )
-                        )
-                    has_open = False
-                    touched = False
-                if not has_open:
-                    has_open = True
-                    cur_id, s_us, e_us, n, peak = 0, t, t, 0, math.nan
-                e_us = max(e_us, t)
-                n += 1
-                touched = True
-                if v is not None and not (
-                    isinstance(v, float) and math.isnan(v)
-                ):
-                    fv = float(v)
-                    peak = fv if math.isnan(peak) else max(peak, fv)
-                if cur_id == 0 and n >= need:
-                    emitted += 1
-                    cur_id = emitted
-        if touched and cur_id:
-            out.append(
-                row_of(key[0], cur_id, s_us, e_us, n, peak, True)
-            )
+                fold.push(t, v)
+        out = fold.finish()
         if out:
             yield pd.DataFrame(out)
-        state.update(
-            (emitted, cur_id, s_us, e_us, n, peak, has_open)
-        )
+        state.update(fold.state)
 
     fl = F.col(flag) if isinstance(flag, str) else flag
     keyed = stream.where(

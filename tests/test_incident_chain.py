@@ -1,0 +1,169 @@
+"""Fused chart → episodes → incident-upsert chain
+(streaming/incident_chain): the always-on QC monitoring loop as one
+checkpointed query (VERDICT r8 item 6), with the runbook's
+kill/restart-mid-open-incident drill and batch parity against
+operators/cusum → operators/episodes."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from qualityassurancetool_spark.operators.cusum import cusum_anomaly
+from qualityassurancetool_spark.operators.episodes import flag_episodes
+from qualityassurancetool_spark.streaming.incident_chain import (
+    start_incident_upsert,
+    streaming_cusum_episodes,
+)
+
+T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+SCHEMA = "g string, ts timestamp, v double"
+KW = dict(target=10.0, sigma=1.0, slack=0.5, threshold=5.0)
+
+
+def _ts(sec: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _rows(spec):
+    """spec: list of (stream, t_sec, value)."""
+    return [(g, _ts(t), v) for g, t, v in spec]
+
+
+def _write(spark, path, rows, mode="overwrite"):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        mode
+    ).parquet(path)
+
+
+def _run_chain(spark, land, ckpt, table, **chain_kw):
+    stream = spark.readStream.schema(SCHEMA).parquet(land)
+    incidents = streaming_cusum_episodes(
+        stream, "v", "ts", "g", **{**KW, **chain_kw}
+    )
+    q = start_incident_upsert(
+        incidents, table, ckpt + "_sink", available_now=True
+    )
+    q.awaitTermination(180)
+
+
+def _batch_map(spark, rows, max_gap="10s", min_rows=1):
+    chart = cusum_anomaly(
+        spark.createDataFrame(rows, SCHEMA), "v", ["ts"], ["g"], **KW
+    ).withColumn(
+        "excursion", F.greatest("cusum_pos", "cusum_neg")
+    )
+    eps = flag_episodes(
+        chart, "cusum_flag", "ts", ["g"],
+        value_col="excursion", max_gap=max_gap, min_rows=min_rows,
+    )
+    return {
+        (r["g"], r["episode"]): r
+        for r in eps.withColumn("s_us", F.unix_micros("start"))
+        .withColumn("e_us", F.unix_micros("end"))
+        .collect()
+    }
+
+
+# a stream whose values sit at target=10 except two planted shifts.
+# The first shift is SHORT (t=20,21 at 15: sp reaches 9.0, flags from
+# t=21) so the statistic decays back under h=5 by t=30 — the flags
+# stop, and the >10s quiet stretch before the second shift is what
+# closes episode 1 when t=60's flagged row arrives.  A sustained shift
+# would keep sp above h through any healthy stretch and the incident
+# would (correctly) never close.
+PART1 = _rows(
+    [("a", float(i), 15.0 if i in (20, 21) else 10.0) for i in range(40)]
+    + [("b", float(i), 10.0) for i in range(40)]  # healthy stream
+)
+PART2 = _rows(
+    [("a", 40.0 + i, 10.0) for i in range(15)]
+    + [("a", 60.0 + i, 16.0) for i in range(5)]   # second incident
+    + [("b", 40.0 + i, 10.0) for i in range(10)]
+)
+
+
+def test_kill_restart_mid_open_incident(spark, tmp_path):
+    """The runbook drill (docs/OPERATIONS.md): the driver dies while an
+    incident is OPEN; on restart from the same checkpoint the chain
+    re-emits the still-open incident, later closes it, and the incident
+    table converges to exactly the batch chain's episodes."""
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "incidents")
+
+    _write(spark, land, PART1)
+    _run_chain(spark, land, ckpt, table, max_gap="10s")
+    # the planted shift has crossed threshold and is mid-incident: the
+    # table must show it open (the "kill" = the availableNow query
+    # terminating with state checkpointed; nothing is flushed/closed)
+    state1 = {
+        (r["stream"], r["episode"]): r
+        for r in spark.read.parquet(table).collect()
+    }
+    assert set(state1) == {("a", 1)}
+    assert state1[("a", 1)]["open"] is True
+    n_rows_1 = state1[("a", 1)]["n_rows"]
+    assert n_rows_1 >= 1
+
+    # restart: new data arrives (healthy gap closes incident 1, a new
+    # shift opens incident 2) — the SAME checkpoint continues the state
+    _write(spark, land, PART2, mode="append")
+    _run_chain(spark, land, ckpt, table, max_gap="10s")
+
+    final = {
+        (r["stream"], r["episode"]): r
+        for r in spark.read.parquet(table).collect()
+    }
+    want = _batch_map(spark, PART1 + PART2, max_gap="10s")
+    assert set(final) == set(want) == {("a", 1), ("a", 2)}
+    assert final[("a", 1)]["open"] is False  # closed across the restart
+    assert final[("a", 2)]["open"] is True
+    for k, r in final.items():
+        w = want[k]
+        assert r["start_us"] == w["s_us"] and r["end_us"] == w["e_us"]
+        assert r["n_rows"] == w["n_rows"]
+        assert r["peak_value"] == w["peak_value"]
+    # the open incident survived the restart AND kept growing: its
+    # closed form covers at least the pre-restart rows
+    assert final[("a", 1)]["n_rows"] >= n_rows_1
+
+
+def test_sink_replay_converges(spark, tmp_path):
+    """Replaying the same batch through the upsert sink rewrites the
+    same (stream, episode) keys — the crash-between-commit-and-
+    checkpoint case converges instead of duplicating incidents."""
+    land = str(tmp_path / "land")
+    table = str(tmp_path / "incidents")
+    _write(spark, land, PART1)
+    # two drains with DIFFERENT checkpoints = the worst case: the
+    # second run replays every batch from scratch against a sink that
+    # already holds the first run's rows
+    _run_chain(spark, land, str(tmp_path / "ck1"), table, max_gap="10s")
+    first = sorted(
+        map(tuple, spark.read.parquet(table).collect())
+    )
+    _run_chain(spark, land, str(tmp_path / "ck2"), table, max_gap="10s")
+    second = sorted(
+        map(tuple, spark.read.parquet(table).collect())
+    )
+    assert first == second
+
+
+def test_chain_validation(spark, tmp_path):
+    land = str(tmp_path / "land")
+    _write(spark, land, PART1)
+    stream = spark.readStream.schema(SCHEMA).parquet(land)
+    import pytest
+
+    with pytest.raises(ValueError, match="sigma"):
+        streaming_cusum_episodes(
+            stream, "v", "ts", "g", target=10.0, sigma=0.0
+        )
+    with pytest.raises(ValueError, match="max_gap"):
+        streaming_cusum_episodes(
+            stream, "v", "ts", "g", target=10.0, sigma=1.0, max_gap=0
+        )
+    with pytest.raises(ValueError, match="min_rows"):
+        streaming_cusum_episodes(
+            stream, "v", "ts", "g", target=10.0, sigma=1.0, min_rows=0
+        )

@@ -65,21 +65,32 @@ def run(spark, n_docs: int) -> None:
             flush=True,
         )
 
-    meter(
-        "minhash monolithic",
-        lambda: minhash_dedup(docs, threshold=0.7, hash_mode="fast").count(),
-    )
-    for nb in (2, 4):
-        meter(
-            f"minhash batched B={nb}",
-            lambda nb=nb: minhash_dedup_batched(
-                docs,
-                os.path.join(ROOT, f"mhb_{n_docs}_{nb}"),
-                threshold=0.7,
-                hash_mode="fast",
-                band_batches=nb,
-            ).count(),
-        )
+    # QAT_MINHASH_VARIANTS selects runs: "mono,batched:2,batched:4"
+    # (default).  "batched:16" exercises the round-9 sub-band
+    # hash-sliced passes (band_batches > bands) without paying the
+    # known-OOM monolithic run at 30 M docs.
+    spec = os.environ.get("QAT_MINHASH_VARIANTS", "mono,batched:2,batched:4")
+    for variant in spec.split(","):
+        variant = variant.strip()
+        if variant == "mono":
+            meter(
+                "minhash monolithic",
+                lambda: minhash_dedup(
+                    docs, threshold=0.7, hash_mode="fast"
+                ).count(),
+            )
+        else:
+            nb = int(variant.split(":", 1)[1])
+            meter(
+                f"minhash batched B={nb}",
+                lambda nb=nb: minhash_dedup_batched(
+                    docs,
+                    os.path.join(ROOT, f"mhb_{n_docs}_{nb}"),
+                    threshold=0.7,
+                    hash_mode="fast",
+                    band_batches=nb,
+                ).count(),
+            )
 
 
 def main() -> None:
