@@ -372,6 +372,7 @@ def ivfadc_append(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     strategy: str = "column",
+    append_id: str | None = None,
 ) -> None:
     """Incremental index maintenance: encode ONLY the new vectors with
     the EXISTING coarse centroids + codebooks and append their rows to
@@ -379,6 +380,17 @@ def ivfadc_append(
     (parquet append adds files inside the affected ``cluster_id=``
     directories only).  Cost ∝ delta size: the `plans/incremental`
     contract applied to the ANN index.
+
+    Retry semantics (the ``minhash_admit`` discipline, round 9): the
+    plain form parquet-APPENDS — a caller retry after a mid-run
+    failure double-appends the delta (duplicate rows in the inverted
+    lists ⇒ duplicate search hits).  Cron-scripted daily appends pass
+    ``append_id=`` (e.g. the crawl date): the delta then lands as a
+    cluster_id-partitioned OVERWRITE slice at
+    ``<path>_appends/append=<id>/`` — re-running the same id replaces
+    its own slice instead of appending, and :func:`ivfadc_read` unions
+    base + slices transparently (probed-cluster PartitionFilters apply
+    to every root).
 
     The quantizer ages as the distribution drifts — the standard
     IVF practice (and Jégou et al.'s): append between refits, schedule
@@ -390,13 +402,28 @@ def ivfadc_append(
         new_vecs, cents, codebooks, vec_col=vec_col, id_col=id_col,
         strategy=strategy,
     )
+    if append_id is not None:
+        import re as _re
+
+        append_id = str(append_id)
+        if not _re.fullmatch(r"[A-Za-z0-9._-]+", append_id):
+            raise ValueError(
+                f"append_id {append_id!r} must be [A-Za-z0-9._-]+ "
+                "(it names a layout subdirectory)"
+            )
+        slice_path = _appends_root(path) + f"/append={append_id}"
+        index.write.partitionBy("cluster_id").mode("overwrite").parquet(
+            slice_path
+        )
+        return
     index.write.partitionBy("cluster_id").mode("append").parquet(path)
 
 
-def ivfadc_read(spark, path: str) -> DataFrame:
-    """Read an ``ivfadc_write`` layout back in ``(id, cluster_id,
-    pq_code)`` column order with ``cluster_id`` cast back to int (Spark
-    surfaces partition-directory values via inference)."""
+def _appends_root(path: str) -> str:
+    return path.rstrip("/") + "_appends"
+
+
+def _read_one_layout(spark, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     others = [c for c in df.columns if c not in ("cluster_id", "pq_code")]
     if "cluster_id" not in df.columns or "pq_code" not in df.columns:
@@ -417,6 +444,23 @@ def ivfadc_read(spark, path: str) -> DataFrame:
         F.col("cluster_id").cast("int").alias("cluster_id"),
         "pq_code",
     )
+
+
+def ivfadc_read(spark, path: str) -> DataFrame:
+    """Read an ``ivfadc_write`` layout back in ``(id, cluster_id,
+    pq_code)`` column order with ``cluster_id`` cast back to int (Spark
+    surfaces partition-directory values via inference).  Retry-safe
+    append slices under ``<path>_appends/append=*`` (see
+    :func:`ivfadc_append`) are unioned in transparently — each root is
+    its own partitioned scan, so a probed ``cluster_id IN`` filter
+    still resolves to directory-level PartitionFilters everywhere."""
+    from qualityassurancetool_spark.functions.fs import list_subdirs
+
+    out = _read_one_layout(spark, path)
+    root = _appends_root(path)
+    for name in sorted(list_subdirs(spark, root, prefix="append=")):
+        out = out.unionByName(_read_one_layout(spark, f"{root}/{name}"))
+    return out
 
 
 def ivfadc_fit(

@@ -301,6 +301,50 @@ def test_ivfadc_append_incremental(emb, tmp_path):
     assert mkey(a.collect()) == mkey(b.collect())
 
 
+def test_ivfadc_append_id_retry_idempotent(emb, tmp_path):
+    """append_id= makes index maintenance retry-idempotent: replaying
+    the same append overwrites its own slice, ivfadc_read unions base +
+    slices to exactly the all-at-once index, and a SECOND distinct
+    append id stacks on top (the minhash_admit slice discipline applied
+    to the ANN layout, round 9)."""
+    import pytest
+
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_append,
+        ivfadc_fit,
+        ivfadc_index,
+        ivfadc_read,
+        ivfadc_write,
+    )
+
+    # base must keep vec_id % stride == 0 rows for the stride k-means
+    # init (the existing append test's split, cut into two deltas)
+    base = emb.where(F.col("vec_id") % 5 != 2)
+    d1 = emb.where((F.col("vec_id") % 5 == 2) & (F.col("vec_id") % 10 == 2))
+    d2 = emb.where((F.col("vec_id") % 5 == 2) & (F.col("vec_id") % 10 == 7))
+    cents, books = ivfadc_fit(base, n_lists=4, m=M, k=K, max_iter=2)
+    path = str(tmp_path / "ivf_slices")
+    ivfadc_write(ivfadc_index(base, cents, books), path)
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cluster_id"], tuple(r["pq_code"]))
+        for r in df.collect()
+    )
+    ivfadc_append(d1, path, cents, books, append_id="2026-08-15")
+    once = key(ivfadc_read(emb.sparkSession, path))
+    # the cron retry: same id, same delta — byte-identical layout view
+    ivfadc_append(d1, path, cents, books, append_id="2026-08-15")
+    assert key(ivfadc_read(emb.sparkSession, path)) == once
+    assert len(once) == base.count() + d1.count()  # no double rows
+
+    ivfadc_append(d2, path, cents, books, append_id="2026-08-16")
+    final = key(ivfadc_read(emb.sparkSession, path))
+    assert final == key(ivfadc_index(emb, cents, books))
+
+    with pytest.raises(ValueError, match="append_id"):
+        ivfadc_append(d2, path, cents, books, append_id="bad/slash")
+
+
 def test_ivfadc_read_rejects_unexpected_schema(emb, tmp_path):
     """ivfadc_read identifies the id column by elimination, so a layout
     with extra or missing columns must fail loudly instead of silently
