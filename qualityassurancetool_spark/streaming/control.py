@@ -187,6 +187,80 @@ EWMA_STATE_SCHEMA = T.StructType(
 )
 
 
+class EwmaStep:
+    """The per-stream EWMA recurrence, factored out so
+    :func:`streaming_ewma` and the fused chart→episodes operator
+    (``streaming/incident_chain``) run the IDENTICAL per-row step —
+    the same sharing discipline as ``streaming/episodes.EpisodeFold``.
+
+    ``lags`` holds the last ``window`` raw values, most recent FIRST,
+    NaN = NULL hole (lag positions count rows exactly like the batch
+    operator)."""
+
+    __slots__ = (
+        "lags", "alpha", "window", "nsigma", "min_history", "rel_eps",
+    )
+
+    def __init__(self, lags, alpha, window, nsigma, min_history, rel_eps):
+        self.lags: list[float] = list(lags)
+        self.alpha = alpha
+        self.window = window
+        self.nsigma = nsigma
+        self.min_history = min_history
+        self.rel_eps = rel_eps
+
+    def _wmean(self, vals) -> float | None:
+        """α(1−α)^k-weighted mean over vals (index 0 = most recent),
+        NaN entries skipped with renormalization — `_weighted_lags`
+        semantics."""
+        num = den = 0.0
+        for i, v in enumerate(vals):
+            if v is None or math.isnan(v):
+                continue
+            w = self.alpha * (1.0 - self.alpha) ** i
+            num += w * v
+            den += w
+        return num / den if den > 0 else None
+
+    def push(self, v):
+        """One raw value (None/NaN = hole) → (ewma, prev, sigma, dev,
+        flag); advances the lag window."""
+        window = self.window
+        x = (
+            None
+            if v is None or (isinstance(v, float) and math.isnan(v))
+            else float(v)
+        )
+        lags = self.lags
+        hist = [
+            u for u in lags[:window] if u is not None and not math.isnan(u)
+        ]
+        prev = self._wmean(lags[:window])
+        nhist = len(hist)
+        if nhist >= 2:
+            m = sum(hist) / nhist
+            var = sum((u - m) ** 2 for u in hist) / (nhist - 1)
+            sg = math.sqrt(var)
+        else:
+            sg = None
+        cur = self._wmean(
+            [x if x is not None else math.nan] + lags[: window - 1]
+        )
+        dev = x - prev if x is not None and prev is not None else None
+        if (
+            x is not None
+            and prev is not None
+            and sg is not None
+            and nhist >= self.min_history
+        ):
+            eps = self.rel_eps * max(abs(x), abs(prev))
+            fl = bool(abs(dev) > self.nsigma * sg + eps)
+        else:
+            fl = None
+        self.lags = [x if x is not None else math.nan] + lags[: window - 1]
+        return cur, prev, sg, dev, fl
+
+
 def streaming_ewma(
     stream: DataFrame,
     value_col: str,
@@ -212,25 +286,13 @@ def streaming_ewma(
         GroupStateTimeout,
     )
 
-    def wmean(vals: list[float]) -> float | None:
-        """α(1−α)^k-weighted mean over vals (index 0 = most recent),
-        NaN entries skipped with renormalization — `_weighted_lags`
-        semantics."""
-        num = den = 0.0
-        for i, v in enumerate(vals):
-            if v is None or math.isnan(v):
-                continue
-            w = alpha * (1.0 - alpha) ** i
-            num += w * v
-            den += w
-        return num / den if den > 0 else None
-
     def update(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        lags: list[float] = (
-            list(state.get[0]) if state.exists else []
-        )  # most recent FIRST, NaN = null
+        step = EwmaStep(
+            list(state.get[0]) if state.exists else [],
+            alpha, window, nsigma, min_history, rel_eps,
+        )
         # whole-batch sort (see streaming_cusum: Arrow chunks are not
         # in chart order)
         pdf = pd.concat(list(pdfs), ignore_index=True)
@@ -241,54 +303,12 @@ def streaming_ewma(
                 for c in ("ewma", "prev", "sigma", "dev", "flag")
             }
             for v in pdf["value"]:
-                x = (
-                    None
-                    if v is None
-                    or (isinstance(v, float) and math.isnan(v))
-                    else float(v)
-                )
-                hist = [
-                    u
-                    for u in lags[:window]
-                    if u is not None and not math.isnan(u)
-                ]
-                prev = wmean(lags[:window])
-                nhist = len(hist)
-                if nhist >= 2:
-                    m = sum(hist) / nhist
-                    var = sum((u - m) ** 2 for u in hist) / (
-                        nhist - 1
-                    )
-                    sg = math.sqrt(var)
-                else:
-                    sg = None
-                cur = wmean(
-                    [x if x is not None else math.nan]
-                    + lags[: window - 1]
-                )
-                dev = (
-                    x - prev
-                    if x is not None and prev is not None
-                    else None
-                )
-                if (
-                    x is not None
-                    and prev is not None
-                    and sg is not None
-                    and nhist >= min_history
-                ):
-                    eps = rel_eps * max(abs(x), abs(prev))
-                    fl = bool(abs(dev) > nsigma * sg + eps)
-                else:
-                    fl = None
+                cur, prev, sg, dev, fl = step.push(v)
                 cols["ewma"].append(cur)
                 cols["prev"].append(prev)
                 cols["sigma"].append(sg)
                 cols["dev"].append(dev)
                 cols["flag"].append(fl)
-                lags = [x if x is not None else math.nan] + lags[
-                    : window - 1
-                ]
             yield pd.DataFrame(
                 {
                     "stream": key[0],
@@ -307,7 +327,7 @@ def streaming_ewma(
                     ),
                 }
             )
-        state.update((lags,))
+        state.update((step.lags,))
 
     keyed = stream.select(
         F.col(group_col).cast("string").alias("stream"),

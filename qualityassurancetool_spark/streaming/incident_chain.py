@@ -153,6 +153,102 @@ def streaming_cusum_episodes(
     )
 
 
+# EWMA lag window ++ episode tuple
+EWMA_CHAIN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("lags", T.ArrayType(T.DoubleType()), True),
+        T.StructField("emitted", T.LongType(), True),
+        T.StructField("cur_id", T.LongType(), True),
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("end_us", T.LongType(), True),
+        T.StructField("n_rows", T.LongType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("has_open", T.BooleanType(), True),
+    ]
+)
+
+
+def streaming_ewma_episodes(
+    stream: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    alpha: float = 0.3,
+    window: int = 16,
+    nsigma: float = 3.0,
+    min_history: int = 4,
+    rel_eps: float = 1e-9,
+    max_gap: str | float = "1h",
+    min_rows: int = 1,
+) -> DataFrame:
+    """EWMA chart + incident collapse in one stateful pass — the
+    :func:`streaming_cusum_episodes` shape with the EWMA recurrence
+    (``streaming/control.EwmaStep``, the identical per-row step the
+    standalone chart runs).  Flagged rows feed the episode fold with
+    value ``abs(ewma_dev)`` (how far the point sat from its forecast).
+
+    Batch parity (pinned in ``tests/test_incident_chain.py``): equals
+    ``operators/ewma.ewma_anomaly`` → ``flag_episodes`` with
+    ``value = abs(ewma_dev)`` over the same prefix."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_history < 2:
+        raise ValueError(f"min_history must be >= 2, got {min_history}")
+    gap_s = parse_timedelta_seconds(max_gap)
+    if gap_s <= 0:
+        raise ValueError(f"max_gap must be > 0, got {max_gap!r}")
+    if min_rows < 1:
+        raise ValueError(f"min_rows must be >= 1, got {min_rows}")
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from qualityassurancetool_spark.streaming.control import EwmaStep
+
+    gap_us = int(round(float(gap_s) * 1_000_000))
+    need = int(min_rows)
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            lags = list(st[0])
+            ep_state = st[1:]
+        else:
+            lags = []
+            ep_state = EPISODE_EMPTY_STATE
+        step = EwmaStep(lags, alpha, window, nsigma, min_history, rel_eps)
+        fold = EpisodeFold(key[0], ep_state, gap_us, need)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values("t", kind="mergesort")
+            for t, v in zip(pdf["t"], pdf["value"]):
+                _cur, _prev, _sg, dev, fl = step.push(v)
+                if fl:
+                    fold.push(int(t), abs(dev))
+        out = fold.finish()
+        if out:
+            yield pd.DataFrame(out)
+        state.update((step.lags,) + fold.state)
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("stream"),
+        _order_micros(stream, order_col).alias("t"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return keyed.groupBy("stream").applyInPandasWithState(
+        update,
+        outputStructType=EPISODE_OUTPUT_SCHEMA,
+        stateStructType=EWMA_CHAIN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_incident_upsert(
     incidents: DataFrame,
     path: str,

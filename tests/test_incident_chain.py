@@ -149,6 +149,72 @@ def test_sink_replay_converges(spark, tmp_path):
     assert first == second
 
 
+def test_ewma_chain_parity_and_restart(spark, tmp_path):
+    """The EWMA variant of the fused chain: same EpisodeFold, the
+    standalone chart's EwmaStep recurrence — final incidents equal the
+    batch ewma_anomaly → flag_episodes chain with value=abs(ewma_dev),
+    across a checkpoint restart."""
+    from qualityassurancetool_spark.operators.ewma import ewma_anomaly
+    from qualityassurancetool_spark.streaming.incident_chain import (
+        streaming_ewma_episodes,
+    )
+
+    # steady 10s with two sharp level pops (EWMA flags transitions, not
+    # sustained levels — each pop is a short incident)
+    p1 = _rows(
+        [("a", float(i), 40.0 if i in (20, 21) else 10.0)
+         for i in range(40)]
+    )
+    p2 = _rows(
+        [("a", 40.0 + i, 10.0) for i in range(15)]
+        + [("a", 60.0 + i, 45.0 if i < 2 else 10.0) for i in range(5)]
+    )
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "incidents")
+    kw = dict(alpha=0.3, window=8, nsigma=3.0, min_history=4)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(land)
+        q = start_incident_upsert(
+            streaming_ewma_episodes(
+                stream, "v", "ts", "g", max_gap="10s", **kw
+            ),
+            table,
+            ckpt + "_sink",
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    _write(spark, land, p1)
+    run()
+    _write(spark, land, p2, mode="append")
+    run()
+
+    final = {
+        (r["stream"], r["episode"]): r
+        for r in spark.read.parquet(table).collect()
+    }
+    chart = ewma_anomaly(
+        spark.createDataFrame(p1 + p2, SCHEMA), "v", ["ts"], ["g"], **kw
+    ).withColumn("mag", F.abs("ewma_dev"))
+    eps = flag_episodes(
+        chart, "ewma_flag", "ts", ["g"], value_col="mag", max_gap="10s"
+    )
+    want = {
+        (r["g"], r["episode"]): r
+        for r in eps.withColumn("s_us", F.unix_micros("start"))
+        .withColumn("e_us", F.unix_micros("end"))
+        .collect()
+    }
+    assert set(final) == set(want) and len(want) >= 2
+    for k, r in final.items():
+        w = want[k]
+        assert r["start_us"] == w["s_us"] and r["end_us"] == w["e_us"]
+        assert r["n_rows"] == w["n_rows"]
+        assert r["peak_value"] == w["peak_value"]
+
+
 def test_chain_validation(spark, tmp_path):
     land = str(tmp_path / "land")
     _write(spark, land, PART1)
