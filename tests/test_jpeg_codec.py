@@ -104,6 +104,49 @@ def test_dc_continuity_across_blocks():
     assert max(abs(a - 180) for a in out) <= 1
 
 
+def test_property_roundtrip_random_images():
+    """Hypothesis sweep: arbitrary small images (any dims 1-24, both
+    channel counts, any quality 60-95, either subsampling) must decode
+    back within a quality-scaled error envelope and never crash —
+    the per-item fallback upstream only forgives JpegError, so any
+    other exception here is a real kernel bug."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        channels=st.sampled_from([1, 3]),
+        quality=st.integers(60, 95),
+        subsampling=st.sampled_from(["444", "420"]),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, channels, quality, subsampling, seed):
+        rng = random.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        data = encode_jpeg(
+            w, h, channels, px, quality=quality, subsampling=subsampling
+        )
+        dw, dh, ch, out = decode_jpeg(data)
+        assert (dw, dh) == (w, h)
+        assert ch == channels
+        assert len(out) == w * h * channels
+        # random noise is JPEG's worst case; bound the MEAN error by a
+        # generous quality-scaled envelope (chroma subsampling of
+        # random noise adds ~uniform(0,128)-magnitude chroma error)
+        err = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
+        assert err < (20 if channels == 1 else 75), (
+            w, h, channels, quality, subsampling, err,
+        )
+
+    check()
+
+
 @pytest.mark.skipif(not HAVE_PIL, reason="Pillow not in this container")
 def test_pillow_cross_check():  # pragma: no cover - env-dependent
     import io

@@ -132,7 +132,9 @@ def main() -> None:
             .where(F.col("region").isNotNull()).count(),
         )
 
-    print("\n## polygon-count sensitivity (kernel path, 1M points)\n")
+    print(
+        f"\n## polygon-count sensitivity (kernel path, {sizes[0]:,} points)\n"
+    )
     print("| stage | rows | wall s | out rows | input MB | shufW MB "
           "| shufR MB | spillM MB | spillD MB |")
     print("|---|---|---|---|---|---|---|---|---|")
@@ -146,7 +148,7 @@ def main() -> None:
             .where(F.col("region").isNotNull()).count(),
         )
 
-    print("\n## column-vs-kernel crossover (1M points)\n")
+    print(f"\n## column-vs-kernel crossover ({sizes[0]:,} points)\n")
     print("| total vertices | column wall s | kernel wall s |")
     print("|---|---|---|")
     for nv in (32, 128, 256, 512, 1024, 4096):
