@@ -1240,6 +1240,89 @@ def cmd_analytics(args, overrides: list[str]) -> int:
             spark.stop()
 
 
+def cmd_monitor(args, overrides: list[str]) -> int:
+    """Always-on chart → incidents loop (the fused
+    ``streaming/incident_chain`` operator) driven from the command
+    line: stream ``data.input`` (a parquet dir new files land in), run
+    the CUSUM or EWMA recurrence + episode collapse in ONE checkpointed
+    stateful query, and last-writer-wins-upsert incident rows keyed
+    (stream, episode) into ``data.out``.
+
+    One availableNow pass per invocation — cron it: each run drains
+    whatever arrived since the last one and continues the SAME chart +
+    open-episode state from ``checkpoint=`` (default
+    ``<data.out>_ckpt``).  A crashed-and-retried run converges (the
+    sink rewrites the same keys).  Knobs: ``chart=cusum`` (``target=``
+    ``sigma=`` required; ``slack=`` ``threshold=``) or ``chart=ewma``
+    (``alpha= window= nsigma= min_history=``); ``value= ts= group=``
+    column names; ``max_gap= min_rows=`` episode shape."""
+    run, knobs = load_run_config(args.config, overrides)
+    data_c = run["data"]
+    if (
+        not isinstance(data_c, dict)
+        or not data_c.get("input")
+        or not data_c.get("out")
+    ):
+        raise ConfigError("missing required settings: data.input, data.out")
+    chart = str(knobs.get("chart", "cusum"))
+    if chart not in ("cusum", "ewma"):
+        raise ConfigError(f"unknown monitor chart {chart!r} (cusum|ewma)")
+
+    from qualityassurancetool_spark.session import get_spark
+    from qualityassurancetool_spark.streaming.incident_chain import (
+        start_incident_upsert,
+        streaming_cusum_episodes,
+        streaming_ewma_episodes,
+    )
+
+    spark = get_spark(run.get("run", {}).get("app_name", "qat-monitor"))
+    try:
+        schema = spark.read.parquet(data_c["input"]).schema
+        stream = spark.readStream.schema(schema).parquet(data_c["input"])
+        common = dict(
+            value_col=str(knobs.get("value", "value")),
+            order_col=str(knobs.get("ts", "ts")),
+            group_col=str(knobs.get("group", "stream")),
+            max_gap=knobs.get("max_gap", "1h"),
+            min_rows=int(knobs.get("min_rows", 1)),
+        )
+        if chart == "cusum":
+            if "target" not in knobs or "sigma" not in knobs:
+                raise ConfigError("monitor chart=cusum needs target= sigma=")
+            incidents = streaming_cusum_episodes(
+                stream,
+                target=float(knobs["target"]),
+                sigma=float(knobs["sigma"]),
+                slack=float(knobs.get("slack", 0.5)),
+                threshold=float(knobs.get("threshold", 5.0)),
+                **common,
+            )
+        else:
+            incidents = streaming_ewma_episodes(
+                stream,
+                alpha=float(knobs.get("alpha", 0.3)),
+                window=int(knobs.get("window", 16)),
+                nsigma=float(knobs.get("nsigma", 3.0)),
+                min_history=int(knobs.get("min_history", 4)),
+                **common,
+            )
+        ckpt = str(
+            knobs.get("checkpoint", data_c["out"].rstrip("/") + "_ckpt")
+        )
+        q = start_incident_upsert(
+            incidents, data_c["out"], ckpt, available_now=True
+        )
+        q.awaitTermination()
+        table = spark.read.parquet(data_c["out"])
+        n_open = table.where("open").count()
+        print(f"incidents: {table.count()}")
+        print(f"open: {n_open}")
+        return 0
+    finally:
+        if not getattr(args, "keep_session", False):
+            spark.stop()
+
+
 def cmd_ml(args, overrides: list[str]) -> int:
     """In-engine model prep / fit / evaluation.  ``method``:
 
@@ -1702,6 +1785,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_ana.add_argument("override", nargs="*", help="key.path=value")
 
+    p_mon = sub.add_parser(
+        "monitor",
+        help="always-on chart→incidents loop (fused streaming chain)",
+    )
+    p_mon.add_argument("-c", "--config", default=None)
+    p_mon.add_argument(
+        "--keep-session", action="store_true", help=argparse.SUPPRESS
+    )
+    p_mon.add_argument("override", nargs="*", help="key.path=value")
+
     p_ml = sub.add_parser(
         "ml",
         help="in-engine model prep/fit/eval (train|score|eval|bin)",
@@ -1752,6 +1845,7 @@ def main(argv: list[str] | None = None) -> int:
         "extract": cmd_extract,
         "profile": cmd_profile,
         "analytics": cmd_analytics,
+        "monitor": cmd_monitor,
         "ml": cmd_ml,
         "report": cmd_report,
         "pretrain": cmd_pretrain,

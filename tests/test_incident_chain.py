@@ -215,6 +215,44 @@ def test_ewma_chain_parity_and_restart(spark, tmp_path):
         assert r["peak_value"] == w["peak_value"]
 
 
+def test_monitor_cli_cron_pattern(spark, tmp_path, capsys):
+    """`monitor` drives the fused chain from the command line: two
+    invocations with the same checkpoint behave like two cron ticks —
+    the second drains only the new files and carries the chart +
+    open-episode state forward."""
+    from qualityassurancetool_spark.cli import main
+
+    land = str(tmp_path / "land")
+    table = str(tmp_path / "incidents")
+    argv = [
+        "monitor", "--keep-session", f"data.input={land}",
+        f"data.out={table}", "chart=cusum", "value=v", "ts=ts",
+        "group=g", "target=10.0", "sigma=1.0", "max_gap=10s",
+    ]
+    _write(spark, land, PART1)
+    assert main(argv) == 0
+    rep1 = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert (int(rep1["incidents"]), int(rep1["open"])) == (1, 1)
+
+    _write(spark, land, PART2, mode="append")
+    assert main(argv) == 0
+    rep2 = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert (int(rep2["incidents"]), int(rep2["open"])) == (2, 1)
+
+    # unknown chart is a pointed ConfigError (exit code 2)
+    assert main(
+        ["monitor", f"data.input={land}", f"data.out={table}",
+         "chart=shewhart"]
+    ) == 2
+    capsys.readouterr()
+
+
 def test_chain_validation(spark, tmp_path):
     land = str(tmp_path / "land")
     _write(spark, land, PART1)
