@@ -83,6 +83,32 @@ def _run(spark, stream_df, ckpt: str):
     return out
 
 
+def _feed_chain(
+    spark, land: str, n: int, streams: int = 1000, batches: int = 3
+) -> None:
+    """``batches`` files of per-stream ordered observations around a
+    target of 10, ~1 % planted excursions — the fused incident chain's
+    input shape.  Streams FIXED across batches: chain state must stay
+    O(streams) while input doubles."""
+    per = n // batches
+    for b in range(batches):
+        (
+            spark.range(b * per, (b + 1) * per)
+            .select(
+                F.concat(F.lit("s"), F.col("id") % streams).alias("g"),
+                F.timestamp_micros(
+                    F.lit(1700000000_000000) + F.col("id") * 1_000_000
+                ).alias("ts"),
+                F.when(F.col("id") % 97 == 0, 18.0)
+                .otherwise(10.0 + (F.col("id") % 7) / 10.0)
+                .alias("v"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [200_000, 400_000]
     spark = get_spark("streaming-probe")
@@ -152,6 +178,43 @@ def main() -> None:
                     flush=True,
                 )
             shutil.rmtree(work, ignore_errors=True)
+
+    # the fused chart→episodes chain: state must stay O(streams) —
+    # ONE row per stream — while input doubles (round 9)
+    from qualityassurancetool_spark.streaming.incident_chain import (
+        streaming_cusum_episodes,
+    )
+
+    for n in sizes:
+        work = tempfile.mkdtemp(prefix="stream_probe_")
+        land, ckpt = f"{work}/land", f"{work}/ckpt"
+        _feed_chain(spark, land, n, streams=1000)
+        stream = (
+            spark.readStream.schema("g string, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        t0 = time.perf_counter()
+        rows = _run(
+            spark,
+            streaming_cusum_episodes(
+                stream, "v", "ts", "g", target=10.0, sigma=1.0,
+                threshold=5.0, max_gap="1h", min_rows=2,
+            ),
+            ckpt,
+        )
+        dt = time.perf_counter() - t0
+        label = "cusum→episodes fused (1000 streams)"
+        for i, (rin, srows, sbytes) in enumerate(rows):
+            print(
+                f"| {label} | {n:,} | {i + 1} | {rin:,} |"
+                f" {srows:,} | {sbytes / 1024:.0f} |"
+                f" {dt:.1f} |" if i == len(rows) - 1 else
+                f"| {label} | {n:,} | {i + 1} | {rin:,} |"
+                f" {srows:,} | {sbytes / 1024:.0f} | |",
+                flush=True,
+            )
+        shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
 
