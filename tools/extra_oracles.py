@@ -982,6 +982,54 @@ FROM qa JOIN qb ON qa.signal = qb.signal
 PH_MAXH = 6
 
 
+def x_simhash(spark, con, sf_dir):
+    """simhash (salted-md5 token hashes → per-bit ±1 majority → 32-bit
+    pack) vs a full DuckDB replica of the identical bit arithmetic —
+    the one dedup-family hash that had only pytest pins (round 9).
+    Exact integers, every document."""
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+    from qualityassurancetool_spark.operators.dedup import (
+        simhash_from_token_hashes,
+        simhash_token_hashes,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # attribute-only contract: materialize the token-hash array ONCE
+    # behind a barrier; the 32 per-bit folds then reference it
+    staged = compute_behind_barrier(
+        docs.select("doc_id", "text"),
+        {"_th": simhash_token_hashes(F.col("text"))},
+    )
+    sdf = staged.select(
+        "doc_id",
+        simhash_from_token_hashes(F.col("_th"), 32).alias("simhash"),
+    )
+    sql = f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split({_NORM}, ' '))) AS t
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           CAST(concat('0x', substring(md5(concat('sh:', t)), 1, 15))
+                AS BIGINT) AS hv
+    FROM tok
+), bits AS (
+    SELECT doc_id, b,
+           SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS contrib
+    FROM h CROSS JOIN generate_series(0, 31) s(b)
+    GROUP BY doc_id, b
+)
+SELECT doc_id,
+       SUM(CASE WHEN contrib > 0
+                THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+    return sdf, sql
+
+
 def x_media_phash(spark, con, sf_dir):
     """perceptual_hash + media_near_dup_pairs (fake decode kernel) vs
     an exact Python replication: byte-window features with float32
@@ -4265,6 +4313,7 @@ EXTRA_CHECKS = {
     "x_robust_outlier": x_robust_outlier,
     "x_scd2": x_scd2,
     "x_semantic_decontam": x_semantic_decontam,
+    "x_simhash": x_simhash,
     "x_skew_report": x_skew_report,
     "x_fuzzy_join": x_fuzzy_join,
     "x_histogram": x_histogram,
