@@ -982,6 +982,96 @@ FROM qa JOIN qb ON qa.signal = qb.signal
 PH_MAXH = 6
 
 
+def x_isotonic(spark, con, sf_dir):
+    """Isotonic calibration (binned PAV fit + pure-Column apply) vs an
+    INDEPENDENT replica: same deterministic noisy-monotone labels
+    rebuilt from DuckDB rows, bins re-derived in Python, and PAV
+    re-implemented with the O(n²) repeated-pooling formulation (not
+    the operator's stack) — so a stack-handling bug cannot confirm
+    itself.  (rows, rows) comparison at 9 dp."""
+    from qualityassurancetool_spark.operators.calibration import (
+        isotonic_apply,
+        isotonic_fit,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    N_BINS = 20
+
+    def mk(keys_prices):
+        rows = []
+        for k, p in keys_prices:
+            s = (float(p) % 1000.0) / 1000.0
+            # noisy-monotone label: deterministic integer hash vs a
+            # monotone threshold in s (same arithmetic both engines)
+            y = 1.0 if (int(k) * 2654435761) % 97 < 10 + 80 * s else 0.0
+            rows.append((int(k), s, y))
+        return rows
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    srows = mk(
+        (r["o_orderkey"], r["o_totalprice"]) for r in orders.collect()
+    )
+    df = spark.createDataFrame(srows, "k long, s double, y double")
+    model = isotonic_fit(df, "s", "y", n_bins=N_BINS)
+    sdf = df.select(
+        "k", F.round(isotonic_apply(model, F.col("s")), 9).alias("p")
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    prows = mk(
+        con.execute(
+            "SELECT o_orderkey, o_totalprice FROM orders"
+        ).fetchall()
+    )
+    lo = min(s for _, s, _ in prows)
+    hi = max(s for _, s, _ in prows)
+    span = (hi - lo) or 1.0
+    sums = [0.0] * N_BINS
+    cnts = [0] * N_BINS
+    for _, s, y in prows:
+        b = min(int((s - lo) / span * N_BINS), N_BINS - 1)
+        sums[b] += y
+        cnts[b] += 1
+    populated = [i for i in range(N_BINS) if cnts[i] > 0]
+    # independent PAV: blocks pooled by repeated full scans
+    blocks = [
+        [sums[i] / cnts[i], float(cnts[i]), 1] for i in populated
+    ]  # [mean, weight, n_bins]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][0] >= blocks[i + 1][0] and not (
+                blocks[i][0] == blocks[i + 1][0]
+            ):
+                m1, w1, c1 = blocks[i]
+                m2, w2, c2 = blocks[i + 1]
+                tot = w1 + w2
+                blocks[i : i + 2] = [
+                    [(m1 * w1 + m2 * w2) / tot, tot, c1 + c2]
+                ]
+                changed = True
+                break
+    fit_vals: list[float] = []
+    for mean, _w, c in blocks:
+        fit_vals.extend([mean] * c)
+    rates = [0.0] * N_BINS
+    cur = fit_vals[0]
+    j = 0
+    for i in range(N_BINS):
+        if j < len(populated) and i == populated[j]:
+            cur = fit_vals[j]
+            j += 1
+        rates[i] = cur
+    d_rows = []
+    for k, s, _y in prows:
+        b = max(0, min(int((s - lo) / span * N_BINS), N_BINS - 1))
+        d_rows.append((k, round(rates[b], 9)))
+    return s_rows, d_rows
+
+
 def x_simhash(spark, con, sf_dir):
     """simhash (salted-md5 token hashes → per-bit ±1 majority → 32-bit
     pack) vs a full DuckDB replica of the identical bit arithmetic —
@@ -4314,6 +4404,7 @@ EXTRA_CHECKS = {
     "x_scd2": x_scd2,
     "x_semantic_decontam": x_semantic_decontam,
     "x_simhash": x_simhash,
+    "x_isotonic": x_isotonic,
     "x_skew_report": x_skew_report,
     "x_fuzzy_join": x_fuzzy_join,
     "x_histogram": x_histogram,
