@@ -2129,6 +2129,78 @@ def x_pq(spark, con, sf_dir):
     return s_rows, d_rows
 
 
+def x_opq(spark, con, sf_dir):
+    """OPQ encode+search vs a numpy replica.  R and the codebooks come
+    FROM the Spark fit (plain lists — the k-means math is pinned by
+    x_pq); the replica independently re-derives the rotation matmul,
+    per-subspace argmin encode, ADC scoring and the (dist, id)
+    lexicographic top-k over the distributed encode/search path.
+    Returns (rows, rows)."""
+    import numpy as np
+
+    from qualityassurancetool_spark.operators.opq import (
+        opq_encode,
+        opq_fit,
+        opq_topk,
+    )
+    from qualityassurancetool_spark.operators.pq import adc_tables
+    from qualityassurancetool_spark.schema import load_table
+
+    M, K, TOPK = 4, 16, 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    R, books = opq_fit(emb, m=M, k=K, opq_iters=2, lloyd_iters=3)
+    coded = opq_encode(emb, R, books)
+    queries = (
+        emb.where(F.col("vec_id") % 100 == 3)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = opq_topk(coded, queries, R, books, k=TOPK)
+    s_rows = [
+        (r["query_id"], r["neighbor_id"], round(r["adc_dist"], 6))
+        for r in got.collect()
+    ]
+
+    rows = sorted(
+        (int(r[0]), np.array(r[1], dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    X = np.stack([r[1] for r in rows])
+    Rm = np.array(R, dtype=np.float64)
+    Xr = X @ Rm.T  # rotate_vectors: out = R @ vec per row
+    dim = Xr.shape[1]
+    w = dim // M
+    np_books = [np.array(b, dtype=np.float64) for b in books]
+    codes_np = np.stack(
+        [
+            (
+                (Xr[:, s * w : (s + 1) * w][:, None, :] - np_books[s][None])
+                ** 2
+            )
+            .sum(axis=2)
+            .argmin(axis=1)
+            for s in range(M)
+        ],
+        axis=1,
+    )
+    d_rows = []
+    for qid, qv in (
+        (int(r[0]), np.array(r[1], dtype=np.float64))
+        for r in queries.collect()
+    ):
+        rq = [float(x) for x in (Rm @ qv)]
+        dt = np.array(adc_tables(rq, books))
+        dists = dt[
+            (np.arange(M)[None, :] * K + codes_np).reshape(len(ids), M)
+        ].sum(axis=1)
+        order = np.lexsort((ids, dists))[:TOPK]
+        for i in order:
+            d_rows.append((qid, int(ids[i]), round(float(dists[i]), 6)))
+    return s_rows, d_rows
+
+
 def x_ivfadc(spark, con, sf_dir):
     """IVFADC index+search vs a numpy replica.  The coarse centroids
     and residual codebooks come FROM the Spark fit (plain lists — fit
@@ -4392,6 +4464,7 @@ EXTRA_CHECKS = {
     "x_ngram_topk": x_ngram_topk,
     "x_unicode_nfc": x_unicode_nfc,
     "x_pq": x_pq,
+    "x_opq": x_opq,
     "x_ivfadc": x_ivfadc,
     "x_heavy_hitters": x_heavy_hitters,
     "x_heavy_hitters_by": x_heavy_hitters_by,
