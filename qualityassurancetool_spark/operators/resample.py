@@ -105,8 +105,22 @@ def resample_interpolate(
     # observation rows sort BEFORE the grid tick sharing their epoch
     # (is_obs desc) so an exact hit's "previous observation" is itself;
     # among exact-duplicate timestamps ascending _v makes the LAST
-    # (largest) value the window's pick — deterministic and portable
+    # (largest) value the window's pick — deterministic and portable.
+    #
+    # BOTH neighbor lookups run as RUNNING frames (unboundedPreceding →
+    # currentRow): Spark evaluates those incrementally (O(rows)), while
+    # a [currentRow, unboundedFollowing] frame re-aggregates from
+    # scratch per row — O(rows²) per stream, measured 5.7 s → 255 s
+    # from 1 M → 10 M rows before this rewrite (round-9 rehearsal).
+    # The "next observation" therefore uses the exactly-REVERSED order
+    # (desc mirrors asc's null placement), where last(...ignorenulls)
+    # over the running frame IS the first following non-null.
     order = [F.col("_epoch"), F.col("_is_obs").desc(), F.col("_v")]
+    order_rev = [
+        F.col("_epoch").desc(),
+        F.col("_is_obs").asc(),
+        F.col("_v").desc(),
+    ]
     w_prev = (
         Window.partitionBy("_id")
         .orderBy(*order)
@@ -114,8 +128,8 @@ def resample_interpolate(
     )
     w_next = (
         Window.partitionBy("_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*order_rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_epoch = F.when(F.col("_is_obs") == 1, F.col("_epoch"))
     obs_val = F.when(F.col("_is_obs") == 1, F.col("_v"))
@@ -126,8 +140,8 @@ def resample_interpolate(
         "_is_obs",
         F.last(obs_epoch, ignorenulls=True).over(w_prev).alias("_pt"),
         F.last(obs_val, ignorenulls=True).over(w_prev).alias("_pv"),
-        F.first(obs_epoch, ignorenulls=True).over(w_next).alias("_nt"),
-        F.first(obs_val, ignorenulls=True).over(w_next).alias("_nv"),
+        F.last(obs_epoch, ignorenulls=True).over(w_next).alias("_nt"),
+        F.last(obs_val, ignorenulls=True).over(w_next).alias("_nv"),
     ).where(F.col("_is_obs") == 0)
     exact = F.col("_pt") == F.col("_epoch")
     if method == "linear":
