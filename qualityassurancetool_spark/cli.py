@@ -1282,7 +1282,11 @@ def cmd_monitor(args, overrides: list[str]) -> int:
     sink rewrites the same keys).  Knobs: ``chart=cusum`` (``target=``
     ``sigma=`` required; ``slack=`` ``threshold=``) or ``chart=ewma``
     (``alpha= window= nsigma= min_history=``); ``value= ts= group=``
-    column names; ``max_gap= min_rows=`` episode shape."""
+    column names; ``max_gap= min_rows=`` episode shape;
+    ``ts_unit=ns|us|ms|s`` converts an integer ts column to a real
+    timestamp first (the driver testdata stores ns-precision longs —
+    without it an integer ts is a raw ordering key and ``max_gap``
+    compares against µs)."""
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
     if (
@@ -1304,11 +1308,53 @@ def cmd_monitor(args, overrides: list[str]) -> int:
 
     spark = get_spark(run.get("run", {}).get("app_name", "qat-monitor"))
     try:
-        schema = spark.read.parquet(data_c["input"]).schema
-        stream = spark.readStream.schema(schema).parquet(data_c["input"])
+        import os as _os
+
+        inp = data_c["input"]
+        schema = spark.read.parquet(inp).schema
+        reader = spark.readStream.schema(schema)
+        if _os.path.isfile(inp):
+            # the file-stream source wants a DIRECTORY; a single-file
+            # table (the driver testdata shape) streams as its parent
+            # dir restricted to that one file
+            reader = reader.option(
+                "pathGlobFilter", _os.path.basename(inp)
+            )
+            inp = _os.path.dirname(inp)
+        stream = reader.parquet(inp)
+        ts_col = str(knobs.get("ts", "ts"))
+        unit = knobs.get("ts_unit")
+        if unit is not None:
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            if str(unit) not in ("ns", "us", "ms", "s"):
+                raise ConfigError(
+                    f"unknown ts_unit {unit!r} (ns|us|ms|s)"
+                )
+            # the same column reads as LONG (nanosAsLong sessions) or
+            # TIMESTAMP_NTZ depending on session confs — normalize
+            # both (the schema.load_table self-heal, stream-side)
+            dtype = dict(
+                (f.name, f.dataType) for f in stream.schema.fields
+            ).get(ts_col)
+            if isinstance(dtype, T.LongType):
+                conv = {
+                    "ns": F.timestamp_micros(
+                        F.expr(f"{ts_col} div 1000")
+                    ),
+                    "us": F.timestamp_micros(F.col(ts_col)),
+                    "ms": F.timestamp_millis(F.col(ts_col)),
+                    "s": F.timestamp_seconds(F.col(ts_col)),
+                }[str(unit)]
+                stream = stream.withColumn(ts_col, conv)
+            elif isinstance(dtype, T.TimestampNTZType):
+                stream = stream.withColumn(
+                    ts_col, F.col(ts_col).cast("timestamp")
+                )
         common = dict(
             value_col=str(knobs.get("value", "value")),
-            order_col=str(knobs.get("ts", "ts")),
+            order_col=ts_col,
             group_col=str(knobs.get("group", "stream")),
             max_gap=knobs.get("max_gap", "1h"),
             min_rows=int(knobs.get("min_rows", 1)),
