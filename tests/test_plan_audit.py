@@ -222,3 +222,57 @@ def test_qc_chain_windows_run_on_slim_frame(spark, entrymod, sf_dir):
     assert join_at < first_window, plan
     assert plan.count("Window [") == 2, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_shrinking_frame_rule_fires_and_resample_is_clean(spark, sf_dir):
+    """The round-9 plan-audit rule: a [currentRow, unboundedFollowing]
+    frame re-aggregates per row (O(rows²)/partition — resample shipped
+    one, 255 s at 10 M rows).  The rule must FIRE on a deliberately
+    quadratic plan and stay quiet on the rewritten resample."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from qualityassurancetool_spark.operators.resample import (
+        resample_interpolate,
+    )
+
+    pat = re.compile(
+        r"specifiedwindowframe\((?:Row|Range)Frame, "
+        r"(?!unboundedpreceding\$\(\))[^,]+, "
+        r"unboundedfollowing\$\(\)\)"
+    )
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").alias("t"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    bad = df.select(
+        F.first("v", ignorenulls=True)
+        .over(
+            Window.partitionBy("g")
+            .orderBy("t")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        .alias("nv")
+    )
+    assert pat.search(_plan(bad)), "rule must catch the shrinking frame"
+    # whole-partition frames are O(n) (computed once) — NOT flagged
+    whole = df.select(
+        F.max("v")
+        .over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("m")
+    )
+    assert not pat.search(_plan(whole))
+    fixed = resample_interpolate(
+        df.select(
+            "g", F.timestamp_seconds(F.col("t") * 3600).alias("ts"), "v"
+        ),
+        id_col="g", ts_col="ts", value_col="v", freq_seconds=1800,
+    )
+    assert not pat.search(_plan(fixed)), "resample regressed to O(n^2)"

@@ -73,6 +73,20 @@ def audit(sf_dir: str) -> int:
             problems.append("BroadcastNestedLoopJoin")
         if "Scan ExistingRDD" in plan and name not in EXISTING_RDD_OK:
             problems.append("ExistingRDD-scan")
+        # shrinking frames ([X, unboundedFollowing] with X above
+        # unboundedPreceding) re-aggregate from scratch PER ROW —
+        # O(rows²) per window partition.  resample shipped one and the
+        # 10 M rehearsal measured 255 s where the reversed-order
+        # running-frame rewrite takes 4.5 s (round 9, docs/SCALE.md);
+        # whole-partition frames (unboundedPreceding→unboundedFollowing)
+        # evaluate once and are fine.
+        if re.search(
+            r"specifiedwindowframe\((?:Row|Range)Frame, "
+            r"(?!unboundedpreceding\$\(\))[^,]+, "
+            r"unboundedfollowing\$\(\)\)",
+            plan,
+        ):
+            problems.append("shrinking-window-frame (O(n^2)/partition)")
         # every FileScan whose DataFilters contain a PUSHABLE predicate
         # (bare attribute comparison / null check) must show PushedFilters.
         # Derived-expression predicates (md5-hash membership, computed
