@@ -99,6 +99,22 @@ def main() -> None:
             "heavy_hitters_by f=0.001", n,
             lambda: heavy_hitters_by(d, ["lang"], "token", 0.001).count(),
         )
+        # the reshaping family rides along: best-record-per-second over
+        # the same ticks (min-struct hash agg — ONE shuffle, no window)
+        from qualityassurancetool_spark.operators.pivot_export import (
+            best_record_per_second,
+        )
+
+        m.stage(
+            "best_record_per_second", n,
+            lambda: best_record_per_second(
+                t.withColumn("qc_flag", F.lit(0).cast("tinyint"))
+                .withColumnRenamed("v", "result"),
+                stream_col="sid",
+                ts_col="ts",
+                id_col="result",
+            ).count(),
+        )
     spark.stop()
 
 
