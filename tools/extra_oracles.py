@@ -982,6 +982,59 @@ FROM qa JOIN qb ON qa.signal = qb.signal
 PH_MAXH = 6
 
 
+def _resample_method_check(method: str, value_sql: str):
+    """resample_interpolate's non-linear methods vs the declared
+    query's DuckDB replica with the interpolation CASE swapped — the
+    grid/window/duplicate machinery is shared verbatim with the
+    `resample` gate row; only the valuing rule differs (round 9:
+    ffill/nearest were pytest-only)."""
+
+    def check(spark, con, sf_dir):
+        from qualityassurancetool_spark.operators.resample import (
+            resample_interpolate,
+        )
+        from qualityassurancetool_spark.schema import load_table
+
+        m = _entry_mod()
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("sid"),
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+            F.col("o_totalprice").alias("v"),
+        )
+        sdf = resample_interpolate(
+            orders, id_col="sid", ts_col="ts", value_col="v",
+            freq_seconds=604800, method=method,
+        ).select(
+            "sid",
+            F.unix_timestamp("grid_ts").alias("grid_epoch"),
+            (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
+            "n_src",
+        )
+        base = m.SQL_RESAMPLE
+        head = base[: base.rindex("SELECT t.sid")]
+        sql = head + f"""SELECT t.sid, t.e AS grid_epoch,
+       round({value_sql}, 6) + 0.0 AS value_r,
+       COALESCE(d.n_src, 0) AS n_src
+FROM ticks t LEFT JOIN dup d ON t.sid = d.sid AND t.e = d.e
+"""
+        return sdf, sql
+
+    check.__name__ = f"x_resample_{method}"
+    check.__doc__ = _resample_method_check.__doc__
+    return check
+
+
+x_resample_ffill = _resample_method_check("ffill", "t.pv")
+x_resample_nearest = _resample_method_check(
+    "nearest",
+    """CASE WHEN t.pt = t.e THEN t.pv
+            WHEN t.pt IS NULL THEN t.nv
+            WHEN t.nt IS NULL THEN t.pv
+            WHEN (t.e - t.pt) <= (t.nt - t.e) THEN t.pv
+            ELSE t.nv END""",
+)
+
+
 def x_isotonic(spark, con, sf_dir):
     """Isotonic calibration (binned PAV fit + pure-Column apply) vs an
     INDEPENDENT replica: same deterministic noisy-monotone labels
@@ -4478,6 +4531,8 @@ EXTRA_CHECKS = {
     "x_semantic_decontam": x_semantic_decontam,
     "x_simhash": x_simhash,
     "x_isotonic": x_isotonic,
+    "x_resample_ffill": x_resample_ffill,
+    "x_resample_nearest": x_resample_nearest,
     "x_skew_report": x_skew_report,
     "x_fuzzy_join": x_fuzzy_join,
     "x_histogram": x_histogram,
