@@ -245,6 +245,19 @@ def test_monitor_cli_cron_pattern(spark, tmp_path, capsys):
     )
     assert (int(rep2["incidents"]), int(rep2["open"])) == (2, 1)
 
+    # the ewma chart branch runs through the same CLI surface
+    table2 = str(tmp_path / "incidents_ewma")
+    assert main([
+        "monitor", "--keep-session", f"data.input={land}",
+        f"data.out={table2}", "chart=ewma", "value=v", "ts=ts",
+        "group=g", "alpha=0.3", "window=8", "max_gap=10s",
+    ]) == 0
+    rep3 = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(rep3["incidents"]) >= 1
+
     # unknown chart is a pointed ConfigError (exit code 2)
     assert main(
         ["monitor", f"data.input={land}", f"data.out={table}",
