@@ -1298,6 +1298,11 @@ def cmd_monitor(args, overrides: list[str]) -> int:
     chart = str(knobs.get("chart", "cusum"))
     if chart not in ("cusum", "ewma"):
         raise ConfigError(f"unknown monitor chart {chart!r} (cusum|ewma)")
+    unit = knobs.get("ts_unit")
+    if unit is not None and str(unit) not in ("ns", "us", "ms", "s"):
+        # validate BEFORE the session: config errors must never cost
+        # (or, under --keep-session, stop) a SparkSession
+        raise ConfigError(f"unknown ts_unit {unit!r} (ns|us|ms|s)")
 
     from qualityassurancetool_spark.session import get_spark
     from qualityassurancetool_spark.streaming.incident_chain import (
@@ -1323,15 +1328,10 @@ def cmd_monitor(args, overrides: list[str]) -> int:
             inp = _os.path.dirname(inp)
         stream = reader.parquet(inp)
         ts_col = str(knobs.get("ts", "ts"))
-        unit = knobs.get("ts_unit")
         if unit is not None:
             from pyspark.sql import functions as F
             from pyspark.sql import types as T
 
-            if str(unit) not in ("ns", "us", "ms", "s"):
-                raise ConfigError(
-                    f"unknown ts_unit {unit!r} (ns|us|ms|s)"
-                )
             # the same column reads as LONG (nanosAsLong sessions) or
             # TIMESTAMP_NTZ depending on session confs — normalize
             # both (the schema.load_table self-heal, stream-side)

@@ -266,6 +266,39 @@ def test_monitor_cli_cron_pattern(spark, tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_monitor_cli_ts_unit_integer_column(spark, tmp_path, capsys):
+    """ts_unit= converts an integer epoch column stream-side (the
+    driver-layout self-heal): epoch-second longs under ts_unit=s give
+    real timestamps, so max_gap applies in real time; an unknown unit
+    is a pointed ConfigError."""
+    from qualityassurancetool_spark.cli import main
+
+    land = str(tmp_path / "land")
+    table = str(tmp_path / "incidents")
+    rows = [("a", 1700000000 + i, 15.0 if 5 <= i < 10 else 10.0)
+            for i in range(20)]
+    spark.createDataFrame(
+        rows, "g string, ts long, v double"
+    ).coalesce(1).write.parquet(land)
+    assert main([
+        "monitor", "--keep-session", f"data.input={land}",
+        f"data.out={table}", "chart=cusum", "value=v", "ts=ts",
+        "ts_unit=s", "group=g", "target=10.0", "sigma=1.0",
+        "max_gap=5s",
+    ]) == 0
+    rep = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(rep["incidents"]) >= 1
+    assert main([
+        "monitor", f"data.input={land}", f"data.out={table}",
+        "chart=cusum", "value=v", "ts=ts", "ts_unit=fortnights",
+        "group=g", "target=10.0", "sigma=1.0",
+    ]) == 2
+    capsys.readouterr()
+
+
 def test_chain_validation(spark, tmp_path):
     land = str(tmp_path / "land")
     _write(spark, land, PART1)
