@@ -1031,6 +1031,13 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("timestamp").alias("ts"),
         F.col("o_totalprice").alias("v"),
     )
+    # rounding via floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): the two
+    # engines compute bit-identical interpolation doubles, but their
+    # round() implementations diverge on boundary values (DuckDB
+    # multiplies first — x*1e6 can land exactly ON .5 in double where
+    # the decimal value is below it; hit at sf0.001, round 9).  The
+    # floor formula is the same double arithmetic in both engines, so
+    # it cannot disagree.
     return resample_interpolate(
         orders,
         id_col="sid",
@@ -1041,7 +1048,9 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "sid",
         F.unix_timestamp("grid_ts").alias("grid_epoch"),
-        (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
+        (
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6 + F.lit(0.0)
+        ).alias("value_r"),
         "n_src",
     )
 
@@ -1086,12 +1095,12 @@ WITH obs AS (
     SELECT sid, e, CAST(COUNT(*) AS INT) AS n_src FROM obs GROUP BY sid, e
 )
 SELECT t.sid, t.e AS grid_epoch,
-       round(CASE WHEN t.pt = t.e THEN t.pv
-                  WHEN t.pt IS NOT NULL AND t.nt IS NOT NULL THEN
-                       t.pv + (t.nv - t.pv)
-                           * CAST(t.e - t.pt AS DOUBLE)
-                           / CAST(t.nt - t.pt AS DOUBLE)
-             END, 6) + 0.0 AS value_r,
+       floor((CASE WHEN t.pt = t.e THEN t.pv
+                   WHEN t.pt IS NOT NULL AND t.nt IS NOT NULL THEN
+                        t.pv + (t.nv - t.pv)
+                            * CAST(t.e - t.pt AS DOUBLE)
+                            / CAST(t.nt - t.pt AS DOUBLE)
+              END) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS value_r,
        COALESCE(d.n_src, 0) AS n_src
 FROM ticks t LEFT JOIN dup d ON t.sid = d.sid AND t.e = d.e
 """

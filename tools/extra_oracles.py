@@ -1007,13 +1007,19 @@ def _resample_method_check(method: str, value_sql: str):
         ).select(
             "sid",
             F.unix_timestamp("grid_ts").alias("grid_epoch"),
-            (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
+            # floor-based 6-dp rounding, same rationale as the
+            # declared resample row (round() boundary divergence)
+            (
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6
+                + F.lit(0.0)
+            ).alias("value_r"),
             "n_src",
         )
         base = m.SQL_RESAMPLE
         head = base[: base.rindex("SELECT t.sid")]
         sql = head + f"""SELECT t.sid, t.e AS grid_epoch,
-       round({value_sql}, 6) + 0.0 AS value_r,
+       floor(({value_sql}) * 1000000.0 + 0.5) / 1000000.0 + 0.0
+           AS value_r,
        COALESCE(d.n_src, 0) AS n_src
 FROM ticks t LEFT JOIN dup d ON t.sid = d.sid AND t.e = d.e
 """
