@@ -1386,6 +1386,15 @@ def cmd_monitor(args, overrides: list[str]) -> int:
             incidents, data_c["out"], ckpt, available_now=True
         )
         q.awaitTermination()
+        from qualityassurancetool_spark.functions.fs import path_exists
+
+        # an availableNow run over a glob matching NO files produces
+        # zero micro-batches — the sink never writes the path (advisor
+        # finding, round 9)
+        if not path_exists(spark, data_c["out"]):
+            print("incidents: 0")
+            print("open: 0")
+            return 0
         table = spark.read.parquet(data_c["out"])
         n_open = table.where("open").count()
         print(f"incidents: {table.count()}")

@@ -373,7 +373,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     w, h, comps = frame
-    if not 1 <= len(comps) <= 3:
+    # exactly grayscale (1) or YCbCr (3): the color path indexes
+    # comps[1]/comps[2], so a 2-component frame must fail as a typed
+    # JpegError, not an IndexError (advisor finding, round 9)
+    if len(comps) not in (1, 3):
         raise JpegError(f"unsupported component count {len(comps)}")
     for c in comps:
         if c["h"] not in (1, 2) or c["v"] not in (1, 2):

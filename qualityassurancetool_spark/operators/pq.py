@@ -351,7 +351,19 @@ def ivfadc_write(
     ``files_per_list`` files regardless of size, so one giant list
     can't produce one giant file; None skips the shuffle and keeps the
     incoming partitioning (up to one file per (task, list) pair).
+
+    ``mode="overwrite"`` (a refit rewrite) also deletes any
+    ``<path>_appends`` slice root: append slices are encoded with the
+    OLD centroids/codebooks, and leaving them behind would let
+    :func:`ivfadc_read` silently union stale codes into the fresh
+    layout — wrong ADC distances and duplicate ids (advisor finding,
+    round 9).  Re-append the deltas (or fold them into the refit input)
+    after a rewrite.
     """
+    if mode == "overwrite":
+        from qualityassurancetool_spark.functions.fs import delete_path
+
+        delete_path(index.sparkSession, _appends_root(path))
     df = index
     if files_per_list is not None:
         if n_lists is None:

@@ -146,7 +146,12 @@ def upsert_flags_table(
     midnight), pass ``sweep_moved_ids=True``: one extra full-table id
     semi-join widens the rewrite set to any old partition still
     holding a batch id, so the stale row under the old date is
-    dropped.  The sweep's scan is table-sized, so it is opt-in."""
+    dropped.  The sweep's scan is table-sized, so it is opt-in.
+    Dynamic overwrite only rewrites partitions the staged frame WRITES
+    — a swept day whose every row belonged to batch ids stages zero
+    survivors, so its partition would never be touched and the stale
+    rows would survive (advisor finding, round 9); such now-empty day
+    partitions are deleted explicitly after the write."""
     from qualityassurancetool_spark.functions.fs import (
         delete_path,
         path_exists,
@@ -192,6 +197,15 @@ def upsert_flags_table(
         .parquet(path)
     )
     if stage is not None:
+        # days the rewrite set covered but the staged frame left empty
+        # (every row was a batch id that moved away) — dynamic overwrite
+        # never touched them, so drop the stale partitions directly
+        staged_days = {
+            r[0] for r in out.select("flag_date").distinct().collect()
+        }
+        for day in days:
+            if day not in staged_days:
+                delete_path(spark, f"{path.rstrip('/')}/flag_date={day}")
         delete_path(spark, stage)
 
 

@@ -317,3 +317,31 @@ def test_chain_validation(spark, tmp_path):
         streaming_cusum_episodes(
             stream, "v", "ts", "g", target=10.0, sigma=1.0, min_rows=0
         )
+
+
+def test_monitor_cli_zero_microbatch_reports_zero(spark, tmp_path, capsys):
+    """An availableNow tick that drains ZERO micro-batches never writes
+    the sink path; reading it raised AnalysisException instead of
+    reporting an empty table (advisor finding, round 9).  Reproduced by
+    retargeting data.out under an already-drained checkpoint — the cron
+    shape after an output archive/rotate with no new input files."""
+    from qualityassurancetool_spark.cli import main
+
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    _write(spark, land, PART1)
+    base = [
+        "monitor", "--keep-session", f"data.input={land}",
+        f"checkpoint={ckpt}", "chart=cusum", "value=v", "ts=ts",
+        "group=g", "target=10.0", "sigma=1.0", "max_gap=10s",
+    ]
+    assert main(base + [f"data.out={tmp_path / 'incidents_a'}"]) == 0
+    capsys.readouterr()
+
+    # same checkpoint, no new files, fresh out path: zero batches fire
+    assert main(base + [f"data.out={tmp_path / 'incidents_b'}"]) == 0
+    rep = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert (int(rep["incidents"]), int(rep["open"])) == (0, 0)

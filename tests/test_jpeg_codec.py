@@ -161,3 +161,18 @@ def test_pillow_cross_check():  # pragma: no cover - env-dependent
     theirs = list(img.tobytes())
     err = [abs(a - b) for a, b in zip(ours, theirs)]
     assert statistics.mean(err) < 3.0
+
+
+def test_two_component_frame_is_typed_error():
+    """2-component frames must raise the typed JpegError, not an
+    IndexError from the YCbCr path indexing comps[1]/comps[2] (advisor
+    finding, round 9) — direct users of decode_jpeg rely on the
+    typed-error contract (kernel callers forgive only JpegError)."""
+    from qualityassurancetool_spark.functions.jpeg import _decode_scan
+
+    comps = [
+        {"id": 1, "h": 1, "v": 1, "tq": 0},
+        {"id": 2, "h": 1, "v": 1, "tq": 0},
+    ]
+    with pytest.raises(JpegError, match="component count"):
+        _decode_scan(b"", 0, (8, 8, comps), [], {}, {}, 0)

@@ -397,3 +397,38 @@ def test_ivfadc_index_centroid_lookup_is_id_keyed(emb):
         for r in ivfadc_index(emb, shuffled, books).collect()
     }
     assert got == want
+
+
+def test_ivfadc_overwrite_clears_stale_append_slices(emb, tmp_path):
+    """A refit rewrite (ivfadc_write mode=overwrite) must also drop the
+    ``_appends`` slice root: slices are encoded with the OLD
+    centroids/codebooks, and unioning them under a fresh fit yields
+    wrong ADC distances and duplicate ids (advisor finding, round 9)."""
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_append,
+        ivfadc_fit,
+        ivfadc_index,
+        ivfadc_read,
+        ivfadc_write,
+    )
+
+    base = emb.where(F.col("vec_id") % 5 != 2)
+    delta = emb.where(F.col("vec_id") % 5 == 2)
+    cents, books = ivfadc_fit(base, n_lists=4, m=M, k=K, max_iter=2)
+    path = str(tmp_path / "ivf_refit")
+    ivfadc_write(ivfadc_index(base, cents, books), path)
+    ivfadc_append(delta, path, cents, books, append_id="2026-08-15")
+    assert ivfadc_read(emb.sparkSession, path).count() == emb.count()
+
+    # the scheduled refit: new fit over everything, full rewrite
+    cents2, books2 = ivfadc_fit(emb, n_lists=4, m=M, k=K, max_iter=2)
+    ivfadc_write(ivfadc_index(emb, cents2, books2), path, mode="overwrite")
+    disk = ivfadc_read(emb.sparkSession, path)
+    # no duplicate ids from a stale slice, codes match the fresh fit
+    assert disk.count() == emb.count()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["vec_id"], r["cluster_id"], tuple(r["pq_code"])) for r in rows
+    )
+    assert key(disk.collect()) == key(
+        ivfadc_index(emb, cents2, books2).collect()
+    )

@@ -282,6 +282,41 @@ def test_upsert_sweep_drops_stale_row_under_moved_date(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
 
 
+def test_upsert_sweep_deletes_emptied_day_partition(spark, tmp_path):
+    """When EVERY row of a swept old day belongs to moved batch ids,
+    the staged frame holds no rows for that day, so dynamic overwrite
+    never touches the partition — the stale rows would survive (advisor
+    finding, round 9).  The sink must delete the emptied partition."""
+    from qualityassurancetool_spark.sources.sinks import upsert_flags_table
+
+    day1 = dt.datetime(2023, 1, 1, 23, 59)
+    day2 = dt.datetime(2023, 1, 2, 0, 1)
+    first = spark.createDataFrame(
+        [(1, 1, day1), (2, 1, day1)],
+        "iot_id long, qc_flag tinyint, phenomenon_time timestamp",
+    )
+    path = str(tmp_path / "flags")
+    upsert_flags_table(first, path)
+
+    # BOTH of day 1's ids get corrected across midnight: day 1 ends up
+    # with zero surviving rows
+    moved = spark.createDataFrame(
+        [(1, 4, day2), (2, 4, day2)],
+        "iot_id long, qc_flag tinyint, phenomenon_time timestamp",
+    )
+    upsert_flags_table(moved, path, sweep_moved_ids=True)
+
+    rows = spark.read.parquet(path).collect()
+    got = {(r["iot_id"], str(r["flag_date"])): r["qc_flag"] for r in rows}
+    assert got == {(1, "2023-01-02"): 4, (2, "2023-01-02"): 4}
+    import os
+
+    assert not os.path.exists(os.path.join(path, "flag_date=2023-01-01"))
+    # idempotent: the re-run sweeps an already-deleted day harmlessly
+    upsert_flags_table(moved, path, sweep_moved_ids=True)
+    assert spark.read.parquet(path).count() == 2
+
+
 def test_sensorthings_datasource_pages_as_partitions(spark, tmp_path):
     """S1 as a custom DataSource: each landed response page is one input
     partition (pagination ≡ partitioned reads), flattened to the long
