@@ -371,10 +371,18 @@ def cmd_dedup(args, overrides: list[str]) -> int:
                 work = knobs.get("work_dir") or (
                     data_c["out"].rstrip("/") + "_work"
                 )
+                # store_shingles=false drops the _sh arrays from the
+                # persisted state (~10x smaller artifact; verify
+                # recomputes from text) — but such a work dir cannot
+                # seed incremental admission (state= mode)
                 out = minhash_dedup_batched(
                     docs,
                     work,
                     band_batches=int(bb) if bb is not None else None,
+                    store_shingles=str(
+                        knobs.get("store_shingles", True)
+                    ).lower()
+                    not in ("false", "0", "no"),
                     **kw,
                 )
             else:

@@ -339,6 +339,7 @@ def minhash_dedup_batched(
     threshold: float = 0.7,
     hash_mode: str = "fast",
     band_batches: int | None = None,
+    store_shingles: bool = True,
 ) -> DataFrame:
     """:func:`minhash_dedup` with BOUNDED peak state — the sharded
     discipline for corpora too large for one pass's shuffle footprint
@@ -376,6 +377,21 @@ def minhash_dedup_batched(
     arbitrarily large corpus (measured at 30 M docs in
     ``docs/SCALE.md``).  The slice hash is schedule-internal (never in
     the output), so it stays engine-native in both hash modes.
+
+    ``store_shingles=False`` drops the per-shingle hash arrays from the
+    persisted sig parquet (they are ~90 % of its bytes — the artifact
+    shrinks ~10×, measured in ``docs/SCALE.md``) and instead recomputes
+    shingles FROM THE SOURCE TEXT inside the verify step, for candidate
+    ids only (a map-only re-scan of the corpus; the join exchanges
+    still carry only candidate rows).  Output is bit-identical
+    (parity-tested): `_shingle_frame` is the same arithmetic either
+    way.  The trade: one extra corpus text scan per dedup run, in
+    exchange for a signature artifact that scales as
+    ``docs × num_hashes`` longs regardless of document length — the
+    right default when the artifact is long-lived or disk-bound.
+    A shingle-less work dir cannot serve :func:`minhash_admit` (its
+    state side has no text to recompute from) — the state meta records
+    the mode and admission refuses it loudly.
     """
     import os as _os
 
@@ -398,11 +414,15 @@ def minhash_dedup_batched(
     # monolithic form's id-repartition exists only to make its
     # explode+groupBy shuffle-free), so the text never crosses an
     # exchange at all — the corpus streams scan->compute->write.
-    _signature_frame(
+    sig_frame = _signature_frame(
         df, text_col, id_col, num_hashes, shingle_k, hash_mode
-    ).write.mode("overwrite").parquet(sig_path)
+    )
+    if not store_shingles:
+        sig_frame = sig_frame.drop("_sh")
+    sig_frame.write.mode("overwrite").parquet(sig_path)
     _write_state_meta(
-        spark, work_dir, num_hashes, bands, shingle_k, hash_mode
+        spark, work_dir, num_hashes, bands, shingle_k, hash_mode,
+        store_shingles=store_shingles,
     )
 
     rows_per_band = num_hashes // bands
@@ -478,14 +498,19 @@ def minhash_dedup_batched(
         .unionByName(cand.select(F.col("id_b").alias("_vid")))
         .distinct()
     )
-    sh_df = (
-        spark.read.parquet(sig_path)
-        .select("_jid", "_sh")
-        .join(
-            _gated_broadcast(cand_ids, 2 * n_pairs_max),
-            F.col("_jid") == F.col("_vid"),
-            "left_semi",
-        )
+    sh_src = (
+        spark.read.parquet(sig_path).select("_jid", "_sh")
+        if store_shingles
+        # recompute from text for candidate rows only: the semi-join
+        # filter applies map-side against the broadcast id set, so the
+        # re-scan is exchange-free and only candidate shingle arrays
+        # ever materialize past it
+        else _shingle_frame(df, text_col, id_col, shingle_k, hash_mode)
+    )
+    sh_df = sh_src.join(
+        _gated_broadcast(cand_ids, 2 * n_pairs_max),
+        F.col("_jid") == F.col("_vid"),
+        "left_semi",
     )
     out = (
         cand.join(
@@ -595,13 +620,15 @@ def band_entry_rows(
 
 def _write_state_meta(
     spark, work_dir: str, num_hashes: int, bands: int, shingle_k: int,
-    hash_mode: str,
+    hash_mode: str, store_shingles: bool = True,
 ) -> None:
     """Record the knobs BAKED into a stored signature state (threshold
     is query-time and deliberately excluded).  Admission validates
     against this: signatures built with different hashing knobs are
     silently incomparable — mismatched admission would return plausible
-    but WRONG pairs with no error."""
+    but WRONG pairs with no error.  ``store_shingles`` records whether
+    the sig parquet carries the ``_sh`` arrays admission's verify step
+    needs."""
     import json as _json
     import posixpath as _pp
 
@@ -616,6 +643,7 @@ def _write_state_meta(
                 "bands": bands,
                 "shingle_k": shingle_k,
                 "hash_mode": hash_mode,
+                "store_shingles": store_shingles,
             }
         ),
     )
@@ -641,6 +669,14 @@ def _check_state_meta(
         # pre-metadata state: caller keeps the same-knobs contract
         return False
     stored = _json.loads(read_text(spark, meta_path))
+    if not stored.get("store_shingles", True):
+        raise ValueError(
+            f"minhash state {state_dir!r} was built with "
+            "store_shingles=False: its sig parquet has no _sh arrays, "
+            "so admission cannot verify candidates against it.  "
+            "Rebuild the state with store_shingles=True (the default) "
+            "to use it for incremental admission."
+        )
     mine = {
         "num_hashes": num_hashes,
         "bands": bands,

@@ -474,6 +474,60 @@ def test_minhash_batched_null_text_parity(spark, tmp_path):
     assert got == mono == {(0, 1)}
 
 
+def test_minhash_batched_slim_storage_parity(spark, tmp_path):
+    """store_shingles=False (round-10): the sig parquet drops the _sh
+    arrays (~90 % of its bytes) and verify recomputes shingles from the
+    SOURCE text for candidate ids only — output must stay bit-identical
+    to the full-storage batched form AND the monolithic form, including
+    the null-text pairing convention.  Admission must refuse the
+    shingle-less state loudly (its state side has no text)."""
+    import os
+
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_admit,
+        minhash_dedup,
+        minhash_dedup_batched,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(300)
+    nulls = spark.createDataFrame(
+        [(900001, None), (900002, None)], "doc_id long, text string"
+    )
+    docs = docs.select("doc_id", "text").unionByName(nulls)
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+    key = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+    }
+    mono = key(minhash_dedup(docs, **kw))
+    slim_dir = tmp_path / "mh_slim"
+    slim = key(
+        minhash_dedup_batched(
+            docs, str(slim_dir), band_batches=16,
+            store_shingles=False, **kw,
+        )
+    )
+    assert slim == mono and len(mono) > 0
+
+    # the artifact actually shrank: no _sh column in the sig parquet
+    import pyarrow.parquet as pq
+
+    sig_dir = slim_dir / "sig"
+    part = next(
+        f for f in os.listdir(sig_dir) if f.endswith(".parquet")
+    )
+    names = pq.read_schema(str(sig_dir / part)).names
+    assert "_sh" not in names and "sig_0" in names
+
+    # a shingle-less work dir cannot seed admission
+    delta = spark.createDataFrame(
+        [(900100, "fresh text")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="store_shingles=False"):
+        minhash_admit(delta, str(slim_dir), **kw)
+
+
 def test_minhash_batched_validation(spark, tmp_path):
     from qualityassurancetool_spark.operators.dedup import (
         minhash_dedup_batched,

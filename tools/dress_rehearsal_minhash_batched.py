@@ -68,7 +68,11 @@ def run(spark, n_docs: int) -> None:
     # QAT_MINHASH_VARIANTS selects runs: "mono,batched:2,batched:4"
     # (default).  "batched:16" exercises the round-9 sub-band
     # hash-sliced passes (band_batches > bands) without paying the
-    # known-OOM monolithic run at 30 M docs.
+    # known-OOM monolithic run at 30 M docs.  "batched:16:slim" runs
+    # the round-10 store_shingles=False storage mode (sig parquet
+    # holds only the 16 signature longs; verify recomputes shingles
+    # from text) — the disk-bound path that makes the 100 M-doc row
+    # measurable in this container.
     spec = os.environ.get("QAT_MINHASH_VARIANTS", "mono,batched:2,batched:4")
     for variant in spec.split(","):
         variant = variant.strip()
@@ -80,17 +84,35 @@ def run(spark, n_docs: int) -> None:
                 ).count(),
             )
         else:
-            nb = int(variant.split(":", 1)[1])
+            parts = variant.split(":")
+            nb = int(parts[1])
+            slim = len(parts) > 2 and parts[2] == "slim"
+            work = os.path.join(
+                ROOT, f"mhb_{n_docs}_{nb}" + ("_slim" if slim else "")
+            )
             meter(
-                f"minhash batched B={nb}",
-                lambda nb=nb: minhash_dedup_batched(
+                f"minhash batched B={nb}" + (" slim" if slim else ""),
+                lambda nb=nb, slim=slim, work=work: minhash_dedup_batched(
                     docs,
-                    os.path.join(ROOT, f"mhb_{n_docs}_{nb}"),
+                    work,
                     threshold=0.7,
                     hash_mode="fast",
                     band_batches=nb,
+                    store_shingles=not slim,
                 ).count(),
             )
+            sig = os.path.join(work, "sig")
+            if os.path.isdir(sig):
+                nbytes = sum(
+                    os.path.getsize(os.path.join(sig, f))
+                    for f in os.listdir(sig)
+                    if f.endswith(".parquet")
+                )
+                print(
+                    f"  sig parquet: {nbytes/1e9:.2f} GB "
+                    f"({'slim' if slim else 'full'})",
+                    flush=True,
+                )
 
 
 def main() -> None:
