@@ -1663,6 +1663,166 @@ ORDER BY id_a, id_b
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (operators/dedup.simhash_near_dup_pairs,
+    round-10 gate promotion): 32-bit fingerprints banded into 4×8-bit
+    slices, candidates from the band equi-join, exact Hamming popcount
+    verify — pigeonhole-exact at max_hamming=3 < bands.  The shuffle
+    moves one long per (doc, band), never text: the LSH discipline with
+    an 8-byte signature.  Reference anchor: Manku et al. (WWW 2007)."""
+    from qualityassurancetool_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    # deterministic 10% slice: a 32-bit fingerprint over this synthetic
+    # corpus accrues birthday collisions, so full-corpus pair volume
+    # grows ~quadratically with SF (574 k rows at sf0.1) — the slice
+    # keeps the gate comparison value-dense while bench's sf1 pass
+    # stays pair-bounded.  The operator itself is linear-shuffle.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 3
+    )
+    out = simhash_near_dup_pairs(
+        docs, bits=32, bands=4, max_hamming=3
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+def _sql_simhash_pairs() -> str:
+    hash_list = (
+        "list_transform(list_distinct(string_split(" + _NORM_SQL + ", ' ')), "
+        "t -> CAST(concat('0x', substring(md5(concat('sh:', t)), 1, 15)) "
+        "AS BIGINT))"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN len(list_filter(h, x -> (x >> {b}) & 1 = 1)) * 2 "
+        f"> len(h) THEN {2 ** b} ELSE 0 END)"
+        for b in range(32)
+    )
+    bands = " OR ".join(
+        f"((a.fp >> {8 * b}) & 255) = ((b.fp >> {8 * b}) & 255)"
+        for b in range(4)
+    )
+    return f"""
+WITH fp AS (
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS fp
+    FROM (SELECT doc_id, {hash_list} AS h FROM documents
+          WHERE doc_id % 10 = 3)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id AND ({bands})
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
+# isotonic gate knobs: deterministic noisy-monotone labels over orders
+# (integer-hash threshold in the score), 20 bins.  The 0/1 labels make
+# every PAV block mean an exact integer/integer ratio, and pav_sums'
+# cross-multiplied pooling makes the fit bit-identical to the SQL
+# oracle's closed-form minimax expression max_{j<=i} min_{k>=i}
+# (sum pos / sum n over populated bins j..k) — no rounding anywhere.
+_ISO_BINS = 20
+_ISO_MIX = 2654435761  # Knuth multiplicative-hash constant (public)
+
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration graded end-to-end in the gate (round-10
+    promotion): deterministic labels -> binned PAV fit
+    (operators/calibration.isotonic_fit, exact-sum pooling) -> pure-
+    Column isotonic_apply over a sampled scoring set.  The fit is ONE
+    bounded collect (20 bins); apply is literal-array lookup inside
+    whole-stage codegen."""
+    from qualityassurancetool_spark.operators.calibration import (
+        isotonic_apply,
+        isotonic_fit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (
+            (F.col("o_totalprice").cast("double") % F.lit(1000.0))
+            / F.lit(1000.0)
+        ).alias("s"),
+    ).withColumn(
+        "y",
+        F.when(
+            (F.col("k") * F.lit(_ISO_MIX)) % 97
+            < F.lit(10.0) + F.lit(80.0) * F.col("s"),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    model = isotonic_fit(scored, "s", "y", n_bins=_ISO_BINS)
+    return (
+        scored.where(F.col("k") % 7 == 0)
+        .select("k", "s", isotonic_apply(model, F.col("s")).alias("p"))
+        .orderBy("k")
+    )
+
+
+SQL_ISOTONIC = f"""
+WITH lab AS (
+    SELECT o_orderkey AS k,
+           (CAST(o_totalprice AS DOUBLE) % 1000.0) / 1000.0 AS s,
+           CASE WHEN (o_orderkey * {_ISO_MIX}) % 97
+                     < 10.0 + 80.0 * ((CAST(o_totalprice AS DOUBLE)
+                                       % 1000.0) / 1000.0)
+                THEN 1.0 ELSE 0.0 END AS y
+    FROM orders
+), bounds AS (
+    SELECT min(s) AS lo, max(s) AS hi,
+           CASE WHEN max(s) - min(s) = 0 THEN 1.0
+                ELSE max(s) - min(s) END AS span
+    FROM lab
+), binned AS (  -- populated bins only, exact integer pos/n
+    SELECT least(CAST(floor((s - lo) / span * {_ISO_BINS}) AS INT),
+                 {_ISO_BINS - 1}) AS bin,
+           SUM(y) AS pos, COUNT(*) AS n
+    FROM lab, bounds GROUP BY 1
+), pre AS (
+    SELECT bin, pos, n,
+           SUM(pos) OVER (ORDER BY bin) AS cp,
+           SUM(n) OVER (ORDER BY bin) AS cn
+    FROM binned
+), seg AS (  -- mean over populated-bin range [jb..kb]: one division
+    SELECT j.bin AS jb, k.bin AS kb,
+           (k.cp - j.cp + j.pos) / CAST(k.cn - j.cn + j.n AS DOUBLE)
+               AS mean
+    FROM pre j JOIN pre k ON j.bin <= k.bin
+), fit AS (  -- minimax closed form == PAV (exact-sum pooling)
+    SELECT i.bin, MAX(mn.mn) AS rate
+    FROM pre i JOIN (
+        SELECT s.jb, p.bin AS ib, MIN(s.mean) AS mn
+        FROM seg s JOIN pre p ON s.jb <= p.bin AND s.kb >= p.bin
+        GROUP BY s.jb, p.bin
+    ) mn ON mn.ib = i.bin AND mn.jb <= i.bin
+    GROUP BY i.bin
+), grid AS (SELECT unnest(range({_ISO_BINS})) AS bin
+), rates AS (  -- empty bins inherit left; leading empties take first
+    SELECT g.bin,
+           coalesce(
+               (SELECT f.rate FROM fit f WHERE f.bin <= g.bin
+                ORDER BY f.bin DESC LIMIT 1),
+               (SELECT f.rate FROM fit f ORDER BY f.bin ASC LIMIT 1)
+           ) AS rate
+    FROM grid g
+)
+SELECT k, s,
+       (SELECT r.rate FROM rates r WHERE r.bin =
+           greatest(0, least(CAST(floor((l.s - bounds.lo) / bounds.span
+                                        * {_ISO_BINS}) AS INT),
+                             {_ISO_BINS - 1}))) AS p
+FROM lab l, bounds
+WHERE k % 7 = 0
+ORDER BY k
+"""
+
+
 # verified near-dup pairs are the shared upstream of TWO declared queries
 # (dedup_minhash_lsh reports them, dedup_clusters runs components over
 # them) — computed once per (session, sf_dir) and persisted so the
@@ -4678,7 +4838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal": q_seasonal,
         "psi": q_psi,
         "experiment": q_experiment,
-        "topk_orders_per_segment": q_topk_orders_per_segment,
+        # round-10 gate swap: topk_orders_per_segment and
+        # qc_region_lookup retired to x_* (generic shapes covered
+        # inside other chains); simhash_pairs + isotonic promoted
         "episodes": q_episodes,
         "shipping_priority": q_shipping_priority,
         "hll_distinct": q_hll_distinct,
@@ -4693,7 +4855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "ann_ivfadc": q_ann_ivfadc,
         "qc_region_flags": q_qc_region_flags,
-        "qc_region_lookup": q_qc_region_lookup,
+        "simhash_pairs": q_simhash_pairs,
+        "isotonic": q_isotonic,
         "qc_depth_flags": q_qc_depth_flags,
         "cohort": q_cohort,
         "linreg": q_linreg,
@@ -4733,7 +4896,6 @@ def oracle_sql() -> dict[str, str]:
         "seasonal": SQL_SEASONAL,
         "psi": SQL_PSI,
         "experiment": SQL_EXPERIMENT,
-        "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
         "episodes": SQL_EPISODES,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "hll_distinct": SQL_HLL_DISTINCT,
@@ -4748,7 +4910,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk": _sql_sim_topk(),
         "ann_ivfadc": SQL_ANN_IVFADC,
         "qc_region_flags": SQL_QC_REGION_FLAGS,
-        "qc_region_lookup": SQL_QC_REGION_LOOKUP,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
+        "isotonic": SQL_ISOTONIC,
         "qc_depth_flags": SQL_QC_DEPTH_FLAGS,
         "cohort": SQL_COHORT,
         "linreg": SQL_LINREG,

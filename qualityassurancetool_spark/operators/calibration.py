@@ -49,6 +49,38 @@ def pav(values: list[float], weights: list[float]) -> list[float]:
     return out
 
 
+def pav_sums(sums: list[float], weights: list[float]) -> list[float]:
+    """:func:`pav` pooling (SUM, WEIGHT) pairs instead of (mean,
+    weight): a pooled block's mean is ONE division of the exact
+    accumulated sums — with integer-valued inputs (0/1 label sums and
+    bin counts) every fitted value is bit-identical to the closed-form
+    minimax expression ``max_{j<=i} min_{k>=i} (Σpos/Σn over j..k)``,
+    which is what lets an independent SQL engine replay the fit exactly
+    (the declared ``isotonic`` gate query).  The mean-combining form
+    ``(m1*w1+m2*w2)/tot`` drifts ULPs from that per pooling step."""
+    if len(sums) != len(weights):
+        raise ValueError("sums/weights length mismatch")
+    stack: list[list[float]] = []  # [sum, weight, count of source bins]
+    for s, w in zip(sums, weights):
+        stack.append([float(s), float(w), 1])
+        # violator test by CROSS-MULTIPLICATION (s1/w1 >= s2/w2 <=>
+        # s1*w2 >= s2*w1 for positive weights): exact in doubles while
+        # the products stay under 2^53 — no division rounding can flip
+        # a pooling decision.  The final mean is then ONE correctly-
+        # rounded division, so fl monotonicity carries the PAV==minimax
+        # identity into floating point verbatim.
+        while len(stack) > 1 and (
+            stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+        ):
+            s2, w2, c2 = stack.pop()
+            s1, w1, c1 = stack.pop()
+            stack.append([s1 + s2, w1 + w2, c1 + c2])
+    out: list[float] = []
+    for s, w, c in stack:
+        out.extend([s / w if w else 0.0] * c)
+    return out
+
+
 def isotonic_fit(
     df: DataFrame,
     score_col: str,
@@ -88,8 +120,11 @@ def isotonic_fit(
     by_bin = {int(b["bin"]): (float(b["pos"]), int(b["n"])) for b in binned}
     filled = [by_bin.get(i, (0.0, 0)) for i in range(n_bins)]
     populated = [i for i, (_p, n) in enumerate(filled) if n > 0]
-    fit_vals = pav(
-        [filled[i][0] / filled[i][1] for i in populated],
+    # exact-sum pooling: fitted rates are single integer/integer
+    # divisions, bit-identical to the minimax closed form the declared
+    # `isotonic` gate query's SQL oracle computes
+    fit_vals = pav_sums(
+        [filled[i][0] for i in populated],
         [float(filled[i][1]) for i in populated],
     )
     rates = [0.0] * n_bins

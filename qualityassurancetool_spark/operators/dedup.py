@@ -1077,6 +1077,89 @@ def hamming_distance(a: Column, b: Column, bits: int = 32) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs at corpus scale: band the ``bits``-bit
+    fingerprint into ``bands`` contiguous slices, equi-join on (band_id,
+    band_value) to generate candidates, verify with the exact Hamming
+    popcount.  ``max_hamming < bands`` makes the banding EXACT by
+    pigeonhole (≤ ``max_hamming`` differing bits cannot touch every
+    band, so true pairs always share at least one band) — the same
+    guarantee the media phash pipeline uses
+    (``operators/multimodal.py``).  Never all-pairs: the self-join key
+    is the band value, so a shuffle moves fingerprints (one long per
+    doc per band), not text — the MinHash-LSH shuffle discipline with
+    an 8-byte signature.  Docs with no tokens fingerprint to 0 and pair
+    with each other (the minhash null-text convention); drop them
+    upstream if unwanted.
+
+    Reference anchor: SimHash near-dup detection per Charikar (2002) /
+    Manku et al. (WWW 2007)'s banded exact-search scheme."""
+    if bits % bands:
+        raise ValueError(f"bands {bands} must divide bits {bits}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} must be < bands {bands} — the "
+            "pigeonhole recall guarantee needs more bands than allowed "
+            "differing bits"
+        )
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
+    )
+
+    width = bits // bands
+    mask = (1 << width) - 1
+    staged = compute_behind_barrier(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        {"_th": simhash_token_hashes(F.col(text_col))},
+    )
+    sh = staged.select(
+        "_id", simhash_from_token_hashes(F.col("_th"), bits).alias("_fp")
+    )
+    entries = sh.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("_fp"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_fp", "band.band_id", "band.band_val")
+    a = entries.alias("a")
+    b_ = entries.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a._fp").bitwiseXOR(F.col("b._fp"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------- ngram jaccard
 
 def ngram_jaccard_pairs(

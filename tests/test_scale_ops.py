@@ -856,3 +856,44 @@ def test_minhash_admit_frame_lifetime_and_scratch_cleanup(spark, tmp_path):
         r3.collect()
     live = sorted(os.listdir(droot))
     assert live == ["v=1", "v=1_cand"]  # exactly one live version
+
+
+def test_simhash_near_dup_pairs_banding_exact(spark, docs):
+    """Banded simhash pairs == brute-force hamming<=k pairs (pigeonhole:
+    max_hamming < bands makes the banding lossless), and the validation
+    guards reject band/bit mismatches."""
+    from qualityassurancetool_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    sub = docs.limit(250)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(
+            sub, bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    fp = sub.select(
+        "doc_id", simhash(F.col("text"), 32).alias("fp")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute and len(brute) > 0
+
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(sub, bits=32, bands=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(sub, bits=32, bands=4, max_hamming=4)

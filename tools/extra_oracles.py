@@ -4359,6 +4359,10 @@ SELECT * FROM hist UNION ALL SELECT * FROM cutrows
 # round-5 third swap: funnel/cohort promoted into the driver gate,
 # retiring the 2-row flag histogram and the unique-value assertion
 # (both stay covered here and inside the qc chains / pytest)
+# round-10 swap (VERDICT r9 item 2): simhash_pairs + isotonic promoted
+# into the driver gate; the two thin retired rows stay covered here
+x_qc_region_lookup = _retired("qc_region_lookup")
+x_topk_orders_per_segment = _retired("topk_orders_per_segment")
 x_qc_flag_histogram = _retired("qc_flag_histogram")
 x_unique_value_assert = _retired("unique_value_assert")
 x_funnel = _retired("funnel")
@@ -4571,6 +4575,8 @@ EXTRA_CHECKS = {
     "x_kmv_compare": x_kmv_compare,
     "x_funnel": x_funnel,
     "x_cohort": x_cohort,
+    "x_qc_region_lookup": x_qc_region_lookup,
+    "x_topk_orders_per_segment": x_topk_orders_per_segment,
     "x_kcore": x_kcore,
     "x_cooccurrence": x_cooccurrence,
     "x_transitions": x_transitions,
