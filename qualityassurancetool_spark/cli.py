@@ -1304,8 +1304,18 @@ def cmd_monitor(args, overrides: list[str]) -> int:
     ):
         raise ConfigError("missing required settings: data.input, data.out")
     chart = str(knobs.get("chart", "cusum"))
-    if chart not in ("cusum", "ewma"):
-        raise ConfigError(f"unknown monitor chart {chart!r} (cusum|ewma)")
+    if chart not in ("cusum", "ewma", "seasonal"):
+        raise ConfigError(
+            f"unknown monitor chart {chart!r} (cusum|ewma|seasonal)"
+        )
+    if chart == "seasonal" and not (
+        knobs.get("history") or knobs.get("profile")
+    ):
+        raise ConfigError(
+            "monitor chart=seasonal needs history=<parquet of past "
+            "rows to fit the phase profile on> or profile=<stored "
+            "seasonal_profile parquet>"
+        )
     unit = knobs.get("ts_unit")
     if unit is not None and str(unit) not in ("ns", "us", "ms", "s"):
         # validate BEFORE the session: config errors must never cost
@@ -1376,6 +1386,56 @@ def cmd_monitor(args, overrides: list[str]) -> int:
                 sigma=float(knobs["sigma"]),
                 slack=float(knobs.get("slack", 0.5)),
                 threshold=float(knobs.get("threshold", 5.0)),
+                **common,
+            )
+        elif chart == "seasonal":
+            from qualityassurancetool_spark.operators.seasonal import (
+                seasonal_profile,
+            )
+            from qualityassurancetool_spark.streaming.incident_chain import (
+                streaming_seasonal_episodes,
+            )
+
+            period = str(knobs.get("period", "hour_of_day"))
+            if knobs.get("profile"):
+                baseline = spark.read.parquet(str(knobs["profile"]))
+            else:
+                from pyspark.sql import functions as F
+                from pyspark.sql import types as T
+
+                hist = spark.read.parquet(str(knobs["history"]))
+                # the same ts_unit self-heal the stream side gets: the
+                # history table carries the same integer epoch column
+                if unit is not None and isinstance(
+                    dict(
+                        (f.name, f.dataType) for f in hist.schema.fields
+                    ).get(ts_col),
+                    T.LongType,
+                ):
+                    hist = hist.withColumn(
+                        ts_col,
+                        {
+                            "ns": F.timestamp_micros(
+                                F.expr(f"{ts_col} div 1000")
+                            ),
+                            "us": F.timestamp_micros(F.col(ts_col)),
+                            "ms": F.timestamp_millis(F.col(ts_col)),
+                            "s": F.timestamp_seconds(F.col(ts_col)),
+                        }[str(unit)],
+                    )
+                baseline = seasonal_profile(
+                    hist,
+                    common["value_col"],
+                    common["order_col"],
+                    [common["group_col"]],
+                    period=period,
+                )
+            incidents = streaming_seasonal_episodes(
+                stream,
+                baseline,
+                period=period,
+                nsigma=float(knobs.get("nsigma", 3.0)),
+                min_samples=int(knobs.get("min_samples", 5)),
                 **common,
             )
         else:

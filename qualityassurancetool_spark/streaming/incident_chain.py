@@ -42,6 +42,7 @@ from qualityassurancetool_spark.streaming.control import _order_micros
 from qualityassurancetool_spark.streaming.episodes import (
     EPISODE_EMPTY_STATE,
     EPISODE_OUTPUT_SCHEMA,
+    EPISODE_STATE_SCHEMA,
     EpisodeFold,
 )
 
@@ -244,6 +245,130 @@ def streaming_ewma_episodes(
         update,
         outputStructType=EPISODE_OUTPUT_SCHEMA,
         stateStructType=EWMA_CHAIN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_seasonal_episodes(
+    stream: DataFrame,
+    baseline: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    period: str = "hour_of_day",
+    nsigma: float = 3.0,
+    min_samples: int = 5,
+    rel_eps: float = 1e-9,
+    max_gap: str | float = "1h",
+    min_rows: int = 1,
+) -> DataFrame:
+    """Seasonal-profile chart + incident collapse in one stateful pass —
+    the production diurnal-cycle monitor (VERDICT r9 item 3; the
+    reference's cron QC loop applied to learned seasonal baselines).
+
+    ``baseline`` is a :func:`..operators.seasonal.seasonal_profile`
+    frame FIT ON HISTORY (grouped by exactly ``[group_col]``): at most
+    groups × 168 sufficient-statistic rows — driver-scale metadata,
+    collected once and shipped into the operator closure like the ANN
+    centroids, NOT per-stream state.  The chart itself is therefore
+    stateless (score = where the point sits vs its phase cell); only
+    the episode tuple lives in the state store, so state stays O(streams)
+    like the other chains.
+
+    The phase cell is computed with the SAME Spark expression the batch
+    operator uses (``operators/seasonal._cell``, session-timezone
+    semantics included) BEFORE the stateful exchange — the Python fold
+    never re-derives calendar fields from epoch micros, so batch parity
+    is arithmetic-exact.  Scoring replicates ``seasonal_zscore``'s
+    column math verbatim: ``mu = s1/n``, sample variance floored at 0,
+    scale-relative epsilon, ``n >= min_samples`` gate.  Flagged rows
+    feed the episode fold with ``abs(seasonal_dev)``.
+
+    Batch parity (pinned in ``tests/test_incident_chain.py``): equals
+    ``seasonal_zscore(batch, baseline=profile)`` →
+    ``flag_episodes(seasonal_flag, value = abs(seasonal_dev))`` over
+    the same prefix."""
+    if nsigma <= 0:
+        raise ValueError(f"nsigma must be > 0, got {nsigma}")
+    if min_samples < 2:
+        raise ValueError(f"min_samples must be >= 2, got {min_samples}")
+    gap_s = parse_timedelta_seconds(max_gap)
+    if gap_s <= 0:
+        raise ValueError(f"max_gap must be > 0, got {max_gap!r}")
+    if min_rows < 1:
+        raise ValueError(f"min_rows must be >= 1, got {min_rows}")
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from qualityassurancetool_spark.operators.seasonal import _cell
+
+    missing = {group_col, "cell", "n", "sum_x", "sum_x2"} - set(
+        baseline.columns
+    )
+    if missing:
+        raise ValueError(
+            f"baseline must be a seasonal_profile frame grouped by "
+            f"[{group_col!r}]; missing columns {sorted(missing)}"
+        )
+    # bounded collect: groups × <=168 cells of (n, sum_x, sum_x2)
+    prof = {
+        (
+            None if r[group_col] is None else str(r[group_col]),
+            int(r["cell"]),
+        ): (int(r["n"]), float(r["sum_x"]), float(r["sum_x2"]))
+        for r in baseline.collect()
+    }
+    gap_us = int(round(float(gap_s) * 1_000_000))
+    need = int(min_rows)
+    ns, eps_rel, min_n = float(nsigma), float(rel_eps), int(min_samples)
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ep_state = state.get if state.exists else EPISODE_EMPTY_STATE
+        fold = EpisodeFold(key[0], ep_state, gap_us, need)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values("t", kind="mergesort")
+            for t, v, cell in zip(pdf["t"], pdf["value"], pdf["cell"]):
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue
+                if cell is None or (
+                    isinstance(cell, float) and math.isnan(cell)
+                ):
+                    continue
+                st = prof.get((key[0], int(cell)))
+                if st is None:
+                    continue
+                n, s1, s2 = st
+                if n < min_n or n < 2:
+                    continue
+                x = float(v)
+                mu = s1 / n
+                var = max((s2 - s1 * s1 / n) / (n - 1), 0.0)
+                sigma = math.sqrt(var)
+                dev = x - mu
+                eps = eps_rel * max(abs(x), abs(mu))
+                if abs(dev) > ns * sigma + eps:
+                    fold.push(int(t), abs(dev))
+        out = fold.finish()
+        if out:
+            yield pd.DataFrame(out)
+        state.update(fold.state)
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("stream"),
+        _order_micros(stream, order_col).alias("t"),
+        F.col(value_col).cast("double").alias("value"),
+        _cell(order_col, period).alias("cell"),
+    )
+    return keyed.groupBy("stream").applyInPandasWithState(
+        update,
+        outputStructType=EPISODE_OUTPUT_SCHEMA,
+        stateStructType=EPISODE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

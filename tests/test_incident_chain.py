@@ -345,3 +345,153 @@ def test_monitor_cli_zero_microbatch_reports_zero(spark, tmp_path, capsys):
         for line in capsys.readouterr().out.strip().splitlines()
     )
     assert (int(rep["incidents"]), int(rep["open"])) == (0, 0)
+
+
+def _seasonal_rows(day: int, planted: dict):
+    """One day of hourly readings for stream 'a': value = the cell's
+    baseline mean unless planted[hour] overrides it."""
+    return [
+        (
+            "a",
+            T0 + dt.timedelta(days=day, hours=h),
+            planted.get(h, 10.0 + 0.1 * h),
+        )
+        for h in range(24)
+    ]
+
+
+def test_seasonal_chain_parity_and_restart(spark, tmp_path):
+    """The seasonal variant of the fused chain (VERDICT r9 item 3): a
+    history-fit phase profile broadcast into the operator closure, the
+    same EpisodeFold, O(streams) state.  Final incidents equal the
+    batch seasonal_zscore(baseline=profile) -> flag_episodes chain with
+    value=abs(seasonal_dev), across a checkpoint restart that leaves an
+    incident open mid-kill."""
+    from qualityassurancetool_spark.operators.seasonal import (
+        seasonal_profile,
+        seasonal_zscore,
+    )
+    from qualityassurancetool_spark.streaming.incident_chain import (
+        streaming_seasonal_episodes,
+    )
+
+    # 14 days of history per hour cell, alternating +-0.5 jitter so
+    # every cell has a real sigma
+    hist_rows = [
+        (
+            "a",
+            T0 + dt.timedelta(days=d, hours=h),
+            10.0 + 0.1 * h + (0.5 if d % 2 else -0.5),
+        )
+        for d in range(14)
+        for h in range(24)
+    ]
+    hist = spark.createDataFrame(hist_rows, SCHEMA)
+    prof = seasonal_profile(hist, "v", "ts", ["g"], period="hour_of_day")
+
+    # day 15: hours 5-6 blow out their cells (episode 1, open at EOD);
+    # day 16: hours 10-11 (episode 2) — the 28h quiet gap closes ep 1
+    p1 = _seasonal_rows(15, {5: 60.0, 6: 60.0})
+    p2 = _seasonal_rows(16, {10: 60.0, 11: 60.0})
+
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "incidents")
+    kw = dict(period="hour_of_day", nsigma=3.0, min_samples=5)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(land)
+        q = start_incident_upsert(
+            streaming_seasonal_episodes(
+                stream, prof, "v", "ts", "g", max_gap="2h", **kw
+            ),
+            table,
+            ckpt + "_sink",
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    _write(spark, land, p1)
+    run()
+    mid = {
+        (r["stream"], r["episode"]): r
+        for r in spark.read.parquet(table).collect()
+    }
+    assert set(mid) == {("a", 1)} and mid[("a", 1)]["open"] is True
+
+    _write(spark, land, p2, mode="append")
+    run()
+    final = {
+        (r["stream"], r["episode"]): r
+        for r in spark.read.parquet(table).collect()
+    }
+
+    chart = seasonal_zscore(
+        spark.createDataFrame(p1 + p2, SCHEMA), "v", "ts", ["g"],
+        baseline=prof, **kw,
+    ).withColumn("mag", F.abs("seasonal_dev"))
+    eps = flag_episodes(
+        chart, "seasonal_flag", "ts", ["g"], value_col="mag",
+        max_gap="2h",
+    )
+    want = {
+        (r["g"], r["episode"]): r
+        for r in eps.withColumn("s_us", F.unix_micros("start"))
+        .withColumn("e_us", F.unix_micros("end"))
+        .collect()
+    }
+    assert set(final) == set(want) == {("a", 1), ("a", 2)}
+    assert final[("a", 1)]["open"] is False
+    assert final[("a", 2)]["open"] is True
+    for k, r in final.items():
+        w = want[k]
+        assert r["start_us"] == w["s_us"] and r["end_us"] == w["e_us"]
+        assert r["n_rows"] == w["n_rows"]
+        assert r["peak_value"] == w["peak_value"]
+
+    # a profile frame with the wrong shape fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="seasonal_profile"):
+        streaming_seasonal_episodes(
+            spark.readStream.schema(SCHEMA).parquet(land),
+            prof.drop("sum_x2"), "v", "ts", "g", **kw,
+        )
+
+
+def test_monitor_cli_seasonal_chart(spark, tmp_path, capsys):
+    """`monitor chart=seasonal history=<parquet>` fits the phase profile
+    on the history table and drives the fused chain; omitting both
+    history= and profile= is a pointed ConfigError."""
+    from qualityassurancetool_spark.cli import main
+
+    hist_rows = [
+        (
+            "a",
+            T0 + dt.timedelta(days=d, hours=h),
+            10.0 + 0.1 * h + (0.5 if d % 2 else -0.5),
+        )
+        for d in range(14)
+        for h in range(24)
+    ]
+    hist_path = str(tmp_path / "hist")
+    _write(spark, hist_path, hist_rows)
+    land = str(tmp_path / "land")
+    _write(spark, land, _seasonal_rows(15, {5: 60.0, 6: 60.0}))
+    table = str(tmp_path / "incidents")
+    assert main([
+        "monitor", "--keep-session", f"data.input={land}",
+        f"data.out={table}", "chart=seasonal", f"history={hist_path}",
+        "value=v", "ts=ts", "group=g", "max_gap=2h",
+    ]) == 0
+    rep = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert (int(rep["incidents"]), int(rep["open"])) == (1, 1)
+
+    assert main([
+        "monitor", f"data.input={land}", f"data.out={table}",
+        "chart=seasonal", "value=v", "ts=ts", "group=g",
+    ]) == 2
+    capsys.readouterr()
