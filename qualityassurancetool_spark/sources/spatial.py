@@ -176,22 +176,235 @@ def assign_region(
         for pdf in batches:
             lons = pdf[lon_col].to_numpy(dtype=np.float64)
             lats = pdf[lat_col].to_numpy(dtype=np.float64)
+            out = pdf.copy()
+            out[out_col] = _classify_points(lons, lats, polys, bboxes)
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def _classify_points(lons, lats, polys, bboxes) -> np.ndarray:
+    """First-match point-in-polygon labels (object array of names/None)
+    — the exact ray-cast loop shared by the broadcast kernel and the
+    mask path's boundary-cell fallback (one implementation, one
+    arithmetic)."""
+    region = np.full(len(lons), None, dtype=object)
+    unset = np.ones(len(lons), dtype=bool)
+    for (name, verts), (x0, x1, y0, y1) in zip(polys, bboxes):
+        cand = (
+            unset
+            & (lons >= x0)
+            & (lons <= x1)
+            & (lats >= y0)
+            & (lats <= y1)
+        )
+        if not cand.any():
+            continue
+        hit = np.zeros(len(lons), dtype=bool)
+        hit[cand] = _ray_cast(lons[cand], lats[cand], verts)
+        region[hit] = name
+        unset &= ~hit
+    return region
+
+
+class RegionMask:
+    """Rasterized land mask: a cell grid over the polygon set's hull
+    where every NON-boundary cell is CONCLUSIVE — no polygon edge
+    crosses it, so polygon membership (of every polygon, hence the
+    first-match label) is constant over the whole cell and equals its
+    center's label.  Cells any edge touches are marked ``BOUNDARY`` and
+    points there fall back to the exact ray cast, so the mask path is
+    value-EXACT everywhere, not a tolerance trade — the coastline-error
+    contract is "boundary cells pay the kernel price", and the boundary
+    fraction ∝ coastline length × cell size.
+
+    Built ONCE driver-side (:func:`build_region_mask` — scanline parity
+    fill with the ray cast's own crossing arithmetic, plus a
+    conservative edge walk for the boundary set) and broadcast like the
+    raster grids: int16 labels, ~2 bytes/cell.
+
+    Reference anchor: the 100 TB accelerator named for the reference's
+    ``get_bool_natural_earth_land`` hot path
+    (``src/main.py:577-592``); docs/SCALE.md prices the bare kernel at
+    ~7,000 core-hours per 10^12 points — the mask shifts the bulk to a
+    ~30 ns array lookup."""
+
+    BOUNDARY = -2
+    NONE = -1
+
+    __slots__ = ("labels", "names", "lat0", "lon0", "step")
+
+    def __init__(self, labels, names, lat0, lon0, step):
+        self.labels = labels          # (n_lat, n_lon) int16
+        self.names = list(names)
+        self.lat0, self.lon0 = float(lat0), float(lon0)
+        self.step = float(step)
+
+
+def build_region_mask(
+    polygons: Polygons, cell_deg: float = 0.25,
+    max_cells: int = 64_000_000,
+) -> RegionMask:
+    """Rasterize a polygon set into a :class:`RegionMask` (driver-side,
+    one-time, ~O(vertices × edge-length/cell + rows × crossings)).
+
+    Boundary marking is CONSERVATIVE (samples each edge at step/2 and
+    marks the 3×3 cell neighborhood): extra boundary cells only send
+    more points to the exact fallback, never produce a wrong label.
+    Interior fill is a per-row scanline parity count using the ray
+    cast's own x-intersection formula, evaluated at cell centers —
+    bit-identical membership to :func:`_ray_cast` at those centers."""
+    step = float(cell_deg)
+    if step <= 0:
+        raise ValueError(f"cell_deg must be > 0, got {cell_deg}")
+    polys = [
+        (name, np.asarray(verts, dtype=np.float64))
+        for name, verts in polygons
+    ]
+    if not polys:
+        raise ValueError("empty polygon set")
+    lo_x = min(v[:, 0].min() for _, v in polys) - step
+    hi_x = max(v[:, 0].max() for _, v in polys) + step
+    lo_y = min(v[:, 1].min() for _, v in polys) - step
+    hi_y = max(v[:, 1].max() for _, v in polys) + step
+    n_lon = int(np.ceil((hi_x - lo_x) / step)) + 1
+    n_lat = int(np.ceil((hi_y - lo_y) / step)) + 1
+    if n_lat * n_lon > max_cells:
+        raise ValueError(
+            f"mask would need {n_lat * n_lon} cells at cell_deg="
+            f"{cell_deg} (max {max_cells}); raise cell_deg"
+        )
+    if len(polys) >= 2**15 - 2:
+        raise ValueError("int16 mask supports < 32766 polygons")
+    labels = np.full((n_lat, n_lon), RegionMask.NONE, dtype=np.int16)
+
+    # interior fill, REVERSED priority so the first polygon wins by
+    # overwriting: scanline parity at cell-center latitudes
+    centers_x = lo_x + (np.arange(n_lon) + 0.5) * step
+    centers_y = lo_y + (np.arange(n_lat) + 0.5) * step
+    for pi in range(len(polys) - 1, -1, -1):
+        _name, v = polys[pi]
+        if not np.array_equal(v[0], v[-1]):
+            v = np.vstack([v, v[:1]])
+        x1, y1 = v[:-1, 0], v[:-1, 1]
+        x2, y2 = v[1:, 0], v[1:, 1]
+        i_lo = max(int(np.floor((v[:, 1].min() - lo_y) / step)), 0)
+        i_hi = min(int(np.floor((v[:, 1].max() - lo_y) / step)), n_lat - 1)
+        j_lo = max(int(np.floor((v[:, 0].min() - lo_x) / step)), 0)
+        j_hi = min(int(np.floor((v[:, 0].max() - lo_x) / step)), n_lon - 1)
+        for i in range(i_lo, i_hi + 1):
+            y = centers_y[i]
+            crosses = (y1 > y) != (y2 > y)
+            if not crosses.any():
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x1[crosses] + (y - y1[crosses]) * (
+                    x2[crosses] - x1[crosses]
+                ) / (y2[crosses] - y1[crosses])
+            # inside iff an ODD number of crossings lie to the RIGHT —
+            # the ray cast's x < xint predicate, counted via sorted
+            # positions
+            xs = np.sort(xint)
+            row_x = centers_x[j_lo : j_hi + 1]
+            n_right = len(xs) - np.searchsorted(xs, row_x, side="right")
+            inside = (n_right % 2).astype(bool)
+            seg = labels[i, j_lo : j_hi + 1]
+            seg[inside] = pi
+            labels[i, j_lo : j_hi + 1] = seg
+
+    # conservative boundary walk: sample every edge at step/2, mark the
+    # 3x3 neighborhood of each sample's cell
+    for _name, v in polys:
+        if not np.array_equal(v[0], v[-1]):
+            v = np.vstack([v, v[:1]])
+        a, b = v[:-1], v[1:]
+        seg_len = np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1])
+        n_samp = np.maximum((seg_len / (step / 2)).astype(np.int64) + 2, 2)
+        for k in range(len(a)):
+            t = np.linspace(0.0, 1.0, n_samp[k])
+            sx = a[k, 0] + t * (b[k, 0] - a[k, 0])
+            sy = a[k, 1] + t * (b[k, 1] - a[k, 1])
+            ci = np.floor((sy - lo_y) / step).astype(np.int64)
+            cj = np.floor((sx - lo_x) / step).astype(np.int64)
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    ii = np.clip(ci + di, 0, n_lat - 1)
+                    jj = np.clip(cj + dj, 0, n_lon - 1)
+                    labels[ii, jj] = RegionMask.BOUNDARY
+
+    return RegionMask(
+        labels, [name for name, _ in polys], lo_y, lo_x, step
+    )
+
+
+def assign_region_masked(
+    df: DataFrame,
+    polygons: Polygons,
+    mask: RegionMask | None = None,
+    cell_deg: float = 0.25,
+    lat_col: str = "lat",
+    lon_col: str = "long",
+    out_col: str = "region",
+) -> DataFrame:
+    """:func:`assign_region` behind a rasterized land mask: conclusive
+    cells label with one int16 array lookup; only boundary-cell points
+    (∝ coastline × cell size) pay the exact ray cast.  Results are
+    value-IDENTICAL to :func:`assign_region` (parity-tested — the
+    fallback runs the same `_classify_points`).  Points outside the
+    mask grid are outside every polygon's padded bbox, which is exactly
+    the kernel's bbox-prefilter miss → None.
+
+    Pass a prebuilt ``mask`` to amortize rasterization across calls
+    (the 100 TB shape: build once, broadcast ~2 bytes/cell with the
+    closure, reuse every batch)."""
+    if mask is None:
+        mask = build_region_mask(polygons, cell_deg)
+    polys = [
+        (name, np.asarray(verts, dtype=np.float64))
+        for name, verts in polygons
+    ]
+    if [n for n, _ in polys] != mask.names:
+        raise ValueError(
+            "mask was built for a different polygon set (names differ)"
+        )
+    bboxes = [
+        (v[:, 0].min(), v[:, 0].max(), v[:, 1].min(), v[:, 1].max())
+        for _, v in polys
+    ]
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.StringType(), True)]
+    )
+    names_arr = np.array(mask.names, dtype=object)
+    grid, lat0, lon0, step = mask.labels, mask.lat0, mask.lon0, mask.step
+    n_lat, n_lon = grid.shape
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lons = pdf[lon_col].to_numpy(dtype=np.float64)
+            lats = pdf[lat_col].to_numpy(dtype=np.float64)
             region = np.full(len(pdf), None, dtype=object)
-            unset = np.ones(len(pdf), dtype=bool)
-            for (name, verts), (x0, x1, y0, y1) in zip(polys, bboxes):
-                cand = (
-                    unset
-                    & (lons >= x0)
-                    & (lons <= x1)
-                    & (lats >= y0)
-                    & (lats <= y1)
+            finite = np.isfinite(lons) & np.isfinite(lats)
+            i = np.full(len(pdf), -1, dtype=np.int64)
+            j = np.full(len(pdf), -1, dtype=np.int64)
+            i[finite] = np.floor((lats[finite] - lat0) / step).astype(
+                np.int64
+            )
+            j[finite] = np.floor((lons[finite] - lon0) / step).astype(
+                np.int64
+            )
+            in_grid = (
+                finite & (i >= 0) & (i < n_lat) & (j >= 0) & (j < n_lon)
+            )
+            lab = np.full(len(pdf), RegionMask.NONE, dtype=np.int16)
+            lab[in_grid] = grid[i[in_grid], j[in_grid]]
+            hit = lab >= 0
+            region[hit] = names_arr[lab[hit]]
+            edge = lab == RegionMask.BOUNDARY
+            if edge.any():
+                region[edge] = _classify_points(
+                    lons[edge], lats[edge], polys, bboxes
                 )
-                if not cand.any():
-                    continue
-                hit = np.zeros(len(pdf), dtype=bool)
-                hit[cand] = _ray_cast(lons[cand], lats[cand], verts)
-                region[hit] = name
-                unset &= ~hit
             out = pdf.copy()
             out[out_col] = region
             yield out

@@ -148,6 +148,38 @@ def main() -> None:
             .where(F.col("region").isNotNull()).count(),
         )
 
+    print("\n## mask-vs-kernel (round-10: rasterized land mask, "
+          "full 540k-vertex set)\n")
+    from qualityassurancetool_spark.sources.spatial import (
+        RegionMask,
+        assign_region_masked,
+        build_region_mask,
+    )
+
+    for cell in (0.5, 0.1):
+        t0 = time.perf_counter()
+        mask = build_region_mask(full, cell_deg=cell)
+        t_build = time.perf_counter() - t0
+        n_cells = mask.labels.size
+        frac_edge = float(
+            (mask.labels == RegionMask.BOUNDARY).mean()
+        )
+        print(f"mask cell={cell}°: {n_cells:,} cells "
+              f"({2 * n_cells / 1e6:.1f} MB int16), boundary fraction "
+              f"{frac_edge:.3f}, build {t_build:.1f}s (one-time, "
+              "driver-side)", flush=True)
+        print("| stage | rows | wall s | out rows | input MB | shufW MB "
+              "| shufR MB | spillM MB | spillD MB |")
+        print("|---|---|---|---|---|---|---|---|---|")
+        for n in sizes:
+            pts = spark.read.parquet(paths[n])
+            m = Meter(spark)
+            m.stage(
+                f"mask cell={cell} lookup", n,
+                lambda: assign_region_masked(pts, full, mask=mask)
+                .where(F.col("region").isNotNull()).count(),
+            )
+
     print(f"\n## column-vs-kernel crossover ({sizes[0]:,} points)\n")
     print("| total vertices | column wall s | kernel wall s |")
     print("|---|---|---|")
