@@ -147,20 +147,79 @@ def test_property_roundtrip_random_images():
     check()
 
 
-@pytest.mark.skipif(not HAVE_PIL, reason="Pillow not in this container")
-def test_pillow_cross_check():  # pragma: no cover - env-dependent
-    import io
+# Frozen encode/decode sha256 prefixes over the full subsampling x
+# restart x quality matrix for the two fixed fixtures — the hermetic
+# replacement for the Pillow cross-check this container cannot run
+# (VERDICT r9 item 5).  The goldens pin cross-version byte stability of
+# BOTH directions; the quantization-envelope and property tests above
+# pin correctness of the values these hashes freeze.  Regenerate ONLY
+# for a deliberate codec change (the generator is the loop below with
+# printing instead of asserting).
+GOLDENS = {
+    ("rgb", "444", 0, 60): ("99d4a82b7d41fa68", "5c8a0eb766210fb3"),
+    ("rgb", "444", 0, 90): ("9f63ab6331bf43f4", "5c24adce106850e4"),
+    ("rgb", "444", 2, 60): ("9592b27ef3b61298", "5c8a0eb766210fb3"),
+    ("rgb", "444", 2, 90): ("a9e410a0ebf2d254", "5c24adce106850e4"),
+    ("rgb", "420", 0, 60): ("699533ac44de7503", "30328a4dceff2602"),
+    ("rgb", "420", 0, 90): ("c4a3979056e0593c", "01ada57c6b83f597"),
+    ("rgb", "420", 2, 60): ("03ca7bdbec64ebf6", "30328a4dceff2602"),
+    ("rgb", "420", 2, 90): ("98d7a14cf0f1f946", "01ada57c6b83f597"),
+    ("gray", "444", 0, 60): ("905855938c9cbaba", "bb8e1aa416e88136"),
+    ("gray", "444", 0, 90): ("3b614383671dfc97", "b93f3b041c853dd5"),
+    ("gray", "444", 2, 60): ("ca7f0e8b86dd01fb", "bb8e1aa416e88136"),
+    ("gray", "444", 2, 90): ("c305fd931fedbb21", "b93f3b041c853dd5"),
+}
 
-    from PIL import Image
 
-    px = _rgb_image()
-    data = encode_jpeg(48, 36, 3, px, quality=90)
-    img = Image.open(io.BytesIO(data)).convert("RGB")
-    assert img.size == (48, 36)
-    ours = decode_jpeg(data)[3]
-    theirs = list(img.tobytes())
-    err = [abs(a - b) for a, b in zip(ours, theirs)]
-    assert statistics.mean(err) < 3.0
+def _fixture(channels: str):
+    if channels == "rgb":
+        return 48, 36, 3, _rgb_image(48, 36)
+    return 40, 24, 1, bytes(
+        (x * 3 + y * 2) % 256 for y in range(24) for x in range(40)
+    )
+
+
+def test_golden_matrix_and_restart_invariance():
+    """Every (fixture, subsampling, restart, quality) cell matches its
+    frozen encode/decode hashes, and — structurally — restart markers
+    change the BITSTREAM but never the decoded pixels (the DC predictor
+    reset must be exactly value-preserving).  If Pillow is present, its
+    decode of our bytes is additionally held to the envelope."""
+    import hashlib
+
+    for (ch, sub, ri, q), (enc_h, dec_h) in GOLDENS.items():
+        w, h, nch, src = _fixture(ch)
+        data = encode_jpeg(
+            w, h, nch, src, quality=q, subsampling=sub,
+            restart_interval=ri,
+        )
+        dw, dh, dch, out = decode_jpeg(data)
+        assert (dw, dh, dch) == (w, h, nch)
+        assert hashlib.sha256(data).hexdigest()[:16] == enc_h, (
+            ch, sub, ri, q, "encode drift",
+        )
+        assert hashlib.sha256(bytes(out)).hexdigest()[:16] == dec_h, (
+            ch, sub, ri, q, "decode drift",
+        )
+    # the matrix itself proves restart invariance: ri=0 and ri=2 rows
+    # share the decode hash for every (fixture, subsampling, quality)
+    for (ch, sub, ri, q), (_e, dec_h) in GOLDENS.items():
+        if ri == 2:
+            assert GOLDENS[(ch, sub, 0, q)][1] == dec_h
+
+    if HAVE_PIL:  # live cross-check when the library exists
+        import io
+
+        from PIL import Image
+
+        px = _rgb_image()
+        data = encode_jpeg(48, 36, 3, px, quality=90)
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        assert img.size == (48, 36)
+        ours = decode_jpeg(data)[3]
+        theirs = list(img.tobytes())
+        err = [abs(a - b) for a, b in zip(ours, theirs)]
+        assert statistics.mean(err) < 3.0
 
 
 def test_two_component_frame_is_typed_error():
