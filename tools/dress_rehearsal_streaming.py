@@ -215,6 +215,122 @@ def main() -> None:
                 flush=True,
             )
         shutil.rmtree(work, ignore_errors=True)
+
+    # round-10 (VERDICT r9 item 6): the fusion claim as NUMBERS — the
+    # fused chain vs the honest two-query alternative (chart query
+    # persisting its rows to parquet, episodes query streaming them
+    # back).  Two state stores + an intermediate table vs one; wall is
+    # the full drain in both arms.
+    import os
+
+    from qualityassurancetool_spark.streaming.control import (
+        streaming_cusum,
+    )
+    from qualityassurancetool_spark.streaming.episodes import (
+        streaming_episodes,
+    )
+
+    print(
+        "\n| arm | input rows | state rows | state KB |"
+        " intermediate MB | wall s |"
+    )
+    print("|---|---|---|---|---|---|")
+    for n in sizes:
+        # fused arm
+        work = tempfile.mkdtemp(prefix="stream_fused_")
+        land, ckpt = f"{work}/land", f"{work}/ckpt"
+        _feed_chain(spark, land, n, streams=1000)
+        stream = (
+            spark.readStream.schema("g string, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        t0 = time.perf_counter()
+        rows = _run(
+            spark,
+            streaming_cusum_episodes(
+                stream, "v", "ts", "g", target=10.0, sigma=1.0,
+                threshold=5.0, max_gap="1h", min_rows=2,
+            ),
+            ckpt,
+        )
+        dt = time.perf_counter() - t0
+        srows, sbytes = rows[-1][1], rows[-1][2]
+        print(
+            f"| fused chart→episodes | {n:,} | {srows:,} |"
+            f" {sbytes / 1024:.0f} | 0 | {dt:.1f} |",
+            flush=True,
+        )
+        shutil.rmtree(work, ignore_errors=True)
+
+        # two-query arm: chart rows land in parquet, episodes re-stream
+        work = tempfile.mkdtemp(prefix="stream_twoq_")
+        land, mid = f"{work}/land", f"{work}/chart"
+        _feed_chain(spark, land, n, streams=1000)
+        stream = (
+            spark.readStream.schema("g string, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        t0 = time.perf_counter()
+        chart = streaming_cusum(
+            stream, "v", "ts", "g", target=10.0, sigma=1.0,
+            threshold=5.0,
+        )
+        qa = (
+            chart.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(mid)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt_a")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qa.awaitTermination(300)
+        a_ops = [
+            p["stateOperators"][0]
+            for p in qa.recentProgress
+            if p.get("stateOperators")
+        ]
+        a_rows = a_ops[-1].get("numRowsTotal", 0)
+        a_bytes = int(
+            a_ops[-1].get("stateMemory")
+            or (a_ops[-1].get("customMetrics") or {}).get(
+                "stateOnCurrentVersionSizeBytes", 0
+            )
+        )
+        chart_stream = (
+            spark.readStream.schema(
+                "stream string, t long, value double,"
+                " cusum_pos double, cusum_neg double, cusum_flag boolean"
+            )
+            .parquet(mid)
+            .withColumn(
+                "excursion", F.greatest("cusum_pos", "cusum_neg")
+            )
+        )
+        rows_b = _run(
+            spark,
+            streaming_episodes(
+                chart_stream, "cusum_flag", "t", "stream",
+                value_col="excursion", max_gap="1h", min_rows=2,
+            ),
+            f"{work}/ckpt_b",
+        )
+        dt = time.perf_counter() - t0
+        mid_mb = sum(
+            os.path.getsize(os.path.join(mid, f))
+            for f in os.listdir(mid)
+            if not f.startswith("_")
+        ) / 1e6
+        b_rows, b_bytes = rows_b[-1][1], rows_b[-1][2]
+        print(
+            f"| two queries (chart sink + episodes) | {n:,} |"
+            f" {a_rows + b_rows:,} | {(a_bytes + b_bytes) / 1024:.0f} |"
+            f" {mid_mb:.1f} | {dt:.1f} |",
+            flush=True,
+        )
+        shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
 
