@@ -41,6 +41,8 @@ _TOP_LEVEL_KEYS = {
     "parity",  # one-switch preset: "reference" flips all parity knobs
     "location",
     "region_polygons",
+    "region_strategy",
+    "region_mask_cell_deg",
     "asof_materialize",
     "feature_flags",
     "overwrite_feature_flags",
@@ -310,6 +312,12 @@ class QCConfig:
     # a SparkSession, so it resolves lazily in the registry region
     # check via sources.polygon_files.load_polygons_jdbc (strict S5)
     region_polygons_jdbc: dict | None = None
+    # physical strategy for the polygon lookup: auto (vertex-count
+    # dispatch) | column | kernel | mask (rasterized land mask —
+    # conclusive-cell lookup + exact boundary fallback, the 100 TB
+    # accelerator; cell size in degrees below)
+    region_strategy: str = "auto"
+    region_mask_cell_deg: float = 0.25
     # materialize the plan once before the dependent as-of branches
     # (operators/asof._materialize_once: ON for 100 TB inputs, OFF at
     # small scale where codegen cost dominates re-execution)
@@ -421,6 +429,16 @@ class QCConfig:
             polys = [
                 (p["name"], [tuple(pt) for pt in p["coords"]]) for p in rp
             ]
+        rs = str(d.get("region_strategy", "auto"))
+        if rs not in ("auto", "column", "kernel", "mask"):
+            raise ConfigError(
+                f"region_strategy: {rs!r} not in auto|column|kernel|mask"
+            )
+        rcell = float(d.get("region_mask_cell_deg", 0.25))
+        if rcell <= 0:
+            raise ConfigError(
+                f"region_mask_cell_deg must be > 0, got {rcell}"
+            )
         return cls(
             streams=streams,
             dependents=deps,
@@ -449,6 +467,8 @@ class QCConfig:
             ),
             region_polygons=polys,
             region_polygons_jdbc=polys_jdbc,
+            region_strategy=rs,
+            region_mask_cell_deg=rcell,
             drift=d.get("drift"),
         )
 

@@ -123,7 +123,27 @@ def _check_region(
     if "region" not in df.columns:
         if not polys:
             return df
-        df = assign_region(df, polys)
+        strategy = getattr(cfg, "region_strategy", "auto")
+        if strategy == "mask":
+            # rasterized land mask (conclusive-cell lookup + exact
+            # boundary fallback): built once and memoized on the config
+            # so repeated windows of a batch run rasterize once — the
+            # polys memoization discipline above
+            from qualityassurancetool_spark.sources.spatial import (
+                assign_region_masked,
+                build_region_mask,
+            )
+
+            mask = getattr(cfg, "_region_mask_cache", None)
+            if mask is None:
+                mask = build_region_mask(
+                    polys,
+                    cell_deg=getattr(cfg, "region_mask_cell_deg", 0.25),
+                )
+                cfg._region_mask_cache = mask
+            df = assign_region_masked(df, polys, mask=mask)
+        else:
+            df = assign_region(df, polys, strategy=strategy)
     df = apply_region_checks(df)
     if getattr(cfg, "feature_flags", False):
         df = apply_feature_region_check(

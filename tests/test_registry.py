@@ -540,3 +540,36 @@ def test_qc_pipeline_without_iot_id_column(spark):
     out = run_qc_pipeline(obs, cfg, spark).collect()
     flags = {r["result"]: r["qc_flag"] for r in out}
     assert flags[500.0] == 4 and flags[5.0] in (0, 1)
+
+
+def test_region_strategy_mask_matches_default(spark):
+    """region_strategy: mask routes the configured region check through
+    the rasterized land mask (built once, memoized on the config) —
+    flags identical to the default dispatch, and the memoized mask is
+    reused across windows of a run."""
+    obs = events_as_observations(spark, SF_DIR)
+    base = {
+        "QC": FULL_CFG["QC"],
+        "region_polygons": FULL_CFG["region_polygons"],
+    }
+    want = {
+        r["iot_id"]: r["qc_flag"]
+        for r in run_registered_checks(
+            obs, QCConfig.from_dict(base), spark, checks=["region"]
+        )
+        .select("iot_id", "qc_flag")
+        .collect()
+    }
+    cfg = QCConfig.from_dict(
+        {**base, "region_strategy": "mask", "region_mask_cell_deg": 0.5}
+    )
+    got_df = run_registered_checks(obs, cfg, spark, checks=["region"])
+    got = {
+        r["iot_id"]: r["qc_flag"]
+        for r in got_df.select("iot_id", "qc_flag").collect()
+    }
+    assert got == want
+    mask1 = cfg._region_mask_cache
+    assert mask1 is not None
+    run_registered_checks(obs, cfg, spark, checks=["region"]).count()
+    assert cfg._region_mask_cache is mask1  # rasterized once per config
