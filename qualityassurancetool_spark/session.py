@@ -64,4 +64,17 @@ def get_spark(app_name: str = "qualityassurancetool-spark") -> SparkSession:
         # — a bigger cache costs only metadata.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
+    # shuffle files live until the driver JVM GCs their
+    # ShuffleDependency (ContextCleaner), and Spark's fallback periodic
+    # GC fires every 30 MIN — a multi-pass disk-bound job (the
+    # band-batched minhash at 100 M docs) accumulates every pass's
+    # shuffle files and fills the disk long before that (round-10
+    # rehearsal: 19 GB of dead shuffle files at ENOSPC).  QAT_PERIODIC_GC
+    # (e.g. "2min") tightens the interval for such runs; unset keeps
+    # Spark's default.
+    gc_interval = os.environ.get("QAT_PERIODIC_GC")
+    if gc_interval:
+        builder = builder.config(
+            "spark.cleaner.periodicGC.interval", gc_interval
+        )
     return builder.getOrCreate()
