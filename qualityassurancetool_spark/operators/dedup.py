@@ -482,6 +482,16 @@ def minhash_dedup_batched(
             .write.mode("overwrite" if bi == 0 else "append")
             .parquet(pairs_path)
         )
+        # reclaim the finished pass's shuffle files NOW: Spark frees
+        # them only when the driver GCs the pass's ShuffleDependency
+        # (ContextCleaner), and its fallback periodic GC fires every
+        # 30 min — at 100 M docs the passes otherwise accumulate tens
+        # of GB of dead shuffle files and ENOSPC the host (measured,
+        # round 10).  One driver GC per pass costs ms against a
+        # minutes-long pass, and on a real cluster the same cleaner
+        # RPC removes executor-side files — this is the bounded-DISK
+        # half of the bounded-state schedule.
+        spark.sparkContext._jvm.System.gc()
 
     cand = spark.read.parquet(pairs_path).distinct()
     # candidate-id semi-filter BEFORE the verification joins: joining
