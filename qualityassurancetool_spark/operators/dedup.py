@@ -496,18 +496,22 @@ def minhash_dedup_batched(
     cand = spark.read.parquet(pairs_path).distinct()
     # candidate-id semi-filter BEFORE the verification joins: joining
     # the full shingle table shuffles corpus-sized arrays (measured
-    # 476 MB at 1 M docs — the run's biggest exchange); a broadcast
-    # semi-join streams the table in place and the verify exchanges
-    # then carry only candidate rows (∝ pairs, not corpus).  Candidate
-    # ids are ≤ 2·|pairs| — crawl-realistic corpora keep that tiny
-    # relative to the corpus (docs/SCALE.md rehearsal rates); the
-    # footer-only parquet count gates the hint for pathological ones.
-    n_pairs_max = spark.read.parquet(pairs_path).count()
+    # 476 MB at 1 M docs — the run's biggest exchange); the broadcast
+    # (or hash-sliced, see _candidate_semi_join) semi-join streams the
+    # table in place and the verify exchanges then carry only
+    # candidate rows (∝ pairs, not corpus).  The id count is EXACT —
+    # the loose 2×pairs bound declined the broadcast at 100 M docs
+    # and the sort-merge fallback exchanged the whole corpus (ENOSPC,
+    # round 10).
     cand_ids = (
         cand.select(F.col("id_a").alias("_vid"))
         .unionByName(cand.select(F.col("id_b").alias("_vid")))
         .distinct()
     )
+    cand_ids_path = _os.path.join(work_dir, "_cand_ids")
+    cand_ids.write.mode("overwrite").parquet(cand_ids_path)
+    cand_ids = spark.read.parquet(cand_ids_path)
+    n_ids = cand_ids.count()  # footer-only
     sh_src = (
         spark.read.parquet(sig_path).select("_jid", "_sh")
         if store_shingles
@@ -517,11 +521,7 @@ def minhash_dedup_batched(
         # ever materialize past it
         else _shingle_frame(df, text_col, id_col, shingle_k, hash_mode)
     )
-    sh_df = sh_src.join(
-        _gated_broadcast(cand_ids, 2 * n_pairs_max),
-        F.col("_jid") == F.col("_vid"),
-        "left_semi",
-    )
+    sh_df = _candidate_semi_join(sh_src, cand_ids, n_ids, "_jid")
     out = (
         cand.join(
             sh_df.withColumnRenamed("_jid", "id_a").withColumnRenamed(
@@ -729,6 +729,52 @@ def _gated_broadcast(
     if n_rows_upper_bound * row_bytes <= _BROADCAST_BYTES_LIMIT:
         return F.broadcast(df)
     return df
+
+
+def _candidate_semi_join(
+    frame: DataFrame, cand_ids: DataFrame, n_ids: int, id_col: str
+) -> DataFrame:
+    """Semi-filter a CORPUS-SIZED frame down to candidate rows without
+    ever shuffling the corpus side.
+
+    The un-hinted fallback of a declined broadcast is a sort-merge
+    semi-join that exchanges the whole left side — at 100 M docs that
+    is ~50 GB of shingle arrays for a few MB of candidate ids, and it
+    ENOSPC'd the round-10 rehearsal (the broadcast gate's loose
+    2×pairs-rows bound declined while the TRUE distinct-id frame was
+    64 MB).  Callers therefore pass the EXACT id count; when even that
+    exceeds the broadcast budget, the ids split into hash slices that
+    each fit, and the corpus side is re-scanned once per slice with a
+    MAP-SIDE ``pmod(xxhash64(id))`` filter — each id lives in exactly
+    one slice, so the union of slice semi-joins is the exact
+    semi-join.  S extra map-only corpus scans (S = ids ÷ budget, 2-3
+    at 10^9 docs) buy ZERO corpus-sized exchanges — the ``band_batches``
+    discipline applied to the verify step."""
+    n_slices = max(
+        1, -(-int(n_ids) * 8 // _BROADCAST_BYTES_LIMIT)  # ceil div
+    )
+    if n_slices == 1:
+        return frame.join(
+            F.broadcast(cand_ids),
+            F.col(id_col) == F.col("_vid"),
+            "left_semi",
+        )
+    out = None
+    for s in range(n_slices):
+        part = frame.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_slices)) == s
+        ).join(
+            F.broadcast(
+                cand_ids.where(
+                    F.pmod(F.xxhash64(F.col("_vid")), F.lit(n_slices))
+                    == s
+                )
+            ),
+            F.col(id_col) == F.col("_vid"),
+            "left_semi",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def minhash_admit(
@@ -955,16 +1001,18 @@ def minhash_admit(
     for stale in stale_delta_versions:
         delete_path(spark, stale)
         delete_path(spark, stale + "_cand")
-    n_cand = cand.count()  # footer-only
+        delete_path(spark, stale + "_cand_ids")
     cand_ids = (
         cand.select(F.col("id_a").alias("_vid"))
         .unionByName(cand.select(F.col("id_b").alias("_vid")))
         .distinct()
     )
-    sh_all = union_sigs(["_jid", "_sh"]).join(
-        _gated_broadcast(cand_ids, 2 * n_cand),
-        F.col("_jid") == F.col("_vid"),
-        "left_semi",
+    cand_ids_path = cand_path + "_ids"
+    cand_ids.write.mode("overwrite").parquet(cand_ids_path)
+    cand_ids = spark.read.parquet(cand_ids_path)
+    n_ids = cand_ids.count()  # footer-only, exact
+    sh_all = _candidate_semi_join(
+        union_sigs(["_jid", "_sh"]), cand_ids, n_ids, "_jid"
     )
     out = (
         cand.join(
@@ -1001,6 +1049,7 @@ def minhash_admit(
                 spark, state_dir, num_hashes, bands, shingle_k, hash_mode
             )
         delete_path(spark, cand_path)
+        delete_path(spark, cand_path + "_ids")
         return spark.read.parquet(pairs_path)
     if update_state:
         # the returned frame reads _delta_sig lazily, so materialize the
@@ -1036,6 +1085,7 @@ def minhash_admit(
         for v in versions:
             delete_path(spark, _os.path.join(pairs_root, f"v={v}"))
         delete_path(spark, cand_path)
+        delete_path(spark, cand_path + "_ids")
         if internal_scratch:
             delete_path(spark, delta_sig_path)
         return spark.read.parquet(pairs_path)

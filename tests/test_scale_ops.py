@@ -897,3 +897,29 @@ def test_simhash_near_dup_pairs_banding_exact(spark, docs):
         simhash_near_dup_pairs(sub, bits=32, bands=5)
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(sub, bits=32, bands=4, max_hamming=4)
+
+
+def test_candidate_semi_join_sliced_path_is_exact(spark, docs, monkeypatch):
+    """When the exact candidate-id set exceeds the broadcast budget, the
+    verify semi-filter splits the ids into hash slices and re-scans the
+    corpus map-side per slice — the union must equal the plain
+    broadcast semi-join (each id lives in exactly one slice).  Forced
+    here by shrinking the budget so the batched pipeline takes the
+    sliced path end-to-end and still matches the monolithic pairs."""
+    import qualityassurancetool_spark.operators.dedup as dd
+
+    sub = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(300)
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+    key = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+    }
+    mono = key(dd.minhash_dedup(sub, **kw))
+    monkeypatch.setattr(dd, "_BROADCAST_BYTES_LIMIT", 64)  # ~8 ids/slice
+    got = key(
+        dd.minhash_dedup_batched(
+            sub, "/tmp/qat_sliced_semi_test", band_batches=4, **kw
+        )
+    )
+    assert got == mono and len(mono) > 0
