@@ -34,22 +34,40 @@ except Exception:  # pragma: no cover
 Polygons = list[tuple[str, list[tuple[float, float]]]]
 
 
-def _ray_cast(lons: np.ndarray, lats: np.ndarray, verts: np.ndarray) -> np.ndarray:
+def _ray_cast(
+    lons: np.ndarray, lats: np.ndarray, verts: np.ndarray,
+    edge_chunk: int = 512,
+) -> np.ndarray:
     """Vectorized even-odd ray casting: True where point strictly inside.
-    ``verts`` is (n, 2) lon/lat, closed or open ring."""
+    ``verts`` is (n, 2) lon/lat, closed or open ring.
+
+    Edges are processed in CHUNKED 2-D broadcasts, not a per-edge
+    Python loop: at coastline vertex counts the loop's ~interpreter
+    cost per edge is a fixed floor PER BATCH that dwarfs the per-point
+    arithmetic (measured round 10: the 540k-vertex kernel spent its
+    wall in 540k Python iterations per Arrow batch, so filtering
+    points — the land-mask fast path — saved nothing).  XOR over edges
+    is the parity of the crossing count, which is order-independent,
+    so the chunked sum-mod-2 is bit-identical to the sequential fold;
+    per-chunk scratch is (edge_chunk × points) doubles, ~40 MB at the
+    default Arrow batch size."""
     x, y = lons, lats
-    inside = np.zeros(len(x), dtype=bool)
     v = verts
     if not np.array_equal(v[0], v[-1]):
         v = np.vstack([v, v[:1]])
-    for i in range(len(v) - 1):
-        x1, y1 = v[i]
-        x2, y2 = v[i + 1]
-        crosses = (y1 > y) != (y2 > y)
+    x1, y1 = v[:-1, 0], v[:-1, 1]
+    x2, y2 = v[1:, 0], v[1:, 1]
+    count = np.zeros(len(x), dtype=np.int64)
+    for c0 in range(0, len(x1), edge_chunk):
+        sl = slice(c0, c0 + edge_chunk)
+        a1 = y1[sl][:, None]
+        crosses = (a1 > y) != (y2[sl][:, None] > y)
         with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
-        inside ^= crosses & (x < xint)
-    return inside
+            xint = x1[sl][:, None] + (y - a1) * (
+                (x2[sl] - x1[sl])[:, None]
+            ) / ((y2[sl] - y1[sl])[:, None])
+        count += (crosses & (x < xint)).sum(axis=0)
+    return (count % 2).astype(bool)
 
 
 def region_expr(
