@@ -36,7 +36,6 @@ BENCH_QUERIES = [
     "qc_spatial_outlier",
     "qc_stabilization",
     "pivot_export",
-    "topk_orders_per_segment",
     "shipping_priority",
     "sessionize_events",
     "lang_quality_rollup",
@@ -84,6 +83,10 @@ BENCH_QUERIES = [
     # windowed_flag_rollup/downsample_transfer rows (covered as x_*)
     "resample",
     "heavy_hitters_by",
+    # round-10 swap: simhash_pairs/isotonic replace the retired
+    # topk_orders_per_segment/qc_region_lookup rows (covered as x_*)
+    "simhash_pairs",
+    "isotonic",
 ]
 
 
