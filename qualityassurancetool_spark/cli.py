@@ -256,6 +256,9 @@ def cmd_dedup(args, overrides: list[str]) -> int:
     selects the family (all fast-hash production modes):
 
     - ``exact``: (content_hash, keep_id, n_dups) collapse sheet;
+    - ``simhash``: banded-Hamming SimHash near-dup pairs
+      (``bits= bands= max_hamming=``; pigeonhole-exact while
+      ``max_hamming < bands``);
     - ``minhash``: MinHash+LSH verified near-dup pairs; pass
       ``band_batches=N`` to run the band-batched bounded-state schedule
       (``work_dir=`` overrides its scratch location) — the single-JVM /
@@ -271,11 +274,12 @@ def cmd_dedup(args, overrides: list[str]) -> int:
         raise ConfigError("missing required settings: data.input, data.out")
     method = knobs.get("method", "exact")
     if method not in (
-        "exact", "minhash", "fingerprint", "spans", "lines", "semantic"
+        "exact", "minhash", "simhash", "fingerprint", "spans", "lines",
+        "semantic",
     ):
         raise ConfigError(
             f"unknown dedup method {method!r} "
-            "(exact|minhash|fingerprint|spans|lines|semantic)"
+            "(exact|minhash|simhash|fingerprint|spans|lines|semantic)"
         )
 
     from pyspark.sql import functions as F
@@ -387,6 +391,19 @@ def cmd_dedup(args, overrides: list[str]) -> int:
                 )
             else:
                 out = minhash_dedup(docs, **kw)
+            out.write.mode("overwrite").parquet(data_c["out"])
+            print(f"pairs: {spark.read.parquet(data_c['out']).count()}")
+        elif method == "simhash":
+            from qualityassurancetool_spark.operators.dedup import (
+                simhash_near_dup_pairs,
+            )
+
+            out = simhash_near_dup_pairs(
+                docs,
+                bits=int(knobs.get("bits", 32)),
+                bands=int(knobs.get("bands", 4)),
+                max_hamming=int(knobs.get("max_hamming", 3)),
+            )
             out.write.mode("overwrite").parquet(data_c["out"])
             print(f"pairs: {spark.read.parquet(data_c['out']).count()}")
         elif method == "fingerprint":

@@ -222,6 +222,22 @@ def test_dedup_command(spark, tmp_path, capsys):
     )
     assert spark.read.parquet(out2).count() == int(report["pairs"])
 
+    # round-10: banded-Hamming simhash pairs through the same surface
+    out3 = str(tmp_path / "dd_sh")
+    rc = main([
+        "dedup", "--keep-session",
+        "data.input=/root/testdata/sf0.001", "data.table=documents",
+        f"data.out={out3}", "method=simhash", "max_hamming=2",
+    ])
+    assert rc == 0
+    report = dict(
+        line.split(": ")
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    back = spark.read.parquet(out3)
+    assert back.count() == int(report["pairs"]) > 0
+    assert back.agg({"hamming": "max"}).collect()[0][0] <= 2
+
     # unknown method is a pointed config error
     assert main([
         "dedup", "--keep-session", "data.input=/x", "data.out=/y",
