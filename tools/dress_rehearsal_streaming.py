@@ -216,6 +216,49 @@ def main() -> None:
             )
         shutil.rmtree(work, ignore_errors=True)
 
+    # round-10: the seasonal fused chain's O(streams) claim — the
+    # profile rides the closure (not state), so state rows must equal
+    # the stream count exactly, input size notwithstanding
+    from qualityassurancetool_spark.operators.seasonal import (
+        seasonal_profile,
+    )
+    from qualityassurancetool_spark.streaming.incident_chain import (
+        streaming_seasonal_episodes,
+    )
+
+    for n in sizes:
+        work = tempfile.mkdtemp(prefix="stream_probe_")
+        land, ckpt = f"{work}/land", f"{work}/ckpt"
+        _feed_chain(spark, land, n, streams=1000)
+        hist = spark.read.parquet(land)
+        prof = seasonal_profile(hist, "v", "ts", ["g"])
+        stream = (
+            spark.readStream.schema("g string, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        t0 = time.perf_counter()
+        rows = _run(
+            spark,
+            streaming_seasonal_episodes(
+                stream, prof, "v", "ts", "g",
+                nsigma=3.0, max_gap="1h", min_rows=2,
+            ),
+            ckpt,
+        )
+        dt = time.perf_counter() - t0
+        label = "seasonal→episodes fused (1000 streams)"
+        for i, (rin, srows, sbytes) in enumerate(rows):
+            print(
+                f"| {label} | {n:,} | {i + 1} | {rin:,} |"
+                f" {srows:,} | {sbytes / 1024:.0f} |"
+                f" {dt:.1f} |" if i == len(rows) - 1 else
+                f"| {label} | {n:,} | {i + 1} | {rin:,} |"
+                f" {srows:,} | {sbytes / 1024:.0f} | |",
+                flush=True,
+            )
+        shutil.rmtree(work, ignore_errors=True)
+
     # round-10 (VERDICT r9 item 6): the fusion claim as NUMBERS — the
     # fused chain vs the honest two-query alternative (chart query
     # persisting its rows to parquet, episodes query streaming them
