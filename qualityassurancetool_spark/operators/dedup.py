@@ -881,12 +881,13 @@ def minhash_admit(
         # their ISO str form is exactly the intended slice name
         admission_id = str(admission_id)
         if not _re.fullmatch(r"[A-Za-z0-9._-]+", admission_id) or (
-            admission_id.endswith("_cand")
+            "_cand" in admission_id
         ):
             raise ValueError(
                 f"admission_id {admission_id!r} must be "
-                "[A-Za-z0-9._-]+ and not end with '_cand' "
-                "(it names a state subdirectory)"
+                "[A-Za-z0-9._-]+ and not contain '_cand' "
+                "(it names a state subdirectory; '_cand'/'_cand_ids' "
+                "suffixes are candidate scratch)"
             )
         if delta_sig_path is not None:
             raise ValueError(
@@ -907,7 +908,9 @@ def minhash_admit(
     adm_slices = [
         _os.path.join(adm_root, d)
         for d in sorted(list_subdirs(spark, adm_root, prefix="admission="))
-        if not d.endswith("_cand") and d != own_slice
+        # "_cand"/"_cand_ids" dirs are candidate scratch a crashed
+        # admission may leave behind — never signature slices
+        if "_cand" not in d and d != own_slice
     ]
     extra_state_paths = adm_slices + list(extra_state_paths or [])
     internal_scratch = delta_sig_path is None

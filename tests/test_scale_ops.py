@@ -855,7 +855,10 @@ def test_minhash_admit_frame_lifetime_and_scratch_cleanup(spark, tmp_path):
     with pytest.raises(Exception):
         r3.collect()
     live = sorted(os.listdir(droot))
-    assert live == ["v=1", "v=1_cand"]  # exactly one live version
+    # exactly one live version (the _cand_ids dir is round-10 scratch:
+    # the frozen frame's semi-join reads it lazily, so it shares the
+    # version lifetime)
+    assert live == ["v=1", "v=1_cand", "v=1_cand_ids"]
 
 
 def test_simhash_near_dup_pairs_banding_exact(spark, docs):
