@@ -331,24 +331,33 @@ def build_region_mask(
             labels[i, j_lo : j_hi + 1] = seg
 
     # conservative boundary walk: sample every edge at step/2, mark the
-    # 3x3 neighborhood of each sample's cell
+    # 3x3 neighborhood of each sample's cell.  Vectorized over ALL
+    # edges at once, iterating the SAMPLE index (a per-edge Python loop
+    # is a 540k-iteration interpreter floor — the same trap the ray
+    # cast had); edges shorter than their sample budget just repeat
+    # their endpoint, so the sample set matches the per-edge linspace.
+    ae, be = [], []
     for _name, v in polys:
         if not np.array_equal(v[0], v[-1]):
             v = np.vstack([v, v[:1]])
-        a, b = v[:-1], v[1:]
-        seg_len = np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1])
-        n_samp = np.maximum((seg_len / (step / 2)).astype(np.int64) + 2, 2)
-        for k in range(len(a)):
-            t = np.linspace(0.0, 1.0, n_samp[k])
-            sx = a[k, 0] + t * (b[k, 0] - a[k, 0])
-            sy = a[k, 1] + t * (b[k, 1] - a[k, 1])
-            ci = np.floor((sy - lo_y) / step).astype(np.int64)
-            cj = np.floor((sx - lo_x) / step).astype(np.int64)
-            for di in (-1, 0, 1):
-                for dj in (-1, 0, 1):
-                    ii = np.clip(ci + di, 0, n_lat - 1)
-                    jj = np.clip(cj + dj, 0, n_lon - 1)
-                    labels[ii, jj] = RegionMask.BOUNDARY
+        ae.append(v[:-1])
+        be.append(v[1:])
+    a = np.concatenate(ae)
+    b = np.concatenate(be)
+    seg_len = np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1])
+    n_samp = np.maximum((seg_len / (step / 2)).astype(np.int64) + 2, 2)
+    denom = (n_samp - 1).astype(np.float64)
+    for k in range(int(n_samp.max())):
+        t = np.minimum(k, n_samp - 1) / denom
+        sx = a[:, 0] + t * (b[:, 0] - a[:, 0])
+        sy = a[:, 1] + t * (b[:, 1] - a[:, 1])
+        ci = np.floor((sy - lo_y) / step).astype(np.int64)
+        cj = np.floor((sx - lo_x) / step).astype(np.int64)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                ii = np.clip(ci + di, 0, n_lat - 1)
+                jj = np.clip(cj + dj, 0, n_lon - 1)
+                labels[ii, jj] = RegionMask.BOUNDARY
 
     return RegionMask(
         labels, [name for name, _ in polys], lo_y, lo_x, step
