@@ -281,6 +281,18 @@ def cmd_dedup(args, overrides: list[str]) -> int:
             f"unknown dedup method {method!r} "
             "(exact|minhash|simhash|fingerprint|spans|lines|semantic)"
         )
+    if method == "simhash":
+        # validate BEFORE the session (config errors must never cost
+        # one); the operator re-checks, but as a raw ValueError
+        sh_bits = int(knobs.get("bits", 32))
+        sh_bands = int(knobs.get("bands", 4))
+        sh_maxh = int(knobs.get("max_hamming", 3))
+        if sh_bits % sh_bands or sh_maxh >= sh_bands:
+            raise ConfigError(
+                f"dedup simhash: bands={sh_bands} must divide "
+                f"bits={sh_bits} and exceed max_hamming={sh_maxh} "
+                "(the pigeonhole recall guarantee)"
+            )
 
     from pyspark.sql import functions as F
 
@@ -1325,14 +1337,24 @@ def cmd_monitor(args, overrides: list[str]) -> int:
         raise ConfigError(
             f"unknown monitor chart {chart!r} (cusum|ewma|seasonal)"
         )
-    if chart == "seasonal" and not (
-        knobs.get("history") or knobs.get("profile")
-    ):
-        raise ConfigError(
-            "monitor chart=seasonal needs history=<parquet of past "
-            "rows to fit the phase profile on> or profile=<stored "
-            "seasonal_profile parquet>"
+    if chart == "seasonal":
+        if not (knobs.get("history") or knobs.get("profile")):
+            raise ConfigError(
+                "monitor chart=seasonal needs history=<parquet of past "
+                "rows to fit the phase profile on> or profile=<stored "
+                "seasonal_profile parquet>"
+            )
+        from qualityassurancetool_spark.operators.seasonal import (
+            _PERIODS,
         )
+
+        if str(knobs.get("period", "hour_of_day")) not in _PERIODS:
+            # validate BEFORE the session (the config-errors-never-
+            # cost-a-session rule above)
+            raise ConfigError(
+                f"unknown period {knobs.get('period')!r} "
+                f"({'|'.join(sorted(_PERIODS))})"
+            )
     unit = knobs.get("ts_unit")
     if unit is not None and str(unit) not in ("ns", "us", "ms", "s"):
         # validate BEFORE the session: config errors must never cost

@@ -749,9 +749,29 @@ def _candidate_semi_join(
     one slice, so the union of slice semi-joins is the exact
     semi-join.  S extra map-only corpus scans (S = ids ÷ budget, 2-3
     at 10^9 docs) buy ZERO corpus-sized exchanges — the ``band_batches``
-    discipline applied to the verify step."""
+    discipline applied to the verify step.
+
+    Id bytes are measured, not assumed: crawl corpora commonly key on
+    string URLs (~100 B), and an 8-bytes-per-id guess would
+    force-broadcast a multi-GB id set (review finding, round 10).  The
+    one cheap agg over the (already materialized, candidate-sized) id
+    frame prices each id as its octet length + 16 B of hashed-relation
+    overhead; integral ids come out ≈ the old 8 B estimate + overhead."""
+    from pyspark.sql import types as T
+
+    id_field = next(f for f in cand_ids.schema.fields if f.name == "_vid")
+    if isinstance(
+        id_field.dataType,
+        (T.StringType, T.BinaryType),
+    ):
+        row = cand_ids.agg(
+            F.sum(F.octet_length(F.col("_vid"))).alias("b")
+        ).collect()[0]
+        id_bytes = int(row["b"] or 0) + 16 * int(n_ids)
+    else:
+        id_bytes = 24 * int(n_ids)
     n_slices = max(
-        1, -(-int(n_ids) * 8 // _BROADCAST_BYTES_LIMIT)  # ceil div
+        1, -(-id_bytes // _BROADCAST_BYTES_LIMIT)  # ceil div
     )
     if n_slices == 1:
         return frame.join(
@@ -881,13 +901,12 @@ def minhash_admit(
         # their ISO str form is exactly the intended slice name
         admission_id = str(admission_id)
         if not _re.fullmatch(r"[A-Za-z0-9._-]+", admission_id) or (
-            "_cand" in admission_id
+            admission_id.endswith(("_cand", "_cand_ids"))
         ):
             raise ValueError(
                 f"admission_id {admission_id!r} must be "
-                "[A-Za-z0-9._-]+ and not contain '_cand' "
-                "(it names a state subdirectory; '_cand'/'_cand_ids' "
-                "suffixes are candidate scratch)"
+                "[A-Za-z0-9._-]+ and not end with '_cand'/'_cand_ids' "
+                "(those suffixes name candidate scratch)"
             )
         if delta_sig_path is not None:
             raise ValueError(
@@ -908,9 +927,11 @@ def minhash_admit(
     adm_slices = [
         _os.path.join(adm_root, d)
         for d in sorted(list_subdirs(spark, adm_root, prefix="admission="))
-        # "_cand"/"_cand_ids" dirs are candidate scratch a crashed
-        # admission may leave behind — never signature slices
-        if "_cand" not in d and d != own_slice
+        # "_cand"/"_cand_ids" SUFFIXES are candidate scratch a crashed
+        # admission may leave behind — never signature slices.  Suffix
+        # match only: an id merely CONTAINING "_cand" (legal pre-round-
+        # 10) must keep counting as state (review finding, round 10)
+        if not d.endswith(("_cand", "_cand_ids")) and d != own_slice
     ]
     extra_state_paths = adm_slices + list(extra_state_paths or [])
     internal_scratch = delta_sig_path is None

@@ -357,13 +357,13 @@ def ivfadc_write(
     OLD centroids/codebooks, and leaving them behind would let
     :func:`ivfadc_read` silently union stale codes into the fresh
     layout — wrong ADC distances and duplicate ids (advisor finding,
-    round 9).  Re-append the deltas (or fold them into the refit input)
-    after a rewrite.
+    round 9).  The delete happens AFTER the base write succeeds — a
+    crash mid-rewrite must not lose the appended vectors while leaving
+    no replacement (review finding, round 10); the residual window
+    (new base + stale appends until the delete lands) is the retry's
+    to close, same as the flags-table partition rewrite.  Re-append
+    the deltas (or fold them into the refit input) after a rewrite.
     """
-    if mode == "overwrite":
-        from qualityassurancetool_spark.functions.fs import delete_path
-
-        delete_path(index.sparkSession, _appends_root(path))
     df = index
     if files_per_list is not None:
         if n_lists is None:
@@ -374,6 +374,10 @@ def ivfadc_write(
             n_lists * files_per_list, F.col("cluster_id"), salt
         )
     df.write.partitionBy("cluster_id").mode(mode).parquet(path)
+    if mode == "overwrite":
+        from qualityassurancetool_spark.functions.fs import delete_path
+
+        delete_path(index.sparkSession, _appends_root(path))
 
 
 def ivfadc_append(

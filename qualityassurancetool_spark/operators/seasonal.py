@@ -58,10 +58,14 @@ def seasonal_profile(
     group_cols: list[str] | None = None,
     period: str = "hour_of_day",
 ) -> DataFrame:
-    """(group_cols…, cell, n, sum_x, sum_x2) — the sufficient
+    """(group_cols…, cell, n, sum_x, sum_x2, period) — the sufficient
     statistics of each phase cell.  Fit it on history and feed
     :func:`seasonal_zscore` as ``baseline`` for out-of-sample
-    scoring."""
+    scoring.  The constant ``period`` column stamps WHICH phase
+    function the cells were keyed by: a stored profile scored under a
+    different period silently hits wrong cells (hour_of_day's 0-23 all
+    exist inside hour_of_week's 0-167), so scorers validate the stamp
+    when present (review finding, round 10)."""
     g = group_cols or []
     x = F.col(value_col).cast("double")
     return (
@@ -72,7 +76,26 @@ def seasonal_profile(
             F.sum(x).alias("sum_x"),
             F.sum(x * x).alias("sum_x2"),
         )
+        .withColumn("period", F.lit(period))
     )
+
+
+def check_profile_period(baseline: DataFrame, period: str) -> None:
+    """Raise when a profile frame's ``period`` stamp contradicts the
+    requested period; profiles without the stamp (pre-round-10 parquet)
+    pass unvalidated."""
+    if "period" not in baseline.columns:
+        return
+    stamped = [
+        r[0]
+        for r in baseline.select("period").distinct().limit(2).collect()
+    ]
+    if stamped and stamped != [period]:
+        raise ValueError(
+            f"profile was fit with period={stamped[0]!r} but scoring "
+            f"requested period={period!r} — phase cells would not "
+            "correspond"
+        )
 
 
 def seasonal_zscore(
@@ -104,6 +127,8 @@ def seasonal_zscore(
         )
     g = group_cols or []
     x = F.col(value_col).cast("double")
+    if baseline is not None:
+        check_profile_period(baseline, period)
     prof = (
         baseline
         if baseline is not None

@@ -348,9 +348,17 @@ def build_region_mask(
     n_samp = np.maximum((seg_len / (step / 2)).astype(np.int64) + 2, 2)
     denom = (n_samp - 1).astype(np.float64)
     for k in range(int(n_samp.max())):
-        t = np.minimum(k, n_samp - 1) / denom
-        sx = a[:, 0] + t * (b[:, 0] - a[:, 0])
-        sy = a[:, 1] + t * (b[:, 1] - a[:, 1])
+        # only edges that still HAVE a k-th sample: without the mask,
+        # one long edge (a hull ring at a fine cell size) makes every
+        # iteration touch all edges — O(edges × max_samples) instead
+        # of O(Σ samples) (review finding, round 10)
+        act = n_samp > k
+        if k > 0 and not act.any():
+            break
+        aa, bb = a[act], b[act]
+        t = k / denom[act]
+        sx = aa[:, 0] + t * (bb[:, 0] - aa[:, 0])
+        sy = aa[:, 1] + t * (bb[:, 1] - aa[:, 1])
         ci = np.floor((sy - lo_y) / step).astype(np.int64)
         cj = np.floor((sx - lo_x) / step).astype(np.int64)
         for di in (-1, 0, 1):

@@ -303,8 +303,15 @@ def streaming_seasonal_episodes(
         GroupStateTimeout,
     )
 
-    from qualityassurancetool_spark.operators.seasonal import _cell
+    from qualityassurancetool_spark.operators.seasonal import (
+        _cell,
+        check_profile_period,
+    )
 
+    # a stored profile scored under a different period hits WRONG cells
+    # silently (hour_of_day ⊂ hour_of_week key space) — validate the
+    # round-10 period stamp when the frame carries one
+    check_profile_period(baseline, period)
     missing = {group_col, "cell", "n", "sum_x", "sum_x2"} - set(
         baseline.columns
     )

@@ -495,3 +495,57 @@ def test_monitor_cli_seasonal_chart(spark, tmp_path, capsys):
         "chart=seasonal", "value=v", "ts=ts", "group=g",
     ]) == 2
     capsys.readouterr()
+
+
+def test_seasonal_profile_period_stamp_guard(spark, tmp_path):
+    """A stored profile scored under a DIFFERENT period hits wrong
+    phase cells silently (hour_of_day's 0-23 all exist inside
+    hour_of_week's 0-167) — the round-10 period stamp makes both the
+    batch and streaming scorers refuse the mismatch; unstamped
+    (pre-round-10) profiles still pass."""
+    import pytest
+
+    from qualityassurancetool_spark.operators.seasonal import (
+        seasonal_profile,
+        seasonal_zscore,
+    )
+    from qualityassurancetool_spark.streaming.incident_chain import (
+        streaming_seasonal_episodes,
+    )
+
+    hist = spark.createDataFrame(
+        [("a", T0 + dt.timedelta(days=d, hours=h), 10.0 + h)
+         for d in range(7) for h in range(24)],
+        SCHEMA,
+    )
+    prof = seasonal_profile(hist, "v", "ts", ["g"], period="hour_of_week")
+    assert prof.columns[-1] == "period"
+
+    with pytest.raises(ValueError, match="period"):
+        seasonal_zscore(
+            hist, "v", "ts", ["g"], baseline=prof, period="hour_of_day"
+        )
+    land = str(tmp_path / "land")
+    _write(spark, land, _seasonal_rows(8, {}))
+    stream = spark.readStream.schema(SCHEMA).parquet(land)
+    with pytest.raises(ValueError, match="period"):
+        streaming_seasonal_episodes(
+            stream, prof, "v", "ts", "g", period="hour_of_day"
+        )
+    # matching period passes both
+    seasonal_zscore(
+        hist, "v", "ts", ["g"], baseline=prof, period="hour_of_week"
+    ).count()
+    # unstamped legacy profile: no validation possible, no refusal
+    legacy = prof.drop("period")
+    seasonal_zscore(
+        hist, "v", "ts", ["g"], baseline=legacy, period="hour_of_day"
+    ).count()
+
+    # the CLI rejects a bad period BEFORE building a session
+    from qualityassurancetool_spark.cli import main
+
+    assert main([
+        "monitor", f"data.input={land}", "data.out=/tmp/x",
+        "chart=seasonal", f"history={land}", "period=hourly",
+    ]) == 2
