@@ -344,6 +344,10 @@ def build_region_mask(
         be.append(v[1:])
     a = np.concatenate(ae)
     b = np.concatenate(be)
+    if not len(a):  # degenerate set (single-vertex "polygons"): no
+        return RegionMask(  # edges, no interiors — an all-NONE mask
+            labels, [name for name, _ in polys], lo_y, lo_x, step
+        )
     seg_len = np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1])
     n_samp = np.maximum((seg_len / (step / 2)).astype(np.int64) + 2, 2)
     denom = (n_samp - 1).astype(np.float64)

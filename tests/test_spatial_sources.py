@@ -214,3 +214,28 @@ def test_region_mask_parity_with_kernel(spark):
 
     with pytest.raises(ValueError, match="different polygon set"):
         assign_region_masked(df, polys[:2], mask=mask)
+
+
+def test_region_mask_degenerate_single_vertex_polygon(spark):
+    """A zero-edge 'polygon' (single repeated vertex) rasterizes to an
+    all-NONE mask instead of crashing, and the masked path still
+    matches the kernel (both label nothing)."""
+    from qualityassurancetool_spark.sources.spatial import (
+        RegionMask,
+        assign_region,
+        assign_region_masked,
+        build_region_mask,
+    )
+
+    polys = [("pt", [(1.0, 1.0)])]
+    mask = build_region_mask(polys, cell_deg=0.5)
+    assert (mask.labels == RegionMask.NONE).all()
+    df = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 5.0, 5.0)],
+        "id bigint, `long` double, lat double",
+    )
+    got = {r["id"]: r["region"]
+           for r in assign_region_masked(df, polys, mask=mask).collect()}
+    want = {r["id"]: r["region"]
+            for r in assign_region(df, polys, strategy="kernel").collect()}
+    assert got == want == {0: None, 1: None}
