@@ -1688,7 +1688,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_a", "id_b")
 
 
-def _sql_simhash_pairs() -> str:
+def _sql_simhash_pairs(sliced: bool = True) -> str:
     hash_list = (
         "list_transform(list_distinct(string_split(" + _NORM_SQL + ", ' ')), "
         "t -> CAST(concat('0x', substring(md5(concat('sh:', t)), 1, 15)) "
@@ -1707,7 +1707,7 @@ def _sql_simhash_pairs() -> str:
 WITH fp AS (
     SELECT doc_id, CAST({bit_terms} AS BIGINT) AS fp
     FROM (SELECT doc_id, {hash_list} AS h FROM documents
-          WHERE doc_id % 10 = 3)
+          {"WHERE doc_id % 10 = 3" if sliced else ""})
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming

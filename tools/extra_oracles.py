@@ -1131,6 +1131,101 @@ def x_isotonic(spark, con, sf_dir):
     return s_rows, d_rows
 
 
+def x_simhash_pairs_full(spark, con, sf_dir):
+    """The round-10 declared `simhash_pairs` gate grades a
+    deterministic 10% doc slice (pair volume grows ~quadratically with
+    SF on this synthetic corpus); this extra grades the FULL corpus at
+    the harness's own SF — banded candidates + exact Hamming verify vs
+    the same DuckDB replica without the slice."""
+    from qualityassurancetool_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sdf = simhash_near_dup_pairs(
+        docs, bits=32, bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+    return sdf, _entry_mod()._sql_simhash_pairs(sliced=False)
+
+
+def _region_test_polygon():
+    """Deterministic jagged ~120-vertex star inside the synthetic
+    ship-track box (lat 51.0-51.2, lon 3.0-3.2) — Python-float
+    vertices shared verbatim by the Spark operator and the SQL literal
+    (repr round-trips doubles exactly)."""
+    import math
+    import random
+
+    rng = random.Random(20261016)
+    cx, cy, base_r = 3.1, 51.1, 0.06
+    r = base_r
+    verts = []
+    for i in range(120):
+        a = 2.0 * math.pi * i / 120
+        r = min(
+            max(r + rng.uniform(-0.15, 0.15) * base_r, 0.3 * base_r),
+            1.7 * base_r,
+        )
+        verts.append((cx + r * math.cos(a), cy + 0.5 * r * math.sin(a)))
+    return verts
+
+
+def x_region_mask(spark, con, sf_dir):
+    """assign_region_masked (rasterized conclusive-cell mask + exact
+    boundary ray-cast fallback, round 10) vs a full DuckDB replica of
+    the even-odd crossing count over the same literal edges — pins the
+    chunked `_ray_cast` arithmetic AND the mask's conclusive-cell
+    theorem cross-engine on real point spread (the synthetic
+    ship-track)."""
+    from qualityassurancetool_spark.schema import events_as_observations
+    from qualityassurancetool_spark.sources.spatial import (
+        assign_region_masked,
+        build_region_mask,
+    )
+
+    verts = _region_test_polygon()
+    polys = [("zone", verts)]
+    obs = events_as_observations(spark, sf_dir).where(
+        F.col("iot_id") % 17 == 0
+    )
+    mask = build_region_mask(polys, cell_deg=0.01)
+    sdf = (
+        assign_region_masked(
+            obs.select("iot_id", "lat", "long"), polys, mask=mask
+        )
+        .select("iot_id", "region")
+        .orderBy("iot_id")
+    )
+    closed = verts + [verts[0]]
+    edge_rows = ",\n".join(
+        f"({x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for (x1, y1), (x2, y2) in zip(closed[:-1], closed[1:])
+    )
+    sql = f"""
+WITH pts AS (
+    SELECT event_id AS iot_id,
+           51.0 + ((event_id * 7919) % 2000) / 10000.0 AS lat,
+           3.0 + ((event_id * 104729) % 2000) / 10000.0 AS lon
+    FROM events WHERE event_id % 17 = 0
+), edges(x1, y1, x2, y2) AS (
+    VALUES {edge_rows}
+), crossings AS (
+    SELECT p.iot_id,
+           SUM(CASE WHEN (e.y1 > p.lat) != (e.y2 > p.lat)
+                    THEN CASE WHEN p.lon <
+                              e.x1 + (p.lat - e.y1) * (e.x2 - e.x1)
+                                   / (e.y2 - e.y1)
+                         THEN 1 ELSE 0 END
+                    ELSE 0 END) AS c
+    FROM pts p CROSS JOIN edges e
+    GROUP BY p.iot_id
+)
+SELECT iot_id, CASE WHEN c % 2 = 1 THEN 'zone' END AS region
+FROM crossings ORDER BY iot_id
+"""
+    return sdf, sql
+
+
 def x_simhash(spark, con, sf_dir):
     """simhash (salted-md5 token hashes → per-bit ±1 majority → 32-bit
     pack) vs a full DuckDB replica of the identical bit arithmetic —
@@ -4575,6 +4670,8 @@ EXTRA_CHECKS = {
     "x_kmv_compare": x_kmv_compare,
     "x_funnel": x_funnel,
     "x_cohort": x_cohort,
+    "x_simhash_pairs_full": x_simhash_pairs_full,
+    "x_region_mask": x_region_mask,
     "x_qc_region_lookup": x_qc_region_lookup,
     "x_topk_orders_per_segment": x_topk_orders_per_segment,
     "x_kcore": x_kcore,
