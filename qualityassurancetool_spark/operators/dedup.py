@@ -1131,23 +1131,48 @@ def simhash_token_hashes(text: Column) -> Column:
 def simhash_from_token_hashes(hashes: Column, bits: int = 32) -> Column:
     """SimHash from a materialized token-hash array column: bit b is set
     iff the sum over tokens of ±1 (sign of token-hash bit b) is positive.
-    Row-local array exprs; attribute-only contract (see above)."""
+    Row-local array exprs; attribute-only contract (see above).
 
-    def bit_merge(b: int):  # arity-2 closure (see minhash_signature note)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
-    for b in range(bits):
-        contrib = F.aggregate(hashes, F.lit(0), bit_merge(b))
-        bit_cols.append(
-            F.when(contrib > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+    ONE sequential fold accumulates all ``bits`` counters at once (the
+    two-parameter transform lambda receives (element, index)); the
+    previous form ran ``bits`` independent aggregates, each traversing
+    the token array — 32 full passes per document (round-10 profile:
+    the whole cost of the simhash gate queries).  Integer counts in the
+    same per-token order make the fingerprint bit-identical; NULL
+    token arrays still fingerprint to 0 (the no-text convention) via
+    the final coalesce."""
+    # the SQL shiftright/shiftleft take a column shift amount; the
+    # PySpark wrappers only accept a Python int — call through the SQL
+    # registry for the index-dependent shifts
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.transform(
+            acc,
+            lambda c, i: c
+            + F.when(
+                F.call_function(
+                    "shiftright", h, i.cast("int")
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1),
+        ),
+    )
+    packed = F.aggregate(
+        F.transform(
+            counts,
+            lambda c, i: F.when(
+                c > 0,
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), i.cast("int")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.coalesce(packed, F.lit(0).cast("long"))
 
 
 def simhash(text: Column, bits: int = 32) -> Column:
