@@ -1751,8 +1751,12 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).withColumn(
         "y",
+        # reduce mod 97 BEFORE multiplying: k * _ISO_MIX overflows
+        # int64 for k >= ~3.5e9 (sf >~ 600) and Spark wraps silently
+        # while DuckDB raises — (k%97)*(MIX%97) is algebraically
+        # identical mod 97 and overflow-free at any scale factor
         F.when(
-            (F.col("k") * F.lit(_ISO_MIX)) % 97
+            ((F.col("k") % 97) * F.lit(_ISO_MIX % 97)) % 97
             < F.lit(10.0) + F.lit(80.0) * F.col("s"),
             F.lit(1.0),
         ).otherwise(F.lit(0.0)),
@@ -1769,7 +1773,7 @@ SQL_ISOTONIC = f"""
 WITH lab AS (
     SELECT o_orderkey AS k,
            (CAST(o_totalprice AS DOUBLE) % 1000.0) / 1000.0 AS s,
-           CASE WHEN (o_orderkey * {_ISO_MIX}) % 97
+           CASE WHEN ((o_orderkey % 97) * {_ISO_MIX % 97}) % 97
                      < 10.0 + 80.0 * ((CAST(o_totalprice AS DOUBLE)
                                        % 1000.0) / 1000.0)
                 THEN 1.0 ELSE 0.0 END AS y

@@ -755,8 +755,14 @@ def _candidate_semi_join(
     string URLs (~100 B), and an 8-bytes-per-id guess would
     force-broadcast a multi-GB id set (review finding, round 10).  The
     one cheap agg over the (already materialized, candidate-sized) id
-    frame prices each id as its octet length + 16 B of hashed-relation
-    overhead; integral ids come out ≈ the old 8 B estimate + overhead."""
+    frame prices each id as its octet length + 48 B of hashed-relation
+    overhead — JVM ``UnsafeHashedRelation`` rows for UTF8String keys
+    cost ~40-60 B each beyond the payload (row header + offsets + hash
+    map slots), and the unconditional broadcast hint below BYPASSES
+    autoBroadcastJoinThreshold, so under-pricing a slice risks a driver
+    OOM while over-pricing merely costs one more map-only corpus scan
+    (review finding, round 11).  Long-keyed frames use Spark's compact
+    ``LongHashedRelation`` and are priced at 24 B/row."""
     from pyspark.sql import types as T
 
     id_field = next(f for f in cand_ids.schema.fields if f.name == "_vid")
@@ -767,7 +773,7 @@ def _candidate_semi_join(
         row = cand_ids.agg(
             F.sum(F.octet_length(F.col("_vid"))).alias("b")
         ).collect()[0]
-        id_bytes = int(row["b"] or 0) + 16 * int(n_ids)
+        id_bytes = int(row["b"] or 0) + 48 * int(n_ids)
     else:
         id_bytes = 24 * int(n_ids)
     n_slices = max(

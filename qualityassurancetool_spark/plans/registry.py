@@ -91,6 +91,23 @@ def _check_stabilization(
     return df
 
 
+def _polygon_digest(polys) -> str:
+    """Cheap content digest of a polygon set (names AND coordinates) —
+    the region-mask cache key.  Coordinates hash via their raw float64
+    bytes, so any vertex move invalidates the cached mask."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    for name, verts in polys:
+        h.update(str(name).encode("utf-8", "surrogatepass"))
+        h.update(b"\x00")
+        h.update(np.asarray(verts, dtype=np.float64).tobytes())
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
 @register_check("region")
 def _check_region(
     df: DataFrame, cfg: QCConfig, spark: SparkSession, stream_col: str
@@ -134,13 +151,21 @@ def _check_region(
                 build_region_mask,
             )
 
-            mask = getattr(cfg, "_region_mask_cache", None)
-            if mask is None:
+            # cache key = digest of the polygon COORDINATES, not just
+            # their names: JDBC-loaded polygons can change vertices
+            # while keeping names across windows of a long-lived
+            # config, and a names-only check would serve stale
+            # conclusive cells silently (advisor finding, round 11)
+            digest = _polygon_digest(polys)
+            cached = getattr(cfg, "_region_mask_cache", None)
+            if cached is not None and cached[0] == digest:
+                mask = cached[1]
+            else:
                 mask = build_region_mask(
                     polys,
                     cell_deg=getattr(cfg, "region_mask_cell_deg", 0.25),
                 )
-                cfg._region_mask_cache = mask
+                cfg._region_mask_cache = (digest, mask)
             df = assign_region_masked(df, polys, mask=mask)
         else:
             df = assign_region(df, polys, strategy=strategy)

@@ -320,6 +320,26 @@ def streaming_seasonal_episodes(
             f"baseline must be a seasonal_profile frame grouped by "
             f"[{group_col!r}]; missing columns {sorted(missing)}"
         )
+    # a profile grouped by EXTRA columns (e.g. [g1, g2]) would pass the
+    # missing-columns check and then the dict comprehension keyed on
+    # (group_col, cell) silently overwrites duplicate keys — wrong
+    # z-scores with no error.  Refuse unexpected columns loudly, like
+    # the period stamp does.
+    extra = set(baseline.columns) - {
+        group_col,
+        "cell",
+        "n",
+        "sum_x",
+        "sum_x2",
+        "period",
+    }
+    if extra:
+        raise ValueError(
+            f"baseline carries unexpected columns {sorted(extra)}: a "
+            f"profile grouped by more than [{group_col!r}] would "
+            f"collapse ambiguously onto ({group_col!r}, cell) keys — "
+            f"re-fit seasonal_profile grouped by [{group_col!r}] only"
+        )
     # bounded collect: groups × <=168 cells of (n, sum_x, sum_x2)
     prof = {
         (

@@ -549,3 +549,44 @@ def test_seasonal_profile_period_stamp_guard(spark, tmp_path):
         "monitor", f"data.input={land}", "data.out=/tmp/x",
         "chart=seasonal", f"history={land}", "period=hourly",
     ]) == 2
+
+
+def test_seasonal_baseline_extra_columns_refused(spark, tmp_path):
+    """A profile grouped by EXTRA columns (e.g. [g, g2]) has every
+    required column, so the missing-columns check passes — but the
+    streaming scorer's dict keyed on (group, cell) would silently
+    overwrite duplicate keys and score against an arbitrary survivor
+    (advisor finding, round 11).  Unexpected columns must refuse
+    loudly, like the period stamp."""
+    import pytest
+
+    from qualityassurancetool_spark.operators.seasonal import (
+        seasonal_profile,
+    )
+    from qualityassurancetool_spark.streaming.incident_chain import (
+        streaming_seasonal_episodes,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            ("a", "x", T0 + dt.timedelta(days=d, hours=h), 10.0 + h)
+            for d in range(7)
+            for h in range(24)
+        ],
+        "g string, g2 string, ts timestamp, v double",
+    )
+    prof2 = seasonal_profile(
+        hist, "v", "ts", ["g", "g2"], period="hour_of_day"
+    )
+    land = str(tmp_path / "land")
+    _write(spark, land, _seasonal_rows(8, {}))
+    stream = spark.readStream.schema(SCHEMA).parquet(land)
+    with pytest.raises(ValueError, match="unexpected columns"):
+        streaming_seasonal_episodes(
+            stream, prof2, "v", "ts", "g", period="hour_of_day"
+        )
+    # the single-group profile (with its period stamp) still passes
+    prof1 = seasonal_profile(hist, "v", "ts", ["g"], period="hour_of_day")
+    streaming_seasonal_episodes(
+        stream, prof1, "v", "ts", "g", period="hour_of_day"
+    )

@@ -573,3 +573,32 @@ def test_region_strategy_mask_matches_default(spark):
     assert mask1 is not None
     run_registered_checks(obs, cfg, spark, checks=["region"]).count()
     assert cfg._region_mask_cache is mask1  # rasterized once per config
+
+
+def test_region_mask_cache_invalidated_on_coordinate_change(spark):
+    """The memoized region mask keys on a digest of the polygon
+    COORDINATES: JDBC-loaded polygons can change vertices while keeping
+    the same names across windows of a long-lived config, and a
+    names-only check would serve stale conclusive cells silently
+    (advisor finding, round 11)."""
+    obs = events_as_observations(spark, SF_DIR)
+    base = {
+        "QC": FULL_CFG["QC"],
+        "region_polygons": FULL_CFG["region_polygons"],
+        "region_strategy": "mask",
+        "region_mask_cell_deg": 0.5,
+    }
+    cfg = QCConfig.from_dict(base)
+    run_registered_checks(obs, cfg, spark, checks=["region"]).count()
+    cached1 = cfg._region_mask_cache
+    # same coordinates -> same digest -> same cached object
+    run_registered_checks(obs, cfg, spark, checks=["region"]).count()
+    assert cfg._region_mask_cache is cached1
+    # shift every vertex, keep names -> digest differs -> mask rebuilt
+    cfg.region_polygons = [
+        (name, [(lon + 0.25, lat + 0.25) for lon, lat in verts])
+        for name, verts in cfg.region_polygons
+    ]
+    run_registered_checks(obs, cfg, spark, checks=["region"]).count()
+    cached2 = cfg._region_mask_cache
+    assert cached2 is not cached1 and cached2[0] != cached1[0]

@@ -902,7 +902,9 @@ def test_simhash_near_dup_pairs_banding_exact(spark, docs):
         simhash_near_dup_pairs(sub, bits=32, bands=4, max_hamming=4)
 
 
-def test_candidate_semi_join_sliced_path_is_exact(spark, docs, monkeypatch):
+def test_candidate_semi_join_sliced_path_is_exact(
+    spark, docs, monkeypatch, tmp_path
+):
     """When the exact candidate-id set exceeds the broadcast budget, the
     verify semi-filter splits the ids into hash slices and re-scans the
     corpus map-side per slice — the union must equal the plain
@@ -922,7 +924,7 @@ def test_candidate_semi_join_sliced_path_is_exact(spark, docs, monkeypatch):
     monkeypatch.setattr(dd, "_BROADCAST_BYTES_LIMIT", 64)  # ~8 ids/slice
     got = key(
         dd.minhash_dedup_batched(
-            sub, "/tmp/qat_sliced_semi_test", band_batches=4, **kw
+            sub, str(tmp_path / "sliced_semi"), band_batches=4, **kw
         )
     )
     assert got == mono and len(mono) > 0
