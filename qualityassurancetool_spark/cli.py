@@ -366,7 +366,10 @@ def cmd_dedup(args, overrides: list[str]) -> int:
                 # update_state=false freezes the state for a dry run;
                 # admission_id=<crawl-date> makes the run retry-
                 # idempotent (overwrite slices — re-running the same id
-                # converges instead of double-appending state)
+                # converges instead of double-appending state);
+                # corpus_text=<parquet> supplies the original corpus
+                # text a slim (store_shingles=false) state recomputes
+                # its verify shingles from
                 out = minhash_admit(
                     docs,
                     state,
@@ -375,6 +378,7 @@ def cmd_dedup(args, overrides: list[str]) -> int:
                     ).lower()
                     not in ("false", "0", "no"),
                     admission_id=knobs.get("admission_id"),
+                    corpus_text=knobs.get("corpus_text"),
                     **kw,
                 )
             elif bb is not None or knobs.get("work_dir"):

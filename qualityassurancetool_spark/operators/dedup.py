@@ -389,9 +389,10 @@ def minhash_dedup_batched(
     exchange for a signature artifact that scales as
     ``docs × num_hashes`` longs regardless of document length — the
     right default when the artifact is long-lived or disk-bound.
-    A shingle-less work dir cannot serve :func:`minhash_admit` (its
-    state side has no text to recompute from) — the state meta records
-    the mode and admission refuses it loudly.
+    A shingle-less work dir serves :func:`minhash_admit` only with a
+    ``corpus_text=`` source (the state side recomputes shingles from it
+    for candidate ids only) — the state meta records the mode and
+    admission without one refuses loudly.
     """
     import os as _os
 
@@ -662,10 +663,13 @@ def _write_state_meta(
 def _check_state_meta(
     spark, state_dir: str, num_hashes: int, bands: int, shingle_k: int,
     hash_mode: str,
-) -> bool:
+) -> dict | None:
     """Validate the passed knobs against the state's baked ones.
-    Returns whether a meta file existed — a bootstrapping caller writes
-    one when this returns False, so no state stays unenforced."""
+    Returns the stored meta dict (truthy) when a meta file existed,
+    else ``None`` — a bootstrapping caller writes one on falsy, so no
+    state stays unenforced.  ``store_shingles`` in the returned dict
+    tells admission whether the sig parquet carries ``_sh`` arrays or
+    the caller must supply ``corpus_text=`` for recompute."""
     import json as _json
     import posixpath as _pp
 
@@ -677,16 +681,8 @@ def _check_state_meta(
     meta_path = _pp.join(state_dir, "minhash_meta.json")
     if not path_exists(spark, meta_path):
         # pre-metadata state: caller keeps the same-knobs contract
-        return False
+        return None
     stored = _json.loads(read_text(spark, meta_path))
-    if not stored.get("store_shingles", True):
-        raise ValueError(
-            f"minhash state {state_dir!r} was built with "
-            "store_shingles=False: its sig parquet has no _sh arrays, "
-            "so admission cannot verify candidates against it.  "
-            "Rebuild the state with store_shingles=True (the default) "
-            "to use it for incremental admission."
-        )
     mine = {
         "num_hashes": num_hashes,
         "bands": bands,
@@ -705,7 +701,7 @@ def _check_state_meta(
             + f" — signatures in {state_dir!r} were baked with the stored "
             "knobs and are not comparable under different ones"
         )
-    return True
+    return stored
 
 
 # ~160 MB through the driver: comfortably broadcastable.  Past it, an
@@ -817,6 +813,7 @@ def minhash_admit(
     delta_sig_path: str | None = None,
     extra_state_paths: list[str] | None = None,
     admission_id: str | None = None,
+    corpus_text: DataFrame | str | None = None,
 ) -> DataFrame:
     """Incremental near-dup ADMISSION: verify a (small) delta of new
     documents against an existing corpus state at cost ∝ delta — the
@@ -880,7 +877,24 @@ def minhash_admit(
     parquet dirs into the state side (previous batch slices).  A
     missing ``state_dir/sig`` is allowed — admission then sees only the
     extra slices (or nothing: a cold stream's first batch verifies
-    delta-vs-delta only)."""
+    delta-vs-delta only).
+
+    Slim states (``minhash_dedup_batched(store_shingles=False)`` — the
+    only configuration whose signature artifact fits a 100 M-doc corpus
+    on a real disk budget) admit with ``corpus_text=``: a DataFrame (or
+    parquet path) carrying the ORIGINAL corpus's (``id_col``,
+    ``text_col``), from which the state side's shingles are recomputed
+    for candidate ids only — a map-only corpus re-scan behind the same
+    ``_candidate_semi_join`` discipline the batched verify uses, so
+    nothing corpus-sized ever crosses an exchange.  ``corpus_text``
+    must cover every doc in the slim ``sig`` parquet (a candidate id
+    with no shingle source raises instead of silently dropping its
+    pairs).  Admission SLICES keep their own ``_sh`` arrays (disk ∝
+    admitted deltas, and their docs are not in ``corpus_text``), so
+    slim-state admissions require ``admission_id=`` (or
+    ``update_state=False``) — a plain append into the slim ``sig``
+    parquet would fork its schema.  Slim-vs-full admission parity is
+    byte-identical (``tests/test_scale_ops.py``)."""
     import os as _os
 
     if hash_mode not in ("fast", "portable"):
@@ -894,9 +908,37 @@ def minhash_admit(
         path_exists,
     )
 
-    had_meta = _check_state_meta(
+    meta = _check_state_meta(
         spark, state_dir, num_hashes, bands, shingle_k, hash_mode
     )
+    had_meta = meta is not None
+    slim_state = bool(meta) and not meta.get("store_shingles", True)
+    corpus_df = (
+        spark.read.parquet(corpus_text)
+        if isinstance(corpus_text, str)
+        else corpus_text
+    )
+    if slim_state:
+        if corpus_df is None:
+            raise ValueError(
+                f"minhash state {state_dir!r} was built with "
+                "store_shingles=False: its sig parquet has no _sh "
+                "arrays, so admission's verify step needs the original "
+                "corpus text to recompute them — pass corpus_text= "
+                "(a DataFrame or parquet path with the corpus's "
+                f"({id_col!r}, {text_col!r}) columns).  Candidate "
+                "shingles are recomputed map-side for candidate ids "
+                "only; the corpus never shuffles."
+            )
+        if update_state and admission_id is None:
+            raise ValueError(
+                "slim minhash state: plain update_state=True would "
+                "append full-schema rows into the shingle-less sig "
+                "parquet (schema fork).  Pass admission_id=<id> — the "
+                "delta's signatures land in their own overwrite slice, "
+                "_sh arrays included (disk cost ∝ delta) — or "
+                "update_state=False for a frozen dry run."
+            )
     sig_path = _os.path.join(state_dir, "sig")
     adm_root = _os.path.join(state_dir, "sig_admissions")
     own_slice = None
@@ -907,11 +949,12 @@ def minhash_admit(
         # their ISO str form is exactly the intended slice name
         admission_id = str(admission_id)
         if not _re.fullmatch(r"[A-Za-z0-9._-]+", admission_id) or (
-            admission_id.endswith(("_cand", "_cand_ids"))
+            admission_id.endswith(("_cand", "_cand_ids", "_cand_sh"))
         ):
             raise ValueError(
                 f"admission_id {admission_id!r} must be "
-                "[A-Za-z0-9._-]+ and not end with '_cand'/'_cand_ids' "
+                "[A-Za-z0-9._-]+ and not end with "
+                "'_cand'/'_cand_ids'/'_cand_sh' "
                 "(those suffixes name candidate scratch)"
             )
         if delta_sig_path is not None:
@@ -933,11 +976,13 @@ def minhash_admit(
     adm_slices = [
         _os.path.join(adm_root, d)
         for d in sorted(list_subdirs(spark, adm_root, prefix="admission="))
-        # "_cand"/"_cand_ids" SUFFIXES are candidate scratch a crashed
-        # admission may leave behind — never signature slices.  Suffix
-        # match only: an id merely CONTAINING "_cand" (legal pre-round-
-        # 10) must keep counting as state (review finding, round 10)
-        if not d.endswith(("_cand", "_cand_ids")) and d != own_slice
+        # "_cand"/"_cand_ids"/"_cand_sh" SUFFIXES are candidate scratch
+        # a crashed admission may leave behind — never signature
+        # slices.  Suffix match only: an id merely CONTAINING "_cand"
+        # (legal pre-round-10) must keep counting as state (review
+        # finding, round 10)
+        if not d.endswith(("_cand", "_cand_ids", "_cand_sh"))
+        and d != own_slice
     ]
     extra_state_paths = adm_slices + list(extra_state_paths or [])
     internal_scratch = delta_sig_path is None
@@ -1032,6 +1077,7 @@ def minhash_admit(
         delete_path(spark, stale)
         delete_path(spark, stale + "_cand")
         delete_path(spark, stale + "_cand_ids")
+        delete_path(spark, stale + "_cand_sh")
     cand_ids = (
         cand.select(F.col("id_a").alias("_vid"))
         .unionByName(cand.select(F.col("id_b").alias("_vid")))
@@ -1041,9 +1087,51 @@ def minhash_admit(
     cand_ids.write.mode("overwrite").parquet(cand_ids_path)
     cand_ids = spark.read.parquet(cand_ids_path)
     n_ids = cand_ids.count()  # footer-only, exact
-    sh_all = _candidate_semi_join(
-        union_sigs(["_jid", "_sh"]), cand_ids, n_ids, "_jid"
-    )
+    if slim_state:
+        # the slim base sig parquet has no _sh arrays: recompute them
+        # FROM THE CORPUS TEXT for candidate ids only — the semi-join
+        # filter applies map-side against the (possibly sliced)
+        # broadcast id set, so the re-scan is exchange-free and only
+        # candidate shingle arrays materialize past it (exactly the
+        # batched verify's store_shingles=False path).  Admission
+        # slices and the delta carry their own _sh.
+        sh_src = _shingle_frame(
+            corpus_df, text_col, id_col, shingle_k, hash_mode
+        )
+        for p in extra_state_paths or []:
+            sh_src = sh_src.unionByName(
+                spark.read.parquet(p).select("_jid", "_sh")
+            )
+        sh_src = sh_src.unionByName(
+            spark.read.parquet(delta_sig_path).select("_jid", "_sh")
+        )
+        # corpus_text may legitimately be a superset (e.g. the user's
+        # full current corpus, overlapping delta/slice docs) — dedupe
+        # on id over the CANDIDATE-sized survivors (bounded exchange)
+        sh_all = _candidate_semi_join(
+            sh_src, cand_ids, n_ids, "_jid"
+        ).dropDuplicates(["_jid"])
+        # materialize once: the verify joins reference sh_all twice and
+        # would otherwise re-scan + re-tokenize the corpus per
+        # reference; the footer count also feeds the coverage guard
+        sh_scratch = cand_path + "_sh"
+        sh_all.write.mode("overwrite").parquet(sh_scratch)
+        sh_all = spark.read.parquet(sh_scratch)
+        n_sh = sh_all.count()  # footer-only
+        if n_sh < n_ids:
+            raise ValueError(
+                f"corpus_text does not cover the slim minhash state: "
+                f"{n_ids - n_sh} of {n_ids} candidate ids have no "
+                "shingle source (not in corpus_text, any admission "
+                "slice, or the delta).  corpus_text must carry every "
+                f"doc the state's sig parquet was built from "
+                f"({state_dir!r}) — dropping them would silently lose "
+                "their pairs."
+            )
+    else:
+        sh_all = _candidate_semi_join(
+            union_sigs(["_jid", "_sh"]), cand_ids, n_ids, "_jid"
+        )
     out = (
         cand.join(
             sh_all.withColumnRenamed("_jid", "id_a").withColumnRenamed(
@@ -1080,6 +1168,7 @@ def minhash_admit(
             )
         delete_path(spark, cand_path)
         delete_path(spark, cand_path + "_ids")
+        delete_path(spark, cand_path + "_sh")
         return spark.read.parquet(pairs_path)
     if update_state:
         # the returned frame reads _delta_sig lazily, so materialize the

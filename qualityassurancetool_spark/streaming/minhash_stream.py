@@ -74,6 +74,7 @@ def streaming_minhash_admit(
     threshold: float = 0.7,
     hash_mode: str = "fast",
     available_now: bool = True,
+    corpus_text: DataFrame | str | None = None,
 ):
     """Start the checkpointed admission query; returns the
     StreamingQuery.  Same signature knobs as the batch operators (they
@@ -83,7 +84,12 @@ def streaming_minhash_admit(
     state (cold stream) gets one WRITTEN — per-batch admission runs
     with ``update_state=False``, which never bakes meta itself, so
     stream-created states would otherwise escape the mismatch
-    enforcement forever (review finding, round 8)."""
+    enforcement forever (review finding, round 8).
+
+    A SLIM bootstrap state (``store_shingles=False``) needs
+    ``corpus_text=`` (DataFrame or parquet path of the bootstrap
+    corpus's text) — validated here at query construction, not three
+    micro-batches in; batch slices carry their own ``_sh``."""
     from qualityassurancetool_spark.operators.dedup import (
         _check_state_meta,
         _write_state_meta,
@@ -91,11 +97,18 @@ def streaming_minhash_admit(
     )
 
     spark0 = stream.sparkSession
-    if not _check_state_meta(
+    meta = _check_state_meta(
         spark0, state_dir, num_hashes, bands, shingle_k, hash_mode
-    ):
+    )
+    if meta is None:
         _write_state_meta(
             spark0, state_dir, num_hashes, bands, shingle_k, hash_mode
+        )
+    elif not meta.get("store_shingles", True) and corpus_text is None:
+        raise ValueError(
+            f"bootstrap state {state_dir!r} is slim "
+            "(store_shingles=False): pass corpus_text= so per-batch "
+            "verification can recompute the state side's shingles"
         )
 
     sig_batches = posixpath.join(state_dir, "sig_batches")
@@ -127,16 +140,19 @@ def streaming_minhash_admit(
             update_state=False,
             delta_sig_path=slice_dir,
             extra_state_paths=prev,
+            corpus_text=corpus_text,
         )
         pairs.write.mode("overwrite").parquet(
             posixpath.join(pairs_root, f"batch={batch_id}")
         )
-        # the batch's candidate scratch ("batch=N_cand", a sibling of
-        # the signature slice) is baked into the pairs parquet now;
-        # without this a long-running stream accumulates one dead dir
-        # per micro-batch and every slice listing walks the growing set
+        # the batch's candidate scratch ("batch=N_cand" + its "_ids"/
+        # "_sh" siblings) is baked into the pairs parquet now; without
+        # this a long-running stream accumulates dead dirs per
+        # micro-batch and every slice listing walks the growing set
         # (review finding, round 8)
         delete_path(spark, f"{slice_dir}_cand")
+        delete_path(spark, f"{slice_dir}_cand_ids")
+        delete_path(spark, f"{slice_dir}_cand_sh")
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

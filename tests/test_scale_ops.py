@@ -928,3 +928,113 @@ def test_candidate_semi_join_sliced_path_is_exact(
         )
     )
     assert got == mono and len(mono) > 0
+
+
+def test_minhash_admit_slim_state_parity(spark, tmp_path):
+    """Slim-state admission (round-11): a store_shingles=False work dir
+    admits deltas when given corpus_text= — the state side's shingles
+    recompute from the corpus text for candidate ids only, behind the
+    same _candidate_semi_join discipline as the batched verify.  Pairs
+    must be identical to full-storage admission; admission slices carry
+    their own _sh so a SECOND admission pairs against the first without
+    corpus_text covering it."""
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_admit,
+        minhash_dedup_batched,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(300)
+        .select("doc_id", "text")
+    )
+    base = docs.where(F.col("doc_id") % 7 != 0)
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+    full_dir = str(tmp_path / "full")
+    slim_dir = str(tmp_path / "slim")
+    minhash_dedup_batched(base, full_dir, **kw).count()
+    minhash_dedup_batched(
+        base, slim_dir, band_batches=16, store_shingles=False, **kw
+    ).count()
+    key = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+    )
+    p_full = key(minhash_admit(delta, full_dir, admission_id="d1", **kw))
+    p_slim = key(
+        minhash_admit(
+            delta, slim_dir, admission_id="d1", corpus_text=base, **kw
+        )
+    )
+    assert p_slim == p_full and len(p_full) > 0
+
+    # retry the SAME admission id on the slim state: byte-identical
+    p_retry = key(
+        minhash_admit(
+            delta, slim_dir, admission_id="d1", corpus_text=base, **kw
+        )
+    )
+    assert p_retry == p_slim
+
+    # second admission: d2 reuses texts from BOTH the first delta (its
+    # shingles must come from the admission slice's _sh) and the base
+    # corpus (recomputed from corpus_text); corpus_text also accepts a
+    # parquet path, and a SUPERSET corpus (overlapping slice/delta
+    # docs) must not double-count
+    d1_rows = delta.limit(2).collect()
+    b_rows = base.limit(2).collect()
+    d2 = spark.createDataFrame(
+        [(1_000_000 + i, r["text"]) for i, r in enumerate(d1_rows + b_rows)],
+        "doc_id long, text string",
+    )
+    corpus_pq = str(tmp_path / "corpus_pq")
+    docs.write.parquet(corpus_pq)  # superset: base + delta texts
+    p2_full = key(minhash_admit(d2, full_dir, admission_id="d2", **kw))
+    p2_slim = key(
+        minhash_admit(
+            d2, slim_dir, admission_id="d2", corpus_text=corpus_pq, **kw
+        )
+    )
+    assert p2_slim == p2_full and len(p2_full) >= 4
+
+
+def test_minhash_admit_slim_refusals_and_coverage(spark, tmp_path):
+    """Slim-state admission guard rails: no corpus_text -> refuse with
+    the corpus_text pointer; plain update_state append -> refuse (would
+    fork the slim sig schema); corpus_text that misses a candidate's
+    doc -> loud coverage error instead of silently dropped pairs."""
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_admit,
+        minhash_dedup_batched,
+    )
+
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    minhash_dedup_batched(base, state, store_shingles=False, **kw).count()
+    delta = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="corpus_text"):
+        minhash_admit(delta, state, update_state=False, **kw)
+    with pytest.raises(ValueError, match="admission_id"):
+        minhash_admit(delta, state, corpus_text=base, **kw)
+    unrelated = spark.createDataFrame(
+        [(1, "totally different words here nothing shared")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="does not cover"):
+        minhash_admit(
+            delta, state, update_state=False, corpus_text=unrelated, **kw
+        )
+    # with the right corpus the same admission verifies at jaccard 1.0
+    out = minhash_admit(
+        delta, state, update_state=False, corpus_text=base, **kw
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in out} == {
+        (0, 10, 1.0)
+    }

@@ -205,3 +205,66 @@ def test_cold_stream_bakes_and_enforces_meta(spark):
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_admission_slim_bootstrap(spark):
+    """A SLIM bootstrap state (store_shingles=False) streams admissions
+    when corpus_text= is supplied — per-batch pairs identical to the
+    full-storage stream over the same files; without corpus_text the
+    query refuses at construction (not three micro-batches in)."""
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="smh_slim")
+    land = os.path.join(root, "land")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        os.makedirs(land)
+        base = spark.createDataFrame(
+            [(i, DOCS[i]) for i in BASE_IDS], "doc_id long, text string"
+        )
+        minhash_dedup_batched(
+            base, state, hash_mode="portable", store_shingles=False, **KW
+        ).count()
+        _land(spark, land, FILE_A, "a")
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land + "/*")
+        )
+        with pytest.raises(ValueError, match="corpus_text"):
+            streaming_minhash_admit(
+                stream, state, ckpt, hash_mode="portable", **KW
+            )
+        q = streaming_minhash_admit(
+            stream, state, ckpt, hash_mode="portable",
+            corpus_text=base, **KW
+        )
+        q.awaitTermination(180)
+        _land(spark, land, FILE_B, "b")
+        q = streaming_minhash_admit(
+            (
+                spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(land + "/*")
+            ),
+            state, ckpt, hash_mode="portable", corpus_text=base, **KW,
+        )
+        q.awaitTermination(180)
+        got = _pairs(spark, state)
+        assert (0, 13) in {(a, b) for a, b, _ in got}   # vs slim BOOTSTRAP
+        assert (11, 22) in {(a, b) for a, b, _ in got}  # vs previous batch
+        all_docs = spark.createDataFrame(
+            [(i, DOCS[i]) for i in sorted(DOCS)], "doc_id long, text string"
+        )
+        streamed = set(FILE_A) | set(FILE_B)
+        want = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in minhash_dedup(
+                all_docs, hash_mode="portable", **KW
+            ).collect()
+            if r["id_a"] in streamed or r["id_b"] in streamed
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -4552,6 +4552,49 @@ def x_minhash_admit(spark, con, sf_dir):
     return sdf, sql
 
 
+def x_minhash_admit_slim(spark, con, sf_dir):
+    """Slim-state admission (round-11): bootstrap the state with
+    store_shingles=False (the 100 M-doc disk-budget configuration),
+    admit the delta with corpus_text= — state-side shingles recompute
+    from the corpus text for candidate ids only — and the verified
+    pairs must equal the same full-corpus DuckDB LSH replica as
+    x_minhash_admit (slim changes the storage, never the pairs)."""
+    import tempfile
+
+    from qualityassurancetool_spark.operators.dedup import (
+        minhash_admit,
+        minhash_dedup_batched,
+    )
+    from qualityassurancetool_spark.schema import load_table
+
+    m = _entry_mod()
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(
+        num_hashes=16, bands=8, shingle_k=3, threshold=0.5,
+        hash_mode="portable",
+    )
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    state = tempfile.mkdtemp(prefix="qat_mh_admit_slim_")
+    minhash_dedup_batched(
+        corpus, state, band_batches=16, store_shingles=False, **kw
+    ).count()
+    out = minhash_admit(
+        docs.where(F.col("doc_id") % 7 == 0),
+        state,
+        admission_id="slim-check",
+        corpus_text=corpus,
+        **kw,
+    )
+    sdf = out.select(
+        "id_a", "id_b", (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard_r")
+    ).orderBy("id_a", "id_b")
+    sql = (
+        "SELECT * FROM (" + m._sql_dedup_minhash_lsh() + ") "
+        "WHERE id_a % 7 = 0 OR id_b % 7 = 0 ORDER BY id_a, id_b"
+    )
+    return sdf, sql
+
+
 x_episodes = _retired("episodes")
 x_rollup_revenue = _retired("rollup_revenue")
 # round-9 gate swap: resample/heavy_hitters_by PROMOTED into the driver
@@ -4699,6 +4742,7 @@ EXTRA_CHECKS = {
     "x_rollup_revenue": x_rollup_revenue,
     "x_minhash_batched": x_minhash_batched,
     "x_minhash_admit": x_minhash_admit,
+    "x_minhash_admit_slim": x_minhash_admit_slim,
     "x_psi": x_psi,
     "x_experiment": x_experiment,
     "x_ann_ivfadc_gate": x_ann_ivfadc_gate,
