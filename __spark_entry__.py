@@ -1663,6 +1663,168 @@ ORDER BY id_a, id_b
 """
 
 
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction rerank (round-11 gate promotion
+    of x_maxsim): 64-dim embeddings sliced into 4×16 token matrices,
+    per-(query token, doc token) dot products double-widened, max over
+    doc tokens then sum over query tokens, top-10 per query with the
+    (score desc, doc_id asc) tie-break.  The shortlist is the
+    first-stage retriever's contract: scoring cost is
+    |shortlist| × n_tok², never corpus-sized (Khattab & Zaharia,
+    SIGIR'20)."""
+    from qualityassurancetool_spark.operators.late_interaction import (
+        maxsim_rerank,
+        split_tokens,
+    )
+
+    n_tok, dim, k = 4, 64, 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        "vec_id",
+        split_tokens(F.col("embedding"), n_tok, dim).alias("token_vecs"),
+    )
+    qs = toks.where(F.col("vec_id") % 61 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    corpus = toks.withColumnRenamed("vec_id", "doc_id")
+    shortlist = qs.select("query_id").crossJoin(
+        corpus.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    )
+    return maxsim_rerank(shortlist, qs, corpus, k=k).select(
+        "query_id",
+        "doc_id",
+        (F.round("maxsim", 6) + F.lit(0.0)).alias("maxsim_r"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+_MAXSIM_W = 64 // 4
+SQL_MAXSIM = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    WHERE vec_id % 61 = 0
+), d AS (
+    SELECT vec_id AS doc_id, embedding AS de FROM embeddings
+    WHERE vec_id % 7 = 0
+), dots AS (
+    SELECT q.query_id, d.doc_id, qi.i AS qi, di.i AS di,
+           list_sum(list_transform(generate_series(1, {_MAXSIM_W}), j ->
+               CAST(qe[(qi.i - 1) * {_MAXSIM_W} + j] AS DOUBLE)
+             * CAST(de[(di.i - 1) * {_MAXSIM_W} + j] AS DOUBLE))) AS dot
+    FROM q, d,
+         (SELECT unnest(generate_series(1, 4)) AS i) qi,
+         (SELECT unnest(generate_series(1, 4)) AS i) di
+), best AS (
+    SELECT query_id, doc_id, qi, MAX(dot) AS b
+    FROM dots GROUP BY query_id, doc_id, qi
+), score AS (
+    SELECT query_id, doc_id, SUM(b) AS maxsim FROM best
+    GROUP BY query_id, doc_id
+), ranked AS (
+    SELECT query_id, doc_id, round(maxsim, 6) + 0.0 AS maxsim_r,
+           CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY maxsim DESC, doc_id ASC) AS INT) AS rank
+    FROM score
+)
+SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of a cascade graph (round-11 gate promotion of x_kcore):
+    Matula–Beck peel iterated to fixpoint over the 4-family doc link
+    core (degree ~8, survives k=3) plus 4 ladder levels built so each
+    peel round removes exactly one level — the peel genuinely iterates
+    (4 removal waves + 1 confirming) and the oracle's fixed-depth
+    8-round SQL unroll provably reaches the same fixpoint.  Per round:
+    one partial-agg shuffle of 8-byte node keys + a semi-join that
+    only ever shrinks the edge table; localCheckpoint truncates
+    lineage (web-graph curation's spam/leaf peel filter)."""
+    from qualityassurancetool_spark.operators.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    levels = 4
+    fams = [
+        (F.col("doc_id"), (F.col("doc_id") * 7 + 3) % n),
+        (F.col("doc_id"), (F.col("doc_id") * 13 + 5) % n),
+        (F.col("doc_id"), (F.col("doc_id") + 1) % n),
+        (F.col("doc_id"), (F.col("doc_id") + 2) % n),
+        (F.col("doc_id"), F.col("doc_id") + n),
+        (F.col("doc_id"), (F.col("doc_id") + 1) % n + n),
+    ]
+    for lv in range(levels - 1):
+        lo, hi = n * (lv + 1), n * (lv + 2)
+        fams.append((F.col("doc_id") + lo, F.col("doc_id") + hi))
+        fams.append(
+            (F.col("doc_id") + lo, (F.col("doc_id") + 1) % n + hi)
+        )
+    edges = None
+    for fa, fb in fams:
+        part = docs.select(fa.alias("src"), fb.alias("dst"))
+        edges = part if edges is None else edges.union(part)
+    return k_core(edges, 3).orderBy("node")
+
+
+def _sql_kcore() -> str:
+    """Static DuckDB replica of :func:`q_kcore`: the corpus size enters
+    as a scalar one-row CTE (``nn``) instead of a Python-side count, so
+    the same SQL grades every scale factor; the peel is unrolled 8
+    rounds (> the graph's 5-wave fixpoint by construction) with
+    MATERIALIZED CTEs — each round references its predecessor twice and
+    un-materialized inlining would expand the chain exponentially."""
+    sql_fams = [
+        ("doc_id", "(doc_id * 7 + 3) % n"),
+        ("doc_id", "(doc_id * 13 + 5) % n"),
+        ("doc_id", "(doc_id + 1) % n"),
+        ("doc_id", "(doc_id + 2) % n"),
+        ("doc_id", "doc_id + n"),
+        ("doc_id", "(doc_id + 1) % n + n"),
+    ]
+    for lv in range(3):
+        lo, hi = lv + 1, lv + 2
+        sql_fams.append((f"doc_id + {lo} * n", f"doc_id + {hi} * n"))
+        sql_fams.append(
+            (f"doc_id + {lo} * n", f"(doc_id + 1) % n + {hi} * n")
+        )
+    raw = "\nUNION ALL\n".join(
+        f"    SELECT {a} AS a, {b} AS b FROM documents, nn"
+        for a, b in sql_fams
+    )
+    rounds = 8
+    ctes = [
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents)",
+        f"raw AS MATERIALIZED (\n{raw}\n)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u,"
+        " greatest(a, b) AS v FROM raw WHERE a <> b)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"n{r} AS MATERIALIZED (SELECT node FROM"
+            f" (SELECT u AS node FROM e{r}"
+            f" UNION ALL SELECT v FROM e{r}) GROUP BY node"
+            f" HAVING COUNT(*) >= 3)"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{r} e"
+            f" JOIN n{r} x ON e.u = x.node"
+            f" JOIN n{r} y ON e.v = y.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (SELECT u AS node FROM e{rounds}
+      UNION ALL SELECT v FROM e{rounds})
+GROUP BY node HAVING COUNT(*) >= 3 ORDER BY node
+"""
+    )
+
+
+SQL_KCORE = _sql_kcore()
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (operators/dedup.simhash_near_dup_pairs,
     round-10 gate promotion): 32-bit fingerprints banded into 4×8-bit
@@ -4831,7 +4993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_stabilization": q_qc_stabilization,
         "pivot_export": q_pivot_export,
         "resample": q_resample,
-        "sessionize_events": q_sessionize_events,
         "heavy_hitters_by": q_heavy_hitters_by,
         "bm25": q_bm25,
         "cms": q_cms,
@@ -4850,7 +5011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "ddsketch_quantiles": q_ddsketch_quantiles,
         "dedup_signatures": q_dedup_signatures,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate_overlap": q_decontaminate_overlap,
@@ -4861,6 +5021,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_region_flags": q_qc_region_flags,
         "simhash_pairs": q_simhash_pairs,
         "isotonic": q_isotonic,
+        # round-11 gate swap: sessionize_events and dedup_ngram_jaccard
+        # retired to x_* (generic gaps-and-islands shape covered inside
+        # funnel/cohort/episodes; the word-set Jaccard family stays
+        # pinned by minhash/simhash + its own x_* delegation); maxsim
+        # (ColBERT late interaction) + kcore (iterated graph peel)
+        # promoted with their full cross-engine replicas
+        "maxsim": q_maxsim,
+        "kcore": q_kcore,
         "qc_depth_flags": q_qc_depth_flags,
         "cohort": q_cohort,
         "linreg": q_linreg,
@@ -4889,7 +5057,6 @@ def oracle_sql() -> dict[str, str]:
         "qc_stabilization": SQL_QC_STABILIZATION,
         "pivot_export": SQL_PIVOT_EXPORT,
         "resample": SQL_RESAMPLE,
-        "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "heavy_hitters_by": SQL_HEAVY_HITTERS_BY,
         "bm25": SQL_BM25,
         "cms": SQL_CMS,
@@ -4905,7 +5072,6 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": SQL_HLL_DISTINCT,
         "ddsketch_quantiles": SQL_DDSKETCH_QUANTILES,
         "dedup_signatures": _sql_dedup_signatures(),
-        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_clusters": _sql_dedup_clusters(),
         "decontaminate_overlap": _sql_decontaminate_overlap(),
@@ -4916,6 +5082,8 @@ def oracle_sql() -> dict[str, str]:
         "qc_region_flags": SQL_QC_REGION_FLAGS,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "isotonic": SQL_ISOTONIC,
+        "maxsim": SQL_MAXSIM,
+        "kcore": SQL_KCORE,
         "qc_depth_flags": SQL_QC_DEPTH_FLAGS,
         "cohort": SQL_COHORT,
         "linreg": SQL_LINREG,

@@ -37,7 +37,6 @@ BENCH_QUERIES = [
     "qc_stabilization",
     "pivot_export",
     "shipping_priority",
-    "sessionize_events",
     "lang_quality_rollup",
     "curation_pipeline",
     "dedup_signatures",
@@ -87,6 +86,10 @@ BENCH_QUERIES = [
     # topk_orders_per_segment/qc_region_lookup rows (covered as x_*)
     "simhash_pairs",
     "isotonic",
+    # round-11 swap: maxsim/kcore replace the retired
+    # sessionize_events/dedup_ngram_jaccard rows (covered as x_*)
+    "maxsim",
+    "kcore",
 ]
 
 

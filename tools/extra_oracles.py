@@ -3445,71 +3445,6 @@ FROM verdict
     return sdf, sql
 
 
-def x_maxsim(spark, con, sf_dir):
-    """maxsim_rerank (ColBERT-style late interaction over a
-    shortlist) vs a DuckDB set-based replica: 64-dim embeddings
-    sliced into 4×16 token matrices in both engines, dot products
-    double-widened, per-query-token max then sum, same rank
-    tie-break.  Scores compared at 6 dp."""
-    from qualityassurancetool_spark.operators.late_interaction import (
-        maxsim_rerank,
-        split_tokens,
-    )
-    from qualityassurancetool_spark.schema import load_table
-
-    n_tok, dim, k = 4, 64, 10
-    w = dim // n_tok
-    emb = load_table(spark, sf_dir, "embeddings")
-    toks = emb.select(
-        "vec_id",
-        split_tokens(F.col("embedding"), n_tok, dim).alias("token_vecs"),
-    )
-    queries = toks.where(F.col("vec_id") % 61 == 0).withColumnRenamed(
-        "vec_id", "query_id"
-    )
-    corpus = toks.withColumnRenamed("vec_id", "doc_id")
-    shortlist = (
-        queries.select("query_id")
-        .crossJoin(corpus.select("doc_id").where(F.col("doc_id") % 7 == 0))
-    )
-    sdf = maxsim_rerank(shortlist, queries, corpus, k=k).select(
-        "query_id",
-        "doc_id",
-        (F.round("maxsim", 6) + F.lit(0.0)).alias("maxsim_r"),
-        "rank",
-    )
-    sql = f"""
-WITH q AS (
-    SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-    WHERE vec_id % 61 = 0
-), d AS (
-    SELECT vec_id AS doc_id, embedding AS de FROM embeddings
-    WHERE vec_id % 7 = 0
-), dots AS (
-    SELECT q.query_id, d.doc_id, qi.i AS qi, di.i AS di,
-           list_sum(list_transform(generate_series(1, {w}), j ->
-               CAST(qe[(qi.i - 1) * {w} + j] AS DOUBLE)
-             * CAST(de[(di.i - 1) * {w} + j] AS DOUBLE))) AS dot
-    FROM q, d,
-         (SELECT unnest(generate_series(1, {n_tok})) AS i) qi,
-         (SELECT unnest(generate_series(1, {n_tok})) AS i) di
-), best AS (
-    SELECT query_id, doc_id, qi, MAX(dot) AS b
-    FROM dots GROUP BY query_id, doc_id, qi
-), score AS (
-    SELECT query_id, doc_id, SUM(b) AS maxsim FROM best
-    GROUP BY query_id, doc_id
-), ranked AS (
-    SELECT query_id, doc_id, round(maxsim, 6) + 0.0 AS maxsim_r,
-           CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY maxsim DESC, doc_id ASC) AS INT) AS rank
-    FROM score
-)
-SELECT * FROM ranked WHERE rank <= {k}
-"""
-    return sdf, sql
-
-
 def x_table_profile(spark, con, sf_dir):
     """table_profile (one-scan exact stats + HLL ndv + DDSketch
     quantiles, long format) vs a DuckDB replica assembled from plain
@@ -4285,87 +4220,14 @@ FROM pairs
     return sdf, sql
 
 
-def x_kcore(spark, con, sf_dir):
-    """k_core (iterated Matula–Beck peel to fixpoint) vs a DuckDB
-    FIXED-DEPTH unrolled-peel replica.  Graph = the 4-family doc link
-    core (degree ~8, survives k=3) plus 4 cascade levels of ladder
-    nodes: level L-1 has degree 2 and peels first, exposing level
-    L-2, and so on — one level per round, so the peel genuinely
-    iterates (4 removal waves + 1 confirming) and the 8-round SQL
-    unroll provably reaches the same fixpoint Spark iterates to."""
-    from qualityassurancetool_spark.operators.graph import k_core
-
-    docs = _docs(spark, sf_dir).select("doc_id")
-    n = docs.count()
-    levels = 4
-    # (expr_a, expr_b) pairs, mirrored exactly in SQL below
-    fams = [
-        (F.col("doc_id"), (F.col("doc_id") * 7 + 3) % n),
-        (F.col("doc_id"), (F.col("doc_id") * 13 + 5) % n),
-        (F.col("doc_id"), (F.col("doc_id") + 1) % n),
-        (F.col("doc_id"), (F.col("doc_id") + 2) % n),
-        # base of the ladder: core i — v(0,i) and core i — v(0,i+1)
-        (F.col("doc_id"), F.col("doc_id") + n),
-        (F.col("doc_id"), (F.col("doc_id") + 1) % n + n),
-    ]
-    sql_fams = [
-        ("doc_id", f"(doc_id * 7 + 3) % {n}"),
-        ("doc_id", f"(doc_id * 13 + 5) % {n}"),
-        ("doc_id", f"(doc_id + 1) % {n}"),
-        ("doc_id", f"(doc_id + 2) % {n}"),
-        ("doc_id", f"doc_id + {n}"),
-        ("doc_id", f"(doc_id + 1) % {n} + {n}"),
-    ]
-    for lv in range(levels - 1):
-        lo, hi = n * (lv + 1), n * (lv + 2)
-        fams.append((F.col("doc_id") + lo, F.col("doc_id") + hi))
-        fams.append(
-            (F.col("doc_id") + lo, (F.col("doc_id") + 1) % n + hi)
-        )
-        sql_fams.append((f"doc_id + {lo}", f"doc_id + {hi}"))
-        sql_fams.append((f"doc_id + {lo}", f"(doc_id + 1) % {n} + {hi}"))
-    edges = None
-    for fa, fb in fams:
-        part = docs.select(fa.alias("src"), fb.alias("dst"))
-        edges = part if edges is None else edges.union(part)
-    sdf = k_core(edges, 3)
-
-    raw = "\nUNION ALL\n".join(
-        f"    SELECT {a} AS a, {b} AS b FROM documents"
-        for a, b in sql_fams
-    )
-    rounds = 8
-    # AS MATERIALIZED: each CTE references its predecessor twice, so
-    # un-materialized inlining would expand the chain exponentially
-    # (DuckDB runs out of file handles re-opening the parquet scan)
-    ctes = [
-        f"raw AS MATERIALIZED (\n{raw}\n)",
-        "e0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u,"
-        " greatest(a, b) AS v FROM raw WHERE a <> b)",
-    ]
-    for r in range(rounds):
-        ctes.append(
-            f"n{r} AS MATERIALIZED (SELECT node FROM"
-            f" (SELECT u AS node FROM e{r}"
-            f" UNION ALL SELECT v FROM e{r}) GROUP BY node"
-            f" HAVING COUNT(*) >= 3)"
-        )
-        ctes.append(
-            f"e{r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{r} e"
-            f" JOIN n{r} x ON e.u = x.node"
-            f" JOIN n{r} y ON e.v = y.node)"
-        )
-    sql = (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
-FROM (SELECT u AS node FROM e{rounds}
-      UNION ALL SELECT v FROM e{rounds})
-GROUP BY node HAVING COUNT(*) >= 3
-"""
-    )
-    return sdf, sql
+# round-11 gate swap: kcore (iterated Matula-Beck peel) promoted into
+# the driver gate; retired rows keep driver-grade coverage here
+# (maxsim promoted too — its delegation lives here, below the
+# _retired helper definition)
+x_maxsim = _retired("maxsim")
+x_kcore = _retired("kcore")
+x_sessionize_events = _retired("sessionize_events")
+x_dedup_ngram_jaccard = _retired("dedup_ngram_jaccard")
 
 
 def x_quantile_bin(spark, con, sf_dir):
@@ -4718,6 +4580,8 @@ EXTRA_CHECKS = {
     "x_qc_region_lookup": x_qc_region_lookup,
     "x_topk_orders_per_segment": x_topk_orders_per_segment,
     "x_kcore": x_kcore,
+    "x_sessionize_events": x_sessionize_events,
+    "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
     "x_cooccurrence": x_cooccurrence,
     "x_transitions": x_transitions,
     "x_feature_prep": x_feature_prep,

@@ -44,6 +44,10 @@ NESTED_LOOP_OK = {
     "experiment",        # CUPED θ scalar attach: crossJoin of a ONE-ROW
                          # broadcast aggregate (covariance pass) — the
                          # sanctioned scalar-attach shape, no pair space
+    "maxsim",            # shortlist = queries x pre-filtered candidate
+                         # ids (the first-stage retriever's contract);
+                         # scoring itself is an equi-join on the
+                         # shortlist keys
 }
 
 # queries whose plan legitimately scans a LogicalRDD: checkpointed
@@ -52,6 +56,7 @@ NESTED_LOOP_OK = {
 EXISTING_RDD_OK = {
     "dedup_clusters",
     "pagerank",  # localCheckpoint per iteration truncates rank lineage
+    "kcore",     # localCheckpoint per peel round truncates edge lineage
 }
 
 
