@@ -183,16 +183,28 @@ def run(spark, n_vecs: int) -> None:
         or n_vecs,
     )
     disk = ivfadc_read(spark, layout)
+    disk_short = ivfadc_topk(
+        disk, qdf, fitted["cents"], fitted["books"], k=100, nprobe=2
+    )
+    # the serving contract, asserted AT THIS SCALE (not just in the
+    # small-scale tests/test_pq.py): the static `cluster_id IN probed`
+    # literal must resolve to directory-level PartitionFilters on the
+    # layout scan, so unprobed lists' files are never opened
+    plan = disk_short._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cluster_id" in ln
+    ]
+    print(
+        f"  plan assert @ {n_vecs:,}: PartitionFilters with cluster_id "
+        f"{'PRESENT' if pf else 'MISSING — REGRESSION'}"
+    )
+    if not pf:
+        raise SystemExit("disk-layout search lost its PartitionFilters")
     m.stage(
         "adc search from disk layout", n_vecs,
-        lambda: ivfadc_topk(
-            disk,
-            qdf,
-            fitted["cents"],
-            fitted["books"],
-            k=100,
-            nprobe=2,
-        ).count(),
+        lambda: disk_short.count(),
     )
     index["df"].unpersist()
     index["short"].unpersist()
