@@ -1327,7 +1327,16 @@ def cmd_monitor(args, overrides: list[str]) -> int:
     ``ts_unit=ns|us|ms|s`` converts an integer ts column to a real
     timestamp first (the driver testdata stores ns-precision longs —
     without it an integer ts is a raw ordering key and ``max_gap``
-    compares against µs)."""
+    compares against µs).
+
+    ``chart=seasonal`` profile lifecycle (round 11):
+    ``profile_store=<dir>`` keeps a versioned live profile with a
+    persisted tick counter; ``refit_every=N`` re-fits from
+    ``history=`` every N ticks (default 1 — a store never silently
+    freezes), ``refit_drift=t`` additionally adopts the candidate only
+    if a well-sampled cell mean moved >= t old-sigmas
+    (:func:`..operators.seasonal.seasonal_profile_refresh`;
+    docs/OPERATIONS.md "Profile lifecycle")."""
     run, knobs = load_run_config(args.config, overrides)
     data_c = run["data"]
     if (
@@ -1358,6 +1367,32 @@ def cmd_monitor(args, overrides: list[str]) -> int:
             raise ConfigError(
                 f"unknown period {knobs.get('period')!r} "
                 f"({'|'.join(sorted(_PERIODS))})"
+            )
+        if knobs.get("profile_store"):
+            if not knobs.get("history"):
+                raise ConfigError(
+                    "profile_store= needs history= (the refit source); "
+                    "a frozen baseline is profile= without a store"
+                )
+            if knobs.get("profile"):
+                raise ConfigError(
+                    "profile= and profile_store= are mutually "
+                    "exclusive: a store manages its own live profile"
+                )
+            if int(knobs.get("refit_every", 1)) < 1:
+                raise ConfigError(
+                    f"refit_every must be >= 1, got "
+                    f"{knobs.get('refit_every')!r}"
+                )
+            if "refit_drift" in knobs and float(knobs["refit_drift"]) <= 0:
+                raise ConfigError(
+                    f"refit_drift must be > 0, got "
+                    f"{knobs.get('refit_drift')!r}"
+                )
+        elif "refit_every" in knobs or "refit_drift" in knobs:
+            raise ConfigError(
+                "refit_every=/refit_drift= need profile_store= (the "
+                "cadence state lives in the store's meta)"
             )
     unit = knobs.get("ts_unit")
     if unit is not None and str(unit) not in ("ns", "us", "ms", "s"):
@@ -1420,6 +1455,7 @@ def cmd_monitor(args, overrides: list[str]) -> int:
             max_gap=knobs.get("max_gap", "1h"),
             min_rows=int(knobs.get("min_rows", 1)),
         )
+        profile_info = None
         if chart == "cusum":
             if "target" not in knobs or "sigma" not in knobs:
                 raise ConfigError("monitor chart=cusum needs target= sigma=")
@@ -1466,13 +1502,36 @@ def cmd_monitor(args, overrides: list[str]) -> int:
                             "s": F.timestamp_seconds(F.col(ts_col)),
                         }[str(unit)],
                     )
-                baseline = seasonal_profile(
-                    hist,
-                    common["value_col"],
-                    common["order_col"],
-                    [common["group_col"]],
-                    period=period,
-                )
+                def _fit(h=hist):
+                    return seasonal_profile(
+                        h,
+                        common["value_col"],
+                        common["order_col"],
+                        [common["group_col"]],
+                        period=period,
+                    )
+
+                if knobs.get("profile_store"):
+                    from qualityassurancetool_spark.operators.seasonal import (  # noqa: E501
+                        seasonal_profile_refresh,
+                    )
+
+                    # no cadence knob -> refit every tick (the store
+                    # must never DEFAULT to a frozen, ever-staler
+                    # baseline; freezing is profile= without a store)
+                    baseline, profile_info = seasonal_profile_refresh(
+                        spark,
+                        str(knobs["profile_store"]),
+                        _fit,
+                        period=period,
+                        refit_every=int(knobs.get("refit_every", 1)),
+                        refit_drift=float(knobs["refit_drift"])
+                        if "refit_drift" in knobs
+                        else None,
+                        min_samples=int(knobs.get("min_samples", 5)),
+                    )
+                else:
+                    baseline = _fit()
             incidents = streaming_seasonal_episodes(
                 stream,
                 baseline,
@@ -1502,6 +1561,12 @@ def cmd_monitor(args, overrides: list[str]) -> int:
         # an availableNow run over a glob matching NO files produces
         # zero micro-batches — the sink never writes the path (advisor
         # finding, round 9)
+        if profile_info is not None:
+            print(
+                f"profile: {profile_info['action']} "
+                f"(tick {profile_info['tick']}, "
+                f"fitted tick {profile_info['fitted_tick']})"
+            )
         if not path_exists(spark, data_c["out"]):
             print("incidents: 0")
             print("open: 0")

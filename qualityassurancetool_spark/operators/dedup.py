@@ -715,18 +715,6 @@ def _check_state_meta(
 _BROADCAST_BYTES_LIMIT = 160 * 1024 * 1024
 
 
-def _gated_broadcast(
-    df: DataFrame, n_rows_upper_bound: int, row_bytes: int = 8
-) -> DataFrame:
-    """Broadcast only when a cheap (rows × estimated row width) bound
-    says it's safe; otherwise return the frame un-hinted and let AQE
-    pick the join strategy from runtime sizes — a shuffle that COMPLETES
-    beats a driver OOM (review finding)."""
-    if n_rows_upper_bound * row_bytes <= _BROADCAST_BYTES_LIMIT:
-        return F.broadcast(df)
-    return df
-
-
 def _candidate_semi_join(
     frame: DataFrame, cand_ids: DataFrame, n_ids: int, id_col: str
 ) -> DataFrame:
@@ -949,12 +937,14 @@ def minhash_admit(
         # their ISO str form is exactly the intended slice name
         admission_id = str(admission_id)
         if not _re.fullmatch(r"[A-Za-z0-9._-]+", admission_id) or (
-            admission_id.endswith(("_cand", "_cand_ids", "_cand_sh"))
+            admission_id.endswith(
+                ("_cand", "_cand_ids", "_cand_sh", "_cand_passes")
+            )
         ):
             raise ValueError(
                 f"admission_id {admission_id!r} must be "
                 "[A-Za-z0-9._-]+ and not end with "
-                "'_cand'/'_cand_ids'/'_cand_sh' "
+                "'_cand'/'_cand_ids'/'_cand_sh'/'_cand_passes' "
                 "(those suffixes name candidate scratch)"
             )
         if delta_sig_path is not None:
@@ -976,12 +966,15 @@ def minhash_admit(
     adm_slices = [
         _os.path.join(adm_root, d)
         for d in sorted(list_subdirs(spark, adm_root, prefix="admission="))
-        # "_cand"/"_cand_ids"/"_cand_sh" SUFFIXES are candidate scratch
+        # "_cand"/"_cand_ids"/"_cand_sh"/"_cand_passes" SUFFIXES are
+        # candidate scratch
         # a crashed admission may leave behind — never signature
         # slices.  Suffix match only: an id merely CONTAINING "_cand"
         # (legal pre-round-10) must keep counting as state (review
         # finding, round 10)
-        if not d.endswith(("_cand", "_cand_ids", "_cand_sh"))
+        if not d.endswith(
+            ("_cand", "_cand_ids", "_cand_sh", "_cand_passes")
+        )
         and d != own_slice
     ]
     extra_state_paths = adm_slices + list(extra_state_paths or [])
@@ -1029,45 +1022,93 @@ def minhash_admit(
             out_f = out_f.unionByName(f)
         return out_f
 
-    d_entries = band_entry_rows(
-        spark.read.parquet(delta_sig_path).select(*sig_cols),
-        rows_per_band,
-        range(bands),
-    )
-    all_entries = band_entry_rows(union_sigs(sig_cols), rows_per_band,
-                                  range(bands))
     # broadcast the delta side: the state scans ONCE, nothing
     # corpus-sized crosses an exchange; a < b plus the union on the big
     # side yields both delta-vs-corpus and delta-vs-delta pairs exactly
     # once (a corpus-vs-corpus pair has no delta entry to match).
     # Size-gated BY BYTES: delta entry rows = delta docs × bands, known
-    # from the delta sig parquet footers, and an entry row is ~56 B
-    # (long id + int band_id + 32-char md5 + struct overhead) — far
-    # wider than the 8-byte id rows the default gate is sized for; an
-    # oversized "delta" degrades to the AQE-chosen join instead of a
-    # driver OOM.
+    # from the delta sig parquet footers, and an entry row is ~64 B
+    # (id + int band_id + 32-char md5 + struct overhead).  An oversized
+    # delta must NOT degrade to the AQE-chosen join: a declined
+    # broadcast sort-merges the CORPUS-SIDE band entries — docs × bands
+    # rows of 32-char hashes through an exchange, which ENOSPC'd the
+    # round-11 100 M-doc rehearsal at delta = 1 M docs.  Instead the
+    # bands split into passes whose delta entries each fit the budget
+    # (the band_batches discipline applied to admission's candidate
+    # join): per pass, the state scan is column-pruned to that pass's
+    # sig columns, so B passes together still read the sig parquet
+    # ~once, and the only exchanges are pass-pair-sized distincts.  A
+    # delta so large even ONE band exceeds the budget additionally
+    # hash-slices the delta ids within the pass (S more map-only state
+    # scans, still zero corpus-sized exchanges).
     n_delta = spark.read.parquet(delta_sig_path).count()
-    d = _gated_broadcast(d_entries, n_delta * bands, row_bytes=64).alias("d")
-    a = all_entries.alias("a")
-    cand = (
-        a.join(
-            d,
-            (F.col("a.band_id") == F.col("d.band_id"))
-            & (F.col("a.band_hash") == F.col("d.band_hash"))
-            & (F.col("a._id") != F.col("d._id")),
+    _ENTRY_BYTES = 64
+
+    def _cand_pairs(band_ids, broadcast_delta, delta_slice=None):
+        dsig = spark.read.parquet(delta_sig_path).select(*sig_cols)
+        if delta_slice is not None:
+            s, n_slices = delta_slice
+            dsig = dsig.where(
+                F.pmod(F.xxhash64(F.col("_jid")), F.lit(n_slices))
+                == F.lit(s)
+            )
+        d_e = band_entry_rows(dsig, rows_per_band, band_ids)
+        a = band_entry_rows(
+            union_sigs(sig_cols), rows_per_band, band_ids
+        ).alias("a")
+        d = (F.broadcast(d_e) if broadcast_delta else d_e).alias("d")
+        return (
+            a.join(
+                d,
+                (F.col("a.band_id") == F.col("d.band_id"))
+                & (F.col("a.band_hash") == F.col("d.band_hash"))
+                & (F.col("a._id") != F.col("d._id")),
+            )
+            .select(
+                F.least(F.col("a._id"), F.col("d._id")).alias("id_a"),
+                F.greatest(F.col("a._id"), F.col("d._id")).alias("id_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.least(F.col("a._id"), F.col("d._id")).alias("id_a"),
-            F.greatest(F.col("a._id"), F.col("d._id")).alias("id_b"),
-        )
-        .distinct()
-    )
+
     # materialize the candidates: (a) the verify step references them
     # three times — a parquet read beats relying on ReusedExchange;
     # (b) the footer count gates the cand-id broadcast.  The path is
     # deterministic per delta slice, so a streaming retry overwrites.
     cand_path = delta_sig_path.rstrip("/") + "_cand"
-    cand.write.mode("overwrite").parquet(cand_path)
+    if n_delta * bands * _ENTRY_BYTES <= _BROADCAST_BYTES_LIMIT:
+        # the common case: one pass, all bands, delta fully broadcast
+        _cand_pairs(range(bands), True).write.mode("overwrite").parquet(
+            cand_path
+        )
+    else:
+        per_band = max(n_delta * _ENTRY_BYTES, 1)
+        bands_per_pass = max(1, _BROADCAST_BYTES_LIMIT // per_band)
+        slices = -(-per_band // _BROADCAST_BYTES_LIMIT)  # ceil
+        scratch = cand_path + "_passes"
+        delete_path(spark, scratch)
+        part = 0
+        for lo in range(0, bands, bands_per_pass):
+            band_ids = range(lo, min(lo + bands_per_pass, bands))
+            for s in range(slices):
+                _cand_pairs(
+                    band_ids,
+                    True,
+                    delta_slice=(s, slices) if slices > 1 else None,
+                ).write.mode("overwrite").parquet(
+                    _os.path.join(scratch, f"part={part}")
+                )
+                part += 1
+                # per-pass driver GC: same dead-shuffle-file discipline
+                # as the batched build (round-10 finding)
+                spark.sparkContext._jvm.System.gc()
+        # select the pair columns FIRST: the part=k scratch dirs read
+        # back as an inferred partition column, and a bare distinct()
+        # over it would keep one row per (pair, pass)
+        spark.read.parquet(scratch).select(
+            "id_a", "id_b"
+        ).distinct().write.mode("overwrite").parquet(cand_path)
+        delete_path(spark, scratch)
     cand = spark.read.parquet(cand_path)
     # this call's scratch is fully written: previous admissions' delta
     # versions (and their cand siblings) are dead now — delete them so
@@ -1078,6 +1119,7 @@ def minhash_admit(
         delete_path(spark, stale + "_cand")
         delete_path(spark, stale + "_cand_ids")
         delete_path(spark, stale + "_cand_sh")
+        delete_path(spark, stale + "_cand_passes")
     cand_ids = (
         cand.select(F.col("id_a").alias("_vid"))
         .unionByName(cand.select(F.col("id_b").alias("_vid")))
@@ -1169,6 +1211,7 @@ def minhash_admit(
         delete_path(spark, cand_path)
         delete_path(spark, cand_path + "_ids")
         delete_path(spark, cand_path + "_sh")
+        delete_path(spark, cand_path + "_passes")
         return spark.read.parquet(pairs_path)
     if update_state:
         # the returned frame reads _delta_sig lazily, so materialize the
@@ -1205,6 +1248,7 @@ def minhash_admit(
             delete_path(spark, _os.path.join(pairs_root, f"v={v}"))
         delete_path(spark, cand_path)
         delete_path(spark, cand_path + "_ids")
+        delete_path(spark, cand_path + "_passes")
         if internal_scratch:
             delete_path(spark, delta_sig_path)
         return spark.read.parquet(pairs_path)

@@ -98,6 +98,182 @@ def check_profile_period(baseline: DataFrame, period: str) -> None:
         )
 
 
+def seasonal_profile_refresh(
+    spark,
+    store: str,
+    fit_profile,
+    period: str = "hour_of_day",
+    refit_every: int | None = None,
+    refit_drift: float | None = None,
+    min_samples: int = 5,
+):
+    """Profile LIFECYCLE for a cron-driven monitor (round-11): load the
+    stored seasonal profile from ``store``, re-fitting it on a
+    documented cadence so a months-running monitor never scores against
+    a stale baseline.  Returns ``(profile_df, info)`` where ``info``
+    describes what happened this tick (``{"tick", "fitted_tick",
+    "action": "bootstrap" | "refit" | "kept" | "kept_stable"}``).
+
+    ``fit_profile`` is a zero-arg callable returning a FRESH
+    :func:`seasonal_profile` frame (the caller closes over its history
+    source) — it is only invoked when the cadence says so, so steady
+    ticks pay zero history scans.  Cadence:
+
+    - ``refit_every=N``: invoke ``fit_profile`` every N ticks (each
+      monitor invocation = one tick, persisted in the store's meta).
+    - ``refit_drift=t``: when ALSO set, the candidate is adopted only
+      if it actually moved — max over cells (with ``n >= min_samples``
+      on both sides) of ``|mu_new − mu_old| / sigma_old`` ≥ ``t`` —
+      otherwise the stored profile is kept (``kept_stable``) and the
+      check re-arms ``refit_every`` ticks later.  The gate buys
+      baseline STABILITY: a quiet week must not nudge the profile the
+      incident thresholds are scored against.  (``refit_drift`` alone
+      implies ``refit_every=1``: checking for drift requires fitting
+      the candidate, so gate-every-tick is the only coherent reading.)
+
+    Store layout: ``<store>/profile_v=<tick>`` parquet versions plus a
+    ``profile_meta.json`` pointer — the pointer write is the commit
+    (the ``plans/incremental`` LAST_COMMITTED discipline), so a crash
+    mid-refit leaves the previous version live and the retried tick
+    re-fits idempotently; superseded versions are pruned after the
+    pointer lands.  The ``period`` stamp rides the stored parquet and
+    is re-validated on every load."""
+    import json as _json
+    import posixpath as _pp
+
+    from qualityassurancetool_spark.functions.fs import (
+        delete_path,
+        list_subdirs,
+        path_exists,
+        read_text,
+        write_text,
+    )
+
+    if refit_every is not None and int(refit_every) < 1:
+        raise ValueError(f"refit_every must be >= 1, got {refit_every}")
+    if refit_drift is not None and float(refit_drift) <= 0:
+        raise ValueError(f"refit_drift must be > 0, got {refit_drift}")
+    every = (
+        int(refit_every)
+        if refit_every is not None
+        else (1 if refit_drift is not None else None)
+    )
+    meta_path = _pp.join(store, "profile_meta.json")
+    meta = (
+        _json.loads(read_text(spark, meta_path))
+        if path_exists(spark, meta_path)
+        else None
+    )
+    tick = (int(meta["tick"]) if meta else 0) + 1
+
+    def _commit(df, action, checked_tick, fitted_tick, live):
+        new_meta = {
+            "tick": tick,
+            "fitted_tick": fitted_tick,
+            "checked_tick": checked_tick,
+            "period": period,
+            "live": live,
+        }
+        write_text(spark, meta_path, _json.dumps(new_meta))
+        # prune versions the pointer no longer references (post-commit:
+        # a crash before this leaves harmless extra dirs, re-pruned
+        # next tick)
+        for d in list_subdirs(spark, store, prefix="profile_v="):
+            if d != live:
+                delete_path(spark, _pp.join(store, d))
+        return df, {
+            "tick": tick,
+            "fitted_tick": fitted_tick,
+            "action": action,
+        }
+
+    def _fit_and_write():
+        cand = fit_profile()
+        if "period" in cand.columns:
+            check_profile_period(cand, period)
+        live = f"profile_v={tick}"
+        cand.write.mode("overwrite").parquet(_pp.join(store, live))
+        return live
+
+    if meta is None or not path_exists(
+        spark, _pp.join(store, str(meta.get("live", "")))
+    ):
+        live = _fit_and_write()
+        df = spark.read.parquet(_pp.join(store, live))
+        return _commit(df, "bootstrap", tick, tick, live)
+
+    if str(meta.get("period")) != period:
+        raise ValueError(
+            f"profile store {store!r} was fit with "
+            f"period={meta.get('period')!r} but this monitor requested "
+            f"period={period!r} — point the monitor at its own store "
+            "or delete the store to re-bootstrap"
+        )
+    stored = spark.read.parquet(_pp.join(store, str(meta["live"])))
+    check_profile_period(stored, period)
+    due = every is not None and tick - int(meta["checked_tick"]) >= every
+    if not due:
+        return _commit(
+            stored, "kept", int(meta["checked_tick"]),
+            int(meta["fitted_tick"]), str(meta["live"]),
+        )
+    if refit_drift is None:
+        live = _fit_and_write()
+        df = spark.read.parquet(_pp.join(store, live))
+        return _commit(df, "refit", tick, tick, live)
+    # drift gate: adopt the candidate only if some well-sampled cell's
+    # mean moved >= refit_drift old-sigmas.  Bounded: both frames are
+    # groups x <=168 cells of sufficient stats.
+    cand = fit_profile()
+    if "period" in cand.columns:
+        check_profile_period(cand, period)
+    ms = int(min_samples)
+    o = stored.select(
+        *[c for c in stored.columns if c not in ("n", "sum_x", "sum_x2",
+                                                 "period")],
+        F.col("n").alias("__o_n"),
+        F.col("sum_x").alias("__o_s1"),
+        F.col("sum_x2").alias("__o_s2"),
+    )
+    key = [c for c in cand.columns if c not in ("n", "sum_x", "sum_x2",
+                                                "period")]
+    j = cand.join(o, on=key, how="inner").where(
+        (F.col("n") >= ms) & (F.col("__o_n") >= ms)
+    )
+    mu_new = F.col("sum_x") / F.col("n")
+    mu_old = F.col("__o_s1") / F.col("__o_n")
+    var_old = F.greatest(
+        (F.col("__o_s2") - F.col("__o_s1") * F.col("__o_s1")
+         / F.col("__o_n")) / (F.col("__o_n") - 1),
+        F.lit(0.0),
+    )
+    # constant old cell (sigma 0): any movement is an infinite shift,
+    # no movement is zero — never 0/0 (Spark sorts NaN greatest, so one
+    # NaN cell would poison the max and silently disarm the gate)
+    sig_old = F.sqrt(var_old)
+    shift = F.when(
+        sig_old > 0, F.abs(mu_new - mu_old) / sig_old
+    ).otherwise(
+        F.when(
+            F.abs(mu_new - mu_old) > 0, F.lit(float("inf"))
+        ).otherwise(F.lit(0.0))
+    )
+    row = j.where(F.col("__o_n") >= 2).agg(
+        F.max(shift).alias("max_shift")
+    ).collect()[0]
+    max_shift = float(row["max_shift"]) if row["max_shift"] is not None \
+        else 0.0
+    if max_shift >= float(refit_drift):
+        live = f"profile_v={tick}"
+        cand.write.mode("overwrite").parquet(_pp.join(store, live))
+        df = spark.read.parquet(_pp.join(store, live))
+        return _commit(df, "refit", tick, tick, live)
+    return _commit(
+        stored, "kept_stable", tick, int(meta["fitted_tick"]),
+        str(meta["live"]),
+    )
+
+
 def seasonal_zscore(
     df: DataFrame,
     value_col: str,

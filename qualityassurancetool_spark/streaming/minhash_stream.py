@@ -153,6 +153,7 @@ def streaming_minhash_admit(
         delete_path(spark, f"{slice_dir}_cand")
         delete_path(spark, f"{slice_dir}_cand_ids")
         delete_path(spark, f"{slice_dir}_cand_sh")
+        delete_path(spark, f"{slice_dir}_cand_passes")
 
     writer = (
         stream.writeStream.foreachBatch(_apply)

@@ -590,3 +590,187 @@ def test_seasonal_baseline_extra_columns_refused(spark, tmp_path):
     streaming_seasonal_episodes(
         stream, prof1, "v", "ts", "g", period="hour_of_day"
     )
+
+
+def test_seasonal_profile_refresh_lifecycle(spark, tmp_path):
+    """seasonal_profile_refresh (round-11): tick-counted refit cadence
+    persisted in the store's meta — bootstrap on the first tick, zero
+    history scans on non-due ticks, refit when refit_every is due, one
+    live version after every commit, and the period stamp surviving
+    every reload."""
+    import os
+
+    import pytest
+
+    from qualityassurancetool_spark.operators.seasonal import (
+        seasonal_profile,
+        seasonal_profile_refresh,
+    )
+
+    hist = spark.createDataFrame(
+        [("a", T0 + dt.timedelta(days=d, hours=h), 10.0 + 0.1 * h)
+         for d in range(7) for h in range(24)],
+        SCHEMA,
+    )
+    calls = {"n": 0}
+
+    def fit():
+        calls["n"] += 1
+        return seasonal_profile(hist, "v", "ts", ["g"])
+
+    store = str(tmp_path / "store")
+
+    def tick(**kw):
+        return seasonal_profile_refresh(
+            spark, store, fit, period="hour_of_day", **kw
+        )
+
+    df, info = tick(refit_every=3)
+    assert (info["action"], info["tick"], calls["n"]) == ("bootstrap", 1, 1)
+    assert df.select("period").distinct().collect()[0][0] == "hour_of_day"
+
+    df, info = tick(refit_every=3)
+    assert (info["action"], calls["n"]) == ("kept", 1)
+    df, info = tick(refit_every=3)
+    assert (info["action"], calls["n"]) == ("kept", 1)
+    # the stamp survives the store round trip on a no-fit tick
+    assert df.select("period").distinct().collect()[0][0] == "hour_of_day"
+
+    df, info = tick(refit_every=3)
+    assert (info["action"], info["tick"], calls["n"]) == ("refit", 4, 2)
+    assert info["fitted_tick"] == 4
+    # exactly one live version after the commit prunes the superseded one
+    assert [d for d in os.listdir(store) if d.startswith("profile_v=")] \
+        == ["profile_v=4"]
+
+    # a different period against the same store refuses loudly
+    with pytest.raises(ValueError, match="period"):
+        seasonal_profile_refresh(
+            spark, store, fit, period="hour_of_week", refit_every=3
+        )
+
+
+def test_seasonal_profile_refresh_drift_gate(spark, tmp_path):
+    """refit_drift: the candidate is fit on cadence but adopted only if
+    a well-sampled cell's mean moved — constant-history candidates are
+    kept (baseline stability; the zero-sigma cell must yield shift 0,
+    not NaN), and a genuinely moved cell (infinite shift vs sigma 0)
+    flips the live profile."""
+    from qualityassurancetool_spark.operators.seasonal import (
+        seasonal_profile,
+        seasonal_profile_refresh,
+    )
+
+    rows = [
+        ("a", T0 + dt.timedelta(days=d, hours=h), 10.0 + h)
+        for d in range(7)
+        for h in range(24)
+    ]
+    state = {"hist": spark.createDataFrame(rows, SCHEMA)}
+    calls = {"n": 0}
+
+    def fit():
+        calls["n"] += 1
+        return seasonal_profile(state["hist"], "v", "ts", ["g"])
+
+    store = str(tmp_path / "store")
+
+    def tick():
+        return seasonal_profile_refresh(
+            spark, store, fit, period="hour_of_day", refit_drift=2.0
+        )
+
+    _, info = tick()
+    assert info["action"] == "bootstrap"
+    # unchanged history: candidate fit (drift gate needs it) but NOT
+    # adopted — every cell is constant (sigma 0) and unmoved (shift 0)
+    _, info = tick()
+    assert (info["action"], calls["n"]) == ("kept_stable", 2)
+    assert info["fitted_tick"] == 1
+
+    # shift hour-5's level in the refit window: sigma_old = 0 there, so
+    # the shift is infinite -> adopted
+    state["hist"] = spark.createDataFrame(
+        [
+            (g, ts, v + (50.0 if ts.hour == 5 else 0.0))
+            for g, ts, v in rows
+        ],
+        SCHEMA,
+    )
+    df, info = tick()
+    assert (info["action"], info["fitted_tick"]) == ("refit", 3)
+    mu5 = df.where("cell = 5").select(
+        (F.col("sum_x") / F.col("n")).alias("mu")
+    ).collect()[0]["mu"]
+    assert mu5 == 65.0
+
+
+def test_monitor_cli_profile_store_refit(spark, tmp_path, capsys):
+    """`monitor chart=seasonal profile_store= refit_every=` end-to-end:
+    the cron-shaped ticks bootstrap, keep, then refit the stored
+    profile; the refit picks up the updated history and the period
+    stamp survives in the live parquet.  Cadence knobs without a store
+    (and profile= + profile_store= together) are pointed
+    ConfigErrors."""
+    from qualityassurancetool_spark.cli import main
+
+    hist = str(tmp_path / "hist")
+    _write(
+        spark, hist,
+        [("a", T0 + dt.timedelta(days=d, hours=h), 10.0 + 0.1 * h)
+         for d in range(14) for h in range(24)],
+    )
+    land = str(tmp_path / "land")
+    _write(spark, land, _seasonal_rows(15, {5: 60.0, 6: 60.0}))
+    table = str(tmp_path / "incidents")
+    store = str(tmp_path / "store")
+    base = [
+        "monitor", "--keep-session", f"data.input={land}",
+        f"data.out={table}", "chart=seasonal", f"history={hist}",
+        f"profile_store={store}", "refit_every=2",
+        "value=v", "ts=ts", "group=g", "max_gap=2h",
+    ]
+
+    def profile_line():
+        return [
+            line
+            for line in capsys.readouterr().out.strip().splitlines()
+            if line.startswith("profile: ")
+        ][0]
+
+    assert main(base) == 0
+    assert profile_line() == "profile: bootstrap (tick 1, fitted tick 1)"
+    assert main(base) == 0
+    assert profile_line() == "profile: kept (tick 2, fitted tick 1)"
+
+    # move the whole level in history; the due tick must pick it up
+    _write(
+        spark, hist,
+        [("a", T0 + dt.timedelta(days=d, hours=h), 30.0 + 0.1 * h)
+         for d in range(14) for h in range(24)],
+    )
+    assert main(base) == 0
+    assert profile_line() == "profile: refit (tick 3, fitted tick 3)"
+    import os
+
+    live = [d for d in os.listdir(store) if d.startswith("profile_v=")]
+    assert live == ["profile_v=3"]
+    prof = spark.read.parquet(os.path.join(store, live[0]))
+    assert prof.select("period").distinct().collect()[0][0] \
+        == "hour_of_day"
+    mu0 = prof.where("cell = 0").select(
+        (F.col("sum_x") / F.col("n")).alias("mu")
+    ).collect()[0]["mu"]
+    assert abs(mu0 - 30.0) < 1e-9
+
+    assert main([
+        "monitor", f"data.input={land}", f"data.out={table}",
+        "chart=seasonal", f"history={hist}", "refit_every=2",
+        "value=v", "ts=ts", "group=g",
+    ]) == 2
+    assert main([
+        "monitor", f"data.input={land}", f"data.out={table}",
+        "chart=seasonal", f"history={hist}", "profile=/tmp/nope",
+        f"profile_store={store}", "value=v", "ts=ts", "group=g",
+    ]) == 2
+    capsys.readouterr()

@@ -748,20 +748,6 @@ def test_minhash_admit_rejects_knob_mismatch(spark, tmp_path):
     ).count() == 0
 
 
-def test_gated_broadcast_is_byte_aware(spark):
-    """The broadcast gate is sized in BYTES, not rows: 3M rows of
-    8-byte ids fit under the 160 MB driver budget, the same row count
-    at band-entry width (~64 B) does not — the explicit hint bypasses
-    autoBroadcastJoinThreshold, so an un-gated wide frame is a driver
-    OOM (review finding, round 8)."""
-    from qualityassurancetool_spark.operators.dedup import _gated_broadcast
-
-    df = spark.range(1)
-    assert _gated_broadcast(df, 3_000_000) is not df  # 24 MB of ids: hint
-    assert _gated_broadcast(df, 3_000_000, row_bytes=64) is df  # 192 MB: no
-    assert _gated_broadcast(df, 30_000_000) is df  # 240 MB of ids: no
-
-
 def test_minhash_admit_bootstrap_writes_meta(spark, tmp_path):
     """An admission that CREATES the state freezes its knobs: the
     bootstrap call writes minhash_meta.json itself, so a later
@@ -1038,3 +1024,54 @@ def test_minhash_admit_slim_refusals_and_coverage(spark, tmp_path):
     assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in out} == {
         (0, 10, 1.0)
     }
+
+
+def test_minhash_admit_band_pass_candidates_exact(
+    spark, monkeypatch, tmp_path
+):
+    """Admission candidate join (round-11): when the delta's band
+    entries exceed the broadcast budget, the bands split into passes
+    whose delta entries each fit (never the AQE sort-merge fallback,
+    which exchanges CORPUS-side band entries — the 100 M-doc rehearsal
+    ENOSPC).  Forced here by shrinking the budget: pass-batched (and,
+    tighter still, within-pass delta-hash-sliced) admissions must equal
+    the single-pass pairs byte-for-byte, and the pass scratch must be
+    gone afterwards."""
+    import os
+
+    import qualityassurancetool_spark.operators.dedup as dd
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(300)
+        .select("doc_id", "text")
+    )
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    kw = dict(num_hashes=16, bands=8, shingle_k=3, threshold=0.5)
+    state = str(tmp_path / "state")
+    dd.minhash_dedup_batched(base, state, **kw).count()
+    key = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+    )
+    want = key(dd.minhash_admit(delta, state, update_state=False, **kw))
+    assert len(want) > 0
+
+    # ~2 bands per pass (60 delta docs x 64 B/entry = 3.8 KB per band)
+    monkeypatch.setattr(dd, "_BROADCAST_BYTES_LIMIT", 8_192)
+    got = key(dd.minhash_admit(delta, state, update_state=False, **kw))
+    assert got == want
+
+    # single-band passes + within-pass delta hash slices
+    monkeypatch.setattr(dd, "_BROADCAST_BYTES_LIMIT", 2_048)
+    got2 = key(dd.minhash_admit(delta, state, update_state=False, **kw))
+    assert got2 == want
+
+    # the per-pass scratch never outlives the call
+    leftovers = [
+        os.path.join(r, d)
+        for r, ds, _ in os.walk(state)
+        for d in ds
+        if d.endswith("_cand_passes")
+    ]
+    assert leftovers == []
