@@ -17,6 +17,12 @@ Three questions, one table each:
 1. decade linearity: kernel-path ``assign_region`` at 1M → 10M points
    against the full 540k-vertex set (expect map-only: zero shuffle,
    wall ∝ points);
+1b. mask realism (round 11): the jagged star's boundary feature size is
+   the inter-vertex step (milli-degrees, below any raster cell), so its
+   boundary fraction is a worst case; the smooth arm keeps centers /
+   sizes / 540k vertices but swaps in low-order Fourier rings whose
+   feature size (degrees) ≥ cell — the real-coastline shape — and
+   reports boundary fraction + end-to-end multiplier side by side;
 2. polygon-count sensitivity: 1M points against ~5k / ~54k / ~540k
    vertex subsets (expect wall ∝ bbox-surviving vertex work, not raw
    set size);
@@ -59,9 +65,37 @@ def star_polygon(rng: random.Random, cx: float, cy: float,
     return verts
 
 
+def smooth_polygon(rng: random.Random, cx: float, cy: float,
+                   n_vertices: int, base_r: float,
+                   n_modes: int = 12) -> list[tuple[float, float]]:
+    """Densely sampled SMOOTH ring: radius = a low-order Fourier sum,
+    so the boundary's feature size is ~base_r/n_modes (degrees) even at
+    30k vertices — real coastline data's shape at raster-cell scale
+    (high vertex density sampling a curve that is smooth at 0.1°),
+    where the random-walk star's feature size is the inter-vertex step
+    (milli-degrees)."""
+    modes = [
+        (rng.uniform(0.0, 0.25 / k), rng.uniform(0.0, 2.0 * math.pi))
+        for k in range(1, n_modes + 1)
+    ]
+    verts = []
+    for i in range(n_vertices):
+        a = 2.0 * math.pi * i / n_vertices
+        r = base_r * (
+            1.0
+            + sum(c * math.cos(k * a + ph)
+                  for k, (c, ph) in enumerate(modes, start=1))
+        )
+        verts.append((cx + r * math.cos(a), cy + 0.5 * r * math.sin(a)))
+    return verts
+
+
 def coastline_set(n_continents: int, cont_vertices: int,
-                  n_islands: int, isl_vertices: int):
-    """Deterministic Natural-Earth-shaped polygon list."""
+                  n_islands: int, isl_vertices: int,
+                  shape=star_polygon):
+    """Deterministic Natural-Earth-shaped polygon list; ``shape``
+    picks the boundary texture (jagged random-walk star vs smooth
+    Fourier ring — same centers, sizes, and vertex counts)."""
     rng = random.Random(20260816)
     polys = []
     for c in range(n_continents):
@@ -69,14 +103,14 @@ def coastline_set(n_continents: int, cont_vertices: int,
         cy = rng.uniform(-55.0, 65.0)
         polys.append(
             (f"continent_{c}",
-             star_polygon(rng, cx, cy, cont_vertices, rng.uniform(12, 25)))
+             shape(rng, cx, cy, cont_vertices, rng.uniform(12, 25)))
         )
     for i in range(n_islands):
         cx = rng.uniform(-179.0, 179.0)
         cy = rng.uniform(-60.0, 70.0)
         polys.append(
             (f"island_{i}",
-             star_polygon(rng, cx, cy, isl_vertices, rng.uniform(0.2, 1.5)))
+             shape(rng, cx, cy, isl_vertices, rng.uniform(0.2, 1.5)))
         )
     return polys
 
@@ -179,6 +213,49 @@ def main() -> None:
                 lambda: assign_region_masked(pts, full, mask=mask)
                 .where(F.col("region").isNotNull()).count(),
             )
+
+    print("\n## mask realism arm (round-11: SMOOTH coastline — feature "
+          "size >= cell)\n")
+    # the jagged star's radius random-walks every vertex, so its
+    # feature size is the inter-vertex step (milli-degrees) — smaller
+    # than any sane raster cell, which makes its boundary fraction a
+    # WORST CASE.  Real coastline data is a dense sampling of a curve
+    # that is smooth at 0.1°: this arm keeps the centers, sizes, ring
+    # count, and 540k vertices, and only swaps the boundary texture.
+    smooth = coastline_set(8, 30_000, 3_000, 100, shape=smooth_polygon)
+    n_big = sizes[-1]
+    pts_big = spark.read.parquet(paths[n_big])
+    print("| arm | cell ° | boundary fraction | mask build s "
+          f"| lookup wall s @ {n_big:,} | multiplier vs own kernel |")
+    print("|---|---|---|---|---|---|")
+    for label, pset in (("jagged (r10)", full), ("smooth (r11)", smooth)):
+        t0 = time.perf_counter()
+        assign_region(pts_big, pset, strategy="kernel").where(
+            F.col("region").isNotNull()
+        ).count()
+        t_kernel = time.perf_counter() - t0
+        print(f"  ({label} kernel baseline @ {n_big:,} points: "
+              f"{t_kernel:.1f}s)", flush=True)
+        for cell in (0.5, 0.1):
+            t0 = time.perf_counter()
+            mask = build_region_mask(pset, cell_deg=cell)
+            t_build = time.perf_counter() - t0
+            frac_edge = float(
+                (mask.labels == RegionMask.BOUNDARY).mean()
+            )
+            t0 = time.perf_counter()
+            assign_region_masked(pts_big, pset, mask=mask).where(
+                F.col("region").isNotNull()
+            ).count()
+            t_lookup = time.perf_counter() - t0
+            print(f"| {label} | {cell} | {frac_edge:.3f} | {t_build:.1f} "
+                  f"| {t_lookup:.1f} | {t_kernel / t_lookup:.1f}x |",
+                  flush=True)
+    print("\ncell-size rule: pick cell <= half the boundary's feature "
+          "size — the boundary fraction then stays O(perimeter x cell "
+          "/ area) and the exact-cast fallback prices only that strip; "
+          "a cell wider than the feature size (the jagged arm) makes "
+          "most coastal cells inconclusive and the mask saves little.")
 
     print(f"\n## column-vs-kernel crossover ({sizes[0]:,} points)\n")
     print("| total vertices | column wall s | kernel wall s |")
