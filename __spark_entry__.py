@@ -1759,10 +1759,19 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         fams.append(
             (F.col("doc_id") + lo, (F.col("doc_id") + 1) % n + hi)
         )
-    edges = None
-    for fa, fb in fams:
-        part = docs.select(fa.alias("src"), fb.alias("dst"))
-        edges = part if edges is None else edges.union(part)
+    # ONE scan, not a 12-branch union: each branch of a union re-scans
+    # the parquet (12 x 32 map tasks at sf1); exploding an array of
+    # (src, dst) structs emits the same rows from a single pass
+    edges = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(fa.alias("src"), fb.alias("dst"))
+                    for fa, fb in fams
+                ]
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return k_core(edges, 3).orderBy("node")
 
 
