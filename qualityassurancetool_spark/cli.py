@@ -1394,6 +1394,21 @@ def cmd_monitor(args, overrides: list[str]) -> int:
                 "refit_every=/refit_drift= need profile_store= (the "
                 "cadence state lives in the store's meta)"
             )
+    else:
+        # seasonal-only knobs on a cusum/ewma monitor would be
+        # SILENTLY ignored — the user would believe a managed baseline
+        # lifecycle is running (review finding, round 11)
+        stray = [
+            k
+            for k in ("profile_store", "refit_every", "refit_drift",
+                      "history", "profile")
+            if k in knobs
+        ]
+        if stray:
+            raise ConfigError(
+                f"{'/'.join(s + '=' for s in stray)} only applies to "
+                f"chart=seasonal (got chart={chart!r})"
+            )
     unit = knobs.get("ts_unit")
     if unit is not None and str(unit) not in ("ns", "us", "ms", "s"):
         # validate BEFORE the session: config errors must never cost

@@ -1042,9 +1042,29 @@ def minhash_admit(
     # hash-slices the delta ids within the pass (S more map-only state
     # scans, still zero corpus-sized exchanges).
     n_delta = spark.read.parquet(delta_sig_path).count()
-    _ENTRY_BYTES = 64
+    # entry bytes are MEASURED, not assumed (the _candidate_semi_join
+    # discipline): crawl deltas commonly key on string URLs (~100 B),
+    # and a fixed per-row guess would under-price their band entries —
+    # the unconditional broadcast hint below bypasses
+    # autoBroadcastJoinThreshold, so under-pricing risks a driver OOM.
+    # One cheap delta-sized agg: avg id octets + 4 B band_id + 32-char
+    # md5 + ~48 B hashed-relation overhead per entry row.
+    if n_delta:
+        avg_id_bytes = float(
+            spark.read.parquet(delta_sig_path)
+            .agg(
+                F.avg(
+                    F.octet_length(F.col("_jid").cast("string"))
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+            or 8.0
+        )
+    else:
+        avg_id_bytes = 8.0
+    entry_bytes = int(avg_id_bytes) + 4 + 32 + 48
 
-    def _cand_pairs(band_ids, broadcast_delta, delta_slice=None):
+    def _cand_pairs(band_ids, delta_slice=None):
         dsig = spark.read.parquet(delta_sig_path).select(*sig_cols)
         if delta_slice is not None:
             s, n_slices = delta_slice
@@ -1056,7 +1076,10 @@ def minhash_admit(
         a = band_entry_rows(
             union_sigs(sig_cols), rows_per_band, band_ids
         ).alias("a")
-        d = (F.broadcast(d_e) if broadcast_delta else d_e).alias("d")
+        # ALWAYS hinted: every call is pass/slice-sized under the
+        # budget by construction, and an un-hinted fallback would be
+        # the corpus-side sort-merge this schedule exists to outlaw
+        d = F.broadcast(d_e).alias("d")
         return (
             a.join(
                 d,
@@ -1076,13 +1099,13 @@ def minhash_admit(
     # (b) the footer count gates the cand-id broadcast.  The path is
     # deterministic per delta slice, so a streaming retry overwrites.
     cand_path = delta_sig_path.rstrip("/") + "_cand"
-    if n_delta * bands * _ENTRY_BYTES <= _BROADCAST_BYTES_LIMIT:
+    if n_delta * bands * entry_bytes <= _BROADCAST_BYTES_LIMIT:
         # the common case: one pass, all bands, delta fully broadcast
-        _cand_pairs(range(bands), True).write.mode("overwrite").parquet(
+        _cand_pairs(range(bands)).write.mode("overwrite").parquet(
             cand_path
         )
     else:
-        per_band = max(n_delta * _ENTRY_BYTES, 1)
+        per_band = max(n_delta * entry_bytes, 1)
         bands_per_pass = max(1, _BROADCAST_BYTES_LIMIT // per_band)
         slices = -(-per_band // _BROADCAST_BYTES_LIMIT)  # ceil
         scratch = cand_path + "_passes"
@@ -1093,7 +1116,6 @@ def minhash_admit(
             for s in range(slices):
                 _cand_pairs(
                     band_ids,
-                    True,
                     delta_slice=(s, slices) if slices > 1 else None,
                 ).write.mode("overwrite").parquet(
                     _os.path.join(scratch, f"part={part}")

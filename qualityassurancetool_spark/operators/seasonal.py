@@ -121,15 +121,19 @@ def seasonal_profile_refresh(
 
     - ``refit_every=N``: invoke ``fit_profile`` every N ticks (each
       monitor invocation = one tick, persisted in the store's meta).
+      Defaults to 1 — a store must never silently freeze into an
+      ever-staler baseline; freezing on purpose is a static profile
+      without a store.
     - ``refit_drift=t``: when ALSO set, the candidate is adopted only
       if it actually moved — max over cells (with ``n >= min_samples``
-      on both sides) of ``|mu_new − mu_old| / sigma_old`` ≥ ``t`` —
-      otherwise the stored profile is kept (``kept_stable``) and the
-      check re-arms ``refit_every`` ticks later.  The gate buys
-      baseline STABILITY: a quiet week must not nudge the profile the
-      incident thresholds are scored against.  (``refit_drift`` alone
-      implies ``refit_every=1``: checking for drift requires fitting
-      the candidate, so gate-every-tick is the only coherent reading.)
+      on both sides) of ``|mu_new − mu_old| / sigma_old`` ≥ ``t``, or
+      it carries a well-sampled (group, cell) the stored profile has
+      never seen (a NEW stream must enter the live profile on its
+      first due check, not stay unmonitored) — otherwise the stored
+      profile is kept (``kept_stable``) and the check re-arms
+      ``refit_every`` ticks later.  The gate buys baseline STABILITY:
+      a quiet week must not nudge the profile the incident thresholds
+      are scored against.
 
     Store layout: ``<store>/profile_v=<tick>`` parquet versions plus a
     ``profile_meta.json`` pointer — the pointer write is the commit
@@ -146,6 +150,7 @@ def seasonal_profile_refresh(
         list_subdirs,
         path_exists,
         read_text,
+        rename_overwrite,
         write_text,
     )
 
@@ -153,11 +158,10 @@ def seasonal_profile_refresh(
         raise ValueError(f"refit_every must be >= 1, got {refit_every}")
     if refit_drift is not None and float(refit_drift) <= 0:
         raise ValueError(f"refit_drift must be > 0, got {refit_drift}")
-    every = (
-        int(refit_every)
-        if refit_every is not None
-        else (1 if refit_drift is not None else None)
-    )
+    # no cadence knob -> refit every tick: a store must never DEFAULT
+    # to a frozen, ever-staler baseline (freezing on purpose is a
+    # static profile= without a store)
+    every = int(refit_every) if refit_every is not None else 1
     meta_path = _pp.join(store, "profile_meta.json")
     meta = (
         _json.loads(read_text(spark, meta_path))
@@ -174,7 +178,13 @@ def seasonal_profile_refresh(
             "period": period,
             "live": live,
         }
-        write_text(spark, meta_path, _json.dumps(new_meta))
+        # the pointer write IS the commit and runs on EVERY tick (the
+        # tick counter advances), so it must be atomic: write a temp
+        # sibling, then rename over — a plain truncating write leaves
+        # an empty/partial meta if the cron process dies mid-write,
+        # bricking every later tick on JSONDecodeError
+        write_text(spark, meta_path + ".tmp", _json.dumps(new_meta))
+        rename_overwrite(spark, meta_path + ".tmp", meta_path)
         # prune versions the pointer no longer references (post-commit:
         # a crash before this leaves harmless extra dirs, re-pruned
         # next tick)
@@ -221,9 +231,13 @@ def seasonal_profile_refresh(
         live = _fit_and_write()
         df = spark.read.parquet(_pp.join(store, live))
         return _commit(df, "refit", tick, tick, live)
-    # drift gate: adopt the candidate only if some well-sampled cell's
-    # mean moved >= refit_drift old-sigmas.  Bounded: both frames are
-    # groups x <=168 cells of sufficient stats.
+    # drift gate: adopt the candidate when (a) some well-sampled cell's
+    # mean moved >= refit_drift old-sigmas, or (b) it carries a
+    # well-sampled (group, cell) the stored profile has never seen — a
+    # new stream/group must enter the live profile on its first due
+    # check, not be dropped by the comparison join and stay unmonitored
+    # forever.  Bounded: both frames are groups x <=168 cells of
+    # sufficient stats.
     cand = fit_profile()
     if "period" in cand.columns:
         check_profile_period(cand, period)
@@ -263,7 +277,12 @@ def seasonal_profile_refresh(
     ).collect()[0]
     max_shift = float(row["max_shift"]) if row["max_shift"] is not None \
         else 0.0
-    if max_shift >= float(refit_drift):
+    n_new_cells = (
+        cand.where(F.col("n") >= ms)
+        .join(o.select(*key), on=key, how="left_anti")
+        .count()
+    )
+    if n_new_cells > 0 or max_shift >= float(refit_drift):
         live = f"profile_v={tick}"
         cand.write.mode("overwrite").parquet(_pp.join(store, live))
         df = spark.read.parquet(_pp.join(store, live))

@@ -774,3 +774,74 @@ def test_monitor_cli_profile_store_refit(spark, tmp_path, capsys):
         f"profile_store={store}", "value=v", "ts=ts", "group=g",
     ]) == 2
     capsys.readouterr()
+
+
+def test_seasonal_profile_refresh_review_fixes(spark, tmp_path, capsys):
+    """Round-11 review pass: (a) a NEW well-sampled group adopts
+    through the drift gate (the comparison join must not drop unseen
+    cells and leave new streams unmonitored); (b) no cadence knob
+    means refit-every-tick at the LIBRARY level too, not just the CLI
+    default; (c) the meta pointer commits via temp+rename (no .tmp
+    survivor); (d) seasonal-only knobs on a cusum monitor raise
+    instead of being silently ignored."""
+    import os
+
+    from qualityassurancetool_spark.cli import main
+    from qualityassurancetool_spark.operators.seasonal import (
+        seasonal_profile,
+        seasonal_profile_refresh,
+    )
+
+    rows_a = [
+        ("a", T0 + dt.timedelta(days=d, hours=h), 10.0 + h)
+        for d in range(7)
+        for h in range(24)
+    ]
+    state = {"hist": spark.createDataFrame(rows_a, SCHEMA)}
+
+    def fit():
+        return seasonal_profile(state["hist"], "v", "ts", ["g"])
+
+    store = str(tmp_path / "store")
+
+    def tick(**kw):
+        return seasonal_profile_refresh(
+            spark, store, fit, period="hour_of_day", **kw
+        )
+
+    _, info = tick(refit_drift=2.0)
+    assert info["action"] == "bootstrap"
+    _, info = tick(refit_drift=2.0)
+    assert info["action"] == "kept_stable"
+    # a brand-new group appears in history with full sampling: adopt,
+    # even though every EXISTING cell is unmoved
+    state["hist"] = spark.createDataFrame(
+        rows_a
+        + [("b", ts, 99.0 + (1.0 if d % 2 else -1.0))
+           for d in range(7) for h in range(24)
+           for ts in [T0 + dt.timedelta(days=d, hours=h)]],
+        SCHEMA,
+    )
+    df, info = tick(refit_drift=2.0)
+    assert info["action"] == "refit"
+    assert df.where("g = 'b'").count() == 24
+
+    # no cadence knob -> refit EVERY tick (library default, not frozen)
+    df, info = tick()
+    assert info["action"] == "refit"
+
+    # the atomic pointer commit leaves no temp sibling behind
+    assert not os.path.exists(os.path.join(store, "profile_meta.json.tmp"))
+    assert os.path.exists(os.path.join(store, "profile_meta.json"))
+
+    # seasonal-only knobs on chart=cusum: pointed ConfigError, exit 2
+    land = str(tmp_path / "land")
+    _write(spark, land, _rows([("a", 0, 10.0)]))
+    assert main([
+        "monitor", f"data.input={land}",
+        f"data.out={tmp_path / 'out'}", "chart=cusum", "target=10.0",
+        "sigma=1.0", f"profile_store={store}", "refit_every=7",
+        "value=v", "ts=ts", "group=g",
+    ]) == 2
+    err = capsys.readouterr()
+    assert "chart=seasonal" in err.out + err.err

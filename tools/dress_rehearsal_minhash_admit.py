@@ -62,8 +62,11 @@ def main() -> None:
     state = os.path.join(
         ROOT, f"mhb_{n}_slim16" if slim else f"mhb_{n}_4"
     )
+    # _SUCCESS, not the bare dir: a crashed previous run leaves a
+    # partial docs dir that must be regenerated, not silently reused
+    # as corpus_text (review finding, round 11)
     if not os.path.exists(os.path.join(state, "sig")) or (
-        slim and not os.path.exists(docs_path)
+        slim and not os.path.exists(os.path.join(docs_path, "_SUCCESS"))
     ):
         if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
             corpus(spark, n).write.mode("overwrite").parquet(docs_path)
