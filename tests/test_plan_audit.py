@@ -26,6 +26,10 @@ BNLJ_ALLOWED = {
     # back onto the rows — the sanctioned scalar-broadcast pattern
     # (same shape as target_encode's prior)
     "experiment",
+    # the shortlist fan-out (queries x pre-filtered candidate ids) is
+    # the first-stage retriever's contract; the scoring join itself is
+    # an equi-join on the shortlist keys
+    "maxsim",
 }
 
 
