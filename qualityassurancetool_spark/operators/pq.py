@@ -523,6 +523,7 @@ def ivfadc_topk(
     query_id_col: str = "query_id",
     round_digits: int | None = None,
     collected_queries: list[tuple[int, list[float]]] | None = None,
+    prune_batches: bool = False,
 ) -> DataFrame:
     """IVFADC search: probe the ``nprobe`` nearest lists per query and
     ADC-score only their members against per-(query, list) residual
@@ -539,7 +540,16 @@ def ivfadc_topk(
     split by ULP-level float-associativity noise that differs across
     engines; rounding before the cut makes the shortlist reproducible
     (the ``quantile_bin`` rounded-cut-point discipline).  The emitted
-    ``adc_dist`` stays raw."""
+    ``adc_dist`` stays raw.
+
+    ``prune_batches``: keep each Arrow batch's k best per query BEFORE
+    the ranking window (value-exact — top-k is closed under batch
+    restriction, and the rank key rides along from the Spark side).
+    The serving-at-scale switch: the window otherwise sorts every
+    scored probed-list row per query (~100 M rows / 822 MB spill at
+    the measured 100 M-vector decade); with the prune it sorts
+    ≤ batches × queries × k.  Off by default — at bench scale the
+    extra Arrow hop costs more than the small sort."""
     # queries are collected to the driver (small by contract); pass
     # ``collected_queries`` when the caller already holds them to
     # save a driver round trip (the q_ann_ivfadc batched-collect)
@@ -601,11 +611,39 @@ def ivfadc_topk(
         if round_digits is not None
         else F.col("adc_dist")
     )
+    if prune_batches:
+        # map-side per-batch top-k BEFORE the window: the row_number
+        # window sorts EVERY scored row per query (probed-list-sized —
+        # 100 M rows at the measured 100 M-vector decade, 822 MB of
+        # sort spill).  Top-k under a total order is closed under batch
+        # restriction, so keeping each Arrow batch's k best per query
+        # FIRST is exact — the final window then sorts ≤ batches ×
+        # queries × k rows.  The rank key is computed SPARK-SIDE and
+        # carried through the kernel (pandas would round half-even
+        # where Spark rounds half-up; re-deriving it Python-side could
+        # prune a row the final comparator ranks inside the cut).
+        scored = scored.withColumn("_rk", rank_key)
+        schema = scored.schema
+
+        def _prune(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield (
+                        pdf.sort_values(
+                            ["_rk", "neighbor_id"], kind="mergesort"
+                        )
+                        .groupby(query_id_col, sort=False)
+                        .head(k)
+                    )
+
+        scored = scored.mapInPandas(_prune, schema)
+        rank_key = F.col("_rk")
     w = Window.partitionBy(query_id_col).orderBy(
         rank_key.asc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+    return out.drop("_rk") if prune_batches else out

@@ -432,3 +432,58 @@ def test_ivfadc_overwrite_clears_stale_append_slices(emb, tmp_path):
     assert key(disk.collect()) == key(
         ivfadc_index(emb, cents2, books2).collect()
     )
+
+
+def test_ivfadc_topk_prune_batches_parity(spark, emb):
+    """prune_batches (round-11 serving-at-scale switch): per-Arrow-
+    batch top-k before the ranking window must be value-exact vs the
+    plain window — including under round_digits ties, many small
+    batches, and a many-partition index (the regimes where a wrong
+    prune comparator would diverge)."""
+    from qualityassurancetool_spark.operators.pq import (
+        ivfadc_fit,
+        ivfadc_index,
+        ivfadc_topk,
+    )
+
+    cents, books = ivfadc_fit(emb, n_lists=4, m=M, k=K, max_iter=2)
+    index = ivfadc_index(emb, cents, books).repartition(16).persist()
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["adc_dist"])
+        for r in df.collect()
+    )
+    old_batch = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    try:
+        # tiny batches: the prune runs many times per partition and
+        # every cross-batch merge path is exercised
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        for rd in (None, 2):
+            plain = key(
+                ivfadc_topk(
+                    index, queries, cents, books, k=5, nprobe=2,
+                    round_digits=rd,
+                )
+            )
+            pruned = key(
+                ivfadc_topk(
+                    index, queries, cents, books, k=5, nprobe=2,
+                    round_digits=rd, prune_batches=True,
+                )
+            )
+            assert pruned == plain and len(plain) > 0
+            # _rk never leaks into the output schema
+            cols = ivfadc_topk(
+                index, queries, cents, books, k=5, nprobe=2,
+                round_digits=rd, prune_batches=True,
+            ).columns
+            assert "_rk" not in cols and "_rn" not in cols
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+    index.unpersist()

@@ -183,8 +183,13 @@ def run(spark, n_vecs: int) -> None:
         or n_vecs,
     )
     disk = ivfadc_read(spark, layout)
+    # prune_batches: the serving-at-scale switch — without it the
+    # ranking window sorts every scored probed-list row (822 MB spill
+    # at 100 M vectors); with it each Arrow batch keeps its k best per
+    # query first (value-exact)
     disk_short = ivfadc_topk(
-        disk, qdf, fitted["cents"], fitted["books"], k=100, nprobe=2
+        disk, qdf, fitted["cents"], fitted["books"], k=100, nprobe=2,
+        prune_batches=True,
     )
     # the serving contract, asserted AT THIS SCALE (not just in the
     # small-scale tests/test_pq.py): the static `cluster_id IN probed`
