@@ -393,8 +393,9 @@ def cmd_dedup(args, overrides: list[str]) -> int:
                 )
                 # store_shingles=false drops the _sh arrays from the
                 # persisted state (~10x smaller artifact; verify
-                # recomputes from text) — but such a work dir cannot
-                # seed incremental admission (state= mode)
+                # recomputes from text); such a work dir seeds
+                # incremental admission (state= mode) with
+                # corpus_text= supplying the recompute source
                 out = minhash_dedup_batched(
                     docs,
                     work,
