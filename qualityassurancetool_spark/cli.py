@@ -505,6 +505,11 @@ def cmd_ann(args, overrides: list[str]) -> int:
     - ``ivfadc``: residual PQ over IVF lists (Jégou et al. 2011);
     - ``opq``: learned-rotation PQ (Ge et al. 2013).
 
+    ``prune_batches=true`` (ivfadc): per-Arrow-batch top-k before the
+    ranking window — value-exact, and the serving switch at 100 M+
+    vectors where the window otherwise sorts every scored probed-list
+    row (measured in docs/SCALE.md round-11).
+
     ``ivfadc`` supports the build-once-serve-many life cycle:
     ``index.out=DIR`` persists the fitted index (cluster_id-partitioned
     ``lists/`` parquet + ``model.json`` centroids/codebooks, optional
@@ -730,8 +735,16 @@ def cmd_ann(args, overrides: list[str]) -> int:
                     index = ivfadc_read(
                         spark, _os.path.join(index_c["out"], "lists")
                     )
+                # prune_batches=true: serving-at-scale switch — each
+                # Arrow batch keeps its k best per query before the
+                # ranking window (value-exact; kills the probed-list-
+                # sized sort, measured 822 MB spill -> 0 at 100 M
+                # vectors in docs/SCALE.md round-11)
                 out = ivfadc_topk(
-                    index, queries, cents, books, k=k_search, nprobe=nprobe
+                    index, queries, cents, books, k=k_search,
+                    nprobe=nprobe,
+                    prune_batches=str(knobs.get("prune_batches", False))
+                    .lower() in ("true", "1", "yes"),
                 )
             else:  # opq
                 from qualityassurancetool_spark.operators.opq import (

@@ -394,6 +394,18 @@ def test_ann_index_persistence_round_trip(spark, tmp_path, capsys):
     )
     assert key(out2) == key(out1)
 
+    # prune_batches=true (the serving-at-scale switch) is value-exact:
+    # identical rows from the same persisted index
+    out_p = str(tmp_path / "ann_serve_pruned")
+    rc = main([
+        "ann", "--keep-session", f"data.input={src}",
+        f"data.out={out_p}", "method=ivfadc", "k=3",
+        "query_stride=20", f"index.in={idx}", "prune_batches=true",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert key(out_p) == key(out1)
+
     # daily-admission tick: append a delta under an id, retry the same
     # invocation — the slice overwrites, the layout view converges
     delta = str(tmp_path / "delta")
