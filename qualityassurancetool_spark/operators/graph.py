@@ -264,16 +264,25 @@ def k_core(
     deep core is the densely-cross-linked hub mass).
 
     Matula–Beck peeling as dataflow: each round computes degrees
-    (one partial-agg shuffle of 8-byte node keys), keeps nodes with
-    degree >= k, and semi-joins the edge table down to surviving
-    endpoints.  The EDGE table only ever shrinks and text/payloads
-    never enter the loop; rounds are bounded by the peel depth of
-    the degeneracy ordering (small for power-law graphs — hubs
-    survive, fringes cascade off in a handful of waves), and each
-    round's fixpoint test rides the same count Spark already needs
-    for the semi-join side.  ``localCheckpoint`` truncates lineage
-    per round (the ``components.py``/``pagerank`` discipline; use
-    ``checkpoint()`` on a real cluster for executor-loss tolerance).
+    (one partial-agg shuffle of 8-byte node keys, checkpointed —
+    node-sized), counts the UNDER-degree nodes, and if any exist
+    ANTI-joins the edge table against that peel wave.  The wave —
+    not the surviving-node set — is the join dimension: it is the
+    shrinking fringe (small every round for power-law graphs), so
+    AQE turns both anti-joins into runtime broadcasts and the edge
+    table never shuffles inside the loop; at a scale where a wave
+    is genuinely huge AQE falls back to a shuffled join on its own
+    (no local-only hint baked in).  The fixpoint test is the wave
+    count itself — the final confirming round costs one degree agg
+    and no edge-table work at all (round-11 optimization; the
+    previous shape semi-joined survivors twice per round, shuffling
+    the edge table, and paid a full extra join round to observe
+    ``|e'| == |e|``).  The EDGE table only ever shrinks and
+    text/payloads never enter the loop; rounds are bounded by the
+    peel depth of the degeneracy ordering.  ``localCheckpoint``
+    truncates lineage per round (the ``components.py``/``pagerank``
+    discipline; use ``checkpoint()`` on a real cluster for
+    executor-loss tolerance).
 
     Cross-engine: ``tools/extra_oracles.py::x_kcore`` — DuckDB
     fixed-depth unrolled-peel replica over a cascade graph built to
@@ -296,64 +305,47 @@ def k_core(
         .localCheckpoint()
     )
     n_edges = e.count()
-    for _ in range(max_iters):
+    for _ in range(max_iters + 1):
         if n_edges == 0:
-            break
+            # empty core: every edge peeled away (or none existed)
+            deg = (
+                e.select(F.col("u").alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            )
+            return deg.where(F.col("degree") >= k)
+        # one pass over the checkpointed edges emits both endpoints;
+        # the agg result is node-sized — checkpoint it so the wave
+        # count and the anti-join dimension share one computation
         deg = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
+            e.select(
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
+            )
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint()
         )
-        keep = deg.where(F.col("degree") >= k)
-        e2 = (
-            e.join(
-                keep.select(F.col("node").alias("u")), "u", "leftsemi"
+        bad = deg.where(F.col("degree") < k)
+        if bad.count() == 0:
+            # no under-degree node => fixpoint; every endpoint of e
+            # is in deg, so this IS the within-core degree sheet
+            return deg.where(F.col("degree") >= k).select(
+                "node", F.col("degree").cast("long").alias("degree")
             )
-            .join(
-                keep.select(F.col("node").alias("v")), "v", "leftsemi"
-            )
+        e = (
+            e.join(bad.select(F.col("node").alias("u")), "u", "left_anti")
+            .join(bad.select(F.col("node").alias("v")), "v", "left_anti")
             .select("u", "v")
             .localCheckpoint()
         )
-        n2 = e2.count()
-        if n2 == n_edges:
-            # no edge lost => no node under-degree => fixpoint
-            return keep.select(
-                "node", F.col("degree").cast("long").alias("degree")
-            )
-        e, n_edges = e2, n2
-    if n_edges > 0:
-        # the loop exhausted max_iters mid-peel.  The LAST allowed
-        # iteration may still have landed exactly on the fixpoint
-        # (the in-loop check only confirms convergence one iteration
-        # later), so verify once before raising: if every remaining
-        # node already has degree >= k, this IS the core.
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("degree"))
-        )
-        if deg.where(F.col("degree") < k).count() == 0:
-            return deg.select(
-                "node", F.col("degree").cast("long").alias("degree")
-            )
-        # genuinely unconverged — returning the degree>=k filter here
-        # would present an intermediate peel state as "the core" (a
-        # ~500-node path at k=2 peels only 2 endpoints per round,
-        # needing ~250 rounds)
-        raise RuntimeError(
-            f"k_core did not converge within max_iters={max_iters} "
-            f"({n_edges} edges still peeling); raise max_iters — "
-            "peel depth is the graph's degeneracy ordering length "
-            "(long chain/lattice graphs peel O(diameter) rounds)"
-        )
-    # empty core: every edge peeled away
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        n_edges = e.count()
+    # genuinely unconverged — returning the degree>=k filter here
+    # would present an intermediate peel state as "the core" (a
+    # ~500-node path at k=2 peels only 2 endpoints per round,
+    # needing ~250 rounds)
+    raise RuntimeError(
+        f"k_core did not converge within max_iters={max_iters} "
+        f"({n_edges} edges still peeling); raise max_iters — "
+        "peel depth is the graph's degeneracy ordering length "
+        "(long chain/lattice graphs peel O(diameter) rounds)"
     )
-    return deg.where(F.col("degree") >= k)

@@ -67,6 +67,17 @@ def maxsim_score(q_tokens: Column, d_tokens: Column) -> Column:
     )
 
 
+# Round-11 measured NEGATIVE result, recorded so it is not retried: an
+# "unrolled" score (element_at/greatest expression tree instead of the
+# HOF fold) is 3-4x SLOWER at sf1, whether naive (duplicated nested
+# element_at subtrees re-extract the token arrays per term — Catalyst
+# does no CSE across them), staged through a Project (CollapseProject
+# inlines the staging right back), or staged behind a Generate barrier
+# (the 128-column struct explode costs more than it saves).  The
+# sequential HOF fold is the fastest exact-order formulation measured
+# (see OPTIMIZATION_r11.md, maxsim section).
+
+
 def maxsim_rerank(
     shortlist: DataFrame,
     queries: DataFrame,
@@ -79,32 +90,40 @@ def maxsim_rerank(
     """Rerank a (query_id, doc_id) shortlist by MaxSim.
 
     ``queries``/``corpus`` carry ``tokens_col: array<array<float>>``.
-    The shortlist and query matrices broadcast (shortlists are
-    k·queries rows by construction); the corpus is touched once via
-    an equi-join on the shortlisted doc ids, so corpus token matrices
-    never shuffle beyond the matched rows.  Output: query_id, doc_id,
-    ``maxsim`` (double), ``rank`` (1-based, score desc / doc id asc
-    tie-break), top ``k`` per query."""
+    The (query_id, doc_id) shortlist and the query matrices broadcast
+    as two SEPARATE slim relations (shortlists are k·queries rows by
+    construction); the corpus is touched once via an equi-join on the
+    shortlisted doc ids, so corpus token matrices never shuffle beyond
+    the matched rows.  (Round-11: previously the broadcast was the
+    shortlist JOINED with the query matrices — every pair row carried
+    a full duplicated token matrix, inflating the broadcast ~20x at
+    sf1; now the pair relation is two ids per row and each surviving
+    corpus row picks up its query matrix from the second, query-sized
+    broadcast — full query warm medians 4.07 -> 3.32 s at sf1.)
+
+    Output: query_id, doc_id, ``maxsim`` (double), ``rank`` (1-based,
+    score desc / doc id asc tie-break), top ``k`` per query."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     q = queries.select(
         F.col(query_id).alias("_qid"),
         F.col(tokens_col).alias("_qtok"),
     )
-    pairs = F.broadcast(
-        shortlist.select(
-            F.col(query_id).alias("_qid"), F.col(doc_id).alias("_did")
-        )
-        .distinct()
-        .join(q, "_qid")
-    )
+    pairs = shortlist.select(
+        F.col(query_id).alias("_qid"), F.col(doc_id).alias("_did")
+    ).distinct()
     d = corpus.select(
         F.col(doc_id).alias("_did"), F.col(tokens_col).alias("_dtok")
     )
-    scored = pairs.join(d, "_did").select(
-        F.col("_qid").alias(query_id),
-        F.col("_did").alias(doc_id),
-        maxsim_score(F.col("_qtok"), F.col("_dtok")).alias("maxsim"),
+    score = maxsim_score(F.col("_qtok"), F.col("_dtok"))
+    scored = (
+        d.join(F.broadcast(pairs), "_did")
+        .join(F.broadcast(q), "_qid")
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_did").alias(doc_id),
+            score.alias("maxsim"),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("maxsim").desc(), F.col(doc_id).asc()

@@ -106,3 +106,25 @@ def test_k_validation(spark):
     sl = spark.createDataFrame([(1, 1)], ["query_id", "doc_id"])
     with pytest.raises(ValueError):
         maxsim_rerank(sl, q, q.withColumnRenamed("query_id", "doc_id"), k=0)
+
+
+def test_duplicate_shortlist_pairs_score_once(spark):
+    # the round-11 slim-broadcast restructure moved the distinct()
+    # BEFORE the joins: a multi-probe shortlist repeating a pair must
+    # still occupy exactly one rank slot, and a shortlist pair whose
+    # query has no matrix row must drop (inner-join semantics preserved
+    # across the restructure)
+    q = _df(spark, [(1, [[1.0, 0.0], [0.0, 1.0]])], "query_id")
+    docs = _df(
+        spark,
+        [(10, [[2.0, 0.0], [0.0, 3.0]]), (11, [[1.0, 0.0], [0.0, 1.0]])],
+        "doc_id",
+    )
+    sl = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11), (2, 10)], ["query_id", "doc_id"]
+    )
+    got = maxsim_rerank(sl, q, docs, k=5).orderBy("rank").collect()
+    assert [(r.query_id, r.doc_id, r.rank) for r in got] == [
+        (1, 10, 1),
+        (1, 11, 2),
+    ]
