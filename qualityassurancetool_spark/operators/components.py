@@ -37,6 +37,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from qualityassurancetool_spark.operators.graph import (
+    _ckpt_rdd_id,
+    _free_ckpt,
+)
+
 
 LOCAL_EDGE_THRESHOLD = 1_000_000  # ~16 MB of (long, long) rows on the driver
 
@@ -91,6 +96,7 @@ def connected_components(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint()
     )
+    lab_id = _ckpt_rdd_id(lab)
     prev_sum = lab.agg(F.sum("comp")).first()[0]
     if prev_sum is None:  # empty edge list → empty labeling
         edges.unpersist()
@@ -131,7 +137,11 @@ def connected_components(
             .localCheckpoint()  # truncate lineage: see module docstring
         )
         cur_sum = new_lab.agg(F.sum("comp")).first()[0]
-        lab = new_lab
+        # new_lab materialized eagerly from lab: the old round's
+        # checkpoint blocks are dead — free them now instead of
+        # waiting for a driver GC (see graph._free_ckpt)
+        _free_ckpt(lab, lab_id)
+        lab, lab_id = new_lab, _ckpt_rdd_id(new_lab)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

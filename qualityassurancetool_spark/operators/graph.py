@@ -33,6 +33,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ckpt_rdd_id(df: DataFrame) -> int | None:
+    """Block-manager RDD id backing an eager ``localCheckpoint`` frame
+    (the analyzed plan is a LogicalRDD over the checkpointed RDD).
+    Returns None if the plan shape is not the expected LogicalRDD —
+    callers then simply skip the explicit free and fall back to the
+    ContextCleaner's GC-driven cleanup."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd().id()
+    except Exception:
+        return None
+
+
+def _free_ckpt(df: DataFrame, rdd_id: int | None) -> None:
+    """Explicitly drop the blocks of a SUPERSEDED localCheckpoint.
+
+    Iterative operators checkpoint per round; without this, every
+    round's blocks stay in the block manager until the driver happens
+    to GC the py4j handles (the ContextCleaner is reference-queue
+    driven), so repeated invocations in one session accumulate
+    hundreds of MB of dead checkpoint blocks.  Only ever call this on
+    a frame that is never referenced again — a freed checkpoint
+    cannot be recomputed (lineage was truncated)."""
+    if rdd_id is None:
+        return
+    try:
+        jrdd = df.sparkSession.sparkContext._jsc.getPersistentRDDs().get(
+            rdd_id
+        )
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    except Exception:
+        pass
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
@@ -75,6 +109,7 @@ def pagerank(
     deg.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks_id = _ckpt_rdd_id(ranks)
     for _ in range(iters):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -108,6 +143,7 @@ def pagerank(
             )
             .localCheckpoint()  # truncate lineage: see module docstring
         )
+        new_id = _ckpt_rdd_id(new_ranks)
         if tol is not None:
             delta = (
                 new_ranks.withColumnRenamed("rank", "_new")
@@ -115,11 +151,14 @@ def pagerank(
                 .agg(F.max(F.abs(F.col("_new") - F.col("rank"))).alias("d"))
                 .collect()[0]["d"]
             )
-            ranks = new_ranks
+            # the delta agg was the old checkpoint's last reference
+            _free_ckpt(ranks, ranks_id)
+            ranks, ranks_id = new_ranks, new_id
             if delta is not None and delta < tol:
                 break
         else:
-            ranks = new_ranks
+            _free_ckpt(ranks, ranks_id)
+            ranks, ranks_id = new_ranks, new_id
     nodes.unpersist()
     deg.unpersist()
     return ranks
@@ -277,12 +316,19 @@ def k_core(
     and no edge-table work at all (round-11 optimization; the
     previous shape semi-joined survivors twice per round, shuffling
     the edge table, and paid a full extra join round to observe
-    ``|e'| == |e|``).  The EDGE table only ever shrinks and
-    text/payloads never enter the loop; rounds are bounded by the
-    peel depth of the degeneracy ordering.  ``localCheckpoint``
-    truncates lineage per round (the ``components.py``/``pagerank``
-    discipline; use ``checkpoint()`` on a real cluster for
-    executor-loss tolerance).
+    ``|e'| == |e|``).  Exactly TWO driver actions per round (the
+    eager checkpoints; the wave count rides the node-sized deg
+    checkpoint) — an emptied-out edge table needs no special case,
+    its degree agg is empty so the fixpoint test fires.  The EDGE
+    table only ever shrinks and text/payloads never enter the loop;
+    rounds are bounded by the peel depth of the degeneracy
+    ordering.  ``localCheckpoint`` truncates lineage per round (the
+    ``components.py``/``pagerank`` discipline; use ``checkpoint()``
+    on a real cluster for executor-loss tolerance), and each
+    round's checkpoint blocks are explicitly freed as soon as the
+    next round's checkpoint supersedes them — repeated k_core calls
+    in one session previously accumulated every round's edge blocks
+    until a driver GC happened to run.
 
     Cross-engine: ``tools/extra_oracles.py::x_kcore`` — DuckDB
     fixed-depth unrolled-peel replica over a cascade graph built to
@@ -304,16 +350,8 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
-    n_edges = e.count()
+    e_id = _ckpt_rdd_id(e)
     for _ in range(max_iters + 1):
-        if n_edges == 0:
-            # empty core: every edge peeled away (or none existed)
-            deg = (
-                e.select(F.col("u").alias("node"))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-            )
-            return deg.where(F.col("degree") >= k)
         # one pass over the checkpointed edges emits both endpoints;
         # the agg result is node-sized — checkpoint it so the wave
         # count and the anti-join dimension share one computation
@@ -325,27 +363,35 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("degree"))
             .localCheckpoint()
         )
+        deg_id = _ckpt_rdd_id(deg)
         bad = deg.where(F.col("degree") < k)
         if bad.count() == 0:
             # no under-degree node => fixpoint; every endpoint of e
             # is in deg, so this IS the within-core degree sheet
+            # (an emptied-out edge table lands here too: empty deg).
+            # The result derives only from deg's blocks — the edge
+            # checkpoint is dead weight from here on.
+            _free_ckpt(e, e_id)
             return deg.where(F.col("degree") >= k).select(
                 "node", F.col("degree").cast("long").alias("degree")
             )
-        e = (
+        new_e = (
             e.join(bad.select(F.col("node").alias("u")), "u", "left_anti")
             .join(bad.select(F.col("node").alias("v")), "v", "left_anti")
             .select("u", "v")
             .localCheckpoint()
         )
-        n_edges = e.count()
+        # new_e materialized eagerly from (e, deg): both superseded
+        _free_ckpt(e, e_id)
+        _free_ckpt(deg, deg_id)
+        e, e_id = new_e, _ckpt_rdd_id(new_e)
     # genuinely unconverged — returning the degree>=k filter here
     # would present an intermediate peel state as "the core" (a
     # ~500-node path at k=2 peels only 2 endpoints per round,
     # needing ~250 rounds)
     raise RuntimeError(
-        f"k_core did not converge within max_iters={max_iters} "
-        f"({n_edges} edges still peeling); raise max_iters — "
-        "peel depth is the graph's degeneracy ordering length "
-        "(long chain/lattice graphs peel O(diameter) rounds)"
+        f"k_core did not converge within max_iters={max_iters}; "
+        "raise max_iters — peel depth is the graph's degeneracy "
+        "ordering length (long chain/lattice graphs peel "
+        "O(diameter) rounds)"
     )

@@ -105,3 +105,27 @@ def test_convergence_on_final_iteration_returns_core(spark):
         for r in k_core(edges, k=2, max_iters=1).collect()
     }
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_repeated_runs_free_superseded_checkpoints(spark):
+    """Each peel round localCheckpoints frames that the next round
+    supersedes; those blocks must be freed eagerly (round-11: repeated
+    k_core calls in one session previously accumulated every round's
+    blocks until a driver GC happened to run).  Growth across repeated
+    runs must be bounded by the RESULT frames we still hold, not by
+    rounds x runs."""
+    sc = spark.sparkContext
+    # a chain graph peels one level per round -> several rounds
+    pairs = [(a, b) for a in range(6) for b in range(a + 1, 6)] + [
+        (5, 6), (6, 7), (7, 8), (8, 9)
+    ]
+    k_core(_edges(spark, pairs), 3).count()  # warm / settle
+    before = len(sc._jsc.getPersistentRDDs())
+    runs = 4
+    for _ in range(runs):
+        assert k_core(_edges(spark, pairs), 3).count() == 6
+    grown = len(sc._jsc.getPersistentRDDs()) - before
+    # old behavior: >= 2 checkpoints per round per run stay resident
+    # (this graph peels 4+ rounds -> >= 8/run); new: only the returned
+    # frame's degree checkpoint may linger (1/run)
+    assert grown <= 2 * runs, grown
