@@ -50,6 +50,32 @@ OBSERVATIONS_SCHEMA = T.StructType(
 )
 
 
+# Resolved-reader PLAN memo, keyed (applicationId, sf_dir, name).  A
+# DataFrame is an immutable logical plan — reusing the object skips the
+# per-call py4j/DataSource-resolution/schema-inference round trips
+# (measured 150-700 ms per load_table call; every declared query pays it
+# 1-3x per build), while every ACTION on it still scans the parquet
+# files, so no data or results are ever cached here.  The cache assumes
+# the source files under a given path are immutable for the lifetime of
+# the session — the same assumption Spark's own session-scoped
+# FileStatusCache already makes for repeated scans of one path.  Keyed
+# on applicationId so a fresh session never sees another session's
+# frames; the one-entry app slot drops everything when the app changes.
+_PLAN_CACHE: dict = {"app": None, "tables": {}}
+
+
+def _app_id(spark: SparkSession) -> str | None:
+    cached = getattr(spark, "_qat_app_id", None)
+    if cached is not None:
+        return cached
+    try:
+        app = spark.sparkContext.applicationId
+        spark._qat_app_id = app
+        return app
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata parquet table.
 
@@ -58,6 +84,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     µs TimestampType by truncation — the same thing DuckDB's µs TIMESTAMP
     does, so oracle comparisons agree exactly.
     """
+    app = _app_id(spark)
+    if app is not None:
+        if _PLAN_CACHE["app"] != app:
+            _PLAN_CACHE["app"] = app
+            _PLAN_CACHE["tables"] = {}
+        hit = _PLAN_CACHE["tables"].get((sf_dir, name))
+        if hit is not None:
+            return hit
     # self-heal on sessions not built by session.get_spark (e.g. the
     # driver harness'): these are runtime-settable confs.  ns-as-long for
     # the ns-precision parquet; ANSI off because the engine's dirty-data
@@ -93,6 +127,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # on some sessions; unix_micros/withWatermark reject NTZ.  The
             # session timezone is UTC, so the cast is value-exact.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if app is not None:
+        _PLAN_CACHE["tables"][(sf_dir, name)] = df
     return df
 
 
@@ -107,8 +143,13 @@ def events_as_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-modular arithmetic so Spark and any SQL oracle reproduce the
     exact same doubles (no libm involved).
     """
+    app = _app_id(spark)
+    if app is not None and _PLAN_CACHE["app"] == app:
+        hit = _PLAN_CACHE["tables"].get((sf_dir, "__obs__"))
+        if hit is not None:
+            return hit
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
+    obs = ev.select(
         F.col("event_id").alias(Obs.IOT_ID),
         F.col("value").alias(Obs.RESULT),
         F.col("ts").alias(Obs.TIME),
@@ -125,6 +166,9 @@ def events_as_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
             Obs.LONG
         ),
     )
+    if app is not None:
+        _PLAN_CACHE["tables"][(sf_dir, "__obs__")] = obs
+    return obs
 
 
 # SQL fragment (DuckDB oracle) mirroring events_as_observations exactly.
