@@ -288,12 +288,82 @@ def triangle_count(
     return per_node
 
 
+LOCAL_EDGE_THRESHOLD = 1_000_000  # ~16 MB of (long, long) rows on the driver
+
+
+def _k_core_local(
+    spark, pdf, k: int, max_iters: int
+) -> DataFrame:
+    """Driver-side synchronous peel over an Arrow-collected
+    metadata-scale edge list (pandas frame of canonical distinct
+    (u, v) rows).  Simulates the SAME wave-at-a-time Matula–Beck
+    rounds as the distributed path — including the ``max_iters``
+    budget and its non-convergence raise — so the two strategies are
+    observationally identical (property-tested against each other).
+    O(V + E): each edge is touched once, when its first endpoint is
+    removed."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(list)
+    deg: dict = defaultdict(int)
+    for a, b in zip(pdf.iloc[:, 0].to_list(), pdf.iloc[:, 1].to_list()):
+        a, b = int(a), int(b)
+        adj[a].append(b)
+        adj[b].append(a)
+        deg[a] += 1
+        deg[b] += 1
+    removed: set = set()
+    wave = [n for n, d in deg.items() if d < k]
+    waves = 0
+    while wave:
+        waves += 1
+        if waves > max_iters:
+            raise RuntimeError(_KCORE_NONCONVERGED.format(max_iters=max_iters))
+        removed.update(wave)
+        nxt: set = set()
+        for n in wave:
+            for m in adj[n]:
+                if m in removed or m in nxt:
+                    continue
+                deg[m] -= 1
+                if deg[m] < k:
+                    nxt.add(m)
+        wave = list(nxt)
+    import numpy as np
+    import pandas as pd
+
+    survivors = [n for n in deg if n not in removed]
+    # Arrow-path createDataFrame (pandas in, int64 columns): the frame
+    # lands as JVM-side Arrow batches, so downstream actions scan
+    # InternalRows directly — a list-of-tuples parallelize would pay a
+    # Python-worker round trip to unpickle the rows on EVERY action
+    # (~0.4 s per count at 5k rows)
+    out = pd.DataFrame(
+        {
+            "node": np.fromiter(survivors, dtype=np.int64, count=len(survivors)),
+            "degree": np.fromiter(
+                (deg[n] for n in survivors), dtype=np.int64, count=len(survivors)
+            ),
+        }
+    )
+    return spark.createDataFrame(out, schema="node long, degree long")
+
+
+_KCORE_NONCONVERGED = (
+    "k_core did not converge within max_iters={max_iters}; "
+    "raise max_iters — peel depth is the graph's degeneracy "
+    "ordering length (long chain/lattice graphs peel "
+    "O(diameter) rounds)"
+)
+
+
 def k_core(
     edges: DataFrame,
     k: int,
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 200,
+    strategy: str = "auto",
 ) -> DataFrame:
     """The k-core of an UNDIRECTED graph (self-loops dropped,
     direction/duplicates collapsed): the maximal subgraph in which
@@ -330,6 +400,20 @@ def k_core(
     in one session previously accumulated every round's edge blocks
     until a driver GC happened to run.
 
+    ``strategy``: ``"distributed"`` always runs the iterative peel;
+    ``"local"`` Arrow-collects the canonical edge list and peels on
+    the driver; ``"auto"`` (default) probe-collects up to
+    ``LOCAL_EDGE_THRESHOLD + 1`` edges and picks — the same
+    honest-default precedent as ``connected_components``: a graph
+    under ~16 MB of (long, long) rows pays more in per-round job
+    scheduling (2 driver actions x peel depth) than the whole local
+    peel costs, while anything larger falls through to the
+    distributed path, which re-executes the canonicalize pipeline.
+    The local path simulates the SAME synchronous waves, including
+    the ``max_iters`` budget and its non-convergence raise, so both
+    strategies are observationally identical (property-tested
+    against each other).
+
     Cross-engine: ``tools/extra_oracles.py::x_kcore`` — DuckDB
     fixed-depth unrolled-peel replica over a cascade graph built to
     converge within the unroll budget (the Spark side iterates to
@@ -337,7 +421,9 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    e = (
+    if strategy not in ("auto", "distributed", "local"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    canon = (
         edges.select(
             F.col(src).cast("long").alias("a"),
             F.col(dst).cast("long").alias("b"),
@@ -348,8 +434,21 @@ def k_core(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
     )
+    if strategy == "auto":
+        # probe-collect (the connected_components discipline): ONE
+        # execution of the dedup/canonicalize pipeline decides the
+        # strategy AND supplies the local path's input; only on
+        # overflow does the distributed path re-execute it.  Arrow
+        # transfer keeps the driver ceiling at ~16 MB of long pairs.
+        probe = canon.limit(LOCAL_EDGE_THRESHOLD + 1).toPandas()
+        if len(probe) <= LOCAL_EDGE_THRESHOLD:
+            return _k_core_local(edges.sparkSession, probe, k, max_iters)
+    elif strategy == "local":
+        return _k_core_local(
+            edges.sparkSession, canon.toPandas(), k, max_iters
+        )
+    e = canon.localCheckpoint()
     e_id = _ckpt_rdd_id(e)
     for _ in range(max_iters + 1):
         # one pass over the checkpointed edges emits both endpoints;
@@ -389,9 +488,4 @@ def k_core(
     # would present an intermediate peel state as "the core" (a
     # ~500-node path at k=2 peels only 2 endpoints per round,
     # needing ~250 rounds)
-    raise RuntimeError(
-        f"k_core did not converge within max_iters={max_iters}; "
-        "raise max_iters — peel depth is the graph's degeneracy "
-        "ordering length (long chain/lattice graphs peel "
-        "O(diameter) rounds)"
-    )
+    raise RuntimeError(_KCORE_NONCONVERGED.format(max_iters=max_iters))

@@ -11,10 +11,10 @@ def _edges(spark, pairs):
     )
 
 
-def _core(spark, pairs, k):
+def _core(spark, pairs, k, strategy="auto"):
     return {
         r["node"]: r["degree"]
-        for r in k_core(_edges(spark, pairs), k).collect()
+        for r in k_core(_edges(spark, pairs), k, strategy=strategy).collect()
     }
 
 
@@ -84,10 +84,12 @@ def test_nonconvergence_raises_not_wrong_answer(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "src long, dst long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        k_core(edges, k=2, max_iters=3).collect()
-    # with budget, the path's 2-core is (correctly) empty
-    assert k_core(edges, k=2, max_iters=40).count() == 0
+    # BOTH strategies honor the wave budget identically
+    for strat in ("local", "distributed"):
+        with pytest.raises(RuntimeError, match="did not converge"):
+            k_core(edges, k=2, max_iters=3, strategy=strat).collect()
+        # with budget, the path's 2-core is (correctly) empty
+        assert k_core(edges, k=2, max_iters=40, strategy=strat).count() == 0
 
 
 def test_convergence_on_final_iteration_returns_core(spark):
@@ -100,11 +102,52 @@ def test_convergence_on_final_iteration_returns_core(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
     )
-    got = {
-        r["node"]: r["degree"]
-        for r in k_core(edges, k=2, max_iters=1).collect()
+    for strat in ("local", "distributed"):
+        got = {
+            r["node"]: r["degree"]
+            for r in k_core(
+                edges, k=2, max_iters=1, strategy=strat
+            ).collect()
+        }
+        assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_local_distributed_parity(spark):
+    """The round-11 scale-adaptive local peel must be observationally
+    identical to the distributed peel on every graph shape the suite
+    exercises (nested cores, cascades-to-empty, within-core degrees,
+    duplicate/self-loop collapse)."""
+    import random
+
+    rng = random.Random(11)
+    shapes = [
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(3, 4), (4, 5), (5, 6)],
+        [(i, i + 1) for i in range(12)],
+        [(i, (i + 1) % 8) for i in range(8)],
+        [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0), (2, 2)],
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(160)],
+    ]
+    for pairs in shapes:
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        for k in (2, 3):
+            assert _core(spark, pairs, k, strategy="local") == _core(
+                spark, pairs, k, strategy="distributed"
+            ), (pairs, k)
+
+
+def test_auto_strategy_small_graph_runs_local(spark):
+    """auto on a metadata-scale graph must take the driver path: the
+    result plan contains no shuffle exchange and no checkpoint scan
+    (a LocalTableScan/parallelize plan), while producing the same
+    core."""
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    out = k_core(_edges(spark, pairs), 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert {r["node"]: r["degree"] for r in out.collect()} == {
+        i: 4 for i in range(5)
     }
-    assert got == {1: 2, 2: 2, 3: 2}
 
 
 def test_repeated_runs_free_superseded_checkpoints(spark):
@@ -119,11 +162,16 @@ def test_repeated_runs_free_superseded_checkpoints(spark):
     pairs = [(a, b) for a in range(6) for b in range(a + 1, 6)] + [
         (5, 6), (6, 7), (7, 8), (8, 9)
     ]
-    k_core(_edges(spark, pairs), 3).count()  # warm / settle
+    # strategy pinned: the leak being guarded lives in the
+    # distributed peel loop's checkpoints (auto would go local here)
+    k_core(_edges(spark, pairs), 3, strategy="distributed").count()
     before = len(sc._jsc.getPersistentRDDs())
     runs = 4
     for _ in range(runs):
-        assert k_core(_edges(spark, pairs), 3).count() == 6
+        assert (
+            k_core(_edges(spark, pairs), 3, strategy="distributed").count()
+            == 6
+        )
     grown = len(sc._jsc.getPersistentRDDs()) - before
     # old behavior: >= 2 checkpoints per round per run stay resident
     # (this graph peels 4+ rounds -> >= 8/run); new: only the returned

@@ -129,7 +129,13 @@ def main() -> None:
             flush=True,
         )
 
-        m.stage("k-core k=3 peel", n, lambda: k_core(e, 3).count())
+        # strategy pinned: the rehearsal meters the DISTRIBUTED peel
+        # (auto would collect graphs at/under the 1M-edge local
+        # threshold and meter the driver instead of the cluster shape)
+        m.stage(
+            "k-core k=3 peel", n,
+            lambda: k_core(e, 3, strategy="distributed").count(),
+        )
         print(
             f"  driver heap after = {driver_heap_mb(spark):.0f} MB",
             flush=True,
