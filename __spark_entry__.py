@@ -1528,16 +1528,26 @@ WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + grouped revenue + top-10 (TPC-H q3 shape).
 
-    Plan shape: lineitem PRE-AGGREGATES per orderkey BEFORE the join —
-    map-side partial sums mean the key exchange carries one
-    (key, partial) row per order instead of every raw lineitem row
-    (~4× fewer at TPC-H row ratios; measured 4.1 → 2.2 s at sf1), and
-    the join then reuses that hash partitioning, so the whole query is
-    ONE fact-sized shuffle.  The segment dim broadcasts; the filtered
-    order-key side is exchange-output-sized (AQE broadcasts it when
-    small, shuffles it when not — correct at 100 TB where neither fact
-    side fits a driver).  Aggregating rows the segment filter later
-    drops is deliberate: compute is cheap, shuffle volume is not."""
+    Plan shape (round-11, second pass): the segment dim broadcasts into
+    orders; lineitem is LEFT-SEMI-filtered by the surviving order keys
+    BEFORE the per-order aggregate.  Semi-then-agg is algebraically
+    identical to agg-then-semi (the semi keeps every lineitem of a
+    surviving order and drops whole orders only), but the expensive
+    part of this query is the per-order hash aggregate itself — at
+    TPC-H ratios partial aggregation is nearly a no-op (~4 lineitems
+    per order scattered across map tasks ⇒ each map task sees almost
+    one distinct order per row, so "aggregate before you shuffle"
+    reduced nothing and the agg hash map carried EVERY order).
+    Filtering first shrinks both the aggregate input and its key space
+    ~5× (one market segment).  The semi join is deliberately unhinted:
+    AQE sees the real post-filter key-side size at runtime and
+    broadcasts it at bench scale (final plan: BroadcastHashJoin
+    LeftSemi), while at a scale where the key side cannot fit a driver
+    it falls back to a shuffled semi — still one fact-sized shuffle,
+    now of pre-filtered rows, followed by an agg that reuses the
+    join's hash partitioning.  sf0.1 warm medians 1.9 → 0.59 s; the
+    prior agg-first shape measured its partial-agg exchange as carrying
+    ~1 row per input row."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1545,29 +1555,13 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
     )
-    li_agg = li.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
     sel = orders.join(
         F.broadcast(seg), orders["o_custkey"] == seg["c_custkey"]
     ).select("o_orderkey")
-    # LEFT SEMI against the filtered order keys (round-11 optimization):
-    # o_orderkey is unique in `sel` (orders is keyed on it; the customer
-    # join is on a unique dim key), so inner ≡ semi here and the output
-    # key can be l_orderkey itself.  With the inner join Catalyst's
-    # static estimates broadcast the WRONG side — the per-order
-    # aggregate (every order, ~1.5 M rows at sf1) got collected and
-    # shipped as the hashed relation while the ~5x-smaller filtered key
-    # side streamed.  A semi join can only build on the key side, so
-    # AQE broadcasts `sel` when it is small (it sees the real
-    # post-filter size at runtime) and falls back to a shuffled join at
-    # a scale where neither side fits — the aggregate's existing hash
-    # partitioning is then reused, keeping the query at ONE fact-sized
-    # shuffle either way.  sf1 warm medians: 2.95 -> 2.39 s (the
-    # remaining floor is the decimal per-order aggregate itself, which
-    # is the oracle's semantics).
+    li_f = li.join(sel, li["l_orderkey"] == sel["o_orderkey"], "left_semi")
     return (
-        li_agg.join(
-            sel, li_agg["l_orderkey"] == sel["o_orderkey"], "left_semi"
-        )
+        li_f.groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("_rev"))
         .select(
             F.col("l_orderkey").alias("orderkey"),
             F.col("_rev").cast("double").alias("revenue"),
