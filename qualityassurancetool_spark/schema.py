@@ -84,20 +84,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     µs TimestampType by truncation — the same thing DuckDB's µs TIMESTAMP
     does, so oracle comparisons agree exactly.
     """
-    app = _app_id(spark)
-    if app is not None:
-        if _PLAN_CACHE["app"] != app:
-            _PLAN_CACHE["app"] = app
-            _PLAN_CACHE["tables"] = {}
-        hit = _PLAN_CACHE["tables"].get((sf_dir, name))
-        if hit is not None:
-            return hit
     # self-heal on sessions not built by session.get_spark (e.g. the
     # driver harness'): these are runtime-settable confs.  ns-as-long for
     # the ns-precision parquet; ANSI off because the engine's dirty-data
     # contract is null-on-error (Spark 4 flipped the default to on, which
     # would fail a whole job on one bad cast/div) — same environment-drift
-    # class as the TIMESTAMP_NTZ round-1 incident.
+    # class as the TIMESTAMP_NTZ round-1 incident.  This block runs on
+    # EVERY call, before the plan-memo lookup: the heal is a per-call
+    # contract (a session may flip ANSI at any time between calls —
+    # tests/test_session_drift.py pins it), and skipping it on a memo
+    # hit shipped exactly that regression in the first memo version.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     # the NTZ→TIMESTAMP self-heal below is value-exact ONLY under a UTC
@@ -114,6 +110,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "spark.sql.shuffle.partitions",
             _os.environ.get("SPARK_GRAFT_CPUS", "32"),
         )
+    app = _app_id(spark)
+    if app is not None:
+        if _PLAN_CACHE["app"] != app:
+            _PLAN_CACHE["app"] = app
+            _PLAN_CACHE["tables"] = {}
+        hit = _PLAN_CACHE["tables"].get((sf_dir, name))
+        if hit is not None:
+            return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
