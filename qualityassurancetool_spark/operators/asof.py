@@ -214,21 +214,22 @@ def asof_nearest_context(
     cand = F.when(is_candidate, F.lit(True)).otherwise(F.lit(False))
     # candidate at time t is context for rows in [t-tol, t+tol]; native
     # bucket must come FIRST in the sequence only by value, so compute
-    # explicitly: non-candidates stay native-only.
-    b_native = F.floor(F.col("_t_us") / F.lit(bucket_us))
-    b_lo = F.floor((F.col("_t_us") - F.lit(tol_us)) / F.lit(bucket_us))
-    b_hi = F.floor((F.col("_t_us") + F.lit(tol_us)) / F.lit(bucket_us))
-    exploded = (
-        df.withColumns({"_t_us": t, "_is_cand": cand})
-        .withColumn(
-            "_bucket",
-            F.explode(
-                F.when(F.col("_is_cand"), F.sequence(b_lo, b_hi)).otherwise(
-                    F.array(b_native)
-                )
-            ),
-        )
-        .withColumn("_native", b_native == F.col("_bucket"))
+    # explicitly: non-candidates stay native-only.  The bucket bounds are
+    # written over the raw ts expression (not the _t_us column) so the
+    # whole annotation is ONE projection — each extra withColumn re-ran
+    # Catalyst analysis over the full upstream chain at build time.
+    b_native = F.floor(t / F.lit(bucket_us))
+    b_lo = F.floor((t - F.lit(tol_us)) / F.lit(bucket_us))
+    b_hi = F.floor((t + F.lit(tol_us)) / F.lit(bucket_us))
+    exploded = df.select(
+        "*",
+        t.alias("_t_us"),
+        cand.alias("_is_cand"),
+        F.explode(
+            F.when(cand, F.sequence(b_lo, b_hi)).otherwise(
+                F.array(b_native)
+            )
+        ).alias("_bucket"),
     )
 
     neg_id = (-F.col(id_col)).cast("long").alias("_tie")
@@ -244,14 +245,19 @@ def asof_nearest_context(
     prev = F.max(prev_s).over(w.rangeBetween(-tol_us, 0))
     nxt = F.min(next_s).over(w.rangeBetween(0, tol_us))
 
-    # windows run over native rows AND halo copies; only then drop copies
+    # windows run over native rows AND halo copies; only then drop copies.
+    # _native is NOT a bucket-constant predicate (it reads _t_us too), so
+    # Catalyst cannot push this filter below the Window — halo rows stay
+    # in every frame, exactly as before the projection fusion.  The final
+    # select below already prunes _native; no separate drop pass.
     annotated = exploded.select(
         *in_cols,
-        "_native",
+        (F.floor(F.col("_t_us") / F.lit(bucket_us)) == F.col("_bucket"))
+        .alias("_native"),
         F.col("_t_us").alias("_row_us"),
         prev.alias("_prev"),
         nxt.alias("_next"),
-    ).where(F.col("_native")).drop("_native")
+    ).where(F.col("_native"))
     prev_dt = F.col("_row_us") - F.col("_prev._ts")
     next_dt = F.col("_next._ts") - F.col("_row_us")
     best = F.when(
@@ -259,14 +265,19 @@ def asof_nearest_context(
         & (F.col("_next").isNull() | (prev_dt <= next_dt)),
         F.col("_prev"),
     ).otherwise(F.col("_next"))
-    out_fields = F.struct(
-        F.col("_best._ts").alias("ts_us"),
-        *[F.col(f"_best._p_{c}").alias(c) for c in payload_cols],
-    )
-    return (
-        annotated.withColumn("_best", best)
-        .withColumn(out_col, F.when(F.col("_best").isNotNull(), out_fields))
-        .select(*in_cols, out_col)
+    # one projection instead of withColumn(_best) + withColumn(out_col) +
+    # select: the best expression is substituted into the struct fields
+    # (runtime subexpression elimination dedups it; build-time analysis
+    # of the deep upstream plan runs once instead of three times)
+    return annotated.select(
+        *in_cols,
+        F.when(
+            best.isNotNull(),
+            F.struct(
+                best["_ts"].alias("ts_us"),
+                *[best[f"_p_{c}"].alias(c) for c in payload_cols],
+            ),
+        ).alias(out_col),
     )
 
 
@@ -312,12 +323,16 @@ def qc_dependent_quantity_base(
                     F.lit(int(flag_when_missing)).cast("tinyint"),
                 ),
             ).otherwise(new_flag)
-        return ann.withColumn(
-            flag_col,
-            F.when(
-                F.col(stream_col) == F.lit(dependent), new_flag
-            ).otherwise(F.col(flag_col)),
-        ).drop("_asof")
+        # replace the flag and prune _asof in ONE projection (withColumn
+        # then drop each re-analyzed the whole upstream chain per call)
+        merged = (
+            F.when(F.col(stream_col) == F.lit(dependent), new_flag)
+            .otherwise(F.col(flag_col))
+            .alias(flag_col)
+        )
+        return ann.select(
+            *[merged if c == flag_col else c for c in df.columns]
+        )
     df = _materialize_once(df, materialize)
     dep_rows = df.where(F.col(stream_col) == F.lit(dependent))
     ind_rows = df.where(F.col(stream_col) == F.lit(independent)).select(
@@ -378,12 +393,15 @@ def qc_dependent_quantity_secondary(
                 F.col(flag_col), F.lit(int(QualityFlags.BAD)).cast("tinyint")
             ),
         ).otherwise(F.col(flag_col))
-        return ann.withColumn(
-            flag_col,
-            F.when(
-                F.col(stream_col) == F.lit(dependent), new_flag
-            ).otherwise(F.col(flag_col)),
-        ).drop("_asof")
+        # same single-projection tail as qc_dependent_quantity_base
+        merged = (
+            F.when(F.col(stream_col) == F.lit(dependent), new_flag)
+            .otherwise(F.col(flag_col))
+            .alias(flag_col)
+        )
+        return ann.select(
+            *[merged if c == flag_col else c for c in df.columns]
+        )
     df = _materialize_once(df, materialize)
     dep_rows = df.where(F.col(stream_col) == F.lit(dependent))
     ind_rows = df.where(F.col(stream_col) == F.lit(independent)).select(

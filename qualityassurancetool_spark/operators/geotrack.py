@@ -224,4 +224,9 @@ def apply_velocity_acceleration_check(
         flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
     )
     out = df.withColumn(flag_col, flag_merge(F.col(flag_col), new_flag))
-    return out.drop("_v_fwd", "_dt_fwd", "_same_fwd")
+    if marking == "reference":
+        # only this branch materialized the forward-looking helper
+        # columns; an unconditional drop was a wasted analysis pass in
+        # pair mode (drop of absent columns still re-analyzes the plan)
+        out = out.drop("_v_fwd", "_dt_fwd", "_same_fwd")
+    return out

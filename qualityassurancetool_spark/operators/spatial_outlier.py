@@ -57,8 +57,12 @@ def with_median_track(
     # all-NULLs peer frame; mask so both strategies (plain window and
     # median_track_bucketed) agree that null-ts rows get NULL medians
     has_ts = F.col(ts_col).isNotNull()
-    return df.withColumn("median_lat", F.when(has_ts, med_lat)).withColumn(
-        "median_long", F.when(has_ts, med_lon)
+    # independent columns: one withColumns = one plan-analysis pass
+    return df.withColumns(
+        {
+            "median_lat": F.when(has_ts, med_lat),
+            "median_long": F.when(has_ts, med_lon),
+        }
     )
 
 
@@ -164,12 +168,22 @@ def apply_spatial_outlier_check(
         F.col(lat_col),
         F.col(lon_col),
     )
-    df = df.withColumn("dist_to_median_m", dist)
+    # the flag reads the distance EXPRESSION (not the just-added column)
+    # so both columns land in one withColumns = one analysis pass; runtime
+    # subexpression elimination dedups the doubled haversine
     new_flag = flag_from_bool(
-        F.col("dist_to_median_m") > max_dist_m,
+        dist > max_dist_m,
         flag_on_true=QualityFlags.BAD,
         flag_on_false=QualityFlags.NO_QUALITY_CONTROL,
     )
-    return df.withColumn(
-        flag_col, flag_merge(F.col(flag_col), new_flag)
-    ).drop("_span_min", "_span_max")
+    df = df.withColumns(
+        {
+            "dist_to_median_m": dist,
+            flag_col: flag_merge(F.col(flag_col), new_flag),
+        }
+    )
+    if threshold_mode == "span" and strategy == "bucketed":
+        # the only branch that materialized the helper columns; an
+        # unconditional drop was a wasted analysis pass otherwise
+        df = df.drop("_span_min", "_span_max")
+    return df

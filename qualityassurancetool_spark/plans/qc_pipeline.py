@@ -121,7 +121,19 @@ def run_qc_pipeline(
     # (semantic guard, reference src/main.py:750) — the guard masks the
     # SCORE by the post-range/gradient flag state; the stats themselves
     # were computed above, pre-join, over all rows (as the reference's
-    # pandas rolling does)
+    # pandas rolling does).
+    #
+    # NEGATIVE RESULT (optimization round 11): folding these three
+    # stages into ONE withColumns by substituting the intermediate
+    # flag/zscore EXPRESSIONS (instead of re-reading the just-written
+    # columns) was measured 23x SLOWER to build (0.28 s -> 6.4 s for
+    # qc_full_pipeline): the substituted flag algebra nests
+    # multiplicatively (out_of_range_bool and flag_from_bool each
+    # reference their argument 2-4x, so the range+gradient merge tree
+    # was embedded ~25x in the fused projection) and Catalyst analyzes
+    # every embedded copy.  Sequential withColumn keeps each rank→
+    # greatest→code tree analyzed exactly once — here column re-reads
+    # ARE the cheap form.
     from qualityassurancetool_spark.flags import still_good_mask
 
     df = df.withColumn(
