@@ -37,7 +37,7 @@ cut-points, binning, smoothing, and both statistics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _bin_counts(
@@ -141,13 +141,27 @@ def population_stability(
         .join(nc, ["col", "bin"], "left")
         .fillna(0, ["n_ref", "n_new"])
     )
-    tot = j.groupBy("col").agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_new").alias("t_new")
+    # per-col totals as WINDOW sums over j — j is (cols × n_bins) rows
+    # by construction, so the window is driver-scale; the previous
+    # `j.groupBy(col) → broadcast-join back to j` referenced j twice,
+    # which re-ran the whole rc/nc subtree (both full input scans +
+    # explodes) once under the broadcast and once on the probe side
+    # (guide §2.4: remove duplicated work feeding a shuffle).  Long
+    # sums are exact, so t_ref/t_new are bit-identical to the join
+    # formulation.
+    wcol = Window.partitionBy("col")
+    j = j.select(
+        "col",
+        "bin",
+        "n_ref",
+        "n_new",
+        F.sum("n_ref").over(wcol).alias("t_ref"),
+        F.sum("n_new").over(wcol).alias("t_new"),
     )
     e = F.lit(float(eps))
     p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), e)
     p_new = F.greatest(F.col("n_new") / F.col("t_new"), e)
-    terms = j.join(F.broadcast(tot), "col").select(
+    terms = j.select(
         "col",
         "n_ref",
         "n_new",
@@ -237,11 +251,22 @@ def categorical_stability(
         .join(freq(new, "n_new"), "category", "left")
         .fillna(0, ["n_ref", "n_new"])
     )
-    t = j.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_new").alias("t_new")
-    )
+    # totals (and the summary row's sums) as WINDOW aggregates over the
+    # ≤ max_categories+1-row frame: the previous `j.agg → crossJoin(j)`
+    # and `per_cat.agg → union(per_cat)` each referenced their child
+    # twice, re-running BOTH freq scans once per reference (4 full
+    # input scans per call).  One window pass over the tiny aligned
+    # frame leaves exactly two scans — the minimum two frequency
+    # passes (guide §2.4).
+    wall = Window.partitionBy()
     e = F.lit(float(eps))
-    jj = j.crossJoin(F.broadcast(t))
+    jj = j.select(
+        "category",
+        "n_ref",
+        "n_new",
+        F.sum("n_ref").over(wall).alias("t_ref"),
+        F.sum("n_new").over(wall).alias("t_new"),
+    )
     p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), e)
     p_new = F.greatest(F.col("n_new") / F.col("t_new"), e)
     per_cat = jj.select(
@@ -251,11 +276,37 @@ def categorical_stability(
         ((p_new - p_ref) * F.log(p_new / p_ref)).alias("psi_term"),
         (p_new * F.log(p_new / p_ref)).alias("kl_term"),
     )
-    total = per_cat.agg(
+    # the (category = NULL) summary row is generated by the SAME pass:
+    # every row carries the window sums; the first row (stable
+    # category order) additionally emits the summary struct via one
+    # explode — no second evaluation of the per-category tree
+    annotated = per_cat.select(
+        "category",
+        "p_ref",
+        "p_new",
+        "psi_term",
+        "kl_term",
+        F.sum("psi_term").over(wall).alias("_tpsi"),
+        F.sum("kl_term").over(wall).alias("_tkl"),
+        F.row_number()
+        .over(Window.partitionBy().orderBy("category"))
+        .alias("_rn"),
+    )
+    self_row = F.struct(
+        F.col("category").alias("category"),
+        F.col("p_ref").alias("p_ref"),
+        F.col("p_new").alias("p_new"),
+        F.col("psi_term").alias("psi_term"),
+        F.col("kl_term").alias("kl_term"),
+    )
+    total_row = F.struct(
         F.lit(None).cast("string").alias("category"),
         F.lit(None).cast("double").alias("p_ref"),
         F.lit(None).cast("double").alias("p_new"),
-        F.sum("psi_term").alias("psi_term"),
-        F.sum("kl_term").alias("kl_term"),
+        F.col("_tpsi").alias("psi_term"),
+        F.col("_tkl").alias("kl_term"),
     )
-    return per_cat.unionByName(total)
+    rows = F.when(
+        F.col("_rn") == 1, F.array(self_row, total_row)
+    ).otherwise(F.array(self_row))
+    return annotated.select(F.explode(rows).alias("_r")).select("_r.*")
