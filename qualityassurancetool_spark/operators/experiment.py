@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _erf(x: Column) -> Column:
@@ -92,18 +92,23 @@ def welch_t_test(
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     g = by or []
     stats = _variant_stats(df, variant_col, value_col, g)
-    ctrl = stats.where(F.col("_v") == control).select(
-        *g,
-        F.col("_n").alias("_nc"),
-        F.col("_mean").alias("_mc"),
-        F.col("_var").alias("_vc"),
-    )
-    trt = stats.where(F.col("_v") != control)
-    j = (
-        trt.join(F.broadcast(ctrl), on=g, how="inner")
-        if g
-        else trt.crossJoin(F.broadcast(ctrl))
-    )
+    # control stats attach via a WINDOW over the tiny per-(stratum,
+    # variant) stats frame: the previous `stats.where(control) →
+    # broadcast-join back onto stats` referenced stats twice, re-running
+    # the full input scan + moment aggregate once per reference (guide
+    # §2.4).  stats has one control row per stratum at most (grouped by
+    # (g, _v)), so max(when(control, x)) copies that row's value
+    # exactly; strata with no control row are dropped like the inner
+    # join did.
+    wg = Window.partitionBy(*g) if g else Window.partitionBy()
+    is_ctrl = F.col("_v") == control
+    j = stats.select(
+        "*",
+        F.max(F.when(is_ctrl, F.col("_n"))).over(wg).alias("_nc"),
+        F.max(F.when(is_ctrl, F.col("_mean"))).over(wg).alias("_mc"),
+        F.max(F.when(is_ctrl, F.col("_var"))).over(wg).alias("_vc"),
+        F.max(is_ctrl.cast("int")).over(wg).alias("_has_ctrl"),
+    ).where((F.col("_v") != control) & (F.col("_has_ctrl") == 1))
     vn_t = F.col("_var") / F.col("_n")
     vn_c = F.col("_vc") / F.col("_nc")
     se2 = vn_t + vn_c
@@ -167,17 +172,15 @@ def two_proportion_z(
             F.sum(y).alias("_s"),
         )
     )
-    ctrl = stats.where(F.col("_v") == control).select(
-        *g,
-        F.col("_n").alias("_nc"),
-        F.col("_s").alias("_sc"),
-    )
-    trt = stats.where(F.col("_v") != control)
-    j = (
-        trt.join(F.broadcast(ctrl), on=g, how="inner")
-        if g
-        else trt.crossJoin(F.broadcast(ctrl))
-    )
+    # same window control-attach as welch_t_test (see comment there)
+    wg = Window.partitionBy(*g) if g else Window.partitionBy()
+    is_ctrl = F.col("_v") == control
+    j = stats.select(
+        "*",
+        F.max(F.when(is_ctrl, F.col("_n"))).over(wg).alias("_nc"),
+        F.max(F.when(is_ctrl, F.col("_s"))).over(wg).alias("_sc"),
+        F.max(is_ctrl.cast("int")).over(wg).alias("_has_ctrl"),
+    ).where((F.col("_v") != control) & (F.col("_has_ctrl") == 1))
     n_t, n_c = F.col("_n"), F.col("_nc")
     p_t = F.col("_s") / n_t
     p_c = F.col("_sc") / n_c

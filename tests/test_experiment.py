@@ -149,3 +149,27 @@ def test_validation(spark):
         welch_t_test(df, "variant", "y", "c", alpha=0.0)
     with pytest.raises(ValueError):
         two_proportion_z(df, "variant", "y", "c", alpha=1.0)
+
+
+def test_stratum_without_control_dropped(spark):
+    # the control stats attach via a per-stratum window; a stratum
+    # with no control row must vanish exactly like the former inner
+    # join dropped it (round-11 optimization regression net)
+    rows = (
+        [("us", "c", 1.0), ("us", "c", 2.0), ("us", "t", 5.0),
+         ("us", "t", 6.0)]
+        + [("eu", "t", 3.0), ("eu", "t", 4.0)]  # no control in eu
+    )
+    df = spark.createDataFrame(rows, ["region", "variant", "y"])
+    out = welch_t_test(
+        df, "variant", "y", control="c", by=["region"]
+    ).collect()
+    assert [(r["region"], r["variant"]) for r in out] == [("us", "t")]
+    zrows = (
+        [("us", "c", 1), ("us", "t", 0)] + [("eu", "t", 1)]
+    )
+    zdf = spark.createDataFrame(zrows, ["region", "variant", "ok"])
+    zout = two_proportion_z(
+        zdf, "variant", "ok", control="c", by=["region"]
+    ).collect()
+    assert [(r["region"], r["variant"]) for r in zout] == [("us", "t")]
