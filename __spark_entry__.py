@@ -2723,6 +2723,7 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         binary_metrics,
         confusion_at_thresholds,
         pr_curve,
+        score_counts,
     )
 
     # orderkey pre-reduced mod 97 so the Knuth multiply stays far from
@@ -2737,8 +2738,22 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((h + y * 15) / F.lit(100.0)).alias("score"),
         y.alias("label"),
     )
-    m = binary_metrics(
+    # ONE (linestatus, score) count pass feeds all three metric
+    # families: the per-status frame drives binary_metrics directly;
+    # the global confusion/PR branches reduce the same cells (exact
+    # integer-valued double sums, so values are bit-identical to the
+    # per-branch scans).  All three union branches now share the same
+    # aggregate subtree — the physical planner reuses its exchange, so
+    # lineitem is scanned and shuffled ONCE instead of three times.
+    base = score_counts(
         scored, "score", "label", group_cols=["l_linestatus"]
+    )
+    gbase = base.groupBy("_s").agg(
+        F.sum("_pos").alias("_pos"), F.sum("_neg").alias("_neg")
+    )
+    m = binary_metrics(
+        scored, "score", "label", group_cols=["l_linestatus"],
+        counts=base,
     ).select(
         F.lit("m").alias("part"),
         F.col("l_linestatus").alias("key"),
@@ -2749,7 +2764,7 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("brier", 6) + F.lit(0.0)).alias("v3"),
     )
     c = confusion_at_thresholds(
-        scored, [0.25, 0.5, 0.75], "score", "label"
+        scored, [0.25, 0.5, 0.75], "score", "label", counts=gbase
     ).select(
         F.lit("c").alias("part"),
         F.round(F.col("threshold") * 100)
@@ -2762,7 +2777,7 @@ def q_ml_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("recall", 6) + F.lit(0.0)).alias("v2"),
         (F.round("f1", 6) + F.lit(0.0)).alias("v3"),
     )
-    p = pr_curve(scored, "score", "label").select(
+    p = pr_curve(scored, "score", "label", counts=gbase).select(
         F.lit("p").alias("part"),
         F.round(F.col("score") * 100)
         .cast("int")

@@ -77,12 +77,45 @@ def _score_counts(
     )
 
 
+def score_counts(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_cols: list[str] | None = None,
+    score_bins: int | None = None,
+) -> DataFrame:
+    """Public form of the shared ``(group..., _s, _pos, _neg)``
+    distinct-score count frame every evaluator in this module reduces
+    over.  Compute it ONCE and pass it to :func:`binary_metrics` /
+    :func:`pr_curve` / :func:`confusion_at_thresholds` via their
+    ``counts=`` parameter when deriving several evaluations from the
+    same scored frame: the consumers then share one scan + one
+    shuffle (identical aggregate subtrees reuse the exchange) instead
+    of re-scanning the scored rows per metric family.  ``_pos`` /
+    ``_neg`` are exact integer-valued doubles, so any downstream
+    re-aggregation order reproduces the single-pass sums bit-for-bit.
+    """
+    return _score_counts(
+        df, score_col, label_col, group_cols or [], score_bins
+    )
+
+
+def _check_counts(counts: DataFrame, g: list[str]) -> None:
+    want = [*g, "_s", "_pos", "_neg"]
+    if list(counts.columns) != want:
+        raise ValueError(
+            f"counts must have columns {want} (the score_counts "
+            f"contract), got {list(counts.columns)}"
+        )
+
+
 def binary_metrics(
     df: DataFrame,
     score_col: str = "score",
     label_col: str = "label",
     group_cols: list[str] | None = None,
     score_bins: int | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per group: ``(group..., n, n_pos, n_neg, auc, log_loss,
     brier)``.
@@ -95,9 +128,16 @@ def binary_metrics(
     * ``score_bins`` quantizes scores (see module docstring); it
       changes AUC by at most ~1/bins and log-loss/Brier by the
       within-bin score spread.
+    * ``counts`` — a precomputed :func:`score_counts` frame for the
+      same (df, score/label/group/bins) arguments; when given, ``df``
+      is not scanned (multi-metric callers share one pass).
     """
     g = group_cols or []
-    sc = _score_counts(df, score_col, label_col, g, score_bins)
+    if counts is not None:
+        _check_counts(counts, g)
+        sc = counts
+    else:
+        sc = _score_counts(df, score_col, label_col, g, score_bins)
     w = (
         Window.partitionBy(*g)
         .orderBy("_s")
@@ -147,6 +187,7 @@ def confusion_at_thresholds(
     score_col: str = "score",
     label_col: str = "label",
     group_cols: list[str] | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """One row per (group, threshold): tp/fp/tn/fn counts plus
     precision, recall, f1, accuracy for the rule ``score >= t``.
@@ -162,21 +203,39 @@ def confusion_at_thresholds(
     if len(set(thresholds)) != len(thresholds):
         raise ValueError(f"duplicate thresholds: {thresholds}")
     g = group_cols or []
-    s = F.col(score_col).cast("double")
-    y = F.col(label_col).cast("double")
-    base = df.where(
-        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-    )
     aggs = []
-    for i, t in enumerate(thresholds):
-        pred = s >= F.lit(float(t))
-        aggs += [
-            F.sum((pred & (y == 1)).cast("long")).alias(f"_tp_{i}"),
-            F.sum((pred & (y == 0)).cast("long")).alias(f"_fp_{i}"),
-            F.sum((~pred & (y == 0)).cast("long")).alias(f"_tn_{i}"),
-            F.sum((~pred & (y == 1)).cast("long")).alias(f"_fn_{i}"),
-        ]
-    agg = base.groupBy(*g).agg(*aggs)
+    if counts is not None:
+        # reduce the distinct-score cells instead of re-scanning the
+        # rows: a cell's _pos/_neg are exact integer-valued doubles,
+        # so the conditional sums (cast back to long) equal the
+        # row-level counts bit-for-bit.  label==1 mass is _pos by the
+        # score_counts construction (label cast to double, summed).
+        _check_counts(counts, g)
+        s = F.col("_s")
+        for i, t in enumerate(thresholds):
+            pred = s >= F.lit(float(t))
+            aggs += [
+                F.sum(F.when(pred, F.col("_pos"))).cast("long").alias(f"_tp_{i}"),
+                F.sum(F.when(pred, F.col("_neg"))).cast("long").alias(f"_fp_{i}"),
+                F.sum(F.when(~pred, F.col("_neg"))).cast("long").alias(f"_tn_{i}"),
+                F.sum(F.when(~pred, F.col("_pos"))).cast("long").alias(f"_fn_{i}"),
+            ]
+        agg = counts.groupBy(*g).agg(*aggs)
+    else:
+        s = F.col(score_col).cast("double")
+        y = F.col(label_col).cast("double")
+        base = df.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        for i, t in enumerate(thresholds):
+            pred = s >= F.lit(float(t))
+            aggs += [
+                F.sum((pred & (y == 1)).cast("long")).alias(f"_tp_{i}"),
+                F.sum((pred & (y == 0)).cast("long")).alias(f"_fp_{i}"),
+                F.sum((~pred & (y == 0)).cast("long")).alias(f"_tn_{i}"),
+                F.sum((~pred & (y == 1)).cast("long")).alias(f"_fn_{i}"),
+            ]
+        agg = base.groupBy(*g).agg(*aggs)
     rows = []
     for i, t in enumerate(thresholds):
         tp = F.coalesce(F.col(f"_tp_{i}"), F.lit(0))
@@ -216,6 +275,7 @@ def pr_curve(
     label_col: str = "label",
     group_cols: list[str] | None = None,
     score_bins: int | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Precision/recall at every distinct score cutoff (rule
     ``score >= s``), descending by score: ``(group..., score,
@@ -223,9 +283,15 @@ def pr_curve(
 
     Output is distinct-score-sized; pass ``score_bins`` to bound it
     for continuous scores.  Recall is NULL for positive-free groups.
+    ``counts``: precomputed :func:`score_counts` frame (see
+    :func:`binary_metrics`).
     """
     g = group_cols or []
-    sc = _score_counts(df, score_col, label_col, g, score_bins)
+    if counts is not None:
+        _check_counts(counts, g)
+        sc = counts
+    else:
+        sc = _score_counts(df, score_col, label_col, g, score_bins)
     wd = (
         Window.partitionBy(*g)
         .orderBy(F.col("_s").desc())

@@ -211,3 +211,50 @@ def test_binary_metrics_trained_model_sanity(spark, sf_dir):
     ]
     assert auc > 0.97
     assert 0.35 < rand_auc < 0.65
+
+
+def test_counts_injection_parity(spark):
+    # counts= (the shared score_counts frame) must reproduce the
+    # df-scanning path bit-for-bit for all three evaluators — the
+    # mechanism q_ml_eval uses to share one scan across its union
+    # branches (round-11 optimization regression net)
+    from qualityassurancetool_spark.operators.ml_eval import (
+        score_counts,
+    )
+
+    rows = [
+        ("A", 0.8, 1), ("A", 0.5, 1), ("A", 0.5, 0), ("A", 0.2, 0),
+        ("B", 0.9, 0), ("B", 0.9, 1), ("B", 0.1, 0), ("B", 0.4, 1),
+    ]
+    df = spark.createDataFrame(rows, ["g", "score", "label"])
+    base = score_counts(df, "score", "label", ["g"])
+    gbase = base.groupBy("_s").agg(
+        F.sum("_pos").alias("_pos"), F.sum("_neg").alias("_neg")
+    )
+
+    m0 = binary_metrics(df, "score", "label", ["g"]).collect()
+    m1 = binary_metrics(
+        df, "score", "label", ["g"], counts=base
+    ).collect()
+    assert sorted(map(tuple, m0)) == sorted(map(tuple, m1))
+
+    c0 = confusion_at_thresholds(df, [0.3, 0.6], "score", "label").collect()
+    c1 = confusion_at_thresholds(
+        df, [0.3, 0.6], "score", "label", counts=gbase
+    ).collect()
+    assert sorted(map(tuple, c0)) == sorted(map(tuple, c1))
+
+    p0 = pr_curve(df, "score", "label").collect()
+    p1 = pr_curve(df, "score", "label", counts=gbase).collect()
+    assert sorted(map(tuple, p0)) == sorted(map(tuple, p1))
+
+
+def test_counts_injection_validates_columns(spark):
+    df = spark.createDataFrame([(0.5, 1)], ["score", "label"])
+    bad = spark.createDataFrame([(0.5, 1.0)], ["_s", "_pos"])
+    with pytest.raises(ValueError, match="score_counts"):
+        binary_metrics(df, "score", "label", counts=bad)
+    with pytest.raises(ValueError, match="score_counts"):
+        pr_curve(df, "score", "label", counts=bad)
+    with pytest.raises(ValueError, match="score_counts"):
+        confusion_at_thresholds(df, [0.5], "score", "label", counts=bad)
