@@ -134,16 +134,32 @@ def bm25_topk(
     slim = _doc_toks(docs, text_col, id_col)
     if persist:
         slim = slim.persist()
+    # corpus stats: when not supplied, they ride the SAME job as the
+    # scoring plan — a one-row aggregate over the persisted slim frame,
+    # broadcast-cross-joined into the per-(doc, term) projection.  The
+    # previous eager `.collect()` cost one extra driver round trip +
+    # job per call (guide §5: the driver does no data work; the stats
+    # are literals either way by the time the score arithmetic runs).
+    stats_df = None
     if stats is None:
-        row = (
+        stats_df = (
             slim.select(F.size("_toks").alias("dl"))
             .where(F.col("dl") > 0)
-            .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a"))
-            .collect()[0]
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("_ndocs"),
+                F.avg("dl").alias("_avgdl"),
+            )
         )
-        n_docs, avgdl = int(row["n"]), float(row["a"] or 0.0)
+        ndocs_col = F.col("_ndocs")
+        # same fallback as the literal path: empty/absent avgdl -> 1.0
+        avgdl_col = F.when(
+            F.col("_avgdl").isNotNull() & (F.col("_avgdl") != 0.0),
+            F.col("_avgdl"),
+        ).otherwise(F.lit(1.0))
     else:
         n_docs, avgdl = stats
+        ndocs_col = F.lit(float(n_docs))
+        avgdl_col = F.lit(avgdl or 1.0)
 
     dterms = slim.select(
         id_col,
@@ -154,16 +170,25 @@ def bm25_topk(
     # is what keeps per-doc agg work O(matched terms)
     qvocab = qterms.select("term").distinct()
     matched = dterms.join(F.broadcast(qvocab), "term", "left_semi")
-    tf = matched.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    # dl rides as a GROUPING key (it is functionally dependent on the
+    # doc id) instead of a first(dl) aggregate: with identical grouping
+    # keys and aggregate buffers on both references, the probe-side tf
+    # and the df aggregate below canonicalize to the SAME exchange and
+    # the physical planner emits a ReusedExchange — the corpus cache
+    # read + explode + vocab semi-join + (doc, term) shuffle runs ONCE
+    # per call instead of twice (guide §2.4).
+    tf = matched.groupBy(id_col, "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
     )
-    # df per query term (|Q|-row dimension), then idf as a Column
-    dfreq = (
-        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    )
+    # df per query term (|Q|-row dimension), then idf as a Column.
+    # count("tf") ≡ count(1) (tf is a count, never NULL) but keeps the
+    # tf aggregate REFERENCED, so column pruning cannot narrow the df
+    # side's copy of the shared subtree — pruned, the two references
+    # stop being identical and the exchange reuse above disappears.
+    dfreq = tf.groupBy("term").agg(F.count("tf").alias("df"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + (ndocs_col - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     # the per-(doc, term) contribution idf·saturation is
     # QUERY-INDEPENDENT (query terms are distinct) — compute it once
@@ -171,7 +196,10 @@ def bm25_topk(
     # query containing the term; the fanned-out rows then carry one
     # precomputed double into the (query, doc) sum instead of
     # re-evaluating the saturation arithmetic per (query, doc, term)
-    term_score = tf.join(F.broadcast(dfreq), "term").select(
+    scored_base = tf.join(F.broadcast(dfreq), "term")
+    if stats_df is not None:
+        scored_base = scored_base.crossJoin(F.broadcast(stats_df))
+    term_score = scored_base.select(
         "term",
         F.col(id_col),
         (
@@ -180,7 +208,7 @@ def bm25_topk(
             / (
                 F.col("tf")
                 + k1
-                * (1.0 - b + b * F.col("dl") / F.lit(avgdl or 1.0))
+                * (1.0 - b + b * F.col("dl") / avgdl_col)
             )
         ).alias("_term_score"),
     )

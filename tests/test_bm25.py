@@ -142,3 +142,23 @@ def test_bm25_random_corpora_match_reference(spark):
         for key in want:
             assert got[key][0] == pytest.approx(want[key][0], rel=1e-12)
             assert got[key][1] == want[key][1]
+
+
+def test_tf_exchange_reused_at_runtime(spark):
+    # the tf aggregate (grouping keys doc/term/dl, one count buffer) is
+    # referenced by both the scoring side and the document-frequency
+    # aggregate; the two references must canonicalize identically so
+    # AQE's stage cache runs the corpus explode + semi-join + shuffle
+    # ONCE (round-11 optimization).  Static explain cannot show this —
+    # assert on the FINAL executed adaptive plan.
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    qs = spark.createDataFrame(QUERIES, ["query_id", "query_text"])
+    out = bm25_topk(docs, qs, k=3, persist=False)
+    out.collect()
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "isFinalPlan=true" in plan
+    assert "Reused" in plan, plan
