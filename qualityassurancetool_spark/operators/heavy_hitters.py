@@ -42,7 +42,7 @@ from __future__ import annotations
 import math
 from fractions import Fraction
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -142,12 +142,20 @@ def heavy_hitters(
         )
     keyed = _non_null_keys(df, key_col)
     cand = mg_candidates(df, key_col, capacity)
-    counts = (
-        keyed.join(F.broadcast(cand), key_col, "leftsemi")
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("n"))
+    # ONE exact pass for counts AND total: non-candidate keys fold into
+    # a single NULL bucket cell, so the total is the window sum over
+    # the ≤ |candidates|+1 cells — the previous separate
+    # `keyed.agg(count)` total re-ran the full input scan (3 passes
+    # where 2 suffice; guide §2.4).  Candidate keys are distinct, so
+    # the left join marks without multiplying rows.
+    marked = keyed.join(
+        F.broadcast(cand.withColumn("_cand", F.lit(1))),
+        key_col,
+        "left",
     )
-    total = keyed.agg(F.count(F.lit(1)).alias("_total"))
+    counts = marked.groupBy(
+        F.when(F.col("_cand") == 1, F.col(key_col)).alias(key_col)
+    ).agg(F.count(F.lit(1)).alias("n"))
     # Exactness at the boundary: ``n >= total * min_fraction`` in
     # floating point can exclude a key sitting EXACTLY at the
     # documented share (total=100, min_fraction=0.07 → 7.0000000000000001).
@@ -164,7 +172,12 @@ def heavy_hitters(
             f"min_fraction={min_fraction!r} is below 1e-12 resolution"
         )
     return (
-        counts.crossJoin(F.broadcast(total))
+        counts.select(
+            key_col,
+            "n",
+            F.sum("n").over(Window.partitionBy()).alias("_total"),
+        )
+        .where(F.col(key_col).isNotNull())
         .where(
             F.col("n").cast("decimal(38,0)") * F.lit(frac.denominator)
             >= F.col("_total").cast("decimal(38,0)") * F.lit(frac.numerator)
@@ -257,21 +270,32 @@ def heavy_hitters_by(
             yield pd.DataFrame(rows, columns=gcols + [key_col])
 
     cand = keyed.mapInPandas(kernel, schema).distinct()
-    counts = (
-        keyed.join(F.broadcast(cand), gcols + [key_col], "leftsemi")
-        .groupBy(*gcols, key_col)
-        .agg(F.count(F.lit(1)).alias("n"))
+    # counts AND group totals in ONE exact pass (see heavy_hitters):
+    # non-candidate keys fold into a per-group NULL bucket; the group
+    # total is a window sum over that group's ≤ capacity·partitions+1
+    # cells, so the separate full-scan totals pass disappears.
+    marked = keyed.join(
+        F.broadcast(cand.withColumn("_cand", F.lit(1))),
+        gcols + [key_col],
+        "left",
     )
-    totals = keyed.groupBy(*gcols).agg(
-        F.count(F.lit(1)).alias("_total")
-    )
+    counts = marked.groupBy(
+        *gcols,
+        F.when(F.col("_cand") == 1, F.col(key_col)).alias(key_col),
+    ).agg(F.count(F.lit(1)).alias("n"))
     frac = Fraction(float(min_fraction)).limit_denominator(10**12)
     if frac.numerator == 0:
         raise ValueError(
             f"min_fraction={min_fraction!r} is below 1e-12 resolution"
         )
     return (
-        counts.join(F.broadcast(totals), gcols)
+        counts.select(
+            *gcols,
+            key_col,
+            "n",
+            F.sum("n").over(Window.partitionBy(*gcols)).alias("_total"),
+        )
+        .where(F.col(key_col).isNotNull())
         .where(
             F.col("n").cast("decimal(38,0)") * F.lit(frac.denominator)
             >= F.col("_total").cast("decimal(38,0)")
