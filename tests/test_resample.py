@@ -131,3 +131,41 @@ def test_no_tick_stream_does_not_abort_others(spark):
     got = _collect(resample_interpolate(df, freq_seconds=60))
     assert {k[0] for k in got} == {"ok"}
     assert got[("ok", T0)] == (1.0, 1)
+
+
+def test_duplicate_neighbor_picks_prev_max_next_min(spark):
+    # duplicate-timestamp discipline when the duplicated epoch serves
+    # as a NEIGHBOR of a filled tick: the forward window's order
+    # (_v asc, last non-null wins) picks the LARGEST duplicate as the
+    # previous observation, the reversed window (_v desc) the SMALLEST
+    # as the next — pinned here because the single-scan rewrite
+    # reproduces it with max()/min() pre-aggregation (round-11).
+    df = _obs(
+        spark,
+        [("a", 0, 3), ("a", 0, 7), ("a", 120, 20), ("a", 120, 30)],
+    )
+    got = _collect(resample_interpolate(df, freq_seconds=60))
+    mid = T0 + dt.timedelta(seconds=60)
+    # prev neighbor = max(3, 7) = 7; next neighbor = min(20, 30) = 20
+    assert got[("a", mid)] == (pytest.approx(7 + (20 - 7) * 0.5), 0)
+    # exact-hit ticks keep the largest-duplicate value and the count
+    assert got[("a", T0)] == (7.0, 2)
+    assert got[("a", T0 + dt.timedelta(seconds=120))] == (30.0, 2)
+
+
+def test_duplicate_all_null_epoch_skipped_as_neighbor(spark):
+    # an epoch whose duplicates are ALL null-valued still anchors _pt
+    # (exact-hit detection) but contributes no value: the previous
+    # non-null value comes from an earlier epoch
+    rows = [
+        ("a", T0, 5.0),
+        ("a", T0 + dt.timedelta(seconds=60), None),
+        ("a", T0 + dt.timedelta(seconds=120), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["datastream_id", "phenomenon_time", "result"]
+    )
+    got = _collect(resample_interpolate(df, freq_seconds=60))
+    # tick at 60 s is an exact hit on the null observation: interp
+    # returns the last non-null PREVIOUS value (5.0), not null-blend
+    assert got[("a", T0 + dt.timedelta(seconds=60))] == (5.0, 1)
