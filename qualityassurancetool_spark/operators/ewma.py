@@ -86,25 +86,43 @@ def ewma_smooth(
     null_rows = df.where(F.col(order_cols[0]).isNull()).withColumn(
         out_col, F.lit(None).cast("double")
     )
-    w = Window.partitionBy(*(group_cols or [])).orderBy(*order_cols)
-    x = F.col(value_col).cast("double")
-    # lag 0 is the row itself
-    num0 = F.when(x.isNotNull(), F.lit(alpha) * x).otherwise(
-        F.lit(0.0)
+
+    # the unrolled lag tree costs ~10 py4j round trips per lag term to
+    # construct; it is fully determined by the parameters below, so
+    # repeated query builds reuse the JVM expression (exprmemo)
+    def _build() -> Column:
+        w = Window.partitionBy(*(group_cols or [])).orderBy(*order_cols)
+        x = F.col(value_col).cast("double")
+        # lag 0 is the row itself
+        num0 = F.when(x.isNotNull(), F.lit(alpha) * x).otherwise(
+            F.lit(0.0)
+        )
+        den0 = F.when(x.isNotNull(), F.lit(alpha)).otherwise(F.lit(0.0))
+        if window > 1:
+            # _weighted_lags counts decay from ``start``, so its lag-k
+            # weight is α(1−α)^(k−1); one extra (1−α) factor restores
+            # the absolute α(1−α)^k
+            nl, dl = _weighted_lags(x, w, alpha, 1, window - 1)
+            num = num0 + nl * F.lit(1.0 - alpha)
+            den = den0 + dl * F.lit(1.0 - alpha)
+        else:
+            num, den = num0, den0
+        return F.when(den > 0, num / den)
+
+    from qualityassurancetool_spark.functions.exprmemo import memoized_expr
+
+    smooth = memoized_expr(
+        (
+            "ewma_smooth",
+            value_col,
+            tuple(order_cols),
+            tuple(group_cols or []),
+            float(alpha),
+            int(window),
+        ),
+        _build,
     )
-    den0 = F.when(x.isNotNull(), F.lit(alpha)).otherwise(F.lit(0.0))
-    if window > 1:
-        # _weighted_lags counts decay from ``start``, so its lag-k
-        # weight is α(1−α)^(k−1); one extra (1−α) factor restores
-        # the absolute α(1−α)^k
-        nl, dl = _weighted_lags(x, w, alpha, 1, window - 1)
-        num = num0 + nl * F.lit(1.0 - alpha)
-        den = den0 + dl * F.lit(1.0 - alpha)
-    else:
-        num, den = num0, den0
-    return ok_rows.withColumn(
-        out_col, F.when(den > 0, num / den)
-    ).unionByName(null_rows)
+    return ok_rows.withColumn(out_col, smooth).unionByName(null_rows)
 
 
 def ewma_anomaly(
@@ -168,21 +186,42 @@ def ewma_anomaly(
         }
     )
     df = ok_rows
-    w = Window.partitionBy(*(group_cols or [])).orderBy(*order_cols)
-    x = F.col(value_col).cast("double")
-    num, den = _weighted_lags(x, w, alpha, 1, window)
-    prev = F.when(den > 0, num / den)
-    wp = w.rowsBetween(-window, -1)
-    sigma = F.stddev_samp(x).over(wp)
-    nhist = F.count(x).over(wp)
-    dev = x - prev
-    eps = F.lit(float(rel_eps)) * F.greatest(F.abs(x), F.abs(prev))
-    flag = F.when(
-        x.isNotNull()
-        & prev.isNotNull()
-        & sigma.isNotNull()
-        & (nhist >= min_history),
-        F.abs(dev) > F.lit(float(nsigma)) * sigma + eps,
+
+    # ~2·window unrolled lag terms — memoized like ewma_smooth's tree
+    def _build() -> tuple[Column, Column, Column, Column]:
+        w = Window.partitionBy(*(group_cols or [])).orderBy(*order_cols)
+        x = F.col(value_col).cast("double")
+        num, den = _weighted_lags(x, w, alpha, 1, window)
+        prev = F.when(den > 0, num / den)
+        wp = w.rowsBetween(-window, -1)
+        sigma = F.stddev_samp(x).over(wp)
+        nhist = F.count(x).over(wp)
+        dev = x - prev
+        eps = F.lit(float(rel_eps)) * F.greatest(F.abs(x), F.abs(prev))
+        flag = F.when(
+            x.isNotNull()
+            & prev.isNotNull()
+            & sigma.isNotNull()
+            & (nhist >= min_history),
+            F.abs(dev) > F.lit(float(nsigma)) * sigma + eps,
+        )
+        return prev, sigma, dev, flag
+
+    from qualityassurancetool_spark.functions.exprmemo import memoized_expr
+
+    prev, sigma, dev, flag = memoized_expr(
+        (
+            "ewma_anomaly",
+            value_col,
+            tuple(order_cols),
+            tuple(group_cols or []),
+            float(alpha),
+            int(window),
+            float(nsigma),
+            int(min_history),
+            float(rel_eps),
+        ),
+        _build,
     )
     return (
         df.withColumn("ewma_prev", prev)

@@ -269,23 +269,40 @@ def nearest_centroids(
     Distance accumulation order over dims matches :func:`l2_sq` exactly,
     and (dist, id) struct sort matches ``ORDER BY dist ASC, id ASC``, so
     assignments are bit-identical to the join+window formulation.
+
+    The built tree is memoized per (input expression, centroid
+    contents, n_nearest): the fold construction costs O(1) py4j round
+    trips per centroid and is fully parameter-determined, so repeated
+    query builds in a session reuse the JVM expression (exprmemo).
     """
+    from qualityassurancetool_spark.functions.exprmemo import memoized_expr
     from qualityassurancetool_spark.functions.literals import (
         double_matrix_literal,
         long_array_literal,
     )
 
-    dists = F.transform(
-        double_matrix_literal(tuple(tuple(float(x) for x in v) for v in cent_vecs)),
-        lambda cv: l2_sq(vec, cv),
-    )
-    pairs = F.zip_with(
-        dists,
-        long_array_literal(tuple(int(i) for i in cent_ids)),
-        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-    )
-    return F.transform(
-        F.slice(F.array_sort(pairs), 1, n_nearest), lambda s: s["i"]
+    ids_t = tuple(int(i) for i in cent_ids)
+    vecs_t = tuple(tuple(float(x) for x in v) for v in cent_vecs)
+
+    def _build() -> Column:
+        dists = F.transform(
+            double_matrix_literal(vecs_t),
+            lambda cv: l2_sq(vec, cv),
+        )
+        pairs = F.zip_with(
+            dists,
+            long_array_literal(ids_t),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+        return F.transform(
+            F.slice(F.array_sort(pairs), 1, n_nearest), lambda s: s["i"]
+        )
+
+    # str(vec) renders the full unresolved expression (1 round trip) —
+    # a by-VALUE key for the input column, never id()
+    return memoized_expr(
+        ("nearest_centroids", str(vec), ids_t, vecs_t, int(n_nearest)),
+        _build,
     )
 
 
@@ -423,35 +440,45 @@ def lsh_bucket_id(vec: Column, dim: int, n_planes: int = 8) -> Column:
     accumulate in a single fold; per-plane accumulation order over dims —
     and therefore every bucket id — is bit-identical to evaluating
     :func:`dot_product` per plane.
+
+    The tree is memoized per (input expression, dim, n_planes) — the
+    planes are md5-deterministic, so the parameters fully determine
+    the expression and repeated query builds reuse it (exprmemo).
     """
+    from qualityassurancetool_spark.functions.exprmemo import memoized_expr
     from qualityassurancetool_spark.functions.literals import (
         double_matrix_literal,
         long_array_literal,
     )
 
-    planes = [_hyperplane(dim, p) for p in range(n_planes)]
-    planes_by_dim = tuple(
-        tuple(planes[p][d] for p in range(n_planes)) for d in range(dim)
-    )
-    powers = tuple(1 << p for p in range(n_planes))
-    partial = F.zip_with(
-        vec,
-        double_matrix_literal(planes_by_dim),
-        lambda x, ps: F.transform(ps, lambda w: x.cast("double") * w),
-    )
-    dots = F.aggregate(
-        partial,
-        F.array_repeat(F.lit(0.0), n_planes),
-        lambda acc, a: F.zip_with(acc, a, lambda u, v: u + v),
-    )
-    return F.aggregate(
-        F.zip_with(
-            dots,
-            long_array_literal(powers),
-            lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    def _build() -> Column:
+        planes = [_hyperplane(dim, p) for p in range(n_planes)]
+        planes_by_dim = tuple(
+            tuple(planes[p][d] for p in range(n_planes)) for d in range(dim)
+        )
+        powers = tuple(1 << p for p in range(n_planes))
+        partial = F.zip_with(
+            vec,
+            double_matrix_literal(planes_by_dim),
+            lambda x, ps: F.transform(ps, lambda w: x.cast("double") * w),
+        )
+        dots = F.aggregate(
+            partial,
+            F.array_repeat(F.lit(0.0), n_planes),
+            lambda acc, a: F.zip_with(acc, a, lambda u, v: u + v),
+        )
+        return F.aggregate(
+            F.zip_with(
+                dots,
+                long_array_literal(powers),
+                lambda d, pw: F.when(d >= 0, pw).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    return memoized_expr(
+        ("lsh_bucket_id", str(vec), int(dim), int(n_planes)), _build
     )
 
 
