@@ -3873,9 +3873,18 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     analyzed = _analyzed_docs(spark, sf_dir)
     m = _text_measures()
-    per_doc = analyzed.select(
-        "doc_id", m["predicted_lang"].alias("stratum")
+    # the stratum must be staged behind a Generate: stratified_sample
+    # filters on it, and PushDownPredicates otherwise inlines the whole
+    # language-scoring fold into the predicate (~8 copies) and slides
+    # it below the min-parallelism repartition — the fold then ran 9x
+    # per row on the raw scan splits (observed in the round-11 plan)
+    from qualityassurancetool_spark.functions.partitioning import (
+        compute_behind_barrier,
     )
+
+    per_doc = compute_behind_barrier(
+        analyzed, {"stratum": m["predicted_lang"]}
+    ).select("doc_id", "stratum")
     kept = stratified_sample(
         per_doc,
         fractions=_SAMPLE_FRACTIONS,

@@ -30,6 +30,10 @@ BNLJ_ALLOWED = {
     # the first-stage retriever's contract; the scoring join itself is
     # an equi-join on the shortlist keys
     "maxsim",
+    # corpus stats (N, avgdl) attach: crossJoin of a ONE-ROW broadcast
+    # aggregate over the persisted token frame — the same sanctioned
+    # scalar-attach shape as experiment's CUPED theta (round-11)
+    "bm25",
 }
 
 
@@ -280,3 +284,20 @@ def test_shrinking_frame_rule_fires_and_resample_is_clean(spark, sf_dir):
         id_col="g", ts_col="ts", value_col="v", freq_seconds=1800,
     )
     assert not pat.search(_plan(fixed)), "resample regressed to O(n^2)"
+
+
+def test_sample_stratified_fold_not_inlined_into_filter(
+    spark, entrymod, sf_dir
+):
+    # the sampling predicate references the derived stratum; without a
+    # substitution barrier PushDownPredicates inlines the whole
+    # language-scoring fold into the filter (~9 copies) and slides it
+    # below the min-parallelism repartition (round-11 finding).  The
+    # fold must appear exactly once in the physical plan.
+    df = entrymod.queries()["sample_stratified"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("aggregate(split") == 1, plan

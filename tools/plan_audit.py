@@ -48,6 +48,10 @@ NESTED_LOOP_OK = {
                          # ids (the first-stage retriever's contract);
                          # scoring itself is an equi-join on the
                          # shortlist keys
+    "bm25",              # corpus stats (N, avgdl) attach: crossJoin of
+                         # a ONE-ROW broadcast aggregate over the
+                         # persisted token frame — the sanctioned
+                         # scalar-attach shape (round-11)
 }
 
 # queries whose plan legitimately scans a LogicalRDD: checkpointed
