@@ -2430,29 +2430,49 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ).drop("_toks", "_ls")
     kept = analyzed.where(F.col("q") >= 0.5)
+    # Exact-dup collapse with HASH-aggregable buffers: the former
+    # min(struct(doc_id, lang, n_tokens, q)) has an immutable struct
+    # buffer, which forces SortAggregate — a full sort of every kept
+    # row by content hash (the plan's Sort+SortAggregate pair).  All
+    # survivor attributes except doc_id are FUNCTIONS of _norm (lang,
+    # n_tokens, q derive from the normalized text), i.e. constant
+    # within a content_hash group, so field-wise primitive mins pick
+    # exactly the struct-min row's values.  The string language is
+    # carried through the aggregate as its index in the sorted
+    # language array (long buffer) and decoded after — the same
+    # argmax order predict_lang_from_scores uses.
+    from qualityassurancetool_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    # array_position: 1-based; 0 = not in the array = 'und'
     deduped = (
-        kept.groupBy(F.md5(F.col("_norm")).alias("content_hash"))
+        kept.withColumn(
+            "_lidx", F.array_position(lang_arr, F.col("predicted_lang"))
+        )
+        .groupBy(F.md5(F.col("_norm")).alias("content_hash"))
         .agg(
-            F.min(
-                F.struct(
-                    F.col("doc_id").alias("doc_id"),
-                    F.col("predicted_lang").alias("predicted_lang"),
-                    F.col("n_tokens").alias("n_tokens"),
-                    F.col("q").alias("q"),
-                )
-            ).alias("m"),
+            F.min("_lidx").alias("_lidx"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("q").alias("q"),
             F.count(F.lit(1)).alias("n_copies"),
+        )
+        .withColumn(
+            "predicted_lang",
+            F.when(
+                F.col("_lidx") >= 1, F.element_at(lang_arr, F.col("_lidx").cast("int"))
+            ).otherwise(F.lit("und")),
         )
     )
     return (
-        deduped.groupBy(F.col("m.predicted_lang").alias("predicted_lang"))
+        deduped.groupBy("predicted_lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs_kept"),
             F.sum("n_copies").alias("n_docs_before_dedup"),
-            F.sum(F.col("m.n_tokens")).alias("total_tokens"),
+            F.sum(F.col("n_tokens")).alias("total_tokens"),
             F.round(
                 (
-                    F.sum(F.col("m.q").cast("decimal(18,6)"))
+                    F.sum(F.col("q").cast("decimal(18,6)"))
                     / F.count(F.lit(1))
                 ).cast("double"),
                 6,
