@@ -57,14 +57,33 @@ def gradient_column(
     partition_cols: list[str],
     order_extra: list[str] | None = None,
 ) -> Column:
-    """Column expression for the np.gradient-parity time derivative."""
-    order_cols = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
-    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    """Column expression for the np.gradient-parity time derivative.
+    Parameter-determined, so the built tree is memoized per session
+    (functions/exprmemo) — repeated QC-chain builds reuse it."""
+    from qualityassurancetool_spark.functions.exprmemo import memoized_expr
 
-    # Steps from exact integer-µs differences: subtracting epoch *doubles*
-    # (~1.7e9 s) loses ~0.25 µs to cancellation, which a second-order
-    # difference amplifies to ~1e-6 relative error. Long-µs diffs are exact.
-    return gradient_expr(w, value_col, epoch_micros(ts_col))
+    def _build() -> Column:
+        order_cols = [F.col(ts_col)] + [
+            F.col(c) for c in (order_extra or [])
+        ]
+        w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+
+        # Steps from exact integer-µs differences: subtracting epoch
+        # *doubles* (~1.7e9 s) loses ~0.25 µs to cancellation, which a
+        # second-order difference amplifies to ~1e-6 relative error.
+        # Long-µs diffs are exact.
+        return gradient_expr(w, value_col, epoch_micros(ts_col))
+
+    return memoized_expr(
+        (
+            "gradient_column",
+            value_col,
+            ts_col,
+            tuple(partition_cols),
+            tuple(order_extra or []),
+        ),
+        _build,
+    )
 
 
 def calc_gradient(

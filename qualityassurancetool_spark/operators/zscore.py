@@ -53,6 +53,38 @@ def calc_zscore(
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
     delta_us = timedelta_micros(rolling_time_window)
 
+    # the z expression is parameter-determined — memoize the built tree
+    # per session (functions/exprmemo) so repeated QC-chain builds
+    # reuse it instead of re-shipping the window algebra over py4j
+    from qualityassurancetool_spark.functions.exprmemo import memoized_expr
+
+    z = memoized_expr(
+        (
+            "calc_zscore",
+            value_col,
+            ts_col,
+            tuple(groups),
+            int(delta_us),
+            frame,
+            bool(only_good),
+            flag_col,
+        ),
+        lambda: _zscore_expr(
+            value_col, ts_col, groups, delta_us, frame, only_good, flag_col
+        ),
+    )
+    return df.withColumn(out_col, z)
+
+
+def _zscore_expr(
+    value_col: str,
+    ts_col: str,
+    groups: list[str],
+    delta_us: int,
+    frame: str,
+    only_good: bool,
+    flag_col: str,
+) -> Column:
     v = F.col(value_col)
     if frame == "reference":
         order = epoch_micros(ts_col)
@@ -84,7 +116,7 @@ def calc_zscore(
             from qualityassurancetool_spark.flags import still_good_mask
 
             z = F.when(still_good_mask(flag_col), z)
-        return df.withColumn(out_col, z)
+        return z
     if frame != "trailing":
         raise ValueError(f"unknown frame {frame!r} (trailing|reference)")
 
@@ -105,7 +137,7 @@ def calc_zscore(
         from qualityassurancetool_spark.flags import still_good_mask
 
         z = F.when(still_good_mask(flag_col), z)
-    return df.withColumn(out_col, z)
+    return z
 
 
 def zscore_sql(
