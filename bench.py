@@ -3,15 +3,25 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a count-consuming action (foreach-noop) so the
-full plan runs without driver-side collection dominating the measurement.
+MEASUREMENT FIX, round 12 (guide §1.4; VERDICT r11 items 2/4): the timed
+action is now the NOOP SINK (``df.write.format("noop")``), which computes
+every column of every row, instead of ``count()``, which let the optimizer
+prune columns and whole subtrees (proven concretely by resample in round
+11: its windows+join never executed under count()).  The headline
+``value``/``queries`` are noop-sink medians; the OLD count()-action
+numbers are still measured and recorded under ``count_action`` for one
+round so cross-round comparisons stay apples-to-apples (r11 and earlier
+headline numbers are count-action).  Disable the compat pass with
+``SPARK_GRAFT_BENCH_COUNT=0``.
 
 Stability: each query runs ``$SPARK_GRAFT_BENCH_ITERS`` times (default 3,
 back-to-back so iterations 2+ are warm) and reports the per-query MEDIAN;
 the headline value is the sum of medians.  Cold-JVM/codegen variance was
 the dominant driver-vs-local gap in round 2 (2.4-2.6x on the two heaviest
 dedup queries, same plans) — medians of warm runs measure the plan, not
-the JIT.
+the JIT.  Per-query FIRST-run wall (one-time cached-frame builds + JIT)
+is recorded as ``cold_s`` with its sum in ``cold_total``, so one-time
+work excluded from warm medians stays driver-visible.
 """
 
 from __future__ import annotations
@@ -90,6 +100,12 @@ BENCH_QUERIES = [
     # sessionize_events/dedup_ngram_jaccard rows (covered as x_*)
     "maxsim",
     "kcore",
+    # round-12 restoration (VERDICT r11 item 1): the round-11 build
+    # phase's retirement of these two dropped them from the declared
+    # gate; nothing caps the gate at 50, so they return ALONGSIDE
+    # maxsim/kcore (45 bench rows, 52 declared)
+    "sessionize_events",
+    "dedup_ngram_jaccard",
 ]
 
 
@@ -129,11 +145,19 @@ def main() -> None:
     # a single cold invocation.  cold_s also carries session-wide JIT/
     # codegen warm-up (that's what this pass exists to absorb), so it is
     # an upper bound on the one-time build, not a pure build time.
+    def run_noop(df) -> int:
+        # guide §1.4: computes EVERY column of EVERY row, prunes nothing
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+
+    def run_count(df) -> int:
+        return df.count()
+
     t_warm = time.perf_counter()
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
+        run_noop(qs[name](spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
     print(
         f"# warm-up pass: {time.perf_counter() - t_warm:.1f}s "
@@ -141,9 +165,10 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    def timed_pass(directory: str, iters: int) -> tuple[float, dict]:
+    def timed_pass(directory: str, iters: int, action) -> tuple[float, dict]:
         tm: dict[str, float] = {}
         tot = 0.0
+        tag = action.__name__.removeprefix("run_")
         for name in BENCH_QUERIES:
             fn = qs[name]
             samples = []
@@ -151,13 +176,13 @@ def main() -> None:
             for _ in range(iters):
                 t0 = time.perf_counter()
                 df = fn(spark, directory)
-                n = df.count()
+                n = action(df)
                 samples.append(time.perf_counter() - t0)
             dt = statistics.median(samples)
             tm[name] = round(dt, 3)
             tot += dt
             print(
-                f"# {name}: median {dt:.3f}s over {iters} "
+                f"# {name} [{tag}]: median {dt:.3f}s over {iters} "
                 f"(min {min(samples):.3f} max {max(samples):.3f}) "
                 f"rows={n}",
                 file=sys.stderr,
@@ -165,7 +190,16 @@ def main() -> None:
         return tot, tm
 
     iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")), 1)
-    total, timings = timed_pass(sf_dir, iters)
+    with_count = os.environ.get("SPARK_GRAFT_BENCH_COUNT", "1") != "0"
+    total, timings = timed_pass(sf_dir, iters, run_noop)
+    count_block = None
+    if with_count:
+        total_c, timings_c = timed_pass(sf_dir, iters, run_count)
+        count_block = {
+            "value": round(total_c, 3),
+            "queries": timings_c,
+            "iters": iters,
+        }
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
@@ -173,12 +207,19 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # round 12: the timed action behind value/queries (guide §1.4)
+        "action": "noop",
         # first-run wall per query (includes any one-time cached-frame
         # build AND session JIT warm-up; see the warm-up pass comment)
         "cold_s": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf else None,
         "iters": iters,
     }
+    if count_block is not None:
+        # the pre-round-12 methodology (count() action), kept for one
+        # round so r11-vs-r12 comparisons stay apples-to-apples
+        payload["count_action"] = count_block
 
     # sf1 calibration pass (VERDICT r5 #9): the plans only
     # differentiate under 10x data, so the gate artifact records both
@@ -212,7 +253,7 @@ def main() -> None:
             cold1: dict[str, float] = {}
             for name in BENCH_QUERIES:
                 t0 = time.perf_counter()
-                qs[name](spark, sf1_dir).count()
+                run_noop(qs[name](spark, sf1_dir))
                 cold1[name] = round(time.perf_counter() - t0, 3)
             print(
                 f"# sf1 warm-up pass: "
@@ -223,14 +264,25 @@ def main() -> None:
                 int(os.environ.get("SPARK_GRAFT_BENCH_SF1_ITERS", "2")),
                 1,
             )
-            total1, timings1 = timed_pass(sf1_dir, iters1)
+            total1, timings1 = timed_pass(sf1_dir, iters1, run_noop)
             payload["sf1"] = {
                 "value": round(total1, 3),
                 "queries": timings1,
+                "action": "noop",
                 "cold_s": cold1,
+                "cold_total": round(sum(cold1.values()), 3),
                 "iters": iters1,
                 "dir": sf1_dir,
             }
+            if with_count:
+                total1c, timings1c = timed_pass(
+                    sf1_dir, iters1, run_count
+                )
+                payload["sf1"]["count_action"] = {
+                    "value": round(total1c, 3),
+                    "queries": timings1c,
+                    "iters": iters1,
+                }
         except Exception as e:  # sf1 is calibration, never a gate abort
             print(f"# sf1 pass skipped: {e!r}", file=sys.stderr)
 

@@ -25,6 +25,23 @@ T = TypeVar("T")
 _MEMO: dict = {}
 
 
+def column_key(col) -> str:
+    """By-value memo key for a ``Column`` argument.
+
+    ``str(col)`` (``Column.__repr__``) pretty-prints the expression
+    WITHOUT expression IDs, so two DataFrame-bound columns
+    (``df1["embedding"]`` vs ``df2["embedding"]``) render identically
+    while wrapping different resolved attributes — a memo keyed on it
+    would hand the second caller a tree embedding the first frame's
+    attribute (round-11 advisor finding).  The underlying Catalyst
+    expression's ``toString`` RETAINS exprIds (``embedding#123``), so
+    bound columns from different frames key apart while unresolved
+    ``F.col(...)`` callers still share one entry.  ``normalized()``
+    strips the per-construction Origin stack trace that would
+    otherwise make every key unique."""
+    return col._jc.node().normalized().toString()
+
+
 def memoized_expr(key: tuple, builder: Callable[[], T]) -> T:
     """Return ``builder()`` memoized per (``key``, active SparkContext).
 

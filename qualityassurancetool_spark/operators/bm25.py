@@ -102,6 +102,14 @@ def bm25_topk(
     sharing no term with a query are not returned (BM25 score would be
     0).  ``queries`` is small by contract — see module docstring.
 
+    **Unique-doc-id contract** (like the small-queries invariant):
+    ``id_col`` must identify exactly one document.  The tf pass groups
+    by ``(id, term, dl)`` on the premise that ``dl`` is functionally
+    dependent on the id; duplicate ids with different texts would
+    split a ``(id, term)`` group by ``dl`` and inflate ``df`` (each
+    split counts once toward document frequency), silently shifting
+    idf and scores relative to a deduplicated corpus.
+
     ``stats``: precomputed :func:`corpus_stats` — pass it when running
     many query batches to skip the per-call stats agg entirely.  With
     ``persist=True`` the corpus text is read once per call either way

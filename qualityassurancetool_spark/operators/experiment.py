@@ -99,16 +99,22 @@ def welch_t_test(
     # §2.4).  stats has one control row per stratum at most (grouped by
     # (g, _v)), so max(when(control, x)) copies that row's value
     # exactly; strata with no control row are dropped like the inner
-    # join did.
+    # join did.  NULL-group parity (round-11 advisor): the old inner
+    # join also dropped strata whose group value is NULL (SQL join
+    # null-inequality), but Window.partitionBy groups NULLs together —
+    # the explicit isNotNull guards below restore join semantics.
     wg = Window.partitionBy(*g) if g else Window.partitionBy()
     is_ctrl = F.col("_v") == control
+    keep = (F.col("_v") != control) & (F.col("_has_ctrl") == 1)
+    for c in g:
+        keep = keep & F.col(c).isNotNull()
     j = stats.select(
         "*",
         F.max(F.when(is_ctrl, F.col("_n"))).over(wg).alias("_nc"),
         F.max(F.when(is_ctrl, F.col("_mean"))).over(wg).alias("_mc"),
         F.max(F.when(is_ctrl, F.col("_var"))).over(wg).alias("_vc"),
         F.max(is_ctrl.cast("int")).over(wg).alias("_has_ctrl"),
-    ).where((F.col("_v") != control) & (F.col("_has_ctrl") == 1))
+    ).where(keep)
     vn_t = F.col("_var") / F.col("_n")
     vn_c = F.col("_vc") / F.col("_nc")
     se2 = vn_t + vn_c
@@ -172,15 +178,20 @@ def two_proportion_z(
             F.sum(y).alias("_s"),
         )
     )
-    # same window control-attach as welch_t_test (see comment there)
+    # same window control-attach as welch_t_test (see comment there),
+    # including the NULL-stratum isNotNull guards restoring the old
+    # inner join's null-inequality drop semantics
     wg = Window.partitionBy(*g) if g else Window.partitionBy()
     is_ctrl = F.col("_v") == control
+    keep = (F.col("_v") != control) & (F.col("_has_ctrl") == 1)
+    for c in g:
+        keep = keep & F.col(c).isNotNull()
     j = stats.select(
         "*",
         F.max(F.when(is_ctrl, F.col("_n"))).over(wg).alias("_nc"),
         F.max(F.when(is_ctrl, F.col("_s"))).over(wg).alias("_sc"),
         F.max(is_ctrl.cast("int")).over(wg).alias("_has_ctrl"),
-    ).where((F.col("_v") != control) & (F.col("_has_ctrl") == 1))
+    ).where(keep)
     n_t, n_c = F.col("_n"), F.col("_nc")
     p_t = F.col("_s") / n_t
     p_c = F.col("_sc") / n_c

@@ -298,10 +298,13 @@ def nearest_centroids(
             F.slice(F.array_sort(pairs), 1, n_nearest), lambda s: s["i"]
         )
 
-    # str(vec) renders the full unresolved expression (1 round trip) —
-    # a by-VALUE key for the input column, never id()
+    # column_key retains exprIds, so DataFrame-bound columns from
+    # different frames key apart (round-11 advisor); a by-VALUE key
+    # for the input column, never id()
+    from qualityassurancetool_spark.functions.exprmemo import column_key
+
     return memoized_expr(
-        ("nearest_centroids", str(vec), ids_t, vecs_t, int(n_nearest)),
+        ("nearest_centroids", column_key(vec), ids_t, vecs_t, int(n_nearest)),
         _build,
     )
 
@@ -477,8 +480,10 @@ def lsh_bucket_id(vec: Column, dim: int, n_planes: int = 8) -> Column:
             lambda acc, v: acc + v,
         )
 
+    from qualityassurancetool_spark.functions.exprmemo import column_key
+
     return memoized_expr(
-        ("lsh_bucket_id", str(vec), int(dim), int(n_planes)), _build
+        ("lsh_bucket_id", column_key(vec), int(dim), int(n_planes)), _build
     )
 
 

@@ -173,3 +173,30 @@ def test_stratum_without_control_dropped(spark):
         zdf, "variant", "ok", control="c", by=["region"]
     ).collect()
     assert [(r["region"], r["variant"]) for r in zout] == [("us", "t")]
+
+
+def test_null_stratum_dropped_like_inner_join(spark):
+    # round-11 advisor: the old inner join on the `by` columns dropped
+    # strata whose group value is NULL (SQL join null-inequality);
+    # Window.partitionBy groups NULLs together, so the window-based
+    # control attach must filter them explicitly to keep join parity
+    rows = (
+        [("us", "c", 1.0), ("us", "c", 2.0), ("us", "t", 5.0),
+         ("us", "t", 6.0)]
+        + [(None, "c", 1.0), (None, "c", 2.0), (None, "t", 3.0),
+           (None, "t", 4.0)]  # NULL stratum has control AND treatment
+    )
+    df = spark.createDataFrame(rows, ["region", "variant", "y"])
+    out = welch_t_test(
+        df, "variant", "y", control="c", by=["region"]
+    ).collect()
+    assert [(r["region"], r["variant"]) for r in out] == [("us", "t")]
+    zrows = (
+        [("us", "c", 1), ("us", "c", 0), ("us", "t", 0), ("us", "t", 1)]
+        + [(None, "c", 1), (None, "t", 0)]
+    )
+    zdf = spark.createDataFrame(zrows, ["region", "variant", "ok"])
+    zout = two_proportion_z(
+        zdf, "variant", "ok", control="c", by=["region"]
+    ).collect()
+    assert [(r["region"], r["variant"]) for r in zout] == [("us", "t")]

@@ -66,3 +66,46 @@ def test_ewma_expressions_identical_after_memo_hit(spark):
     # a different window must NOT serve the memoized 4-lag tree
     c = ewma_anomaly(df, "v", ["t"], ["g"], window=2).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_column_key_distinguishes_bound_columns(spark):
+    # round-11 advisor: Column.__repr__ pretty-prints WITHOUT exprIds,
+    # so df1["embedding"] and df2["embedding"] render identically while
+    # wrapping different resolved attributes.  column_key must key them
+    # apart (and keep unresolved F.col callers cache-stable).
+    from qualityassurancetool_spark.functions.exprmemo import column_key
+
+    df1 = spark.range(3).select(F.col("id").alias("embedding"))
+    df2 = spark.range(4).select(F.col("id").alias("embedding"))
+    assert str(df1["embedding"]) == str(df2["embedding"])  # the trap
+    assert column_key(df1["embedding"]) != column_key(df2["embedding"])
+    assert column_key(F.col("embedding")) == column_key(F.col("embedding"))
+    assert column_key(F.col("embedding")) != column_key(df1["embedding"])
+
+
+def test_nearest_centroids_bound_column_resolves(spark):
+    # public-API consumer of the key fix: the same centroid set asked
+    # through two different DataFrames' bound columns must resolve
+    # against each frame (a shared memo entry would raise
+    # "resolved attribute missing" on the second frame)
+    from qualityassurancetool_spark.operators.similarity import (
+        nearest_centroids,
+    )
+
+    cents = ([0, 1], [[0.0, 0.0], [10.0, 10.0]])
+    df1 = spark.createDataFrame(
+        [([0.1, 0.2],)], ["embedding"]
+    )
+    df2 = spark.createDataFrame(
+        [([9.0, 9.5],), ([0.4, 0.1],)], ["embedding"]
+    )
+    a = df1.select(
+        nearest_centroids(df1["embedding"], cents[0], cents[1], 1)
+        .alias("c")
+    ).collect()
+    b = df2.select(
+        nearest_centroids(df2["embedding"], cents[0], cents[1], 1)
+        .alias("c")
+    ).collect()
+    assert [r["c"] for r in a] == [[0]]
+    assert sorted(r["c"][0] for r in b) == [0, 1]
