@@ -1473,27 +1473,64 @@ def ngram_jaccard_pairs(
             if length_col
             else []
         ),
-    )
+    ).withColumn("_n", F.size("_toks"))
     join_cond = [f"_blk_{c}" for c in blocks] + (["_lb"] if length_col else [])
 
-    def _jaccard(a_toks, b_toks) -> Column:
-        return F.size(F.array_intersect(a_toks, b_toks)) / F.size(
-            F.array_union(a_toks, b_toks)
+    # Jaccard ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|) (overlap ≤ min,
+    # union ≥ max): a two-long comparison that belongs in the JOIN
+    # condition, where it prunes pairs before any array work.  The
+    # 1e-6 slack absorbs double rounding of t·max so a boundary pair
+    # (min exactly t·max in real arithmetic) is never excluded —
+    # false admits only cost the exact verification below.
+    def _size_precheck(na: Column, nb: Column) -> Column:
+        return F.least(na, nb).cast("double") >= (
+            F.lit(float(threshold)) * F.greatest(na, nb) - F.lit(1e-6)
         )
+
+    def _verify(pairs: DataFrame) -> DataFrame:
+        """Exact Jaccard over (id_a, id_b, _ta, _tb, _nsum) candidate
+        rows.  |a∪b| = |a|+|b|−|a∩b| for the distinct token arrays, so
+        only the INTERSECTION is computed per pair — and exactly once,
+        behind a substitution barrier: without it both the threshold
+        filter (previously pushed into the join condition) and the
+        output projection inline the full intersect+union trees,
+        evaluating the hash-set array ops 2× per candidate and 4× per
+        surviving pair (round-12 plan finding; guide §7.2)."""
+        from qualityassurancetool_spark.functions.partitioning import (
+            compute_behind_barrier,
+        )
+
+        inter = compute_behind_barrier(
+            pairs,
+            {
+                "_i": F.size(
+                    F.array_intersect(F.col("_ta"), F.col("_tb"))
+                ).cast("double")
+            },
+        )
+        return inter.select(
+            "id_a",
+            "id_b",
+            (F.col("_i") / (F.col("_nsum") - F.col("_i"))).alias(
+                "jaccard"
+            ),
+        ).where(F.col("jaccard") >= threshold)
 
     def _allpairs(frame: DataFrame) -> DataFrame:
         a, b = frame.alias("a"), frame.alias("b")
-        cond = F.col("a._id") < F.col("b._id")
+        cond = (F.col("a._id") < F.col("b._id")) & _size_precheck(
+            F.col("a._n"), F.col("b._n")
+        )
         for k in join_cond:
             cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-        return (
-            a.join(b, cond)
-            .select(
+        return _verify(
+            a.join(b, cond).select(
                 F.col("a._id").alias("id_a"),
                 F.col("b._id").alias("id_b"),
-                _jaccard(F.col("a._toks"), F.col("b._toks")).alias("jaccard"),
+                F.col("a._toks").alias("_ta"),
+                F.col("b._toks").alias("_tb"),
+                (F.col("a._n") + F.col("b._n")).alias("_nsum"),
             )
-            .where(F.col("jaccard") >= threshold)
         )
 
     if max_block_rows is None or not join_cond:
@@ -1529,26 +1566,31 @@ def ngram_jaccard_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    toks_by_id = big.select("_id", "_toks")
-    big_pairs = (
+    toks_by_id = big.select("_id", "_toks", "_n")
+    big_pairs = _verify(
         cand.join(
-            toks_by_id.withColumnRenamed("_id", "id_a").withColumnRenamed(
-                "_toks", "_toks_a"
+            toks_by_id.select(
+                F.col("_id").alias("id_a"),
+                F.col("_toks").alias("_ta"),
+                F.col("_n").alias("_na"),
             ),
             "id_a",
         )
         .join(
-            toks_by_id.withColumnRenamed("_id", "id_b").withColumnRenamed(
-                "_toks", "_toks_b"
+            toks_by_id.select(
+                F.col("_id").alias("id_b"),
+                F.col("_toks").alias("_tb"),
+                F.col("_n").alias("_nb"),
             ),
             "id_b",
         )
+        # the equi-join on the prefix token admits pairs the size bound
+        # already refutes; prune them before the array intersection
+        .where(_size_precheck(F.col("_na"), F.col("_nb")))
         .select(
-            "id_a",
-            "id_b",
-            _jaccard(F.col("_toks_a"), F.col("_toks_b")).alias("jaccard"),
+            "id_a", "id_b", "_ta", "_tb",
+            (F.col("_na") + F.col("_nb")).alias("_nsum"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
     return small.unionByName(big_pairs)
 
