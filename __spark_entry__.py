@@ -4190,7 +4190,17 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("query_text"),
     )
-    return bm25_topk(docs, qs, k=10).select(
+    # persist=False (round 12): with the df-side aggregate no longer
+    # pruned apart (operators/bm25), AQE reuses the tf exchange — but
+    # ONLY over plain scans: a persisted token frame wraps each
+    # reference in its own TableCacheQueryStage and the stage cache
+    # stops unifying them, so the cached path paid the corpus explode
+    # + semi-join + shuffle TWICE per call.  Un-persisted, the tf
+    # subtree runs once (reuse, asserted in test_bm25.py) and every
+    # invocation pays its full cost inside the timed region (no
+    # session cache shielding warm bench iterations).  Same-window
+    # A/B at sf0.1: warm 2.87 -> 2.06 s, cache-cleared 2.51 -> 1.72 s.
+    return bm25_topk(docs, qs, k=10, persist=False).select(
         "query_id",
         "doc_id",
         (F.round("score", 6) + F.lit(0.0)).alias("score_r"),

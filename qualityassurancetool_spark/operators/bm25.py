@@ -18,16 +18,17 @@ Scale shape (the part that matters at 100 TB):
   distinct terms broadcast and hash-SEMI-join the exploded corpus
   tokens (O(1) per token — a query-vocab literal filter was measured
   ~40 % slower at ~1k terms because giant literals poison plan
-  compile).  The corpus text is read and tokenized ONCE per call: the
-  QUERY-INDEPENDENT ``(id, token-array)`` frame is persisted and both
-  the stats agg (when ``stats`` isn't supplied) and the scoring
-  explode read the cache, not the text.  The cache is the tokenized
-  corpus (≈ normalized text size, MEMORY_AND_DISK); Spark's
-  CacheManager dedupes identical plans, so repeated calls over the
-  same corpus share ONE entry rather than stacking copies — it lives
-  until session end or LRU eviction (per-call unpersist is impossible
-  for a lazily-returned plan).  Pass precomputed ``corpus_stats`` to
-  skip even the cached stats agg across query batches.
+  compile).  The tf aggregate and the document-frequency aggregate
+  reference one canonically-equal subtree, so AQE's stage cache runs
+  the corpus explode + vocab semi-join + (doc, term) shuffle ONCE per
+  call — but only over PLAIN scans: a persisted token frame wraps
+  each reference in its own ``TableCacheQueryStage`` and the stage
+  cache stops unifying them (round-12 executed-plan finding), making
+  ``persist=True`` pay that subtree twice per call.  ``persist``
+  therefore trades one extra text scan for the stats agg
+  (``persist=False``, the one-shot/scale default — pass ``stats`` to
+  drop even that) against a session-lifetime token cache that only
+  wins when MANY query batches hit the same moderate corpus.
 - Corpus statistics (N, avgdl) are one partial agg → two driver
   scalars; per-term document frequencies are computed only for query
   terms (a ``|Q|``-row broadcast dimension).
@@ -112,19 +113,19 @@ def bm25_topk(
 
     ``stats``: precomputed :func:`corpus_stats` — pass it when running
     many query batches to skip the per-call stats agg entirely.  With
-    ``persist=True`` the corpus text is read once per call either way
-    (stats come from the persisted slim frame, never a second text
-    scan); with ``persist=False`` AND ``stats=None`` the stats agg and
-    the scoring join each tokenize the corpus — one extra text scan —
-    so multi-corpus sweepers should pass ``stats`` alongside
-    ``persist=False``.
+    ``persist=False`` AND ``stats=None`` the stats agg tokenizes the
+    corpus a second time (the scoring side's tf/df work shares ONE
+    subtree via AQE exchange reuse — see the module docstring).
 
     ``persist`` (default True) caches the query-independent token frame
     at MEMORY_AND_DISK for the session — right for repeated batches over
-    the SAME corpus.  A caller sweeping many *different* corpora should
-    pass ``persist=False`` (or call ``spark.catalog.clearCache()``
-    between corpora): cache entries are keyed by plan and otherwise
-    accumulate for the session lifetime."""
+    the SAME moderate corpus, but it BLOCKS the tf-exchange reuse (each
+    cache reference becomes its own TableCacheQueryStage), so the
+    explode + semi-join + shuffle runs twice per call.  One-shot
+    callers and 100 TB corpora (where the cache cannot be resident
+    anyway) should pass ``persist=False``; callers sweeping many
+    *different* corpora too (cache entries are keyed by plan and
+    otherwise accumulate for the session lifetime)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     qterms = _doc_terms(
@@ -189,11 +190,19 @@ def bm25_topk(
         F.count(F.lit(1)).alias("tf")
     )
     # df per query term (|Q|-row dimension), then idf as a Column.
-    # count("tf") ≡ count(1) (tf is a count, never NULL) but keeps the
-    # tf aggregate REFERENCED, so column pruning cannot narrow the df
-    # side's copy of the shared subtree — pruned, the two references
-    # stop being identical and the exchange reuse above disappears.
-    dfreq = tf.groupBy("term").agg(F.count("tf").alias("df"))
+    # sum(least(tf, 1)) ≡ count(1) per term (tf ≥ 1 by construction)
+    # but keeps the tf VALUE referenced in a form Catalyst cannot fold
+    # away: the round-11 count("tf") variant was rewritten to count(1)
+    # (tf is a non-nullable count) and the partial aggregate's count
+    # buffer pruned off the df side — the two (doc, term, dl) subtrees
+    # then stopped canonicalizing equal and the corpus explode +
+    # semi-join + shuffle ran TWICE per call (found in the round-12
+    # sf1 executed plan: the only ReusedExchange was the vocab
+    # broadcast).  With the buffer kept, both references share one
+    # exchange; asserted on doc/term keys by test_bm25.py.
+    dfreq = tf.groupBy("term").agg(
+        F.sum(F.least(F.col("tf"), F.lit(1))).alias("df")
+    )
     idf = F.log(
         F.lit(1.0)
         + (ndocs_col - F.col("df") + 0.5) / (F.col("df") + 0.5)

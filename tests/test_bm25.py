@@ -161,4 +161,25 @@ def test_tf_exchange_reused_at_runtime(spark):
         )
     )
     assert "isFinalPlan=true" in plan
-    assert "Reused" in plan, plan
+    # the TF exchange specifically (hash-partitioned on the doc id
+    # grouping keys) must be reused — a bare "Reused" in the plan can
+    # be satisfied by the small vocab broadcast alone, which is what
+    # masked the round-11 regression (the df side's pruned partial
+    # aggregate broke canonical equality and the corpus shuffle ran
+    # twice; round-12 fix: df = sum(least(tf, 1)))
+    import re
+
+    final = plan.split("== Initial Plan ==")[0]
+    reused_tf = [
+        ln
+        for ln in final.splitlines()
+        if "ReusedExchange" in ln
+        and re.search(r"hashpartitioning\(doc_id", ln)
+    ]
+    live_tf = [
+        ln
+        for ln in final.splitlines()
+        if re.search(r"\+- Exchange hashpartitioning\(doc_id", ln)
+    ]
+    assert reused_tf, final
+    assert len(live_tf) == 1, final
