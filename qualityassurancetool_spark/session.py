@@ -200,6 +200,18 @@ def get_spark(app_name: str = "qualityassurancetool-spark") -> SparkSession:
             "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow batches crossing the Python boundary are additionally
+        # byte-bounded (Spark 4 knob; guide §4.2): the 10 000-record
+        # default lets a partition of ~1 MB binary cells (multimodal
+        # decode kernels) form one ~128 MB batch per task — measured
+        # interleaved at 4096×1 MB rows: 3.59 → 2.89 s median and the
+        # whole-partition-batch memory spikes (10.3 s outlier) gone
+        # with a 64m bound.  Narrow-row paths are unaffected (the
+        # record cap still applies; whichever bound hits first wins).
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("QAT_ARROW_MAX_BYTES_PER_BATCH", "64m"),
+        )
         # call-site capture for DataFrame error context costs ~4 py4j
         # round-trips + a Python stack walk on EVERY DataFrame/Column API
         # call — about half the driver-side plan-build time of the larger
