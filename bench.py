@@ -165,36 +165,46 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    def timed_pass(directory: str, iters: int, action) -> tuple[float, dict]:
+    def timed_pass(
+        directory: str, iters: int, action
+    ) -> tuple[float, dict, dict]:
         tm: dict[str, float] = {}
+        bm: dict[str, float] = {}
         tot = 0.0
         tag = action.__name__.removeprefix("run_")
         for name in BENCH_QUERIES:
             fn = qs[name]
             samples = []
+            builds = []
             n = 0
             for _ in range(iters):
                 t0 = time.perf_counter()
                 df = fn(spark, directory)
+                builds.append(time.perf_counter() - t0)
                 n = action(df)
                 samples.append(time.perf_counter() - t0)
             dt = statistics.median(samples)
             tm[name] = round(dt, 3)
+            # driver plan-construction share of the row (the per-query
+            # split VERDICT r11 item 7 asked to surface): queries stay
+            # whole-wall for cross-round comparability, build_s rides
+            # alongside
+            bm[name] = round(statistics.median(builds), 3)
             tot += dt
             print(
                 f"# {name} [{tag}]: median {dt:.3f}s over {iters} "
                 f"(min {min(samples):.3f} max {max(samples):.3f}) "
-                f"rows={n}",
+                f"build {bm[name]:.3f}s rows={n}",
                 file=sys.stderr,
             )
-        return tot, tm
+        return tot, tm, bm
 
     iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")), 1)
     with_count = os.environ.get("SPARK_GRAFT_BENCH_COUNT", "1") != "0"
-    total, timings = timed_pass(sf_dir, iters, run_noop)
+    total, timings, builds = timed_pass(sf_dir, iters, run_noop)
     count_block = None
     if with_count:
-        total_c, timings_c = timed_pass(sf_dir, iters, run_count)
+        total_c, timings_c, _ = timed_pass(sf_dir, iters, run_count)
         count_block = {
             "value": round(total_c, 3),
             "queries": timings_c,
@@ -213,6 +223,8 @@ def main() -> None:
         # build AND session JIT warm-up; see the warm-up pass comment)
         "cold_s": cold,
         "cold_total": round(sum(cold.values()), 3),
+        # per-query driver plan-build medians from the noop pass
+        "build_s": builds,
         "sf": float(sf) if sf else None,
         "iters": iters,
     }
@@ -264,18 +276,19 @@ def main() -> None:
                 int(os.environ.get("SPARK_GRAFT_BENCH_SF1_ITERS", "2")),
                 1,
             )
-            total1, timings1 = timed_pass(sf1_dir, iters1, run_noop)
+            total1, timings1, builds1 = timed_pass(sf1_dir, iters1, run_noop)
             payload["sf1"] = {
                 "value": round(total1, 3),
                 "queries": timings1,
                 "action": "noop",
                 "cold_s": cold1,
                 "cold_total": round(sum(cold1.values()), 3),
+                "build_s": builds1,
                 "iters": iters1,
                 "dir": sf1_dir,
             }
             if with_count:
-                total1c, timings1c = timed_pass(
+                total1c, timings1c, _ = timed_pass(
                     sf1_dir, iters1, run_count
                 )
                 payload["sf1"]["count_action"] = {
